@@ -1,0 +1,169 @@
+package graft.api
+
+import graft.geo.GeohashPruning
+import graft.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Dataset-returning API mirroring the reference's entry points:
+ * Ingest (src/main/java/tech/stackable/gis/hbase/Ingest.java),
+ * BulkIngest (BulkIngest.java), WithinQuery (WithinQuery.java),
+ * KNNQuery (KNNQuery.java + coprocessor/KNNEndpoint.java),
+ * TopX (coprocessor/TopXEndpoint.java).
+ *
+ * Scale posture: every operator is a declarative plan — filters reach the
+ * scan (prefix pruning = partition pruning on geohash-sorted parquet),
+ * top-k plans as TakeOrderedAndProject (per-partition partial heap + driver
+ * merge — exactly the reference's region-endpoint/client split), grouped
+ * top-N is a shuffle-on-key window. Nothing materializes on the driver
+ * except final `limit k` results.
+ */
+object Gis {
+
+  /** Positional column names the reference's loader assigns (Ingest.java:31-34). */
+  val WifiColumns: Seq[String] =
+    Seq("lon", "lat", "id", "name", "address", "city", "url", "phone", "type", "zip")
+
+  /**
+   * TSV point ingest (reference S1-S3, S7: Ingest.java:40-99 +
+   * AbstractTestUtil.java:50-81 dedup): header-skipping tab-split, positional
+   * names, lon/lat to double (unparseable → null ≈ reference NaN), derived
+   * `geohash` rowkey at `precision` chars, dedup on it.
+   */
+  def ingestTsv(spark: SparkSession, path: String, precision: Int = 12,
+                dedup: Boolean = true): DataFrame = {
+    val raw = spark.read
+      .option("sep", "\t").option("header", "true")
+      .option("quote", "") // reference splits on tabs only, quotes are data (Ingest.java:36-38)
+      .csv(path)
+    val named = raw.toDF(WifiColumns.take(raw.columns.length): _*)
+    val keyed = named
+      .withColumn("lon", col("lon").cast("double"))
+      .withColumn("lat", col("lat").cast("double"))
+      .withColumn("geohash", geohash_encode(col("lat"), col("lon"), precision))
+    if (dedup) keyed.dropDuplicates("geohash") else keyed
+  }
+
+  /**
+   * Seeded synthetic point generator (reference S4: BulkIngest.java:27-105 —
+   * uniform points in a bbox, index ids, 10-char random text columns). The
+   * reference uses an unseeded Random; ours is deterministic by `seed`.
+   * Fully distributed: spark.range partitions the id space.
+   */
+  def bulkIngest(spark: SparkSession, count: Long,
+                 lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
+                 seed: Long = 42L, precision: Int = 12): DataFrame = {
+    val textCol = (name: String, i: Int) =>
+      substring(sha2(concat_ws("-", lit(name), col("id"), lit(seed + i)), 256), 1, 10).as(name)
+    spark.range(count)
+      .select(
+        (lit(lonMin) + rand(seed) * (lonMax - lonMin)).as("lon"),
+        (lit(latMin) + rand(seed + 1) * (latMax - latMin)).as("lat"),
+        col("id").cast("string").as("id"),
+        textCol("name", 2), textCol("address", 3), textCol("city", 4),
+        textCol("url", 5), textCol("phone", 6), textCol("type", 7), textCol("zip", 8))
+      .withColumn("geohash", geohash_encode(col("lat"), col("lon"), precision))
+  }
+
+  /** Persist points geohash-sorted so prefix predicates become partition/
+    * row-group pruning (the Spark analog of HBase rowkey-range locality). */
+  def writePoints(df: DataFrame, path: String, numFiles: Int = 32): Unit =
+    df.repartitionByRange(numFiles, col("geohash"))
+      .sortWithinPartitions("geohash")
+      .write.mode("overwrite").parquet(path)
+
+  /** OR-of-startsWith prefix predicate (reference F1: PrefixFilter scans). */
+  def prefixPredicate(geohashCol: Column, prefixes: Seq[String]): Column =
+    prefixes.map(p => geohashCol.startsWith(p)).reduce(_ || _)
+
+  /**
+   * Polygon containment query (reference WithinQuery.java:104-174, both
+   * "local" and "remote" modes — in Spark the filter-and-refine split
+   * collapses into one scan-stage filter):
+   * candidate pruning by minimum-bounding geohash prefixes (WithinQuery.java:
+   * 79-102), then exact boundary-inclusive `covers` refinement.
+   * Falls back to a full scan when no prefix set covers the polygon (the
+   * reference throws instead — WithinQuery.java:100-101).
+   */
+  def within(points: DataFrame, wktPolygon: String,
+             lonCol: String = "lon", latCol: String = "lat",
+             geohashCol: String = "geohash", prune: Boolean = true): DataFrame = {
+    val covers = st_covers(wktPolygon, col(lonCol), col(latCol))
+    val pruned =
+      if (prune && points.columns.contains(geohashCol)) {
+        val query = graft.geo.Geom.parseWktPolygon(wktPolygon)
+        GeohashPruning.minimumBoundingPrefixes(query) match {
+          case Some(prefixes) => points.filter(prefixPredicate(col(geohashCol), prefixes))
+          case None => points
+        }
+      } else points
+    pruned.filter(covers)
+  }
+
+  /**
+   * K-nearest-neighbors by planar Euclidean degree distance (reference
+   * KNNQuery.java:42-91 / KNNEndpoint.java:61-119). Plans as
+   * TakeOrderedAndProject: per-partition bounded top-k + driver merge —
+   * the same partial/final shape as the reference's region endpoints +
+   * client, including the final cross-region merge the reference's
+   * KNNClient never performs (KNNClient.java:55-57).
+   *
+   * strict=true reproduces the reference's 9-cell candidate bound (may miss
+   * true neighbors past cell edges); default widens to the full table when
+   * the candidate cells hold fewer than k points.
+   */
+  def knn(points: DataFrame, lon: Double, lat: Double, k: Int,
+          strict: Boolean = false, precision: Int = 7,
+          lonCol: String = "lon", latCol: String = "lat",
+          geohashCol: String = "geohash"): DataFrame = {
+    val base =
+      if (points.columns.contains(geohashCol)) {
+        val prefixes = GeohashPruning.knnPrefixes(lon, lat, precision)
+        val pruned = points.filter(prefixPredicate(col(geohashCol), prefixes))
+        if (strict) pruned
+        else if (pruned.limit(k).count() >= k) pruned
+        else points // candidate cells too sparse — widen to exact
+      } else points
+    base
+      .withColumn("distance",
+        st_distance_euclidean(col(lonCol), col(latCol), lit(lon), lit(lat)))
+      .orderBy(col("distance").asc)
+      .limit(k)
+  }
+
+  /**
+   * Grouped top-N-earliest (reference TopXEndpoint.java:58-123: per-region
+   * per-group bounded heaps keeping the N smallest timestamps). Canonical
+   * Spark shape: window rank over (group, ts asc).
+   */
+  def topX(df: DataFrame, groupCol: String, tsCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(tsCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /**
+   * Bounded-memory grouped top-N (the reference's MinMaxPriorityQueue
+   * admission property, TopXEndpoint.java:90-96): per-group heap of size n,
+   * never materializing a whole group. Use when single groups are huge and
+   * the window sort would spill.
+   */
+  def topXBounded[T](ds: Dataset[T], key: T => String, ts: T => Long, n: Int)
+                    (implicit enc: Encoder[T]): Dataset[T] = {
+    ds.groupByKey(key)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_, it) =>
+        // max-heap on ts: evict the largest once size exceeds n
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Long, T)](
+          Ordering.by[(Long, T), Long](_._1))
+        it.foreach { t =>
+          val tsv = ts(t)
+          if (heap.size < n) heap.enqueue((tsv, t))
+          else if (tsv < heap.head._1) { heap.dequeue(); heap.enqueue((tsv, t)) }
+        }
+        heap.iterator.map(_._2).toList.iterator
+      }
+  }
+}

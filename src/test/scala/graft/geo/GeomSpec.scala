@@ -1,0 +1,114 @@
+package graft.geo
+
+import graft.geo.Geom._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeomSpec extends AnyFunSuite {
+
+  private val square = parseWktPolygon("POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))")
+
+  test("WKT parse strips closing repeat") {
+    assert(square.ring.length == 4)
+    assert(square.ring.head == Pt(0, 0))
+  }
+
+  test("covers: interior, exterior") {
+    assert(square.covers(5, 5))
+    assert(!square.covers(-0.001, 5))
+    assert(!square.covers(5, 10.001))
+  }
+
+  test("covers is boundary-inclusive (JTS covers, not contains)") {
+    // vertices
+    assert(square.covers(0, 0) && square.covers(10, 10))
+    // edge midpoints (incl. horizontal edges — ray-casting corner case)
+    assert(square.covers(0, 5) && square.covers(10, 5))
+    assert(square.covers(5, 0) && square.covers(5, 10))
+  }
+
+  test("covers: NaN coordinates rejected (WithinFilter.java:93-96 parity)") {
+    assert(!square.covers(Double.NaN, 5))
+    assert(!square.covers(5, Double.NaN))
+  }
+
+  test("reference boundary golden: rect over y=x line keeps 2 then 3 points") {
+    // TestWithinFilter.java:108-135 — 10 points (i,i), i=1..10.
+    val pts = (1 to 10).map(i => (i.toDouble, i.toDouble))
+    val r1 = parseWktPolygon(
+      "POLYGON ((0.0 0.0, 0.0 2.999, 2.999 2.999, 2.999 0.0, 0.0 0.0))")
+    assert(pts.count { case (x, y) => r1.covers(x, y) } == 2)
+    val r2 = parseWktPolygon(
+      "POLYGON ((0.0 0.0, 0.0 3.0, 3.0 3.0, 3.0 0.0, 0.0 0.0))")
+    assert(pts.count { case (x, y) => r2.covers(x, y) } == 3)
+  }
+
+  test("non-convex polygon covers") {
+    // L-shape: unit notch removed from top-right
+    val l = parseWktPolygon("POLYGON ((0 0, 0 2, 1 2, 1 1, 2 1, 2 0, 0 0))")
+    assert(l.covers(0.5, 1.5))
+    assert(!l.covers(1.5, 1.5)) // inside the notch
+    assert(l.covers(1, 1.5))    // notch boundary
+    assert(l.covers(1.5, 1))    // notch boundary
+  }
+
+  test("centroid of square") {
+    val c = square.centroid
+    assert(math.abs(c.x - 5) < 1e-12 && math.abs(c.y - 5) < 1e-12)
+  }
+
+  test("convex hull of grid points is its 4 corners") {
+    val pts = for (i <- 0 to 3; j <- 0 to 3) yield Pt(i, j)
+    val hull = convexHull(pts)
+    assert(hull.ring.toSet == Set(Pt(0, 0), Pt(3, 0), Pt(3, 3), Pt(0, 3)))
+    pts.foreach(p => assert(hull.covers(p.x, p.y)))
+  }
+
+  test("hull covers polygon iff all vertices inside") {
+    val hull = convexHull(Seq(Pt(0, 0), Pt(4, 0), Pt(4, 4), Pt(0, 4)))
+    assert(hull.coversPolygon(parseWktPolygon("POLYGON ((1 1, 1 3, 3 3, 3 1, 1 1))")))
+    assert(!hull.coversPolygon(parseWktPolygon("POLYGON ((1 1, 1 5, 3 5, 3 1, 1 1))")))
+  }
+
+  test("euclidean distance parity (degrees, not meters)") {
+    assert(euclidean(0, 0, 3, 4) == 5.0)
+  }
+
+  test("random points: covers agrees with strict-interior test off-boundary") {
+    val rnd = new scala.util.Random(7)
+    val tri = parseWktPolygon("POLYGON ((0 0, 10 0, 5 8, 0 0))")
+    (1 to 1000).foreach { _ =>
+      val x = rnd.nextDouble() * 12 - 1; val y = rnd.nextDouble() * 10 - 1
+      // reference implementation: barycentric sign test for this triangle
+      val s1 = (10 - 0) * (y - 0) - (0 - 0) * (x - 0)       // edge (0,0)-(10,0)
+      val s2 = (5 - 10) * (y - 0) - (8 - 0) * (x - 10)      // edge (10,0)-(5,8)
+      val s3 = (0 - 5) * (y - 8) - (0 - 8) * (x - 5)        // edge (5,8)-(0,0)
+      val strictlyIn = s1 > 0 && s2 > 0 && s3 > 0
+      val strictlyOut = s1 < 0 || s2 < 0 || s3 < 0
+      if (strictlyIn) assert(tri.covers(x, y), s"($x,$y) should be covered")
+      else if (strictlyOut) assert(!tri.covers(x, y), s"($x,$y) should not be covered")
+    }
+  }
+
+  test("minimumBoundingPrefixes covers reference Midtown polygon") {
+    val midtown = parseWktPolygon(
+      "POLYGON ((-73.980844 40.758703, -73.987214 40.761369, " +
+        "-73.990839 40.756400, -73.984422 40.753642, -73.980844 40.758703))")
+    val Some(prefixes) = GeohashPruning.minimumBoundingPrefixes(midtown)
+    assert(prefixes.nonEmpty && prefixes.size <= 9)
+    // soundness: every point of the polygon ring lies in some prefix cell
+    midtown.ring.foreach { p =>
+      val g = Geohash.encode(p.y, p.x, 12)
+      assert(prefixes.exists(g.startsWith), s"ring point $p outside prefix set $prefixes")
+    }
+    // hull of the prefix cells covers the whole polygon
+    assert(GeohashPruning.hullOfCells(prefixes).coversPolygon(midtown))
+  }
+
+  test("minimumBoundingPrefixes: huge polygon coarsens or falls back, never throws") {
+    val world = parseWktPolygon("POLYGON ((-179 -89, -179 89, 179 89, 179 -89, -179 -89))")
+    GeohashPruning.minimumBoundingPrefixes(world) match {
+      case Some(prefixes) => assert(GeohashPruning.hullOfCells(prefixes).coversPolygon(world))
+      case None => succeed
+    }
+  }
+}
