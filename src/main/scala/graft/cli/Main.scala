@@ -66,6 +66,31 @@ object Main {
         val df = Gis.bulkIngest(spark, args(1).toLong,
           args(2).toDouble, args(3).toDouble, args(4).toDouble, args(5).toDouble, seed)
         println(s"Generated [${df.count()}] records in [${System.currentTimeMillis() - t0}]ms.")
+      case "dedup" => // dedup <docsParquet> [method=minhash|simhash|exact] [threshold]
+        val docs = graft.sources.Tables.table(spark, args(1), "documents")
+        val method = if (args.length > 2) args(2) else "minhash"
+        val res = method match {
+          case "exact" => graft.pipeline.Dedup.exact(docs, "doc_id", Seq("text"))
+          case "simhash" => graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text")
+          case _ =>
+            val th = if (args.length > 3) args(3).toDouble else 0.8
+            graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = th)
+        }
+        res.show(10, false)
+        println(s"Dedup [$method]: ${res.count()} rows in [${System.currentTimeMillis() - t0}]ms.")
+      case "simsearch" => // simsearch <sfDir> <queryVecId> <k>
+        val embs = graft.sources.Tables.table(spark, args(1), "embeddings")
+        val res = graft.pipeline.Similarity.cosineTopKById(embs, args(2).toLong, args(3).toInt)
+        res.show(args(3).toInt, false)
+        println(s"SimSearch done in [${System.currentTimeMillis() - t0}]ms.")
+      case "textstats" => // textstats <sfDir>
+        val docs = graft.sources.Tables.table(spark, args(1), "documents")
+        val res = graft.pipeline.TextAnalysis.withQualityScore(docs, "text")
+          .withColumn("lang_pred", graft.pipeline.TextAnalysis.langId(org.apache.spark.sql.functions.col("text")))
+          .withColumn("tokens", graft.pipeline.TextAnalysis.tokenCountWs(org.apache.spark.sql.functions.col("text")))
+          .select("doc_id", "tokens", "n_words", "quality_score", "lang_pred")
+        res.show(10, false)
+        println(s"TextStats: ${res.count()} rows in [${System.currentTimeMillis() - t0}]ms.")
       case other => sys.error(s"unknown command: $other")
     }
     spark.stop()

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{LangId, WinnowFingerprint}
+
+/**
+ * Text-quality operators for training-data curation: token counting,
+ * quality scoring, language ID, document fingerprinting. All are composed
+ * from codegen'd built-ins or single-pass native expressions — no UDF/
+ * collect anywhere, so they vectorize across a 100 TB corpus.
+ */
+object TextAnalysis {
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftShims.column(e)
+  private def e(col: Column) = GraftShims.expression(col)
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token estimate: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one piece (GPT-2-style pre-tokenize
+    * regex, simplified). */
+  def tokenCountBpeish(text: Column): Column =
+    coalesce(regexp_count(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]")), lit(0))
+
+  def langId(text: Column): Column = c(LangId(e(text)))
+
+  /** Winnowing fingerprint set (array<long>) — robust doc identity for
+    * near-dup detection and leakage scans. */
+  def fingerprint(text: Column, shingle: Int = 5, window: Int = 4): Column =
+    c(WinnowFingerprint(e(text), e(lit(shingle)), e(lit(window))))
+
+  /** Canonical-text hash: lowercase, strip non-alphanumerics, md5. */
+  def canonicalHash(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "))
+
+  /**
+   * Heuristic quality features + score in one projection:
+   * length, word stats, punctuation/symbol/upper ratios, stopword hit rate.
+   * Score mirrors the C4/Gopher-style hand rules: penalize very short docs,
+   * symbol soup, and no-stopword text.
+   */
+  def withQualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val words = split(trim(t), "\\s+")
+    val nWords = size(words)
+    val meanWordLen = (nChars.cast("double") + lit(1.0)) / (nWords.cast("double") + lit(1.0))
+    val nPunct = coalesce(regexp_count(t, lit("[.,;:!?]")), lit(0))
+    val nSymbol = coalesce(regexp_count(t, lit("[^\\p{L}\\p{N}\\s.,;:!?'\"()-]")), lit(0))
+    val nUpper = coalesce(regexp_count(t, lit("[A-Z]")), lit(0))
+    val nStop = coalesce(regexp_count(lower(t),
+      lit("\\b(the|and|of|to|in|is|that|it|was|for|on|are|with|as|at)\\b")), lit(0))
+    df.withColumn("n_chars_m", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanWordLen)
+      .withColumn("punct_ratio", nPunct.cast("double") / (nChars.cast("double") + lit(1.0)))
+      .withColumn("symbol_ratio", nSymbol.cast("double") / (nChars.cast("double") + lit(1.0)))
+      .withColumn("upper_ratio", nUpper.cast("double") / (nChars.cast("double") + lit(1.0)))
+      .withColumn("stopword_rate", nStop.cast("double") / (nWords.cast("double") + lit(1.0)))
+      .withColumn("quality_score",
+        greatest(lit(0.0), least(lit(1.0),
+          lit(0.4) * least(nWords.cast("double") / lit(50.0), lit(1.0)) +
+            lit(0.3) * least(col("stopword_rate") * lit(5.0), lit(1.0)) +
+            lit(0.3) * greatest(lit(0.0), lit(1.0) - col("symbol_ratio") * lit(10.0)))))
+  }
+}

@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Typed loaders for the engine's parquet tables.
+ *
+ * The `events` table is written with TIMESTAMP(NANOS) precision, which the
+ * vectorized parquet reader rejects unless
+ * `spark.sql.legacy.parquet.nanosAsLong` is set; we read nanos as long and
+ * convert to microsecond TimestampType (truncation, matching what any
+ * micros-based engine sees).
+ */
+object Tables {
+
+  /** Set once per session; runtime-settable. */
+  def configure(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+}

@@ -1,0 +1,243 @@
+// Same packaging rationale as expressions.scala: Catalyst-private types.
+package org.apache.spark.sql.graft
+
+import graft.text.TextCore
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native expressions for the training-data-pipeline operators (dedup,
+ * similarity, text analysis). These are the hot inner loops of 100 TB-scale
+ * jobs, so they are single-pass over the row's text/vector with no
+ * per-row allocation beyond the output.
+ */
+
+/** minhash_bands(text, numHashes, bands, shingleSize) → array<long> of band
+  * keys: the LSH bucketing value per band (band index is the array position).
+  * One pass: signature and band compression fused. */
+case class MinHashBands(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(text: Any, numHashes: Any, bands: Any, shingle: Any): Any = {
+    val out = MinHashBands.compute(text.toString,
+      numHashes.asInstanceOf[Int], bands.asInstanceOf[Int], shingle.asInstanceOf[Int])
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, nh, b, sh) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"org.apache.spark.sql.graft.MinHashBands.compute($t.toString(), $nh, $b, $sh))")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): MinHashBands =
+    copy(f, s, t, q)
+}
+
+object MinHashBands {
+  /** Band key b = mix of the band's minhash slots, salted with band index so
+    * identical values in different bands never collide into one bucket. */
+  def compute(text: String, numHashes: Int, bands: Int, shingle: Int): Array[Long] = {
+    require(bands > 0 && numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val sig = TextCore.minhash(text, numHashes, shingle)
+    val r = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = TextCore.mix64(b.toLong)
+      var i = b * r
+      val end = i + r
+      while (i < end) { h = TextCore.mix64(h ^ sig(i)); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+}
+
+/** minhash_sig(text, numHashes, shingleSize) → array<long> full signature. */
+case class MinHashSig(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(text: Any, numHashes: Any, shingle: Any): Any =
+    new GenericArrayData(TextCore.minhash(text.toString,
+      numHashes.asInstanceOf[Int], shingle.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): MinHashSig = copy(f, s, t)
+}
+
+/** simhash64(text, shingleSize) → long. */
+case class SimHash64(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(text: Any, shingle: Any): Any =
+    TextCore.simhash64(text.toString, shingle.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, sh) => s"graft.text.TextCore.simhash64($t.toString(), $sh)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SimHash64 = copy(l, r)
+}
+
+/** ngram_jaccard(a, b, n) → double: exact char-n-gram Jaccard similarity. */
+case class NgramJaccard(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any, n: Any): Any =
+    TextCore.ngramJaccard(a.toString, b.toString, n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, n) =>
+      s"graft.text.TextCore.ngramJaccard($a.toString(), $b.toString(), $n)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NgramJaccard = copy(f, s, t)
+}
+
+/** lang_id(text) → string: heuristic language code (script + stopword vote). */
+case class LangId(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_id"
+  override protected def nullSafeEval(text: Any): Any =
+    UTF8String.fromString(TextCore.langId(text.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.text.TextCore.langId($t.toString()))")
+  override protected def withNewChildInternal(c: Expression): LangId = copy(c)
+}
+
+/** winnow_fingerprint(text, shingleSize, window) → array<long>: winnowing
+  * document fingerprint set (sorted). */
+case class WinnowFingerprint(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprint"
+  override protected def nullSafeEval(text: Any, sh: Any, w: Any): Any =
+    new GenericArrayData(TextCore.winnow(text.toString, sh.asInstanceOf[Int], w.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WinnowFingerprint = copy(f, s, t)
+}
+
+object VecOps {
+  /** Cosine similarity between a float-array column value and a query vector. */
+  def cosine(a: ArrayData, q: Array[Float]): Double = {
+    val n = math.min(a.numElements(), q.length)
+    var dot = 0.0; var na = 0.0; var nq = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = q(i).toDouble
+      dot += x * y; na += x * x; nq += y * y
+      i += 1
+    }
+    if (na == 0.0 || nq == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nq))
+  }
+
+  def dot(a: ArrayData, q: Array[Float]): Double = {
+    val n = math.min(a.numElements(), q.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * q(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Cosine between two float-array column values. */
+  def cosinePair(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /**
+   * Random-hyperplane LSH bucket (Charikar, STOC'02 SimHash for cosine):
+   * bit p = sign(Σ_j v_j · u(p,j)) with pseudo-random plane components
+   * u(p,j) ∈ [-1,1] derived deterministically from (seed, p, j) — no
+   * broadcast of plane matrices needed, any executor regenerates them.
+   */
+  def signBucket(a: ArrayData, planes: Int, seed: Long): Long = {
+    val n = a.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var dotP = 0.0
+      var j = 0
+      while (j < n) {
+        val u = TextCore.mix64(seed ^ (p.toLong * 0x9E3779B97F4A7C15L) ^ (j.toLong * 0xC2B2AE3D27D4EB4FL))
+        dotP += a.getFloat(j).toDouble * (u.toDouble / Long.MaxValue.toDouble)
+        j += 1
+      }
+      if (dotP > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** vec_cosine_const(embedding) → double cosine vs a constant query vector. */
+case class VecCosineConst(child: Expression, query: Array[Float])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_cosine_const"
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.cosine(a.asInstanceOf[ArrayData], query)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val q = ctx.addReferenceObj("graftQueryVec", query, "float[]")
+    defineCodeGen(ctx, ev, a => s"org.apache.spark.sql.graft.VecOps.cosine($a, $q)")
+  }
+  override protected def withNewChildInternal(c: Expression): VecCosineConst = copy(child = c)
+}
+
+/** vec_cosine(a, b) → double cosine between two float-array columns. */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosinePair(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.VecOps.cosinePair($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine = copy(l, r)
+}
+
+/** vec_lsh_bucket(vec, planes, seed) → long: random-hyperplane cosine-LSH bucket. */
+case class VecLshBucket(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), IntegerType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_lsh_bucket"
+  override protected def nullSafeEval(a: Any, planes: Any, seed: Any): Any =
+    VecOps.signBucket(a.asInstanceOf[ArrayData], planes.asInstanceOf[Int], seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, p, s) => s"org.apache.spark.sql.graft.VecOps.signBucket($a, $p, $s)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): VecLshBucket = copy(f, s, t)
+}

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming surface over the `events` table shape
+ * (event_id, ts, user_id, event_type, value, props).
+ *
+ * The reference is batch-only (SURVEY §2.5: streaming absent), so this is
+ * the idiomatic-extension layer: watermarked tumbling windows and stateful
+ * sessionization. Each streaming transform has a batch twin with identical
+ * semantics (used by the DuckDB-oracle correctness gate; the streaming path
+ * is exercised in tests with a file source + memory sink).
+ */
+object EventStreams {
+
+  /** Raw file schema: ts arrives as TIMESTAMP(NANOS) which we read as a
+    * nanos long (see graft.sources.Tables) and convert to TimestampType. */
+  val eventFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming file source over a directory of event parquet files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.configure(spark)
+    spark.readStream.schema(eventFileSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts per event_type with late-data watermark. */
+  def windowedCounts(events: DataFrame,
+                     window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_milli"))
+
+  /** Batch twin of [[windowedCounts]] — same plan on a static DataFrame. */
+  def windowedCountsBatch(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_milli"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class Session(user_id: Long, n_events: Int, first_ts: Long, last_ts: Long,
+                     total_value: Double, closed: Boolean)
+
+  /**
+   * Stateful sessionization: per-user sessions closed after `gapMs` of
+   * inactivity (flatMapGroupsWithState with processing-time timeout).
+   */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(_.copy(closed = true)).iterator
+            state.remove()
+            out
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            if (events.isEmpty) Iterator.empty
+            else {
+              var cur = state.getOption
+              val closed = Seq.newBuilder[Session]
+              events.foreach { ev =>
+                val t = ev.ts.getTime
+                cur match {
+                  case Some(s) if t - s.last_ts <= gapMs =>
+                    cur = Some(s.copy(n_events = s.n_events + 1, last_ts = t,
+                      total_value = s.total_value + ev.value))
+                  case Some(s) =>
+                    closed += s.copy(closed = true)
+                    cur = Some(Session(userId, 1, t, t, ev.value, closed = false))
+                  case None =>
+                    cur = Some(Session(userId, 1, t, t, ev.value, closed = false))
+                }
+              }
+              cur.foreach(state.update)
+              state.setTimeoutDuration(gapMs)
+              closed.result().iterator
+            }
+          }
+      }
+  }
+
+  /** Batch sessionization twin: session = cumulative count of gap-breaks per
+    * user (classic windowed gaps-and-islands). */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("first_ts"),
+        max(col("ts_ms")).as("last_ts"))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.text
+
+/**
+ * Pure-Scala text hashing/fingerprinting primitives for the training-data
+ * pipeline operators (dedup, similarity, language-ID). All deterministic,
+ * allocation-light, callable from Catalyst expression eval and codegen.
+ *
+ * Hashing scheme: polynomial rolling hash over chars per shingle, finalized
+ * with the SplitMix64 mixer (public-domain constant set, Steele et al.,
+ * "Fast Splittable Pseudorandom Number Generators", OOPSLA 2014).
+ */
+object TextCore {
+
+  /** SplitMix64 finalizer — high-quality 64-bit bit mixer. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct hashed character n-gram shingles of `text`. */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val len = text.length
+    if (len < n) {
+      if (len == 0) return Array.empty
+      return Array(mix64(polyHash(text, 0, len)))
+    }
+    val set = new java.util.HashSet[Long]()
+    var i = 0
+    while (i + n <= len) {
+      set.add(mix64(polyHash(text, i, n)))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  private def polyHash(s: String, from: Int, len: Int): Long = {
+    var h = 1125899906842597L // prime
+    var i = from
+    val end = from + len
+    while (i < end) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+
+  /**
+   * MinHash signature: numHashes permutations approximated by seeding the
+   * mixer (standard one-pass "k hash functions" construction). Empty text →
+   * all Long.MaxValue.
+   */
+  def minhash(text: String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val shingles = shingleHashes(text, shingleSize)
+    var s = 0
+    while (s < shingles.length) {
+      val base = shingles(s)
+      var i = 0
+      while (i < numHashes) {
+        val h = mix64(base ^ (i.toLong * 0xff51afd7ed558ccdL))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over hashed character shingles. */
+  def simhash64(text: String, shingleSize: Int): Long = {
+    val counts = new Array[Int](64)
+    val shingles = shingleHashes(text, shingleSize)
+    var s = 0
+    while (s < shingles.length) {
+      val h = shingles(s)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      s += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Exact Jaccard similarity of the two texts' character-n-gram sets. */
+  def ngramJaccard(a: String, b: String, n: Int): Double = {
+    val sa = shingleHashes(a, n)
+    val sb = shingleHashes(b, n)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    val setA = new java.util.HashSet[Long]()
+    sa.foreach(setA.add(_))
+    var inter = 0
+    val setB = new java.util.HashSet[Long]()
+    var i = 0
+    while (i < sb.length) {
+      if (setB.add(sb(i)) && setA.contains(sb(i))) inter += 1
+      i += 1
+    }
+    inter.toDouble / (setA.size + setB.size - inter)
+  }
+
+  /** Estimated Jaccard from two equal-length MinHash signatures. */
+  def minhashJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /**
+   * Winnowing document fingerprint (Schleimer, Wilkerson, Aiken — SIGMOD'03
+   * "Winnowing: Local Algorithms for Document Fingerprinting"): min shingle
+   * hash per sliding window, deduplicated. Returns the sorted fingerprint set.
+   */
+  def winnow(text: String, shingleSize: Int = 5, window: Int = 4): Array[Long] = {
+    val len = text.length
+    if (len < shingleSize) return if (len == 0) Array.empty else Array(mix64(polyHash(text, 0, len)))
+    val m = len - shingleSize + 1
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) { hashes(i) = mix64(polyHash(text, i, shingleSize)); i += 1 }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var w = 0
+    val effWindow = math.min(window, m)
+    while (w + effWindow <= m) {
+      var minH = Long.MaxValue
+      var j = w
+      while (j < w + effWindow) { if (hashes(j) < minH) minH = hashes(j); j += 1 }
+      set.add(minH)
+      w += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  // --- language ID (n-gram/stopword heuristic) ---
+
+  private val StopWords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "on", "are", "with", "as", "at", "this", "have", "be", "not", "you"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para", "es", "no", "se", "del", "su", "al", "como"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "en", "un", "une", "du", "que", "qui", "dans", "pour", "est", "pas", "sur", "ce", "il", "au"),
+    "de" -> Set("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist", "des", "im", "nicht", "ein", "eine", "auf", "als", "auch", "es", "an"),
+    "it" -> Set("il", "la", "di", "che", "e", "in", "un", "una", "per", "del", "con", "non", "le", "si", "dei", "al", "da", "come", "anche", "ma"),
+    "pt" -> Set("o", "a", "de", "que", "e", "do", "da", "em", "um", "uma", "para", "com", "os", "as", "no", "na", "por", "mais", "dos", "se"),
+  )
+
+  /**
+   * Heuristic language ID: script detection for non-Latin scripts (zh/ja/ko/
+   * ru/ar/hi), stopword hit-rate vote among Latin languages, "und" when no
+   * evidence. Deterministic; designed for cheap per-row evaluation at scale.
+   */
+  def langId(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0; var kana = 0; var hangul = 0; var cyr = 0; var arab = 0; var deva = 0; var latin = 0
+    var i = 0
+    val sampleLen = math.min(text.length, 4096)
+    while (i < sampleLen) {
+      val c = text.charAt(i).toInt
+      if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      else if ((c >= 0x3040 && c <= 0x30ff)) kana += 1
+      else if (c >= 0xac00 && c <= 0xd7af) hangul += 1
+      else if (c >= 0x0400 && c <= 0x04ff) cyr += 1
+      else if (c >= 0x0600 && c <= 0x06ff) arab += 1
+      else if (c >= 0x0900 && c <= 0x097f) deva += 1
+      else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= 0xc0 && c <= 0x17f)) latin += 1
+      i += 1
+    }
+    val scripted = cjk + kana + hangul + cyr + arab + deva
+    if (scripted > latin) {
+      if (kana > 0) return "ja"
+      if (hangul > kana && hangul > cjk) return "ko"
+      if (cjk >= kana && cjk >= hangul && cjk >= cyr && cjk >= arab && cjk >= deva) return "zh"
+      if (cyr >= arab && cyr >= deva) return "ru"
+      if (arab >= deva) return "ar"
+      return "hi"
+    }
+    if (latin == 0) return "und"
+    // Latin script: stopword vote
+    val words = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}]+")
+    if (words.isEmpty) return "und"
+    var best = "und"
+    var bestHits = 0
+    StopWords.foreach { case (lang, stops) =>
+      var hits = 0
+      var w = 0
+      while (w < words.length) { if (stops.contains(words(w))) hits += 1; w += 1 }
+      if (hits > bestHits) { bestHits = hits; best = lang }
+    }
+    if (bestHits == 0) "und" else best
+  }
+}

@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.text.TextCore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  // --- dedup ---
+
+  test("exact dedup: one group per distinct text") {
+    val distinctTexts = docs.select("text").distinct().count()
+    val got = Dedup.exact(docs, "doc_id", Seq("text"))
+    assert(got.count() == distinctTexts)
+    assert(got.agg(sum("n_dups")).head.getLong(0) == docs.count())
+  }
+
+  /** Corpus with planted near-duplicates: for every 5th doc, a copy with a
+    * small edit appended; ids offset by 10000. */
+  lazy val planted = {
+    val mutated = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"),
+        concat($"text", lit(" xyzzy")).as("text"))
+    docs.select("doc_id", "text").union(mutated).cache()
+  }
+
+  test("minhash LSH pairs: finds planted near-dups, all above threshold") {
+    val pairs = Dedup.minhashLshPairs(planted, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute-force oracle
+    val all = planted.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = for {
+      (ia, ta) <- all; (ib, tb) <- all
+      if ia < ib
+      j = TextCore.ngramJaccard(ta, tb, 5)
+      if j >= 0.7
+    } yield (ia, ib, j)
+    val gotSet = pairs.map(p => (p._1, p._2)).toSet
+    val bruteSet = brute.map(p => (p._1, p._2)).toSet
+    assert(gotSet.subsetOf(bruteSet), "LSH produced a pair below threshold (verify failed)")
+    assert(bruteSet.nonEmpty, "test fixture produced no near-dup pairs")
+    val recall = gotSet.intersect(bruteSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.95, s"LSH recall $recall too low (${bruteSet.size} true pairs)")
+    // jaccard values are the exact ones
+    pairs.foreach { case (a, b, j) =>
+      val ta = all.find(_._1 == a).get._2; val tb = all.find(_._1 == b).get._2
+      assert(j == TextCore.ngramJaccard(ta, tb, 5))
+    }
+  }
+
+  test("simhash pairs: planted near-dups within hamming 3 are found") {
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    val all = planted.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = for {
+      (ia, ta) <- all; (ib, tb) <- all
+      if ia < ib
+      h = TextCore.hamming64(TextCore.simhash64(ta, 5), TextCore.simhash64(tb, 5))
+      if h <= 3
+    } yield (ia, ib, h.toLong)
+    assert(pairs.map(p => (p._1, p._2)).toSet == brute.map(p => (p._1, p._2)).toSet)
+    assert(brute.nonEmpty, "fixture has no simhash near-dups")
+  }
+
+  test("embedding near-dup pairs verify against exact cosine") {
+    val pairs = Dedup.cosineNearDupPairs(embs, "vec_id", "embedding", threshold = 0.5)
+      .collect()
+    // every emitted pair really has cosine >= threshold (verification step works)
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.5))
+  }
+
+  // --- similarity search ---
+
+  test("brute-force cosine top-k matches Scala oracle exactly") {
+    val all = embs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val query = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i).toDouble * b(i).toDouble; na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val oracle = all.map { case (id, v) => (id, cos(query, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = Similarity.cosineTopK(embs, query, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).sameElements(oracle.map(_._1)))
+    got.zip(oracle).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("LSH top-k with fallback: k results, high overlap with exact") {
+    val all = embs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val query = all.find(_._1 == 42L).get._2
+    val exact = Similarity.cosineTopK(embs, query, 10).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.cosineTopKLsh(embs, query, 10).collect().map(_.getLong(0)).toSet
+    assert(approx.size == 10)
+    assert(exact.intersect(approx).size >= 5, s"ANN overlap too low: ${exact.intersect(approx).size}")
+  }
+
+  // --- text analysis ---
+
+  test("token counts") {
+    val df = Seq("hello world", " a  b\tc ", "", "one").toDF("text")
+    val ws = df.select(TextAnalysis.tokenCountWs($"text")).collect().map(_.getInt(0))
+    assert(ws.sameElements(Array(2, 3, 1, 1))) // empty-string split yields [""]
+    val bp = Seq("Hello, world! 42").toDF("text")
+      .select(TextAnalysis.tokenCountBpeish($"text")).head.getInt(0)
+    assert(bp == 5) // Hello , world ! 42
+  }
+
+  test("langId heuristic on natural text") {
+    assert(TextCore.langId("the cat sat on the mat and it was happy") == "en")
+    assert(TextCore.langId("el perro corre por la calle y no se detiene") == "es")
+    assert(TextCore.langId("der Hund läuft durch die Straße und die Katze auch") == "de")
+    assert(TextCore.langId("le chien court dans la rue et il est content") == "fr")
+    assert(TextCore.langId("这是一个中文句子用于测试语言识别") == "zh")
+    assert(TextCore.langId("это русское предложение для проверки") == "ru")
+    assert(TextCore.langId("これは日本語の文です") == "ja")
+    assert(TextCore.langId("") == "und")
+  }
+
+  test("quality score in [0,1] and orders garbage below prose") {
+    val df = Seq(
+      ("good", "The quick brown fox jumps over the lazy dog and it was a fine day for running in the park with friends."),
+      ("bad", "@@@@ #### $$$$ %%%% ^^^^ &&&&")).toDF("tag", "text")
+    val scored = TextAnalysis.withQualityScore(df, "text")
+      .select("tag", "quality_score").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scored.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scored("good") > scored("bad"))
+  }
+
+  test("winnow fingerprint: identical docs share fingerprints, edits mostly survive") {
+    val a = "the quick brown fox jumps over the lazy dog repeatedly every single day"
+    val b = a + " except sundays"
+    val fa = TextCore.winnow(a).toSet
+    val fb = TextCore.winnow(b).toSet
+    assert(fa == TextCore.winnow(a).toSet)
+    val overlap = fa.intersect(fb).size.toDouble / fa.size
+    assert(overlap >= 0.8, s"fingerprint overlap $overlap")
+  }
+
+  // --- multimodal ---
+
+  test("multimodal: stub decode plumbing (schema, batching, determinism)") {
+    val media = Multimodal.demoMediaTable(docs, "doc_id", "text")
+    assert(media.schema("content").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(spark, media, dim = 16)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { f =>
+      assert(f.features.length == 16)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3) // normalized histogram
+      assert(f.sha.length == 64)
+    }
+    // determinism: same input → same features
+    val again = Multimodal.extractFeatures(spark, media, dim = 16).collect()
+    assert(rows.sortBy(_.media_id).map(_.sha).sameElements(again.sortBy(_.media_id).map(_.sha)))
+  }
+
+  test("multimodal: frame sampling yields n byte windows") {
+    val media = Multimodal.demoMediaTable(docs.limit(10), "doc_id", "text")
+    val framed = Multimodal.frameSample(media, 4, frameBytes = 8)
+    framed.select("frames").collect().foreach { r =>
+      val frames = r.getSeq[Array[Byte]](0)
+      assert(frames.length == 4)
+      assert(frames.forall(f => f.length <= 8 && f.length > 0))
+    }
+  }
+}
