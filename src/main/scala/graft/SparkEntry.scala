@@ -1,13 +1,449 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.api.Gis
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+import graft.sql.{functions => G}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one query per implemented operator from SURVEY.md §2
+ * (+ the training-pipeline extensions), each with a DuckDB oracle where the
+ * semantics are SQL-expressible.
+ *
+ * Determinism rules for oracle parity (the driver hash-compares values):
+ * - money/metric doubles are aggregated as exact integer cents/milli units
+ * - timestamps are emitted as epoch-second/milli BIGINTs, never raw
+ * - float expressions are written with the IDENTICAL operation tree on both
+ *   sides so IEEE doubles match bit-for-bit
+ * - every top-k query carries a total tiebreak order
+ * - spatial predicates use polygon boundaries offset off the derived 0.1°
+ *   coordinate grid, so no point sits exactly on a boundary
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Synthetic point cloud derived from lineitem (deterministic, mirrors the
+    * oracle SQL exactly): lon ∈ [-180, 20), lat ∈ [-85, 85) on a 0.1° grid. */
+  private def points(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ((col("l_partkey") % 3600) / 10.0 - 180.0).as("lon"),
+        ((col("l_orderkey") % 1700) / 10.0 - 85.0).as("lat"))
+
+  private val PointsSql =
+    "SELECT l_orderkey, l_linenumber, (l_partkey % 3600)/10.0 - 180.0 AS lon, " +
+      "(l_orderkey % 1700)/10.0 - 85.0 AS lat FROM lineitem"
+
+  // Axis-aligned rectangle, boundaries off-grid (x.x5)
+  private val RectWkt =
+    "POLYGON ((-150.05 -40.05, -150.05 10.05, -100.05 10.05, -100.05 -40.05, -150.05 -40.05))"
+  // Convex diamond (CCW), edges |x+80.05|+|y+15.05| = 30.025 — off-grid
+  private val DiamondWkt =
+    "POLYGON ((-110.075 -15.05, -80.05 -45.075, -50.025 -15.05, -80.05 14.975, -110.075 -15.05))"
+  private val Diamond: Seq[(Double, Double)] =
+    Seq((-110.075, -15.05), (-80.05, -45.075), (-50.025, -15.05), (-80.05, 14.975))
+
+  /** Sign-test containment SQL for the CCW convex diamond (boundary-inclusive,
+    * equivalent to covers since no data point can land on an edge). */
+  private val DiamondSql: String =
+    (Diamond :+ Diamond.head).sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      s"(($x2 - $x1)*(lat - $y1) - ($y2 - $y1)*(lon - $x1)) >= 0"
+    }.mkString(" AND ")
+
+  /** Flagship: diamond containment over the derived point cloud with geohash
+    * prefix pruning — exercises ingest key derivation, planning, pruning,
+    * and the covers predicate end-to-end. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pts = points(spark, "/root/testdata/sf0.001")
+      .withColumn("geohash", G.geohash_encode(col("lat"), col("lon"), 12))
+    Gis.within(pts, DiamondWkt)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- sources / scans (SURVEY §2.1) ----
+
+    // S1/S6: projection + filter pushed to the parquet scan
+    "q_scan_project" -> ((s, d) =>
+      Tables.table(s, d, "lineitem")
+        .filter(col("l_quantity") < 25)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"),
+          (col("l_quantity").cast("long")).as("qty"))),
+
+    // S2: geohash key derivation (no SQL oracle — pinned by scalatest vectors)
+    "q_geohash_keys" -> ((s, d) =>
+      points(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        G.geohash_encode(col("lat"), col("lon"), 12).as("geohash"))),
+
+    // S7: dedup-on-ingest (distinct projection)
+    "q_dedup_ingest" -> ((s, d) =>
+      Tables.table(s, d, "part").select(col("p_brand"), col("p_type")).distinct()),
+
+    // ---- filters / spatial predicates (§2.2, §2.3) ----
+
+    // F1: key-prefix filter
+    "q_prefix_filter" -> ((s, d) =>
+      Tables.table(s, d, "customer")
+        .filter(col("c_name").startsWith("Customer#000001"))
+        .select(col("c_custkey"), col("c_name"))),
+
+    // F2/F5: covers refinement, axis-aligned rectangle
+    "q_within_rect" -> ((s, d) =>
+      points(s, d)
+        .filter(G.st_covers(RectWkt, col("lon"), col("lat")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("lon"), col("lat"))),
+
+    // F2 on a non-rectangular convex polygon
+    "q_within_poly" -> ((s, d) =>
+      points(s, d)
+        .filter(G.st_covers(DiamondWkt, col("lon"), col("lat")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("lon"), col("lat"))),
+
+    // P3+F1+F2: full filter-and-refine with geohash prefix pruning — result
+    // must equal the plain rectangle predicate (pruning is transparent)
+    "q_within_pruned" -> ((s, d) => {
+      val pts = points(s, d).withColumn("geohash",
+        G.geohash_encode(col("lat"), col("lon"), 12))
+      Gis.within(pts, RectWkt)
+        .select(col("l_orderkey"), col("l_linenumber"), col("lon"), col("lat"))
+    }),
+
+    // ---- top-k / aggregation (§2.4) ----
+
+    // A1/A2/A3/A9: global k-nearest-neighbors, Euclidean degrees
+    "q_knn" -> ((s, d) => {
+      val d2 = (col("lon") + 80.05) * (col("lon") + 80.05) +
+        (col("lat") + 15.05) * (col("lat") + 15.05)
+      points(s, d)
+        .withColumn("d2", d2)
+        .orderBy(col("d2").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(20)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("d2") * 400).cast("long").as("d2_q"))
+    }),
+
+    // A6: grouped top-N earliest (window rank) over events
+    "q_topx" -> ((s, d) =>
+      Gis.topX(Tables.table(s, d, "events")
+          .withColumn("ts_ms", expr("unix_micros(ts) div 1000")),
+        "user_id", "ts_ms", 3, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"))),
+
+    // A8: first-N-per-bin (design doc docs/testtopxkeys.md)
+    "q_topx_bin" -> ((s, d) =>
+      Tables.table(s, d, "orders")
+        .withColumn("bin", col("o_orderkey") % 10)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("bin")).orderBy(col("o_orderkey").asc)))
+        .filter(col("rn") <= 2)
+        .select(col("bin"), col("o_orderkey"))),
+
+    // A7: distinct-group counting
+    "q_count_distinct" -> ((s, d) =>
+      Tables.table(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))),
+
+    // Partial+final hash aggregate (TPC-H Q1 shape; exact cents)
+    "q_agg_q1" -> ((s, d) =>
+      Tables.table(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            round((lit(1.0) - col("l_discount")) * 100).cast("long")).as("revenue_e4"),
+          count(lit(1)).as("n_rows"))),
+
+    // ---- joins (§2.5 — absent in reference, required surface) ----
+
+    "q_join_bcast" -> ((s, d) => {
+      val orders = Tables.table(s, d, "orders")
+      val cust = Tables.table(s, d, "customer")
+      val nation = Tables.table(s, d, "nation")
+      val region = Tables.table(s, d, "region")
+      orders
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      val cust = Tables.table(s, d, "customer")
+      val orders = Tables.table(s, d, "orders")
+      cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      val cust = Tables.table(s, d, "customer")
+      val bigOrders = Tables.table(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+      cust.join(bigOrders, cust("c_custkey") === bigOrders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // ---- set ops / sort / window / rollup ----
+
+    "q_union_dedup" -> ((s, d) => {
+      val part = Tables.table(s, d, "part")
+      part.filter(col("p_size") < 10).select(col("p_partkey"), col("p_name"))
+        .union(part.filter(col("p_retailprice") < 1200.0)
+          .select(col("p_partkey"), col("p_name")))
+        .distinct()
+    }),
+
+    "q_sort_limit" -> ((s, d) =>
+      Tables.table(s, d, "part")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        .limit(50)
+        .select(col("p_partkey"), col("p_name"),
+          round(col("p_retailprice") * 100).cast("long").as("price_cents"))),
+
+    "q_window_running" -> ((s, d) =>
+      Tables.table(s, d, "orders")
+        .withColumn("running_cents",
+          sum(round(col("o_totalprice") * 100).cast("long")).over(
+            Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderkey").asc)
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_cents"))),
+
+    "q_rollup" -> ((s, d) => {
+      val cust = Tables.table(s, d, "customer")
+      val nation = Tables.table(s, d, "nation")
+      val region = Tables.table(s, d, "region")
+      cust
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+    }),
+
+    // ---- training-pipeline: dedup / similarity / text / multimodal ----
+
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.table(s, d, "documents"), "doc_id", Seq("text"))),
+
+    // MinHash LSH near-dup pairs (no SQL oracle — verified vs brute force in tests)
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.table(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8).select(col("id_a"), col("id_b"))),
+
+    // SimHash near-dup pairs (no SQL oracle)
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.table(s, d, "documents"), "doc_id", "text")
+        .select(col("id_a"), col("id_b"))),
+
+    // Embedding near-dup pairs (no SQL oracle)
+    "q_dedup_cosine" -> ((s, d) =>
+      Dedup.cosineNearDupPairs(Tables.table(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.5).select(col("id_a"), col("id_b"))),
+
+    // Brute-force cosine top-k vs the vec_id=0 embedding (ids only; scores
+    // float-accumulation-sensitive so left out of the hash)
+    "q_embed_topk" -> ((s, d) => {
+      val embs = Tables.table(s, d, "embeddings")
+      Similarity.cosineTopKById(embs, 0L, 10).select(col("vec_id"))
+    }),
+
+    // LSH-bucketed ANN variant (no SQL oracle; recall-tested in scalatest)
+    "q_embed_topk_lsh" -> ((s, d) => {
+      val embs = Tables.table(s, d, "embeddings")
+      val q = embs.filter(col("vec_id") === 0L).select(col("embedding")).head()
+        .getSeq[Float](0).toArray
+      Similarity.cosineTopKLsh(embs, q, 10).select(col("vec_id"))
+    }),
+
+    "q_text_tokens" -> ((s, d) =>
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+          TextAnalysis.tokenCountBpeish(col("text")).as("n_tokens_bpeish"),
+          length(col("text")).as("len_chars"))),
+
+    "q_text_quality" -> ((s, d) =>
+      TextAnalysis.withQualityScore(Tables.table(s, d, "documents"), "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("quality_score") * 1000).cast("long").as("quality_milli"))),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.canonicalHash(col("text")).as("canon_md5"))),
+
+    // lang_id heuristic (no SQL oracle)
+    "q_lang_id" -> ((s, d) =>
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // multimodal metadata over the binary content column
+    "q_multimodal_meta" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.demoMediaTable(
+        Tables.table(s, d, "documents"), "doc_id", "text")
+      graft.pipeline.Multimodal.withMediaMeta(media)
+        .select(col("media_id"), col("kind"), col("byte_len"), col("sha"))
+    }),
+
+    // multimodal stub decode via mapPartitions (no SQL oracle)
+    "q_multimodal_decode" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.demoMediaTable(
+        Tables.table(s, d, "documents"), "doc_id", "text")
+      graft.pipeline.Multimodal.extractFeatures(s, media).toDF()
+        .select(col("media_id"), col("byte_len"), col("sha"))
+    }),
+
+    // ---- streaming twins ----
+
+    "q_stream_window" -> ((s, d) =>
+      EventStreams.windowedCountsBatch(Tables.table(s, d, "events"))
+        .select(unix_seconds(col("window_start")).as("window_epoch"),
+          col("event_type"), col("n"), col("value_milli"))),
+
+    "q_sessionize" -> ((s, d) =>
+      EventStreams.sessionizeBatch(Tables.table(s, d, "events"),
+        gapMs = 60 * 60 * 1000L)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("first_ts"), col("last_ts")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      ("SELECT l_orderkey, l_linenumber, l_returnflag, CAST(l_quantity AS BIGINT) AS qty " +
+        "FROM lineitem WHERE l_quantity < 25"),
+
+    "q_dedup_ingest" -> "SELECT DISTINCT p_brand, p_type FROM part",
+
+    "q_prefix_filter" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_name LIKE 'Customer#000001%'",
+
+    "q_within_rect" ->
+      (s"SELECT l_orderkey, l_linenumber, lon, lat FROM ($PointsSql) " +
+        "WHERE lon BETWEEN -150.05 AND -100.05 AND lat BETWEEN -40.05 AND 10.05"),
+
+    "q_within_poly" ->
+      s"SELECT l_orderkey, l_linenumber, lon, lat FROM ($PointsSql) WHERE $DiamondSql",
+
+    "q_within_pruned" ->
+      (s"SELECT l_orderkey, l_linenumber, lon, lat FROM ($PointsSql) " +
+        "WHERE lon BETWEEN -150.05 AND -100.05 AND lat BETWEEN -40.05 AND 10.05"),
+
+    "q_knn" ->
+      (s"SELECT l_orderkey, l_linenumber, " +
+        "CAST(round(((lon + 80.05)*(lon + 80.05) + (lat + 15.05)*(lat + 15.05)) * 400) AS BIGINT) AS d2_q " +
+        s"FROM ($PointsSql) " +
+        "ORDER BY (lon + 80.05)*(lon + 80.05) + (lat + 15.05)*(lat + 15.05) ASC, " +
+        "l_orderkey ASC, l_linenumber ASC LIMIT 20"),
+
+    "q_topx" ->
+      ("SELECT user_id, event_id, ts_ms FROM (" +
+        "SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000 ASC, event_id ASC) AS rn " +
+        "FROM events) WHERE rn <= 3"),
+
+    "q_topx_bin" ->
+      ("SELECT bin, o_orderkey FROM (" +
+        "SELECT o_orderkey % 10 AS bin, o_orderkey, " +
+        "row_number() OVER (PARTITION BY o_orderkey % 10 ORDER BY o_orderkey ASC) AS rn " +
+        "FROM orders) WHERE rn <= 2"),
+
+    "q_count_distinct" ->
+      ("SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders " +
+        "FROM orders GROUP BY o_orderstatus"),
+
+    "q_agg_q1" ->
+      ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, " +
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents, " +
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS revenue_e4, " +
+        "count(*) AS n_rows FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-01' GROUP BY l_returnflag, l_linestatus"),
+
+    "q_join_bcast" ->
+      ("SELECT r_name, count(*) AS n_orders, " +
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+
+    "q_join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+
+    "q_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_totalprice > 300000.0)"),
+
+    "q_union_dedup" ->
+      ("SELECT DISTINCT p_partkey, p_name FROM (" +
+        "SELECT p_partkey, p_name FROM part WHERE p_size < 10 " +
+        "UNION ALL SELECT p_partkey, p_name FROM part WHERE p_retailprice < 1200.0)"),
+
+    "q_sort_limit" ->
+      ("SELECT p_partkey, p_name, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents " +
+        "FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 50"),
+
+    "q_window_running" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderkey ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents " +
+        "FROM orders"),
+
+    "q_rollup" ->
+      ("SELECT r_name, n_name, count(*) AS n_cust FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP (r_name, n_name)"),
+
+    "q_dedup_exact" ->
+      ("SELECT md5(text) AS dup_hash, count(*) AS n_dups, min(doc_id) AS keep_id " +
+        "FROM documents GROUP BY md5(text)"),
+
+    "q_text_tokens" ->
+      ("SELECT doc_id, " +
+        "CAST(length(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens_ws, " +
+        "CAST(length(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS INT) AS n_tokens_bpeish, " +
+        "CAST(length(text) AS INT) AS len_chars FROM documents"),
+
+    "q_text_fingerprint" ->
+      ("SELECT doc_id, md5(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) AS canon_md5 " +
+        "FROM documents"),
+
+    "q_multimodal_meta" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CAST(octet_length(encode(text)) AS INT) AS byte_len, sha256(text) AS sha FROM documents"),
+
+    // ids-only: score gaps (>=3e-4 on this data) dwarf any float-accumulation
+    // noise between engines, so the ordering is stable
+    "q_embed_topk" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id FROM embeddings, q " +
+        "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) DESC, " +
+        "vec_id ASC LIMIT 10"),
+
+    "q_stream_window" ->
+      ("SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_epoch, event_type, " +
+        "count(*) AS n, sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli " +
+        "FROM events GROUP BY 1, 2"),
+
+    "q_sessionize" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms FROM events), " +
+        "g AS (SELECT user_id, event_id, ts_ms, " +
+        "CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 3600000 " +
+        "THEN 1 ELSE 0 END AS new_session FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)), " +
+        "si AS (SELECT user_id, ts_ms, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM g) " +
+        "SELECT user_id, session_idx, count(*) AS n_events, min(ts_ms) AS first_ts, max(ts_ms) AS last_ts " +
+        "FROM si GROUP BY user_id, session_idx")
+  )
 }

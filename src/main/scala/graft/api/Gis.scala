@@ -138,8 +138,10 @@ object Gis {
    * per-group bounded heaps keeping the N smallest timestamps). Canonical
    * Spark shape: window rank over (group, ts asc).
    */
-  def topX(df: DataFrame, groupCol: String, tsCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(tsCol).asc)
+  def topX(df: DataFrame, groupCol: String, tsCol: String, n: Int,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(tsCol).asc +: tieBreak.map(col(_).asc): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")

@@ -106,7 +106,10 @@ object EventStreams {
     * user (classic windowed gaps-and-islands). */
   def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    // order by the millisecond-truncated time (+ event_id tiebreak) so batch,
+    // streaming, and external oracles agree even when events share a ms
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
     events
       .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
       .withColumn("prev_ts", lag(col("ts_ms"), 1).over(byUser))
