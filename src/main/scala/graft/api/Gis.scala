@@ -74,6 +74,22 @@ object Gis {
       .sortWithinPartitions("geohash")
       .write.mode("overwrite").parquet(path)
 
+  /**
+   * GeoJSON result projection (reference S8: QueryMatch terminal output +
+   * figures/ Leaflet rendering of data/wifi_4326.geojson): one GeoJSON
+   * Feature string per row; collect or write as lines to form a
+   * FeatureCollection.
+   */
+  def toGeoJson(df: DataFrame, lonCol: String = "lon", latCol: String = "lat",
+                propCols: Seq[String] = Seq("id", "name")): DataFrame = {
+    val props = propCols.filter(df.columns.contains)
+    df.select(to_json(struct(
+      lit("Feature").as("type"),
+      struct(lit("Point").as("type"), array(col(lonCol), col(latCol)).as("coordinates"))
+        .as("geometry"),
+      struct(props.map(col): _*).as("properties"))).as("feature"))
+  }
+
   /** OR-of-startsWith prefix predicate (reference F1: PrefixFilter scans). */
   def prefixPredicate(geohashCol: Column, prefixes: Seq[String]): Column =
     prefixes.map(p => geohashCol.startsWith(p)).reduce(_ || _)
@@ -92,12 +108,24 @@ object Gis {
              geohashCol: String = "geohash", prune: Boolean = true): DataFrame = {
     val covers = st_covers(wktPolygon, col(lonCol), col(latCol))
     val pruned =
-      if (prune && points.columns.contains(geohashCol)) {
+      if (prune) {
+        // Candidate stage 1: polygon bbox as plain numeric ranges — these
+        // push down to parquet row-group min/max stats on ANY storage layout
+        // (the reference can only key-range prune; we get both).
         val query = graft.geo.Geom.parseWktPolygon(wktPolygon)
-        GeohashPruning.minimumBoundingPrefixes(query) match {
-          case Some(prefixes) => points.filter(prefixPredicate(col(geohashCol), prefixes))
-          case None => points
-        }
+        val (xMin, xMax, yMin, yMax) = query.bbox
+        val bboxed = points.filter(
+          col(lonCol) >= xMin && col(lonCol) <= xMax &&
+            col(latCol) >= yMin && col(latCol) <= yMax)
+        // Candidate stage 2: geohash key-prefix pruning when the key column
+        // exists — on geohash-sorted parquet this is partition pruning,
+        // reproducing the reference's HBase start-row scans.
+        if (points.columns.contains(geohashCol)) {
+          GeohashPruning.minimumBoundingPrefixes(query) match {
+            case Some(prefixes) => bboxed.filter(prefixPredicate(col(geohashCol), prefixes))
+            case None => bboxed
+          }
+        } else bboxed
       } else points
     pruned.filter(covers)
   }

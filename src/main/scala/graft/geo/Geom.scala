@@ -143,6 +143,14 @@ object Geom {
     Polygon(ring)
   }
 
+  /** WKT text of a polygon (closing the ring), inverse of parseWktPolygon —
+    * covers the reference's filter round-trip surface (F6: WithinFilter
+    * toByteArray/parseFrom ships the WKT text, Filter.proto:12-17). */
+  def toWkt(p: Polygon): String =
+    (p.ring :+ p.ring.head)
+      .map(pt => s"${pt.x} ${pt.y}")
+      .mkString("POLYGON ((", ", ", "))")
+
   /** Convex hull (Andrew's monotone chain), returned as a CCW polygon. */
   def convexHull(points: Seq[Pt]): Polygon = {
     val pts = points.distinct.sortBy(p => (p.x, p.y)).toIndexedSeq

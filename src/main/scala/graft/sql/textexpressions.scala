@@ -44,21 +44,47 @@ case class MinHashBands(first: Expression, second: Expression, third: Expression
 object MinHashBands {
   /** Band key b = mix of the band's minhash slots, salted with band index so
     * identical values in different bands never collide into one bucket. */
-  def compute(text: String, numHashes: Int, bands: Int, shingle: Int): Array[Long] = {
-    require(bands > 0 && numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
-    val sig = TextCore.minhash(text, numHashes, shingle)
-    val r = numHashes / bands
-    val out = new Array[Long](bands)
-    var b = 0
-    while (b < bands) {
-      var h = TextCore.mix64(b.toLong)
-      var i = b * r
-      val end = i + r
-      while (i < end) { h = TextCore.mix64(h ^ sig(i)); i += 1 }
-      out(b) = h
-      b += 1
-    }
-    out
+  def compute(text: String, numHashes: Int, bands: Int, shingle: Int): Array[Long] =
+    TextCore.sigBands(TextCore.minhash(text, numHashes, shingle), bands)
+}
+
+/** sig_bands(sig, bands) → array<long> band keys from a precomputed
+  * minhash signature (so the signature is hashed once, not once per use). */
+case class SigBands(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sig_bands"
+  override protected def nullSafeEval(sig: Any, bands: Any): Any =
+    new GenericArrayData(TextCore.sigBands(
+      sig.asInstanceOf[ArrayData].toLongArray(), bands.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigBands = copy(l, r)
+}
+
+/** sig_jaccard(sigA, sigB) → double: estimated Jaccard from two equal-length
+  * minhash signatures (fraction of matching slots). */
+case class SigJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sig_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigJaccard.estimate(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.SigJaccard.estimate($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigJaccard = copy(l, r)
+}
+
+object SigJaccard {
+  def estimate(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
   }
 }
 

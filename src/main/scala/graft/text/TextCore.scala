@@ -47,26 +47,62 @@ object TextCore {
     h
   }
 
+  // Per-slot affine transforms (a_i, b_i) of the shingle hash — the standard
+  // "k approximate permutations from one base hash" construction. Cached per
+  // numHashes; a_i forced odd so the map is a bijection mod 2^64.
+  private val abCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def affineParams(numHashes: Int): (Array[Long], Array[Long]) =
+    abCache.computeIfAbsent(numHashes, { n =>
+      val a = new Array[Long](n); val b = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        a(i) = mix64(0xA11CE5EEDL + i) | 1L
+        b(i) = mix64(0xB0B5EED00L - i)
+        i += 1
+      }
+      (a, b)
+    })
+
   /**
-   * MinHash signature: numHashes permutations approximated by seeding the
-   * mixer (standard one-pass "k hash functions" construction). Empty text →
-   * all Long.MaxValue.
+   * MinHash signature: numHashes approximate permutations h_i(x) = a_i·x+b_i
+   * over the shingle hashes (one multiply+add per slot — the hot loop of
+   * corpus-scale dedup). Empty text → all Long.MaxValue.
    */
   def minhash(text: String, numHashes: Int, shingleSize: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val shingles = shingleHashes(text, shingleSize)
+    val (a, b) = affineParams(numHashes)
     var s = 0
     while (s < shingles.length) {
       val base = shingles(s)
       var i = 0
       while (i < numHashes) {
-        val h = mix64(base ^ (i.toLong * 0xff51afd7ed558ccdL))
+        val h = a(i) * base + b(i)
         if (h < sig(i)) sig(i) = h
         i += 1
       }
       s += 1
     }
     sig
+  }
+
+  /** Band keys from a full signature (salted per band). */
+  def sigBands(sig: Array[Long], bands: Int): Array[Long] = {
+    require(bands > 0 && sig.length % bands == 0,
+      s"numHashes=${sig.length} not divisible by bands=$bands")
+    val r = sig.length / bands
+    val out = new Array[Long](bands)
+    var bnd = 0
+    while (bnd < bands) {
+      var h = mix64(bnd.toLong)
+      var i = bnd * r
+      val end = i + r
+      while (i < end) { h = mix64(h ^ sig(i)); i += 1 }
+      out(bnd) = h
+      bnd += 1
+    }
+    out
   }
 
   /** 64-bit SimHash over hashed character shingles. */

@@ -1,0 +1,80 @@
+package graft
+
+import graft.api.Gis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan shape assertions: the scale story, pinned. These fail if a
+ * refactor silently loses predicate pushdown, partial aggregation, broadcast
+ * joins, or the top-k partial/final split.
+ */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan projection+filter pushes to parquet (PushedFilters, pruned schema)") {
+    val df = SparkEntry.queries("q_scan_project")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,25.0)]"),
+      s"missing pushed filter in:\n$scan")
+    // column pruning: untouched wide columns are not read
+    assert(!scan.contains("l_comment") && !scan.contains("l_extendedprice"))
+  }
+
+  test("within on parquet-backed points pushes bbox ranges into the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pts").toString
+    Gis.writePoints(Gis.bulkIngest(spark, 10000, -76, -75, 44, 45, seed = 3), dir, numFiles = 4)
+    val pts = spark.read.parquet(dir)
+    val q = Gis.within(pts, "POLYGON ((-75.6 44.2, -75.6 44.4, -75.4 44.4, -75.4 44.2, -75.6 44.2))")
+    val p = plan(q)
+    // (PushedFilters is elided in toString — the lon pair appearing proves
+    // the range predicates reached the parquet scan)
+    assert(p.contains("GreaterThanOrEqual(lon,-75.6)") && p.contains("LessThanOrEqual(lon,-75.4)"),
+      s"bbox not pushed:\n$p")
+    // geohash prefix pruning predicate is present in the scan-stage filter
+    assert(p.contains("StartsWith(geohash"), s"prefix predicate missing:\n$p")
+    // and the exact covers predicate stays inside whole-stage codegen
+    // (the "*(n)" prefix marks codegen stages in executedPlan.toString)
+    assert(p.contains("*(1) Filter"), s"covers predicate fell out of codegen:\n$p")
+  }
+
+  test("knn plans as TakeOrderedAndProject (partial heaps + driver merge)") {
+    val wifi = Gis.ingestTsv(spark, "/root/reference/src/test/resources/wifi_4326.txt")
+    val p = plan(Gis.knn(wifi, -73.97, 40.76, 10))
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k operator:\n$p")
+  }
+
+  test("aggregation runs partial then final (map-side combine)") {
+    val p = plan(SparkEntry.queries("q_agg_q1")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final agg split:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregate:\n$p")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact table)") {
+    val p = plan(SparkEntry.queries("q_join_bcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dimensions not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("grouped top-N window partitions by the group key only") {
+    val p = plan(SparkEntry.queries("q_topx")(spark, sf))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("geojson sink emits valid features") {
+    val wifi = Gis.ingestTsv(spark, "/root/reference/src/test/resources/wifi_4326.txt")
+    val f = Gis.toGeoJson(wifi.limit(1)).head().getString(0)
+    assert(f.contains(""""type":"Feature"""") && f.contains(""""coordinates""""), f)
+  }
+
+  test("WKT round-trip (F6 serialization parity)") {
+    val wkt = "POLYGON ((-73.980844 40.758703, -73.987214 40.761369, -73.990839 40.7564, -73.984422 40.753642, -73.980844 40.758703))"
+    val p = graft.geo.Geom.parseWktPolygon(wkt)
+    val p2 = graft.geo.Geom.parseWktPolygon(graft.geo.Geom.toWkt(p))
+    assert(p.ring == p2.ring)
+  }
+}
