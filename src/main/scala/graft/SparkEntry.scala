@@ -133,6 +133,14 @@ object SparkEntry {
         "user_id", "ts_ms", 3, tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("ts_ms"))),
 
+    // A4/A6: same grouped top-N via the bounded-heap TypedImperativeAggregate
+    // (partial per-partition heaps + final merge — no window sort)
+    "q_topx_agg" -> ((s, d) =>
+      Gis.topXAgg(Tables.table(s, d, "events")
+          .withColumn("ts_ms", expr("unix_micros(ts) div 1000")),
+        "user_id", "ts_ms", "event_id", 3)
+        .select(col("user_id"), col("event_id"), col("ts_ms"))),
+
     // A8: first-N-per-bin (design doc docs/testtopxkeys.md)
     "q_topx_bin" -> ((s, d) =>
       Tables.table(s, d, "orders")
@@ -344,6 +352,12 @@ object SparkEntry {
         "l_orderkey ASC, l_linenumber ASC LIMIT 20"),
 
     "q_topx" ->
+      ("SELECT user_id, event_id, ts_ms FROM (" +
+        "SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000 ASC, event_id ASC) AS rn " +
+        "FROM events) WHERE rn <= 3"),
+
+    "q_topx_agg" ->
       ("SELECT user_id, event_id, ts_ms FROM (" +
         "SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000 ASC, event_id ASC) AS rn " +

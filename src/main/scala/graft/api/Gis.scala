@@ -176,6 +176,27 @@ object Gis {
   }
 
   /**
+   * Grouped top-N via the bounded-heap TypedImperativeAggregate: partial
+   * per-partition heaps + final merge — at most n rows per (map task,
+   * group) are shuffled, vs. every row for the window formulation. This is
+   * the reference's coprocessor shape (TopXEndpoint partial heaps + the
+   * final merge its client lacks). Ordering (ordCol, idCol) is total ⇒
+   * deterministic under ties. Both must be long-typed.
+   */
+  def topXAgg(df: DataFrame, groupCol: String, ordCol: String, idCol: String,
+              n: Int): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    val agg = GraftShims.column(
+      org.apache.spark.sql.graft.TopNByOrd(
+        GraftShims.expression(col(ordCol)),
+        GraftShims.expression(col(idCol)), n).toAggregateExpression())
+    df.groupBy(col(groupCol))
+      .agg(agg.as("__topn"))
+      .select(col(groupCol), explode(col("__topn")).as("__p"))
+      .select(col(groupCol), col("__p.ord").as(ordCol), col("__p.id").as(idCol))
+  }
+
+  /**
    * Bounded-memory grouped top-N (the reference's MinMaxPriorityQueue
    * admission property, TopXEndpoint.java:90-96): per-group heap of size n,
    * never materializing a whole group. Use when single groups are huge and

@@ -86,7 +86,8 @@ case class GeohashNeighbors(child: Expression)
  * parse-once-per-filter-instance (WithinFilter.java:45-52) and JTS
  * PreparedGeometry caching.
  */
-case class STCoversWkt(first: Expression, second: Expression, third: Expression)
+case class STCoversWkt(first: Expression, second: Expression, third: Expression,
+                       pruned: Boolean = false)
     extends TernaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, DoubleType, DoubleType)
   override def dataType: DataType = BooleanType
@@ -133,4 +134,11 @@ case class STCoversWkt(first: Expression, second: Expression, third: Expression)
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): STCoversWkt = copy(f, s, t)
+}
+
+object STCoversWkt {
+  /** The query polygon when statically known (used by the pruning rule). */
+  def constantPolygon(e: STCoversWkt): Option[Geom.Polygon] =
+    if (e.first.foldable) Option(e.first.eval(null)).map(w => Geom.parseWktPolygon(w.toString))
+    else None
 }

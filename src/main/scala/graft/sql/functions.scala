@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{Column, GraftShims, SparkSession}
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.sql.graft.{GeohashDecode, GeohashEncode, GeohashNeighbors, STCoversWkt}
+import org.apache.spark.sql.graft.{GeohashDecode, GeohashEncode, GeohashNeighbors, STCoversWkt, VecCosineConst}
 
 /**
  * Public Column API + SQL registration for the graft spatial functions.
@@ -54,13 +54,13 @@ object functions {
   /** Register SQL names (geohash_encode, st_covers_wkt, ...) on a session. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("geohash_encode",
-      exprs => GeohashEncode(exprs(0), exprs(1), exprs(2)), "scala_udf")
-    reg.createOrReplaceTempFunction("geohash_decode",
-      exprs => GeohashDecode(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("geohash_neighbors",
-      exprs => GeohashNeighbors(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("st_covers_wkt",
-      exprs => STCoversWkt(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    org.apache.spark.sql.graft.GraftExtensions.functions.foreach {
+      case (name, builder) =>
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    val rule = org.apache.spark.sql.graft.SpatialPruningRule
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
   }
 }

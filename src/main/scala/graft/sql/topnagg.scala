@@ -1,0 +1,160 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Bounded-memory grouped top-N aggregate: keeps the N smallest (ord, id)
+ * pairs per group with partial aggregation (map-side combine), then merges
+ * partials — the exact partial/final shape of the reference's coprocessor
+ * endpoints (reference: src/main/java/tech/stackable/gis/hbase/coprocessor/
+ * KNNEndpoint.java:77-106 and TopXEndpoint.java:70-107 keep per-region
+ * MinMaxPriorityQueues; the client merge the reference lacks is Spark's
+ * final aggregation).
+ *
+ * vs. the window-rank formulation: the window shuffles and sorts EVERY row
+ * of a group; this shuffles at most N rows per (map task × group) — the
+ * difference between feasible and not at 100 TB with hot groups.
+ *
+ * Ordering is lexicographic on (ord, id) — total, so results are
+ * deterministic under ties.
+ */
+case class TopNByOrd(ord: Expression, id: Expression, n: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopNBuffer] with ImplicitCastInputTypes {
+
+  require(n > 0, s"n must be positive, got $n")
+
+  override def children: Seq[Expression] = Seq(ord, id)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("ord", LongType, nullable = false),
+      StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopNBuffer = new TopNBuffer(n)
+
+  override def update(buf: TopNBuffer, input: InternalRow): TopNBuffer = {
+    val o = ord.eval(input)
+    val i = id.eval(input)
+    if (o != null && i != null)
+      buf.insert(o.asInstanceOf[Long], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopNBuffer, other: TopNBuffer): TopNBuffer = {
+    other.foreach((o, i) => buf.insert(o, i))
+    buf
+  }
+
+  override def eval(buf: TopNBuffer): Any = {
+    val sorted = buf.sortedPairs
+    new GenericArrayData(sorted.map { case (o, i) =>
+      InternalRow(o, i)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: TopNBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TopNBuffer = TopNBuffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopNByOrd =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopNByOrd =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopNByOrd =
+    copy(ord = newChildren(0), id = newChildren(1))
+  override def prettyName: String = "topn_by_ord"
+}
+
+/**
+ * Binary max-heap of (ord, id) pairs bounded at capacity n, ordered
+ * lexicographically; the root is the LARGEST retained pair so admission is
+ * one comparison (the reference's `dist < peekLast || size < count` test,
+ * KNNEndpoint.java:95).
+ */
+final class TopNBuffer(val capacity: Int) {
+  private var ords = new Array[Long](math.min(capacity, 16))
+  private var ids = new Array[Long](math.min(capacity, 16))
+  private var size = 0
+
+  @inline private def gt(o1: Long, i1: Long, o2: Long, i2: Long): Boolean =
+    o1 > o2 || (o1 == o2 && i1 > i2)
+
+  def insert(o: Long, i: Long): Unit = {
+    if (size < capacity) {
+      if (size == ords.length) grow()
+      ords(size) = o; ids(size) = i
+      siftUp(size)
+      size += 1
+    } else if (gt(ords(0), ids(0), o, i)) {
+      ords(0) = o; ids(0) = i
+      siftDown(0)
+    }
+  }
+
+  private def grow(): Unit = {
+    val cap = math.min(capacity, ords.length * 2)
+    ords = java.util.Arrays.copyOf(ords, cap)
+    ids = java.util.Arrays.copyOf(ids, cap)
+  }
+
+  private def siftUp(k0: Int): Unit = {
+    var k = k0
+    while (k > 0) {
+      val p = (k - 1) >> 1
+      if (gt(ords(k), ids(k), ords(p), ids(p))) {
+        swap(k, p); k = p
+      } else return
+    }
+  }
+
+  private def siftDown(k0: Int): Unit = {
+    var k = k0
+    while (true) {
+      val l = 2 * k + 1; val r = l + 1
+      var m = k
+      if (l < size && gt(ords(l), ids(l), ords(m), ids(m))) m = l
+      if (r < size && gt(ords(r), ids(r), ords(m), ids(m))) m = r
+      if (m == k) return
+      swap(k, m); k = m
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val to = ords(a); ords(a) = ords(b); ords(b) = to
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
+
+  def foreach(f: (Long, Long) => Unit): Unit = {
+    var i = 0
+    while (i < size) { f(ords(i), ids(i)); i += 1 }
+  }
+
+  def sortedPairs: Seq[(Long, Long)] = {
+    val pairs = (0 until size).map(i => (ords(i), ids(i)))
+    pairs.sorted
+  }
+
+  def toBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 16 * size)
+    bb.putInt(capacity).putInt(size)
+    var i = 0
+    while (i < size) { bb.putLong(ords(i)); bb.putLong(ids(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object TopNBuffer {
+  def fromBytes(bytes: Array[Byte]): TopNBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new TopNBuffer(bb.getInt())
+    val size = bb.getInt()
+    var i = 0
+    while (i < size) { buf.insert(bb.getLong(), bb.getLong()); i += 1 }
+    buf
+  }
+}

@@ -65,6 +65,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
 
+  test("optimizer rule auto-prunes raw SQL st_covers_wkt (no Gis API involved)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlpts").toString
+    Gis.writePoints(Gis.bulkIngest(spark, 5000, -76, -75, 44, 45, seed = 9), dir, numFiles = 2)
+    spark.read.parquet(dir).createOrReplaceTempView("sql_pts")
+    val df = spark.sql(
+      "SELECT id FROM sql_pts WHERE st_covers_wkt(" +
+        "'POLYGON ((-75.6 44.2, -75.6 44.4, -75.4 44.4, -75.4 44.2, -75.6 44.2))', lon, lat)")
+    val p = plan(df)
+    assert(p.contains("GreaterThanOrEqual(lon,-75.6)"),
+      s"pruning rule did not inject pushable bbox predicates:\n$p")
+    // and the rewrite is idempotent (rule marks the expression as pruned)
+    assert("st_covers_wkt".r.findAllIn(p.toLowerCase).size <= 2, p)
+  }
+
   test("geojson sink emits valid features") {
     val wifi = Gis.ingestTsv(spark, "/root/reference/src/test/resources/wifi_4326.txt")
     val f = Gis.toGeoJson(wifi.limit(1)).head().getString(0)

@@ -135,6 +135,21 @@ class GisGoldenSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("topXAgg (bounded-heap aggregate) == window topX on events") {
+    val events = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+    val win = Gis.topX(events, "user_id", "ts_ms", 3, tieBreak = Seq("event_id"))
+      .select($"user_id", $"ts_ms", $"event_id").as[(Long, Long, Long)].collect().sorted
+    val agg = Gis.topXAgg(events, "user_id", "ts_ms", "event_id", 3)
+      .select($"user_id", $"ts_ms", $"event_id").as[(Long, Long, Long)].collect().sorted
+    assert(win.nonEmpty && agg.sameElements(win))
+    // plan shape: partial + final aggregation, no window sort
+    val p = Gis.topXAgg(events, "user_id", "ts_ms", "event_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_topn_by_ord"), s"no map-side partial heap:\n$p")
+    assert(!p.contains("Window"), s"unexpected window operator:\n$p")
+  }
+
   test("bulkIngest: 1,000 bbox points all pass the bbox polygon filter") {
     // TestBulkIngest.java:44-79
     val pts = Gis.bulkIngest(spark, 1000, -75.99, -75.01, 44.01, 44.99, seed = 7)
