@@ -37,6 +37,24 @@ object SparkEntry {
     "SELECT l_orderkey, l_linenumber, (l_partkey % 3600)/10.0 - 180.0 AS lon, " +
       "(l_orderkey % 1700)/10.0 - 85.0 AS lat FROM lineitem"
 
+  /** Second/third point sets for spatial joins (customer/supplier-derived). */
+  private def custPoints(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "customer")
+      .select(col("c_custkey"),
+        ((col("c_custkey") % 3600) / 10.0 - 180.0).as("lon"),
+        (((col("c_custkey") * 7) % 1700) / 10.0 - 85.0).as("lat"))
+  private val CustPointsSql =
+    "SELECT c_custkey, (c_custkey % 3600)/10.0 - 180.0 AS lon, " +
+      "((c_custkey * 7) % 1700)/10.0 - 85.0 AS lat FROM customer"
+  private def suppPoints(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "supplier")
+      .select(col("s_suppkey"),
+        (((col("s_suppkey") * 13) % 3600) / 10.0 - 180.0).as("lon"),
+        (((col("s_suppkey") * 17) % 1700) / 10.0 - 85.0).as("lat"))
+  private val SuppPointsSql =
+    "SELECT s_suppkey, ((s_suppkey * 13) % 3600)/10.0 - 180.0 AS lon, " +
+      "((s_suppkey * 17) % 1700)/10.0 - 85.0 AS lat FROM supplier"
+
   // Axis-aligned rectangle, boundaries off-grid (x.x5)
   private val RectWkt =
     "POLYGON ((-150.05 -40.05, -150.05 10.05, -100.05 10.05, -100.05 -40.05, -150.05 -40.05))"
@@ -198,6 +216,28 @@ object SparkEntry {
       cust.join(bigOrders, cust("c_custkey") === bigOrders("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
+
+    // ---- spatial joins (generalization of the reference's single-point KNN) ----
+
+    "q_distance_join" -> ((s, d) => {
+      val a = custPoints(s, d)
+      val b = suppPoints(s, d)
+      val d2 = (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")) +
+        (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat"))
+      graft.api.SpatialJoin.distanceJoin(a, b, radius = 5.0)
+        .select(col("a_c_custkey"), col("b_s_suppkey"),
+          round(d2 * 100).cast("long").as("d2_centi"))
+    }),
+
+    "q_knn_join" -> ((s, d) =>
+      graft.api.SpatialJoin.knnJoin(custPoints(s, d), suppPoints(s, d),
+          k = 3, radius = 10.0, aKeyCol = "c_custkey", tieBreak = Seq("b_s_suppkey"))
+        .select(col("a_c_custkey"), col("b_s_suppkey"))),
+
+    // skew-resilient two-stage salted aggregation
+    "q_salted_count" -> ((s, d) =>
+      graft.pipeline.Skew.saltedCount(
+        Tables.table(s, d, "events"), "event_type", saltFrom = "event_id")),
 
     // ---- set ops / sort / window / rollup ----
 
@@ -395,6 +435,25 @@ object SparkEntry {
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_totalprice > 300000.0)"),
+
+    "q_distance_join" ->
+      (s"WITH a AS ($CustPointsSql), b AS ($SuppPointsSql) " +
+        "SELECT a.c_custkey AS a_c_custkey, b.s_suppkey AS b_s_suppkey, " +
+        "CAST(round(((a.lon - b.lon)*(a.lon - b.lon) + (a.lat - b.lat)*(a.lat - b.lat)) * 100) AS BIGINT) AS d2_centi " +
+        "FROM a, b WHERE (a.lon - b.lon)*(a.lon - b.lon) + (a.lat - b.lat)*(a.lat - b.lat) <= 25.0"),
+
+    "q_knn_join" ->
+      (s"WITH a AS ($CustPointsSql), b AS ($SuppPointsSql), " +
+        "j AS (SELECT a.c_custkey AS a_c_custkey, b.s_suppkey AS b_s_suppkey, " +
+        "sqrt((a.lon - b.lon)*(a.lon - b.lon) + (a.lat - b.lat)*(a.lat - b.lat)) AS distance " +
+        "FROM a, b WHERE (a.lon - b.lon)*(a.lon - b.lon) + (a.lat - b.lat)*(a.lat - b.lat) <= 100.0) " +
+        "SELECT a_c_custkey, b_s_suppkey FROM (" +
+        "SELECT a_c_custkey, b_s_suppkey, " +
+        "row_number() OVER (PARTITION BY a_c_custkey ORDER BY distance ASC, b_s_suppkey ASC) AS rn " +
+        "FROM j) WHERE rn <= 3"),
+
+    "q_salted_count" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
 
     "q_union_dedup" ->
       ("SELECT DISTINCT p_partkey, p_name FROM (" +

@@ -74,6 +74,22 @@ case class GeohashNeighbors(child: Expression)
   override protected def withNewChildInternal(c: Expression): GeohashNeighbors = copy(c)
 }
 
+/** geohash_cell_neighbors(lat, lon, precision) → array of the point's cell
+  * plus its 8 adjacent cells (the spatial-join probe key set). */
+case class GeohashCellNeighbors(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "geohash_cell_neighbors"
+  override protected def nullSafeEval(lat: Any, lon: Any, precision: Any): Any =
+    new GenericArrayData(Geohash.cellAndNeighbors(
+      lat.asInstanceOf[Double], lon.asInstanceOf[Double], precision.asInstanceOf[Int])
+      .map(UTF8String.fromString).toArray[Any])
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): GeohashCellNeighbors = copy(f, s, t)
+}
+
 /**
  * st_covers_wkt(wktPolygon, lon, lat) → boolean; boundary-inclusive
  * (JTS `covers`, NOT `contains`) per WithinFilter.java:99 and the golden

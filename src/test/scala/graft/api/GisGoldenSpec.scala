@@ -150,6 +150,22 @@ class GisGoldenSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"unexpected window operator:\n$p")
   }
 
+  test("distanceJoin == brute-force cross join filter (differential oracle)") {
+    val a = Gis.bulkIngest(spark, 300, -76, -75, 44, 45, seed = 11)
+      .select($"id".as("ida"), $"lon", $"lat")
+    val b = Gis.bulkIngest(spark, 200, -76.2, -74.8, 43.8, 45.2, seed = 12)
+      .select($"id".as("idb"), $"lon", $"lat")
+    val r = 0.05
+    val got = graft.api.SpatialJoin.distanceJoin(a, b, r)
+      .select($"a_ida", $"b_idb").as[(String, String)].collect().toSet
+    val brute = a.crossJoin(b.select($"idb", $"lon".as("lon2"), $"lat".as("lat2")))
+      .filter(($"lon" - $"lon2") * ($"lon" - $"lon2") +
+        ($"lat" - $"lat2") * ($"lat" - $"lat2") <= r * r)
+      .select($"ida", $"idb").as[(String, String)].collect().toSet
+    assert(brute.nonEmpty, "fixture produced no pairs")
+    assert(got == brute)
+  }
+
   test("bulkIngest: 1,000 bbox points all pass the bbox polygon filter") {
     // TestBulkIngest.java:44-79
     val pts = Gis.bulkIngest(spark, 1000, -75.99, -75.01, 44.01, 44.99, seed = 7)
