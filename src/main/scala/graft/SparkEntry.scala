@@ -97,6 +97,12 @@ object SparkEntry {
       points(s, d).select(col("l_orderkey"), col("l_linenumber"),
         G.geohash_encode(col("lat"), col("lon"), 12).as("geohash"))),
 
+    // S1-S3+S7: full TSV ingest path on the reference's own wifi fixture
+    // (geohash-12 keys + dedup; golden counts pinned in GisGoldenSpec)
+    "q_ingest_tsv" -> ((s, _) =>
+      Gis.ingestTsv(s, "/root/reference/src/test/resources/wifi_4326.txt")
+        .select(col("lon"), col("lat"), col("geohash"))),
+
     // S7: dedup-on-ingest (distinct projection)
     "q_dedup_ingest" -> ((s, d) =>
       Tables.table(s, d, "part").select(col("p_brand"), col("p_type")).distinct()),
@@ -309,6 +315,15 @@ object SparkEntry {
       val q = embs.filter(col("vec_id") === 0L).select(col("embedding")).head()
         .getSeq[Float](0).toArray
       Similarity.cosineTopKLsh(embs, q, 10).select(col("vec_id"))
+    }),
+
+    // IVF coarse-quantized ANN (no SQL oracle; recall-tested in scalatest)
+    "q_embed_topk_ivf" -> ((s, d) => {
+      val embs = Tables.table(s, d, "embeddings")
+      val centroids = Similarity.ivfTrain(embs, nCells = 8, iters = 3)
+      val q = embs.filter(col("vec_id") === 0L).select(col("embedding")).head()
+        .getSeq[Float](0).toArray
+      Similarity.ivfTopK(embs, centroids, q, 10, nProbe = 3).select(col("vec_id"))
     }),
 
     "q_text_tokens" -> ((s, d) =>

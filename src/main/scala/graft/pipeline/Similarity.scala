@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{VecCosineConst, VecLshBucket, VecOps}
+import org.apache.spark.sql.graft.{VecCosineConst, VecLshBucket, VecNearestCentroid, VecOps}
 
 /**
  * Approximate-nearest-neighbor search over an embedding column
@@ -38,6 +38,74 @@ object Similarity {
     val q = df.filter(col(idCol) === queryId).select(col(vecCol)).head()
       .getSeq[Float](0).toArray
     cosineTopK(df, q, k, idCol, vecCol)
+  }
+
+  // ---- IVF (inverted-file) coarse quantization: the second ANN scale path ----
+
+  /**
+   * Train an IVF codebook: k-means (Lloyd) on a driver-side sample with
+   * deterministic seeding. At 100 TB the sample cap is the point — training
+   * reads `sampleCap` rows once; assignment/search stay fully distributed.
+   */
+  def ivfTrain(df: DataFrame, nCells: Int, iters: Int = 5,
+               vecCol: String = "embedding", sampleCap: Int = 20000,
+               seed: Long = 42L): Array[Array[Float]] = {
+    val sample = df.select(col(vecCol)).limit(sampleCap).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= nCells, s"need >= $nCells vectors, got ${sample.length}")
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(sample.indices.toList).take(nCells)
+      .map(i => sample(i).clone()).toArray
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (1 to iters).foreach { _ =>
+      val assign = sample.map(v => (0 until nCells).maxBy(c => cos(v, centroids(c))))
+      centroids = (0 until nCells).map { c =>
+        val members = sample.indices.filter(assign(_) == c)
+        if (members.isEmpty) centroids(c)
+        else {
+          val dim = sample(0).length
+          val mean = new Array[Float](dim)
+          members.foreach { m => var j = 0; while (j < dim) { mean(j) += sample(m)(j); j += 1 } }
+          var j = 0
+          while (j < dim) { mean(j) /= members.length; j += 1 }
+          mean
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Distributed cell assignment (store this column; bucket/partition by it
+    * so probes become partition pruning). */
+  def ivfAssign(df: DataFrame, centroids: Array[Array[Float]],
+                vecCol: String = "embedding"): DataFrame =
+    df.withColumn("ivf_cell", c(VecNearestCentroid(e(col(vecCol)), centroids)))
+
+  /**
+   * IVF top-k: probe the `nProbe` centroids nearest the query, scan only
+   * those cells, exact-rerank; falls back to brute force if the probed
+   * cells are short of k rows.
+   */
+  def ivfTopK(df: DataFrame, centroids: Array[Array[Float]], query: Array[Float],
+              k: Int, nProbe: Int = 2, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    def cosArr(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = centroids.indices.sortBy(c => -cosArr(query, centroids(c))).take(nProbe)
+    val assigned = ivfAssign(df, centroids, vecCol)
+    val pruned = assigned.filter(col("ivf_cell").isin(probes: _*))
+    if (pruned.limit(k).count() >= k) cosineTopK(pruned, query, k, idCol, vecCol)
+    else cosineTopK(df, query, k, idCol, vecCol)
   }
 
   /**

@@ -198,6 +198,19 @@ object VecOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Index of the cosine-nearest centroid (IVF coarse quantization). */
+  def nearestCentroid(a: ArrayData, centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val s = cosine(a, centroids(c))
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   /**
    * Random-hyperplane LSH bucket (Charikar, STOC'02 SimHash for cosine):
    * bit p = sign(Σ_j v_j · u(p,j)) with pseudo-random plane components
@@ -221,6 +234,23 @@ object VecOps {
     }
     bucket
   }
+}
+
+/** vec_nearest_centroid(embedding) → int index of the nearest (by cosine)
+  * centroid in a constant codebook — the IVF coarse quantizer. */
+case class VecNearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_nearest_centroid"
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.nearestCentroid(a.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("graftCentroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, a => s"org.apache.spark.sql.graft.VecOps.nearestCentroid($a, $cRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): VecNearestCentroid = copy(child = c)
 }
 
 /** vec_cosine_const(embedding) → double cosine vs a constant query vector. */

@@ -103,6 +103,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.intersect(approx).size >= 5, s"ANN overlap too low: ${exact.intersect(approx).size}")
   }
 
+  test("IVF top-k: trains, assigns, probes; high overlap with exact") {
+    val centroids = Similarity.ivfTrain(embs, nCells = 8, iters = 4)
+    assert(centroids.length == 8 && centroids.forall(_.length == 64))
+    val assigned = Similarity.ivfAssign(embs, centroids)
+    val cells = assigned.select("ivf_cell").distinct().count()
+    assert(cells > 1, "degenerate quantizer: all vectors in one cell")
+    val all = embs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val query = all.find(_._1 == 7L).get._2
+    val exact = Similarity.cosineTopK(embs, query, 10).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(embs, centroids, query, 10, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    assert(exact.intersect(ivf).size >= 5, s"IVF overlap ${exact.intersect(ivf).size}")
+  }
+
   // --- text analysis ---
 
   test("token counts") {

@@ -33,6 +33,22 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops repeated payloads within the watermark") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = EventStreams.readEventStream(spark, streamDir.toString)
+    // event_type has only 5 distinct values → dedup on it keeps exactly 5
+    val q = graft.pipeline.Dedup.streamingExactDedup(stream, "event_type", "ts")
+      .select("event_type")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 5)
+    } finally q.stop()
+  }
+
   test("batch sessionization: partitions all events into disjoint sessions") {
     val sessions = EventStreams.sessionizeBatch(events, gapMs = 60 * 60 * 1000L)
     val total = sessions.agg(sum("n_events")).head.getLong(0)
