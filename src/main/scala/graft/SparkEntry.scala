@@ -223,6 +223,41 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // as-of join: each error event → the latest click by the same user at or
+    // before it (union-merge implementation, one shuffle)
+    "q_join_asof" -> ((s, d) => {
+      val e = Tables.table(s, d, "events")
+        .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_ms"))
+        .agg(max(col("event_id")).as("event_id"))
+      graft.api.AsofJoin.asofJoin(errors, clicks,
+        keyCol = "user_id", leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+        rightPayload = Seq("event_id"), rightIdCol = "event_id")
+        .select(col("event_id"), col("asof_event_id"))
+    }),
+
+    // big-big sort-merge join (merge hint pins the strategy)
+    "q_join_sortmerge" -> ((s, d) => {
+      val li = Tables.table(s, d, "lineitem")
+      val o = Tables.table(s, d, "orders").hint("merge")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // equi+range join: lineitems shipped within 90 days of their order date
+    "q_join_range" -> ((s, d) => {
+      val li = Tables.table(s, d, "lineitem")
+      val o = Tables.table(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") <= date_add(o("o_orderdate"), 90))
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ---- spatial joins (generalization of the reference's single-point KNN) ----
 
     "q_distance_join" -> ((s, d) => {
@@ -270,6 +305,14 @@ object SparkEntry {
               .orderBy(col("o_orderkey").asc)
               .rowsBetween(Window.unboundedPreceding, 0)))
         .select(col("o_custkey"), col("o_orderkey"), col("running_cents"))),
+
+    "q_cube" -> ((s, d) => {
+      val cust = Tables.table(s, d, "customer")
+      val nation = Tables.table(s, d, "nation")
+      cust.join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"))
+    }),
 
     "q_rollup" -> ((s, d) => {
       val cust = Tables.table(s, d, "customer")
@@ -485,6 +528,26 @@ object SparkEntry {
         "PARTITION BY o_custkey ORDER BY o_orderkey ASC " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents " +
         "FROM orders"),
+
+    "q_join_asof" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms, event_type FROM events), " +
+        "err AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'error'), " +
+        "clk AS (SELECT user_id, ts_ms, max(event_id) AS click_id FROM e " +
+        "WHERE event_type = 'click' GROUP BY user_id, ts_ms) " +
+        "SELECT err.event_id AS event_id, clk.click_id AS asof_event_id " +
+        "FROM err ASOF JOIN clk ON err.user_id = clk.user_id AND err.ts_ms >= clk.ts_ms"),
+
+    "q_join_sortmerge" ->
+      ("SELECT o_orderpriority, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
+
+    "q_join_range" ->
+      ("SELECT l_orderkey, l_linenumber FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY"),
+
+    "q_cube" ->
+      ("SELECT n_name, c_mktsegment, count(*) AS n_cust FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY CUBE (n_name, c_mktsegment)"),
 
     "q_rollup" ->
       ("SELECT r_name, n_name, count(*) AS n_cust FROM customer " +

@@ -60,6 +60,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
   }
 
+  test("sort-merge hint pins SortMergeJoin for the big-big join") {
+    val p = plan(SparkEntry.queries("q_join_sortmerge")(spark, sf))
+    assert(p.contains("SortMergeJoin"), s"merge hint ignored:\n$p")
+  }
+
   test("grouped top-N window partitions by the group key only") {
     val p = plan(SparkEntry.queries("q_topx")(spark, sf))
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
