@@ -73,11 +73,14 @@ object SparkEntry {
 
   /** Flagship: diamond containment over the derived point cloud with geohash
     * prefix pruning — exercises ingest key derivation, planning, pruning,
-    * and the covers predicate end-to-end. */
+    * and the covers predicate end-to-end. (At sf0.001 part keys stop at 199,
+    * so derived lons live in [-180, -160.1]; the entry polygon sits there.) */
   def entry(spark: SparkSession): DataFrame = {
     val pts = points(spark, "/root/testdata/sf0.001")
       .withColumn("geohash", G.geohash_encode(col("lat"), col("lon"), 12))
-    Gis.within(pts, DiamondWkt)
+    val diamond = "POLYGON ((-179.075 -0.05, -170.05 -9.075, " +
+      "-161.025 -0.05, -170.05 8.975, -179.075 -0.05))"
+    Gis.within(pts, diamond)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -18,10 +18,17 @@ object Tables {
   def configure(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    configure(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  // DataFrame (logical plan) cache: avoids re-listing files and re-reading
+  // parquet footers on every query of a multi-query run. Plans are immutable;
+  // keyed by session so a stopped session's plans are never reused.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, sfDir, name), { _ =>
+      configure(spark)
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
 }

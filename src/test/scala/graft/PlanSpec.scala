@@ -84,6 +84,10 @@ class PlanSpec extends AnyFunSuite {
     assert("st_covers_wkt".r.findAllIn(p.toLowerCase).size <= 2, p)
   }
 
+  test("entry (driver flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("geojson sink emits valid features") {
     val wifi = Gis.ingestTsv(spark, "/root/reference/src/test/resources/wifi_4326.txt")
     val f = Gis.toGeoJson(wifi.limit(1)).head().getString(0)
