@@ -67,6 +67,7 @@ object GraftExtensions {
     "ngram_jaccard" -> (es => NgramJaccard(es(0), es(1), es(2))),
     "lang_id" -> (es => LangId(es.head)),
     "winnow_fingerprint" -> (es => WinnowFingerprint(es(0), es(1), es(2))),
+    "explode_shingles" -> (es => ExplodeShingles(es(0), es(1))),
     "vec_cosine" -> (es => VecCosine(es(0), es(1))),
     "vec_lsh_bucket" -> (es => VecLshBucket(es(0), es(1), es(2))))
 }

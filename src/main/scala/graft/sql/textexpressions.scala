@@ -2,6 +2,7 @@
 package org.apache.spark.sql.graft
 
 import graft.text.TextCore
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -159,6 +160,37 @@ case class WinnowFingerprint(first: Expression, second: Expression, third: Expre
     new GenericArrayData(TextCore.winnow(text.toString, sh.asInstanceOf[Int], w.asInstanceOf[Int]))
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): WinnowFingerprint = copy(f, s, t)
+}
+
+/**
+ * explode_shingles(text, n) — table-generating function (UDTF/Generator):
+ * one row per DISTINCT hashed character n-gram of the text. The building
+ * block for set-based dedup pipelines expressed in plain SQL
+ * (e.g. inverted shingle→doc index: SELECT shingle_hash, doc_id FROM docs,
+ * LATERAL explode_shingles(text, 5)).
+ */
+case class ExplodeShingles(text: Expression, n: Expression)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(text, n)
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("shingle_hash", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = text.eval(input)
+    val nn = n.eval(input)
+    if (t == null || nn == null) Nil
+    else TextCore.shingleHashes(t.toString, nn.asInstanceOf[Int])
+      .iterator.map(h => InternalRow(h))
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (text.dataType == StringType && n.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"explode_shingles expects (string, int), got (${text.dataType}, ${n.dataType})")
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ExplodeShingles =
+    copy(text = newChildren(0), n = newChildren(1))
+  override def prettyName: String = "explode_shingles"
 }
 
 object VecOps {

@@ -102,6 +102,62 @@ object EventStreams {
       }
   }
 
+  /**
+   * Streaming grouped top-N-earliest (the reference's TopX semantics over an
+   * unbounded stream): per-key bounded heap held in GroupState, re-emitted
+   * on update. State is O(n) per key forever — the streaming twin of
+   * Gis.topXAgg.
+   */
+  def streamingTopX(events: Dataset[Event], n: Int): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Seq[(Long, Long)]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty)
+          val merged = (prev ++ batch.map(e => (e.ts.getTime, e.event_id)))
+            .sorted.distinct.take(n)
+          state.update(merged)
+          merged.iterator.map { case (ts, id) => (userId, ts, id) }
+      }
+  }
+
+  /**
+   * Stream-stream interval join: each error event matched to clicks by the
+   * same user within the preceding `intervalMs`, both sides watermarked so
+   * join state is bounded.
+   */
+  def errorClickJoin(events: DataFrame, intervalMs: Long = 10 * 60 * 1000L,
+                     watermark: String = "30 minutes"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    errors.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr(s"INTERVAL ${intervalMs / 1000} SECONDS"))
+      .select(col("error_id"), col("click_id"), col("user_id"))
+  }
+
+  /** Batch twin of [[errorClickJoin]]. */
+  def errorClickJoinBatch(events: DataFrame, intervalMs: Long = 10 * 60 * 1000L): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    errors.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr(s"INTERVAL ${intervalMs / 1000} SECONDS"))
+      .select(col("error_id"), col("click_id"), col("user_id"))
+  }
+
   /** Batch sessionization twin: session = cumulative count of gap-breaks per
     * user (classic windowed gaps-and-islands). */
   def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {

@@ -160,6 +160,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"fingerprint overlap $overlap")
   }
 
+  test("explode_shingles UDTF matches TextCore.shingleHashes") {
+    docs.limit(20).createOrReplaceTempView("shingle_docs")
+    val got = spark.sql(
+      "SELECT doc_id, shingle_hash FROM shingle_docs LATERAL VIEW explode_shingles(text, 5) t")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    docs.limit(20).collect().foreach { r =>
+      val expect = TextCore.shingleHashes(r.getAs[String]("text"), 5).toSet
+      assert(got(r.getAs[Long]("doc_id")) == expect)
+    }
+  }
+
   // --- multimodal ---
 
   test("multimodal: stub decode plumbing (schema, batching, determinism)") {

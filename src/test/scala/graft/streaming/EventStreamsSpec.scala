@@ -49,6 +49,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch twin") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = EventStreams.readEventStream(spark, streamDir.toString)
+    val q = EventStreams.errorClickJoin(stream)
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out").collect().map(_.toSeq).toSet
+      val batch = EventStreams.errorClickJoinBatch(events).collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming grouped topX == batch topXAgg after one pass") {
+    val ds = events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    // single-batch streaming state == batch top-N (ts in millis)
+    val got = EventStreams.streamingTopX(ds, 3)
+    // flatMapGroupsWithState requires a streaming source for incremental
+    // execution, but executes fine on a static Dataset as one batch:
+    val gotSet = got.collect().map(t => (t._1, t._2, t._3)).toSet
+    val expect = graft.api.Gis.topXAgg(
+      events.withColumn("ts_ms", expr("unix_micros(ts) div 1000")),
+      "user_id", "ts_ms", "event_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSet == expect)
+  }
+
   test("batch sessionization: partitions all events into disjoint sessions") {
     val sessions = EventStreams.sessionizeBatch(events, gapMs = 60 * 60 * 1000L)
     val total = sessions.agg(sum("n_events")).head.getLong(0)
