@@ -19,23 +19,44 @@ object TextCore {
     z ^ (z >>> 31)
   }
 
-  /** Distinct hashed character n-gram shingles of `text`. */
+  /**
+   * Distinct hashed character n-gram shingles of `text`. Open-addressing
+   * primitive table (0 = empty sentinel, zero hash tracked separately) —
+   * no boxing in the hottest loop of corpus-scale dedup.
+   */
   def shingleHashes(text: String, n: Int): Array[Long] = {
     val len = text.length
     if (len < n) {
       if (len == 0) return Array.empty
       return Array(mix64(polyHash(text, 0, len)))
     }
-    val set = new java.util.HashSet[Long]()
+    val m = len - n + 1
+    var cap = 8
+    while (cap < m * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
+    var zeroSeen = false
+    var count = 0
     var i = 0
-    while (i + n <= len) {
-      set.add(mix64(polyHash(text, i, n)))
+    while (i < m) {
+      val h = mix64(polyHash(text, i, n))
+      if (h == 0L) {
+        if (!zeroSeen) { zeroSeen = true; count += 1 }
+      } else {
+        var idx = (h & mask).toInt
+        while (table(idx) != 0L && table(idx) != h) idx = (idx + 1) & mask
+        if (table(idx) == 0L) { table(idx) = h; count += 1 }
+      }
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
+    val out = new Array[Long](count)
+    var k = 0
+    if (zeroSeen) { out(k) = 0L; k += 1 }
     var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    while (j < cap) {
+      if (table(j) != 0L) { out(k) = table(j); k += 1 }
+      j += 1
+    }
     out
   }
 
@@ -125,22 +146,22 @@ object TextCore {
     out
   }
 
-  /** Exact Jaccard similarity of the two texts' character-n-gram sets. */
+  /** Exact Jaccard similarity of the two texts' character-n-gram sets
+    * (sort-merge intersection over the already-distinct hash arrays). */
   def ngramJaccard(a: String, b: String, n: Int): Double = {
     val sa = shingleHashes(a, n)
     val sb = shingleHashes(b, n)
     if (sa.isEmpty && sb.isEmpty) return 1.0
     if (sa.isEmpty || sb.isEmpty) return 0.0
-    val setA = new java.util.HashSet[Long]()
-    sa.foreach(setA.add(_))
-    var inter = 0
-    val setB = new java.util.HashSet[Long]()
-    var i = 0
-    while (i < sb.length) {
-      if (setB.add(sb(i)) && setA.contains(sb(i))) inter += 1
-      i += 1
+    java.util.Arrays.sort(sa)
+    java.util.Arrays.sort(sb)
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
     }
-    inter.toDouble / (setA.size + setB.size - inter)
+    inter.toDouble / (sa.length + sb.length - inter)
   }
 
   /** Estimated Jaccard from two equal-length MinHash signatures. */
