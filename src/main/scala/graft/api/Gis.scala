@@ -75,6 +75,27 @@ object Gis {
       .write.mode("overwrite").parquet(path)
 
   /**
+   * Hive-style layout partitioned by a geohash prefix directory column
+   * (`gh_prefix`) — spatial queries then skip whole directories before any
+   * file is opened (true partition pruning, the 100 TB scan-avoidance
+   * lever; the HBase analog is region pruning by rowkey range).
+   * `prefixLen` trades directory count (32^len) against pruning granularity.
+   */
+  def writePointsPartitioned(df: DataFrame, path: String, prefixLen: Int = 3): Unit =
+    df.withColumn("gh_prefix", substring(col("geohash"), 1, prefixLen))
+      .repartition(col("gh_prefix"))
+      .sortWithinPartitions("geohash")
+      .write.partitionBy("gh_prefix").mode("overwrite").parquet(path)
+
+  /** Predicate on the `gh_prefix` partition column selecting every partition
+    * that can contain a geohash starting with one of `prefixes`. */
+  private def partitionPrefixPredicate(prefixes: Seq[String], prefixLen: Int): Column =
+    prefixes.map { p =>
+      if (p.length >= prefixLen) col("gh_prefix") === p.take(prefixLen)
+      else col("gh_prefix").startsWith(p)
+    }.reduce(_ || _)
+
+  /**
    * GeoJSON result projection (reference S8: QueryMatch terminal output +
    * figures/ Leaflet rendering of data/wifi_4326.geojson): one GeoJSON
    * Feature string per row; collect or write as lines to form a
@@ -122,7 +143,14 @@ object Gis {
         // reproducing the reference's HBase start-row scans.
         if (points.columns.contains(geohashCol)) {
           GeohashPruning.minimumBoundingPrefixes(query) match {
-            case Some(prefixes) => bboxed.filter(prefixPredicate(col(geohashCol), prefixes))
+            case Some(prefixes) =>
+              val keyed = bboxed.filter(prefixPredicate(col(geohashCol), prefixes))
+              // gh_prefix directory column present → add the partition-pruning
+              // predicate too (prefix length inferred lazily is not possible;
+              // writePointsPartitioned uses 3)
+              if (points.columns.contains("gh_prefix"))
+                keyed.filter(partitionPrefixPredicate(prefixes, prefixLen = 3))
+              else keyed
             case None => bboxed
           }
         } else bboxed

@@ -42,6 +42,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1) Filter"), s"covers predicate fell out of codegen:\n$p")
   }
 
+  test("within on gh_prefix-partitioned layout prunes partitions (directory skip)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Gis.writePointsPartitioned(
+      Gis.bulkIngest(spark, 20000, -76, -74, 44, 46, seed = 5), dir, prefixLen = 3)
+    val pts = spark.read.parquet(dir)
+    val poly = "POLYGON ((-75.1 44.9, -75.1 45.1, -74.9 45.1, -74.9 44.9, -75.1 44.9))"
+    val q = Gis.within(pts, poly)
+    val p = plan(q)
+    assert(p.contains("PartitionFilters: ["), s"no partition filters:\n$p")
+    // the scan must NOT read every partition: count selected vs total dirs
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val totalDirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("gh_prefix="))
+    assert(scan.selectedPartitions.partitionCount < totalDirs,
+      s"read all $totalDirs partitions — pruning ineffective")
+    // and results agree with the unpartitioned path
+    val expected = Gis.within(pts.drop("gh_prefix"), poly).count()
+    assert(q.count() == expected && expected > 0)
+  }
+
   test("knn plans as TakeOrderedAndProject (partial heaps + driver merge)") {
     val wifi = Gis.ingestTsv(spark, "/root/reference/src/test/resources/wifi_4326.txt")
     val p = plan(Gis.knn(wifi, -73.97, 40.76, 10))
