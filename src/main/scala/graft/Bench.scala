@@ -22,6 +22,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // single-node local shuffles: compression costs more than the local
+      // disk I/O it saves (these stay ON for any real cluster deployment,
+      // where network bandwidth dominates)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sql.functions.registerAll(spark)

@@ -89,6 +89,49 @@ class GeomSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: covers on random convex polygons agrees with half-plane sign tests") {
+    val rnd = new scala.util.Random(99)
+    (1 to 50).foreach { _ =>
+      // random convex polygon: hull of random points
+      val pts = Seq.fill(8)(Pt(rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 20 - 10))
+      val hull = convexHull(pts)
+      val ring = hull.ring
+      // CCW sign test (boundary-inclusive)
+      def signCovers(x: Double, y: Double): Boolean =
+        ring.indices.forall { i =>
+          val a = ring(i); val b = ring((i + 1) % ring.length)
+          (b.x - a.x) * (y - a.y) - (b.y - a.y) * (x - a.x) >= 0
+        }
+      (1 to 200).foreach { _ =>
+        val x = rnd.nextDouble() * 24 - 12
+        val y = rnd.nextDouble() * 24 - 12
+        // skip points within fp-noise of an edge: the two formulations may
+        // legitimately differ there (different arithmetic, both "correct")
+        val nearEdge = ring.indices.exists { i =>
+          val a = ring(i); val b = ring((i + 1) % ring.length)
+          val cross = (b.x - a.x) * (y - a.y) - (b.y - a.y) * (x - a.x)
+          val len = math.hypot(b.x - a.x, b.y - a.y)
+          math.abs(cross) / math.max(len, 1e-12) < 1e-9
+        }
+        if (!nearEdge)
+          assert(hull.covers(x, y) == signCovers(x, y), s"($x,$y) vs $ring")
+      }
+    }
+  }
+
+  test("fuzz: geohash neighbor relation is symmetric away from poles") {
+    val rnd = new scala.util.Random(123)
+    (1 to 200).foreach { _ =>
+      val lat = rnd.nextDouble() * 160 - 80
+      val lon = rnd.nextDouble() * 360 - 180
+      val p = rnd.nextInt(6) + 1
+      val g = Geohash.encode(lat, lon, p)
+      Geohash.neighbors(g).foreach { n =>
+        assert(Geohash.neighbors(n).contains(g), s"asymmetric: $g <-> $n")
+      }
+    }
+  }
+
   test("minimumBoundingPrefixes covers reference Midtown polygon") {
     val midtown = parseWktPolygon(
       "POLYGON ((-73.980844 40.758703, -73.987214 40.761369, " +

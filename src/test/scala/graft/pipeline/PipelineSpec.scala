@@ -55,6 +55,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash LSH on the natural corpus (no planting) == brute force") {
+    // sf0.001 documents contain generator-planted near-dups; verify the full
+    // pipeline end-to-end on them without synthetic mutation
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = docs.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ia, ta) <- all; (ib, tb) <- all
+      if ia < ib && TextCore.ngramJaccard(ta, tb, 5) >= 0.8
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "corpus has no natural near-dups")
+    assert(pairs.subsetOf(brute))
+    val recall = pairs.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.95, s"recall $recall on ${brute.size} natural pairs")
+  }
+
   test("simhash pairs: planted near-dups within hamming 3 are found") {
     val pairs = Dedup.simhashPairs(planted, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
