@@ -410,6 +410,27 @@ object SparkEntry {
         .select(col("media_id"), col("byte_len"), col("sha"))
     }),
 
+    // scalar function family: JSON extraction over the props column
+    "q_json_extract" -> ((s, d) =>
+      Tables.table(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    // scalar function family: date truncation + grouping
+    "q_date_trunc" -> ((s, d) =>
+      Tables.table(s, d, "orders")
+        .groupBy(unix_seconds(date_trunc("month", col("o_orderdate"))).as("month_epoch"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))),
+
+    // dedup clustering: connected components over near-dup pairs →
+    // (doc_id, cluster representative); no SQL oracle (iterative)
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(Tables.table(s, d, "documents"),
+        "doc_id", "text", threshold = 0.8)
+      Dedup.clusters(pairs.select(col("id_a"), col("id_b")))
+    }),
+
     // ---- streaming twins ----
 
     "q_stream_window" -> ((s, d) =>
@@ -584,6 +605,14 @@ object SparkEntry {
         "SELECT vec_id FROM embeddings, q " +
         "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) DESC, " +
         "vec_id ASC LIMIT 10"),
+
+    "q_json_extract" ->
+      ("SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events"),
+
+    "q_date_trunc" ->
+      ("SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch, " +
+        "count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents " +
+        "FROM orders GROUP BY 1"),
 
     "q_stream_window" ->
       ("SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_epoch, event_type, " +

@@ -85,6 +85,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture has no simhash near-dups")
   }
 
+  test("dedup clusters: connected components match union-find oracle") {
+    val pairs = Dedup.minhashLshPairs(planted, "doc_id", "text", threshold = 0.7)
+      .select($"id_a", $"id_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find oracle over the same pairs
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val oracle = parent.keys.map(k => k -> find(k)).toMap
+    assert(got.keySet == oracle.keySet)
+    // same partition: min-label == union-find root (roots are min ids here)
+    got.foreach { case (id, c) => assert(c == oracle(id), s"node $id: $c vs ${oracle(id)}") }
+  }
+
   test("embedding near-dup pairs verify against exact cosine") {
     val pairs = Dedup.cosineNearDupPairs(embs, "vec_id", "embedding", threshold = 0.5)
       .collect()
