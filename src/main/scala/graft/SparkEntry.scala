@@ -581,7 +581,7 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       ("SELECT md5(text) AS dup_hash, count(*) AS n_dups, min(doc_id) AS keep_id " +
-        "FROM documents GROUP BY md5(text)"),
+        "FROM documents GROUP BY text"),
 
     "q_text_tokens" ->
       ("SELECT doc_id, " +

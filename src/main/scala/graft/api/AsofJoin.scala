@@ -47,9 +47,11 @@ object AsofJoin {
     val matched = rp.unionByName(lp)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    val out = matched.select(
+    // inner semantics keys on the matched STRUCT being present, so a matched
+    // right row whose payload value is null is still a match
+    val kept = if (inner) matched.filter(col("__match").isNotNull) else matched
+    kept.select(
       (left.columns.map(c => col(s"__l.$c").as(c)) ++
         rightPayload.map(p => col(s"__match.$p").as(s"asof_$p"))): _*)
-    if (inner) out.filter(col(s"asof_${rightPayload.head}").isNotNull) else out
   }
 }

@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.geo.GeohashPruning
+import graft.geo.{Geohash, GeohashPruning}
 import graft.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -88,11 +88,12 @@ object Gis {
       .write.partitionBy("gh_prefix").mode("overwrite").parquet(path)
 
   /** Predicate on the `gh_prefix` partition column selecting every partition
-    * that can contain a geohash starting with one of `prefixes`. */
-  private def partitionPrefixPredicate(prefixes: Seq[String], prefixLen: Int): Column =
+    * that can contain a geohash starting with one of `prefixes`. Length-
+    * agnostic (works for any prefixLen the data was written with): partition
+    * value and query prefix must be prefixes of EACH OTHER. */
+  private def partitionPrefixPredicate(prefixes: Seq[String]): Column =
     prefixes.map { p =>
-      if (p.length >= prefixLen) col("gh_prefix") === p.take(prefixLen)
-      else col("gh_prefix").startsWith(p)
+      col("gh_prefix").startsWith(p) || lit(p).startsWith(col("gh_prefix"))
     }.reduce(_ || _)
 
   /**
@@ -146,10 +147,9 @@ object Gis {
             case Some(prefixes) =>
               val keyed = bboxed.filter(prefixPredicate(col(geohashCol), prefixes))
               // gh_prefix directory column present → add the partition-pruning
-              // predicate too (prefix length inferred lazily is not possible;
-              // writePointsPartitioned uses 3)
+              // predicate too (length-agnostic)
               if (points.columns.contains("gh_prefix"))
-                keyed.filter(partitionPrefixPredicate(prefixes, prefixLen = 3))
+                keyed.filter(partitionPrefixPredicate(prefixes))
               else keyed
             case None => bboxed
           }
@@ -179,8 +179,23 @@ object Gis {
         val prefixes = GeohashPruning.knnPrefixes(lon, lat, precision)
         val pruned = points.filter(prefixPredicate(col(geohashCol), prefixes))
         if (strict) pruned
-        else if (pruned.limit(k).count() >= k) pruned
-        else points // candidate cells too sparse — widen to exact
+        else {
+          // Exact-mode soundness: the pruned path is valid only if the k-th
+          // candidate is no farther than the nearest edge of the 9-cell
+          // block — otherwise a point just outside the block could be
+          // closer. One cheap action computes (candidate count, k-th dist).
+          val bboxes = prefixes.map(Geohash.decodeBbox)
+          val latMin = bboxes.map(_._1).min; val latMax = bboxes.map(_._2).max
+          val lonMin = bboxes.map(_._3).min; val lonMax = bboxes.map(_._4).max
+          val margin = Seq(lon - lonMin, lonMax - lon, lat - latMin, latMax - lat).min
+          val dcol = st_distance_euclidean(col(lonCol), col(latCol), lit(lon), lit(lat))
+          val stats = pruned.select(dcol.as("__d")).orderBy(col("__d").asc).limit(k)
+            .agg(count(lit(1)), max(col("__d"))).head()
+          val enough = stats.getLong(0) >= k
+          val kth = if (stats.isNullAt(1)) Double.PositiveInfinity else stats.getDouble(1)
+          if (enough && kth <= margin) pruned
+          else points // candidates sparse or k-th beyond the block edge — widen
+        }
       } else points
     base
       .withColumn("distance",

@@ -50,7 +50,13 @@ object Similarity {
   def ivfTrain(df: DataFrame, nCells: Int, iters: Int = 5,
                vecCol: String = "embedding", sampleCap: Int = 20000,
                seed: Long = 42L): Array[Array[Float]] = {
-    val sample = df.select(col(vecCol)).limit(sampleCap).collect()
+    // a real sample, not limit(): the head of a clustered/sorted table would
+    // train a codebook blind to the rest of the vector space
+    val n = df.count()
+    val fraction = math.min(1.0, sampleCap * 1.2 / math.max(1L, n))
+    val sample = df.select(col(vecCol))
+      .sample(withReplacement = false, fraction, seed)
+      .limit(sampleCap).collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.length >= nCells, s"need >= $nCells vectors, got ${sample.length}")
     val rnd = new scala.util.Random(seed)
@@ -117,11 +123,14 @@ object Similarity {
   def cosineTopKLsh(df: DataFrame, query: Array[Float], k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     planes: Int = 12, seed: Long = 42L, maxFlips: Int = 1): DataFrame = {
+    require(maxFlips >= 0 && maxFlips <= planes, s"maxFlips=$maxFlips out of [0,$planes]")
     val qBucket = VecOps.signBucket(
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(query), planes, seed)
-    val buckets: Seq[Long] = maxFlips match {
+    // all buckets within Hamming distance maxFlips of the query bucket
+    val buckets: Seq[Long] = (0 to maxFlips).flatMap {
       case 0 => Seq(qBucket)
-      case _ => qBucket +: (0 until planes).map(p => qBucket ^ (1L << p))
+      case f => (0 until planes).combinations(f).map(
+        _.foldLeft(qBucket)((b, p) => b ^ (1L << p))).toSeq
     }
     val pruned = df.filter(lshBucket(col(vecCol), planes, seed).isin(buckets: _*))
     val candidates = cosineTopK(pruned, query, k, idCol, vecCol)

@@ -19,16 +19,26 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   // DataFrame (logical plan) cache: avoids re-listing files and re-reading
-  // parquet footers on every query of a multi-query run. Plans are immutable;
-  // keyed by session so a stopped session's plans are never reused.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // parquet footers on every query of a multi-query run. Weakly keyed by
+  // session so stopped sessions (and their plans) can be collected.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, sfDir, name), { _ =>
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((sfDir, name), { _ =>
       configure(spark)
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     })
+  }
 }

@@ -85,6 +85,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture has no simhash near-dups")
   }
 
+  test("saltedCollectSet == plain collect_set (as sets)") {
+    val events = graft.sources.Tables.table(spark, sf, "events")
+    val got = Skew.saltedCollectSet(events, "event_type", "user_id", saltFrom = "event_id")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val plain = events.groupBy($"event_type")
+      .agg(collect_set($"user_id").as("values"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(got == plain && got.nonEmpty)
+  }
+
+  test("asof join keeps matches whose payload value is null") {
+    val left = Seq((1L, 10L, "L1"), (1L, 20L, "L2")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 5L, Option.empty[String], 100L), (1L, 15L, Some("p"), 101L))
+      .toDF("k", "ts", "payload", "rid")
+    val out = graft.api.AsofJoin.asofJoin(left, right,
+      keyCol = "k", leftTsCol = "ts", rightTsCol = "ts",
+      rightPayload = Seq("payload"), rightIdCol = "rid")
+      .select($"tag", $"asof_payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // L1 (ts=10) matches the null-payload right row at ts=5 — must be kept
+    assert(out == Map("L1" -> None, "L2" -> Some("p")))
+  }
+
   test("dedup clusters: connected components match union-find oracle") {
     val pairs = Dedup.minhashLshPairs(planted, "doc_id", "text", threshold = 0.7)
       .select($"id_a", $"id_b")
