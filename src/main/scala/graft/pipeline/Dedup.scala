@@ -159,8 +159,13 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("cluster")).as("cluster"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).limit(1).count()
+      // the first round always changes labels on any non-trivial graph —
+      // skip its convergence probe (one join + action saved)
+      val changed =
+        if (iter == 0) 1L
+        else next.join(labels.withColumnRenamed("cluster", "old"), "id")
+          .filter(col("cluster") =!= col("old")).limit(1).count()
+      if (iter == 0) next.count() // materialize the cache either way
       labels.unpersist()
       labels = next
       converged = changed == 0
