@@ -101,10 +101,14 @@ object SparkEntry {
         G.geohash_encode(col("lat"), col("lon"), 12).as("geohash"))),
 
     // S1-S3+S7: full TSV ingest path on the reference's own wifi fixture
-    // (geohash-12 keys + dedup; golden counts pinned in GisGoldenSpec)
+    // (geohash-12 keys + dedup; golden counts pinned in GisGoldenSpec).
+    // Output is (lon, lat): the geohash-12 dedup keeps exactly one row per
+    // distinct raw coordinate on this fixture (1224 == distinct(lon,lat)),
+    // so DuckDB's DISTINCT over read_csv is an exact oracle. Key derivation
+    // itself is pinned by q_geohash_keys + the scalatest vectors.
     "q_ingest_tsv" -> ((s, _) =>
       Gis.ingestTsv(s, "/root/reference/src/test/resources/wifi_4326.txt")
-        .select(col("lon"), col("lat"), col("geohash"))),
+        .select(col("lon"), col("lat"))),
 
     // S7: dedup-on-ingest (distinct projection)
     "q_dedup_ingest" -> ((s, d) =>
@@ -343,7 +347,8 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.table(s, d, "documents"), "doc_id", "text")
         .select(col("id_a"), col("id_b"))),
 
-    // Embedding near-dup pairs (no SQL oracle)
+    // Embedding near-dup pairs: banded sign-LSH (auto-tuned, recall >= 0.99
+    // at the threshold) + exact cosine verify; brute-force DuckDB oracle
     "q_dedup_cosine" -> ((s, d) =>
       Dedup.cosineNearDupPairs(Tables.table(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.5).select(col("id_a"), col("id_b"))),
@@ -402,7 +407,7 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("byte_len"), col("sha"))
     }),
 
-    // multimodal stub decode via mapPartitions (no SQL oracle)
+    // multimodal stub decode via mapPartitions (byte_len+sha are SQL-expressible)
     "q_multimodal_decode" -> ((s, d) => {
       val media = graft.pipeline.Multimodal.demoMediaTable(
         Tables.table(s, d, "documents"), "doc_id", "text")
@@ -496,15 +501,15 @@ object SparkEntry {
         "FROM orders GROUP BY o_orderstatus"),
 
     "q_agg_q1" ->
-      ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, " +
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents, " +
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS revenue_e4, " +
+      ("SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e4, " +
         "count(*) AS n_rows FROM lineitem " +
         "WHERE l_shipdate <= TIMESTAMP '1998-09-01' GROUP BY l_returnflag, l_linestatus"),
 
     "q_join_bcast" ->
       ("SELECT r_name, count(*) AS n_orders, " +
-        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
@@ -548,9 +553,9 @@ object SparkEntry {
 
     "q_window_running" ->
       ("SELECT o_custkey, o_orderkey, " +
-        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (" +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (" +
         "PARTITION BY o_custkey ORDER BY o_orderkey ASC " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents " +
         "FROM orders"),
 
     "q_join_asof" ->
@@ -562,7 +567,7 @@ object SparkEntry {
         "FROM err ASOF JOIN clk ON err.user_id = clk.user_id AND err.ts_ms >= clk.ts_ms"),
 
     "q_join_sortmerge" ->
-      ("SELECT o_orderpriority, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n " +
+      ("SELECT o_orderpriority, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
 
     "q_join_range" ->
@@ -598,6 +603,27 @@ object SparkEntry {
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
         "CAST(octet_length(encode(text)) AS INT) AS byte_len, sha256(text) AS sha FROM documents"),
 
+    // the decode stub's sha/byte_len are exactly the meta projection — the
+    // fake features column is excluded from the compared output
+    "q_multimodal_decode" ->
+      ("SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS byte_len, " +
+        "sha256(text) AS sha FROM documents"),
+
+    // brute-force oracle: at sf0.01 the single true pair sits at cosine
+    // 0.5128 (runner-up 0.4928), far from the threshold, and the seeded LSH
+    // finds it deterministically (pinned by PipelineSpec); both engines run
+    // the same sequential double-precision cosine loop
+    "q_dedup_cosine" ->
+      ("WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b FROM p WHERE c >= 0.5"),
+
+    "q_ingest_tsv" ->
+      ("SELECT DISTINCT CAST(X AS DOUBLE) AS lon, CAST(Y AS DOUBLE) AS lat " +
+        "FROM read_csv('/root/reference/src/test/resources/wifi_4326.txt', " +
+        "delim='\t', header=true, quote='', all_varchar=true)"),
+
     // ids-only: score gaps (>=3e-4 on this data) dwarf any float-accumulation
     // noise between engines, so the ordering is stable
     "q_embed_topk" ->
@@ -611,12 +637,12 @@ object SparkEntry {
 
     "q_date_trunc" ->
       ("SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch, " +
-        "count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents " +
+        "count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM orders GROUP BY 1"),
 
     "q_stream_window" ->
       ("SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_epoch, event_type, " +
-        "count(*) AS n, sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli " +
+        "count(*) AS n, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli " +
         "FROM events GROUP BY 1, 2"),
 
     "q_sessionize" ->
@@ -624,8 +650,8 @@ object SparkEntry {
         "g AS (SELECT user_id, event_id, ts_ms, " +
         "CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 3600000 " +
         "THEN 1 ELSE 0 END AS new_session FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)), " +
-        "si AS (SELECT user_id, ts_ms, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM g) " +
+        "si AS (SELECT user_id, ts_ms, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM g) " +
         "SELECT user_id, session_idx, count(*) AS n_events, min(ts_ms) AS first_ts, max(ts_ms) AS last_ts " +
         "FROM si GROUP BY user_id, session_idx")
   )

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, GraftShims}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{MinHashBands, NgramJaccard, SimHash64}
 
@@ -42,6 +42,23 @@ object Dedup {
       .select(md5(concat_ws(" ", cols.map(col): _*)).as("dup_hash"),
         col("n_dups"), col("keep_id"))
 
+  /** Attach dropped-bucket metrics (`Dataset.observe`) to a bucket table
+    * that still carries its size column, then apply the cap. The observe
+    * node stays in the final plan's lineage, so `metrics.get` after any
+    * action on the result reports `dropped_buckets` / `dropped_ids` /
+    * `max_bucket_size` — the cap is counted, never silent. */
+  private def capBuckets(buckets: DataFrame, sizeCol: Column, maxBucket: Int,
+                         metrics: Option[Observation]): DataFrame = {
+    val observed = metrics match {
+      case Some(obs) => buckets.observe(obs,
+        sum(when(sizeCol > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(sizeCol > maxBucket, sizeCol).otherwise(0L)).as("dropped_ids"),
+        max(sizeCol).as("max_bucket_size"))
+      case None => buckets
+    }
+    observed.filter(sizeCol.between(2, maxBucket))
+  }
+
   /**
    * MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
    * equi-join → exact n-gram-Jaccard verification. Emits (id_a, id_b,
@@ -49,12 +66,16 @@ object Dedup {
    *
    * Plan shape: posexplode(bands) → shuffle on (band, key) via self-join →
    * distinct candidate pairs → verify. Bucket-size cap `maxBucket` drops
-   * degenerate buckets (counted, not silent — they are all-pairs-identical
-   * boilerplate; callers handling them should exact-dedup first).
+   * degenerate buckets — all-pairs-identical boilerplate whose quadratic
+   * pair count would explode at 100 TB. Pass `metrics` to observe how many
+   * buckets/ids the cap dropped (see [[capBuckets]]); the recommended
+   * preprocessing is exact dedup first, which removes exactly the mass that
+   * concentrates in over-cap buckets.
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
-                      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+                      threshold: Double = 0.8, maxBucket: Int = 1000,
+                      metrics: Option[Observation] = None): DataFrame = {
     // default 64 hashes / 16 bands of 4: detection prob at s=0.8 is
     // 1-(1-0.8^4)^16 ≈ 0.9998 — same band width as 128/32 at half the
     // signature cost (the dominant term of corpus-scale dedup)
@@ -69,11 +90,11 @@ object Dedup {
     // 2. band → bucket; pairs generated INSIDE each bucket (groupBy +
     //    double-explode), so candidate generation shuffles only (id, band),
     //    never the text. maxBucket caps the quadratic term on skewed buckets.
-    val buckets = sigs
+    val grouped = sigs
       .select(col("id"), posexplode(c(SigBands(e(col("sig")), e(lit(bands))))))
       .groupBy(col("pos"), col("col"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+    val buckets = capBuckets(grouped, size(col("ids")), maxBucket, metrics)
     val pairs = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -105,18 +126,20 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingle: Int = 5, maxHamming: Int = 3,
-                   maxBucket: Int = 10000): DataFrame = {
+                   maxBucket: Int = 10000,
+                   metrics: Option[Observation] = None): DataFrame = {
     require(maxHamming <= 3, "chunked pigeonhole bound holds for maxHamming <= 3")
     // same shape as minhashLshPairs: bucket-local pair generation, one
     // shuffle; maxBucket guards the degenerate chunk (e.g. all-zero upper
-    // bits across a homogeneous corpus) from going quadratic
-    val buckets = df
+    // bits across a homogeneous corpus) from going quadratic; drops are
+    // observable via `metrics` (capBuckets), never silent
+    val grouped = df
       .select(col(idCol).as("id"), simhash(col(textCol), shingle).as("sh"))
       .select(col("id"), col("sh"), posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .groupBy(col("pos"), col("col"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("items"))
-      .filter(size(col("items")).between(2, maxBucket))
+    val buckets = capBuckets(grouped, size(col("items")), maxBucket, metrics)
     buckets
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))
@@ -189,22 +212,70 @@ object Dedup {
       .drop("__dup_hash")
 
   /**
-   * Embedding near-duplicate pairs: cosine-LSH sign-bucket blocking + exact
-   * cosine verification (threshold on similarity). One shuffle on bucket.
+   * (bands, planesPerBand) for sign-hyperplane LSH hitting `targetRecall`
+   * at cosine `threshold`. A pair at angle θ agrees with one random
+   * hyperplane w.p. 1-θ/π; a band of r planes matches w.p. (1-θ/π)^r; b
+   * OR'd bands give recall 1-(1-(1-θ/π)^r)^b. r is picked so a band at the
+   * threshold still matches ≳15% of the time (keeps b small), then b to
+   * reach the target. Low thresholds force small r — coarse buckets and a
+   * candidate set that degrades toward exhaustive verification; that is
+   * inherent to sign-LSH, so at 100 TB keep thresholds ≥0.8 (or IVF-
+   * partition first) and let `maxBucket` + `metrics` guard the rest.
+   */
+  def cosineLshParams(threshold: Double, targetRecall: Double = 0.99): (Int, Int) = {
+    val t = math.max(-0.999, math.min(0.999, threshold))
+    val pPlane = 1.0 - math.acos(t) / math.Pi
+    val r = math.max(2, math.min(24, (math.log(0.15) / math.log(pPlane)).toInt))
+    val pBand = math.pow(pPlane, r)
+    val b = math.max(2, math.min(32,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt))
+    (b, r)
+  }
+
+  /**
+   * Embedding near-duplicate pairs: banded OR-construction over seeded
+   * sign-hyperplane buckets (the same AND-within-band / OR-across-bands
+   * shape as [[minhashLshPairs]]) + exact cosine verification. Candidates =
+   * union over bands of bucket-local pairs; one shuffle on (band, bucket),
+   * never the corpus crossed with itself. bands/planesPerBand ≤ 0 →
+   * auto-tuned from `threshold` via [[cosineLshParams]] (recall ≥ 0.99 at
+   * the threshold). `maxBucket` caps the in-bucket quadratic term;
+   * drops are observable via `metrics`.
    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double = 0.95, planes: Int = 12,
-                         seed: Long = 42L): DataFrame = {
+                         threshold: Double = 0.95, bands: Int = 0,
+                         planesPerBand: Int = 0, seed: Long = 42L,
+                         maxBucket: Int = 10000,
+                         metrics: Option[Observation] = None): DataFrame = {
     import org.apache.spark.sql.graft.{VecCosine, VecLshBucket}
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", c(VecLshBucket(e(col("vec")), e(lit(planes)), e(lit(seed)))))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
+    val (autoB, autoR) = cosineLshParams(threshold)
+    val b = if (bands > 0) bands else autoB
+    val r = if (planesPerBand > 0) planesPerBand else autoR
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+
+    // 1. one bucket key per band, independent planes per band via the seed
+    val bandCols = (0 until b).map(i =>
+      c(VecLshBucket(e(col("vec")), e(lit(r)), e(lit(seed + i * 1000003L)))))
+    val grouped = base
+      .select(col("id"), posexplode(array(bandCols: _*)))
+      .groupBy(col("pos"), col("col"))
+      .agg(collect_list(col("id")).as("ids"))
+    val buckets = capBuckets(grouped, size(col("ids")), maxBucket, metrics)
+
+    // 2. bucket-local pairs, unioned across bands (only ids shuffle twice;
+    //    vectors join back once per surviving candidate)
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // 3. exact cosine verify on candidates only
+    val va = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    pairs.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", c(VecCosine(e(col("vec_a")), e(col("vec_b")))))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -130,11 +130,72 @@ class PipelineSpec extends AnyFunSuite {
     got.foreach { case (id, c) => assert(c == oracle(id), s"node $id: $c vs ${oracle(id)}") }
   }
 
-  test("embedding near-dup pairs verify against exact cosine") {
-    val pairs = Dedup.cosineNearDupPairs(embs, "vec_id", "embedding", threshold = 0.5)
-      .collect()
-    // every emitted pair really has cosine >= threshold (verification step works)
-    pairs.foreach(r => assert(r.getDouble(2) >= 0.5))
+  /** Driver-side exact cosine (same sequential double loop as VecOps). */
+  private def cosD(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+    }
+    if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("cosine near-dup: planted pairs, recall >= 0.95 vs brute force, non-vacuous") {
+    // plant near-dups: deterministic multiplicative perturbation, cosine ~0.99
+    val mutated = embs.select(($"vec_id" + 10000).as("vec_id"),
+      expr("cast(transform(embedding, (x, i) -> x * (1.0 + 0.12 * sin(vec_id * 37 + i))) as array<float>)")
+        .as("embedding"))
+    val planted = embs.select("vec_id", "embedding").union(mutated).cache()
+    val got = Dedup.cosineNearDupPairs(planted, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val all = planted.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val brute = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cosD(va, vb) >= 0.95
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "fixture planted no cosine near-dups")
+    val gotSet = got.map(p => (p._1, p._2)).toSet
+    assert(gotSet.nonEmpty, "LSH found zero pairs — recall collapse")
+    assert(gotSet.subsetOf(brute), "emitted a pair below threshold (verify failed)")
+    val recall = gotSet.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.95, s"cosine LSH recall $recall on ${brute.size} true pairs")
+    got.foreach(p => assert(p._3 >= 0.95))
+  }
+
+  test("cosine near-dup at threshold 0.5 finds the natural sf0.01 pair (q_dedup_cosine)") {
+    // the gate query's exact configuration: auto-tuned banding at a LOW
+    // threshold must still find the (single) natural pair at sf0.01 —
+    // deterministic under the fixed seed, so this pins the driver result
+    val e01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val got = Dedup.cosineNearDupPairs(e01, "vec_id", "embedding", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = e01.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val brute = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cosD(va, vb) >= 0.5
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "sf0.01 embeddings lost their natural >=0.5 pair")
+    assert(got == brute, s"LSH $got != brute force $brute")
+  }
+
+  test("LSH maxBucket drops are counted via metrics, other pairs still emitted") {
+    val boiler = (0 until 20).map(i => (i.toLong,
+      "the same boilerplate sentence repeated verbatim across the corpus again and again"))
+    val near = Seq(
+      (100L, "a genuinely distinctive document about winnowing fingerprints and shingles"),
+      (101L, "a genuinely distinctive document about winnowing fingerprints and shingles!"))
+    val corpus = (boiler ++ near).toDF("doc_id", "text")
+    val obs = new org.apache.spark.sql.Observation("lsh_drops")
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      threshold = 0.7, maxBucket = 10, metrics = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate bucket (size 20 > 10) is dropped in every band...
+    val m = obs.get
+    assert(m("dropped_buckets").asInstanceOf[Long] >= 1L, s"no drops observed: $m")
+    assert(m("max_bucket_size").asInstanceOf[Int] >= 20)
+    // ...its pairs are absent, while the under-cap near-dup pair survives
+    assert(pairs.contains((100L, 101L)), s"pair outside dropped bucket lost: $pairs")
+    assert(!pairs.exists(p => p._1 < 20L && p._2 < 20L), "over-cap bucket leaked pairs")
   }
 
   // --- similarity search ---

@@ -61,10 +61,12 @@ def main():
     failures = []
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(f"SELECT * FROM '{OUT_DIR}/{name}/*.parquet'")
-            got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
-            exp = con.execute(sql)
-            exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
+            got = con.sql(f"SELECT * FROM '{OUT_DIR}/{name}/*.parquet'")
+            got_cols, got_types = list(got.columns), [str(t) for t in got.types]
+            got_rows = got.fetchall()
+            exp = con.sql(sql)
+            exp_cols, exp_types = list(exp.columns), [str(t) for t in exp.types]
+            exp_rows = exp.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: exec error {e}")
@@ -74,6 +76,15 @@ def main():
         if gc != ec:
             failures.append(name)
             print(f"FAIL {name}: columns {gc} != {ec}")
+            continue
+        # type-sensitive compare (the driver hashes Arrow values WITH types:
+        # e.g. DuckDB sum() -> HUGEINT -> decimal128 vs Spark int64 must FAIL
+        # here even though Python values are equal)
+        gt = [t for _, t in sorted(zip(got_cols, got_types))]
+        et = [t for _, t in sorted(zip(exp_cols, exp_types))]
+        if gt != et:
+            failures.append(name)
+            print(f"FAIL {name}: types {list(zip(gc, gt))} != {list(zip(ec, et))}")
             continue
         if len(g) != len(e):
             failures.append(name)
