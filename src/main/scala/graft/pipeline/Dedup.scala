@@ -159,11 +159,12 @@ object Dedup {
    * Algorithm: iterative min-label propagation (each round, every node
    * adopts the smallest label in its neighborhood; near-dup graphs have
    * tiny diameters, so this converges in a few rounds). Each iteration is
-   * two shuffles over the EDGE list only — never the corpus. Iteration cap
-   * + convergence check (count of changed labels) bound the work.
+   * two shuffles over the EDGE list only — never the corpus. The
+   * convergence check rides the label-update job itself (`Dataset.observe`
+   * counts changed labels while the cache materializes), so each round is
+   * exactly ONE action and no extra probe join.
    */
   def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       // undirected: both directions
       .union(pairs.select(col("id_b").cast("long").as("id_a"), col("id_a").cast("long").as("id_b")))
@@ -173,25 +174,23 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node's candidate label: min over own label and neighbors' labels
-      val neighborLabels = edges
+      // min label among neighbors (one shuffle over edges), then fold into
+      // each node's own label; a label only ever decreases, so "changed"
+      // is simply nmin < cluster — counted in the same job via observe
+      val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("cluster"))
-      val next = labels.select(col("id"), col("cluster"))
-        .union(neighborLabels)
-        .groupBy(col("id"))
-        .agg(min(col("cluster")).as("cluster"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster")).as("nmin"))
+      val obs = new Observation(s"cc_changed_$iter")
+      val next = labels
+        .join(neighborMin, Seq("id"), "left_outer")
+        .observe(obs, sum(when(col("nmin") < col("cluster"), 1L).otherwise(0L)).as("changed"))
+        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .cache()
-      // the first round always changes labels on any non-trivial graph —
-      // skip its convergence probe (one join + action saved)
-      val changed =
-        if (iter == 0) 1L
-        else next.join(labels.withColumnRenamed("cluster", "old"), "id")
-          .filter(col("cluster") =!= col("old")).limit(1).count()
-      if (iter == 0) next.count() // materialize the cache either way
+      next.count() // materialize cache; the same job feeds the observation
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
       iter += 1
     }
     edges.unpersist()
