@@ -181,6 +181,17 @@ object SparkEntry {
         .filter(col("rn") <= 2)
         .select(col("bin"), col("o_orderkey"))),
 
+    // A8 full doc semantics (testtopxkeys.md:14-52): rowkey-substring bin
+    // over a key range, first N per bin in key order, AND the scan's global
+    // limit still capping the binned result. Rowkey = c_name; bin = the
+    // tens digit (byte offset 16); doc's N=1/2/3 examples pinned in
+    // GisGoldenSpec.
+    "q_topx_bin_limit" -> ((s, d) =>
+      Gis.firstNPerBin(Tables.table(s, d, "customer"), "c_name",
+          offset = 16, length = 1, n = 2,
+          startKey = "Customer#000000", endKey = "Customer#000001", limit = 15)
+        .select(col("c_custkey"), col("c_name"))),
+
     // A7: distinct-group counting
     "q_count_distinct" -> ((s, d) =>
       Tables.table(s, d, "orders")
@@ -277,9 +288,12 @@ object SparkEntry {
           round(d2 * 100).cast("long").as("d2_centi"))
     }),
 
+    // bounded-heap variant: partial per-partition top-k heaps, no window
+    // sort of the pair stream (identical result to the window formulation —
+    // pinned by the GisGoldenSpec differential)
     "q_knn_join" -> ((s, d) =>
-      graft.api.SpatialJoin.knnJoin(custPoints(s, d), suppPoints(s, d),
-          k = 3, radius = 10.0, aKeyCol = "c_custkey", tieBreak = Seq("b_s_suppkey"))
+      graft.api.SpatialJoin.knnJoinAgg(custPoints(s, d), suppPoints(s, d),
+          k = 3, radius = 10.0, aKeyCol = "c_custkey", bIdCol = "s_suppkey")
         .select(col("a_c_custkey"), col("b_s_suppkey"))),
 
     // skew-resilient two-stage salted aggregation
@@ -347,11 +361,15 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.table(s, d, "documents"), "doc_id", "text")
         .select(col("id_a"), col("id_b"))),
 
-    // Embedding near-dup pairs: banded sign-LSH (auto-tuned, recall >= 0.99
-    // at the threshold) + exact cosine verify; brute-force DuckDB oracle
-    "q_dedup_cosine" -> ((s, d) =>
-      Dedup.cosineNearDupPairs(Tables.table(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.5).select(col("id_a"), col("id_b"))),
+    // Embedding near-dup pairs: banded sign-LSH (n-aware auto-tune via the
+    // corpus row count — parquet count is metadata-cheap — targeting recall
+    // 0.999 at the threshold) + exact cosine verify; brute-force DuckDB oracle
+    "q_dedup_cosine" -> ((s, d) => {
+      val embs = Tables.table(s, d, "embeddings")
+      Dedup.cosineNearDupPairs(embs, "vec_id", "embedding",
+          threshold = 0.5, targetRecall = 0.999, corpusSizeHint = embs.count())
+        .select(col("id_a"), col("id_b"))
+    }),
 
     // Brute-force cosine top-k vs the vec_id=0 embedding (ids only; scores
     // float-accumulation-sensitive so left out of the hash)
@@ -360,7 +378,8 @@ object SparkEntry {
       Similarity.cosineTopKById(embs, 0L, 10).select(col("vec_id"))
     }),
 
-    // LSH-bucketed ANN variant (no SQL oracle; recall-tested in scalatest)
+    // LSH-bucketed ANN variant (exact-top-k oracle holds at this sf;
+    // recall-tested in scalatest)
     "q_embed_topk_lsh" -> ((s, d) => {
       val embs = Tables.table(s, d, "embeddings")
       val q = embs.filter(col("vec_id") === 0L).select(col("embedding")).head()
@@ -495,6 +514,14 @@ object SparkEntry {
         "SELECT o_orderkey % 10 AS bin, o_orderkey, " +
         "row_number() OVER (PARTITION BY o_orderkey % 10 ORDER BY o_orderkey ASC) AS rn " +
         "FROM orders) WHERE rn <= 2"),
+
+    // c_name is unique, so the ORDER BY ... LIMIT picks a deterministic set
+    "q_topx_bin_limit" ->
+      ("SELECT c_custkey, c_name FROM (" +
+        "SELECT c_custkey, c_name, " +
+        "row_number() OVER (PARTITION BY substring(c_name, 17, 1) ORDER BY c_name ASC) AS rn " +
+        "FROM customer WHERE c_name >= 'Customer#000000' AND c_name < 'Customer#000001') " +
+        "WHERE rn <= 2 ORDER BY c_name ASC LIMIT 15"),
 
     "q_count_distinct" ->
       ("SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders " +
@@ -631,6 +658,30 @@ object SparkEntry {
         "SELECT vec_id FROM embeddings, q " +
         "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) DESC, " +
         "vec_id ASC LIMIT 10"),
+
+    // the seeded LSH (multiprobe + brute-force fallback) returns exactly the
+    // exact top-10 at this sf — deterministic, so the exact oracle holds
+    // (recall behavior is separately pinned by PipelineSpec)
+    "q_embed_topk_lsh" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id FROM embeddings, q " +
+        "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) DESC, " +
+        "vec_id ASC LIMIT 10"),
+
+    // same IEEE expression tree as TextAnalysis.withQualityScore; DuckDB
+    // len() is BIGINT so n_words casts down to Spark's int
+    "q_text_quality" ->
+      ("WITH f AS (SELECT doc_id, length(text) AS n_chars, " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, " +
+        "len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s.,;:!?''\"()-]')) AS n_symbol, " +
+        "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|was|for|on|are|with|as|at)\\b')) AS n_stop " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, " +
+        "CAST(round(greatest(0.0, least(1.0, " +
+        "0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0) " +
+        "+ 0.3 * least((CAST(n_stop AS DOUBLE) / (CAST(n_words AS DOUBLE) + 1.0)) * 5.0, 1.0) " +
+        "+ 0.3 * greatest(0.0, 1.0 - (CAST(n_symbol AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 1.0)) * 10.0)" +
+        ")) * 1000) AS BIGINT) AS quality_milli FROM f"),
 
     "q_json_extract" ->
       ("SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events"),

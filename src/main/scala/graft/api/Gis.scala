@@ -219,6 +219,35 @@ object Gis {
   }
 
   /**
+   * First-N-per-bin scan (reference design doc docs/testtopxkeys.md:14-52):
+   * over the rowkey range [startKey, endKey), the bin-id is the rowkey
+   * substring at byte `offset` (0-based, as in the doc) of `length` bytes;
+   * keep the first `n` rows of each bin in rowkey order, and the scan's own
+   * `limit` still caps the total result, taken in rowkey order
+   * (testtopxkeys.md:52 "the limit=5 of the scan should still be respected").
+   *
+   * Plan shape: the range predicates push to the scan; per-bin first-N is a
+   * row_number window shuffled on the bin only; the global cap plans as
+   * TakeOrderedAndProject (partial per-partition top-limit + merge), so no
+   * global sort materializes.
+   */
+  def firstNPerBin(df: DataFrame, keyCol: String, offset: Int, length: Int,
+                   n: Int, startKey: String = "", endKey: String = "",
+                   limit: Int = Int.MaxValue): DataFrame = {
+    val k = col(keyCol)
+    val ranged = df
+      .filter(if (startKey.nonEmpty) k >= startKey else lit(true))
+      .filter(if (endKey.nonEmpty) k < endKey else lit(true))
+    val w = Window.partitionBy(col("__bin")).orderBy(k.asc)
+    val firstN = ranged
+      .withColumn("__bin", substring(k, offset + 1, length))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__bin", "__rn")
+    if (limit == Int.MaxValue) firstN else firstN.orderBy(k.asc).limit(limit)
+  }
+
+  /**
    * Grouped top-N via the bounded-heap TypedImperativeAggregate: partial
    * per-partition heaps + final merge — at most n rows per (map task,
    * group) are shuffled, vs. every row for the window formulation. This is

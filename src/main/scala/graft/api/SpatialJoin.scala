@@ -82,4 +82,35 @@ object SpatialJoin {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /**
+   * KNN join via the bounded-heap [[org.apache.spark.sql.graft.TopNByOrd]]
+   * aggregate instead of a window rank: per-partition partial heaps keep at
+   * most k candidates per A-row BEFORE the shuffle, so only k rows per
+   * (map task × A-row) move — the window variant shuffles and sorts the
+   * whole radius-bounded pair stream. Distance rides the long-typed heap as
+   * order-preserving IEEE 754 bits (distances are non-negative); ties break
+   * on `bIdCol` ascending, making the result deterministic and identical to
+   * [[knnJoin]] with `tieBreak = Seq("b_" + bIdCol)`.
+   *
+   * Returns (a_<aKeyCol>, b_<bIdCol>, distance); join back to B on the id
+   * for further payload columns.
+   */
+  def knnJoinAgg(a: DataFrame, b: DataFrame, k: Int, radius: Double,
+                 aKeyCol: String, bIdCol: String,
+                 lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    import org.apache.spark.sql.graft.{DoubleSortableBits, SortableBitsToDouble, TopNByOrd}
+    val joined = distanceJoin(a, b, radius, lonCol, latCol)
+      .withColumn("distance", st_distance_euclidean(
+        col(s"a_$lonCol"), col(s"a_$latCol"), col(s"b_$lonCol"), col(s"b_$latCol")))
+    val agg = c(TopNByOrd(
+      DoubleSortableBits(e(col("distance"))),
+      e(col(s"b_$bIdCol")), k).toAggregateExpression())
+    joined.groupBy(col(s"a_$aKeyCol"))
+      .agg(agg.as("__topn"))
+      .select(col(s"a_$aKeyCol"), explode(col("__topn")).as("__p"))
+      .select(col(s"a_$aKeyCol"),
+        col("__p.id").as(s"b_$bIdCol"),
+        c(SortableBitsToDouble(e(col("__p.ord")))).as("distance"))
+  }
 }

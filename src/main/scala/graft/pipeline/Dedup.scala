@@ -214,22 +214,42 @@ object Dedup {
    * (bands, planesPerBand) for sign-hyperplane LSH hitting `targetRecall`
    * at cosine `threshold`. A pair at angle θ agrees with one random
    * hyperplane w.p. 1-θ/π; a band of r planes matches w.p. (1-θ/π)^r; b
-   * OR'd bands give recall 1-(1-(1-θ/π)^r)^b. r is picked so a band at the
-   * threshold still matches ≳15% of the time (keeps b small), then b to
-   * reach the target. Low thresholds force small r — coarse buckets and a
-   * candidate set that degrades toward exhaustive verification; that is
-   * inherent to sign-LSH, so at 100 TB keep thresholds ≥0.8 (or IVF-
-   * partition first) and let `maxBucket` + `metrics` guard the rest.
+   * OR'd bands give recall 1-(1-(1-θ/π)^r)^b.
+   *
+   * r (band width) comes from TWO lower bounds: the threshold bound (a band
+   * at the threshold still matches ≳15% of the time, keeping b small) and —
+   * when `corpusSize` is given — the classic LSH size rule r ≳ log2(n/8),
+   * which keeps expected bucket occupancy ~8 so candidate volume stays
+   * ~linear in n instead of n²/2^r (random pairs collide in a band w.p.
+   * ~0.5^r). Then b solves for the recall target, capped at `maxBands`: at
+   * low thresholds AND large n the cap binds and effective recall falls
+   * below target — the honest n^ρ (ρ = ln p1/ln p2) wall of hyperplane
+   * LSH; production posture there is thresholds ≥0.8 or IVF-partition
+   * first. [[cosineLshRecall]] reports the achieved recall.
    */
-  def cosineLshParams(threshold: Double, targetRecall: Double = 0.99): (Int, Int) = {
+  def cosineLshParams(threshold: Double, targetRecall: Double = 0.99,
+                      corpusSize: Long = 0L, maxBands: Int = 512): (Int, Int) = {
     val t = math.max(-0.999, math.min(0.999, threshold))
     val pPlane = 1.0 - math.acos(t) / math.Pi
-    val r = math.max(2, math.min(24, (math.log(0.15) / math.log(pPlane)).toInt))
+    val rThresh = math.max(2, math.min(24, (math.log(0.15) / math.log(pPlane)).toInt))
+    val rSize = if (corpusSize > 16) math.ceil(log2(corpusSize / 8.0)).toInt else 0
+    val r = math.max(rThresh, math.min(24, rSize))
     val pBand = math.pow(pPlane, r)
-    val b = math.max(2, math.min(32,
+    val b = math.max(2, math.min(maxBands,
       math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt))
     (b, r)
   }
+
+  /** Recall of a (bands, planesPerBand) configuration for a pair at exactly
+    * `threshold` cosine — 1-(1-(1-θ/π)^r)^b. Use to audit what a capped
+    * band count actually delivers. */
+  def cosineLshRecall(threshold: Double, bands: Int, planesPerBand: Int): Double = {
+    val t = math.max(-0.999, math.min(0.999, threshold))
+    val pPlane = 1.0 - math.acos(t) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(pPlane, planesPerBand), bands)
+  }
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
 
   /**
    * Embedding near-duplicate pairs: banded OR-construction over seeded
@@ -237,26 +257,30 @@ object Dedup {
    * shape as [[minhashLshPairs]]) + exact cosine verification. Candidates =
    * union over bands of bucket-local pairs; one shuffle on (band, bucket),
    * never the corpus crossed with itself. bands/planesPerBand ≤ 0 →
-   * auto-tuned from `threshold` via [[cosineLshParams]] (recall ≥ 0.99 at
-   * the threshold). `maxBucket` caps the in-bucket quadratic term;
-   * drops are observable via `metrics`.
+   * auto-tuned from `threshold` (+ `corpusSizeHint` when given: wider
+   * bands keep bucket occupancy ~constant as n grows — pass the corpus
+   * row count or any within-2× estimate) via [[cosineLshParams]], aiming
+   * recall ≥ `targetRecall` at the threshold. `maxBucket` caps the
+   * in-bucket quadratic term; drops are observable via `metrics`.
    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.95, bands: Int = 0,
                          planesPerBand: Int = 0, seed: Long = 42L,
                          maxBucket: Int = 10000,
-                         metrics: Option[Observation] = None): DataFrame = {
-    import org.apache.spark.sql.graft.{VecCosine, VecLshBucket}
-    val (autoB, autoR) = cosineLshParams(threshold)
+                         metrics: Option[Observation] = None,
+                         targetRecall: Double = 0.99,
+                         corpusSizeHint: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.graft.{VecCosine, VecLshBands}
+    val (autoB, autoR) = cosineLshParams(threshold, targetRecall, corpusSizeHint)
     val b = if (bands > 0) bands else autoB
     val r = if (planesPerBand > 0) planesPerBand else autoR
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
 
     // 1. one bucket key per band, independent planes per band via the seed
-    val bandCols = (0 until b).map(i =>
-      c(VecLshBucket(e(col("vec")), e(lit(r)), e(lit(seed + i * 1000003L)))))
+    //    (single expression for all bands — codegen-safe at hundreds of bands)
     val grouped = base
-      .select(col("id"), posexplode(array(bandCols: _*)))
+      .select(col("id"), posexplode(
+        c(VecLshBands(e(col("vec")), e(lit(b)), e(lit(r)), e(lit(seed))))))
       .groupBy(col("pos"), col("col"))
       .agg(collect_list(col("id")).as("ids"))
     val buckets = capBuckets(grouped, size(col("ids")), maxBucket, metrics)

@@ -266,6 +266,22 @@ object VecOps {
     }
     bucket
   }
+
+  /** All `bands` sign-buckets in one pass: band i uses independent planes
+    * via seed + i*1000003 (identical to calling [[signBucket]] per band —
+    * kept bit-compatible so existing results are reproducible). One
+    * expression evaluation instead of `bands` separate Catalyst nodes,
+    * which matters once corpus-size-aware tuning pushes band counts into
+    * the hundreds (codegen would otherwise blow the method-size limit). */
+  def signBands(a: ArrayData, bands: Int, planes: Int, seed: Long): ArrayData = {
+    val out = new Array[Long](bands)
+    var i = 0
+    while (i < bands) {
+      out(i) = signBucket(a, planes, seed + i.toLong * 1000003L)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** vec_nearest_centroid(embedding) → int index of the nearest (by cosine)
@@ -313,6 +329,28 @@ case class VecCosine(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.VecOps.cosinePair($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine = copy(l, r)
+}
+
+/** vec_lsh_bands(vec, bands, planes, seed) → array<long>: one
+  * random-hyperplane bucket per band, independent planes per band. */
+case class VecLshBands(first: Expression, second: Expression, third: Expression,
+                       fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), IntegerType, IntegerType, LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_lsh_bands"
+  override protected def nullSafeEval(a: Any, b: Any, p: Any, s: Any): Any =
+    VecOps.signBands(a.asInstanceOf[ArrayData], b.asInstanceOf[Int],
+      p.asInstanceOf[Int], s.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, p, s) =>
+      s"org.apache.spark.sql.graft.VecOps.signBands($a, $b, $p, $s)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): VecLshBands =
+    copy(newFirst, newSecond, newThird, newFourth)
 }
 
 /** vec_lsh_bucket(vec, planes, seed) → long: random-hyperplane cosine-LSH bucket. */

@@ -158,3 +158,43 @@ object TopNBuffer {
     buf
   }
 }
+
+/**
+ * Order-preserving long encoding of a NON-NEGATIVE double: the IEEE 754 raw
+ * bits of non-negative doubles compare exactly like the doubles themselves,
+ * so a double ordering key (a distance, a score) can ride the long-typed
+ * [[TopNByOrd]] heap unchanged. Callers must guarantee the input is ≥ 0
+ * (negative doubles would sort above positives).
+ */
+case class DoubleSortableBits(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "double_sortable_bits"
+  override protected def nullSafeEval(d: Any): Any =
+    java.lang.Double.doubleToRawLongBits(d.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, d => s"Double.doubleToRawLongBits($d)")
+  override protected def withNewChildInternal(c: Expression): DoubleSortableBits = copy(c)
+}
+
+/** Inverse of [[DoubleSortableBits]]. */
+case class SortableBitsToDouble(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sortable_bits_to_double"
+  override protected def nullSafeEval(l: Any): Any =
+    java.lang.Double.longBitsToDouble(l.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, l => s"Double.longBitsToDouble($l)")
+  override protected def withNewChildInternal(c: Expression): SortableBitsToDouble = copy(c)
+}

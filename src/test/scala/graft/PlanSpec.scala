@@ -69,6 +69,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k operator:\n$p")
   }
 
+  test("knnJoinAgg plans as partial/final topn_by_ord heaps, no Window sort") {
+    val p = plan(SparkEntry.queries("q_knn_join")(spark, sf))
+    assert(p.contains("topn_by_ord"), s"no bounded-heap aggregate:\n$p")
+    assert("partial_topn_by_ord|partial.*topn".r.findFirstIn(p).isDefined,
+      s"no partial (map-side) heap stage:\n$p")
+    assert(!p.contains("Window"), s"window sort crept back into knn join:\n$p")
+  }
+
   test("aggregation runs partial then final (map-side combine)") {
     val p = plan(SparkEntry.queries("q_agg_q1")(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final agg split:\n$p")

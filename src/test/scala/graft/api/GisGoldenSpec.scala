@@ -179,4 +179,33 @@ class GisGoldenSpec extends AnyFunSuite {
     assert(row.getString(0) == graft.geo.Geohash.encode(row.getDouble(2), row.getDouble(1), 12))
     assert(row.getString(0).length == 12)
   }
+
+  test("knnJoinAgg (bounded heap) == knnJoin (window) on random point sets") {
+    val a = Gis.bulkIngest(spark, 250, -76, -75, 44, 45, seed = 21)
+      .select($"id".cast("long").as("ida"), $"lon", $"lat")
+    val b = Gis.bulkIngest(spark, 400, -76.2, -74.8, 43.8, 45.2, seed = 22)
+      .select($"id".cast("long").as("idb"), $"lon", $"lat")
+    val win = graft.api.SpatialJoin.knnJoin(a, b, k = 3, radius = 0.2,
+        aKeyCol = "ida", tieBreak = Seq("b_idb"))
+      .select($"a_ida", $"b_idb").as[(Long, Long)].collect().toSet
+    val agg = graft.api.SpatialJoin.knnJoinAgg(a, b, k = 3, radius = 0.2,
+        aKeyCol = "ida", bIdCol = "idb")
+      .select($"a_ida", $"b_idb").as[(Long, Long)].collect().toSet
+    assert(win.nonEmpty, "fixture produced no knn pairs")
+    assert(agg == win)
+  }
+
+  test("firstNPerBin reproduces docs/testtopxkeys.md N=1/2/3 (scan limit respected)") {
+    // the doc's exact 4-byte rowkey fixture (testtopxkeys.md:1-13), shuffled
+    // on input to prove order comes from the key, not the source
+    val rows = Seq("a4bc", "b1a7", "a1bf", "a7c9", "a3bd", "a8c8", "a2be", "a5bb", "a6ca")
+      .toDF("key")
+    def run(n: Int): Seq[String] =
+      Gis.firstNPerBin(rows, "key", offset = 2, length = 1, n = n,
+          startKey = "a", endKey = "b", limit = 5)
+        .orderBy($"key").as[String].collect().toSeq
+    assert(run(1) == Seq("a1bf", "a6ca"))                            // :29-33
+    assert(run(2) == Seq("a1bf", "a2be", "a6ca", "a7c9"))            // :36-41
+    assert(run(3) == Seq("a1bf", "a2be", "a3bd", "a6ca", "a7c9"))    // :44-50 (limit=5 drops a8c8)
+  }
 }

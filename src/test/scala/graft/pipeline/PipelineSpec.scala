@@ -167,7 +167,8 @@ class PipelineSpec extends AnyFunSuite {
     // threshold must still find the (single) natural pair at sf0.01 —
     // deterministic under the fixed seed, so this pins the driver result
     val e01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val got = Dedup.cosineNearDupPairs(e01, "vec_id", "embedding", threshold = 0.5)
+    val got = Dedup.cosineNearDupPairs(e01, "vec_id", "embedding", threshold = 0.5,
+        targetRecall = 0.999, corpusSizeHint = e01.count())
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val all = e01.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val brute = (for {
