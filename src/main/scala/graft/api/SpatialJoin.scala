@@ -91,7 +91,9 @@ object SpatialJoin {
    * whole radius-bounded pair stream. Distance rides the long-typed heap as
    * order-preserving IEEE 754 bits (distances are non-negative); ties break
    * on `bIdCol` ascending, making the result deterministic and identical to
-   * [[knnJoin]] with `tieBreak = Seq("b_" + bIdCol)`.
+   * [[knnJoin]] with `tieBreak = Seq("b_" + bIdCol)` — for non-null ids:
+   * B-rows with a null `bIdCol` are excluded here (the heap needs the id),
+   * where the window variant would rank them.
    *
    * Returns (a_<aKeyCol>, b_<bIdCol>, distance); join back to B on the id
    * for further payload columns.
@@ -100,7 +102,7 @@ object SpatialJoin {
                  aKeyCol: String, bIdCol: String,
                  lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
     import org.apache.spark.sql.graft.{DoubleSortableBits, SortableBitsToDouble, TopNByOrd}
-    val joined = distanceJoin(a, b, radius, lonCol, latCol)
+    val joined = distanceJoin(a, b.filter(col(bIdCol).isNotNull), radius, lonCol, latCol)
       .withColumn("distance", st_distance_euclidean(
         col(s"a_$lonCol"), col(s"a_$latCol"), col(s"b_$lonCol"), col(s"b_$latCol")))
     val agg = c(TopNByOrd(

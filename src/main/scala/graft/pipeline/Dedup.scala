@@ -45,15 +45,22 @@ object Dedup {
   /** Attach dropped-bucket metrics (`Dataset.observe`) to a bucket table
     * that still carries its size column, then apply the cap. The observe
     * node stays in the final plan's lineage, so `metrics.get` after any
-    * action on the result reports `dropped_buckets` / `dropped_ids` /
-    * `max_bucket_size` — the cap is counted, never silent. */
+    * action on the result reports the metrics — the cap is counted, never
+    * silent. Counting unit is the (band, bucket) PAIR: `dropped_buckets`
+    * counts over-cap band-buckets and `dropped_id_slots` their id×band
+    * slots — an id dropped from one band's bucket may still be emitted via
+    * another band, so slots are an upper bound on lost ids, not a distinct
+    * id count. */
   private def capBuckets(buckets: DataFrame, sizeCol: Column, maxBucket: Int,
-                         metrics: Option[Observation]): DataFrame = {
+                         metrics: Option[Observation],
+                         extraMetrics: Seq[Column] = Nil): DataFrame = {
     val observed = metrics match {
-      case Some(obs) => buckets.observe(obs,
-        sum(when(sizeCol > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
-        sum(when(sizeCol > maxBucket, sizeCol).otherwise(0L)).as("dropped_ids"),
-        max(sizeCol).as("max_bucket_size"))
+      case Some(obs) =>
+        val base = Seq(
+          sum(when(sizeCol > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+          sum(when(sizeCol > maxBucket, sizeCol).otherwise(0L)).as("dropped_id_slots"),
+          max(sizeCol).as("max_bucket_size")) ++ extraMetrics
+        buckets.observe(obs, base.head, base.tail: _*)
       case None => buckets
     }
     observed.filter(sizeCol.between(2, maxBucket))
@@ -156,15 +163,20 @@ object Dedup {
    * representative per duplicate cluster" step that turns pairs into an
    * actionable drop-list.
    *
-   * Algorithm: iterative min-label propagation (each round, every node
-   * adopts the smallest label in its neighborhood; near-dup graphs have
-   * tiny diameters, so this converges in a few rounds). Each iteration is
-   * two shuffles over the EDGE list only — never the corpus. The
+   * Algorithm: min-label propagation with path compression. Each round a
+   * node takes the min over (own label, neighbors' labels) and then follows
+   * its label's label (pointer doubling), so convergence is O(log diameter)
+   * rounds, not O(diameter) — a drift-chain of near-dups thousands long
+   * still resolves inside the default `maxIter`. Each iteration shuffles
+   * the EDGE list and the label table only — never the corpus. The
    * convergence check rides the label-update job itself (`Dataset.observe`
    * counts changed labels while the cache materializes), so each round is
    * exactly ONE action and no extra probe join.
+   *
+   * Throws if `maxIter` rounds pass without convergence (returning
+   * unconverged labels would silently split true clusters).
    */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       // undirected: both directions
       .union(pairs.select(col("id_b").cast("long").as("id_a"), col("id_a").cast("long").as("id_b")))
@@ -174,26 +186,40 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min label among neighbors (one shuffle over edges), then fold into
-      // each node's own label; a label only ever decreases, so "changed"
-      // is simply nmin < cluster — counted in the same job via observe
+      // 1. min label among neighbors (one shuffle over edges), folded into
+      //    each node's own label; labels only ever decrease
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("nmin"))
-      val obs = new Observation(s"cc_changed_$iter")
-      val next = labels
+      val stepped = labels
         .join(neighborMin, Seq("id"), "left_outer")
-        .observe(obs, sum(when(col("nmin") < col("cluster"), 1L).otherwise(0L)).as("changed"))
-        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .select(col("id"), col("cluster").as("old"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("c1"))
+        .cache()
+      // 2. path compression: follow my label's label (labels are node ids,
+      //    so the mapping is stepped itself) — the pointer-doubling step
+      val byId = stepped.select(col("id").as("cid"), col("c1").as("cc"))
+      val obs = new Observation(s"cc_changed_$iter")
+      val next = stepped
+        .join(byId, stepped("c1") === byId("cid"), "left_outer")
+        .select(col("id"), col("old"),
+          least(col("c1"), coalesce(col("cc"), col("c1"))).as("cluster"))
+        .observe(obs, sum(when(col("cluster") < col("old"), 1L).otherwise(0L)).as("changed"))
+        .select(col("id"), col("cluster"))
         .cache()
       next.count() // materialize cache; the same job feeds the observation
       labels.unpersist()
+      stepped.unpersist()
       labels = next
       converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters() did not converge in $maxIter rounds — with pointer " +
+          s"doubling that needs component diameter > ~2^$maxIter; raise maxIter")
     labels
   }
 
@@ -283,7 +309,13 @@ object Dedup {
         c(VecLshBands(e(col("vec")), e(lit(b)), e(lit(r)), e(lit(seed))))))
       .groupBy(col("pos"), col("col"))
       .agg(collect_list(col("id")).as("ids"))
-    val buckets = capBuckets(grouped, size(col("ids")), maxBucket, metrics)
+    // when the band cap binds (low threshold × large corpus) the delivered
+    // recall falls below target — surfaced through the same metrics channel
+    // as bucket drops, so the shortfall is observable, not just documented
+    val effRecall = cosineLshRecall(threshold, b, r)
+    val buckets = capBuckets(grouped, size(col("ids")), maxBucket, metrics,
+      extraMetrics = Seq(max(lit(effRecall)).as("lsh_effective_recall"),
+        max(lit(b)).as("lsh_bands"), max(lit(r)).as("lsh_planes_per_band")))
 
     // 2. bucket-local pairs, unioned across bands (only ids shuffle twice;
     //    vectors join back once per surviving candidate)

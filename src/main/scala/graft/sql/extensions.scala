@@ -69,5 +69,8 @@ object GraftExtensions {
     "winnow_fingerprint" -> (es => WinnowFingerprint(es(0), es(1), es(2))),
     "explode_shingles" -> (es => ExplodeShingles(es(0), es(1))),
     "vec_cosine" -> (es => VecCosine(es(0), es(1))),
-    "vec_lsh_bucket" -> (es => VecLshBucket(es(0), es(1), es(2))))
+    "vec_lsh_bucket" -> (es => VecLshBucket(es(0), es(1), es(2))),
+    "vec_lsh_bands" -> (es => VecLshBands(es(0), es(1), es(2), es(3))),
+    "double_sortable_bits" -> (es => DoubleSortableBits(es.head)),
+    "sortable_bits_to_double" -> (es => SortableBitsToDouble(es.head)))
 }
