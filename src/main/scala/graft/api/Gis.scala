@@ -49,18 +49,29 @@ object Gis {
   /**
    * Seeded synthetic point generator (reference S4: BulkIngest.java:27-105 —
    * uniform points in a bbox, index ids, 10-char random text columns). The
-   * reference uses an unseeded Random; ours is deterministic by `seed`.
+   * reference uses an unseeded Random; ours is deterministic by `seed` AND
+   * by row: every column derives from `hash(id, seed)`, never `rand(seed)`
+   * (which Spark seeds per-partition, so the dataset would change with
+   * parallelism — local[4] vs local[32] vs a real cluster). The same seed
+   * yields the identical dataset at any partition count.
    * Fully distributed: spark.range partitions the id space.
    */
   def bulkIngest(spark: SparkSession, count: Long,
                  lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
-                 seed: Long = 42L, precision: Int = 12): DataFrame = {
+                 seed: Long = 42L, precision: Int = 12,
+                 numPartitions: Int = 0): DataFrame = {
     val textCol = (name: String, i: Int) =>
       substring(sha2(concat_ws("-", lit(name), col("id"), lit(seed + i)), 256), 1, 10).as(name)
-    spark.range(count)
+    // uniform in [0,1) from the top 53 bits of a per-row 64-bit hash
+    val unif = (i: Int) =>
+      shiftrightunsigned(xxhash64(lit(i), col("id"), lit(seed)), 11)
+        .cast("double") / lit((1L << 53).toDouble)
+    val ids = if (numPartitions > 0) spark.range(0, count, 1, numPartitions)
+              else spark.range(count)
+    ids
       .select(
-        (lit(lonMin) + rand(seed) * (lonMax - lonMin)).as("lon"),
-        (lit(latMin) + rand(seed + 1) * (latMax - latMin)).as("lat"),
+        (lit(lonMin) + unif(0) * (lonMax - lonMin)).as("lon"),
+        (lit(latMin) + unif(1) * (latMax - latMin)).as("lat"),
         col("id").cast("string").as("id"),
         textCol("name", 2), textCol("address", 3), textCol("city", 4),
         textCol("url", 5), textCol("phone", 6), textCol("type", 7), textCol("zip", 8))
@@ -174,34 +185,37 @@ object Gis {
           strict: Boolean = false, precision: Int = 7,
           lonCol: String = "lon", latCol: String = "lat",
           geohashCol: String = "geohash"): DataFrame = {
-    val base =
-      if (points.columns.contains(geohashCol)) {
-        val prefixes = GeohashPruning.knnPrefixes(lon, lat, precision)
-        val pruned = points.filter(prefixPredicate(col(geohashCol), prefixes))
-        if (strict) pruned
-        else {
-          // Exact-mode soundness: the pruned path is valid only if the k-th
-          // candidate is no farther than the nearest edge of the 9-cell
-          // block — otherwise a point just outside the block could be
-          // closer. One cheap action computes (candidate count, k-th dist).
-          val bboxes = prefixes.map(Geohash.decodeBbox)
-          val latMin = bboxes.map(_._1).min; val latMax = bboxes.map(_._2).max
-          val lonMin = bboxes.map(_._3).min; val lonMax = bboxes.map(_._4).max
-          val margin = Seq(lon - lonMin, lonMax - lon, lat - latMin, latMax - lat).min
-          val dcol = st_distance_euclidean(col(lonCol), col(latCol), lit(lon), lit(lat))
-          val stats = pruned.select(dcol.as("__d")).orderBy(col("__d").asc).limit(k)
-            .agg(count(lit(1)), max(col("__d"))).head()
-          val enough = stats.getLong(0) >= k
-          val kth = if (stats.isNullAt(1)) Double.PositiveInfinity else stats.getDouble(1)
-          if (enough && kth <= margin) pruned
-          else points // candidates sparse or k-th beyond the block edge — widen
-        }
-      } else points
-    base
+    def topK(base: DataFrame): DataFrame = base
       .withColumn("distance",
         st_distance_euclidean(col(lonCol), col(latCol), lit(lon), lit(lat)))
       .orderBy(col("distance").asc)
       .limit(k)
+    if (points.columns.contains(geohashCol)) {
+      val prefixes = GeohashPruning.knnPrefixes(lon, lat, precision)
+      val pruned = points.filter(prefixPredicate(col(geohashCol), prefixes))
+      if (strict) topK(pruned)
+      else {
+        // Exact-mode soundness: the pruned result is valid only if the k-th
+        // candidate is no farther than the nearest edge of the 9-cell block
+        // — otherwise a point just outside the block could be closer. The
+        // pruned top-k (≤ k rows, the final-limit materialization every KNN
+        // query pays) doubles as the soundness probe: collect it once,
+        // return it directly when sound, widen to the full table only when
+        // candidates are sparse or the k-th crosses the block edge.
+        val bboxes = prefixes.map(Geohash.decodeBbox)
+        val latMin = bboxes.map(_._1).min; val latMax = bboxes.map(_._2).max
+        val lonMin = bboxes.map(_._3).min; val lonMax = bboxes.map(_._4).max
+        val margin = Seq(lon - lonMin, lonMax - lon, lat - latMin, latMax - lat).min
+        val candidate = topK(pruned)
+        val rows = candidate.collect()
+        val kth = if (rows.length < k) Double.PositiveInfinity
+                  else rows.last.getDouble(rows.last.fieldIndex("distance"))
+        if (rows.length >= k && kth <= margin)
+          candidate.sparkSession.createDataFrame(
+            java.util.Arrays.asList(rows: _*), candidate.schema)
+        else topK(points)
+      }
+    } else topK(points)
   }
 
   /**

@@ -157,34 +157,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Unique suffix for Observation names so concurrent clusters() calls in
+    * one SparkSession never register duplicate CollectMetrics names. */
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /**
    * Connected components over near-dup pairs → (id, cluster) where cluster
    * is the minimum id reachable through the pair graph: the "pick one
    * representative per duplicate cluster" step that turns pairs into an
    * actionable drop-list.
    *
-   * Algorithm: min-label propagation with path compression. Each round a
-   * node takes the min over (own label, neighbors' labels) and then follows
-   * its label's label (pointer doubling), so convergence is O(log diameter)
-   * rounds, not O(diameter) — a drift-chain of near-dups thousands long
-   * still resolves inside the default `maxIter`. Each iteration shuffles
-   * the EDGE list and the label table only — never the corpus. The
-   * convergence check rides the label-update job itself (`Dataset.observe`
-   * counts changed labels while the cache materializes), so each round is
-   * exactly ONE action and no extra probe join.
+   * Algorithm: min-label propagation, escalating to pointer doubling only
+   * when propagation alone stops paying. Early rounds take the min over
+   * (own label, neighbors' labels) — one edge-list shuffle, which on the
+   * shallow components that dominate real near-dup graphs converges in 2-3
+   * rounds. If the observed changed-count stops halving round-over-round
+   * (or from round 3 on), each round additionally follows its label's label
+   * (pointer doubling), so a drift-chain of near-dups thousands long still
+   * resolves in O(log diameter) rounds — without paying the doubling
+   * self-join's extra shuffle on the shallow common case. Each iteration
+   * shuffles the EDGE list and the label table only — never the corpus.
+   * The convergence check rides the label-update job itself
+   * (`Dataset.observe` counts changed labels while the cache
+   * materializes), so each round is exactly ONE action and no extra probe
+   * join.
    *
    * Throws if `maxIter` rounds pass without convergence (returning
    * unconverged labels would silently split true clusters).
    */
   def clusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // cache the directed pairs FIRST: the union below references the pairs
+    // plan twice, and without this the (possibly expensive — e.g. a full
+    // LSH pipeline) upstream would execute once per branch
+    val directed = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).cache()
+    val edges = directed
       // undirected: both directions
-      .union(pairs.select(col("id_b").cast("long").as("id_a"), col("id_a").cast("long").as("id_b")))
+      .union(directed.select(col("id_b").cast("long").as("id_a"), col("id_a").cast("long").as("id_b")))
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).cache()
+    val callId = obsCounter.getAndIncrement()
     var converged = false
     var iter = 0
+    var lastChanged = -1L  // changed count of the previous round
+    var prevChanged = -1L  // the round before that
     while (!converged && iter < maxIter) {
       // 1. min label among neighbors (one shuffle over edges), folded into
       //    each node's own label; labels only ever decrease
@@ -196,26 +212,42 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("c1"))
-        .cache()
-      // 2. path compression: follow my label's label (labels are node ids,
-      //    so the mapping is stepped itself) — the pointer-doubling step
-      val byId = stepped.select(col("id").as("cid"), col("c1").as("cc"))
-      val obs = new Observation(s"cc_changed_$iter")
-      val next = stepped
-        .join(byId, stepped("c1") === byId("cid"), "left_outer")
-        .select(col("id"), col("old"),
-          least(col("c1"), coalesce(col("cc"), col("c1"))).as("cluster"))
+      // escalate to doubling once propagation stops shrinking the changed
+      // count geometrically (deep-chain signature), or from round 3 on
+      val doubling = iter >= 3 ||
+        (prevChanged > 0 && lastChanged * 2 > prevChanged)
+      val obs = new Observation(s"cc_${callId}_changed_$iter")
+      val next = (if (doubling) {
+        // 2. path compression: follow my label's label (labels are node
+        //    ids, so the mapping is stepped itself) — pointer doubling.
+        //    Uncached self-join: both sides recompute the (cheap) step
+        //    projection, but it stays one job and skips a cache
+        //    materialization per round.
+        val byId = stepped.select(col("id").as("cid"), col("c1").as("cc"))
+        stepped
+          .join(byId, stepped("c1") === byId("cid"), "left_outer")
+          .select(col("id"), col("old"),
+            least(col("c1"), coalesce(col("cc"), col("c1"))).as("cluster"))
+      } else {
+        stepped.select(col("id"), col("old"), col("c1").as("cluster"))
+      })
         .observe(obs, sum(when(col("cluster") < col("old"), 1L).otherwise(0L)).as("changed"))
         .select(col("id"), col("cluster"))
         .cache()
+      val t0 = System.nanoTime()
       next.count() // materialize cache; the same job feeds the observation
       labels.unpersist()
-      stepped.unpersist()
       labels = next
-      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
+      val changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (sys.env.contains("GRAFT_CC_LOG"))
+        System.err.println(f"[cc] round $iter doubling=$doubling changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      converged = changed == 0L
+      prevChanged = lastChanged
+      lastChanged = changed
       iter += 1
     }
     edges.unpersist()
+    directed.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"clusters() did not converge in $maxIter rounds — with pointer " +
@@ -318,19 +350,25 @@ object Dedup {
         max(lit(b)).as("lsh_bands"), max(lit(r)).as("lsh_planes_per_band")))
 
     // 2. bucket-local pairs, unioned across bands (only ids shuffle twice;
-    //    vectors join back once per surviving candidate)
+    //    vectors join back once per candidate)
     val pairs = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
 
-    // 3. exact cosine verify on candidates only
+    // 3. exact cosine verify BEFORE cross-band dedup: at low thresholds the
+    //    raw candidate stream is dominated by one-off random collisions
+    //    (measured: 31M of 37M candidates unique at 20k vecs × 512 bands),
+    //    so deduping first pays a full shuffle of the candidate stream to
+    //    remove almost nothing, while the exact cosine is a few FMA-ns per
+    //    pair against a dimension-table join. Verify is a map-side filter;
+    //    only the (tiny) surviving near-dup set pays the dedup shuffle.
     val va = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
     val vb = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
     pairs.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", c(VecCosine(e(col("vec_a")), e(col("vec_b")))))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -32,6 +32,23 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** Run the pruned top-k ONCE, then decide the fallback from its own
+    * ≤ k collected rows (the final `limit k` materialization every ANN
+    * query pays anyway). The happy path is exactly one scan of the pruned
+    * candidates; only a short result (< k rows in the probed cells) pays
+    * the full brute-force scan. The returned frame is the already-computed
+    * local result, so downstream actions don't re-scan. */
+  private def prunedTopKOrFallback(pruned: DataFrame, full: DataFrame,
+                                   query: Array[Float], k: Int,
+                                   idCol: String, vecCol: String): DataFrame = {
+    val hit = cosineTopK(pruned, query, k, idCol, vecCol)
+    val rows = hit.collect()
+    if (rows.length >= k)
+      hit.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), hit.schema)
+    else cosineTopK(full, query, k, idCol, vecCol)
+  }
+
   /** Top-k for a query vector already in the table (one driver lookup). */
   def cosineTopKById(df: DataFrame, queryId: Long, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -110,8 +127,7 @@ object Similarity {
     val probes = centroids.indices.sortBy(c => -cosArr(query, centroids(c))).take(nProbe)
     val assigned = ivfAssign(df, centroids, vecCol)
     val pruned = assigned.filter(col("ivf_cell").isin(probes: _*))
-    if (pruned.limit(k).count() >= k) cosineTopK(pruned, query, k, idCol, vecCol)
-    else cosineTopK(df, query, k, idCol, vecCol)
+    prunedTopKOrFallback(pruned, df, query, k, idCol, vecCol)
   }
 
   /**
@@ -133,8 +149,6 @@ object Similarity {
         _.foldLeft(qBucket)((b, p) => b ^ (1L << p))).toSeq
     }
     val pruned = df.filter(lshBucket(col(vecCol), planes, seed).isin(buckets: _*))
-    val candidates = cosineTopK(pruned, query, k, idCol, vecCol)
-    if (pruned.limit(k).count() >= k) candidates
-    else cosineTopK(df, query, k, idCol, vecCol)
+    prunedTopKOrFallback(pruned, df, query, k, idCol, vecCol)
   }
 }

@@ -243,22 +243,51 @@ object VecOps {
     best
   }
 
+  // Plane-component cache: u(p,j) depends only on (seed, p, j), never the
+  // row, so regenerating it per vector would burn a mix64 + divide per
+  // (band, plane, dim, ROW) — billions of redundant mixes once n-aware
+  // tuning pushes band counts into the hundreds. Each executor JVM
+  // materializes a plane matrix once per (seed, planes, dim) and every row
+  // after that pays only the fused multiply-adds. Entries are tiny
+  // (planes×dim doubles) and keyed values are few (one per band seed).
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  private def planeMatrix(seed: Long, planes: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((seed, planes, dim), { _ =>
+      val m = new Array[Double](planes * dim)
+      var p = 0
+      while (p < planes) {
+        var j = 0
+        while (j < dim) {
+          val u = TextCore.mix64(seed ^ (p.toLong * 0x9E3779B97F4A7C15L) ^ (j.toLong * 0xC2B2AE3D27D4EB4FL))
+          m(p * dim + j) = u.toDouble / Long.MaxValue.toDouble
+          j += 1
+        }
+        p += 1
+      }
+      m
+    })
+
   /**
    * Random-hyperplane LSH bucket (Charikar, STOC'02 SimHash for cosine):
    * bit p = sign(Σ_j v_j · u(p,j)) with pseudo-random plane components
    * u(p,j) ∈ [-1,1] derived deterministically from (seed, p, j) — no
-   * broadcast of plane matrices needed, any executor regenerates them.
+   * broadcast of plane matrices needed, any executor regenerates them
+   * (once per JVM, via [[planeMatrix]] — bit-identical to the original
+   * per-row derivation).
    */
   def signBucket(a: ArrayData, planes: Int, seed: Long): Long = {
     val n = a.numElements()
+    val m = planeMatrix(seed, planes, n)
     var bucket = 0L
     var p = 0
     while (p < planes) {
       var dotP = 0.0
+      val off = p * n
       var j = 0
       while (j < n) {
-        val u = TextCore.mix64(seed ^ (p.toLong * 0x9E3779B97F4A7C15L) ^ (j.toLong * 0xC2B2AE3D27D4EB4FL))
-        dotP += a.getFloat(j).toDouble * (u.toDouble / Long.MaxValue.toDouble)
+        dotP += a.getFloat(j).toDouble * m(off + j)
         j += 1
       }
       if (dotP > 0) bucket |= (1L << p)

@@ -36,6 +36,15 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, factor)
+    spark.stop()
+  }
+
+  /** Reusable scale-up body — also called in-session by [[graft.Bench]] so
+    * the sf1 numbers are produced inside the driver-recorded bench run. */
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    // events.parquet carries TIMESTAMP(NANOS); read the raw int64 column
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def stride(df: DataFrame, key: String): Long =
@@ -109,6 +118,5 @@ object ScaleUp {
     }, "embeddings")
 
     println(s"[scaleup] done: $dst at ${factor}x $src")
-    spark.stop()
   }
 }

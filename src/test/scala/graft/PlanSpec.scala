@@ -65,8 +65,16 @@ class PlanSpec extends AnyFunSuite {
 
   test("knn plans as TakeOrderedAndProject (partial heaps + driver merge)") {
     val wifi = Gis.ingestTsv(spark, "/root/reference/src/test/resources/wifi_4326.txt")
-    val p = plan(Gis.knn(wifi, -73.97, 40.76, 10))
+    // strict mode keeps the plan lazy (the sound non-strict path returns its
+    // already-collected ≤k rows as a LocalTableScan — one scan, by design)
+    val p = plan(Gis.knn(wifi, -73.97, 40.76, 10, strict = true))
     assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k operator:\n$p")
+    // non-strict result agrees with the strict plan on this in-cells fixture
+    val strictRows = Gis.knn(wifi, -73.97, 40.76, 10, strict = true)
+      .select("geohash").collect().map(_.getString(0)).toSet
+    val soundRows = Gis.knn(wifi, -73.97, 40.76, 10)
+      .select("geohash").collect().map(_.getString(0)).toSet
+    assert(strictRows == soundRows)
   }
 
   test("knnJoinAgg plans as partial/final topn_by_ord heaps, no Window sort") {

@@ -174,6 +174,18 @@ class GisGoldenSpec extends AnyFunSuite {
     assert(Gis.within(pts, bbox).count() == 1000)
   }
 
+  test("bulkIngest is partition-stable: identical dataset at any parallelism") {
+    // every column derives from hash(id, seed), never per-partition rand —
+    // the same seed must produce the same rows at 3 and 17 partitions
+    def snap(np: Int): Set[String] =
+      Gis.bulkIngest(spark, 500, -75.99, -75.01, 44.01, 44.99, seed = 7,
+          numPartitions = np)
+        .select(concat_ws("|", $"id", $"geohash", $"name", $"zip"))
+        .as[String].collect().toSet
+    val a = snap(3)
+    assert(a.size == 500 && a == snap(17))
+  }
+
   test("geohash column matches reference rowkey derivation for first wifi row") {
     val row = wifi.filter($"id" === "882").select("geohash", "lon", "lat").head()
     assert(row.getString(0) == graft.geo.Geohash.encode(row.getDouble(2), row.getDouble(1), 12))
