@@ -351,12 +351,14 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents"), "doc_id", Seq("text"))),
 
-    // MinHash LSH near-dup pairs (no SQL oracle — verified vs brute force in tests)
+    // MinHash LSH near-dup pairs; brute-force 5-gram-Jaccard DuckDB oracle
+    // (valid: deterministic seeded LSH with recall 1.0 at gate sf)
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.table(s, d, "documents"), "doc_id", "text",
         threshold = 0.8).select(col("id_a"), col("id_b"))),
 
-    // SimHash near-dup pairs (no SQL oracle)
+    // SimHash near-dup pairs; bit-exact simhash64 reproduction in DuckDB
+    // as the oracle (pigeonhole LSH is complete for hamming <= 3)
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.table(s, d, "documents"), "doc_id", "text")
         .select(col("id_a"), col("id_b"))),
@@ -448,7 +450,7 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))),
 
     // dedup clustering: connected components over near-dup pairs →
-    // (doc_id, cluster representative); no SQL oracle (iterative)
+    // (doc_id, cluster representative); recursive-CTE DuckDB oracle
     "q_dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(Tables.table(s, d, "documents"),
         "doc_id", "text", threshold = 0.8)
@@ -469,7 +471,79 @@ object SparkEntry {
           col("first_ts"), col("last_ts")))
   )
 
+  /**
+   * Brute-force distinct-char-5-gram Jaccard pairs at threshold 0.8,
+   * expressed as DuckDB CTEs (inverted shingle index + co-occurrence
+   * counts — ~40× faster than per-pair list_intersect). Valid as the
+   * oracle for the MinHash-LSH pairs because the seeded LSH is
+   * deterministic and its delivered recall at the gate sf is 1.0 (64
+   * hashes / 16 bands: detection prob ≥ 1-(1-0.8^4)^16 ≈ 0.9998 at the
+   * threshold, higher above it; pinned by PipelineSpec's brute-force
+   * recall tests), so LSH pairs == brute-force pairs. Gram semantics
+   * mirror TextCore.shingleHashes: distinct 5-char substrings (gate
+   * corpus is all-ASCII with min length 48, so no short-text edge cases).
+   */
+  private val JaccardPairsCtes =
+    "g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, length(text)-3), i -> substr(text, i, 5)))) AS gram FROM documents), " +
+      "sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id), " +
+      "co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+      "FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "jpairs AS (SELECT id_a, id_b FROM co " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8)"
+
+  /**
+   * Bit-exact DuckDB reproduction of TextCore.simhash64: polynomial rolling
+   * hash (31·h + char, 64-bit wraparound via HUGEINT mod 2^64) per distinct
+   * 5-gram, SplitMix64 finalizer (wrap-multiplies decomposed into 32-bit
+   * hi/lo halves so the 128-bit intermediate never overflows HUGEINT),
+   * then per-bit ±1 majority vote. Verified stage-by-stage against the JVM
+   * implementation. Pairs = hamming(simhash_a, simhash_b) ≤ 3, which is
+   * exactly what the chunked-pigeonhole LSH emits (sound AND complete for
+   * maxHamming ≤ 3, and no bucket exceeds the cap at gate sf).
+   */
+  private val SimhashPairsSql: String = {
+    val B = "18446744073709551616" // 2^64
+    "WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, length(text)-3), i -> substr(text, i, 5)))) AS gram FROM documents), " +
+      "ph AS (SELECT doc_id, " +
+      s"(((((((((1125899906842597::HUGEINT * 31 + unicode(substr(gram,1,1))) % $B) * 31 " +
+      s"+ unicode(substr(gram,2,1))) % $B) * 31 + unicode(substr(gram,3,1))) % $B) * 31 " +
+      s"+ unicode(substr(gram,4,1))) % $B) * 31 + unicode(substr(gram,5,1))) % $B AS p FROM g), " +
+      "mx AS (SELECT doc_id, " +
+      s"(p + 11400714819323198485::HUGEINT) % $B AS z1, " +
+      "xor(z1, z1 >> 30) AS z2, " +
+      s"((z2 * 484763065) % $B + ((z2 * 3210233709) % 4294967296) * 4294967296) % $B AS z3, " +
+      "xor(z3, z3 >> 27) AS z4, " +
+      s"((z4 * 321982955) % $B + ((z4 * 2496678331) % 4294967296) * 4294967296) % $B AS z5, " +
+      "xor(z5, z5 >> 31) AS h FROM ph), " +
+      "bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS cnt " +
+      "FROM mx CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bl GROUP BY doc_id, b), " +
+      "sh AS (SELECT doc_id, sum(CASE WHEN cnt > 0 THEN (1::HUGEINT << b) " +
+      "ELSE 0::HUGEINT END)::UBIGINT AS s FROM bits GROUP BY doc_id) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.s, b.s)) <= 3"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash" -> s"WITH $JaccardPairsCtes SELECT id_a, id_b FROM jpairs",
+
+    "q_dedup_simhash" -> SimhashPairsSql,
+
+    // min-label fixpoint over the same brute-force pair set: transitive
+    // closure by recursive CTE (components at gate sf are tiny), then the
+    // minimum reachable id per node — identical semantics to
+    // Dedup.clusters' converged labels
+    "q_dedup_clusters" ->
+      (s"WITH RECURSIVE $JaccardPairsCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs " +
+        "UNION ALL SELECT id_b, id_a FROM jpairs), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src) " +
+        "SELECT id, min(r) AS cluster FROM reach GROUP BY id"),
+
     "q_scan_project" ->
       ("SELECT l_orderkey, l_linenumber, l_returnflag, CAST(l_quantity AS BIGINT) AS qty " +
         "FROM lineitem WHERE l_quantity < 25"),
