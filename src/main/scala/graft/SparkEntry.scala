@@ -428,12 +428,17 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("byte_len"), col("sha"))
     }),
 
-    // multimodal stub decode via mapPartitions (byte_len+sha are SQL-expressible)
+    // multimodal REAL decode: text payloads wrapped in spec-valid WAV/BMP
+    // containers, then a byte-level header parse via mapPartitions; every
+    // compared field (dimensions, sample rate, sample/pixel counts, file
+    // size) is read from the parsed header while the oracle derives the
+    // expected values arithmetically from the generation rule
     "q_multimodal_decode" -> ((s, d) => {
-      val media = graft.pipeline.Multimodal.demoMediaTable(
+      val media = graft.pipeline.Multimodal.demoContainerTable(s,
         Tables.table(s, d, "documents"), "doc_id", "text")
-      graft.pipeline.Multimodal.extractFeatures(s, media).toDF()
-        .select(col("media_id"), col("byte_len"), col("sha"))
+      graft.pipeline.Multimodal.decodeContainers(s, media).toDF()
+        .select(col("media_id"), col("kind"), col("byte_len"), col("format"),
+          col("width"), col("height"), col("sample_rate"), col("n_units"))
     }),
 
     // scalar function family: JSON extraction over the props column
@@ -704,11 +709,23 @@ object SparkEntry {
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
         "CAST(octet_length(encode(text)) AS INT) AS byte_len, sha256(text) AS sha FROM documents"),
 
-    // the decode stub's sha/byte_len are exactly the meta projection — the
-    // fake features column is excluded from the compared output
+    // differential oracle for the real container decode: expected header
+    // fields derived from the generation rule (BMP: width 16, 24 bpp, rows
+    // of 48 bytes, 54-byte header; WAV: canonical 44-byte header, 16-bit
+    // PCM, payload padded to block align) — independent of the parser
     "q_multimodal_decode" ->
-      ("SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS byte_len, " +
-        "sha256(text) AS sha FROM documents"),
+      ("WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS k, " +
+        "(1 + doc_id % 2) * 2 AS ba, octet_length(encode(text)) AS len FROM documents) " +
+        "SELECT media_id, " +
+        "CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CAST(CASE WHEN k = 1 THEN 44 + ((len + ba - 1) // ba) * ba " +
+        "ELSE 54 + 48 * greatest(1, (len + 47) // 48) END AS BIGINT) AS byte_len, " +
+        "CASE WHEN k = 1 THEN 'wav' ELSE 'bmp' END AS format, " +
+        "CAST(CASE WHEN k = 1 THEN 0 ELSE 16 END AS BIGINT) AS width, " +
+        "CAST(CASE WHEN k = 1 THEN 0 ELSE greatest(1, (len + 47) // 48) END AS BIGINT) AS height, " +
+        "CAST(CASE WHEN k = 1 THEN 8000 + (media_id % 5) * 2000 ELSE 0 END AS BIGINT) AS sample_rate, " +
+        "CAST(CASE WHEN k = 1 THEN (len + ba - 1) // ba " +
+        "ELSE 16 * greatest(1, (len + 47) // 48) END AS BIGINT) AS n_units FROM m"),
 
     // brute-force oracle: at sf0.01 the single true pair sits at cosine
     // 0.5128 (runner-up 0.4928), far from the threshold, and the seeded LSH

@@ -88,4 +88,139 @@ object Multimodal {
     media
       .withColumn("byte_len", length(col("content")))
       .withColumn("sha", sha2(col("content"), 256))
+
+  // ======= real containers: WAV (RIFF) + BMP, pure JVM =======
+
+  /** Byte-level writers/parsers for two trivial real container formats.
+    * The writers emit spec-valid files (playable/viewable); the parser
+    * reads the actual little-endian header fields at their spec offsets
+    * and validates magics and sizes — no field is echoed from the
+    * generator, so a wrong offset or endianness shows up as an oracle
+    * mismatch (or a thrown parse error), not silently. */
+  object MediaContainers {
+    private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+      b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+    }
+    private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+    }
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], off: Int, s: String): Boolean =
+      s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+    /** Canonical 44-byte-header PCM WAV; payload zero-padded to the block
+      * align (channels × 2 bytes at 16-bit). */
+    def wav(sampleRate: Int, channels: Int, payload: Array[Byte]): Array[Byte] = {
+      val bits = 16
+      val blockAlign = channels * bits / 8
+      val dataLen = ((payload.length + blockAlign - 1) / blockAlign) * blockAlign
+      val out = new Array[Byte](44 + dataLen)
+      "RIFF".getBytes.copyToArray(out, 0)
+      putLe32(out, 4, 36 + dataLen)
+      "WAVE".getBytes.copyToArray(out, 8)
+      "fmt ".getBytes.copyToArray(out, 12)
+      putLe32(out, 16, 16)              // fmt chunk size
+      putLe16(out, 20, 1)               // PCM
+      putLe16(out, 22, channels)
+      putLe32(out, 24, sampleRate)
+      putLe32(out, 28, sampleRate * blockAlign) // byte rate
+      putLe16(out, 32, blockAlign)
+      putLe16(out, 34, bits)
+      "data".getBytes.copyToArray(out, 36)
+      putLe32(out, 40, dataLen)
+      payload.copyToArray(out, 44)
+      out
+    }
+
+    /** 24-bpp bottom-up BMP of fixed `width`; payload zero-padded to whole
+      * rows. Width is kept a multiple of 4 so rows need no padding bytes. */
+    def bmp(width: Int, payload: Array[Byte]): Array[Byte] = {
+      require(width % 4 == 0, "width multiple of 4 => no row padding")
+      val rowBytes = width * 3
+      val height = math.max(1, (payload.length + rowBytes - 1) / rowBytes)
+      val imageSize = height * rowBytes
+      val out = new Array[Byte](54 + imageSize)
+      out(0) = 'B'; out(1) = 'M'
+      putLe32(out, 2, 54 + imageSize)
+      putLe32(out, 10, 54)              // pixel data offset
+      putLe32(out, 14, 40)              // BITMAPINFOHEADER size
+      putLe32(out, 18, width)
+      putLe32(out, 22, height)
+      putLe16(out, 26, 1)               // planes
+      putLe16(out, 28, 24)              // bpp
+      putLe32(out, 30, 0)               // BI_RGB
+      putLe32(out, 34, imageSize)
+      payload.copyToArray(out, 54)
+      out
+    }
+
+    /** (format, width, height, sample_rate, n_units): pixels for BMP,
+      * samples for WAV — every value read from the parsed header. */
+    def parse(b: Array[Byte]): (String, Long, Long, Long, Long) = {
+      if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+        require(le32(b, 2) == b.length, s"BMP file-size field ${le32(b, 2)} != ${b.length}")
+        require(le16(b, 28) == 24, s"unsupported bpp ${le16(b, 28)}")
+        val w = le32(b, 18).toLong
+        val h = le32(b, 22).toLong
+        ("bmp", w, h, 0L, w * h)
+      } else if (b.length >= 44 && tag(b, 0, "RIFF") && tag(b, 8, "WAVE")) {
+        require(tag(b, 12, "fmt ") && tag(b, 36, "data"), "non-canonical WAV layout")
+        require(le16(b, 20) == 1, "not PCM")
+        val channels = le16(b, 22)
+        val rate = le32(b, 24).toLong
+        val blockAlign = le16(b, 32)
+        val dataLen = le32(b, 40).toLong
+        require(44 + dataLen == b.length, s"WAV data-size field $dataLen != ${b.length - 44}")
+        ("wav", 0L, 0L, rate, dataLen / blockAlign)
+      } else throw new IllegalArgumentException(
+        s"unrecognized container (${b.length} bytes, magic ${b.take(4).mkString(",")})")
+    }
+  }
+
+  /** Demo table with REAL container bytes: image/video docs become valid
+    * 24-bpp BMPs (video = first keyframe), audio docs valid PCM WAVs, the
+    * text bytes as payload. Generation parameters are deterministic in
+    * media_id so a SQL oracle can derive the expected decoded fields
+    * independently of the parser. */
+  def demoContainerTable(spark: SparkSession, df: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val content =
+          if (kind == "audio")
+            MediaContainers.wav(8000 + (id % 5).toInt * 2000, 1 + (id % 2).toInt, payload)
+          else MediaContainers.bmp(16, payload)
+        MediaRow(id, kind, content)
+      })
+      .toDF()
+  }
+
+  case class MediaDecoded(media_id: Long, kind: String, byte_len: Long,
+                          format: String, width: Long, height: Long,
+                          sample_rate: Long, n_units: Long)
+
+  /** REAL decode: batched partition-wise parse of the container headers —
+    * the formerly-stubbed step of [[extractFeatures]], now an actual
+    * byte-level WAV/BMP parse. Same plan shape (mapPartitions, binary
+    * column dropped from the output). */
+  def decodeContainers(spark: SparkSession, media: DataFrame): Dataset[MediaDecoded] = {
+    import spark.implicits._
+    media.select("media_id", "kind", "content").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val (format, w, h, rate, units) = MediaContainers.parse(r.content)
+        MediaDecoded(r.media_id, r.kind, r.content.length.toLong, format,
+          w, h, rate, units)
+      })
+  }
 }

@@ -312,6 +312,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.sortBy(_.media_id).map(_.sha).sameElements(again.sortBy(_.media_id).map(_.sha)))
   }
 
+  test("multimodal: WAV/BMP containers round-trip through the real parser") {
+    // unit round-trip: spec offsets, little-endian fields
+    val wav = Multimodal.MediaContainers.wav(16000, 2, Array.fill[Byte](101)(7))
+    assert(Multimodal.MediaContainers.parse(wav) == (("wav", 0L, 0L, 16000L, 26L))) // 104/4
+    val bmp = Multimodal.MediaContainers.bmp(16, Array.fill[Byte](100)(7))
+    assert(Multimodal.MediaContainers.parse(bmp) == (("bmp", 16L, 3L, 0L, 48L)))
+
+    // distributed: every decoded field equals the generation arithmetic
+    val media = Multimodal.demoContainerTable(spark, docs.limit(30), "doc_id", "text")
+    val lens = docs.limit(30)
+      .selectExpr("doc_id", "CAST(octet_length(encode(text, 'UTF-8')) AS LONG) AS len")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decoded = Multimodal.decodeContainers(spark, media).collect()
+    assert(decoded.length == 30)
+    decoded.foreach { d =>
+      val len = lens(d.media_id)
+      if (d.kind == "audio") {
+        val ba = (1 + d.media_id % 2) * 2
+        val dataLen = (len + ba - 1) / ba * ba
+        assert(d.format == "wav" && d.width == 0 && d.height == 0)
+        assert(d.sample_rate == 8000 + (d.media_id % 5) * 2000)
+        assert(d.byte_len == 44 + dataLen && d.n_units == dataLen / ba)
+      } else {
+        val h = math.max(1, (len + 47) / 48)
+        assert(d.format == "bmp" && d.width == 16 && d.height == h)
+        assert(d.sample_rate == 0 && d.byte_len == 54 + 48 * h && d.n_units == 16 * h)
+      }
+    }
+  }
+
   test("multimodal: frame sampling yields n byte windows") {
     val media = Multimodal.demoMediaTable(docs.limit(10), "doc_id", "text")
     val framed = Multimodal.frameSample(media, 4, frameBytes = 8)
