@@ -94,28 +94,31 @@ object Dedup {
       .select(col("id"),
         c(MinHashSig(e(col("text")), e(lit(numHashes)), e(lit(shingle)))).as("sig"))
 
-    // 2. band → bucket; pairs generated INSIDE each bucket (groupBy +
-    //    double-explode), so candidate generation shuffles only (id, band),
-    //    never the text. maxBucket caps the quadratic term on skewed buckets.
+    // 2. band → bucket, CARRYING the signature into the bucket rows: the
+    //    candidate shuffle ships n × bands × (id + sig ≈ 0.5 KB) — the
+    //    signature is the compact document sketch, so this is the cheap
+    //    way to make the estimate computable where the pairs are born.
+    //    (The previous shape shuffled ids only, then joined the sig table
+    //    onto every raw candidate pair — on a boilerplate-heavy corpus
+    //    that was a multi-GB join of 14M+ pairs × two 0.5 KB sigs,
+    //    measured ~3× the cost of this whole pipeline.)
+    //    maxBucket caps the quadratic term on skewed buckets.
     val grouped = sigs
-      .select(col("id"), posexplode(c(SigBands(e(col("sig")), e(lit(bands))))))
+      .select(col("id"), col("sig"), posexplode(c(SigBands(e(col("sig")), e(lit(bands))))))
       .groupBy(col("pos"), col("col"))
-      .agg(collect_list(col("id")).as("ids"))
-    val buckets = capBuckets(grouped, size(col("ids")), maxBucket, metrics)
-    val pairs = buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("items"))
+    val buckets = capBuckets(grouped, size(col("items")), maxBucket, metrics)
 
-    // 3. cheap signature-estimate prefilter kills LSH false positives before
-    //    the exact verify has to re-shingle any text
-    val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
-    val estimated = pairs.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("est", c(SigJaccard(e(col("sig_a")), e(col("sig_b")))))
-      .filter(col("est") >= threshold - 0.2)
-      .select("id_a", "id_b")
+    // 3. in-bucket pairs with the signature-estimate prefilter applied AT
+    //    THE SOURCE — LSH false positives die before any pair leaves the
+    //    bucket, so only plausible candidates pay the dedup shuffle
+    val estimated = buckets
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(c(SigJaccard(e(col("a.sig")), e(col("b.sig")))) >= threshold - 0.2)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
 
     // 4. exact n-gram-Jaccard verification on surviving candidates only
     val ta = base.select(col("id").as("id_a"), col("text").as("text_a"))
