@@ -253,8 +253,11 @@ object Gis {
       .filter(if (startKey.nonEmpty) k >= startKey else lit(true))
       .filter(if (endKey.nonEmpty) k < endKey else lit(true))
     val w = Window.partitionBy(col("__bin")).orderBy(k.asc)
+    // bin on the key's UTF-8 BYTES (substring over binary is byte-indexed):
+    // the reference doc defines the bin-id as a byte offset/length into the
+    // rowkey, which only coincides with character indexing for ASCII keys
     val firstN = ranged
-      .withColumn("__bin", substring(k, offset + 1, length))
+      .withColumn("__bin", substring(encode(k, "UTF-8"), offset + 1, length))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__bin", "__rn")

@@ -137,4 +137,21 @@ class PlanSpec extends AnyFunSuite {
     val p2 = graft.geo.Geom.parseWktPolygon(graft.geo.Geom.toWkt(p))
     assert(p.ring == p2.ring)
   }
+
+  test("double_sortable_bits totally orders mixed-sign doubles and round-trips") {
+    val vals = Seq(-1.0 / 0.0, -1e300, -2.5, -1e-300, -0.0, 0.0, 1e-300, 3.25, 1e300, 1.0 / 0.0)
+    val rows = spark.createDataFrame(vals.zipWithIndex.map { case (d, i) => (i, d) })
+      .toDF("i", "d")
+      .selectExpr("i", "d", "double_sortable_bits(d) as enc",
+        "sortable_bits_to_double(double_sortable_bits(d)) as back")
+      .orderBy(col("enc"))
+      .collect()
+    // encoded order == numeric order (vals is already ascending; -0.0 before 0.0)
+    assert(rows.map(_.getInt(0)).toSeq == vals.indices, rows.mkString(", "))
+    rows.foreach { r =>
+      val d = r.getDouble(1); val back = r.getDouble(3)
+      assert(java.lang.Double.doubleToRawLongBits(d) ==
+        java.lang.Double.doubleToRawLongBits(back), s"round-trip broke for $d -> $back")
+    }
+  }
 }
