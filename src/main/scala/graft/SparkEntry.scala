@@ -473,6 +473,29 @@ object SparkEntry {
       EventStreams.sessionizeBatch(Tables.table(s, d, "events"),
         gapMs = 60 * 60 * 1000L)
         .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("first_ts"), col("last_ts"))),
+
+    // skew-resistant twins: identical semantics (and oracle SQL) to
+    // q_join_asof / q_sessionize via (key, time-bucket) salting — see
+    // AsofJoin.asofJoinSalted / EventStreams.sessionizeBatchSalted
+    "q_join_asof_salted" -> ((s, d) => {
+      val e = Tables.table(s, d, "events")
+        .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_ms"))
+        .agg(max(col("event_id")).as("event_id"))
+      graft.api.AsofJoin.asofJoinSalted(errors, clicks,
+        keyCol = "user_id", leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+        rightPayload = Seq("event_id"), rightIdCol = "event_id")
+        .select(col("event_id"), col("asof_event_id"))
+    }),
+
+    "q_sessionize_salted" -> ((s, d) =>
+      EventStreams.sessionizeBatchSalted(Tables.table(s, d, "events"),
+        gapMs = 60 * 60 * 1000L)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
           col("first_ts"), col("last_ts")))
   )
 
@@ -531,7 +554,13 @@ object SparkEntry {
       "WHERE bit_count(xor(a.s, b.s)) <= 3"
   }
 
-  def oracleSql: Map[String, String] = Map(
+  // the salted twins must equal their unsalted counterparts exactly,
+  // so they share the oracle SQL
+  def oracleSql: Map[String, String] = oracleSqlCore ++ Map(
+    "q_join_asof_salted" -> oracleSqlCore("q_join_asof"),
+    "q_sessionize_salted" -> oracleSqlCore("q_sessionize"))
+
+  private def oracleSqlCore: Map[String, String] = Map(
     "q_dedup_minhash" -> s"WITH $JaccardPairsCtes SELECT id_a, id_b FROM jpairs",
 
     "q_dedup_simhash" -> SimhashPairsSql,

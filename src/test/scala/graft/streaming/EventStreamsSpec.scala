@@ -98,6 +98,68 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted sessionize == unsalted on real + skewed corpora, any bucket count") {
+    // skewed: user 0 owns half the rows; ts dense enough that sessions span
+    // bucket boundaries at every tested bucket count
+    val skewed = spark.range(20000).select(
+      col("id").as("event_id"),
+      when(col("id") < 10000, 0L)
+        .otherwise(pmod(hash(col("id")), lit(50)).cast("long")).as("user_id"),
+      timestamp_micros(lit(1700000000000000L) +
+        pmod(hash(col("id"), lit(7)), lit(7200000L)) * 1000L).as("ts"))
+    for (corpus <- Seq(events, skewed); gap <- Seq(60000L, 3600000L); b <- Seq(1, 3, 32)) {
+      val plain = EventStreams.sessionizeBatch(corpus, gap)
+        .collect().map(_.toSeq).toSet
+      val salted = EventStreams.sessionizeBatchSalted(corpus, gap, buckets = b)
+        .collect().map(_.toSeq).toSet
+      assert(salted == plain, s"buckets=$b gap=$gap mismatch")
+    }
+  }
+
+  test("salted asof join == unsalted on real + skewed corpora, any bucket count") {
+    def prep(ev: org.apache.spark.sql.DataFrame) = {
+      val e = ev.withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+      val errors = e.filter($"event_type" === "error")
+        .select($"user_id", $"event_id", $"ts_ms")
+      val clicks = e.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts_ms").agg(max($"event_id").as("event_id"))
+      (errors, clicks)
+    }
+    val skewed = spark.range(20000).select(
+      col("id").as("event_id"),
+      when(col("id") < 10000, 0L)
+        .otherwise(pmod(hash(col("id")), lit(50)).cast("long")).as("user_id"),
+      timestamp_micros(lit(1700000000000000L) +
+        pmod(hash(col("id"), lit(7)), lit(7200000L)) * 1000L).as("ts"),
+      when(pmod(col("id"), lit(5)) === 0, "error").otherwise("click").as("event_type"))
+    for (corpus <- Seq(events, skewed); b <- Seq(1, 3, 32); inner <- Seq(true, false)) {
+      val (errors, clicks) = prep(corpus)
+      val plain = graft.api.AsofJoin.asofJoin(errors, clicks,
+        keyCol = "user_id", leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+        rightPayload = Seq("event_id"), rightIdCol = "event_id", inner = inner)
+        .collect().map(_.toSeq).toSet
+      val salted = graft.api.AsofJoin.asofJoinSalted(errors, clicks,
+        keyCol = "user_id", leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+        rightPayload = Seq("event_id"), rightIdCol = "event_id", inner = inner,
+        buckets = b)
+        .collect().map(_.toSeq).toSet
+      assert(salted == plain, s"buckets=$b inner=$inner mismatch")
+    }
+    // caller-supplied subrange: out-of-range ts clamp into edge buckets
+    val (errors, clicks) = prep(events)
+    val plain = graft.api.AsofJoin.asofJoin(errors, clicks,
+      keyCol = "user_id", leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+      rightPayload = Seq("event_id"), rightIdCol = "event_id")
+      .collect().map(_.toSeq).toSet
+    val mid = errors.agg(expr("percentile_approx(ts_ms, 0.5)")).head.getLong(0)
+    val salted = graft.api.AsofJoin.asofJoinSalted(errors, clicks,
+      keyCol = "user_id", leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+      rightPayload = Seq("event_id"), rightIdCol = "event_id",
+      buckets = 8, tsRange = Some((mid - 1000, mid + 1000)))
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain, "tsRange-clamped mismatch")
+  }
+
   test("stateful sessionization emits closed sessions") {
     val ds = events
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
