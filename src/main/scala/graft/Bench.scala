@@ -17,14 +17,21 @@ import org.apache.spark.sql.SparkSession
  * is measured in the recorded bench, not claimed from side notes.
  */
 object Bench {
+  // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for focused re-benching of a
+  // hot query before a commit (the full JSON stays the driver contract)
+  private val only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+
   private def timeAll(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
 
   private def toJsonMap(results: Seq[(String, Double)]): String =
     results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
