@@ -123,6 +123,43 @@ object Gis {
       struct(props.map(col): _*).as("properties"))).as("feature"))
   }
 
+  /**
+   * Full FeatureCollection document (reference figures/index.htm +
+   * figures/js/figures.js:64-77 render `data/wifi_4326.geojson`, a
+   * FeatureCollection — not bare Features): single-row DataFrame holding the
+   * complete JSON document. The features are built distributed
+   * ([[toGeoJson]]); only the final concatenation funnels to one task, which
+   * is inherent to emitting ONE document and sized for render output (query
+   * matches), not raw corpora — `maxFeatures` fails fast if misused on one.
+   */
+  def featureCollection(df: DataFrame, lonCol: String = "lon",
+                        latCol: String = "lat",
+                        propCols: Seq[String] = Seq("id", "name"),
+                        maxFeatures: Int = 1000000): DataFrame = {
+    val limited = toGeoJson(df, lonCol, latCol, propCols).limit(maxFeatures + 1)
+    limited.agg(count(lit(1)).as("__n"),
+        concat_ws(",", collect_list(col("feature"))).as("__fs"))
+      .select(
+        when(col("__n") > maxFeatures,
+          raise_error(lit(s"featureCollection: result exceeds maxFeatures=$maxFeatures; " +
+            "this sink is for render-sized query output")))
+          .otherwise(concat(lit("""{"type":"FeatureCollection","features":["""),
+            col("__fs"), lit("]}")))
+          .as("feature_collection"))
+  }
+
+  /** Write the [[featureCollection]] document of `df` as one `.geojson` file
+    * (drop-in for the reference's figures data). */
+  def writeGeoJson(df: DataFrame, path: String, lonCol: String = "lon",
+                   latCol: String = "lat",
+                   propCols: Seq[String] = Seq("id", "name")): Unit = {
+    val doc = featureCollection(df, lonCol, latCol, propCols)
+      .head().getString(0)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      doc.getBytes("UTF-8"))
+    ()
+  }
+
   /** OR-of-startsWith prefix predicate (reference F1: PrefixFilter scans). */
   def prefixPredicate(geohashCol: Column, prefixes: Seq[String]): Column =
     prefixes.map(p => geohashCol.startsWith(p)).reduce(_ || _)

@@ -131,6 +131,23 @@ class PlanSpec extends AnyFunSuite {
     assert(f.contains(""""type":"Feature"""") && f.contains(""""coordinates""""), f)
   }
 
+  test("geojson FeatureCollection file round-trips through a JSON reader") {
+    val wifi = Gis.ingestTsv(spark, "/root/reference/src/test/resources/wifi_4326.txt")
+    val matches = Gis.within(wifi,
+      "POLYGON ((-73.980844 40.758703, -73.987214 40.761369, -73.990839 40.7564, -73.984422 40.753642, -73.980844 40.758703))")
+    val path = java.nio.file.Files.createTempDirectory("geojson").resolve("out.geojson").toString
+    Gis.writeGeoJson(matches, path)
+    val doc = spark.read.option("multiLine", "true").json(path)
+    val row = doc.selectExpr("type", "size(features) as n",
+      "features[0].type as ft", "features[0].geometry.type as gt",
+      "size(features[0].geometry.coordinates) as dims").head()
+    assert(row.getString(0) == "FeatureCollection", row)
+    assert(row.getInt(1) == 26, row)   // Midtown golden
+    assert(row.getString(2) == "Feature" && row.getString(3) == "Point" && row.getInt(4) == 2, row)
+    // maxFeatures guard fails fast instead of funneling a corpus to one task
+    intercept[Exception] { Gis.featureCollection(wifi, maxFeatures = 10).head() }
+  }
+
   test("WKT round-trip (F6 serialization parity)") {
     val wkt = "POLYGON ((-73.980844 40.758703, -73.987214 40.761369, -73.990839 40.7564, -73.984422 40.753642, -73.980844 40.758703))"
     val p = graft.geo.Geom.parseWktPolygon(wkt)
