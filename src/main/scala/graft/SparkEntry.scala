@@ -582,6 +582,25 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, l_returnflag, CAST(l_quantity AS BIGINT) AS qty " +
         "FROM lineitem WHERE l_quantity < 25"),
 
+    // Independent geohash re-derivation: closed-form cell index
+    // floor((coord - lo) / range * 2^30) == the encoder's 30-step bisection
+    // (boundaries are dyadic; the nearest tenth-degree input sits ≥4.5e-3
+    // index units from any boundary vs ~1e-7 FP error, margin ~5e4), then
+    // lon/lat bit interleave + base32, all in DuckDB list lambdas.
+    "q_geohash_keys" ->
+      (s"WITH idx AS (SELECT l_orderkey, l_linenumber, " +
+        "least(CAST(floor((CAST(lon AS DOUBLE) + 180.0) * 1073741824.0 / 360.0) AS BIGINT), 1073741823) AS li, " +
+        "least(CAST(floor((CAST(lat AS DOUBLE) + 90.0) * 1073741824.0 / 180.0) AS BIGINT), 1073741823) AS la " +
+        s"FROM ($PointsSql)), " +
+        "inter AS (SELECT l_orderkey, l_linenumber, " +
+        "CAST(list_sum(list_transform(range(30), j -> " +
+        "(((li >> (29 - j)) & 1) << (59 - 2*j)) + (((la >> (29 - j)) & 1) << (58 - 2*j)))) AS BIGINT) AS bits " +
+        "FROM idx) " +
+        "SELECT l_orderkey, l_linenumber, " +
+        "array_to_string(list_transform(range(12), c -> " +
+        "substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((bits >> (55 - 5*c)) & 31) AS INT) + 1, 1)), '') AS geohash " +
+        "FROM inter"),
+
     "q_dedup_ingest" -> "SELECT DISTINCT p_brand, p_type FROM part",
 
     "q_prefix_filter" ->
