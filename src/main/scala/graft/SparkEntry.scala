@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.Gis
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.sql.{functions => G}
 import graft.streaming.EventStreams
@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
  *   coordinate grid, so no point sits exactly on a boundary
  */
 object SparkEntry {
+
+  /** Fixed pivot-column domain of orders.o_orderpriority (TPC-H enum). */
+  private val OrderPriorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Contamination probe phrases: in-vocabulary 3-grams plus one guaranteed
+    * miss (inner joins drop it identically on both sides). */
+  private val ContaminationProbes = Seq(
+    "fast merge batch", "window spark order", "value table part",
+    "quantum flux never")
 
   /** Synthetic point cloud derived from lineitem (deterministic, mirrors the
     * oracle SQL exactly): lon ∈ [-180, 20), lat ∈ [-85, 85) on a 0.1° grid. */
@@ -346,7 +356,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"))
     }),
 
+    "q_pivot" -> ((s, d) =>
+      Tables.table(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", OrderPriorities)
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus") +:
+          OrderPriorities.map(p => coalesce(col(s"`$p`"), lit(0L)).as(p)): _*)),
+
+    // exact grouped percentiles (interpolated); quantities are small
+    // integers and the 0.25-step ranks are dyadic, so the interpolation is
+    // FP-exact and engine-independent
+    "q_percentile" -> ((s, d) =>
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"))),
+
     // ---- training-pipeline: dedup / similarity / text / multimodal ----
+
+    "q_sample_group" -> ((s, d) =>
+      Sampling.perGroupDeterministic(Tables.table(s, d, "orders"),
+          Seq("o_orderpriority"), "o_orderkey", 200)
+        .select(col("o_orderkey"), col("o_orderpriority"))),
+
+    "q_sample_frac" -> ((s, d) =>
+      Sampling.deterministicFraction(Tables.table(s, d, "orders"),
+          "o_orderkey", 0.1)
+        .select(col("o_orderkey"))),
+
+    "q_vocab_df" -> ((s, d) =>
+      TextAnalysis.vocabStats(Tables.table(s, d, "documents"))),
+
+    "q_contamination" -> ((s, d) =>
+      TextAnalysis.contaminationProbes(Tables.table(s, d, "documents"),
+        ContaminationProbes)),
 
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents"), "doc_id", Seq("text"))),
@@ -737,6 +782,41 @@ object SparkEntry {
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY ROLLUP (r_name, n_name)"),
+
+    "q_pivot" ->
+      ("SELECT o_orderstatus, " +
+        OrderPriorities.map(p =>
+          s"""CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")
+          .mkString(", ") +
+        " FROM orders GROUP BY o_orderstatus"),
+
+    "q_percentile" ->
+      ("SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25, " +
+        "quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75 " +
+        "FROM lineitem GROUP BY l_returnflag"),
+
+    "q_sample_group" ->
+      ("SELECT o_orderkey, o_orderpriority FROM (" +
+        "SELECT o_orderkey, o_orderpriority, row_number() OVER (" +
+        "PARTITION BY o_orderpriority " +
+        "ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn FROM orders) " +
+        "WHERE rn <= 200"),
+
+    "q_sample_frac" ->
+      (s"SELECT o_orderkey FROM orders " +
+        s"WHERE md5(CAST(o_orderkey AS VARCHAR)) < '${Sampling.fractionThresholdHex(0.1)}'"),
+
+    "q_vocab_df" ->
+      ("SELECT term, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences " +
+        "FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term " +
+        "FROM documents) WHERE length(term) >= 3 " +
+        "GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 100"),
+
+    "q_contamination" ->
+      ("SELECT probe, count(*) AS n_docs, min(doc_id) AS first_doc " +
+        "FROM documents, (VALUES " +
+        ContaminationProbes.map(p => s"('$p')").mkString(", ") +
+        ") AS p(probe) WHERE contains(text, probe) GROUP BY probe"),
 
     "q_dedup_exact" ->
       ("SELECT md5(text) AS dup_hash, count(*) AS n_dups, min(doc_id) AS keep_id " +

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for corpus curation.
+ *
+ * Seeded `df.sample` is partition-dependent: a repartition, a different
+ * file split, or a different executor count changes WHICH rows are kept
+ * (the seed is mixed with the partition index). A training-data pipeline
+ * needs the opposite — a sample that is a pure function of row identity, so
+ * reruns, backfills, and audits at any parallelism (or on another engine)
+ * select the same rows. Both operators here key the randomness on
+ * md5(id): uniform, stable, and reproducible anywhere md5 exists.
+ *
+ * Scale: `deterministicFraction` is a scan-local filter (no shuffle, fully
+ * codegen'd, pushes nothing to the driver). `perGroupDeterministic` is one
+ * shuffle on the group key + a per-group top-k; for severely hot groups the
+ * bounded-heap aggregate used by TopX ([[graft.sql]] topn_by_ord) is the
+ * drop-in upgrade, but the sampling use case caps k at thousands, where the
+ * window variant's sort-within-group is already the cheaper plan.
+ */
+object Sampling {
+  /** Hex threshold such that P[md5hex < threshold] == p for a uniform
+    * 128-bit hash: floor(p * 2^128) as 32 lowercase hex chars. The same
+    * literal works verbatim in any engine that can compare hex strings. */
+  def fractionThresholdHex(p: Double): String = {
+    require(p >= 0.0 && p <= 1.0, s"fraction out of range: $p")
+    // java BigDecimal: exact arithmetic by default (scala's wrapper applies
+    // a 34-digit MathContext that would round 2^128)
+    val t = BigInt(new java.math.BigDecimal(p)
+      .multiply(new java.math.BigDecimal((BigInt(1) << 128).bigInteger))
+      .toBigInteger)
+    val capped = t.min((BigInt(1) << 128) - 1)
+    f"%%32s".format(capped.toString(16)).replace(' ', '0')
+  }
+
+  /** Keep ~fraction `p` of rows, chosen by id-hash threshold — identical
+    * selection at any parallelism. */
+  def deterministicFraction(df: DataFrame, idCol: String, p: Double): DataFrame =
+    df.filter(md5(col(idCol).cast("string")) < lit(fractionThresholdHex(p)))
+
+  /** Exactly min(k, |group|) rows per group, chosen by id-hash order — a
+    * deterministic per-stratum reservoir (stratified sampling with a hard
+    * per-stratum cap). */
+  def perGroupDeterministic(df: DataFrame, groupCols: Seq[String],
+                            idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

@@ -37,6 +37,44 @@ object TextAnalysis {
     md5(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "))
 
   /**
+   * Corpus vocabulary statistics: per-term document frequency and total
+   * occurrence count, top `topK` by occurrences. The raw material for IDF
+   * weighting, stopword discovery, and tokenizer-vocab sanity checks.
+   * Plan: explode is scan-local; the term aggregate map-side combines; the
+   * top-k is a TakeOrderedAndProject (per-partition heaps, no full sort) —
+   * the whole thing is one shuffle at any corpus size.
+   */
+  def vocabStats(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", minTermLen: Int = 3,
+                 topK: Int = 100): DataFrame =
+    df.select(col(idCol).as("__doc"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .groupBy(col("term"))
+      .agg(countDistinct(col("__doc")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+      .limit(topK)
+
+  /**
+   * Benchmark-contamination scan: which probe strings (eval-set n-grams,
+   * canary phrases) appear in the corpus, in how many documents, and where
+   * first. The probe list is broadcast (it is tiny by construction); the
+   * corpus side is a single codegen'd `contains` scan — no shuffle of the
+   * 100 TB side, one tiny aggregate of the matches.
+   */
+  def contaminationProbes(docs: DataFrame, probes: Seq[String],
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = probes.toDF("probe")
+    docs.join(broadcast(p), contains(col(textCol), col("probe")))
+      .groupBy(col("probe"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_doc"))
+  }
+
+  /**
    * Heuristic quality features + score in one projection:
    * length, word stats, punctuation/symbol/upper ratios, stopword hit rate.
    * Score mirrors the C4/Gopher-style hand rules: penalize very short docs,

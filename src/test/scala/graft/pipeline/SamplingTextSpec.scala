@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingTextSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  lazy val orders = spark.read.parquet(s"$sf/orders.parquet").cache()
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+
+  test("deterministicFraction: partition-invariant selection, ~p of rows") {
+    val base = Sampling.deterministicFraction(orders, "o_orderkey", 0.2)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    for (parts <- Seq(1, 7, 64)) {
+      val again = Sampling.deterministicFraction(
+        orders.repartition(parts), "o_orderkey", 0.2)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      assert(again == base, s"selection changed at $parts partitions")
+    }
+    val n = orders.count().toDouble
+    assert(math.abs(base.size / n - 0.2) < 0.05, s"${base.size} of $n")
+    // monotone: a smaller fraction is a subset of a larger one
+    val small = Sampling.deterministicFraction(orders, "o_orderkey", 0.05)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(base))
+  }
+
+  test("fractionThresholdHex: endpoints and width") {
+    assert(Sampling.fractionThresholdHex(0.0) == "0" * 32)
+    assert(Sampling.fractionThresholdHex(1.0) == "f" * 32)
+    assert(Sampling.fractionThresholdHex(0.5).startsWith("80000"))
+    assert(Sampling.fractionThresholdHex(0.1).length == 32)
+  }
+
+  test("perGroupDeterministic: exact per-group cap, partition-invariant") {
+    val k = 7
+    val base = Sampling.perGroupDeterministic(
+      orders, Seq("o_orderpriority"), "o_orderkey", k)
+    val sizes = base.groupBy("o_orderpriority").count().collect()
+    val groupTotals = orders.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { r =>
+      assert(r.getLong(1) == math.min(k.toLong, groupTotals(r.getString(0))), r)
+    }
+    val baseSet = base.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val again = Sampling.perGroupDeterministic(
+      orders.repartition(13), Seq("o_orderpriority"), "o_orderkey", k)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(again == baseSet)
+  }
+
+  test("vocabStats: counts match a hand-built corpus; top-k order is total") {
+    val tiny = Seq(
+      (1L, "alpha beta beta Gamma-gamma"),
+      (2L, "beta delta ALPHA zz"),
+      (3L, "beta")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabStats(tiny, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // beta: 3 docs 4 occurrences; alpha: 2/2; gamma: 1/2; delta: 1/1
+    assert(got.toSeq == Seq(
+      ("beta", 3L, 4L), ("alpha", 2L, 2L), ("gamma", 1L, 2L), ("delta", 1L, 1L)))
+  }
+
+  test("vocabStats plans a TakeOrderedAndProject, not a global sort") {
+    val plan = TextAnalysis.vocabStats(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("contaminationProbes: finds planted probes, drops misses, broadcasts") {
+    val tiny = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "quick brown shoes"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationProbes(tiny,
+      Seq("quick brown", "fox", "unicorn dust"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("quick brown", 2L, 1L), ("fox", 1L, 1L)))
+    val plan = TextAnalysis.contaminationProbes(docs, Seq("fast merge batch"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+  }
+}
