@@ -193,17 +193,38 @@ object Dedup {
     // plan twice, and without this the (possibly expensive — e.g. a full
     // LSH pipeline) upstream would execute once per branch
     val directed = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).cache()
+    // size-adaptive parallelism: the edge list is orders of magnitude
+    // smaller than the corpus (it only holds near-dup PAIRS), so at bench
+    // scale the session's shuffle-partition count means ~1k-row tasks of
+    // pure scheduling overhead per round. Aim for ~250k edges/partition,
+    // floor 4; a 100 TB corpus with billions of pairs still gets thousands.
+    val nDirected = directed.count()
+    val parts = math.max(4, math.min(
+      pairs.sparkSession.sessionState.conf.numShufflePartitions,
+      (2 * nDirected / 250000 + 1).toInt))
     val edges = directed
-      // undirected: both directions
+      // undirected: both directions; hash-partitioned on src so every
+      // round's edges-labels join reuses this layout and shuffles only the
+      // (equally small) label table
       .union(directed.select(col("id_b").cast("long").as("id_a"), col("id_a").cast("long").as("id_b")))
-      .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).cache()
+      .toDF("src", "dst").repartition(parts, col("src")).cache()
     val callId = obsCounter.getAndIncrement()
+    // round 0 fused into label init: identity labels make the first
+    // propagation min(id, min neighbor), which is ONE aggregation over the
+    // edge list — no distinct, no join
+    val obs0 = new Observation(s"cc_${callId}_changed_init")
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("cluster"))
+      .observe(obs0, sum(when(col("cluster") < col("id"), 1L).otherwise(0L)).as("changed"))
+      .cache()
+    labels.count()
     var converged = false
-    var iter = 0
-    var lastChanged = -1L  // changed count of the previous round
+    var iter = 1
+    var lastChanged = Option(obs0.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevChanged = -1L  // the round before that
+    if (sys.env.contains("GRAFT_CC_LOG"))
+      System.err.println(s"[cc] round 0 (fused init) changed=$lastChanged parts=$parts")
     while (!converged && iter < maxIter) {
       // 1. min label among neighbors (one shuffle over edges), folded into
       //    each node's own label; labels only ever decrease
