@@ -356,6 +356,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"))
     }),
 
+    // explicit grouping-set lattice (rollup/cube generalization)
+    "q_grouping_sets" -> ((s, d) => {
+      val cust = Tables.table(s, d, "customer")
+      val nation = Tables.table(s, d, "nation")
+      cust.join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name"), col("c_mktsegment")), Seq(col("n_name")), Seq()),
+          col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"))
+    }),
+
     "q_pivot" -> ((s, d) =>
       Tables.table(s, d, "orders")
         .groupBy(col("o_orderstatus"))
@@ -782,6 +793,11 @@ object SparkEntry {
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY ROLLUP (r_name, n_name)"),
+
+    "q_grouping_sets" ->
+      ("SELECT n_name, c_mktsegment, count(*) AS n_cust FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())"),
 
     "q_pivot" ->
       ("SELECT o_orderstatus, " +
