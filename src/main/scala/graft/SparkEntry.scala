@@ -31,7 +31,7 @@ object SparkEntry {
 
   /** Contamination probe phrases: in-vocabulary 3-grams plus one guaranteed
     * miss (inner joins drop it identically on both sides). */
-  private val ContaminationProbes = Seq(
+  val ContaminationProbes = Seq(
     "fast merge batch", "window spark order", "value table part",
     "quantum flux never")
 
@@ -404,6 +404,11 @@ object SparkEntry {
       TextAnalysis.contaminationProbes(Tables.table(s, d, "documents"),
         ContaminationProbes)),
 
+    // TF-IDF keyword extraction; ratio-IDF keeps scores IEEE-exact across
+    // engines (see TextAnalysis.tfidfTopTerms scaladoc)
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.table(s, d, "documents"))),
+
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents"), "doc_id", Seq("text"))),
 
@@ -411,6 +416,13 @@ object SparkEntry {
     // (valid: deterministic seeded LSH with recall 1.0 at gate sf)
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.table(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8).select(col("id_a"), col("id_b"))),
+
+    // EXACT n-gram Jaccard pairs via prefix filtering (AllPairs/PPJoin) —
+    // deterministic by construction, so the brute-force Jaccard oracle is
+    // exact here (not a recall argument like the minhash row)
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.table(s, d, "documents"), "doc_id", "text",
         threshold = 0.8).select(col("id_a"), col("id_b"))),
 
     // SimHash near-dup pairs; bit-exact simhash64 reproduction in DuckDB
@@ -618,6 +630,9 @@ object SparkEntry {
 
   private def oracleSqlCore: Map[String, String] = Map(
     "q_dedup_minhash" -> s"WITH $JaccardPairsCtes SELECT id_a, id_b FROM jpairs",
+
+    // exact prefix-filtered Jaccard join: same pair set, exact by design
+    "q_dedup_ngram" -> s"WITH $JaccardPairsCtes SELECT id_a, id_b FROM jpairs",
 
     "q_dedup_simhash" -> SimhashPairsSql,
 
@@ -833,6 +848,21 @@ object SparkEntry {
         "FROM documents, (VALUES " +
         ContaminationProbes.map(p => s"('$p')").mkString(", ") +
         ") AS p(probe) WHERE contains(text, probe) GROUP BY probe"),
+
+    // identical IEEE tree to tfidfTopTerms: (tf_d * n_d) / df_d, ranked
+    // (score DESC, term ASC) — deterministic because x/÷ are exact-specified
+    "q_tfidf" ->
+      ("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE length(term) >= 3 GROUP BY 1, 2), " +
+        "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "scored AS (SELECT doc_id, term, tf, df, " +
+        "(CAST(tf AS DOUBLE) * CAST((SELECT count(*) FROM documents) AS DOUBLE)) / CAST(df AS DOUBLE) AS score " +
+        "FROM tf JOIN dfreq USING (term)) " +
+        "SELECT doc_id, rank, term, tf, df FROM " +
+        "(SELECT doc_id, term, tf, df, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored) " +
+        "WHERE rank <= 5"),
 
     "q_dedup_exact" ->
       ("SELECT md5(text) AS dup_hash, count(*) AS n_dups, min(doc_id) AS keep_id " +

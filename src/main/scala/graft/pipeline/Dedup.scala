@@ -130,6 +130,81 @@ object Dedup {
   }
 
   /**
+   * EXACT n-gram Jaccard near-duplicate pairs via prefix filtering (the
+   * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08).
+   * Unlike [[minhashLshPairs]] this has no probabilistic recall: every pair
+   * at Jaccard ≥ `threshold` is emitted — yet it is still never all-pairs.
+   *
+   * Prefix-filtering lemma: under ANY global total order on grams, two sets
+   * with Jaccard ≥ t must share overlap ≥ ceil(t·|g|) for each side, so
+   * they must collide within their first |g| − ceil(t·|g|) + 1 grams. Only
+   * those prefix grams — ~(1−t)·|g| of them — enter the candidate join.
+   * Ordering grams by ascending corpus document frequency (rarest first)
+   * makes prefix buckets small by construction: the boilerplate/stopword
+   * shingle mass that would explode a naive inverted-index self-join sits
+   * outside every prefix, because a doc's prefix holds its RAREST grams.
+   *
+   * Plan shape (shuffles over the gram stream only, never pair space):
+   *   1. one text scan → per-doc distinct gram hashes (array column);
+   *   2. gram → document frequency (map-side-combined aggregate);
+   *   3. rarity rank per doc (window over doc id) → prefix grams;
+   *   4. bucket-local candidates on prefix grams with the standard length
+   *      filter (t·|a| ≤ |b| ≤ |a|/t) applied before pairs leave the
+   *      bucket; `maxBucket` caps degenerate buckets (counted via
+   *      `metrics`, see [[capBuckets]] — with rarity ordering a hot prefix
+   *      gram means pathological corpus skew, not a stopword);
+   *   5. exact verification on surviving candidates only.
+   *
+   * 100 TB posture: steps 2–3 shuffle ~|corpus|·|doc| gram rows — the
+   * inherent price of EXACT set-similarity (the df statistics are global).
+   * When approximate recall is acceptable, [[minhashLshPairs]] ships
+   * fixed-size signatures instead and is the cheaper default; this is the
+   * exact counterpart for audit passes and threshold calibration.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.8, shingle: Int = 5,
+                        maxBucket: Int = 10000,
+                        metrics: Option[Observation] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.ShingleHashes
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val exploded = base
+      .select(col("id"), c(ShingleHashes(e(col("text")), e(lit(shingle)))).as("grams"))
+      .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+    val dfreq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    // gram ties broken by hash value: any fixed total order keeps the lemma
+    val rarity = Window.partitionBy(col("id")).orderBy(col("gdf").asc, col("gram").asc)
+    val prefix = exploded.join(dfreq, "gram")
+      .withColumn("rk", row_number().over(rarity))
+      // the 1e-9 slack keeps FP noise in t·sz from rounding ceil UP past the
+      // mathematical value — that would shorten the prefix and break the
+      // exactness guarantee; slack can only lengthen it (always sound)
+      .filter(col("rk") <=
+        col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int") + lit(1))
+      .select(col("gram"), col("id"), col("sz"))
+    val grouped = prefix.groupBy(col("gram"))
+      .agg(collect_list(struct(col("id"), col("sz"))).as("items"))
+    val buckets = capBuckets(grouped, size(col("items")), maxBucket, metrics)
+    val candidates = buckets
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      // length filter, same FP slack: a borderline pair (t·|b| == |a|
+      // exactly, i.e. a ⊆ b at J == t) must not die to product rounding
+      .filter(col("b.sz") * lit(threshold) <= col("a.sz") + lit(1e-6) &&
+        col("a.sz") * lit(threshold) <= col("b.sz") + lit(1e-6))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val ta = base.select(col("id").as("id_a"), col("text").as("text_a"))
+    val tb = base.select(col("id").as("id_b"), col("text").as("text_b"))
+    candidates.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("jaccard", ngramJaccard(col("text_a"), col("text_b"), shingle))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
    * SimHash near-duplicate pairs at Hamming distance ≤ 3: pigeonhole over
    * 4 16-bit chunks (≤3 differing bits ⇒ at least one chunk identical), so
    * candidates come from 4 equi-join passes, then exact popcount verify.

@@ -57,6 +57,43 @@ object TextAnalysis {
       .limit(topK)
 
   /**
+   * Per-document top-`topK` distinctive terms by TF-IDF — the classic
+   * keyword-extraction / doc-vector primitive over a curation corpus.
+   *
+   * The IDF factor is the RATIO N/df rather than log(N/df): log is a
+   * transcendental whose last ulp varies across libm implementations,
+   * while IEEE ×/÷ are exactly specified, so scores — and hence ranks and
+   * tie-breaks — are bit-reproducible across engines (the determinism
+   * contract every query here obeys). At fixed tf the ranking is identical
+   * (log is monotone); only cross-term score magnitudes differ.
+   *
+   * Plan: tokenize (scan-local explode) → (doc, term) tf aggregate
+   * (map-side combined) → term df aggregate over the ALREADY per-doc-
+   * distinct tf table (much smaller than the token stream) → shuffle join
+   * tf⋈df on term → per-doc top-k window. `n` (corpus size) is computed
+   * once driver-side — a metadata-cheap count — and folded in as a literal.
+   */
+  def tfidfTopTerms(df: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", minTermLen: Int = 3,
+                    topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score",
+        col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
+  /**
    * Benchmark-contamination scan: which probe strings (eval-set n-grams,
    * canary phrases) appear in the corpus, in how many documents, and where
    * first. The probe list is broadcast (it is tiny by construction); the

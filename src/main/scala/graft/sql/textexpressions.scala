@@ -193,6 +193,26 @@ case class ExplodeShingles(text: Expression, n: Expression)
   override def prettyName: String = "explode_shingles"
 }
 
+/** shingle_hashes(text, n) → array<long>: the distinct hashed character
+  * n-grams of the text as one array value — the per-document gram SET for
+  * set-similarity pipelines that need it row-shaped (e.g. prefix-filtered
+  * exact Jaccard joins), complementing the row-exploding [[ExplodeShingles]]. */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    new GenericArrayData(TextCore.shingleHashes(text.toString, n.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.text.TextCore.shingleHashes($t.toString(), $n))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleHashes =
+    copy(l, r)
+}
+
 object VecOps {
   /** Cosine similarity between a float-array column value and a query vector. */
   def cosine(a: ArrayData, q: Array[Float]): Double = {

@@ -71,6 +71,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall $recall on ${brute.size} natural pairs")
   }
 
+  test("ngram Jaccard prefix-filter pairs == brute force EXACTLY (planted)") {
+    val pairs = Dedup.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val all = planted.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ia, ta) <- all; (ib, tb) <- all
+      if ia < ib && TextCore.ngramJaccard(ta, tb, 5) >= 0.7
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "fixture produced no near-dup pairs")
+    // exact operator: set EQUALITY, not recall
+    assert(pairs.map(p => (p._1, p._2)).toSet == brute)
+    pairs.foreach { case (a, b, j) =>
+      val ta = all.find(_._1 == a).get._2; val tb = all.find(_._1 == b).get._2
+      assert(j == TextCore.ngramJaccard(ta, tb, 5))
+    }
+  }
+
+  test("ngram Jaccard pairs exact on the natural corpus at multiple thresholds") {
+    val all = docs.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (ia, ta) <- all; (ib, tb) <- all
+        if ia < ib && TextCore.ngramJaccard(ta, tb, 5) >= t
+      } yield (ia, ib)).toSet
+      assert(got == brute, s"threshold $t: got ${got.size} vs brute ${brute.size}")
+    }
+  }
+
+  test("tfidf top terms == brute-force ratio-idf ranking") {
+    val got = TextAnalysis.tfidfTopTerms(docs).collect()
+    val all = docs.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = all.length.toDouble
+    val tf: Map[(Long, String), Long] = all.flatMap { case (id, t) =>
+      t.toLowerCase.split("[^a-z]+").filter(_.length >= 3)
+        .groupBy(identity).map { case (w, a) => ((id, w), a.length.toLong) }
+    }.toMap
+    val dfm = tf.keys.groupBy(_._2).map { case (w, ks) => (w, ks.size.toLong) }
+    val expect = tf.groupBy(_._1._1).flatMap { case (id, m) =>
+      m.toSeq.map { case ((_, w), c) => (w, c, dfm(w), c.toDouble * n / dfm(w)) }
+        .sortBy { case (w, _, _, s) => (-s, w) }.take(5).zipWithIndex
+        .map { case ((w, c, df, _), i) => ((id, i + 1L), (w, c, df)) }
+    }
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (w, c, df) = expect((r.getLong(0), r.getLong(1)))
+      assert(r.getString(2) == w && r.getLong(3) == c && r.getLong(4) == df)
+    }
+  }
+
   test("simhash pairs: planted near-dups within hamming 3 are found") {
     val pairs = Dedup.simhashPairs(planted, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))

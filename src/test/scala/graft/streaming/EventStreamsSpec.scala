@@ -160,6 +160,59 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(salted == plain, "tsRange-clamped mismatch")
   }
 
+  private def stageDocsDir(): String = {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    streamDir.toString
+  }
+
+  test("streaming deterministic sample == batch selection (stateless filter)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = DocStreams.readDocStream(spark, stageDocsDir())
+    val q = DocStreams.sampledStream(stream, 0.1).select("doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("samp_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("samp_out").collect().map(_.getLong(0)).toSet
+      val batch = graft.pipeline.Sampling.deterministicFraction(docs, "doc_id", 0.1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming contamination scan == batch twin (update-mode aggregate)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val probes = graft.SparkEntry.ContaminationProbes
+    val stream = DocStreams.readDocStream(spark, stageDocsDir())
+    val q = DocStreams.contaminationStream(stream, probes)
+      .writeStream.outputMode("complete").format("memory").queryName("cont_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cont_out").collect().map(_.toSeq).toSet
+      val batch = graft.pipeline.TextAnalysis.contaminationProbes(docs, probes)
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming quality scores == batch twin (stateless projection)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = DocStreams.readDocStream(spark, stageDocsDir())
+    val q = DocStreams.qualityStream(stream)
+      .select(col("doc_id"), round(col("quality_score") * 1000).cast("long").as("qm"))
+      .writeStream.outputMode("append").format("memory").queryName("qual_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("qual_out").collect().map(_.toSeq).toSet
+      val batch = graft.pipeline.TextAnalysis.withQualityScore(docs, "text")
+        .select(col("doc_id"), round(col("quality_score") * 1000).cast("long").as("qm"))
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions") {
     val ds = events
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
