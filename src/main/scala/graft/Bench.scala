@@ -78,7 +78,60 @@ object Bench {
         ""
       }.get
 
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$scalePart}"""
+    // partitioned-storage pass: the 100 TB scan-avoidance lever, measured in
+    // the recorded bench rather than claimed from plan asserts — the same
+    // within() polygon query over (a) gh_prefix directory-partitioned and
+    // (b) naive unsorted parquet of the same synthetic point table. The gap
+    // is what geohash partition pruning + sorted row-group stats buy.
+    val storagePart =
+      if (sys.env.getOrElse("SPARK_GRAFT_STORAGE", "true") == "false") ""
+      else scala.util.Try {
+        val n = sys.env.getOrElse("SPARK_GRAFT_STORAGE_N", "2000000").toLong
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val pts = graft.api.Gis.bulkIngest(spark, n, -76.0, -75.0, 44.0, 45.0)
+        val partPath = "/tmp/graft_store_part"
+        val flatPath = "/tmp/graft_store_flat"
+        // prefixLen 4 ≈ 0.35°×0.18° cells: the 1°×1° synthetic bbox splits
+        // into ~20 directories, so the polygon's prefix set prunes most of
+        // them (len 3 would give this bbox only ~4 dirs — nothing to skip)
+        val (_, wPart) = timed(
+          graft.api.Gis.writePointsPartitioned(pts, partPath, prefixLen = 4))
+        val (_, wFlat) = timed(pts.write.mode("overwrite").parquet(flatPath))
+        val poly = "POLYGON ((-75.52 44.42, -75.44 44.42, -75.44 44.36, " +
+          "-75.52 44.36, -75.52 44.42))"
+        // run count() through an aggregate whose QueryExecution we keep, so
+        // the scan node's files/bytes metrics (the actual scan-avoidance
+        // won by partition pruning) land in the bench JSON, not just seconds
+        def runWithin(path: String): (Long, Double, Long, Long) = {
+          val agg = graft.api.Gis.within(spark.read.parquet(path), poly).groupBy().count()
+          val (m, sec) = timed(agg.head().getLong(0))
+          val finalPlan = agg.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+          // planning-time listing with the partition filters applied — the
+          // deterministic "files/bytes the pruned scan actually touches"
+          val (files, bytes) = finalPlan.collectLeaves().collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              val sel = f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+              (sel.map(_.files.size).sum.toLong,
+                sel.flatMap(_.files).map(_.getLen).sum)
+          }.getOrElse((-1L, -1L))
+          (m, sec, files, bytes)
+        }
+        val (mPart, qPart, fPart, bPart) = runWithin(partPath)
+        val (mFlat, qFlat, fFlat, bFlat) = runWithin(flatPath)
+        require(mPart == mFlat, s"layout changed results: $mPart vs $mFlat")
+        f""","storage":{"rows":$n,"write_part_sec":$wPart%.3f,"write_flat_sec":$wFlat%.3f,"within_part_sec":$qPart%.3f,"within_flat_sec":$qFlat%.3f,"files_part":$fPart,"files_flat":$fFlat,"bytes_part":$bPart,"bytes_flat":$bFlat,"matched":$mPart}"""
+      }.recover { case e =>
+        System.err.println(s"[bench] storage pass failed: ${e.getMessage}")
+        ""
+      }.get
+
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$scalePart$storagePart}"""
     println(line)
     // belt-and-braces for log-wrapped stdout: also drop the line in a file.
     // A failed side-file write must never fail an otherwise successful bench.

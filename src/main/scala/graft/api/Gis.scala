@@ -91,11 +91,21 @@ object Gis {
    * file is opened (true partition pruning, the 100 TB scan-avoidance
    * lever; the HBase analog is region pruning by rowkey range).
    * `prefixLen` trades directory count (32^len) against pruning granularity.
+   *
+   * Writer tasks range-partition on (gh_prefix, geohash) rather than
+   * hash-partitioning on the prefix alone: hash-by-prefix pins each
+   * directory to ONE writer task, so a hot geohash region (the skew case a
+   * 100 TB corpus always has) serializes into a single task and emits one
+   * giant file — range splits let a hot prefix span several writer tasks
+   * (and thus several files per directory, preserving read parallelism
+   * after pruning), while cold prefixes share a task. Sorting within tasks
+   * keeps row-group min/max stats tight for the `geohash` prefix filter.
    */
-  def writePointsPartitioned(df: DataFrame, path: String, prefixLen: Int = 3): Unit =
+  def writePointsPartitioned(df: DataFrame, path: String, prefixLen: Int = 3,
+                             numFiles: Int = 64): Unit =
     df.withColumn("gh_prefix", substring(col("geohash"), 1, prefixLen))
-      .repartition(col("gh_prefix"))
-      .sortWithinPartitions("geohash")
+      .repartitionByRange(numFiles, col("gh_prefix"), col("geohash"))
+      .sortWithinPartitions("gh_prefix", "geohash")
       .write.partitionBy("gh_prefix").mode("overwrite").parquet(path)
 
   /** Predicate on the `gh_prefix` partition column selecting every partition
