@@ -136,6 +136,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture has no simhash near-dups")
   }
 
+  test("approximate aggregates are within their error bounds of exact") {
+    val events = graft.sources.Tables.table(spark, sf, "events")
+    // HLL++ distinct count: rsd default 0.05 — allow 3 sigma
+    val exact = events.agg(countDistinct($"user_id")).head.getLong(0)
+    val approx = events.agg(approx_count_distinct($"user_id")).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+      s"approx=$approx exact=$exact")
+    // approx percentile lands within the accuracy-implied rank tolerance
+    val med = events.agg(expr("percentile_approx(value, 0.5, 100)")).head.getDouble(0)
+    val n = events.count()
+    val rank = events.filter($"value" <= med).count().toDouble / n
+    assert(rank >= 0.45 && rank <= 0.55, s"approx median at rank $rank")
+  }
+
   test("saltedCollectSet == plain collect_set (as sets)") {
     val events = graft.sources.Tables.table(spark, sf, "events")
     val got = Skew.saltedCollectSet(events, "event_type", "user_id", saltFrom = "event_id")
