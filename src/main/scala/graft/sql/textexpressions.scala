@@ -213,6 +213,27 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** sorted_jaccard(a, b) → double: exact Jaccard of two SORTED long-hash
+  * arrays (sort-merge intersection). Bit-identical to [[NgramJaccard]] on the
+  * texts the arrays were shingled from, without re-shingling per pair — the
+  * verify-stage primitive for candidate pipelines that carry gram sets. */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextCore.sortedJaccard(a.asInstanceOf[ArrayData].toLongArray(),
+      b.asInstanceOf[ArrayData].toLongArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.text.TextCore.sortedJaccard($a.toLongArray(), $b.toLongArray())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccard =
+    copy(l, r)
+}
+
 object VecOps {
   /** Cosine similarity between a float-array column value and a query vector. */
   def cosine(a: ArrayData, q: Array[Float]): Double = {

@@ -164,6 +164,21 @@ object TextCore {
     inter.toDouble / (sa.length + sb.length - inter)
   }
 
+  /** Jaccard from two SORTED distinct-hash arrays — the array-shaped twin of
+    * [[ngramJaccard]] (bit-identical IEEE result) for pipelines that already
+    * carry the gram sets and must not re-shingle the text per pair. */
+  def sortedJaccard(sa: Array[Long], sb: Array[Long]): Double = {
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (sa.length + sb.length - inter)
+  }
+
   /** Estimated Jaccard from two equal-length MinHash signatures. */
   def minhashJaccard(a: Array[Long], b: Array[Long]): Double = {
     var eq = 0
