@@ -359,6 +359,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle_hashes + sorted_jaccard SQL surface: pairwise == ngram_jaccard") {
+    docs.limit(20).createOrReplaceTempView("sj_docs")
+    val got = spark.sql(
+      """SELECT a.doc_id ia, b.doc_id ib,
+        |  sorted_jaccard(array_sort(shingle_hashes(a.text, 5)),
+        |                 array_sort(shingle_hashes(b.text, 5))) j,
+        |  ngram_jaccard(a.text, b.text, 5) j2
+        |FROM sj_docs a JOIN sj_docs b ON a.doc_id < b.doc_id""".stripMargin).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getDouble(2) == r.getDouble(3),
+      s"sorted_jaccard != ngram_jaccard for (${r.getLong(0)}, ${r.getLong(1)})"))
+  }
+
   // --- multimodal ---
 
   test("multimodal: stub decode plumbing (schema, batching, determinism)") {
