@@ -421,9 +421,11 @@ object SparkEntry {
     // EXACT n-gram Jaccard pairs via prefix filtering (AllPairs/PPJoin) —
     // deterministic by construction, so the brute-force Jaccard oracle is
     // exact here (not a recall argument like the minhash row)
-    "q_dedup_ngram" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.table(s, d, "documents"), "doc_id", "text",
-        threshold = 0.8).select(col("id_a"), col("id_b"))),
+    "q_dedup_ngram" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8,
+        corpusSizeHint = docs.count()).select(col("id_a"), col("id_b"))
+    }),
 
     // SimHash near-dup pairs; bit-exact simhash64 reproduction in DuckDB
     // as the oracle (pigeonhole LSH is complete for hamming <= 3)

@@ -70,6 +70,7 @@ object GraftExtensions {
     "explode_shingles" -> (es => ExplodeShingles(es(0), es(1))),
     "shingle_hashes" -> (es => ShingleHashes(es(0), es(1))),
     "sorted_jaccard" -> (es => SortedJaccard(es(0), es(1))),
+    "sorted_jaccard_at_least" -> (es => SortedJaccardAtLeast(es(0), es(1), es(2))),
     "vec_cosine" -> (es => VecCosine(es(0), es(1))),
     "vec_lsh_bucket" -> (es => VecLshBucket(es(0), es(1), es(2))),
     "vec_lsh_bands" -> (es => VecLshBands(es(0), es(1), es(2), es(3))),

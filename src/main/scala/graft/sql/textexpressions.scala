@@ -234,6 +234,60 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** ArrayData-direct text-set helpers: no `toLongArray()` — on a verify path
+  * evaluating hundreds of millions of candidate pairs, copying two ~KB
+  * arrays per pair is pure allocation churn; `getLong(i)` reads the
+  * UnsafeArrayData view in place. */
+object TextOps {
+  /** Threshold-aware early-abandon Jaccard over two sorted long arrays:
+    * exact value when ≥ t, -1.0 the moment the bound proves it can't be. */
+  def sortedJaccardAtLeast(a: ArrayData, b: ArrayData, t: Double): Double = {
+    val la = a.numElements(); val lb = b.numElements()
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return if (t <= 0.0) 0.0 else -1.0
+    val alpha = t / (1.0 + t) * (la + lb) - 1e-9
+    var i = 0; var j = 0; var inter = 0
+    var va = a.getLong(0); var vb = b.getLong(0)
+    while (true) {
+      if (inter + math.min(la - i, lb - j) < alpha) return -1.0
+      if (va == vb) {
+        inter += 1; i += 1; j += 1
+        if (i == la || j == lb) return inter.toDouble / (la + lb - inter)
+        va = a.getLong(i); vb = b.getLong(j)
+      } else if (va < vb) {
+        i += 1
+        if (i == la) return inter.toDouble / (la + lb - inter)
+        va = a.getLong(i)
+      } else {
+        j += 1
+        if (j == lb) return inter.toDouble / (la + lb - inter)
+        vb = b.getLong(j)
+      }
+    }
+    -1.0 // unreachable
+  }
+}
+
+/** sorted_jaccard_at_least(a, b, t) → double: exact Jaccard if ≥ t, else
+  * -1.0 via threshold-aware early abandon. The verify-stage workhorse when
+  * candidates vastly outnumber matches; reads ArrayData in place. */
+case class SortedJaccardAtLeast(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_jaccard_at_least"
+  override protected def nullSafeEval(a: Any, b: Any, t: Any): Any =
+    TextOps.sortedJaccardAtLeast(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], t.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, t) =>
+      s"org.apache.spark.sql.graft.TextOps.sortedJaccardAtLeast($a, $b, $t)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SortedJaccardAtLeast = copy(f, s, t)
+}
+
 object VecOps {
   /** Cosine similarity between a float-array column value and a query vector. */
   def cosine(a: ArrayData, q: Array[Float]): Double = {

@@ -179,6 +179,27 @@ object TextCore {
     inter.toDouble / (sa.length + sb.length - inter)
   }
 
+  /** [[sortedJaccard]] with threshold-aware early abandon: returns the EXACT
+    * Jaccard when it is ≥ `t`, or -1.0 as soon as the merge proves it cannot
+    * be (inter + min(remaining) < t/(1+t)·(|a|+|b|), the overlap bound).
+    * Never abandons a qualifying pair — the bound is an upper bound on the
+    * achievable intersection — so filter(result ≥ t) is exact; on dissimilar
+    * inputs it exits after a few dozen steps instead of |a|+|b|. */
+  def sortedJaccardAtLeast(sa: Array[Long], sb: Array[Long], t: Double): Double = {
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty || sb.isEmpty) return if (t <= 0.0) 0.0 else -1.0
+    val la = sa.length; val lb = sb.length
+    val alpha = t / (1.0 + t) * (la + lb) - 1e-9
+    var i = 0; var j = 0; var inter = 0
+    while (i < la && j < lb) {
+      if (inter + math.min(la - i, lb - j) < alpha) return -1.0
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (la + lb - inter)
+  }
+
   /** Estimated Jaccard from two equal-length MinHash signatures. */
   def minhashJaccard(a: Array[Long], b: Array[Long]): Double = {
     var eq = 0
