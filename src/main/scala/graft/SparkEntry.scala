@@ -409,6 +409,15 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(Tables.table(s, d, "documents"))),
 
+    // overlapping fixed-window chunking (stride < size)
+    "q_chunk" -> ((s, d) =>
+      TextAnalysis.chunk(Tables.table(s, d, "documents"), size = 256, stride = 192)),
+
+    // deterministic sequence packing by cumulative token budget per source
+    "q_pack" -> ((s, d) =>
+      TextAnalysis.packBudgeted(Tables.table(s, d, "documents"),
+        groupCols = Seq("source"), budgetTokens = 512L)),
+
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents"), "doc_id", Seq("text"))),
 
@@ -869,6 +878,25 @@ object SparkEntry {
     "q_dedup_exact" ->
       ("SELECT md5(text) AS dup_hash, count(*) AS n_dups, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY text"),
+
+    // stride multiples below the text length: DuckDB end-exclusive range ==
+    // Spark sequence(0, len-1, stride) for len >= 1
+    "q_chunk" ->
+      ("SELECT doc_id, CAST(off AS BIGINT) AS chunk_off, " +
+        "substr(text, CAST(off AS INT) + 1, 256) AS chunk, " +
+        "CAST(length(substr(text, CAST(off AS INT) + 1, 256)) AS BIGINT) AS chunk_len " +
+        "FROM (SELECT doc_id, text, unnest(range(0, CAST(length(text) AS BIGINT), 192)) AS off " +
+        "FROM documents)"),
+
+    // exclusive running token sum div budget — integer arithmetic end-to-end
+    "q_pack" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, " +
+        "COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) " +
+        "SELECT doc_id, source, n_tokens, CAST(cum // 512 AS BIGINT) AS pack_id FROM c"),
 
     "q_text_tokens" ->
       ("SELECT doc_id, " +

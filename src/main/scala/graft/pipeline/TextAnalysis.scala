@@ -94,6 +94,55 @@ object TextAnalysis {
   }
 
   /**
+   * Fixed-window character chunking with stride — the long-document
+   * splitter feeding a context-bounded trainer. One row per (doc, offset):
+   * offsets are the stride multiples below the text length, so
+   * stride == size tiles the document exactly and stride < size overlaps.
+   * Scan-local (sequence + explode): no shuffle at any corpus size.
+   */
+  def chunk(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+            size: Int = 512, stride: Int = 512): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), greatest(length(col("__t")) - 1, lit(0)),
+          lit(stride))).as("__off"),
+        col("__t"))
+      .select(col("doc_id"), col("__off").cast("long").as("chunk_off"),
+        expr(s"substring(__t, __off + 1, $size)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+      .drop("__t")
+  }
+
+  /**
+   * Deterministic sequence packing: documents ordered by id within each
+   * group are assigned to packs by cumulative token budget — a document
+   * belongs to the pack where its EXCLUSIVE running token sum starts
+   * (pack_id = cum div budget), so assignment is a pure function of the
+   * (group, id-order, token-count) data: reproducible across engines,
+   * partitionings, and runs — the auditable sibling of greedy bin packing
+   * (packs can overrun by at most one document's tail, the standard
+   * conveyor trade-off).
+   *
+   * The running sum windows over `groupCols` (e.g. source or language
+   * shard), which is what makes it scale: each group sorts independently
+   * under one shuffle, rather than a single global total order.
+   */
+  def packBudgeted(df: DataFrame, groupCols: Seq[String] = Seq("source"),
+                   idCol: String = "doc_id", textCol: String = "text",
+                   budgetTokens: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokenCountWs(col(textCol)).cast("long"))
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"__cum div ${budgetTokens}L"))
+      .select((Seq(col(idCol)) ++ groupCols.map(col) ++
+        Seq(col("n_tokens"), col("pack_id"))): _*)
+  }
+
+  /**
    * Benchmark-contamination scan: which probe strings (eval-set n-grams,
    * canary phrases) appear in the corpus, in how many documents, and where
    * first. The probe list is broadcast (it is tiny by construction); the

@@ -372,6 +372,49 @@ class PipelineSpec extends AnyFunSuite {
       s"sorted_jaccard != ngram_jaccard for (${r.getLong(0)}, ${r.getLong(1)})"))
   }
 
+  test("chunk: tiling stride reassembles originals; overlap windows agree") {
+    // stride == size: concatenating chunks in offset order rebuilds the text
+    val tiled = TextAnalysis.chunk(docs, size = 100, stride = 100).collect()
+      .groupBy(_.getLong(0))
+    docs.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id"); val text = r.getAs[String]("text")
+      val rebuilt = tiled(id).sortBy(_.getLong(1)).map(_.getString(2)).mkString
+      assert(rebuilt == text, s"doc $id reassembly failed")
+    }
+    // stride < size: every chunk is the substring at its offset
+    TextAnalysis.chunk(docs.limit(50), size = 64, stride = 48).collect().foreach { c =>
+      val text = docs.filter($"doc_id" === c.getLong(0)).head.getAs[String]("text")
+      val off = c.getLong(1).toInt
+      assert(c.getString(2) == text.substring(off, math.min(off + 64, text.length)))
+    }
+  }
+
+  test("packBudgeted: deterministic, contiguous, budget-consistent packs") {
+    val got = TextAnalysis.packBudgeted(docs, Seq("source"), budgetTokens = 512L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // brute force: per source, docs in id order, pack = exclusive-cumsum div 512
+    val bySource = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").trim.split("\\s+").length.toLong))
+      .groupBy(_._2)
+    val expect = bySource.toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).toSeq.map { case (id, _, n) =>
+        val p = cum / 512L; cum += n; ((id, src), (n, p))
+      }
+    }.toMap
+    assert(got.length == expect.size)
+    got.foreach { case (id, src, n, p) =>
+      val (en, ep) = expect((id, src))
+      assert(n == en && p == ep, s"doc $id: got ($n,$p) expect ($en,$ep)")
+    }
+    // identical at any input partitioning
+    val repart = TextAnalysis.packBudgeted(docs.repartition(7), Seq("source"),
+      budgetTokens = 512L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(repart == got.toSet)
+  }
+
   // --- multimodal ---
 
   test("multimodal: stub decode plumbing (schema, batching, determinism)") {
