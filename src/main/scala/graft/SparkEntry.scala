@@ -251,6 +251,20 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // full outer join: customers without matching big orders AND big orders
+    // whose customers fall outside the filtered customer segment both survive
+    "q_join_full" -> ((s, d) => {
+      val seg = Tables.table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      val big = Tables.table(s, d, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_big"))
+      seg.join(big, seg("c_custkey") === big("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_custkey"), col("n_big"))
+    }),
+
     // as-of join: each error event → the latest click by the same user at or
     // before it (union-merge implementation, one shuffle)
     "q_join_asof" -> ((s, d) => {
@@ -758,6 +772,14 @@ object SparkEntry {
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_totalprice > 300000.0)"),
+
+    "q_join_full" ->
+      ("SELECT c_custkey, c_name, o_custkey, n_big FROM " +
+        "(SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') seg " +
+        "FULL OUTER JOIN " +
+        "(SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big FROM orders " +
+        "WHERE o_totalprice > 400000.0 GROUP BY o_custkey) big " +
+        "ON seg.c_custkey = big.o_custkey"),
 
     "q_distance_join" ->
       (s"WITH a AS ($CustPointsSql), b AS ($SuppPointsSql) " +

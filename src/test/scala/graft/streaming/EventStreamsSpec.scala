@@ -213,6 +213,20 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunking == batch twin (stateless generator)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = DocStreams.readDocStream(spark, stageDocsDir())
+    val q = graft.pipeline.TextAnalysis.chunk(stream, size = 128, stride = 96)
+      .writeStream.outputMode("append").format("memory").queryName("chunk_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_out").collect().map(_.toSeq).toSet
+      val batch = graft.pipeline.TextAnalysis.chunk(docs, size = 128, stride = 96)
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions") {
     val ds = events
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
