@@ -335,6 +335,36 @@ object SparkEntry {
         .distinct()
     }),
 
+    // INTERSECT (distinct semantics): customers active in both price bands
+    "q_intersect" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders")
+      o.filter(col("o_totalprice") > 200000.0).select(col("o_custkey"))
+        .intersect(o.filter(col("o_totalprice") < 50000.0).select(col("o_custkey")))
+    }),
+
+    // EXCEPT (distinct semantics): ordering customers with no big order
+    "q_except" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders")
+      o.select(col("o_custkey"))
+        .except(o.filter(col("o_totalprice") > 300000.0).select(col("o_custkey")))
+    }),
+
+    // window-function family over one partition spec: offsets (lag/lead),
+    // ranks (rank/dense_rank), buckets (ntile) — money as integer cents
+    "q_window_funcs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.table(s, d, "customer")
+        .withColumn("bal_cents", round(col("c_acctbal") * 100).cast("long"))
+        .select(col("c_custkey"), col("c_nationkey"), col("bal_cents"),
+          lag(col("c_custkey"), 1).over(w).as("prev_cust"),
+          lead(col("c_custkey"), 1).over(w).as("next_cust"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
     "q_sort_limit" -> ((s, d) =>
       Tables.table(s, d, "part")
         .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
@@ -808,6 +838,24 @@ object SparkEntry {
     "q_sort_limit" ->
       ("SELECT p_partkey, p_name, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents " +
         "FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 50"),
+
+    "q_intersect" ->
+      ("SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0 " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice < 50000.0"),
+
+    "q_except" ->
+      ("SELECT o_custkey FROM orders " +
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0"),
+
+    "q_window_funcs" ->
+      ("SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, " +
+        "lag(c_custkey, 1) OVER w AS prev_cust, " +
+        "lead(c_custkey, 1) OVER w AS next_cust, " +
+        "CAST(rank() OVER w AS BIGINT) AS rnk, " +
+        "CAST(dense_rank() OVER w AS BIGINT) AS drnk, " +
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile " +
+        "FROM customer " +
+        "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)"),
 
     "q_window_running" ->
       ("SELECT o_custkey, o_orderkey, " +
