@@ -415,6 +415,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(repart == got.toSet)
   }
 
+  test("sortedJaccardAtLeast property: exact when qualifying, abandon only below t") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2000) {
+      val universe = Array.fill(40)(rnd.nextLong() % 50) // small domain → overlaps
+      val a = Array.fill(1 + rnd.nextInt(60))(universe(rnd.nextInt(40))).distinct.sorted
+      val b = Array.fill(1 + rnd.nextInt(60))(universe(rnd.nextInt(40))).distinct.sorted
+      val inter = a.toSet.intersect(b.toSet).size
+      val plain = inter.toDouble / (a.length + b.length - inter)
+      for (t <- Seq(0.1, 0.5, 0.8, 0.95)) {
+        val got = TextCore.sortedJaccardAtLeast(a, b, t)
+        val gotAd = org.apache.spark.sql.graft.TextOps.sortedJaccardAtLeast(
+          new GenericArrayData(a), new GenericArrayData(b), t)
+        assert(got == gotAd, s"array vs ArrayData impl disagree: $got vs $gotAd")
+        if (plain >= t) assert(got == plain, s"abandoned a qualifying pair at t=$t")
+        else assert(got == plain || got == -1.0)
+      }
+    }
+  }
+
   // --- multimodal ---
 
   test("multimodal: stub decode plumbing (schema, batching, determinism)") {
