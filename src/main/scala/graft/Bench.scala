@@ -131,7 +131,54 @@ object Bench {
         ""
       }.get
 
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$scalePart$storagePart}"""
+    // skew pass: a hot-key corpus (one user owns half of all rows — the
+    // worst case for Window.partitionBy) timed through the unsalted vs
+    // salted window operators, so the salted twins' payoff is a
+    // driver-recorded number, not a side-tool claim. Counts must agree —
+    // the salted paths are exact rewrites, benched only when equal.
+    val skewPart =
+      if (sys.env.getOrElse("SPARK_GRAFT_SKEW", "true") == "false") ""
+      else scala.util.Try {
+        import org.apache.spark.sql.functions._
+        val rows = sys.env.getOrElse("SPARK_GRAFT_SKEW_N", "8000000").toLong
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val ev = spark.range(rows).select(
+          col("id").as("event_id"),
+          when(col("id") < rows / 2, 0L)
+            .otherwise(pmod(hash(col("id")), lit(100000)).cast("long")).as("user_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            pmod(hash(col("id"), lit(7)), lit(86400000L)) * 1000L).as("ts"),
+          when(pmod(col("id"), lit(5)) === 0, "error").otherwise("click")
+            .as("event_type")).cache()
+        ev.count()
+        val (nS, sessPlain) = timed(
+          graft.streaming.EventStreams.sessionizeBatch(ev, 60000L).count())
+        val (nSs, sessSalted) = timed(
+          graft.streaming.EventStreams.sessionizeBatchSalted(ev, 60000L).count())
+        require(nS == nSs, s"salted sessionize diverged: $nS vs $nSs")
+        val e = ev.withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"), col("ts_ms"))
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts_ms"))
+          .agg(max(col("event_id")).as("event_id"))
+        val (nA, asofPlain) = timed(graft.api.AsofJoin.asofJoin(errors, clicks,
+          keyCol = "user_id", leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+          rightPayload = Seq("event_id"), rightIdCol = "event_id").count())
+        val (nAs, asofSalted) = timed(graft.api.AsofJoin.asofJoinSalted(errors, clicks,
+          keyCol = "user_id", leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+          rightPayload = Seq("event_id"), rightIdCol = "event_id").count())
+        require(nA == nAs, s"salted asof diverged: $nA vs $nAs")
+        ev.unpersist()
+        f""","skew":{"rows":$rows,"hot_share":0.5,"sessionize_sec":$sessPlain%.3f,"sessionize_salted_sec":$sessSalted%.3f,"asof_sec":$asofPlain%.3f,"asof_salted_sec":$asofSalted%.3f}"""
+      }.recover { case e =>
+        System.err.println(s"[bench] skew pass failed: ${e.getMessage}")
+        ""
+      }.get
+
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$scalePart$storagePart$skewPart}"""
     println(line)
     // belt-and-braces for log-wrapped stdout: also drop the line in a file.
     // A failed side-file write must never fail an otherwise successful bench.
