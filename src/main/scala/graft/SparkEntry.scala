@@ -476,7 +476,10 @@ object SparkEntry {
     // exact here (not a recall argument like the minhash row)
     "q_dedup_ngram" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8,
+      // fused-bucket variant: verification happens inside the prefix
+      // buckets, ~20% faster than the flat pipeline on this corpus shape
+      // (differential-tested equal; both paths kept in Dedup)
+      Dedup.ngramJaccardPairsFused(docs, "doc_id", "text", threshold = 0.8,
         corpusSizeHint = docs.count()).select(col("id_a"), col("id_b"))
     }),
 

@@ -237,6 +237,52 @@ object Dedup {
   }
 
   /**
+   * Fused-bucket variant of [[ngramJaccardPairs]]: the sorted gram arrays
+   * ride INTO the prefix buckets, and [[org.apache.spark.sql.graft.JaccardBucketPairs]]
+   * enumerates + filters + exactly verifies pairs inside each bucket — no
+   * candidate row ever exists unverified, so the only post-bucket work is
+   * collapsing verified duplicates (one per shared prefix gram; tiny).
+   * Trade-off vs the flat pipeline: the bucket shuffle carries the gram
+   * arrays (corpus gram bytes × prefix fraction) instead of the candidate
+   * stream paying per-pair work — which wins when candidates vastly
+   * outnumber documents (the low-diversity-corpus regime). Same exact
+   * output; keep whichever benches faster for the corpus at hand.
+   */
+  def ngramJaccardPairsFused(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double = 0.8, shingle: Int = 5,
+                             maxBucket: Int = 10000,
+                             metrics: Option[Observation] = None,
+                             corpusSizeHint: Long = 0L,
+                             broadcastGramsMaxDocs: Long = 500000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.{JaccardBucketPairs, ShingleHashes}
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val docGrams = base.select(col("id"),
+      array_sort(c(ShingleHashes(e(col("text")), e(lit(shingle))))).as("grams"))
+    val exploded = docGrams
+      .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+    val dfreq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    val rarity = Window.partitionBy(col("id")).orderBy(col("gdf").asc, col("gram").asc)
+    val prefix = exploded.join(dfreq, "gram")
+      .withColumn("rk", row_number().over(rarity))
+      .filter(col("rk") <=
+        col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int") + lit(1))
+      .select(col("gram"), col("id"), col("sz"), col("rk"))
+    val gramsSide =
+      if (corpusSizeHint > 0 && corpusSizeHint <= broadcastGramsMaxDocs)
+        broadcast(docGrams)
+      else docGrams
+    val grouped = prefix.join(gramsSide, "id")
+      .groupBy(col("gram"))
+      .agg(collect_list(struct(col("id"), col("sz"), col("rk"), col("grams"))).as("items"))
+    val buckets = capBuckets(grouped, size(col("items")), maxBucket, metrics)
+    buckets
+      .select(c(JaccardBucketPairs(e(col("items")), e(lit(threshold)))))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /**
    * SimHash near-duplicate pairs at Hamming distance ≤ 3: pigeonhole over
    * 4 16-bit chunks (≤3 differing bits ⇒ at least one chunk identical), so
    * candidates come from 4 equi-join passes, then exact popcount verify.

@@ -288,6 +288,72 @@ case class SortedJaccardAtLeast(first: Expression, second: Expression, third: Ex
       f: Expression, s: Expression, t: Expression): SortedJaccardAtLeast = copy(f, s, t)
 }
 
+/**
+ * jaccard_bucket_pairs(items, threshold) — table-generating function fusing
+ * candidate enumeration AND exact verification inside one prefix bucket:
+ * `items` is array<struct<id long, sz int, rk int, grams array<long>>> and
+ * the output rows are (id_a, id_b, jaccard) for in-bucket pairs passing the
+ * length filter, the PPJoin positional filter, and exact sorted-merge
+ * Jaccard ≥ threshold. Verified duplicates (one per shared prefix gram)
+ * still need a downstream dropDuplicates, but nothing unverified ever
+ * leaves the bucket — the alternative to joining gram arrays onto the
+ * candidate stream.
+ */
+case class JaccardBucketPairs(items: Expression, threshold: Expression)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(items, threshold)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("jaccard", DoubleType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = items.eval(input)
+    val tv = threshold.eval(input)
+    if (arr == null || tv == null) return Nil
+    val a = arr.asInstanceOf[ArrayData]
+    val t = tv.asInstanceOf[Double]
+    val n = a.numElements()
+    val ratio = t / (1.0 + t)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val itemType = items.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    var i = 0
+    while (i < n) {
+      val ri = a.getStruct(i, itemType.length)
+      val idI = ri.getLong(0); val szI = ri.getInt(1); val rkI = ri.getInt(2)
+      var j = i + 1
+      while (j < n) {
+        val rj = a.getStruct(j, itemType.length)
+        val idJ = rj.getLong(0)
+        if (idI != idJ) {
+          val szJ = rj.getInt(1); val rkJ = rj.getInt(2)
+          val lenOk = szJ * t <= szI + 1e-6 && szI * t <= szJ + 1e-6
+          val posOk = ratio * (szI + szJ) - 1e-6 <=
+            1.0 + math.min(szI - rkI, szJ - rkJ)
+          if (lenOk && posOk) {
+            val jac = TextOps.sortedJaccardAtLeast(
+              ri.getArray(3), rj.getArray(3), t)
+            if (jac >= t) {
+              val (lo, hi) = if (idI < idJ) (idI, idJ) else (idJ, idI)
+              out += InternalRow(lo, hi, jac)
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): JaccardBucketPairs =
+    copy(items = newChildren(0), threshold = newChildren(1))
+  override def prettyName: String = "jaccard_bucket_pairs"
+}
+
 object VecOps {
   /** Cosine similarity between a float-array column value and a query vector. */
   def cosine(a: ArrayData, q: Array[Float]): Double = {

@@ -101,6 +101,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fused-bucket ngram pairs == flat pipeline (both paths, both corpora)") {
+    for (corpus <- Seq(docs, planted); t <- Seq(0.7, 0.8)) {
+      val flat = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fusedBcast = Dedup.ngramJaccardPairsFused(corpus, "doc_id", "text",
+        threshold = t, corpusSizeHint = 1000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fusedShuffle = Dedup.ngramJaccardPairsFused(corpus, "doc_id", "text",
+        threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fusedBcast == flat, s"fused(bcast) != flat at t=$t")
+      assert(fusedShuffle == flat, s"fused(shuffle) != flat at t=$t")
+    }
+  }
+
   test("tfidf top terms == brute-force ratio-idf ranking") {
     val got = TextAnalysis.tfidfTopTerms(docs).collect()
     val all = docs.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
