@@ -476,11 +476,12 @@ object SparkEntry {
     // exact here (not a recall argument like the minhash row)
     "q_dedup_ngram" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
-      // fused-bucket variant: verification happens inside the prefix
-      // buckets, ~20% faster than the flat pipeline on this corpus shape
-      // (differential-tested equal; both paths kept in Dedup)
-      Dedup.ngramJaccardPairsFused(docs, "doc_id", "text", threshold = 0.8,
-        corpusSizeHint = docs.count()).select(col("id_a"), col("id_b"))
+      // fused-bucket variant in auto mode: a 256-doc sample (one tiny
+      // limit-scan, no full count) detects the corpus's small gram
+      // vocabulary and picks the dense-bitset payload path; differential-
+      // tested equal to the flat pipeline across modes
+      Dedup.ngramJaccardPairsFused(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
     }),
 
     // SimHash near-dup pairs; bit-exact simhash64 reproduction in DuckDB

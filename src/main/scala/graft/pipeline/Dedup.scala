@@ -134,6 +134,11 @@ object Dedup {
    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08).
    * Unlike [[minhashLshPairs]] this has no probabilistic recall: every pair
    * at Jaccard ≥ `threshold` is emitted — yet it is still never all-pairs.
+   * ONE caveat bounds that claim: a pair whose every shared prefix gram
+   * falls in an over-`maxBucket` bucket is dropped with the bucket, so
+   * exactness holds for the corpus as capped — pass `metrics` to count
+   * drops (zero on any corpus whose hot grams stay under the cap), and run
+   * exact dedup first to remove the mass that concentrates there.
    *
    * Prefix-filtering lemma: under ANY global total order on grams, two sets
    * with Jaccard ≥ t must share overlap ≥ ceil(t·|g|) for each side, so
@@ -176,7 +181,7 @@ object Dedup {
                         maxBucket: Int = 10000,
                         metrics: Option[Observation] = None,
                         corpusSizeHint: Long = 0L,
-                        broadcastVerifyMaxDocs: Long = 500000L): DataFrame = {
+                        broadcastVerifyMaxBytes: Long = 256L << 20): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.{ShingleHashes, SortedJaccardAtLeast}
@@ -223,8 +228,13 @@ object Dedup {
     // dedup shuffle first so each pair is verified once against shuffled
     // joins. (Measured on a 50k-doc low-diversity corpus: 81 s → map-side
     // path removes the 139M-row dedup + two shuffle joins.)
+    // The gate is a BYTE budget per broadcast side (two sides are built):
+    // what actually ships is the per-doc gram-hash array (~8 B per distinct
+    // gram), so the estimate is corpus rows × sampled avg array bytes — a
+    // doc-count cutoff alone would OOM on corpora of long documents.
     val verified =
-      if (corpusSizeHint > 0 && corpusSizeHint <= broadcastVerifyMaxDocs)
+      if (corpusSizeHint > 0 &&
+          corpusSizeHint * sampledDocGramBytes(df, textCol, shingle) <= broadcastVerifyMaxBytes)
         candidates.join(broadcast(ga), "id_a").join(broadcast(gb), "id_b")
       else
         candidates.dropDuplicates("id_a", "id_b").join(ga, "id_a").join(gb, "id_b")
@@ -236,49 +246,163 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Sampled average per-doc gram-array bytes (array header + 8 B per
+    * distinct gram), from the first `sampleN` docs — the unit for byte-based
+    * broadcast gating. One tiny job (limit-scan, no full pass). */
+  private def sampledDocGramBytes(df: DataFrame, textCol: String, shingle: Int,
+                                  sampleN: Int = 256): Double = {
+    import org.apache.spark.sql.graft.ShingleHashes
+    val sizes = df.select(col(textCol)).limit(sampleN)
+      .select(size(c(ShingleHashes(e(col(textCol)), e(lit(shingle))))).as("sz"))
+      .collect().map(_.getInt(0))
+    if (sizes.isEmpty) 0.0 else sizes.map(_.toDouble * 8 + 48).sum / sizes.length
+  }
+
+  /** Sampled (distinct-gram-count lower bound, avg distinct grams per doc)
+    * from the first `sampleN` docs — the auto gate for the small-vocabulary
+    * bitset path of [[ngramJaccardPairsFused]]. */
+  private def sampleGramStats(df: DataFrame, textCol: String, shingle: Int,
+                              sampleN: Int = 256): (Int, Double) = {
+    import org.apache.spark.sql.graft.ShingleHashes
+    val arrs = df.select(col(textCol)).limit(sampleN)
+      .select(c(ShingleHashes(e(col(textCol)), e(lit(shingle)))).as("g"))
+      .collect().map(_.getSeq[Long](0))
+    if (arrs.isEmpty) (0, 0.0)
+    else {
+      val vocab = scala.collection.mutable.HashSet.empty[Long]
+      arrs.foreach(a => a.foreach(vocab += _))
+      (vocab.size, arrs.map(_.length).sum.toDouble / arrs.length)
+    }
+  }
+
   /**
-   * Fused-bucket variant of [[ngramJaccardPairs]]: the sorted gram arrays
-   * ride INTO the prefix buckets, and [[org.apache.spark.sql.graft.JaccardBucketPairs]]
+   * Fused-bucket variant of [[ngramJaccardPairs]]: per-doc payloads ride
+   * INTO the prefix buckets, and [[org.apache.spark.sql.graft.JaccardBucketPairs]]
    * enumerates + filters + exactly verifies pairs inside each bucket — no
    * candidate row ever exists unverified, so the only post-bucket work is
    * collapsing verified duplicates (one per shared prefix gram; tiny).
-   * Trade-off vs the flat pipeline: the bucket shuffle carries the gram
-   * arrays (corpus gram bytes × prefix fraction) instead of the candidate
-   * stream paying per-pair work — which wins when candidates vastly
-   * outnumber documents (the low-diversity-corpus regime). Same exact
-   * output; keep whichever benches faster for the corpus at hand.
+   * Same exact output as the flat pipeline; wins when candidates vastly
+   * outnumber documents (the low-diversity-corpus regime).
+   *
+   * Two payload representations, `mode`-selected:
+   *
+   *  - `"bitset"` — small-vocabulary fast path. When the corpus has at most
+   *    `bitsetMaxVocab` distinct grams (the LOW-DIVERSITY regime — exactly
+   *    where prefix filtering is weakest and candidate volume explodes), the
+   *    (gram → index, df) table is collected once (≤ 64k entries, ~1 MB) and
+   *    broadcast. Each doc's gram set becomes a DENSE BITSET (~5× smaller
+   *    than the hash array: vocab/8 bytes vs 8 B/gram), the per-doc rarity
+   *    ranking is computed MAP-SIDE from the broadcast df table (eliminating
+   *    the df-join + per-doc window shuffle of the general path entirely —
+   *    the only shuffle left is the bucket groupBy, itself ~5× lighter), and
+   *    verification is a popcount loop with word-level early abandon
+   *    ([[org.apache.spark.sql.graft.TextOps.bitsetJaccardAtLeast]]).
+   *    Identical output: same sets, same Jaccard, different encoding.
+   *  - `"array"` — general-vocabulary path: sorted gram-hash arrays as
+   *    payload, global df via aggregation + window (scales to unbounded
+   *    vocabularies; the index collect above would not).
+   *  - `"auto"` (default) — samples ≤256 docs; if the sampled vocabulary
+   *    fits comfortably (≤ bitsetMaxVocab/2) it builds the exact index and
+   *    uses bitsets (falling back to arrays if the full vocabulary turns
+   *    out larger or the bitset would be wider than the average gram
+   *    array); otherwise arrays. The sample and index are two small plan-
+   *    build-time jobs — at 100 TB the index job is one gram-frequency
+   *    aggregation, the price of knowing the corpus is bitmappable.
+   *
+   * EXACTNESS CAVEAT (both modes, and [[ngramJaccardPairs]] alike): a pair
+   * whose every shared prefix gram lands in an over-`maxBucket` bucket is
+   * dropped with the bucket — "exact" holds for the UNCAPPED corpus; caps
+   * trade completeness on degenerate hot grams for bounded memory. Drops
+   * are counted via `metrics` ([[capBuckets]] semantics); the cap itself is
+   * enforced INSIDE the aggregation ([[org.apache.spark.sql.graft.CollectBucketCapped]]),
+   * so a hot bucket never materializes more than `maxBucket` payloads in
+   * any task — run exact dedup first to remove the boilerplate mass that
+   * concentrates there.
    */
   def ngramJaccardPairsFused(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.8, shingle: Int = 5,
                              maxBucket: Int = 10000,
                              metrics: Option[Observation] = None,
                              corpusSizeHint: Long = 0L,
-                             broadcastGramsMaxDocs: Long = 500000L): DataFrame = {
+                             broadcastGramsMaxBytes: Long = 256L << 20,
+                             mode: String = "auto",
+                             bitsetMaxVocab: Int = 1 << 16): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graft.{JaccardBucketPairs, ShingleHashes}
+    require(Set("auto", "array", "bitset")(mode), s"unknown mode $mode")
+    import org.apache.spark.sql.graft.{CollectBucketCapped, JaccardBucketPairs, PrefixBucketRows, ShingleHashes}
+    val spark = df.sparkSession
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val docGrams = base.select(col("id"),
       array_sort(c(ShingleHashes(e(col("text")), e(lit(shingle))))).as("grams"))
-    val exploded = docGrams
-      .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
-    val dfreq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
-    val rarity = Window.partitionBy(col("id")).orderBy(col("gdf").asc, col("gram").asc)
-    val prefix = exploded.join(dfreq, "gram")
-      .withColumn("rk", row_number().over(rarity))
-      .filter(col("rk") <=
-        col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int") + lit(1))
-      .select(col("gram"), col("id"), col("sz"), col("rk"))
-    val gramsSide =
-      if (corpusSizeHint > 0 && corpusSizeHint <= broadcastGramsMaxDocs)
-        broadcast(docGrams)
-      else docGrams
-    val grouped = prefix.join(gramsSide, "id")
-      .groupBy(col("gram"))
-      .agg(collect_list(struct(col("id"), col("sz"), col("rk"), col("grams"))).as("items"))
-    val buckets = capBuckets(grouped, size(col("items")), maxBucket, metrics)
-    buckets
-      .select(c(JaccardBucketPairs(e(col("items")), e(lit(threshold)))))
+
+    // ---- mode resolution (sample → maybe exact index) ----
+    val (sampleVocab, sampleAvgSz) =
+      if (mode == "array") (0, 0.0) else sampleGramStats(df, textCol, shingle)
+    val index: Option[(Array[Long], Array[Long])] =
+      if (mode == "bitset" || (mode == "auto" && sampleVocab > 0 && sampleVocab <= bitsetMaxVocab / 2)) {
+        // exact (gram, df) index, gram-ascending. The limit is pushed to
+        // per-partition top-k, so driver transfer is bounded by
+        // (bitsetMaxVocab+1) × output partitions even on a mispredicted
+        // huge-vocabulary corpus.
+        val rows = docGrams.select(explode(col("grams")).as("gram"))
+          .groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+          .orderBy(col("gram")).limit(bitsetMaxVocab + 1)
+          .collect()
+        if (rows.length > bitsetMaxVocab) {
+          if (mode == "bitset") throw new IllegalArgumentException(
+            s"mode=bitset but corpus has > $bitsetMaxVocab distinct grams; use mode=array")
+          None // auto: sample underestimated — fall back to arrays
+        } else if (mode == "auto" && (rows.length + 63) / 64 > sampleAvgSz) {
+          None // bitset would be wider than the avg gram array: no win
+        } else Some((rows.map(_.getLong(0)), rows.map(_.getLong(1))))
+      } else None
+
+    val bucketed = index match {
+      case Some((vocab, gdfs)) =>
+        // ---- bitset path: map-side prefix + bitset, one shuffle total ----
+        val bcast = spark.sparkContext.broadcast((vocab, gdfs))
+        val rows = docGrams.select(col("id"),
+          c(PrefixBucketRows(e(col("grams")), e(lit(threshold)), bcast)))
+        rows.groupBy(col("gram"))
+          .agg(c(CollectBucketCapped(e(col("id")), e(col("sz")), e(col("rk")),
+            e(col("bits")), maxBucket).toAggregateExpression()).as("bucket"))
+      case None =>
+        // ---- array path: global df + window ranking (any vocabulary) ----
+        import org.apache.spark.sql.expressions.Window
+        val exploded = docGrams
+          .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+        val dfreq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+        val rarity = Window.partitionBy(col("id")).orderBy(col("gdf").asc, col("gram").asc)
+        val prefix = exploded.join(dfreq, "gram")
+          .withColumn("rk", row_number().over(rarity))
+          .filter(col("rk") <=
+            col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int") + lit(1))
+          .select(col("gram"), col("id"), col("sz"), col("rk"))
+        // byte-gated broadcast of the payload side (same budget semantics
+        // as [[ngramJaccardPairs]]'s verify broadcast)
+        val gramsSide =
+          if (corpusSizeHint > 0 &&
+              corpusSizeHint * sampledDocGramBytes(df, textCol, shingle) <= broadcastGramsMaxBytes)
+            broadcast(docGrams)
+          else docGrams
+        prefix.join(gramsSide, "id")
+          .groupBy(col("gram"))
+          .agg(c(CollectBucketCapped(e(col("id")), e(col("sz")), e(col("rk")),
+            e(col("grams")), maxBucket).toAggregateExpression()).as("bucket"))
+    }
+
+    // over-cap buckets come back with empty items and total > maxBucket;
+    // the filter drops them (and singletons), the observe counts them
+    val observed = metrics match {
+      case Some(obs) => bucketed.observe(obs,
+        sum(when(col("bucket.total") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(col("bucket.total") > maxBucket, col("bucket.total")).otherwise(0L)).as("dropped_id_slots"),
+        max(col("bucket.total")).as("max_bucket_size"))
+      case None => bucketed
+    }
+    observed.filter(col("bucket.total").between(2, maxBucket))
+      .select(c(JaccardBucketPairs(e(col("bucket.items")), e(lit(threshold)),
+        payloadIsBitset = index.isDefined)))
       .dropDuplicates("id_a", "id_b")
   }
 

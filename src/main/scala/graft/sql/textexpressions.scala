@@ -2,8 +2,10 @@
 package org.apache.spark.sql.graft
 
 import graft.text.TextCore
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -266,6 +268,34 @@ object TextOps {
     }
     -1.0 // unreachable
   }
+
+  /**
+   * Threshold-aware early-abandon Jaccard over two DENSE GRAM BITSETS
+   * (equal word counts, bit p = corpus gram index p): exact value when ≥ t,
+   * -1.0 the moment the popcount bound proves it can't be. szA/szB are the
+   * set cardinalities (the bitsets' total popcounts). For a negative pair
+   * the bound trips after a handful of words — each 64-gram word costs 3
+   * popcounts vs ~64 branchy merge steps in the sorted-array path, which is
+   * what makes the small-vocabulary (low-diversity) regime cheap to verify.
+   */
+  def bitsetJaccardAtLeast(a: ArrayData, b: ArrayData, szA: Int, szB: Int,
+                           t: Double): Double = {
+    if (szA == 0 && szB == 0) return 1.0
+    if (szA == 0 || szB == 0) return if (t <= 0.0) 0.0 else -1.0
+    val n = math.min(a.numElements(), b.numElements())
+    val alpha = t / (1.0 + t) * (szA + szB) - 1e-9
+    var inter = 0; var seenA = 0; var seenB = 0
+    var w = 0
+    while (w < n) {
+      val va = a.getLong(w); val vb = b.getLong(w)
+      inter += java.lang.Long.bitCount(va & vb)
+      seenA += java.lang.Long.bitCount(va)
+      seenB += java.lang.Long.bitCount(vb)
+      if (inter + math.min(szA - seenA, szB - seenB) < alpha) return -1.0
+      w += 1
+    }
+    inter.toDouble / (szA + szB - inter)
+  }
 }
 
 /** sorted_jaccard_at_least(a, b, t) → double: exact Jaccard if ≥ t, else
@@ -291,15 +321,22 @@ case class SortedJaccardAtLeast(first: Expression, second: Expression, third: Ex
 /**
  * jaccard_bucket_pairs(items, threshold) — table-generating function fusing
  * candidate enumeration AND exact verification inside one prefix bucket:
- * `items` is array<struct<id long, sz int, rk int, grams array<long>>> and
- * the output rows are (id_a, id_b, jaccard) for in-bucket pairs passing the
- * length filter, the PPJoin positional filter, and exact sorted-merge
- * Jaccard ≥ threshold. Verified duplicates (one per shared prefix gram)
- * still need a downstream dropDuplicates, but nothing unverified ever
- * leaves the bucket — the alternative to joining gram arrays onto the
- * candidate stream.
+ * `items` is array<struct<id long, sz int, rk int, payload array<long>>>
+ * (payload = the doc's sorted gram hashes, or its dense gram BITSET when
+ * `payloadIsBitset`) and the output rows are (id_a, id_b, jaccard) for
+ * in-bucket pairs passing the length filter, the PPJoin positional filter,
+ * and exact Jaccard ≥ threshold. Verified duplicates (one per shared prefix
+ * gram) still need a downstream dropDuplicates, but nothing unverified ever
+ * leaves the bucket.
+ *
+ * The hot loop pre-extracts every item's fields into primitive arrays ONCE
+ * per bucket (the previous shape paid a getStruct wrapper allocation per
+ * (i, j) slot — ~1B allocations per sf1 run) and sorts by set size so the
+ * length filter becomes a two-pointer window: pairs that fail it are never
+ * enumerated at all.
  */
-case class JaccardBucketPairs(items: Expression, threshold: Expression)
+case class JaccardBucketPairs(items: Expression, threshold: Expression,
+                              payloadIsBitset: Boolean = false)
     extends Expression with Generator with CodegenFallback {
   override def children: Seq[Expression] = Seq(items, threshold)
   override def elementSchema: StructType = StructType(Seq(
@@ -313,29 +350,50 @@ case class JaccardBucketPairs(items: Expression, threshold: Expression)
     val a = arr.asInstanceOf[ArrayData]
     val t = tv.asInstanceOf[Double]
     val n = a.numElements()
+    if (n < 2) return Nil
     val ratio = t / (1.0 + t)
+    val itemWidth = items.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].length
+    // one-time extraction, then sort by sz ascending (index sort)
+    val ids = new Array[Long](n)
+    val szs = new Array[Int](n)
+    val rks = new Array[Int](n)
+    val payloads = new Array[ArrayData](n)
+    var k = 0
+    while (k < n) {
+      val r = a.getStruct(k, itemWidth)
+      ids(k) = r.getLong(0); szs(k) = r.getInt(1); rks(k) = r.getInt(2)
+      payloads(k) = r.getArray(3)
+      k += 1
+    }
+    // sort indices by sz ascending; ties arbitrary (order-insensitive below)
+    val bySz = Array.range(0, n).sortBy(szs)
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    val itemType = items.dataType.asInstanceOf[ArrayType]
-      .elementType.asInstanceOf[StructType]
     var i = 0
+    var hi = 0
     while (i < n) {
-      val ri = a.getStruct(i, itemType.length)
-      val idI = ri.getLong(0); val szI = ri.getInt(1); val rkI = ri.getInt(2)
+      val pi = bySz(i)
+      val szI = szs(pi)
+      // two-pointer window: with sz sorted ascending and j > i, szI <= szJ
+      // makes szI*t <= szJ automatic; the binding check is szJ*t <= szI.
+      if (hi < i + 1) hi = i + 1
+      while (hi < n && szs(bySz(hi)) * t <= szI + 1e-6) hi += 1
+      val idI = ids(pi); val rkI = rks(pi); val payI = payloads(pi)
       var j = i + 1
-      while (j < n) {
-        val rj = a.getStruct(j, itemType.length)
-        val idJ = rj.getLong(0)
+      while (j < hi) {
+        val pj = bySz(j)
+        val idJ = ids(pj)
         if (idI != idJ) {
-          val szJ = rj.getInt(1); val rkJ = rj.getInt(2)
-          val lenOk = szJ * t <= szI + 1e-6 && szI * t <= szJ + 1e-6
-          val posOk = ratio * (szI + szJ) - 1e-6 <=
-            1.0 + math.min(szI - rkI, szJ - rkJ)
-          if (lenOk && posOk) {
-            val jac = TextOps.sortedJaccardAtLeast(
-              ri.getArray(3), rj.getArray(3), t)
+          val szJ = szs(pj); val rkJ = rks(pj)
+          // PPJoin positional filter (prefix ranks witness max overlap)
+          if (ratio * (szI + szJ) - 1e-6 <= 1.0 + math.min(szI - rkI, szJ - rkJ)) {
+            val jac =
+              if (payloadIsBitset)
+                TextOps.bitsetJaccardAtLeast(payI, payloads(pj), szI, szJ, t)
+              else TextOps.sortedJaccardAtLeast(payI, payloads(pj), t)
             if (jac >= t) {
-              val (lo, hi) = if (idI < idJ) (idI, idJ) else (idJ, idI)
-              out += InternalRow(lo, hi, jac)
+              val (lo, hj) = if (idI < idJ) (idI, idJ) else (idJ, idI)
+              out += InternalRow(lo, hj, jac)
             }
           }
         }
@@ -352,6 +410,210 @@ case class JaccardBucketPairs(items: Expression, threshold: Expression)
       newChildren: IndexedSeq[Expression]): JaccardBucketPairs =
     copy(items = newChildren(0), threshold = newChildren(1))
   override def prettyName: String = "jaccard_bucket_pairs"
+}
+
+/**
+ * prefix_bucket_rows(grams, threshold) — table-generating function for the
+ * SMALL-VOCABULARY exact-Jaccard path: given a doc's sorted distinct gram
+ * hashes and a broadcast corpus gram index (sorted gram array + per-gram
+ * document frequencies), emits one row per PREFIX gram of the doc:
+ * (gram, rk, sz, bits) where rk is the gram's 1-based rarity rank within
+ * the doc (ascending (df, gram) — the same global total order as the
+ * flat pipeline's window), sz the doc's distinct-gram count, and bits the
+ * doc's dense gram bitset over the corpus index.
+ *
+ * This computes MAP-SIDE what the general-vocabulary path needs a
+ * df-join + per-doc window shuffle for — the whole rarity ranking collapses
+ * into a per-row lookup against the broadcast index, so the only shuffle
+ * left in the pipeline is the bucket groupBy itself.
+ *
+ * Throws if a gram is missing from the index: the index is built from the
+ * same corpus, so a miss means the caller fed a different dataset, and a
+ * silent skip would corrupt the bitset cardinalities (missed true pairs).
+ */
+case class PrefixBucketRows(grams: Expression, threshold: Expression,
+                            index: Broadcast[(Array[Long], Array[Long])])
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(grams, threshold)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("gram", LongType, nullable = false),
+    StructField("rk", IntegerType, nullable = false),
+    StructField("sz", IntegerType, nullable = false),
+    StructField("bits", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val gv = grams.eval(input)
+    val tv = threshold.eval(input)
+    if (gv == null || tv == null) return Nil
+    val g = gv.asInstanceOf[ArrayData]
+    val t = tv.asInstanceOf[Double]
+    val sz = g.numElements()
+    if (sz == 0) return Nil
+    val (vocab, gdfs) = index.value
+    val nWords = (vocab.length + 63) >>> 6
+    val bits = new Array[Long](nWords)
+    val gdfOf = new Array[Long](sz)
+    var i = 0
+    while (i < sz) {
+      val v = g.getLong(i)
+      val p = java.util.Arrays.binarySearch(vocab, v)
+      if (p < 0) throw new IllegalStateException(
+        s"gram $v not in the corpus index — the index was built from a different dataset")
+      bits(p >>> 6) |= 1L << (p & 63)
+      gdfOf(i) = gdfs(p)
+      i += 1
+    }
+    // rarity order = ascending (df, gram); g is gram-ascending already, so a
+    // STABLE sort by df alone yields gram-ascending within equal df — the
+    // exact total order the flat pipeline's window uses
+    val prefixLen = sz - math.ceil(sz * t - 1e-9).toInt + 1
+    val order = (0 until sz).sortBy(gdfOf)
+    val bitsData = new GenericArrayData(bits) // shared across rows: read-only
+    val out = new Array[InternalRow](math.min(prefixLen, sz))
+    var r = 0
+    while (r < out.length) {
+      out(r) = InternalRow(g.getLong(order(r)), r + 1, sz, bitsData)
+      r += 1
+    }
+    out
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PrefixBucketRows =
+    copy(grams = newChildren(0), threshold = newChildren(1))
+  override def prettyName: String = "prefix_bucket_rows"
+}
+
+/**
+ * collect_bucket_capped(id, sz, rk, payload, cap) — size-bounded bucket
+ * collection: aggregates (id, sz, rk, payload) rows into
+ * struct<total long, items array<struct<id, sz, rk, payload>>>, retaining
+ * at most `cap` items. The moment a bucket exceeds the cap its retained
+ * items are DISCARDED (items comes back empty, total keeps counting), so an
+ * over-cap bucket — the degenerate hot gram this cap exists for — never
+ * materializes more than cap payloads in any aggregation buffer, partial or
+ * final. This is the memory-safety property a collect_list-then-filter
+ * shape lacks: there the full hot bucket is built in one task before being
+ * dropped.
+ */
+case class CollectBucketCapped(id: Expression, sz: Expression, rk: Expression,
+                               payload: Expression, cap: Int,
+                               mutableAggBufferOffset: Int = 0,
+                               inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BucketBuffer] {
+  require(cap > 0, s"cap must be positive, got $cap")
+
+  override def children: Seq[Expression] = Seq(id, sz, rk, payload)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sz", IntegerType, nullable = false),
+      StructField("rk", IntegerType, nullable = false),
+      StructField("payload", ArrayType(LongType, containsNull = false), nullable = false))),
+      containsNull = false), nullable = false)))
+
+  override def createAggregationBuffer(): BucketBuffer = new BucketBuffer(cap)
+
+  override def update(buf: BucketBuffer, input: InternalRow): BucketBuffer = {
+    val i = id.eval(input); val s = sz.eval(input)
+    val r = rk.eval(input); val p = payload.eval(input)
+    if (i != null && s != null && r != null && p != null)
+      buf.add(i.asInstanceOf[Long], s.asInstanceOf[Int], r.asInstanceOf[Int],
+        p.asInstanceOf[ArrayData].toLongArray())
+    buf
+  }
+
+  override def merge(buf: BucketBuffer, other: BucketBuffer): BucketBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: BucketBuffer): Any = buf.toRow
+
+  override def serialize(buf: BucketBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): BucketBuffer = BucketBuffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectBucketCapped =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectBucketCapped =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CollectBucketCapped =
+    copy(id = newChildren(0), sz = newChildren(1), rk = newChildren(2),
+      payload = newChildren(3))
+  override def prettyName: String = "collect_bucket_capped"
+}
+
+/** Buffer for [[CollectBucketCapped]]: item list capped at `cap`, cleared on
+  * overflow (total keeps counting so drops stay observable). */
+final class BucketBuffer(val cap: Int) {
+  var total: Long = 0L
+  private var overflowed = false
+  private val items = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Array[Long])]
+
+  def add(id: Long, sz: Int, rk: Int, payload: Array[Long]): Unit = {
+    total += 1
+    if (!overflowed) {
+      if (items.length < cap) items += ((id, sz, rk, payload))
+      else { overflowed = true; items.clear() }
+    }
+  }
+
+  def forceOverflow(): Unit = { overflowed = true; items.clear() }
+
+  def mergeFrom(other: BucketBuffer): Unit = {
+    total += other.total
+    if (overflowed || other.overflowed) { overflowed = true; items.clear() }
+    else other.items.foreach { it =>
+      if (!overflowed) {
+        if (items.length < cap) items += it
+        else { overflowed = true; items.clear() }
+      }
+    }
+  }
+
+  def toRow: InternalRow = InternalRow(total, new GenericArrayData(
+    items.map { case (id, sz, rk, p) =>
+      InternalRow(id, sz, rk, new GenericArrayData(p))
+    }.toArray[Any]))
+
+  def toBytes: Array[Byte] = {
+    var payloadLongs = 0
+    items.foreach(payloadLongs += _._4.length)
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 1 + 4 + items.length * 20 + payloadLongs * 8)
+    bb.putInt(cap).putLong(total).put(if (overflowed) 1.toByte else 0.toByte)
+    bb.putInt(items.length)
+    items.foreach { case (id, sz, rk, p) =>
+      bb.putLong(id).putInt(sz).putInt(rk).putInt(p.length)
+      p.foreach(bb.putLong)
+    }
+    bb.array()
+  }
+}
+
+object BucketBuffer {
+  def fromBytes(bytes: Array[Byte]): BucketBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new BucketBuffer(bb.getInt())
+    val total = bb.getLong()
+    val overflowed = bb.get() == 1.toByte
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val id = bb.getLong(); val sz = bb.getInt(); val rk = bb.getInt()
+      val p = new Array[Long](bb.getInt())
+      var j = 0
+      while (j < p.length) { p(j) = bb.getLong(); j += 1 }
+      buf.add(id, sz, rk, p)
+      i += 1
+    }
+    // restore counters exactly (adds above incremented total from zero)
+    buf.total = total
+    if (overflowed) buf.forceOverflow()
+    buf
+  }
 }
 
 object VecOps {

@@ -101,19 +101,73 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("fused-bucket ngram pairs == flat pipeline (both paths, both corpora)") {
+  test("fused-bucket ngram pairs == flat pipeline (all modes, both corpora)") {
     for (corpus <- Seq(docs, planted); t <- Seq(0.7, 0.8)) {
+      def run(mode: String, hint: Long = 0L) =
+        Dedup.ngramJaccardPairsFused(corpus, "doc_id", "text", threshold = t,
+          corpusSizeHint = hint, mode = mode)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val flat = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val fusedBcast = Dedup.ngramJaccardPairsFused(corpus, "doc_id", "text",
-        threshold = t, corpusSizeHint = 1000L)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val fusedShuffle = Dedup.ngramJaccardPairsFused(corpus, "doc_id", "text",
-        threshold = t)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(fusedBcast == flat, s"fused(bcast) != flat at t=$t")
-      assert(fusedShuffle == flat, s"fused(shuffle) != flat at t=$t")
+      assert(run("auto") == flat, s"fused(auto) != flat at t=$t")
+      assert(run("bitset") == flat, s"fused(bitset) != flat at t=$t")
+      assert(run("array", hint = 1000L) == flat, s"fused(array bcast) != flat at t=$t")
+      assert(run("array") == flat, s"fused(array shuffle) != flat at t=$t")
     }
+  }
+
+  test("bitset Jaccard verify == sorted-array verify (property, random sets)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.graft.TextOps
+    val rnd = new scala.util.Random(7)
+    val vocab = 500
+    for (_ <- 1 to 300) {
+      val a = (0 until vocab).filter(_ => rnd.nextDouble() < 0.3).toArray
+      val shared = a.filter(_ => rnd.nextDouble() < 0.7)
+      val b = (shared ++ (0 until vocab).filter(_ => rnd.nextDouble() < 0.1)).distinct.sorted.toArray
+      val t = Seq(0.1, 0.5, 0.8)(rnd.nextInt(3))
+      def bitsOf(xs: Array[Int]) = {
+        val w = new Array[Long]((vocab + 63) / 64)
+        xs.foreach(x => w(x >>> 6) |= 1L << (x & 63))
+        new GenericArrayData(w)
+      }
+      def arrOf(xs: Array[Int]) = new GenericArrayData(xs.map(_.toLong).sorted)
+      val viaBits = TextOps.bitsetJaccardAtLeast(bitsOf(a), bitsOf(b), a.length, b.length, t)
+      val viaMerge = TextOps.sortedJaccardAtLeast(arrOf(a), arrOf(b), t)
+      // both report the exact value when >= t, and any negative report must
+      // agree with the other side's negativity
+      if (viaBits >= t || viaMerge >= t)
+        assert(viaBits == viaMerge, s"t=$t |a|=${a.length} |b|=${b.length}")
+      else { assert(viaBits < t && viaMerge < t) }
+    }
+  }
+
+  test("collect_bucket_capped drops over-cap buckets inside the aggregation") {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.graft.CollectBucketCapped
+    def ce(e: org.apache.spark.sql.catalyst.expressions.Expression) = GraftShims.column(e)
+    def ee(c: org.apache.spark.sql.Column) = GraftShims.expression(c)
+    val rows = spark.range(100).select(
+      (col("id") % 3).as("k"), col("id"),
+      lit(5).as("sz"), lit(1).as("rk"), array(col("id")).as("payload"))
+    val agg = rows.groupBy("k").agg(ce(CollectBucketCapped(
+      ee(col("id")), ee(col("sz")), ee(col("rk")), ee(col("payload")), 10)
+      .toAggregateExpression()).as("bucket"))
+    val out = agg.select(col("k"), col("bucket.total").as("total"),
+      size(col("bucket.items")).as("n")).collect()
+    assert(out.length == 3)
+    // every group has 33-34 rows > cap 10: items cleared, totals exact
+    out.foreach { r =>
+      assert(r.getLong(1) >= 33L && r.getLong(1) <= 34L)
+      assert(r.getInt(2) == 0, "over-cap bucket must come back empty")
+    }
+    val small = spark.range(8).select(lit(0L).as("k"), col("id"),
+      lit(5).as("sz"), lit(1).as("rk"), array(col("id")).as("payload"))
+      .groupBy("k").agg(ce(CollectBucketCapped(
+        ee(col("id")), ee(col("sz")), ee(col("rk")), ee(col("payload")), 10)
+        .toAggregateExpression()).as("bucket"))
+      .select(col("bucket.total"), size(col("bucket.items"))).head
+    assert(small.getLong(0) == 8L && small.getInt(1) == 8)
   }
 
   test("tfidf top terms == brute-force ratio-idf ranking") {
