@@ -147,8 +147,11 @@ object Gis {
                         propCols: Seq[String] = Seq("id", "name"),
                         maxFeatures: Int = 1000000): DataFrame = {
     val limited = toGeoJson(df, lonCol, latCol, propCols).limit(maxFeatures + 1)
+    // sort_array over the collected feature strings: collect_list order is
+    // partition/run nondeterministic, and the document must be
+    // byte-reproducible (diffable, hashable) run to run
     limited.agg(count(lit(1)).as("__n"),
-        concat_ws(",", collect_list(col("feature"))).as("__fs"))
+        concat_ws(",", sort_array(collect_list(col("feature")))).as("__fs"))
       .select(
         when(col("__n") > maxFeatures,
           raise_error(lit(s"featureCollection: result exceeds maxFeatures=$maxFeatures; " +

@@ -671,12 +671,18 @@ object VecOps {
   // (band, plane, dim, ROW) — billions of redundant mixes once n-aware
   // tuning pushes band counts into the hundreds. Each executor JVM
   // materializes a plane matrix once per (seed, planes, dim) and every row
-  // after that pays only the fused multiply-adds. Entries are tiny
-  // (planes×dim doubles) and keyed values are few (one per band seed).
+  // after that pays only the fused multiply-adds. Entries are small
+  // (planes×dim doubles) but per-band seeds mean hundreds per query
+  // configuration, so a long-lived executor serving many differently-seeded
+  // queries is flushed at `planeCacheMax` entries (crude but sufficient:
+  // a flush costs one re-derivation per live key, nanoseconds per row
+  // amortized — an LRU's per-row lock contention would cost more).
+  private val planeCacheMax = 1024
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
 
-  private def planeMatrix(seed: Long, planes: Int, dim: Int): Array[Double] =
+  private def planeMatrix(seed: Long, planes: Int, dim: Int): Array[Double] = {
+    if (planeCache.size > planeCacheMax) planeCache.clear()
     planeCache.computeIfAbsent((seed, planes, dim), { _ =>
       val m = new Array[Double](planes * dim)
       var p = 0
@@ -691,6 +697,7 @@ object VecOps {
       }
       m
     })
+  }
 
   /**
    * Random-hyperplane LSH bucket (Charikar, STOC'02 SimHash for cosine):

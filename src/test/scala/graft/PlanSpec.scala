@@ -146,6 +146,10 @@ class PlanSpec extends AnyFunSuite {
     assert(row.getString(2) == "Feature" && row.getString(3) == "Point" && row.getInt(4) == 2, row)
     // maxFeatures guard fails fast instead of funneling a corpus to one task
     intercept[Exception] { Gis.featureCollection(wifi, maxFeatures = 10).head() }
+    // byte-reproducible: same content at different parallelism = same bytes
+    val doc1 = Gis.featureCollection(matches).head().getString(0)
+    val doc2 = Gis.featureCollection(matches.repartition(7)).head().getString(0)
+    assert(doc1 == doc2, "FeatureCollection bytes must not depend on partitioning")
   }
 
   test("WKT round-trip (F6 serialization parity)") {
