@@ -195,7 +195,7 @@ object Gis {
         // Candidate stage 1: polygon bbox as plain numeric ranges — these
         // push down to parquet row-group min/max stats on ANY storage layout
         // (the reference can only key-range prune; we get both).
-        val query = graft.geo.Geom.parseWktPolygon(wktPolygon)
+        val query = graft.geo.Geom.parseWkt(wktPolygon)
         val (xMin, xMax, yMin, yMax) = query.bbox
         val bboxed = points.filter(
           col(lonCol) >= xMin && col(lonCol) <= xMax &&

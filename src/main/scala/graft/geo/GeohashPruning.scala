@@ -1,6 +1,6 @@
 package graft.geo
 
-import graft.geo.Geom.{Polygon, Pt}
+import graft.geo.Geom.{Geometry, Polygon, Pt}
 
 /**
  * Spatial-predicate → geohash-prefix pruning: the planner-side rewrite the
@@ -36,7 +36,7 @@ object GeohashPruning {
    * WithinQuery.java:100-101), an uncoverable query yields None and callers
    * fall back to a full scan — correct at any query size.
    */
-  def minimumBoundingPrefixes(query: Polygon, maxPrecision: Int = 7): Option[Seq[String]] = {
+  def minimumBoundingPrefixes(query: Geometry, maxPrecision: Int = 7): Option[Seq[String]] = {
     val c = query.centroid
     var precision = maxPrecision
     while (precision >= 1) {

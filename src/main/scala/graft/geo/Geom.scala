@@ -9,24 +9,86 @@ package graft.geo
  * Semantics pinned by the reference's golden tests:
  *  - `covers` is boundary-INCLUSIVE (point on an edge/vertex is kept) —
  *    TestWithinFilter.java:108-135 (rect to 2.999 keeps 2 pts, to 3.0 keeps 3).
+ *    With interior rings, a point ON a hole boundary is still covered (the
+ *    hole's ring is part of the polygon's boundary — JTS `covers`), while a
+ *    point strictly inside a hole is not.
  *  - distance is planar Euclidean in degrees (DistanceComparator.java:20-27),
  *    NOT great-circle.
  *
- * Coordinates are (x=lon, y=lat) throughout, matching WKT axis order.
+ * Geometry generality matches the reference's JTS reader for the shapes a
+ * query can bring: POLYGON with any number of interior rings (holes) and
+ * MULTIPOLYGON. Coordinates are (x=lon, y=lat) throughout, matching WKT
+ * axis order.
  */
 object Geom {
 
   final case class Pt(x: Double, y: Double)
 
-  /**
-   * A simple polygon given by its exterior ring (first point NOT repeated at
-   * the end internally; WKT's closing repeat is stripped on parse).
-   */
-  final case class Polygon(ring: IndexedSeq[Pt]) {
-    require(ring.length >= 3, s"polygon needs >=3 distinct vertices, got ${ring.length}")
+  /** Point-vs-ring state for boundary-inclusive tests. */
+  private final val OUTSIDE = 0
+  private final val BOUNDARY = 1
+  private final val INSIDE = 2
 
+  /** Even-odd ray casting with an explicit on-segment test, over an OPEN
+    * ring (first point not repeated). */
+  private def ringState(ring: IndexedSeq[Pt], px: Double, py: Double): Int = {
+    val n = ring.length
+    var inside = false
+    var j = n - 1
+    var i = 0
+    while (i < n) {
+      val a = ring(j); val b = ring(i)
+      if (onSegment(a, b, px, py)) return BOUNDARY
+      if ((a.y > py) != (b.y > py)) {
+        val xInt = a.x + (py - a.y) * (b.x - a.x) / (b.y - a.y)
+        if (px < xInt) inside = !inside
+      }
+      j = i; i += 1
+    }
+    if (inside) INSIDE else OUTSIDE
+  }
+
+  /** (2×signed area, shoelace centroid numerators) of an open ring. */
+  private def ringAreaCentroid(ring: IndexedSeq[Pt]): (Double, Double, Double) = {
+    var a2 = 0.0; var cx = 0.0; var cy = 0.0
+    val n = ring.length
+    var i = 0
+    while (i < n) {
+      val p = ring(i); val q = ring((i + 1) % n)
+      val cross = p.x * q.y - q.x * p.y
+      a2 += cross
+      cx += (p.x + q.x) * cross
+      cy += (p.y + q.y) * cross
+      i += 1
+    }
+    (a2, cx, cy)
+  }
+
+  /** A query geometry: POLYGON (with optional holes) or MULTIPOLYGON. */
+  sealed trait Geometry {
+    /** Boundary-inclusive containment (JTS `covers` for point arguments). */
+    def covers(px: Double, py: Double): Boolean
     /** Axis-aligned bounds: (xMin, xMax, yMin, yMax). */
-    lazy val bbox: (Double, Double, Double, Double) = {
+    def bbox: (Double, Double, Double, Double)
+    /** Area centroid (hole- and part-aware). */
+    def centroid: Pt
+    /** All exterior-ring vertices — a convex region covering these covers
+      * the whole geometry (holes are inside the exteriors by definition). */
+    def exteriorPoints: IndexedSeq[Pt]
+  }
+
+  /**
+   * A polygon given by its exterior ring and any number of interior rings
+   * (holes). Rings are stored OPEN (WKT's closing repeat stripped on parse).
+   */
+  final case class Polygon(ring: IndexedSeq[Pt],
+                           holes: IndexedSeq[IndexedSeq[Pt]] = IndexedSeq.empty)
+      extends Geometry {
+    require(ring.length >= 3, s"polygon needs >=3 distinct vertices, got ${ring.length}")
+    holes.foreach(h => require(h.length >= 3,
+      s"interior ring needs >=3 distinct vertices, got ${h.length}"))
+
+    override lazy val bbox: (Double, Double, Double, Double) = {
       var xMin = Double.PositiveInfinity; var xMax = Double.NegativeInfinity
       var yMin = Double.PositiveInfinity; var yMax = Double.NegativeInfinity
       ring.foreach { p =>
@@ -37,56 +99,98 @@ object Geom {
     }
 
     /**
-     * Boundary-inclusive point-in-polygon (JTS `covers` semantics for
-     * point arguments): true if the point is in the interior OR exactly on
-     * the boundary. Even-odd ray casting with an explicit on-segment test.
+     * Boundary-inclusive point-in-polygon (JTS `covers` semantics): interior
+     * or exactly on any boundary — including hole boundaries — is covered;
+     * strictly inside a hole is not.
      */
-    def covers(px: Double, py: Double): Boolean = {
+    override def covers(px: Double, py: Double): Boolean = {
       if (px.isNaN || py.isNaN) return false
       val (xMin, xMax, yMin, yMax) = bbox
       if (px < xMin || px > xMax || py < yMin || py > yMax) return false
-      val n = ring.length
-      var inside = false
-      var j = n - 1
-      var i = 0
-      while (i < n) {
-        val a = ring(j); val b = ring(i)
-        if (onSegment(a, b, px, py)) return true
-        if ((a.y > py) != (b.y > py)) {
-          val xInt = a.x + (py - a.y) * (b.x - a.x) / (b.y - a.y)
-          if (px < xInt) inside = !inside
-        }
-        j = i; i += 1
+      ringState(ring, px, py) match {
+        case OUTSIDE => false
+        case BOUNDARY => true
+        case _ =>
+          var i = 0
+          while (i < holes.length) {
+            if (ringState(holes(i), px, py) == INSIDE) return false
+            i += 1
+          }
+          true
       }
-      inside
     }
 
-    /**
-     * True if every vertex of `other` is covered. Exact containment test when
-     * `this` is convex (the only shape the reference ever tests against a
-     * polygon: the convex hull of geohash-cell corners, WithinQuery.java:89/:94).
-     */
-    def coversPolygon(other: Polygon): Boolean =
-      other.ring.forall(p => covers(p.x, p.y))
+    /** True if every exterior vertex of `other` is covered. Exact containment
+      * test when `this` is convex and hole-free (the only shape the reference
+      * ever tests against a polygon: the convex hull of geohash-cell corners,
+      * WithinQuery.java:89/:94) — a convex region covering the exterior
+      * vertices covers everything inside them, holes included. */
+    def coversPolygon(other: Geometry): Boolean =
+      other.exteriorPoints.forall(p => covers(p.x, p.y))
 
-    /** Area centroid (shoelace); falls back to vertex mean for degenerate rings. */
-    lazy val centroid: Pt = {
-      var a2 = 0.0; var cx = 0.0; var cy = 0.0
-      val n = ring.length
-      var i = 0
-      while (i < n) {
-        val p = ring(i); val q = ring((i + 1) % n)
-        val cross = p.x * q.y - q.x * p.y
-        a2 += cross
-        cx += (p.x + q.x) * cross
-        cy += (p.y + q.y) * cross
-        i += 1
+    override def exteriorPoints: IndexedSeq[Pt] = ring
+
+    /** Area centroid (shoelace, holes subtracted); falls back to the
+      * exterior vertex mean for degenerate (zero-net-area) rings. */
+    override lazy val centroid: Pt = {
+      val (aExt, cxExt, cyExt) = ringAreaCentroid(ring)
+      // normalize each ring's contribution to |area| so stored orientation
+      // never matters: exterior adds, holes subtract
+      val sExt = if (aExt < 0) -1.0 else 1.0
+      var a2 = aExt * sExt; var cx = cxExt * sExt; var cy = cyExt * sExt
+      holes.foreach { h =>
+        val (aH, cxH, cyH) = ringAreaCentroid(h)
+        val sH = if (aH < 0) -1.0 else 1.0
+        a2 -= aH * sH; cx -= cxH * sH; cy -= cyH * sH
       }
       if (math.abs(a2) < 1e-12) {
-        Pt(ring.map(_.x).sum / n, ring.map(_.y).sum / n)
+        Pt(ring.map(_.x).sum / ring.length, ring.map(_.y).sum / ring.length)
       } else {
         Pt(cx / (3 * a2), cy / (3 * a2))
       }
+    }
+  }
+
+  /** Union of polygons (JTS MULTIPOLYGON): covered = covered by any part. */
+  final case class MultiPolygon(polys: IndexedSeq[Polygon]) extends Geometry {
+    require(polys.nonEmpty, "MULTIPOLYGON needs at least one polygon")
+
+    override def covers(px: Double, py: Double): Boolean = {
+      var i = 0
+      while (i < polys.length) {
+        if (polys(i).covers(px, py)) return true
+        i += 1
+      }
+      false
+    }
+
+    override lazy val bbox: (Double, Double, Double, Double) = {
+      var xMin = Double.PositiveInfinity; var xMax = Double.NegativeInfinity
+      var yMin = Double.PositiveInfinity; var yMax = Double.NegativeInfinity
+      polys.foreach { p =>
+        val (x0, x1, y0, y1) = p.bbox
+        if (x0 < xMin) xMin = x0; if (x1 > xMax) xMax = x1
+        if (y0 < yMin) yMin = y0; if (y1 > yMax) yMax = y1
+      }
+      (xMin, xMax, yMin, yMax)
+    }
+
+    override def exteriorPoints: IndexedSeq[Pt] = polys.flatMap(_.ring)
+
+    /** Net-area-weighted mean of part centroids (JTS multipolygon centroid). */
+    override lazy val centroid: Pt = {
+      var aSum = 0.0; var cx = 0.0; var cy = 0.0
+      polys.foreach { p =>
+        val (aExt, _, _) = ringAreaCentroid(p.ring)
+        var a = math.abs(aExt)
+        p.holes.foreach { h => a -= math.abs(ringAreaCentroid(h)._1) }
+        val c = p.centroid
+        aSum += a; cx += c.x * a; cy += c.y * a
+      }
+      if (math.abs(aSum) < 1e-12) {
+        val pts = exteriorPoints
+        Pt(pts.map(_.x).sum / pts.length, pts.map(_.y).sum / pts.length)
+      } else Pt(cx / aSum, cy / aSum)
     }
   }
 
@@ -116,40 +220,91 @@ object Geom {
     2 * R * math.asin(math.min(1.0, math.sqrt(a)))
   }
 
-  /**
-   * Parse a WKT POLYGON's exterior ring (the only geometry the reference
-   * queries with: WithinQuery.java:184-185). Also accepts POINT.
-   * Holes (interior rings) are not supported — the reference never uses them.
-   */
-  def parseWktPolygon(wkt: String): Polygon = {
-    val s = wkt.trim
-    val upper = s.toUpperCase(java.util.Locale.ROOT)
-    require(upper.startsWith("POLYGON"), s"expected POLYGON WKT, got: ${s.take(30)}")
-    val open = s.indexOf('(')
-    require(open >= 0, s"malformed WKT: $s")
-    // exterior ring = first (...) group inside the outer parens
-    val innerOpen = s.indexOf('(', open + 1)
-    require(innerOpen >= 0, s"malformed POLYGON WKT: $s")
-    val innerClose = s.indexOf(')', innerOpen + 1)
-    require(innerClose >= 0, s"malformed POLYGON WKT: $s")
-    val coords = s.substring(innerOpen + 1, innerClose)
+  // ---- WKT parsing (reference: WithinQuery.java:184-185 WKTReader.read) ----
+
+  /** Split `s` on commas at paren depth 0 (top-level list elements). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim)
+  }
+
+  /** Strip one layer of enclosing parens (requires them). */
+  private def stripParens(s: String): String = {
+    val t = s.trim
+    require(t.startsWith("(") && t.endsWith(")"), s"malformed WKT group: ${t.take(40)}")
+    t.substring(1, t.length - 1)
+  }
+
+  private def parseRing(coords: String): IndexedSeq[Pt] = {
     val pts = coords.split(',').map { pair =>
       val t = pair.trim.split("\\s+")
       require(t.length >= 2, s"malformed coordinate '$pair'")
       Pt(t(0).toDouble, t(1).toDouble)
     }.toIndexedSeq
     // WKT closes the ring by repeating the first point; store it open.
-    val ring = if (pts.length > 1 && pts.head == pts.last) pts.dropRight(1) else pts
-    Polygon(ring)
+    if (pts.length > 1 && pts.head == pts.last) pts.dropRight(1) else pts
   }
 
-  /** WKT text of a polygon (closing the ring), inverse of parseWktPolygon —
+  /** Parse the ring list of one polygon body: "(outer), (hole), ..." */
+  private def parsePolygonBody(body: String): Polygon = {
+    val rings = splitTopLevel(body).map(g => parseRing(stripParens(g)))
+    require(rings.nonEmpty, "POLYGON needs an exterior ring")
+    Polygon(rings.head, rings.tail.toIndexedSeq)
+  }
+
+  /**
+   * Parse a WKT query geometry: POLYGON (with any number of interior rings)
+   * or MULTIPOLYGON — the full shape surface JTS's reader accepts for the
+   * reference's region queries.
+   */
+  def parseWkt(wkt: String): Geometry = {
+    val s = wkt.trim
+    val upper = s.toUpperCase(java.util.Locale.ROOT)
+    if (upper.startsWith("MULTIPOLYGON")) {
+      val body = stripParens(s.substring("MULTIPOLYGON".length))
+      MultiPolygon(splitTopLevel(body).map(g => parsePolygonBody(stripParens(g))).toIndexedSeq)
+    } else {
+      require(upper.startsWith("POLYGON"), s"expected POLYGON or MULTIPOLYGON WKT, got: ${s.take(30)}")
+      parsePolygonBody(stripParens(s.substring("POLYGON".length)))
+    }
+  }
+
+  /** Parse a WKT POLYGON (interior rings included). Kept for callers that
+    * require a single polygon; [[parseWkt]] is the general entry point. */
+  def parseWktPolygon(wkt: String): Polygon = parseWkt(wkt) match {
+    case p: Polygon => p
+    case MultiPolygon(ps) if ps.length == 1 => ps.head
+    case _ => throw new IllegalArgumentException(
+      s"expected a single POLYGON, got a MULTIPOLYGON: ${wkt.take(40)}")
+  }
+
+  /** WKT text of a geometry (closing each ring), inverse of [[parseWkt]] —
     * covers the reference's filter round-trip surface (F6: WithinFilter
     * toByteArray/parseFrom ships the WKT text, Filter.proto:12-17). */
-  def toWkt(p: Polygon): String =
-    (p.ring :+ p.ring.head)
-      .map(pt => s"${pt.x} ${pt.y}")
-      .mkString("POLYGON ((", ", ", "))")
+  def toWkt(g: Geometry): String = g match {
+    case p: Polygon => s"POLYGON ${polygonBodyWkt(p)}"
+    case MultiPolygon(ps) => ps.map(polygonBodyWkt).mkString("MULTIPOLYGON (", ", ", ")")
+  }
+
+  private def polygonBodyWkt(p: Polygon): String = {
+    def ringWkt(r: IndexedSeq[Pt]): String =
+      (r :+ r.head).map(pt => s"${pt.x} ${pt.y}").mkString("(", ", ", ")")
+    (p.ring +: p.holes).map(ringWkt).mkString("(", ", ", ")")
+  }
 
   /** Convex hull (Andrew's monotone chain), returned as a CCW polygon. */
   def convexHull(points: Seq[Pt]): Polygon = {

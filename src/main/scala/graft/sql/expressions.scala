@@ -110,19 +110,19 @@ case class STCoversWkt(first: Expression, second: Expression, third: Expression,
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "st_covers_wkt"
 
-  @transient private lazy val constPolygon: Option[Geom.Polygon] =
+  @transient private lazy val constPolygon: Option[Geom.Geometry] =
     if (first.foldable) {
-      Option(first.eval(null)).map(w => Geom.parseWktPolygon(w.toString))
+      Option(first.eval(null)).map(w => Geom.parseWkt(w.toString))
     } else None
 
   // Non-foldable WKT: cache the last-seen polygon. Single-field tuple keeps
   // the (wkt, polygon) pairing atomic if the instance is shared across threads.
-  @transient private var cache: (String, Geom.Polygon) = _
-  private def polygonFor(wkt: String): Geom.Polygon = {
+  @transient private var cache: (String, Geom.Geometry) = _
+  private def polygonFor(wkt: String): Geom.Geometry = {
     val c = cache
     if (c != null && c._1 == wkt) c._2
     else {
-      val p = Geom.parseWktPolygon(wkt)
+      val p = Geom.parseWkt(wkt)
       cache = (wkt, p)
       p
     }
@@ -136,7 +136,7 @@ case class STCoversWkt(first: Expression, second: Expression, third: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     constPolygon match {
       case Some(poly) =>
-        val polyRef = ctx.addReferenceObj("graftPolygon", poly, classOf[Geom.Polygon].getName)
+        val polyRef = ctx.addReferenceObj("graftPolygon", poly, classOf[Geom.Geometry].getName)
         defineCodeGen(ctx, ev, (_, lon, lat) => s"$polyRef.covers($lon, $lat)")
       case None =>
         val self = ctx.addReferenceObj("graftCovers", this, classOf[STCoversWkt].getName)
@@ -154,7 +154,7 @@ case class STCoversWkt(first: Expression, second: Expression, third: Expression,
 
 object STCoversWkt {
   /** The query polygon when statically known (used by the pruning rule). */
-  def constantPolygon(e: STCoversWkt): Option[Geom.Polygon] =
-    if (e.first.foldable) Option(e.first.eval(null)).map(w => Geom.parseWktPolygon(w.toString))
+  def constantPolygon(e: STCoversWkt): Option[Geom.Geometry] =
+    if (e.first.foldable) Option(e.first.eval(null)).map(w => Geom.parseWkt(w.toString))
     else None
 }

@@ -152,6 +152,30 @@ class PlanSpec extends AnyFunSuite {
     assert(doc1 == doc2, "FeatureCollection bytes must not depend on partitioning")
   }
 
+  test("within: holed polygon and MULTIPOLYGON end-to-end (rect-arithmetic oracle)") {
+    val wifi = Gis.ingestTsv(spark, "/root/reference/src/test/resources/wifi_4326.txt")
+    // axis-aligned shapes make the oracle independent of Geom: plain
+    // column-range predicates (boundary-inclusive outer, strict hole interior)
+    val outer = "POLYGON ((-73.99 40.75, -73.99 40.762, -73.97 40.762, -73.97 40.75, -73.99 40.75))"
+    val holed = "POLYGON ((-73.99 40.75, -73.99 40.762, -73.97 40.762, -73.97 40.75, -73.99 40.75), " +
+      "(-73.985 40.754, -73.985 40.758, -73.975 40.758, -73.975 40.754, -73.985 40.754))"
+    val nOuter = Gis.within(wifi, outer).count()
+    val nHoled = Gis.within(wifi, holed).count()
+    val nHoleInterior = wifi.filter(
+      col("lon") > -73.985 && col("lon") < -73.975 &&
+        col("lat") > 40.754 && col("lat") < 40.758).count()
+    assert(nHoleInterior > 0 && nHoled < nOuter, "fixture must exercise the hole")
+    assert(nHoled == nOuter - nHoleInterior, s"$nHoled != $nOuter - $nHoleInterior")
+    // disjoint multipolygon = sum of its parts
+    val r1 = "POLYGON ((-73.99 40.75, -73.99 40.76, -73.98 40.76, -73.98 40.75, -73.99 40.75))"
+    val r2 = "POLYGON ((-73.975 40.75, -73.975 40.76, -73.965 40.76, -73.965 40.75, -73.975 40.75))"
+    val mp = "MULTIPOLYGON (((-73.99 40.75, -73.99 40.76, -73.98 40.76, -73.98 40.75, -73.99 40.75)), " +
+      "((-73.975 40.75, -73.975 40.76, -73.965 40.76, -73.965 40.75, -73.975 40.75)))"
+    val n1 = Gis.within(wifi, r1).count(); val n2 = Gis.within(wifi, r2).count()
+    assert(n1 > 0 && n2 > 0, "fixture must hit both parts")
+    assert(Gis.within(wifi, mp).count() == n1 + n2)
+  }
+
   test("WKT round-trip (F6 serialization parity)") {
     val wkt = "POLYGON ((-73.980844 40.758703, -73.987214 40.761369, -73.990839 40.7564, -73.984422 40.753642, -73.980844 40.758703))"
     val p = graft.geo.Geom.parseWktPolygon(wkt)

@@ -154,4 +154,83 @@ class GeomSpec extends AnyFunSuite {
       case None => succeed
     }
   }
+
+  // ---- interior rings (holes) + MULTIPOLYGON (JTS covers parity) ----
+
+  private val holed = parseWktPolygon(
+    "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (3 3, 3 7, 7 7, 7 3, 3 3))")
+
+  test("holed polygon: interior kept, hole interior excluded") {
+    assert(holed.covers(1, 1), "point between shell and hole")
+    assert(holed.covers(8, 5), "point right of the hole")
+    assert(!holed.covers(5, 5), "point strictly inside the hole")
+    assert(!holed.covers(11, 5), "point outside the shell")
+  }
+
+  test("holed polygon: hole boundary is polygon boundary — covered (JTS covers)") {
+    assert(holed.covers(3, 5), "point ON the hole's left edge")
+    assert(holed.covers(3, 3), "point ON a hole vertex")
+    assert(holed.covers(0, 5), "outer boundary stays inclusive")
+  }
+
+  test("multiple holes and WKT round-trip with holes") {
+    val two = parseWktPolygon(
+      "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1), (8 8, 8 9, 9 9, 9 8, 8 8))")
+    assert(two.holes.length == 2)
+    assert(!two.covers(1.5, 1.5) && !two.covers(8.5, 8.5) && two.covers(5, 5))
+    val rt = parseWktPolygon(toWkt(two))
+    assert(rt.ring == two.ring && rt.holes == two.holes)
+  }
+
+  test("MULTIPOLYGON: in-any-part covered, between parts not") {
+    val mp = parseWkt(
+      "MULTIPOLYGON (((0 0, 0 2, 2 2, 2 0, 0 0)), ((5 0, 5 2, 7 2, 7 0, 5 0)))")
+    assert(mp.isInstanceOf[MultiPolygon])
+    assert(mp.covers(1, 1), "first part interior")
+    assert(mp.covers(6, 1), "second part interior")
+    assert(mp.covers(2, 1), "part boundary inclusive")
+    assert(!mp.covers(3.5, 1), "gap between parts")
+    assert(!mp.covers(8, 1), "outside both")
+    val rt = parseWkt(toWkt(mp))
+    assert(rt == mp, "MULTIPOLYGON WKT round-trip")
+  }
+
+  test("MULTIPOLYGON with a holed part + bbox/centroid sanity") {
+    val mp = parseWkt(
+      "MULTIPOLYGON (((0 0, 0 10, 10 10, 10 0, 0 0), (3 3, 3 7, 7 7, 7 3, 3 3)), ((20 0, 20 4, 24 4, 24 0, 20 0)))")
+    assert(!mp.covers(5, 5), "hole interior in part 1")
+    assert(mp.covers(3, 5), "hole boundary covered")
+    assert(mp.covers(22, 2), "part 2 interior")
+    assert(mp.bbox == (0.0, 24.0, 0.0, 10.0))
+    // net-area weighting: part1 area 100-16=84 centered (5,5); part2 16 at (22,2)
+    val c = mp.centroid
+    assert(math.abs(c.x - (5.0 * 84 + 22.0 * 16) / 100) < 1e-9)
+    assert(math.abs(c.y - (5.0 * 84 + 2.0 * 16) / 100) < 1e-9)
+  }
+
+  test("holed centroid shifts away from the hole") {
+    val p = parseWktPolygon(
+      "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (6 4, 6 6, 8 6, 8 4, 6 4))")
+    // shell 100 at (5,5); hole 4 at (7,5) → x = (500 - 28)/96
+    assert(math.abs(p.centroid.x - (500.0 - 28.0) / 96) < 1e-9)
+    assert(math.abs(p.centroid.y - 5.0) < 1e-9)
+  }
+
+  test("minimumBoundingPrefixes covers a holed polygon and a multipolygon") {
+    val holedMidtown = parseWkt(
+      "POLYGON ((-73.99 40.75, -73.99 40.762, -73.97 40.762, -73.97 40.75, -73.99 40.75), " +
+        "(-73.985 40.754, -73.985 40.758, -73.975 40.758, -73.975 40.754, -73.985 40.754))")
+    val Some(p1) = GeohashPruning.minimumBoundingPrefixes(holedMidtown)
+    assert(GeohashPruning.hullOfCells(p1).coversPolygon(holedMidtown))
+    val mp = parseWkt(
+      "MULTIPOLYGON (((-73.99 40.75, -73.99 40.76, -73.98 40.76, -73.98 40.75, -73.99 40.75)), " +
+        "((-73.97 40.75, -73.97 40.76, -73.96 40.76, -73.96 40.75, -73.97 40.75)))")
+    val Some(p2) = GeohashPruning.minimumBoundingPrefixes(mp)
+    // soundness: every exterior vertex of every part lands in a prefix cell
+    mp.exteriorPoints.foreach { p =>
+      val g = Geohash.encode(p.y, p.x, 12)
+      assert(p2.exists(g.startsWith), s"vertex $p outside prefix set $p2")
+    }
+    assert(GeohashPruning.hullOfCells(p2).coversPolygon(mp))
+  }
 }
