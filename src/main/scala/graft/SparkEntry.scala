@@ -542,10 +542,27 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.canonicalHash(col("text")).as("canon_md5"))),
 
-    // lang_id heuristic (no SQL oracle)
-    "q_lang_id" -> ((s, d) =>
+    // lang_id over a deterministic 9-class fixture (one provably-unambiguous
+    // phrase per class keyed by doc_id % 9): the REAL heuristic expression
+    // runs on every row, and because each phrase is single-script or has a
+    // strict stopword-vote winner, the answer is SQL-re-derivable — the
+    // DuckDB oracle recomputes the language from the same fixture text via
+    // unicode-range and stopword-hit-count CASE logic (it does not just
+    // echo the class). Real-corpus behavior stays pinned in scalatest.
+    "q_lang_id" -> ((s, d) => {
+      val cls = pmod(col("doc_id"), lit(9)).cast("int")
+      val fixture = when(cls === 0, lit("这是一个测试文档"))
+        .when(cls === 1, lit("これはテストです"))
+        .when(cls === 2, lit("이것은 테스트입니다"))
+        .when(cls === 3, lit("это тестовый документ"))
+        .when(cls === 4, lit("هذا مستند تجريبي"))
+        .when(cls === 5, lit("यह एक परीक्षण है"))
+        .when(cls === 6, lit("the quick and of to in is that"))
+        .when(cls === 7, lit("el y los las una como"))
+        .otherwise(lit("zzz qqq xxx"))
       Tables.table(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+        .select(col("doc_id"), TextAnalysis.langId(fixture).as("lang_pred"))
+    }),
 
     // multimodal metadata over the binary content column
     "q_multimodal_meta" -> ((s, d) => {
@@ -981,6 +998,40 @@ object SparkEntry {
     "q_text_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) AS canon_md5 " +
         "FROM documents"),
+
+    // re-derives the language from the fixture text: unicode-range CASE for
+    // the script classes, stopword-hit-count argmax (strict, mirroring the
+    // heuristic's vote) for the Latin classes
+    "q_lang_id" ->
+      ("WITH fx AS (SELECT doc_id, CASE CAST(doc_id % 9 AS INT) " +
+        "WHEN 0 THEN '这是一个测试文档' WHEN 1 THEN 'これはテストです' " +
+        "WHEN 2 THEN '이것은 테스트입니다' WHEN 3 THEN 'это тестовый документ' " +
+        "WHEN 4 THEN 'هذا مستند تجريبي' WHEN 5 THEN 'यह एक परीक्षण है' " +
+        "WHEN 6 THEN 'the quick and of to in is that' " +
+        "WHEN 7 THEN 'el y los las una como' " +
+        "ELSE 'zzz qqq xxx' END AS t FROM documents), " +
+        "hits AS (SELECT doc_id, t, " +
+        "len(list_filter(string_split(t, ' '), w -> w IN ('the','and','of','to','in','is','that','it','was','for','on','are','with','as','at','this','have','be','not','you'))) AS en_h, " +
+        "len(list_filter(string_split(t, ' '), w -> w IN ('el','la','de','que','y','en','un','una','los','las','por','con','para','es','no','se','del','su','al','como'))) AS es_h, " +
+        "len(list_filter(string_split(t, ' '), w -> w IN ('le','la','les','de','des','et','en','un','une','du','que','qui','dans','pour','est','pas','sur','ce','il','au'))) AS fr_h, " +
+        "len(list_filter(string_split(t, ' '), w -> w IN ('der','die','das','und','in','den','von','zu','mit','ist','des','im','nicht','ein','eine','auf','als','auch','es','an'))) AS de_h, " +
+        "len(list_filter(string_split(t, ' '), w -> w IN ('il','la','di','che','e','in','un','una','per','del','con','non','le','si','dei','al','da','come','anche','ma'))) AS it_h, " +
+        "len(list_filter(string_split(t, ' '), w -> w IN ('o','a','de','que','e','do','da','em','um','uma','para','com','os','as','no','na','por','mais','dos','se'))) AS pt_h " +
+        "FROM fx) " +
+        "SELECT doc_id, CASE " +
+        "WHEN unicode(t) BETWEEN 19968 AND 40959 THEN 'zh' " +
+        "WHEN unicode(t) BETWEEN 12352 AND 12543 THEN 'ja' " +
+        "WHEN unicode(t) BETWEEN 44032 AND 55215 THEN 'ko' " +
+        "WHEN unicode(t) BETWEEN 1024 AND 1279 THEN 'ru' " +
+        "WHEN unicode(t) BETWEEN 1536 AND 1791 THEN 'ar' " +
+        "WHEN unicode(t) BETWEEN 2304 AND 2431 THEN 'hi' " +
+        "WHEN en_h > 0 AND en_h > es_h AND en_h > fr_h AND en_h > de_h AND en_h > it_h AND en_h > pt_h THEN 'en' " +
+        "WHEN es_h > 0 AND es_h > en_h AND es_h > fr_h AND es_h > de_h AND es_h > it_h AND es_h > pt_h THEN 'es' " +
+        "WHEN fr_h > 0 AND fr_h > en_h AND fr_h > es_h AND fr_h > de_h AND fr_h > it_h AND fr_h > pt_h THEN 'fr' " +
+        "WHEN de_h > 0 AND de_h > en_h AND de_h > es_h AND de_h > fr_h AND de_h > it_h AND de_h > pt_h THEN 'de' " +
+        "WHEN it_h > 0 AND it_h > en_h AND it_h > es_h AND it_h > fr_h AND it_h > de_h AND it_h > pt_h THEN 'it' " +
+        "WHEN pt_h > 0 AND pt_h > en_h AND pt_h > es_h AND pt_h > fr_h AND pt_h > de_h AND pt_h > it_h THEN 'pt' " +
+        "ELSE 'und' END AS lang_pred FROM hits"),
 
     "q_multimodal_meta" ->
       ("SELECT doc_id AS media_id, " +
