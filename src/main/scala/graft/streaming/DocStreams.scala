@@ -47,4 +47,39 @@ object DocStreams {
     * aggregate; emit with Update/Complete mode. State is O(|probes|). */
   def contaminationStream(docs: DataFrame, probes: Seq[String]): DataFrame =
     TextAnalysis.contaminationProbes(docs, probes)
+
+  /**
+   * Streaming sequence packing — the stateful twin of
+   * [[TextAnalysis.packBudgeted]]: per group (`source`), a running token
+   * sum lives in `GroupState` (one long per group) and each doc's pack_id
+   * is the exclusive cumulative sum div `budgetTokens`, exactly the batch
+   * formula. Rows are doc_id-sorted WITHIN each micro-batch before the sum
+   * continues, so with in-order arrival (each batch's ids after the
+   * previous batch's, per group — the natural shape for append-only
+   * ingestion) the assignment is identical to the batch operator's global
+   * doc_id order; out-of-order arrival packs in arrival order, the same
+   * trade watermarked streaming dedup makes for late rows.
+   */
+  def packBudgetedStream(docs: DataFrame, budgetTokens: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.functions.col
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(Long, String, Long)], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toArray.sortBy(_._1).map { case (id, _, n) =>
+            val pid = cum / budgetTokens
+            cum += n
+            (id, source, n, pid)
+          }
+          state.update(cum)
+          out.iterator
+      }.toDF("doc_id", "source", "n_tokens", "pack_id")
+  }
 }

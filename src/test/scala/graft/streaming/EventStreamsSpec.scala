@@ -227,6 +227,40 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming packBudgeted == batch twin (stateful, across micro-batches)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = graft.pipeline.TextAnalysis.packBudgeted(docs,
+      groupCols = Seq("source"), budgetTokens = 512L)
+      .select("doc_id", "source", "n_tokens", "pack_id")
+      .collect().map(_.toSeq).toSet
+
+    // split at the doc_id median into two files; maxFilesPerTrigger=1
+    // processes them as separate micro-batches (modification-time order),
+    // so the running budget must survive in GroupState across the boundary
+    val median = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-pack-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pack-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(docs.filter(col("doc_id") <= median), "a.parquet", 120000L)
+    writeOne(docs.filter(col("doc_id") > median), "b.parquet", 1000L)
+    val stream = spark.readStream.schema(DocStreams.docFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = DocStreams.packBudgetedStream(stream, 512L)
+      .writeStream.outputMode("append").format("memory").queryName("pack_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pack_out").collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        "stateful streaming packing must equal the batch assignment on in-order arrival")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions") {
     val ds = events
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
