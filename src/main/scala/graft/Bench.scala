@@ -66,6 +66,23 @@ object Bench {
     val results = timeAll(spark, sfDir)
     val total = results.map(_._2).sum
 
+    // delivered-recall probe for the one gate query with no SQL oracle
+    // (q_embed_topk_ivf, honestly approximate): the official bench record
+    // carries its measured quality next to its wall time. Same config as
+    // the gate query; one extra brute-force scan of the embeddings table.
+    val ivfPart = scala.util.Try {
+      import org.apache.spark.sql.functions.col
+      val embs = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      val centroids = graft.pipeline.Similarity.ivfTrain(embs, nCells = 8, iters = 3)
+      val q = embs.filter(col("vec_id") === 0L).select("embedding").head()
+        .getSeq[Float](0).toArray
+      val r = graft.pipeline.Similarity.ivfDeliveredRecall(embs, centroids, q, 10, nProbe = 3)
+      f""","ivf_recall":$r%.3f"""
+    }.recover { case e =>
+      System.err.println(s"[bench] ivf recall probe failed: ${e.getMessage}")
+      ""
+    }.get
+
     // 10× scale pass (driver-recorded sf1 numbers), skippable via env.
     // Returns (sf1_total for the compact driver line, full detail fragment
     // for the side file). The slowest sf1 query is re-timed once at the end
@@ -201,13 +218,13 @@ object Bench {
     // (sf0.1 per-query + scalar totals, ~1.5 KB) and is printed LAST, so it
     // can never outgrow the driver's tail capture again (r3's official
     // record came back "parsed": null for exactly that reason).
-    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$scalePart$storagePart$skewPart}"""
+    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$ivfPart$scalePart$storagePart$skewPart}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("/tmp/graft_bench.json")).foreach { p =>
       scala.util.Try(java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (detailLine + "\n").getBytes("UTF-8")))
         .recover { case e => System.err.println(s"[bench] side-file write failed: ${e.getMessage}") }
     }
-    val driverLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$sf1TotalPart}"""
+    val driverLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$ivfPart$sf1TotalPart}"""
     println(driverLine)
     spark.stop()
   }

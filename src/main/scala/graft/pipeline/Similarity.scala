@@ -131,6 +131,24 @@ object Similarity {
   }
 
   /**
+   * Delivered recall of [[ivfTopK]] against the exact top-k for one query:
+   * |approx ∩ exact| / k. Costs the probed scan plus ONE brute-force scan
+   * (two bounded ≤ k-row collects) — an observability probe for benches and
+   * gate corpora, where the honestly-approximate IVF query self-reports its
+   * quality next to its wall time; not a per-query production step (the
+   * full scan is exactly what IVF exists to avoid).
+   */
+  def ivfDeliveredRecall(df: DataFrame, centroids: Array[Array[Float]],
+                         query: Array[Float], k: Int, nProbe: Int = 2,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val approx = ivfTopK(df, centroids, query, k, nProbe, idCol, vecCol)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSet
+    val exact = cosineTopK(df, query, k, idCol, vecCol)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSet
+    if (exact.isEmpty) 1.0 else approx.intersect(exact).size.toDouble / exact.size
+  }
+
+  /**
    * LSH-pruned approximate top-k: only rows whose sign-bucket is within
    * `maxFlips` bit flips of the query's bucket are scored (probing the
    * 1-flip neighborhood recovers most near-misses at planes≤16). Falls back

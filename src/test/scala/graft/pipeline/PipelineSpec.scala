@@ -373,6 +373,11 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(ivf.size == 10)
     assert(exact.intersect(ivf).size >= 5, s"IVF overlap ${exact.intersect(ivf).size}")
+    // the observability probe reports exactly the measured overlap fraction
+    val recall = Similarity.ivfDeliveredRecall(embs, centroids, query, 10, nProbe = 3)
+    assert(recall == exact.intersect(ivf).size.toDouble / exact.size,
+      s"delivered-recall probe $recall disagrees with the measured overlap")
+    assert(recall >= 0.5 && recall <= 1.0)
   }
 
   // --- text analysis ---
