@@ -309,6 +309,16 @@ object Dedup {
    *    build-time jobs — at 100 TB the index job is one gram-frequency
    *    aggregation, the price of knowing the corpus is bitmappable.
    *
+   * `suffixFilterDepth` > 0 enables the PPJoin+ suffix-filtering probe
+   * (Xiao et al. WWW'08 §4) on array payloads: a depth-limited partition
+   * probe bounds the overlap before the merge runs. MEASURED OFF by
+   * default: on uniformly-hashed gram sets the bound is weak (per-leaf
+   * size imbalances are ~sqrt(n) and probe misses at most 2^d − 1, far
+   * under the required difference at t=0.8), and sf1 benchmarks showed
+   * depth 3 a net +14% over the early-abandon merge alone. It pays only
+   * when candidate sets differ in value DISTRIBUTION (clustered/skewed
+   * token spaces, the published workloads) — opt in for those.
+   *
    * EXACTNESS CAVEAT (both modes, and [[ngramJaccardPairs]] alike): a pair
    * whose every shared prefix gram lands in an over-`maxBucket` bucket is
    * dropped with the bucket — "exact" holds for the UNCAPPED corpus; caps
@@ -326,7 +336,8 @@ object Dedup {
                              corpusSizeHint: Long = 0L,
                              broadcastGramsMaxBytes: Long = 256L << 20,
                              mode: String = "auto",
-                             bitsetMaxVocab: Int = 1 << 16): DataFrame = {
+                             bitsetMaxVocab: Int = 1 << 16,
+                             suffixFilterDepth: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     require(Set("auto", "array", "bitset")(mode), s"unknown mode $mode")
     import org.apache.spark.sql.graft.{CollectBucketCapped, JaccardBucketPairs, PrefixBucketRows, ShingleHashes}
@@ -402,7 +413,10 @@ object Dedup {
     }
     observed.filter(col("bucket.total").between(2, maxBucket))
       .select(c(JaccardBucketPairs(e(col("bucket.items")), e(lit(threshold)),
-        payloadIsBitset = index.isDefined)))
+        payloadIsBitset = index.isDefined,
+        // suffix filtering pays only on sorted-array payloads (the bitset
+        // verify is already cheaper than the probe)
+        suffixFilterDepth = if (index.isDefined) 0 else suffixFilterDepth)))
       .dropDuplicates("id_a", "id_b")
   }
 

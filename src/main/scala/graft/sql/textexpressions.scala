@@ -270,6 +270,35 @@ object TextOps {
   }
 
   /**
+   * Depth-limited LOWER bound on |A Δ B| for two sorted long arrays — the
+   * PPJoin+ suffix-filtering probe (Xiao et al. WWW'08 §4, generalized to
+   * the whole set): partition both sets around the probe value (the middle
+   * of A's range) and recurse on both halves; each absent probe value and
+   * each leaf size imbalance is a certified difference. Exact with
+   * unbounded depth; at depth 0 the bound degrades to |#A − #B|. A few
+   * binary searches can prove a candidate pair cannot reach the required
+   * overlap before the O(#A + #B) merge runs.
+   */
+  def symmDiffLowerBound(a: ArrayData, al: Int, ar: Int,
+                         b: ArrayData, bl: Int, br: Int, depth: Int): Int = {
+    val na = ar - al; val nb = br - bl
+    if (na == 0) return nb
+    if (nb == 0) return na
+    if (depth <= 0) return math.abs(na - nb)
+    val mid = (al + ar) >>> 1
+    val m = a.getLong(mid)
+    var lo = bl; var hi = br
+    while (lo < hi) {
+      val c = (lo + hi) >>> 1
+      if (b.getLong(c) < m) lo = c + 1 else hi = c
+    }
+    val inB = lo < br && b.getLong(lo) == m
+    symmDiffLowerBound(a, al, mid, b, bl, lo, depth - 1) +
+      symmDiffLowerBound(a, mid + 1, ar, b, if (inB) lo + 1 else lo, br, depth - 1) +
+      (if (inB) 0 else 1)
+  }
+
+  /**
    * Threshold-aware early-abandon Jaccard over two DENSE GRAM BITSETS
    * (equal word counts, bit p = corpus gram index p): exact value when ≥ t,
    * -1.0 the moment the popcount bound proves it can't be. szA/szB are the
@@ -336,7 +365,8 @@ case class SortedJaccardAtLeast(first: Expression, second: Expression, third: Ex
  * enumerated at all.
  */
 case class JaccardBucketPairs(items: Expression, threshold: Expression,
-                              payloadIsBitset: Boolean = false)
+                              payloadIsBitset: Boolean = false,
+                              suffixFilterDepth: Int = 0)
     extends Expression with Generator with CodegenFallback {
   override def children: Seq[Expression] = Seq(items, threshold)
   override def elementSchema: StructType = StructType(Seq(
@@ -386,9 +416,19 @@ case class JaccardBucketPairs(items: Expression, threshold: Expression,
         if (idI != idJ) {
           val szJ = szs(pj); val rkJ = rks(pj)
           // PPJoin positional filter (prefix ranks witness max overlap)
-          if (ratio * (szI + szJ) - 1e-6 <= 1.0 + math.min(szI - rkI, szJ - rkJ)) {
-            val jac =
-              if (payloadIsBitset)
+          val alpha = ratio * (szI + szJ)
+          if (alpha - 1e-6 <= 1.0 + math.min(szI - rkI, szJ - rkJ)) {
+            // PPJoin+ suffix filter (sorted-array payloads only — the
+            // bitset verify is already cheaper than the probe): a few
+            // binary searches bound the overlap from above; prune when it
+            // provably can't reach alpha
+            val suffixOk = payloadIsBitset || suffixFilterDepth <= 0 || {
+              val lb = TextOps.symmDiffLowerBound(
+                payI, 0, szI, payloads(pj), 0, szJ, suffixFilterDepth)
+              (szI + szJ - lb) * 0.5 + 1e-9 >= alpha
+            }
+            val jac = if (!suffixOk) -1.0
+              else if (payloadIsBitset)
                 TextOps.bitsetJaccardAtLeast(payI, payloads(pj), szI, szJ, t)
               else TextOps.sortedJaccardAtLeast(payI, payloads(pj), t)
             if (jac >= t) {

@@ -17,14 +17,23 @@ object ProbeFused {
     graft.sql.functions.registerAll(spark)
     val docs = graft.sources.Tables.table(spark, sfDir, "documents")
     val n = docs.count()
-    for (round <- 1 to 2; variant <- Seq("flat", "fused")) {
+    for (round <- 1 to 2;
+         variant <- Seq("flat", "fused-array-nosf", "fused-array-sf3", "fused-bitset")) {
       val t0 = System.nanoTime()
-      val cnt = (if (variant == "flat")
-        graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          threshold = 0.8, corpusSizeHint = n)
-      else
-        graft.pipeline.Dedup.ngramJaccardPairsFused(docs, "doc_id", "text",
-          threshold = 0.8, corpusSizeHint = n)).count()
+      val cnt = (variant match {
+        case "flat" =>
+          graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            threshold = 0.8, corpusSizeHint = n)
+        case "fused-array-nosf" =>
+          graft.pipeline.Dedup.ngramJaccardPairsFused(docs, "doc_id", "text",
+            threshold = 0.8, corpusSizeHint = n, mode = "array", suffixFilterDepth = 0)
+        case "fused-array-sf3" =>
+          graft.pipeline.Dedup.ngramJaccardPairsFused(docs, "doc_id", "text",
+            threshold = 0.8, corpusSizeHint = n, mode = "array", suffixFilterDepth = 3)
+        case _ =>
+          graft.pipeline.Dedup.ngramJaccardPairsFused(docs, "doc_id", "text",
+            threshold = 0.8, mode = "bitset")
+      }).count()
       println(f"[fusedprobe] round$round $variant rows=$cnt ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     spark.stop()

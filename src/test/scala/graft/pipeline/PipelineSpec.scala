@@ -116,6 +116,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("suffix-filtered array mode == unfiltered (exactness; opt-in probe)") {
+    for (corpus <- Seq(docs, planted); t <- Seq(0.7, 0.8)) {
+      def run(depth: Int) =
+        Dedup.ngramJaccardPairsFused(corpus, "doc_id", "text", threshold = t,
+          mode = "array", suffixFilterDepth = depth)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(run(3) == run(0), s"suffix filter changed results at t=$t")
+    }
+  }
+
+  test("symmDiffLowerBound is a valid lower bound (property, random sets)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.graft.TextOps
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 300) {
+      val a = (0 until 400).filter(_ => rnd.nextDouble() < 0.3).map(_.toLong).toArray
+      val b = (0 until 400).filter(_ => rnd.nextDouble() < 0.3).map(_.toLong).toArray
+      val trueDiff = (a.toSet.diff(b.toSet) ++ b.toSet.diff(a.toSet)).size
+      for (d <- 0 to 4) {
+        val lb = TextOps.symmDiffLowerBound(new GenericArrayData(a), 0, a.length,
+          new GenericArrayData(b), 0, b.length, d)
+        assert(lb <= trueDiff, s"depth $d: bound $lb exceeds true diff $trueDiff")
+        assert(lb >= 0)
+      }
+      // unbounded depth is exact
+      val exact = TextOps.symmDiffLowerBound(new GenericArrayData(a), 0, a.length,
+        new GenericArrayData(b), 0, b.length, 64)
+      assert(exact == trueDiff, s"exact probe $exact != $trueDiff")
+    }
+  }
+
   test("bitset Jaccard verify == sorted-array verify (property, random sets)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.sql.graft.TextOps
