@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.pipeline.{Sampling, TextAnalysis}
+import graft.pipeline.{Dedup, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -60,6 +60,55 @@ object DocStreams {
    * doc_id order; out-of-order arrival packs in arrival order, the same
    * trade watermarked streaming dedup makes for late rows.
    */
+  /**
+   * Streaming SimHash near-duplicate detection — the stateful twin of
+   * [[Dedup.simhashPairs]]: each doc's 64-bit simhash fans out to its 4
+   * pigeonhole chunk buckets (≤ 3 differing bits ⇒ at least one identical
+   * 16-bit chunk, so completeness carries over); per bucket, GroupState
+   * holds the (id, simhash) pairs seen so far (16 bytes each, capped at
+   * `maxBucket` — append-only state keeps the FIRST maxBucket arrivals
+   * where the batch op drops over-cap buckets wholesale), and an arriving
+   * doc emits a pair for every stored doc within `maxHamming`. Pairs
+   * surface the moment their second member arrives — the streaming shape
+   * of near-dup detection against all history. A pair colliding in several
+   * chunks is emitted once per chunk; collapse downstream exactly as the
+   * batch op's dropDuplicates does.
+   */
+  def simhashPairsStream(docs: DataFrame, shingle: Int = 5, maxHamming: Int = 3,
+                         maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.functions._
+    require(maxHamming <= 3, "chunked pigeonhole bound holds for maxHamming <= 3")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("id"),
+        Dedup.simhash(col("text"), shingle).as("sh"))
+      .select(col("id"), col("sh"), posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(concat_ws("_", col("pos"), col("col")).as("bucket"), col("id"), col("sh"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Seq[(Long, Long)]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty).toBuffer
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          rows.toArray.sortBy(_._2).foreach { case (_, id, sh) =>
+            seen.foreach { case (pid, psh) =>
+              if (pid != id) {
+                val h = java.lang.Long.bitCount(psh ^ sh).toLong
+                if (h <= maxHamming)
+                  out += (if (pid < id) (pid, id, h) else (id, pid, h))
+              }
+            }
+            if (seen.length < maxBucket) seen += ((id, sh))
+          }
+          state.update(seen.toSeq)
+          out.iterator
+      }.toDF("id_a", "id_b", "hamming")
+  }
+
   def packBudgetedStream(docs: DataFrame, budgetTokens: Long = 512L): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.functions.col

@@ -261,6 +261,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash near-dup pairs == batch twin (stateful, cross-batch)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    assert(batch.nonEmpty, "fixture needs natural simhash near-dups")
+
+    // median split + maxFilesPerTrigger=1: a pair whose members arrive in
+    // DIFFERENT micro-batches is only found if the first member's simhash
+    // survived in bucket state
+    val median = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
+    val crossBatch = batch.exists { case (a, b, _) => a <= median && b > median }
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-simhash-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-simhash-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(docs.filter(col("doc_id") <= median), "a.parquet", 120000L)
+    writeOne(docs.filter(col("doc_id") > median), "b.parquet", 1000L)
+    val stream = spark.readStream.schema(DocStreams.docFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = DocStreams.simhashPairsStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sh_out").start()
+    try {
+      q.processAllAvailable()
+      // per-chunk duplicate emissions collapse downstream, as in batch
+      val streamed = spark.table("sh_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"streaming pairs (${streamed.size}) != batch (${batch.size}); crossBatch=$crossBatch")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions") {
     val ds = events
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
