@@ -542,6 +542,13 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.canonicalHash(col("text")).as("canon_md5"))),
 
+    // Gopher-style repetition signals: duplicate-line counts + most-common-
+    // word dominance, integer-exact for the oracle hash compare
+    "q_text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.table(s, d, "documents"))
+        .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+          col("top_word_count"), col("n_words_alpha"), col("n_distinct_words"))),
+
     // lang_id over a deterministic 9-class fixture (one provably-unambiguous
     // phrase per class keyed by doc_id % 9): the REAL heuristic expression
     // runs on every row, and because each phrase is single-script or has a
@@ -998,6 +1005,22 @@ object SparkEntry {
     "q_text_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) AS canon_md5 " +
         "FROM documents"),
+
+    "q_text_repetition" ->
+      ("WITH lines AS (SELECT doc_id, " +
+        "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls " +
+        "FROM documents), " +
+        "lstats AS (SELECT doc_id, CAST(len(ls) AS INT) AS n_lines, " +
+        "CAST(len(ls) - len(list_distinct(ls)) AS INT) AS n_dup_lines FROM lines), " +
+        "words AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents), " +
+        "wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w), " +
+        "wagg AS (SELECT doc_id, max(c) AS top_word_count, CAST(sum(c) AS BIGINT) AS n_words_alpha, " +
+        "count(*) AS n_distinct_words FROM wc GROUP BY doc_id) " +
+        "SELECT l.doc_id, l.n_lines, l.n_dup_lines, " +
+        "COALESCE(w.top_word_count, 0) AS top_word_count, " +
+        "COALESCE(w.n_words_alpha, 0) AS n_words_alpha, " +
+        "COALESCE(w.n_distinct_words, 0) AS n_distinct_words " +
+        "FROM lstats l LEFT JOIN wagg w USING (doc_id)"),
 
     // re-derives the language from the fixture text: unicode-range CASE for
     // the script classes, stopword-hit-count argmax (strict, mirroring the

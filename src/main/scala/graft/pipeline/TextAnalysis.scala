@@ -161,6 +161,33 @@ object TextAnalysis {
   }
 
   /**
+   * Repetition statistics — the Gopher-family repetition quality signals
+   * (duplicate lines, most-common-word dominance), emitted as INTEGER
+   * counts so cross-engine verification is hash-exact; consumers derive
+   * ratios (n_dup_lines / n_lines, top_word_count / n_words_alpha).
+   * Line stats are scan-local (no shuffle); word dominance is one
+   * (id, word) aggregation then a per-doc rollup — the gram-stream shape,
+   * never a corpus self-join, so it scales like every other text pass.
+   */
+  def repetitionStats(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), x => trim(x)), x => x =!= "")
+    val lineStats = df.select(col(idCol),
+      size(lines).as("n_lines"),
+      (size(lines) - size(array_distinct(lines))).as("n_dup_lines"))
+    val words = df.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"), w => w =!= "")).as("w"))
+    val wordAgg = words.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_word_count"),
+        sum(col("c")).as("n_words_alpha"),
+        count(lit(1)).as("n_distinct_words"))
+    lineStats.join(wordAgg, Seq(idCol), "left")
+      .na.fill(0L, Seq("top_word_count", "n_words_alpha", "n_distinct_words"))
+  }
+
+  /**
    * Heuristic quality features + score in one projection:
    * length, word stats, punctuation/symbol/upper ratios, stopword hit rate.
    * Score mirrors the C4/Gopher-style hand rules: penalize very short docs,

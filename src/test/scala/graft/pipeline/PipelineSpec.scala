@@ -222,6 +222,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionStats: planted repetitive doc counts exactly") {
+    val fixture = Seq(
+      (1L, "spam spam spam\nspam spam spam\nunique line\n\nspam spam spam"),
+      (2L, "all lines differ\nhere too\nand here"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(fixture)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // doc 1: 4 non-empty lines, "spam spam spam" x3 -> 2 dups; word spam 9x of 11
+    assert(got(1L) == ((4, 2, 9L, 11L, 3L)), got(1L))
+    assert(got(2L) == ((3, 0, 2L, 7L, 6L)), got(2L)) // "here" twice of 7 words
+    assert(got(3L) == ((0, 0, 0L, 0L, 0L)), got(3L))
+  }
+
   test("simhash pairs: planted near-dups within hamming 3 are found") {
     val pairs = Dedup.simhashPairs(planted, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
