@@ -176,6 +176,27 @@ class PlanSpec extends AnyFunSuite {
     assert(Gis.within(wifi, mp).count() == n1 + n2)
   }
 
+  test("bitset exact-join plan: exactly 2 shuffles (bucket groupBy + pair dedup)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.pipeline.Dedup.ngramJaccardPairsFused(docs, "doc_id", "text",
+      threshold = 0.8, mode = "bitset")
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    var shuffles = 0
+    plan.foreach {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => shuffles += 1
+      case _: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => shuffles += 1
+      case _ =>
+    }
+    // the df-join + per-doc rarity window of the general path are computed
+    // map-side off the broadcast index; regressing this means a shuffle
+    // crept back into the small-vocabulary pipeline
+    assert(shuffles == 2, s"expected 2 shuffles, plan has $shuffles:\n$plan")
+  }
+
   test("WKT round-trip (F6 serialization parity)") {
     val wkt = "POLYGON ((-73.980844 40.758703, -73.987214 40.761369, -73.990839 40.7564, -73.984422 40.753642, -73.980844 40.758703))"
     val p = graft.geo.Geom.parseWktPolygon(wkt)
