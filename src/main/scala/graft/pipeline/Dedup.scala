@@ -479,7 +479,8 @@ object Dedup {
    * Throws if `maxIter` rounds pass without convergence (returning
    * unconverged labels would silently split true clusters).
    */
-  def clusters(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 12,
+               driverMaxEdges: Long = 200000L): DataFrame = {
     // cache the directed pairs FIRST: the union below references the pairs
     // plan twice, and without this the (possibly expensive — e.g. a full
     // LSH pipeline) upstream would execute once per branch
@@ -490,6 +491,37 @@ object Dedup {
     // pure scheduling overhead per round. Aim for ~250k edges/partition,
     // floor 4; a 100 TB corpus with billions of pairs still gets thousands.
     val nDirected = directed.count()
+    // driver fast path: a SMALL edge list (the common case — near-dup pairs
+    // are a vanishing fraction of any curated corpus) pays several
+    // scheduling rounds of pure overhead in the iterative plan, while an
+    // exact union-find over ≤ driverMaxEdges collected pairs (bounded:
+    // ~32 B/edge ⇒ ≤ ~6 MB) is microseconds and yields the identical
+    // min-label component labeling. Corpora with more pairs than the cap
+    // take the distributed pointer-doubling loop below unchanged.
+    if (nDirected > 0 && nDirected <= driverMaxEdges) {
+      val edgeRows = directed.collect()
+      directed.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+        r
+      }
+      edgeRows.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        val ra = find(a); val rb = find(b)
+        // union by MIN root so the representative is the minimum id —
+        // exactly the distributed loop's fixpoint labeling
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        else { parent.getOrElseUpdate(a, ra); parent.getOrElseUpdate(b, rb) }
+      }
+      val ids = edgeRows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return ids.map(id => (id, find(id))).toSeq.toDF("id", "cluster")
+    }
     val parts = math.max(4, math.min(
       pairs.sparkSession.sessionState.conf.numShufflePartitions,
       (2 * nDirected / 250000 + 1).toInt))

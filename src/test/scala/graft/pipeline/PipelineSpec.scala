@@ -307,6 +307,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.keySet == oracle.keySet)
     // same partition: min-label == union-find root (roots are min ids here)
     got.foreach { case (id, c) => assert(c == oracle(id), s"node $id: $c vs ${oracle(id)}") }
+    // the distributed iterative path (forced via driverMaxEdges = 0) must
+    // produce the identical labeling as the driver union-find fast path
+    val distributed = Dedup.clusters(pairs, driverMaxEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == got, "distributed and driver cluster paths diverged")
+  }
+
+  test("clusters driver fast path: deep chain and forest shapes") {
+    // a 3000-node path graph (worst case for plain propagation) plus stars
+    val chain = (0L until 2999L).map(i => (i, i + 1))
+    val stars = (0 until 50).flatMap(s => (1 to 5).map(i => (10000L + s * 10, 10000L + s * 10 + i)))
+    val pairs = (chain ++ stars).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 2999L).foreach(i => assert(got(i) == 0L, s"chain node $i -> ${got(i)}"))
+    stars.foreach { case (h, m) => assert(got(m) == h && got(h) == h) }
   }
 
   /** Driver-side exact cosine (same sequential double loop as VecOps). */
