@@ -37,16 +37,28 @@ object GeohashPruning {
    * fall back to a full scan — correct at any query size.
    */
   def minimumBoundingPrefixes(query: Geometry, maxPrecision: Int = 7): Option[Seq[String]] = {
-    val c = query.centroid
-    var precision = maxPrecision
-    while (precision >= 1) {
-      val center = Geohash.encode(c.y, c.x, precision)
-      if (hullOfCells(Seq(center)).coversPolygon(query)) return Some(Seq(center))
-      val nine = center +: Geohash.neighbors(center)
-      if (hullOfCells(nine).coversPolygon(query)) return Some(nine)
-      precision -= 1
+    query match {
+      case Geom.MultiPolygon(polys) if polys.length > 1 =>
+        // per-part search, then union: far-apart parts (two cities) would
+        // otherwise force the single-center search to coarsen until one
+        // cell block spans both — per-part sets keep each part's pruning
+        // tight. Sound: a covered point is covered by SOME part, hence in
+        // that part's prefix set.
+        val sets = polys.map(p => minimumBoundingPrefixes(p, maxPrecision))
+        if (sets.forall(_.isDefined)) Some(sets.flatMap(_.get).distinct)
+        else None
+      case _ =>
+        val c = query.centroid
+        var precision = maxPrecision
+        while (precision >= 1) {
+          val center = Geohash.encode(c.y, c.x, precision)
+          if (hullOfCells(Seq(center)).coversPolygon(query)) return Some(Seq(center))
+          val nine = center +: Geohash.neighbors(center)
+          if (hullOfCells(nine).coversPolygon(query)) return Some(nine)
+          precision -= 1
+        }
+        None
     }
-    None
   }
 
   /** KNN candidate prefixes: cell of the query point at `precision` plus its

@@ -233,4 +233,29 @@ class GeomSpec extends AnyFunSuite {
     }
     assert(GeohashPruning.hullOfCells(p2).coversPolygon(mp))
   }
+
+  test("multipolygon prefix search stays tight for far-apart parts (per-part union)") {
+    // NYC-ish and Chicago-ish blocks ~12 degrees apart: a single-center
+    // search would coarsen until one cell block spans both
+    val mp = parseWkt(
+      "MULTIPOLYGON (((-74.0 40.7, -74.0 40.76, -73.94 40.76, -73.94 40.7, -74.0 40.7)), " +
+        "((-87.7 41.8, -87.7 41.86, -87.64 41.86, -87.64 41.8, -87.7 41.8)))")
+    val Some(prefixes) = GeohashPruning.minimumBoundingPrefixes(mp)
+    // per-part sets keep precision >= 3 (a precision-3 cell is ~1.4 x 1.4
+    // degrees); a whole-geometry search would have to drop to 1 or fail
+    assert(prefixes.forall(_.length >= 3), s"coarse prefixes: $prefixes")
+    assert(prefixes.size <= 18, s"too many prefixes: ${prefixes.size}")
+    mp.exteriorPoints.foreach { p =>
+      val g = Geohash.encode(p.y, p.x, 12)
+      assert(prefixes.exists(g.startsWith), s"vertex $p outside $prefixes")
+    }
+    // each part individually covered by the union's cell hulls per-part:
+    mp match {
+      case MultiPolygon(parts) => parts.foreach { part =>
+        val Some(own) = GeohashPruning.minimumBoundingPrefixes(part)
+        assert(own.forall(prefixes.contains), "per-part set must be in the union")
+      }
+      case _ => fail("expected multipolygon")
+    }
+  }
 }
