@@ -166,6 +166,42 @@ object Bench {
         ""
       }.get
 
+    // ANN-storage pass: the embedding analog of the geo storage block —
+    // same top-k through the lsh_bucket-partitioned layout vs a flat scan,
+    // recording seconds AND files touched, so the "bucket predicate becomes
+    // directory pruning" claim is a measured number in the record.
+    val annStoragePart =
+      if (sys.env.getOrElse("SPARK_GRAFT_ANN_STORAGE", "true") == "false") ""
+      else scala.util.Try {
+        import org.apache.spark.sql.functions.{col, input_file_name}
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val embs = graft.sources.Tables.table(spark, sfDir, "embeddings")
+        val path = "/tmp/graft_emb_bucketed"
+        val (_, wSec) = timed(
+          graft.pipeline.Similarity.writeEmbeddingsBucketed(embs, path, planes = 6))
+        val q = embs.filter(col("vec_id") === 0L).select("embedding").head()
+          .getSeq[Float](0).toArray
+        val (storedIds, sSec) = timed(
+          graft.pipeline.Similarity.cosineTopKLshStored(spark, path, q, 10, planes = 6)
+            .collect().map(_.getLong(0)).toSet)
+        val (bruteIds, bSec) = timed(
+          graft.pipeline.Similarity.cosineTopK(spark.read.parquet(path), q, 10)
+            .collect().map(_.getLong(0)).toSet)
+        val all = spark.read.parquet(path)
+        val filesAll = all.select(input_file_name()).distinct().count()
+        val qb = org.apache.spark.sql.graft.VecOps.signBucket(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(q), 6, 42L)
+        val filesPruned = all.filter(col("lsh_bucket") === qb)
+          .select(input_file_name()).distinct().count()
+        val overlap = storedIds.intersect(bruteIds).size
+        f""","ann_storage":{"write_sec":$wSec%.3f,"topk_stored_sec":$sSec%.3f,"topk_flat_sec":$bSec%.3f,"files_total":$filesAll,"files_one_bucket":$filesPruned,"overlap_of_10":$overlap}"""
+      }.recover { case e =>
+        System.err.println(s"[bench] ann storage pass failed: ${e.getMessage}")
+        ""
+      }.get
+
     // skew pass: a hot-key corpus (one user owns half of all rows — the
     // worst case for Window.partitionBy) timed through the unsalted vs
     // salted window operators, so the salted twins' payoff is a
@@ -218,7 +254,7 @@ object Bench {
     // (sf0.1 per-query + scalar totals, ~1.5 KB) and is printed LAST, so it
     // can never outgrow the driver's tail capture again (r3's official
     // record came back "parsed": null for exactly that reason).
-    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$ivfPart$scalePart$storagePart$skewPart}"""
+    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$ivfPart$scalePart$storagePart$annStoragePart$skewPart}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("/tmp/graft_bench.json")).foreach { p =>
       scala.util.Try(java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (detailLine + "\n").getBytes("UTF-8")))

@@ -131,6 +131,45 @@ object Similarity {
   }
 
   /**
+   * Persist embeddings Hive-partitioned by their sign-LSH bucket — the
+   * 100 TB ANN layout: a probe's bucket predicate becomes DIRECTORY
+   * pruning, so a top-k query opens only the matching cells' files
+   * (2^planes directories; planes=8 → 256). Same shape as the geohash
+   * `gh_prefix` layout for spatial scans.
+   */
+  def writeEmbeddingsBucketed(df: DataFrame, path: String, planes: Int = 8,
+                              seed: Long = 42L,
+                              vecCol: String = "embedding"): Unit =
+    df.withColumn("lsh_bucket", lshBucket(col(vecCol), planes, seed))
+      .repartition(col("lsh_bucket"))
+      .write.partitionBy("lsh_bucket").mode("overwrite").parquet(path)
+
+  /**
+   * LSH top-k over a [[writeEmbeddingsBucketed]] layout: the bucket
+   * membership test is a partition-column predicate (directory skip before
+   * any file opens), then exact rerank within the probed cells; brute-force
+   * fallback when they hold fewer than k rows. Must use the same
+   * planes/seed the table was written with.
+   */
+  def cosineTopKLshStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                          query: Array[Float], k: Int,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          planes: Int = 8, seed: Long = 42L,
+                          maxFlips: Int = 1): DataFrame = {
+    require(maxFlips >= 0 && maxFlips <= planes, s"maxFlips=$maxFlips out of [0,$planes]")
+    val qBucket = VecOps.signBucket(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(query), planes, seed)
+    val buckets: Seq[Long] = (0 to maxFlips).flatMap {
+      case 0 => Seq(qBucket)
+      case f => (0 until planes).combinations(f).map(
+        _.foldLeft(qBucket)((b, p) => b ^ (1L << p))).toSeq
+    }
+    val stored = spark.read.parquet(path)
+    val pruned = stored.filter(col("lsh_bucket").isin(buckets: _*))
+    prunedTopKOrFallback(pruned, stored, query, k, idCol, vecCol)
+  }
+
+  /**
    * Delivered recall of [[ivfTopK]] against the exact top-k for one query:
    * |approx ∩ exact| / k. Costs the probed scan plus ONE brute-force scan
    * (two bounded ≤ k-row collects) — an observability probe for benches and

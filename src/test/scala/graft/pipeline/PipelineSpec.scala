@@ -420,6 +420,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.intersect(approx).size >= 5, s"ANN overlap too low: ${exact.intersect(approx).size}")
   }
 
+  test("bucketed embedding layout: stored LSH top-k == in-memory; directories pruned") {
+    val path = java.nio.file.Files.createTempDirectory("graft-emb-bucketed").toString
+    Similarity.writeEmbeddingsBucketed(embs, path, planes = 6)
+    val query = embs.filter($"vec_id" === 3L).select("embedding").head()
+      .getSeq[Float](0).toArray
+    val mem = Similarity.cosineTopKLsh(embs, query, 10, planes = 6)
+      .collect().map(_.getLong(0)).toSet
+    val stored = Similarity.cosineTopKLshStored(spark, path, query, 10, planes = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(stored == mem, "stored-layout ANN must equal the in-memory variant")
+    // directory pruning: a bucket predicate lists strictly fewer files
+    val all = spark.read.parquet(path)
+    val oneBucket = all.select("lsh_bucket").head().getAs[Number](0).longValue
+    val filesAll = all.select(input_file_name()).distinct().count()
+    val filesPruned = all.filter($"lsh_bucket" === oneBucket)
+      .select(input_file_name()).distinct().count()
+    assert(filesPruned < filesAll,
+      s"bucket filter must prune directories ($filesPruned vs $filesAll)")
+  }
+
   test("IVF top-k: trains, assigns, probes; high overlap with exact") {
     val centroids = Similarity.ivfTrain(embs, nCells = 8, iters = 4)
     assert(centroids.length == 8 && centroids.forall(_.length == 64))
