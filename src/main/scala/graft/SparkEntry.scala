@@ -448,6 +448,15 @@ object SparkEntry {
       TextAnalysis.contaminationProbes(Tables.table(s, d, "documents"),
         ContaminationProbes)),
 
+    // n-gram-level contamination: training docs sharing token 3-grams with
+    // a deterministic eval slice (doc_id % 97 == 0); string-exact operator
+    "q_contamination_ngram" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      TextAnalysis.contaminationNgrams(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0), n = 3)
+    }),
+
     // TF-IDF keyword extraction; ratio-IDF keeps scores IEEE-exact across
     // engines (see TextAnalysis.tfidfTopTerms scaladoc)
     "q_tfidf" -> ((s, d) =>
@@ -957,6 +966,19 @@ object SparkEntry {
         "FROM documents, (VALUES " +
         ContaminationProbes.map(p => s"('$p')").mkString(", ") +
         ") AS p(probe) WHERE contains(text, probe) GROUP BY probe"),
+
+    // token 3-grams re-derived in SQL; range(1, len-1) is empty for short
+    // docs, matching the Spark guard
+    "q_contamination_ngram" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w " +
+        "FROM documents), " +
+        "grams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs FROM toks), " +
+        "ev AS (SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 97 = 0), " +
+        "tr AS (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 97 <> 0) " +
+        "SELECT tr.doc_id, count(*) AS n_shared_ngrams FROM tr JOIN ev USING (gram) " +
+        "GROUP BY tr.doc_id"),
 
     // identical IEEE tree to tfidfTopTerms: (tf_d * n_d) / df_d, ranked
     // (score DESC, term ASC) — deterministic because x/÷ are exact-specified

@@ -188,6 +188,37 @@ object TextAnalysis {
   }
 
   /**
+   * N-gram-level contamination scan — the real decontamination practice
+   * (eval-set leakage shows up as shared token n-grams long before exact
+   * probe strings match): counts, per training doc, the DISTINCT token
+   * `n`-grams it shares with the (small) eval set. The eval side reduces to
+   * a distinct-gram dim table and BROADCASTS; the corpus side is one
+   * explode + broadcast-hash join + per-doc count — the gram-stream shape,
+   * no corpus shuffle beyond the final compact aggregation. Token n-grams
+   * are lowercase alphanumeric words joined by single spaces, so the
+   * operator is string-exact across engines.
+   */
+  def contaminationNgrams(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "n must be positive")
+    def ngrams(c: Column): Column = {
+      val toks = filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+      val cnt = size(toks) - (n - 1)
+      // guard: Spark's sequence() runs DESCENDING when stop < start
+      when(cnt > 0,
+        transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val evalGrams = evalDocs.select(explode(ngrams(col(textCol))).as("gram")).distinct()
+    val docGrams = docs.select(col(idCol),
+      explode(array_distinct(ngrams(col(textCol)))).as("gram"))
+    docGrams.join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
+  /**
    * Heuristic quality features + score in one projection:
    * length, word stats, punctuation/symbol/upper ratios, stopword hit rate.
    * Score mirrors the C4/Gopher-style hand rules: penalize very short docs,

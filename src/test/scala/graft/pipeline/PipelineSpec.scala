@@ -222,6 +222,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminationNgrams: planted leakage counted exactly, clean docs absent") {
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "someone saw the quick brown fox yesterday"), // shares: "the quick brown", "quick brown fox"
+      (2L, "a completely different sentence entirely"),
+      // distinct shared: "the quick brown", "quick brown fox", "brown fox
+      // jumps" — the repeats collapse (distinct grams, not occurrences)
+      (3L, "the quick brown fox jumps high and the quick brown fox runs"),
+      // "ox jumps over": token grams differ from eval's ("fox jumps over")
+      (4L, "ox jumps over")).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationNgrams(train, eval, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 2L, got)
+    assert(got(3L) == 3L, got)
+    assert(!got.contains(2L) && !got.contains(4L), got)
+  }
+
   test("repetitionStats: planted repetitive doc counts exactly") {
     val fixture = Seq(
       (1L, "spam spam spam\nspam spam spam\nunique line\n\nspam spam spam"),
