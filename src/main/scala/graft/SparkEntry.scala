@@ -5,7 +5,7 @@ import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.sql.{functions => G}
 import graft.streaming.EventStreams
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -656,8 +656,43 @@ object SparkEntry {
       EventStreams.sessionizeBatchSalted(Tables.table(s, d, "events"),
         gapMs = 60 * 60 * 1000L)
         .select(col("user_id"), col("session_idx"), col("n_events"),
-          col("first_ts"), col("last_ts")))
+          col("first_ts"), col("last_ts"))),
+
+    // exact repeated-substring scan (Lee et al. ACL'22 curation pass):
+    // per-doc count of word-aligned 40-char grams appearing verbatim in at
+    // least one other document; md5 gram digests are identical in both
+    // engines, so the oracle re-derivation is string-exact
+    "q_dedup_substring" -> ((s, d) =>
+      Dedup.sharedSubstringStats(Tables.table(s, d, "documents"), minLen = 40)),
+
+    // PII scrub over a deterministic fixture column (q_lang_id precedent:
+    // the corpus carries no PII, so emails/phones/IPs are appended as pure
+    // functions of doc_id); the REAL regex operators count + redact, and
+    // the oracle re-derives counts AND the redacted-text md5 under RE2 —
+    // the pattern subset is chosen for Java/RE2 semantic parity
+    "q_pii_redact" -> ((s, d) => {
+      val withPii = Tables.table(s, d, "documents")
+        .withColumn("text", piiFixtureText)
+      graft.pipeline.Pii.scrub(withPii, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          md5(col("redacted")).as("redacted_md5"))
+    })
   )
+
+  /** Corpus text with synthetic PII appended as pure functions of doc_id —
+    * the fixture half of q_pii_redact (the oracle rebuilds the same text). */
+  private def piiFixtureText: Column =
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(" call 555-"), (pmod(col("doc_id"), lit(900)) + 100).cast("string"),
+          lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.1"))).otherwise(lit("")))
 
   /**
    * Brute-force distinct-char-5-gram Jaccard pairs at threshold 0.8,
@@ -1077,6 +1112,40 @@ object SparkEntry {
         "WHEN it_h > 0 AND it_h > en_h AND it_h > es_h AND it_h > fr_h AND it_h > de_h AND it_h > pt_h THEN 'it' " +
         "WHEN pt_h > 0 AND pt_h > en_h AND pt_h > es_h AND pt_h > fr_h AND pt_h > de_h AND pt_h > it_h THEN 'pt' " +
         "ELSE 'und' END AS lang_pred FROM hits"),
+
+    // word-aligned 40-char gram digests re-derived string-exactly (md5 is
+    // the same function in both engines); range(1, len-38) is positions
+    // 1..len-39 = the Spark sequence(1, length-39)
+    "q_dedup_substring" ->
+      ("WITH grams AS (SELECT doc_id, unnest(list_distinct(" +
+        "[md5(substr(text, CAST(i AS INT), 40)) FOR i IN range(1, len(text) - 38) " +
+        "IF i = 1 OR substr(text, CAST(i AS INT) - 1, 1) = ' '])) AS g " +
+        "FROM documents WHERE len(text) >= 40), " +
+        "shared AS (SELECT g FROM (SELECT g, count(*) AS nd FROM grams GROUP BY g) " +
+        "WHERE nd >= 2) " +
+        "SELECT doc_id, count(*) AS n_shared_grams " +
+        "FROM grams JOIN shared USING (g) GROUP BY doc_id"),
+
+    // rebuilds the PII fixture text, then re-derives counts and the
+    // redacted md5 with RE2 regexes (same restricted pattern subset —
+    // identical semantics to the Java engine on this grammar)
+    "q_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      "WITH t AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END AS txt " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(txt, '$email')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(txt, '$phone')) AS BIGINT) AS n_phones, " +
+        s"CAST(len(regexp_extract_all(txt, '$ip')) AS BIGINT) AS n_ips, " +
+        s"md5(regexp_replace(regexp_replace(regexp_replace(txt, '$email', '<EMAIL>', 'g'), " +
+        s"'$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g')) AS redacted_md5 " +
+        "FROM t"
+    },
 
     "q_multimodal_meta" ->
       ("SELECT doc_id AS media_id, " +

@@ -49,18 +49,6 @@ object DocStreams {
     TextAnalysis.contaminationProbes(docs, probes)
 
   /**
-   * Streaming sequence packing — the stateful twin of
-   * [[TextAnalysis.packBudgeted]]: per group (`source`), a running token
-   * sum lives in `GroupState` (one long per group) and each doc's pack_id
-   * is the exclusive cumulative sum div `budgetTokens`, exactly the batch
-   * formula. Rows are doc_id-sorted WITHIN each micro-batch before the sum
-   * continues, so with in-order arrival (each batch's ids after the
-   * previous batch's, per group — the natural shape for append-only
-   * ingestion) the assignment is identical to the batch operator's global
-   * doc_id order; out-of-order arrival packs in arrival order, the same
-   * trade watermarked streaming dedup makes for late rows.
-   */
-  /**
    * Streaming SimHash near-duplicate detection — the stateful twin of
    * [[Dedup.simhashPairs]]: each doc's 64-bit simhash fans out to its 4
    * pigeonhole chunk buckets (≤ 3 differing bits ⇒ at least one identical
@@ -109,6 +97,89 @@ object DocStreams {
       }.toDF("id_a", "id_b", "hamming")
   }
 
+  /**
+   * Streaming MinHash-LSH near-duplicate detection — the stateful twin of
+   * [[Dedup.minhashLshPairs]], completing the near-dup streaming story
+   * (exact dedup, SimHash, and now MinHash all have stream twins).
+   *
+   * State discipline is the 100 TB design point: per (band, bucket) key,
+   * `GroupState` holds only (id, signature) sketches — `numHashes` longs
+   * per doc, never text — capped at `maxBucket` (append-only: the FIRST
+   * maxBucket arrivals stay, where the batch op drops over-cap buckets
+   * wholesale). An arriving doc emits a candidate for every stored sketch
+   * whose slot-match estimate clears `threshold - 0.2`, the batch
+   * prefilter verbatim. Exact n-gram-Jaccard verification then runs as a
+   * STREAM-STATIC join against the corpus-at-rest (`corpus`): texts come
+   * from the lake at verify time, not from state — the stateless join
+   * Structured Streaming executes per micro-batch with no extra state.
+   *
+   * A pair colliding in several bands is emitted once per band; collapse
+   * downstream exactly as the batch op's dropDuplicates does. With caps
+   * unhit, the verified output over any file sequence equals the batch
+   * operator on the union of those files (pinned by test).
+   */
+  def minhashPairsStream(docs: DataFrame, corpus: DataFrame,
+                         numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
+                         threshold: Double = 0.8, maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.graft.{MinHashSig, SigBands}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def c(ex: org.apache.spark.sql.catalyst.expressions.Expression) = GraftShims.column(ex)
+    def e(column: org.apache.spark.sql.Column) = GraftShims.expression(column)
+    val estFloor = threshold - 0.2
+    val candidates = docs
+      .select(col("doc_id").cast("long").as("id"),
+        c(MinHashSig(e(col("text")), e(lit(numHashes)), e(lit(shingle)))).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(c(SigBands(e(col("sig")), e(lit(bands))))))
+      .select(concat_ws("_", col("pos"), col("col")).as("bucket"), col("id"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, Seq[Long])],
+         state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty).toBuffer
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          rows.toArray.sortBy(_._2).foreach { case (_, id, sig) =>
+            seen.foreach { case (pid, psig) =>
+              if (pid != id) {
+                // slot-match estimate, the SigJaccard formula verbatim
+                val n = math.min(psig.length, sig.length)
+                var eq = 0
+                var i = 0
+                while (i < n) { if (psig(i) == sig(i)) eq += 1; i += 1 }
+                if (n > 0 && eq.toDouble / n >= estFloor)
+                  out += (if (pid < id) (pid, id) else (id, pid))
+              }
+            }
+            if (seen.length < maxBucket) seen += ((id, sig))
+          }
+          state.update(seen.toSeq)
+          out.iterator
+      }.toDF("id_a", "id_b")
+    val ta = corpus.select(col("doc_id").cast("long").as("id_a"), col("text").as("text_a"))
+    val tb = corpus.select(col("doc_id").cast("long").as("id_b"), col("text").as("text_b"))
+    candidates.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("jaccard", Dedup.ngramJaccard(col("text_a"), col("text_b"), shingle))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * Streaming sequence packing — the stateful twin of
+   * [[TextAnalysis.packBudgeted]]: per group (`source`), a running token
+   * sum lives in `GroupState` (one long per group) and each doc's pack_id
+   * is the exclusive cumulative sum div `budgetTokens`, exactly the batch
+   * formula. Rows are doc_id-sorted WITHIN each micro-batch before the sum
+   * continues, so with in-order arrival (each batch's ids after the
+   * previous batch's, per group — the natural shape for append-only
+   * ingestion) the assignment is identical to the batch operator's global
+   * doc_id order; out-of-order arrival packs in arrival order, the same
+   * trade watermarked streaming dedup makes for late rows.
+   */
   def packBudgetedStream(docs: DataFrame, budgetTokens: Long = 512L): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.functions.col

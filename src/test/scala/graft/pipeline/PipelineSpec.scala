@@ -663,4 +663,81 @@ class PipelineSpec extends AnyFunSuite {
       assert(frames.forall(f => f.length <= 8 && f.length > 0))
     }
   }
+
+  // --- exact repeated-substring scan (Lee et al. 2022 style) ---
+
+  /** Scala reference for word-aligned L-char grams (raw strings, no md5). */
+  private def alignedGramsRef(t: String, L: Int): Set[String] =
+    (0 to t.length - L).filter(i => i == 0 || t.charAt(i - 1) == ' ')
+      .map(i => t.substring(i, i + L)).toSet
+
+  test("sharedSubstringStats == brute force on the planted near-dup corpus") {
+    val L = 40
+    val got = Dedup.sharedSubstringStats(planted, "doc_id", "text", minLen = L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = planted.collect()
+      .map(r => r.getLong(0) -> alignedGramsRef(r.getString(1), L))
+    val gramDocs = scala.collection.mutable.Map.empty[String, Int]
+    all.foreach { case (_, gs) => gs.foreach(g => gramDocs(g) = gramDocs.getOrElse(g, 0) + 1) }
+    val shared = gramDocs.filter(_._2 >= 2).keySet
+    val expected = all.map { case (id, gs) => id -> gs.count(shared).toLong }
+      .filter(_._2 > 0).toMap
+    assert(expected.nonEmpty, "fixture must contain cross-doc repeated passages")
+    assert(got == expected)
+  }
+
+  test("sharedSubstringStats: planted passage found, alignment guarantee holds") {
+    val passage = "all models are wrong but some models are useful here"
+    val fixture = Seq(
+      (1L, s"intro words then $passage and a tail"),
+      // the repeat is NOT at the same offset and NOT word-aligned with doc 1's
+      // sentence start — detection must come from a word start INSIDE it
+      (2L, s"x $passage different ending entirely"),
+      (3L, "completely unrelated text that is long enough to have grams " * 2),
+      (4L, "short")).toDF("doc_id", "text")
+    val got = Dedup.sharedSubstringStats(fixture, "doc_id", "text", minLen = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L), s"exactly the passage-sharing docs: $got")
+    assert(got(1L) >= 1 && got(2L) >= 1)
+    // doc 4 is shorter than minLen: no grams, no crash, no row
+  }
+
+  test("alignedGramMd5s: digests are md5 hex of the exact gram bytes") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val got = TextCore.alignedGramMd5s(t, 40).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = alignedGramsRef(t, 40).map { g =>
+      md.reset()
+      md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got == expected && got.nonEmpty)
+  }
+
+  // --- PII detection / redaction ---
+
+  test("Pii.scrub: counts and redaction on a mixed fixture") {
+    val fixture = Seq(
+      (1L, "reach john.doe+spam@mail.example.org or 555-123-4567, host 192.168.0.1."),
+      (2L, "two mails a@b.io and c.d@e-f.org; no phone; 10.0.0.1 10.0.0.2"),
+      (3L, "no pii at all, just words and numbers like 12345 and 1.5"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = Pii.scrub(fixture, "text")
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1 && got(1L)._3 == 1)
+    assert(got(1L)._4 == "reach <EMAIL> or <PHONE>, host <IP>.")
+    assert(got(2L) == ((2L, 0L, 2L, "two mails <EMAIL> and <EMAIL>; no phone; <IP> <IP>")))
+    assert(got(3L) == ((0L, 0L, 0L, "no pii at all, just words and numbers like 12345 and 1.5")))
+    assert(got(4L) == ((0L, 0L, 0L, "")))
+  }
+
+  test("Pii.scrub is idempotent: a redacted corpus re-scrubs to zero findings") {
+    val fixture = Seq(
+      (1L, "reach john.doe+spam@mail.example.org or 555-123-4567, host 192.168.0.1."))
+      .toDF("doc_id", "text")
+    val once = Pii.scrub(fixture, "text").select(col("doc_id"), col("redacted").as("text"))
+    val twice = Pii.scrub(once, "text").select("n_emails", "n_phones", "n_ips", "redacted").head()
+    assert(twice.getLong(0) == 0 && twice.getLong(1) == 0 && twice.getLong(2) == 0)
+    assert(twice.getString(3) == "reach <EMAIL> or <PHONE>, host <IP>.")
+  }
 }

@@ -297,6 +297,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash LSH near-dup pairs == batch twin (stateful, cross-batch)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // generous cap on both sides: batch drops over-cap buckets wholesale
+    // while streaming keeps the first arrivals — equality needs caps unhit
+    val batch = graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.8, maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture needs natural minhash near-dups")
+
+    val median = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
+    val crossBatch = batch.exists { case (a, b, _) => a <= median && b > median }
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-minhash-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-minhash-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(docs.filter(col("doc_id") <= median), "a.parquet", 120000L)
+    writeOne(docs.filter(col("doc_id") > median), "b.parquet", 1000L)
+    val stream = spark.readStream.schema(DocStreams.docFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = DocStreams.minhashPairsStream(stream, docs, threshold = 0.8,
+        maxBucket = 100000)
+      .writeStream.outputMode("append").format("memory").queryName("mh_out").start()
+    try {
+      q.processAllAvailable()
+      // per-band duplicate emissions collapse downstream, as in batch
+      val streamed = spark.table("mh_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"streaming pairs (${streamed.size}) != batch (${batch.size}); crossBatch=$crossBatch")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions") {
     val ds = events
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
