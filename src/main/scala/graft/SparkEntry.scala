@@ -665,6 +665,18 @@ object SparkEntry {
     "q_dedup_substring" -> ((s, d) =>
       Dedup.sharedSubstringStats(Tables.table(s, d, "documents"), minLen = 40)),
 
+    // Unicode NFC normalization over a fixture with decomposed accents and
+    // messy whitespace (corpus is ASCII/NFC already, so the interesting
+    // inputs are doc_id-derived); the oracle re-runs DuckDB's own
+    // nfc_normalize — same Unicode algorithm, so md5s match exactly
+    "q_text_normalize" -> ((s, d) => {
+      val withMess = Tables.table(s, d, "documents")
+        .withColumn("text", normalizeFixtureText)
+      val norm = TextAnalysis.normalizeText(col("text"))
+      withMess.select(col("doc_id"), md5(norm).as("norm_md5"),
+        length(norm).cast("long").as("norm_len"))
+    }),
+
     // PII scrub over a deterministic fixture column (q_lang_id precedent:
     // the corpus carries no PII, so emails/phones/IPs are appended as pure
     // functions of doc_id); the REAL regex operators count + redact, and
@@ -678,6 +690,16 @@ object SparkEntry {
           md5(col("redacted")).as("redacted_md5"))
     })
   )
+
+  /** Corpus text + decomposed-accent and whitespace mess appended by doc_id
+    * rule — the fixture half of q_text_normalize ("́" is the combining
+    * acute: "CAFE"+U+0301 is the DEcomposed form NFC must compose). */
+  private def normalizeFixtureText: Column =
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("  CAFE\u0301\tMixed Case")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("\ntail  space   ")).otherwise(lit("")))
 
   /** Corpus text with synthetic PII appended as pure functions of doc_id —
     * the fixture half of q_pii_redact (the oracle rebuilds the same text). */
@@ -1125,6 +1147,20 @@ object SparkEntry {
         "WHERE nd >= 2) " +
         "SELECT doc_id, count(*) AS n_shared_grams " +
         "FROM grams JOIN shared USING (g) GROUP BY doc_id"),
+
+    // rebuilds the normalization fixture (chr(769) = the combining acute,
+    // chr(9)/chr(10) = tab/newline), then re-normalizes with DuckDB's own
+    // nfc_normalize — the md5 only matches if both engines produce the
+    // identical composed, lowered, whitespace-collapsed string
+    "q_text_normalize" -> {
+      val norm = "trim(regexp_replace(lower(nfc_normalize(txt)), '[ \\t\\n\\r]+', ' ', 'g'))"
+      "WITH t AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 2 = 0 THEN '  CAFE' || chr(769) || chr(9) || 'Mixed Case' ELSE '' END || " +
+        "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'tail  space   ' ELSE '' END AS txt " +
+        "FROM documents) " +
+        s"SELECT doc_id, md5($norm) AS norm_md5, " +
+        s"CAST(length($norm) AS BIGINT) AS norm_len FROM t"
+    },
 
     // rebuilds the PII fixture text, then re-derives counts and the
     // redacted md5 with RE2 regexes (same restricted pattern subset —

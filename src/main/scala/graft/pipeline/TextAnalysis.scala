@@ -37,6 +37,23 @@ object TextAnalysis {
     md5(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "))
 
   /**
+   * Canonical Unicode text normalization — the pass that runs BEFORE any
+   * hash-based dedup so that byte-different, render-identical texts ("é"
+   * composed vs "e"+combining-acute) collapse: NFC composition → lowercase
+   * → whitespace-run collapse → trim. Every step is chosen for exact
+   * cross-engine agreement: NFC is the same Unicode algorithm in the JVM,
+   * DuckDB, and Python; the whitespace class is the explicit `[ \t\n\r]`
+   * common subset (Java's `\s` includes U+000B, RE2's does not). NFC runs
+   * before lower() — on already-NFC ASCII corpora the native expression's
+   * `isNormalized` fast path makes it a no-allocation scan. Stateless
+   * projection: no shuffle, streams unchanged.
+   */
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.graft.NfcNormalize
+    trim(regexp_replace(lower(c(NfcNormalize(e(text)))), "[ \\t\\n\\r]+", " "))
+  }
+
+  /**
    * Corpus vocabulary statistics: per-term document frequency and total
    * occurrence count, top `topK` by occurrences. The raw material for IDF
    * weighting, stopword discovery, and tokenizer-vocab sanity checks.

@@ -195,6 +195,36 @@ case class ExplodeShingles(text: Expression, n: Expression)
   override def prettyName: String = "explode_shingles"
 }
 
+/** nfc_normalize(text) → string: Unicode NFC (canonical composition) via
+  * `java.text.Normalizer` — the same Unicode algorithm DuckDB's
+  * nfc_normalize and Python's unicodedata implement, so normalized text
+  * (and anything hashed from it) is identical across engines. The
+  * already-normalized fast path (`isNormalized`, a scan without
+  * allocation) makes the common ASCII/NFC corpus essentially free. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(text: Any): Any =
+    NfcNormalize.nfc(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.NfcNormalize.nfc($t)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(newChild)
+}
+
+object NfcNormalize {
+  import java.text.Normalizer
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
 /** aligned_gram_md5s(text, minLen) → array<string>: distinct md5 hex
   * digests of the word-aligned minLen-char grams (see
   * [[graft.text.TextCore.alignedGramMd5s]]) — the one-pass unit of exact

@@ -24,9 +24,18 @@ object RunQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sql.functions.registerAll(spark)
+    // SPARK_GRAFT_DUMP=<dir>: also write each query's result parquet there
+    // (the Verify layout), for targeted single-query oracle checks
+    val dump = sys.env.get("SPARK_GRAFT_DUMP")
     args.drop(1).foreach { name =>
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val q = graft.SparkEntry.queries(name)(spark, sfDir)
+      val n = dump match {
+        case Some(dir) =>
+          q.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+          spark.read.parquet(s"$dir/$name").count()
+        case None => q.count()
+      }
       println(f"[runquery] $name rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()

@@ -713,6 +713,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  // --- Unicode normalization ---
+
+  test("normalizeText: NFC composition, lowering, whitespace collapse") {
+    val fixture = Seq(
+      (1L, "CAFE\u0301  et  creme"), // decomposed E+U+0301 must compose
+      (2L, "  Tabs\there\nand\rthere  "),
+      (3L, "already normal")).toDF("doc_id", "text")
+    val got = fixture
+      .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "caf\u00e9 et creme") // U+00E9 is ONE composed code point
+    assert(got(1L).length == 13)
+    assert(got(2L) == "tabs here and there")
+    assert(got(3L) == "already normal")
+  }
+
   // --- PII detection / redaction ---
 
   test("Pii.scrub: counts and redaction on a mixed fixture") {
