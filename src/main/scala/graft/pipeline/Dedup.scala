@@ -741,29 +741,44 @@ object Dedup {
    * appear verbatim in at least one OTHER document — the per-doc repeated-
    * passage mass that drives a keep/trim/drop curation decision.
    *
-   * Plan shape (the gram-stream shape of every dedup pass here): grams are
+   * Plan shape — ONE wide shuffle on the gram stream, total: grams are
    * scan-local (one-pass native [[org.apache.spark.sql.graft.AlignedGramMd5s]]
    * + explode — composing per-position `substr` expressions instead would
-   * rescan the string per offset, O(len²) per doc, measured 30× slower);
-   * one map-side-combined aggregate counts docs per gram; grams join the
-   * ≥2-doc set and re-aggregate per doc. Shuffles carry 32-char digests,
-   * never text; no pair space exists at all — cost is linear in corpus
-   * grams even when one passage repeats a million times (where
-   * pair-emitting dedup goes quadratic).
+   * rescan the string per offset, O(len²) per doc, measured 30× slower).
+   * The naive shape (gram-frequency aggregate, then join the ≥2-doc gram
+   * set back onto the gram stream) pays the wide gram shuffle TWICE — once
+   * for the aggregate, once to re-shuffle the stream for the join. Instead,
+   * shared = total − unique: a gram seen once globally belongs entirely to
+   * its one doc (its min(doc) IS that doc), so one (digest → count,
+   * min(doc)) aggregate is the only pass over shuffled grams; per-doc
+   * totals come from the array size before exploding (scan-local) and the
+   * unique-ownership rollup map-side-combines to ~n_docs rows. Shuffles
+   * carry 16-byte digests, never text; no pair space exists at all — cost
+   * is linear in corpus grams even when one passage repeats a million
+   * times (where pair-emitting dedup goes quadratic). Measured sf1 (50k
+   * docs, every doc 10×-replicated — the worst case, all grams shared):
+   * 5.1 s → 1.6 s warm over the join shape.
    */
   def sharedSubstringStats(df: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text",
                            minLen: Int = 40): DataFrame = {
     require(minLen >= 2, "minLen must be at least 2")
     import org.apache.spark.sql.graft.AlignedGramMd5s
-    val grams = df.select(col(idCol).as("doc_id"),
-      explode(c(AlignedGramMd5s(e(col(textCol)), e(lit(minLen))))).as("g"))
-    // grams are distinct per doc, so count(*) == distinct docs per gram
-    val shared = grams.groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("g"))
-    grams.join(shared, "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared_grams"))
+    val docGrams = df.select(col(idCol).as("doc_id"),
+      c(AlignedGramMd5s(e(col(textCol)), e(lit(minLen)))).as("gs"))
+    val totals = docGrams
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .filter(col("n_grams") > 0)
+    val grams = docGrams.select(col("doc_id"), explode(col("gs")).as("g"))
+    // digests are distinct per doc, so count(*) == distinct docs per gram
+    val perGram = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("owner"))
+    val uniques = perGram.filter(col("nd") === 1)
+      .groupBy(col("owner")).agg(count(lit(1)).as("n_unique"))
+      .withColumnRenamed("owner", "doc_id")
+    totals.join(uniques, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_grams") - coalesce(col("n_unique"), lit(0L))).as("n_shared_grams"))
+      .filter(col("n_shared_grams") > 0)
   }
 }

@@ -225,31 +225,26 @@ object NfcNormalize {
   }
 }
 
-/** aligned_gram_md5s(text, minLen) → array<string>: distinct md5 hex
+/** aligned_gram_md5s(text, minLen) → array<binary>: distinct raw md5
   * digests of the word-aligned minLen-char grams (see
   * [[graft.text.TextCore.alignedGramMd5s]]) — the one-pass unit of exact
-  * repeated-substring detection, cross-engine-exact because md5 is the
-  * same function everywhere. */
+  * repeated-substring detection; 128-bit digests make digest-grouping
+  * equal to gram-grouping at any scale. */
 case class AlignedGramMd5s(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "aligned_gram_md5s"
   override protected def nullSafeEval(text: Any, minLen: Any): Any =
     new GenericArrayData(TextCore.alignedGramMd5s(
-      text.toString, minLen.asInstanceOf[Int]).map(UTF8String.fromString))
+      text.toString, minLen.asInstanceOf[Int]).asInstanceOf[Array[Any]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (t, n) =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"org.apache.spark.sql.graft.AlignedGramMd5s.toUtf8(" +
-        s"graft.text.TextCore.alignedGramMd5s($t.toString(), $n)))")
+        s"(Object[]) graft.text.TextCore.alignedGramMd5s($t.toString(), $n))")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): AlignedGramMd5s =
     copy(l, r)
-}
-
-object AlignedGramMd5s {
-  def toUtf8(a: Array[String]): Array[UTF8String] = a.map(UTF8String.fromString)
 }
 
 /** shingle_hashes(text, n) → array<long>: the distinct hashed character

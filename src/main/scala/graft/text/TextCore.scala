@@ -296,42 +296,40 @@ object TextCore {
   }
 
   /**
-   * Distinct md5 hex digests of the WORD-ALIGNED `minLen`-char grams of
-   * `text`: one digest per start offset that is 0 or right after a space.
-   * One pass over the string — the O(len²) trap of composing per-position
-   * `substr` expressions (each rescans from the start) is why this is
-   * native. md5 (not our xxhash-style mixers) because DuckDB computes the
-   * identical digest, keeping [[graft.pipeline.Dedup.sharedSubstringStats]]
-   * string-exact across engines. Positions count UTF-16 units (identical
-   * to code points for all BMP text; supplementary-plane offsets diverge
-   * from a code-point engine — irrelevant for dedup quality, noted for
-   * byte-audit parity).
+   * Distinct md5 digests (raw 16 bytes) of the WORD-ALIGNED `minLen`-char
+   * grams of `text`: one digest per start offset that is 0 or right after
+   * a space. One pass over the string — the O(len²) trap of composing
+   * per-position `substr` expressions (each rescans from the start) is why
+   * this is native. md5 (not our xxhash-style mixers) because it is
+   * 128-bit — collision-free at any corpus size, so gram-digest grouping
+   * IS gram grouping, which keeps
+   * [[graft.pipeline.Dedup.sharedSubstringStats]] exactly equal to a
+   * string-keyed engine (the DuckDB oracle groups the md5 of the same
+   * grams). Raw bytes, not hex: the digest never leaves the plan, and 16 B
+   * keys halve the one wide shuffle. Positions count UTF-16 units
+   * (identical to code points for all BMP text; supplementary-plane
+   * offsets diverge from a code-point engine — irrelevant for dedup
+   * quality, noted for byte-audit parity).
    */
-  def alignedGramMd5s(text: String, minLen: Int): Array[String] = {
+  def alignedGramMd5s(text: String, minLen: Int): Array[Array[Byte]] = {
     val n = text.length
     if (n < minLen) return Array.empty
     val md = java.security.MessageDigest.getInstance("MD5")
-    val seen = new java.util.LinkedHashSet[String]()
-    val hex = "0123456789abcdef".toCharArray
+    val seen = new java.util.LinkedHashMap[java.math.BigInteger, Array[Byte]]()
     var i = 0
     while (i <= n - minLen) {
       if (i == 0 || text.charAt(i - 1) == ' ') {
         val bytes = text.substring(i, i + minLen)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val d = md.digest(bytes)
-        val out = new Array[Char](32)
-        var j = 0
-        while (j < 16) {
-          out(j * 2) = hex((d(j) >> 4) & 0xf)
-          out(j * 2 + 1) = hex(d(j) & 0xf)
-          j += 1
-        }
-        seen.add(new String(out))
+        seen.putIfAbsent(new java.math.BigInteger(d), d)
       }
       i += 1
     }
-    val arr = new Array[String](seen.size)
-    seen.toArray(arr)
-    arr
+    val out = new Array[Array[Byte]](seen.size)
+    var j = 0
+    val it = seen.values().iterator()
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
   }
 }

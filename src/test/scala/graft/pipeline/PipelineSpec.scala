@@ -702,9 +702,10 @@ class PipelineSpec extends AnyFunSuite {
     // doc 4 is shorter than minLen: no grams, no crash, no row
   }
 
-  test("alignedGramMd5s: digests are md5 hex of the exact gram bytes") {
+  test("alignedGramMd5s: digests are md5 of the exact gram bytes") {
     val t = "the quick brown fox jumps over the lazy dog again and again"
-    val got = TextCore.alignedGramMd5s(t, 40).toSet
+    val got = TextCore.alignedGramMd5s(t, 40)
+      .map(_.map("%02x".format(_)).mkString).toSet
     val md = java.security.MessageDigest.getInstance("MD5")
     val expected = alignedGramsRef(t, 40).map { g =>
       md.reset()
