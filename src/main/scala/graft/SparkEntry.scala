@@ -441,6 +441,25 @@ object SparkEntry {
           "o_orderkey", 0.1)
         .select(col("o_orderkey"))),
 
+    // deterministic data mixing: per-source keep fractions, scan-local
+    "q_sample_mix" -> ((s, d) =>
+      Sampling.deterministicMix(Tables.table(s, d, "documents"),
+          "source", "doc_id", MixFractions.toMap)
+        .select(col("doc_id"), col("source"))),
+
+    // CDC snapshot apply: corpus version N+1 from a changeset with upserts
+    // and deletion tombstones (deterministically derived from doc_id)
+    "q_cdc_apply" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val changes = docs
+        .filter(pmod(col("doc_id"), lit(3)) === 0 || pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("op",
+          when(pmod(col("doc_id"), lit(7)) === 0, "delete").otherwise("upsert"))
+        .withColumn("n_chars", col("n_chars") + 1000000L)
+      graft.pipeline.Snapshots.applyChanges(docs, changes, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     "q_vocab_df" -> ((s, d) =>
       TextAnalysis.vocabStats(Tables.table(s, d, "documents"))),
 
@@ -690,6 +709,11 @@ object SparkEntry {
           md5(col("redacted")).as("redacted_md5"))
     })
   )
+
+  /** The q_sample_mix mixture manifest: per-source keep fractions (shared
+    * between the Spark query and the generated oracle CASE). */
+  private val MixFractions: Seq[(String, Double)] = Seq(
+    "src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.75)
 
   /** Corpus text + decomposed-accent and whitespace mess appended by doc_id
     * rule — the fixture half of q_text_normalize ("́" is the combining
@@ -1011,6 +1035,25 @@ object SparkEntry {
     "q_sample_frac" ->
       (s"SELECT o_orderkey FROM orders " +
         s"WHERE md5(CAST(o_orderkey AS VARCHAR)) < '${Sampling.fractionThresholdHex(0.1)}'"),
+
+    // per-source threshold CASE generated from the same mixture manifest;
+    // unlisted sources get a NULL threshold, so the comparison drops them
+    "q_sample_mix" ->
+      ("SELECT doc_id, source FROM documents " +
+        "WHERE md5(CAST(doc_id AS VARCHAR)) < CASE source " +
+        MixFractions.map { case (g, p) =>
+          s"WHEN '$g' THEN '${Sampling.fractionThresholdHex(p)}' "
+        }.mkString +
+        "END"),
+
+    // same changeset derivation; anti join + upsert union
+    "q_cdc_apply" ->
+      ("WITH changes AS (SELECT doc_id, source, n_chars + 1000000 AS n_chars, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op " +
+        "FROM documents WHERE doc_id % 3 = 0 OR doc_id % 7 = 0) " +
+        "SELECT b.doc_id, b.source, b.n_chars FROM documents b " +
+        "ANTI JOIN changes c ON b.doc_id = c.doc_id " +
+        "UNION ALL SELECT doc_id, source, n_chars FROM changes WHERE op = 'upsert'"),
 
     "q_vocab_df" ->
       ("SELECT term, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences " +

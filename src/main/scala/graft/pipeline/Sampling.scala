@@ -42,6 +42,29 @@ object Sampling {
   def deterministicFraction(df: DataFrame, idCol: String, p: Double): DataFrame =
     df.filter(md5(col(idCol).cast("string")) < lit(fractionThresholdHex(p)))
 
+  /**
+   * Deterministic corpus mixing: per-group keep fractions (the "data
+   * mixture" step that reweights sources before training — 50% of src A,
+   * 10% of src B, drop the rest). Selection is the same md5-of-id
+   * threshold as [[deterministicFraction]], evaluated against a per-group
+   * threshold CASE — still a scan-local codegen'd filter, no shuffle, no
+   * join, reproducible at any parallelism. Groups absent from `fractions`
+   * are dropped (explicit mixture = explicit manifest). Because one hash
+   * drives every group, mixtures NEST: raising a group's fraction keeps a
+   * superset of the previous sample — the property that makes mixture
+   * sweeps comparable run-to-run.
+   */
+  def deterministicMix(df: DataFrame, groupCol: String, idCol: String,
+                       fractions: Map[String, Double]): DataFrame = {
+    require(fractions.nonEmpty, "fractions must not be empty")
+    val thresh = fractions.foldLeft(lit(null).cast("string")) {
+      case (acc, (g, p)) =>
+        when(col(groupCol) === lit(g), lit(fractionThresholdHex(p))).otherwise(acc)
+    }
+    // null threshold (unlisted group) compares to null -> filter drops it
+    df.filter(md5(col(idCol).cast("string")) < thresh)
+  }
+
   /** Exactly min(k, |group|) rows per group, chosen by id-hash order — a
     * deterministic per-stratum reservoir (stratified sampling with a hard
     * per-stratum cap). */

@@ -197,6 +197,41 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 2, s"expected 2 shuffles, plan has $shuffles:\n$plan")
   }
 
+  test("deterministicMix plan: scan-local filter, zero shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.pipeline.Sampling.deterministicMix(docs, "source", "doc_id",
+      Map("src0" -> 0.5, "src1" -> 0.25))
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    var shuffles = 0
+    plan.foreach {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => shuffles += 1
+      case _: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => shuffles += 1
+      case _ =>
+    }
+    assert(shuffles == 0, s"mixing must stay a scan-local filter:\n$plan")
+  }
+
+  test("applyChanges plan: small changeset broadcasts, corpus never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val changes = docs.limit(20).withColumn("op", lit("upsert"))
+    val df = graft.pipeline.Snapshots.applyChanges(docs, changes, Seq("doc_id"))
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bcastAnti = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(bcastAnti.nonEmpty,
+      s"the anti join must broadcast the small changeset:\n$plan")
+  }
+
   test("WKT round-trip (F6 serialization parity)") {
     val wkt = "POLYGON ((-73.980844 40.758703, -73.987214 40.761369, -73.990839 40.7564, -73.984422 40.753642, -73.980844 40.758703))"
     val p = graft.geo.Geom.parseWktPolygon(wkt)

@@ -714,6 +714,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  // --- data mixing / snapshot maintenance ---
+
+  test("deterministicMix: per-group fractions, nesting, unlisted dropped") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val mixA = Map("src0" -> 0.5, "src1" -> 0.1)
+    val a = Sampling.deterministicMix(docs01, "source", "doc_id", mixA)
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.nonEmpty && a.forall(r => mixA.contains(r._2)), "unlisted sources must drop")
+    // fraction accuracy per group (loose: 500-doc corpus, ~25/group)
+    val perSrc = docs01.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(kept.getOrElse("src0", 0) > 0)
+    assert(kept.getOrElse("src0", 0) <= perSrc("src0"))
+    // nesting: raising a fraction keeps a superset
+    val mixB = Map("src0" -> 0.9, "src1" -> 0.1)
+    val b = Sampling.deterministicMix(docs01, "source", "doc_id", mixB)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.map(_._1).toSet.subsetOf(b), "mixtures must nest as fractions rise")
+    // partition invariance
+    val rep = Sampling.deterministicMix(docs01.repartition(13), "source", "doc_id", mixA)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rep == a.map(_._1).toSet)
+  }
+
+  test("Snapshots.applyChanges: upserts replace, deletes remove, rest untouched") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("doc_id", "text", "v")
+    val changes = Seq(
+      (2L, "B2", 200L, "upsert"),  // replace
+      (3L, "", 0L, "delete"),      // tombstone
+      (9L, "new", 90L, "upsert"))  // insert
+      .toDF("doc_id", "text", "v", "op")
+    val got = Snapshots.applyChanges(base, changes, Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 10L), (2L, "B2", 200L), (4L, "d", 40L), (9L, "new", 90L)))
+    // upsert-only convenience
+    val up = Snapshots.upsert(base, Seq((1L, "A1", 100L)).toDF("doc_id", "text", "v"),
+      Seq("doc_id")).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(up == Set((1L, "A1", 100L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
   // --- Unicode normalization ---
 
   test("normalizeText: NFC composition, lowering, whitespace collapse") {
