@@ -684,6 +684,11 @@ object SparkEntry {
     "q_dedup_substring" -> ((s, d) =>
       Dedup.sharedSubstringStats(Tables.table(s, d, "documents"), minLen = 40)),
 
+    // span COVERAGE: merged character intervals covered by cross-doc
+    // repeated passages — the quantity a trim/drop rule thresholds on
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.sharedSpanStats(Tables.table(s, d, "documents"), minLen = 40)),
+
     // Unicode NFC normalization over a fixture with decomposed accents and
     // messy whitespace (corpus is ASCII/NFC already, so the interesting
     // inputs are doc_id-derived); the oracle re-runs DuckDB's own
@@ -1190,6 +1195,27 @@ object SparkEntry {
         "WHERE nd >= 2) " +
         "SELECT doc_id, count(*) AS n_shared_grams " +
         "FROM grams JOIN shared USING (g) GROUP BY doc_id"),
+
+    // same gram occurrences re-derived 1-based (pos = i-1 matches Spark's
+    // 0-based offsets), then the identical gaps-and-islands interval merge
+    "q_dedup_spans" ->
+      ("WITH occ AS (SELECT doc_id, text, unnest(range(1, len(text) - 38)) AS i " +
+        "FROM documents WHERE len(text) >= 40), " +
+        "pg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, " +
+        "md5(substr(text, CAST(i AS INT), 40)) AS g FROM occ " +
+        "WHERE i = 1 OR substr(text, CAST(i AS INT) - 1, 1) = ' '), " +
+        "nd AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS ndocs " +
+        "FROM pg GROUP BY g) WHERE ndocs >= 2), " +
+        "sh AS (SELECT doc_id, pos FROM pg JOIN nd USING (g)), " +
+        "isl AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 40) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) " +
+        "THEN 1 ELSE 0 END AS ni FROM sh), " +
+        "isl2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl), " +
+        "spans AS (SELECT doc_id, island, min(pos) AS s, max(pos + 40) AS e " +
+        "FROM isl2 GROUP BY doc_id, island) " +
+        "SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS n_chars_covered " +
+        "FROM spans GROUP BY doc_id"),
 
     // rebuilds the normalization fixture (chr(769) = the combining acute,
     // chr(9)/chr(10) = tab/newline), then re-normalizes with DuckDB's own

@@ -781,4 +781,60 @@ object Dedup {
         (col("n_grams") - coalesce(col("n_unique"), lit(0L))).as("n_shared_grams"))
       .filter(col("n_shared_grams") > 0)
   }
+
+  /**
+   * Shared-span COVERAGE — the decision signal of Lee-et-al-style exact
+   * substring dedup: for each document, how many maximal character spans
+   * are covered by cross-document repeated passages, and how many
+   * characters they cover. [[sharedSubstringStats]] answers "does this doc
+   * repeat material" cheaply; this answers "HOW MUCH of it is repeats" —
+   * the number a keep/trim/drop curation rule actually thresholds on
+   * (trim a doc that is 5% license header; drop one that is 90% mirrored
+   * boilerplate).
+   *
+   * Every aligned gram occurrence (duplicates kept — a gram repeated
+   * within one doc covers several spans) becomes a candidate interval
+   * [pos, pos+minLen); occurrences whose gram appears in ≥ 2 documents
+   * are merged per doc by the classic gaps-and-islands pass: a new island
+   * starts where `pos` exceeds the running max of previous interval ends
+   * (adjacent intervals fuse — coverage has no gap). Emits
+   * (doc_id, n_spans, n_chars_covered) for documents with any shared span.
+   *
+   * Plan: position stream (scan-local expression + explode) → per-digest
+   * distinct-doc count (two-phase aggregate) → shuffle join of positions
+   * against the ≥2-doc digests → per-doc window (≤ words-per-doc rows per
+   * partition) → two-level aggregate. The join back onto the position
+   * stream is inherent here (unlike the counting operator): coverage
+   * needs to know WHERE the shared grams sit.
+   */
+  def sharedSpanStats(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      minLen: Int = 40): DataFrame = {
+    require(minLen >= 2, "minLen must be at least 2")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.AlignedGramPosMd5s
+    val pos = df.select(col(idCol).as("doc_id"),
+        explode(c(AlignedGramPosMd5s(e(col(textCol)), e(lit(minLen))))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val sharedGrams = pos.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runEnd = max(col("pos") + lit(minLen))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = pos.join(sharedGrams, "g")
+      // one interval per covered offset; a position can carry several
+      // shared digests only if duplicated rows were fed in — (doc, pos) is
+      // unique by construction of the expression
+      .withColumn("ni",
+        when(col("pos") > coalesce(runEnd, lit(-1)), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + lit(minLen)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("e") - col("s")).cast("long")).as("n_chars_covered"))
+  }
 }

@@ -247,6 +247,66 @@ case class AlignedGramMd5s(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** token_ngrams(text, n) → array<string>: distinct lowercase-alphanumeric
+  * token n-grams joined by single spaces (see
+  * [[graft.text.TextCore.tokenNgrams]]) — string-exact with the SQL
+  * tokenize/slice/concat derivation, at one pass instead of a
+  * per-gram slice+concat expression tree. */
+case class TokenNgrams(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_ngrams"
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    new GenericArrayData(TextCore.tokenNgrams(
+      text.toString, n.asInstanceOf[Int]).map(UTF8String.fromString).asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"(Object[]) org.apache.spark.sql.graft.TokenNgrams.toUtf8(" +
+        s"graft.text.TextCore.tokenNgrams($t.toString(), $n)))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TokenNgrams =
+    copy(l, r)
+}
+
+object TokenNgrams {
+  def toUtf8(a: Array[String]): Array[UTF8String] = a.map(UTF8String.fromString)
+}
+
+/** aligned_gram_pos_md5s(text, minLen) → array<struct<pos:int, g:binary>>:
+  * one (start offset, md5) entry per word-aligned gram occurrence —
+  * duplicates KEPT (unlike [[AlignedGramMd5s]]), because span-coverage
+  * dedup needs every position a shared gram occupies, not the distinct
+  * gram set. Same one-pass rationale. */
+case class AlignedGramPosMd5s(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("g", BinaryType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "aligned_gram_pos_md5s"
+  override protected def nullSafeEval(text: Any, minLen: Any): Any = {
+    val s = text.toString
+    val l = minLen.asInstanceOf[Int]
+    val starts = TextCore.alignedGramStarts(s, l)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = new Array[Any](starts.length)
+    var k = 0
+    while (k < starts.length) {
+      val i = starts(k)
+      val d = md.digest(s.substring(i, i + l)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      rows(k) = InternalRow(i, d)
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AlignedGramPosMd5s =
+    copy(l, r)
+}
+
 /** shingle_hashes(text, n) → array<long>: the distinct hashed character
   * n-grams of the text as one array value — the per-document gram SET for
   * set-similarity pipelines that need it row-shaped (e.g. prefix-filtered

@@ -332,4 +332,66 @@ object TextCore {
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     out
   }
+
+  /**
+   * Distinct lowercase-alphanumeric token `n`-grams joined by single
+   * spaces — one pass, replicating the SQL derivation
+   * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
+   * slice(filter(split(lower(t), "[^a-z0-9]+"), ...), i, n))))` exactly
+   * (tokens are maximal [a-z0-9] runs of the lowercased text; anything
+   * else separates). The composed higher-order expression allocates a
+   * sequence + n-slice + concat per gram and an O(k²)-ish array_distinct
+   * per doc; this is a single scan + hash set.
+   */
+  def tokenNgrams(text: String, n: Int): Array[String] = {
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+    val toks = new scala.collection.mutable.ArrayBuffer[String](s.length / 6 + 1)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      var c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        while (i < len && {
+          c = s.charAt(i); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) i += 1
+        toks += s.substring(start, i)
+      } else i += 1
+    }
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var k = 0
+    while (k <= toks.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(k + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      k += 1
+    }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out
+  }
+
+  /** Word-aligned gram START OFFSETS (0-based UTF-16 units) of `text` —
+    * the position companion of [[alignedGramMd5s]]: `starts(text, L)(k)`
+    * is where the k-th digest's gram begins when digests are emitted
+    * WITHOUT dedup (one per aligned offset). Used by span-coverage dedup,
+    * where every occurrence matters, not just distinct grams. */
+  def alignedGramStarts(text: String, minLen: Int): Array[Int] = {
+    val n = text.length
+    if (n < minLen) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[Int](n / 6 + 1)
+    var i = 0
+    while (i <= n - minLen) {
+      if (i == 0 || text.charAt(i - 1) == ' ') out += i
+      i += 1
+    }
+    out.toArray
+  }
+
 }

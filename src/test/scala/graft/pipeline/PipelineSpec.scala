@@ -714,6 +714,76 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  /** Scala reference for shared-span coverage: occurrences of grams seen
+    * in >= 2 docs, merged as [pos, pos+L) intervals per doc. */
+  private def spanStatsRef(docs: Seq[(Long, String)], L: Int): Map[Long, (Long, Long)] = {
+    def starts(t: String) =
+      (0 to t.length - L).filter(i => i == 0 || t.charAt(i - 1) == ' ')
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.foreach { case (id, t) =>
+      starts(t).foreach { i =>
+        val g = t.substring(i, i + L)
+        gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+      }
+    }
+    docs.flatMap { case (id, t) =>
+      val ps = starts(t).filter(i => gramDocs(t.substring(i, i + L)).size >= 2)
+      if (ps.isEmpty) None
+      else {
+        var spans = 0L
+        var covered = 0L
+        var s = ps.head
+        var e = ps.head + L
+        ps.tail.foreach { p =>
+          if (p > e) { spans += 1; covered += e - s; s = p; e = p + L }
+          else e = math.max(e, p + L)
+        }
+        spans += 1; covered += e - s
+        Some(id -> ((spans, covered)))
+      }
+    }.toMap
+  }
+
+  test("sharedSpanStats == brute-force interval merge on the planted corpus") {
+    val got = Dedup.sharedSpanStats(planted, "doc_id", "text", minLen = 40)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expected = spanStatsRef(
+      planted.collect().map(r => (r.getLong(0), r.getString(1))).toSeq, 40)
+    assert(expected.nonEmpty && got == expected)
+  }
+
+  test("sharedSpanStats: coverage bounded by doc length, full dup covers all") {
+    val passage = "the exact same long passage repeated verbatim across two documents here"
+    val fixture = Seq(
+      (1L, passage), (2L, passage),
+      (3L, s"prefix words here $passage suffix tail"),
+      (4L, "unrelated content entirely different from the others in every way"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sharedSpanStats(fixture, "doc_id", "text", minLen = 40)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // identical docs: ONE span covering the aligned-gram extent (last
+    // word-aligned start + minLen — word-aligned grams cannot reach the
+    // final unaligned tail chars; here 68 of the 71-char passage)
+    val lastStart = (0 to passage.length - 40)
+      .filter(i => i == 0 || passage.charAt(i - 1) == ' ').max
+    assert(got(1L) == ((1L, lastStart + 40L)))
+    assert(got(1L) == got(2L))
+    assert(got(3L)._1 == 1L)
+    assert(got(3L)._2 <= passage.length + 40L, "span must not leak past the repeat")
+  }
+
+  test("tokenNgrams: tokenization, joining, distinctness, short-text edge") {
+    assert(TextCore.tokenNgrams("The  quick, BROWN fox!", 2).toSeq ==
+      Seq("the quick", "quick brown", "brown fox"))
+    assert(TextCore.tokenNgrams("a b a b a b", 2).toSet == Set("a b", "b a"))
+    assert(TextCore.tokenNgrams("only two", 3).isEmpty)
+    assert(TextCore.tokenNgrams("", 3).isEmpty)
+    assert(TextCore.tokenNgrams("x42 y7", 2).toSeq == Seq("x42 y7"))
+    // non-alnum (incl. unicode) separates, matching [^a-z0-9]+ on lower()
+    assert(TextCore.tokenNgrams("café bar", 2).toSeq == Seq("caf bar"))
+  }
+
   // --- data mixing / snapshot maintenance ---
 
   test("deterministicMix: per-group fractions, nesting, unlisted dropped") {
