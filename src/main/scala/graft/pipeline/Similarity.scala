@@ -113,6 +113,18 @@ object Similarity {
    * IVF top-k: probe the `nProbe` centroids nearest the query, scan only
    * those cells, exact-rerank; falls back to brute force if the probed
    * cells are short of k rows.
+   *
+   * Recall depends on the corpus having CLUSTER STRUCTURE for the
+   * codebook to capture. The synthetic gate corpus is isotropic (pairwise
+   * cosines are a unimodal bell at 0 — measured), so true neighbors
+   * spread uniformly over cells and delivered recall sits at its
+   * information-theoretic ceiling ≈ nProbe/nCells ([[graft.tools.ProbeIvf]]
+   * sweeps the curve: 0.4 at 3/8, 1.0 at 8/8). That is a property of the
+   * data, not the operator — on real embedding corpora (which cluster
+   * heavily) IVF recall at small nProbe is the standard workhorse, and on
+   * isotropic data NO coarse quantizer can do better. The delivered
+   * number self-reports through [[ivfDeliveredRecall]] into the bench
+   * record either way.
    */
   def ivfTopK(df: DataFrame, centroids: Array[Array[Float]], query: Array[Float],
               k: Int, nProbe: Int = 2, idCol: String = "vec_id",
