@@ -48,6 +48,16 @@ object DocStreams {
   def contaminationStream(docs: DataFrame, probes: Seq[String]): DataFrame =
     TextAnalysis.contaminationProbes(docs, probes)
 
+  /** Streaming n-gram decontamination: the batch operator unchanged on a
+    * stream — eval-set grams reduce ONCE on the static side and broadcast;
+    * the stream side is a stateless explode + broadcast join, and the only
+    * state is the per-contaminated-doc running count (update/complete
+    * mode). The shape every ingestion gate wants: eval sets are frozen,
+    * documents flow. */
+  def contaminationNgramsStream(docs: DataFrame, evalDocs: DataFrame,
+                                n: Int = 3): DataFrame =
+    TextAnalysis.contaminationNgrams(docs, evalDocs, n)
+
   /**
    * Streaming SimHash near-duplicate detection — the stateful twin of
    * [[Dedup.simhashPairs]]: each doc's 64-bit simhash fans out to its 4

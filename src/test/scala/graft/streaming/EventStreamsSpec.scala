@@ -334,6 +334,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming n-gram decontamination == batch twin (cross-batch counts)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val batch = graft.pipeline.TextAnalysis.contaminationNgrams(train, evalDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture needs shared eval n-grams")
+
+    val median = train.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-contam-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-contam-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(train.filter(col("doc_id") <= median), "a.parquet", 120000L)
+    writeOne(train.filter(col("doc_id") > median), "b.parquet", 1000L)
+    val stream = spark.readStream.schema(DocStreams.docFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = DocStreams.contaminationNgramsStream(stream, evalDocs)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("contam_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("contam_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions") {
     val ds = events
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
