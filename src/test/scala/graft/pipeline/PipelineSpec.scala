@@ -784,6 +784,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextCore.tokenNgrams("café bar", 2).toSeq == Seq("caf bar"))
   }
 
+  test("null/empty/short text: every text operator total, no crash, sane rows") {
+    val ugly = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, ""), (3L, "x"), (4L, "two words"),
+      (5L, "a perfectly normal document with enough words to gram over nicely"))
+      .toDF("doc_id", "text")
+    // scan-local projections: null in, null-or-default out, never a throw
+    val proj = ugly.select(
+      TextAnalysis.tokenCountWs(col("text")),
+      TextAnalysis.tokenCountBpeish(col("text")),
+      TextAnalysis.langId(col("text")),
+      TextAnalysis.canonicalHash(col("text")),
+      TextAnalysis.normalizeText(col("text")),
+      TextAnalysis.fingerprint(col("text")),
+      Pii.redact(col("text")))
+    assert(proj.collect().length == 5)
+    assert(TextAnalysis.withQualityScore(ugly, "text").collect().length == 5)
+    // gram/dedup pipelines: null/short rows contribute nothing, rest flows
+    assert(Dedup.sharedSubstringStats(ugly, minLen = 40).collect().forall(_.getLong(1) >= 0))
+    assert(Dedup.sharedSpanStats(ugly, minLen = 40).count() == 0) // no repeats
+    assert(Dedup.minhashLshPairs(ugly, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(ugly, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.contaminationNgrams(
+      ugly.filter(col("doc_id") =!= 5), ugly.filter(col("doc_id") === 5)).count() == 0)
+    assert(TextAnalysis.repetitionStats(ugly).count() == 5)
+    assert(TextAnalysis.chunk(ugly).count() >= 3) // null contributes no chunks
+  }
+
   // --- data mixing / snapshot maintenance ---
 
   test("deterministicMix: per-group fractions, nesting, unlisted dropped") {
