@@ -689,6 +689,13 @@ object SparkEntry {
     "q_dedup_spans" -> ((s, d) =>
       Dedup.sharedSpanStats(Tables.table(s, d, "documents"), minLen = 40)),
 
+    // span REMOVAL: the full Lee-et-al edit — repeated spans cut out,
+    // cleaned text md5-compared byte-for-byte across engines
+    "q_dedup_clean" -> ((s, d) =>
+      Dedup.removeSharedSpans(Tables.table(s, d, "documents"), minLen = 40)
+        .select(col("doc_id"), md5(col("cleaned")).as("clean_md5"),
+          col("n_chars_removed"))),
+
     // Unicode NFC normalization over a fixture with decomposed accents and
     // messy whitespace (corpus is ASCII/NFC already, so the interesting
     // inputs are doc_id-derived); the oracle re-runs DuckDB's own
@@ -714,6 +721,27 @@ object SparkEntry {
           md5(col("redacted")).as("redacted_md5"))
     })
   )
+
+  /** Shared CTE chain for the span-dedup oracles: word-aligned gram
+    * occurrences (1-based i → 0-based pos), ≥2-doc digests, and the
+    * gaps-and-islands merge to disjoint per-doc spans — identical between
+    * q_dedup_spans (aggregates it) and q_dedup_clean (splices with it). */
+  private val SharedSpanCtes: String =
+    "occ AS (SELECT doc_id, text, unnest(range(1, len(text) - 38)) AS i " +
+      "FROM documents WHERE len(text) >= 40), " +
+      "pg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, " +
+      "md5(substr(text, CAST(i AS INT), 40)) AS g FROM occ " +
+      "WHERE i = 1 OR substr(text, CAST(i AS INT) - 1, 1) = ' '), " +
+      "nd AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS ndocs " +
+      "FROM pg GROUP BY g) WHERE ndocs >= 2), " +
+      "sh AS (SELECT doc_id, pos FROM pg JOIN nd USING (g)), " +
+      "isl AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 40) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) " +
+      "THEN 1 ELSE 0 END AS ni FROM sh), " +
+      "isl2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl), " +
+      "spans AS (SELECT doc_id, island, min(pos) AS s, max(pos + 40) AS e " +
+      "FROM isl2 GROUP BY doc_id, island)"
 
   /** The q_sample_mix mixture manifest: per-source keep fractions (shared
     * between the Spark query and the generated oracle CASE). */
@@ -1199,23 +1227,26 @@ object SparkEntry {
     // same gram occurrences re-derived 1-based (pos = i-1 matches Spark's
     // 0-based offsets), then the identical gaps-and-islands interval merge
     "q_dedup_spans" ->
-      ("WITH occ AS (SELECT doc_id, text, unnest(range(1, len(text) - 38)) AS i " +
-        "FROM documents WHERE len(text) >= 40), " +
-        "pg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, " +
-        "md5(substr(text, CAST(i AS INT), 40)) AS g FROM occ " +
-        "WHERE i = 1 OR substr(text, CAST(i AS INT) - 1, 1) = ' '), " +
-        "nd AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS ndocs " +
-        "FROM pg GROUP BY g) WHERE ndocs >= 2), " +
-        "sh AS (SELECT doc_id, pos FROM pg JOIN nd USING (g)), " +
-        "isl AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 40) OVER " +
-        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) " +
-        "THEN 1 ELSE 0 END AS ni FROM sh), " +
-        "isl2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl), " +
-        "spans AS (SELECT doc_id, island, min(pos) AS s, max(pos + 40) AS e " +
-        "FROM isl2 GROUP BY doc_id, island) " +
+      (s"WITH $SharedSpanCtes " +
         "SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS n_chars_covered " +
         "FROM spans GROUP BY doc_id"),
+
+    // identical span table, then the identical splice: between-spans
+    // segments stitched in order plus the tail — md5 matches only if both
+    // engines cut the same bytes
+    "q_dedup_clean" ->
+      (s"WITH $SharedSpanCtes, " +
+        "seg AS (SELECT doc_id, s, e, coalesce(lag(e) OVER " +
+        "(PARTITION BY doc_id ORDER BY s), 0) AS c FROM spans), " +
+        "pieces AS (SELECT seg.doc_id, " +
+        "string_agg(substr(d.text, seg.c + 1, seg.s - seg.c), '' ORDER BY seg.s) AS body, " +
+        "max(seg.e) AS laste FROM seg JOIN documents d USING (doc_id) GROUP BY seg.doc_id) " +
+        "SELECT d.doc_id, md5(CASE WHEN p.doc_id IS NULL THEN d.text " +
+        "ELSE p.body || substr(d.text, p.laste + 1, len(d.text) - p.laste) END) AS clean_md5, " +
+        "CAST(len(d.text) - len(CASE WHEN p.doc_id IS NULL THEN d.text " +
+        "ELSE p.body || substr(d.text, p.laste + 1, len(d.text) - p.laste) END) AS BIGINT) " +
+        "AS n_chars_removed " +
+        "FROM documents d LEFT JOIN pieces p USING (doc_id)"),
 
     // rebuilds the normalization fixture (chr(769) = the combining acute,
     // chr(9)/chr(10) = tab/newline), then re-normalizes with DuckDB's own

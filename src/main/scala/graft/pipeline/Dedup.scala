@@ -809,7 +809,18 @@ object Dedup {
    */
   def sharedSpanStats(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
-                      minLen: Int = 40): DataFrame = {
+                      minLen: Int = 40): DataFrame =
+    sharedSpans(df, idCol, textCol, minLen)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("e") - col("s")).cast("long")).as("n_chars_covered"))
+
+  /** The merged-interval table behind [[sharedSpanStats]] and
+    * [[removeSharedSpans]]: (doc_id, s, e) — maximal [s, e) character spans
+    * covered by cross-document repeated grams, disjoint and sorted per doc
+    * by construction of the islands merge. */
+  private def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+                          minLen: Int): DataFrame = {
     require(minLen >= 2, "minLen must be at least 2")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.AlignedGramPosMd5s
@@ -833,8 +844,50 @@ object Dedup {
         sum(col("ni")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
     islands.groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s"), max(col("pos") + lit(minLen)).as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+  }
+
+  /**
+   * Shared-span REMOVAL — the full Lee-et-al exact substring dedup: cut
+   * every cross-document repeated span out of each document, keeping the
+   * unique remainder. [[sharedSpanStats]] measures; this one edits.
+   *
+   * The splice is a fold over each doc's sorted disjoint spans (a
+   * higher-order `aggregate`: carry (result, cursor), append the
+   * between-spans segment, jump the cursor; finish with the tail) — pure
+   * string arithmetic that an independent engine reproduces byte-for-byte
+   * from the same span table, so a cleaned corpus can be hash-audited
+   * cross-engine.
+   *
+   * Scale shape: the span table is tiny next to the corpus (spans ≤
+   * words-per-doc rows per affected doc, only affected docs present), so
+   * the join back is broadcast-able and the corpus itself NEVER shuffles —
+   * the whole edit is a map-side pass. Returns every input row with
+   * `cleaned` (text with spans cut) and `n_chars_removed` (0 for
+   * untouched docs).
+   */
+  def removeSharedSpans(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        minLen: Int = 40): DataFrame = {
+    val spans = sharedSpans(df, idCol, textCol, minLen)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum((col("e") - col("s")).cast("long")).as("n_chars_covered"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
+      .withColumnRenamed("doc_id", "__span_doc")
+    val joined = df.join(spans, col(idCol) === col("__span_doc"), "left")
+    val t = col(textCol)
+    val splice = expr(
+      s"""aggregate(
+         |  sp,
+         |  struct(CAST('' AS STRING) AS r, 0 AS c),
+         |  (acc, x) -> struct(
+         |    concat(acc.r, substring($textCol, acc.c + 1, x.s - acc.c)) AS r,
+         |    x.e AS c),
+         |  acc -> concat(acc.r, substring($textCol, acc.c + 1, length($textCol) - acc.c))
+         |)""".stripMargin)
+    joined
+      .withColumn("cleaned", when(col("sp").isNull, t).otherwise(splice))
+      .withColumn("n_chars_removed",
+        (length(t) - length(col("cleaned"))).cast("long"))
+      .drop("sp", "__span_doc")
   }
 }

@@ -752,6 +752,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(expected.nonEmpty && got == expected)
   }
 
+  test("removeSharedSpans == brute-force splice on the planted corpus") {
+    val all = planted.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val L = 40
+    // reference cleaned text: cut merged shared spans, keep the rest
+    def starts(t: String) = (0 to t.length - L).filter(i => i == 0 || t.charAt(i - 1) == ' ')
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    all.foreach { case (id, t) =>
+      starts(t).foreach { i =>
+        val g = t.substring(i, i + L)
+        gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+      }
+    }
+    val expected = all.map { case (id, t) =>
+      val ps = starts(t).filter(i => gramDocs(t.substring(i, i + L)).size >= 2)
+      val sb = new StringBuilder
+      var cursor = 0
+      var spanStart = -1
+      var spanEnd = -1
+      ps.foreach { p =>
+        if (spanStart < 0) { spanStart = p; spanEnd = p + L }
+        else if (p > spanEnd) {
+          sb.append(t.substring(cursor, spanStart)); cursor = spanEnd
+          spanStart = p; spanEnd = p + L
+        } else spanEnd = math.max(spanEnd, p + L)
+      }
+      if (spanStart >= 0) { sb.append(t.substring(cursor, spanStart)); cursor = spanEnd }
+      sb.append(t.substring(cursor))
+      id -> sb.toString
+    }.toMap
+    val got = Dedup.removeSharedSpans(planted, "doc_id", "text", minLen = L)
+      .select("doc_id", "cleaned", "n_chars_removed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == all.length, "every input row must come back")
+    got.foreach { case (id, cleaned, removed) =>
+      assert(cleaned == expected(id), s"doc $id cleaned mismatch")
+      assert(removed == all.find(_._1 == id).get._2.length - cleaned.length)
+    }
+    assert(got.exists(_._3 > 0), "fixture must actually remove something")
+  }
+
   test("sharedSpanStats: coverage bounded by doc length, full dup covers all") {
     val passage = "the exact same long passage repeated verbatim across two documents here"
     val fixture = Seq(
