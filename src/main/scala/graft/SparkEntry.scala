@@ -441,6 +441,12 @@ object SparkEntry {
           "o_orderkey", 0.1)
         .select(col("o_orderkey"))),
 
+    // deterministic leakage-free train/val/test split, scan-local
+    "q_split" -> ((s, d) =>
+      Sampling.deterministicSplit(Tables.table(s, d, "documents"), "doc_id",
+          SplitWeights)
+        .select(col("doc_id"), col("split"))),
+
     // deterministic data mixing: per-source keep fractions, scan-local
     "q_sample_mix" -> ((s, d) =>
       Sampling.deterministicMix(Tables.table(s, d, "documents"),
@@ -742,6 +748,16 @@ object SparkEntry {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl), " +
       "spans AS (SELECT doc_id, island, min(pos) AS s, max(pos + 40) AS e " +
       "FROM isl2 GROUP BY doc_id, island)"
+
+  /** The q_split manifest and its cumulative thresholds (shared between
+    * the Spark query and the generated oracle CASE — the cumulative sums
+    * are computed ONCE so both sides carry identical double rounding). */
+  private val SplitWeights: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val SplitCumHex: Seq[(String, String)] = {
+    val cum = SplitWeights.init.scanLeft(0.0)(_ + _._2).tail
+    SplitWeights.init.map(_._1).zip(cum.map(Sampling.fractionThresholdHex))
+  }
 
   /** The q_sample_mix mixture manifest: per-source keep fractions (shared
     * between the Spark query and the generated oracle CASE). */
@@ -1068,6 +1084,14 @@ object SparkEntry {
     "q_sample_frac" ->
       (s"SELECT o_orderkey FROM orders " +
         s"WHERE md5(CAST(o_orderkey AS VARCHAR)) < '${Sampling.fractionThresholdHex(0.1)}'"),
+
+    // split bands re-derived from the same cumulative hex thresholds
+    "q_split" ->
+      ("SELECT doc_id, CASE " +
+        SplitCumHex.map { case (n, h) =>
+          s"WHEN md5(CAST(doc_id AS VARCHAR)) < '$h' THEN '$n' "
+        }.mkString +
+        s"ELSE '${SplitWeights.last._1}' END AS split FROM documents"),
 
     // per-source threshold CASE generated from the same mixture manifest;
     // unlisted sources get a NULL threshold, so the comparison drops them

@@ -65,6 +65,29 @@ object Sampling {
     df.filter(md5(col(idCol).cast("string")) < thresh)
   }
 
+  /**
+   * Deterministic train/val/test split: every row gets a split label from
+   * disjoint md5(id)-threshold bands — a pure function of row identity, so
+   * the assignment is leakage-free by construction (no row can change
+   * split across reruns, engines, repartitions, or corpus growth: new ids
+   * land in bands, old ids never move — the property shuffling splitters
+   * lack). `weights` must sum to 1 (±1e-9); the last band absorbs hash
+   * rounding. Scan-local CASE, zero shuffles.
+   */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.size >= 2, "need at least two splits")
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val cum = weights.init.scanLeft(0.0)(_ + _._2).tail
+    val h = md5(col(idCol).cast("string"))
+    val splitCol = weights.init.zip(cum).foldRight(lit(weights.last._1)) {
+      case (((name, _), c), acc) =>
+        when(h < lit(fractionThresholdHex(c)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", splitCol)
+  }
+
   /** Exactly min(k, |group|) rows per group, chosen by id-hash order — a
     * deterministic per-stratum reservoir (stratified sampling with a hard
     * per-stratum cap). */

@@ -876,6 +876,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep == a.map(_._1).toSet)
   }
 
+  test("deterministicSplit: total, disjoint, stable, consistent with sampling") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.deterministicSplit(docs01, "doc_id", w)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == docs01.count(), "every row labeled exactly once")
+    val bySplit = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // the 0.8-fraction sample IS the train split (same hash, same threshold)
+    val frac = Sampling.deterministicFraction(docs01, "doc_id", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(frac == got.filter(_._2 == "train").keySet)
+    // partition invariance
+    val rep = Sampling.deterministicSplit(docs01.repartition(11), "doc_id", w)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rep == got)
+  }
+
   test("Snapshots.applyChanges: upserts replace, deletes remove, rest untouched") {
     val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
       .toDF("doc_id", "text", "v")
