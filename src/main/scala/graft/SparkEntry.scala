@@ -550,6 +550,17 @@ object SparkEntry {
       Similarity.cosineTopKLsh(embs, q, 10).select(col("vec_id"))
     }),
 
+    // per-source embedding outliers: exact-integer squared distance to the
+    // group centroid (see Similarity.centroidOutliers — a float mean would
+    // be unhashable cross-engine; the quantized form is bit-identical)
+    "q_embed_outliers" -> ((s, d) => {
+      val embs = Tables.table(s, d, "embeddings")
+      val docs = Tables.table(s, d, "documents").select(
+        col("doc_id").as("vec_id"), col("source"))
+      Similarity.centroidOutliers(embs.join(docs, "vec_id"), "source", k = 5)
+        .select(col("grp").as("source"), col("id").as("vec_id"), col("dist_score"))
+    }),
+
     // IVF coarse-quantized ANN (no SQL oracle; recall-tested in scalatest)
     "q_embed_topk_ivf" -> ((s, d) => {
       val embs = Tables.table(s, d, "embeddings")
@@ -1084,6 +1095,22 @@ object SparkEntry {
     "q_sample_frac" ->
       (s"SELECT o_orderkey FROM orders " +
         s"WHERE md5(CAST(o_orderkey AS VARCHAR)) < '${Sampling.fractionThresholdHex(0.1)}'"),
+
+    // same quantization (floor(x*1000 + 0.5) in double — IEEE-unambiguous),
+    // same integer sums, same n*e - S score, same (score DESC, id) top-5
+    "q_embed_outliers" ->
+      ("WITH e AS (SELECT d.source AS grp, v.vec_id AS id, " +
+        "list_transform(v.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe " +
+        "FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id), " +
+        "comp0 AS (SELECT grp, id, qe, unnest(range(1, len(qe) + 1)) AS pos FROM e), " +
+        "comp AS (SELECT grp, id, pos, qe[CAST(pos AS INT)] AS v FROM comp0), " +
+        "sums AS (SELECT grp, pos, sum(v) AS s, count(*) AS n FROM comp GROUP BY grp, pos), " +
+        "sc AS (SELECT c.grp, c.id, sum((n * v - s) * (n * v - s)) AS score " +
+        "FROM comp c JOIN sums USING (grp, pos) GROUP BY c.grp, c.id), " +
+        "r AS (SELECT grp, id, score, row_number() OVER " +
+        "(PARTITION BY grp ORDER BY score DESC, id) AS rn FROM sc) " +
+        "SELECT grp AS source, id AS vec_id, CAST(score AS BIGINT) AS dist_score " +
+        "FROM r WHERE rn <= 5"),
 
     // split bands re-derived from the same cumulative hex thresholds
     "q_split" ->

@@ -220,4 +220,51 @@ object Similarity {
     val pruned = df.filter(lshBucket(col(vecCol), planes, seed).isin(buckets: _*))
     prunedTopKOrFallback(pruned, df, query, k, idCol, vecCol)
   }
+
+  /**
+   * Per-group centroid OUTLIERS — the embedding-space curation pass that
+   * flags a shard's off-topic members (mislabeled source, crawler junk):
+   * the `k` members farthest from their group's mean vector.
+   *
+   * EXACT-INTEGER by design: components quantize to integer units
+   * (floor(x·scale + 0.5), IEEE-unambiguous in any engine), and the score
+   * is Σ_d (n·e_d − S_d)² where S is the group's integer component sum —
+   * proportional to squared distance from the mean (scaled by n², same
+   * per group, so ranking is unchanged) but computed entirely in int64.
+   * A float mean would make scores — and boundary ranks — depend on
+   * summation order, which no cross-engine gate can hash-compare; the
+   * integer form is bit-identical everywhere. Exactness bound: |n·e|
+   * must fit int64 — n·scale·|x|max < 2^62/dims covers groups of ~10⁹
+   * rows at scale 1000 and unit-norm embeddings.
+   *
+   * Plan: quantize scan-local; per-(group, dim) integer sums (explode +
+   * map-side-combined aggregate → |groups|·dims rows, tiny); the centroid
+   * table BROADCASTS back and the score is a zip_with/aggregate fold —
+   * the embedding table itself shuffles only for the final per-group
+   * top-k window.
+   */
+  def centroidOutliers(df: DataFrame, groupCol: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       k: Int = 5, quantScale: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && quantScale >= 1, "k and quantScale must be positive")
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * quantScale + 0.5).cast("long")).as("qe"))
+    val cent = base.select(col("grp"), posexplode(col("qe")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")).as("sarr"))
+    val scored = base.join(broadcast(cent), "grp")
+      .withColumn("dist_score", expr(
+        "aggregate(zip_with(qe, sarr, (e, s) -> (n * e - s) * (n * e - s)), " +
+          "0L, (acc, x) -> acc + x)"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("dist_score").desc, col("id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("id"), col("dist_score"))
+  }
 }

@@ -813,6 +813,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L)._2 <= passage.length + 40L, "span must not leak past the repeat")
   }
 
+  test("centroidOutliers == integer brute force; scores exact, ranks total") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id".as("vec_id"), $"source")
+    val embs01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val joined = embs01.join(docs01, "vec_id")
+    val got = Similarity.centroidOutliers(joined, "source", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    val rows = joined.select("source", "vec_id", "embedding").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray))
+    val expected = rows.groupBy(_._1).flatMap { case (src, members) =>
+      val n = members.length.toLong
+      val dims = members.head._3.length
+      val sums = Array.tabulate(dims)(d => members.map(_._3(d)).sum)
+      members.map { case (_, id, qe) =>
+        val score = (0 until dims).map { d =>
+          val diff = n * qe(d) - sums(d); diff * diff
+        }.sum
+        (src, id, score)
+      }.sortBy(t => (-t._3, t._2)).take(5).toSeq
+    }.toSet
+    assert(got.length == expected.size && got.toSet == expected)
+    assert(got.forall(_._3 > 0), "isotropic corpus: no member sits exactly at the mean")
+  }
+
   test("tokenNgrams: tokenization, joining, distinctness, short-text edge") {
     assert(TextCore.tokenNgrams("The  quick, BROWN fox!", 2).toSeq ==
       Seq("the quick", "quick brown", "brown fox"))
