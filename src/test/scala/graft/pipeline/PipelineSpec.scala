@@ -877,6 +877,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.chunk(ugly).count() >= 3) // null contributes no chunks
   }
 
+  test("tokenNgrams property: equals the regex-split reference on random text") {
+    val rnd = new scala.util.Random(3)
+    val alphabet = "ab1 .,#\tA"
+    for (_ <- 1 to 300) {
+      val s = (0 until rnd.nextInt(60))
+        .map(_ => alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+      val n = 1 + rnd.nextInt(3)
+      val toks = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val ref =
+        if (toks.length < n) Set.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSet
+      assert(TextCore.tokenNgrams(s, n).toSet == ref, s"text=${s.take(60)} n=$n")
+    }
+  }
+
+  test("alignedGramStarts property: equals the filter reference on random text") {
+    val rnd = new scala.util.Random(5)
+    val alphabet = "abc de "
+    for (_ <- 1 to 300) {
+      val s = (0 until rnd.nextInt(90))
+        .map(_ => alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+      val l = 2 + rnd.nextInt(8)
+      val ref = (0 to s.length - l).filter(i => i == 0 || s.charAt(i - 1) == ' ')
+      assert(TextCore.alignedGramStarts(s, l).toSeq == ref, s"text='$s' L=$l")
+      // digest set matches the per-start substring md5s, deduped
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val refDigests = ref.map(i =>
+        md.digest(s.substring(i, i + l).getBytes("UTF-8")).toSeq).toSet
+      assert(TextCore.alignedGramMd5s(s, l).map(_.toSeq).toSet == refDigests)
+    }
+  }
+
   // --- data mixing / snapshot maintenance ---
 
   test("deterministicMix: per-group fractions, nesting, unlisted dropped") {
