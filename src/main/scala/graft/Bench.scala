@@ -52,10 +52,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // single-node local shuffles: compression costs more than the local
-      // disk I/O it saves (these stay ON for any real cluster deployment,
-      // where network bandwidth dominates)
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      // disk I/O it saves. A cluster-profile bench (network-bound shuffles)
+      // should run with SPARK_GRAFT_SHUFFLE_COMPRESS=true rather than
+      // silently inheriting the local-mode posture.
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sql.functions.registerAll(spark)
@@ -77,7 +80,14 @@ object Bench {
       val q = embs.filter(col("vec_id") === 0L).select("embedding").head()
         .getSeq[Float](0).toArray
       val r = graft.pipeline.Similarity.ivfDeliveredRecall(embs, centroids, q, 10, nProbe = 3)
-      f""","ivf_recall":$r%.3f"""
+      // machine-checked floor for the one no-SQL-oracle gate: on an
+      // isotropic corpus the expected recall of probing nProbe of nCells
+      // cells is ~nProbe/nCells (the ProbeIvf sweep's ceiling); a run
+      // below floor − ε means the index, not the data, broke
+      val floor = 3.0 / 8 - 0.05
+      require(r >= floor,
+        f"ivf delivered recall $r%.3f below machine-checked floor $floor%.3f (nProbe/nCells - 0.05)")
+      f""","ivf_recall":$r%.3f,"ivf_recall_floor":$floor%.3f"""
     }.recover { case e =>
       System.err.println(s"[bench] ivf recall probe failed: ${e.getMessage}")
       ""

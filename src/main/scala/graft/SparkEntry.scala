@@ -525,12 +525,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))),
 
     // Embedding near-dup pairs: banded sign-LSH (n-aware auto-tune via the
-    // corpus row count — parquet count is metadata-cheap — targeting recall
-    // 0.999 at the threshold) + exact cosine verify; brute-force DuckDB oracle
+    // JVM-cached corpus row count — no per-invocation count job) + exact
+    // cosine verify; brute-force DuckDB oracle
     "q_dedup_cosine" -> ((s, d) => {
       val embs = Tables.table(s, d, "embeddings")
       Dedup.cosineNearDupPairs(embs, "vec_id", "embedding",
-          threshold = 0.5, targetRecall = 0.999, corpusSizeHint = embs.count())
+          threshold = 0.5, targetRecall = 0.999,
+          corpusSizeHint = Tables.rowCount(s, d, "embeddings"))
         .select(col("id_a"), col("id_b"))
     }),
 

@@ -268,8 +268,12 @@ object Geom {
 
   /**
    * Parse a WKT query geometry: POLYGON (with any number of interior rings)
-   * or MULTIPOLYGON — the full shape surface JTS's reader accepts for the
-   * reference's region queries.
+   * or MULTIPOLYGON — the areal surface the reference's region queries use.
+   * The reference's JTS `WKTReader` (WithinQuery.java:184-185) would also
+   * parse POINT / LINESTRING / GEOMETRYCOLLECTION etc., but a non-areal
+   * query geometry has empty `covers` interior semantics for region scans;
+   * those types are rejected here with an error naming the type, rather
+   * than a generic parse failure.
    */
   def parseWkt(wkt: String): Geometry = {
     val s = wkt.trim
@@ -277,9 +281,19 @@ object Geom {
     if (upper.startsWith("MULTIPOLYGON")) {
       val body = stripParens(s.substring("MULTIPOLYGON".length))
       MultiPolygon(splitTopLevel(body).map(g => parsePolygonBody(stripParens(g))).toIndexedSeq)
-    } else {
-      require(upper.startsWith("POLYGON"), s"expected POLYGON or MULTIPOLYGON WKT, got: ${s.take(30)}")
+    } else if (upper.startsWith("POLYGON")) {
       parsePolygonBody(stripParens(s.substring("POLYGON".length)))
+    } else {
+      // longest-prefix first so MULTIPOINT doesn't read as POINT
+      val known = Seq("GEOMETRYCOLLECTION", "MULTILINESTRING", "MULTIPOINT",
+        "CIRCULARSTRING", "LINESTRING", "POINT")
+      known.find(upper.startsWith) match {
+        case Some(t) => throw new IllegalArgumentException(
+          s"unsupported WKT geometry type $t: region queries take an areal " +
+            "geometry (POLYGON or MULTIPOLYGON)")
+        case None => throw new IllegalArgumentException(
+          s"expected POLYGON or MULTIPOLYGON WKT, got: ${s.take(30)}")
+      }
     }
   }
 

@@ -863,8 +863,9 @@ object Dedup {
    * words-per-doc rows per affected doc, only affected docs present), so
    * the join back is broadcast-able and the corpus itself NEVER shuffles —
    * the whole edit is a map-side pass. Returns every input row with
-   * `cleaned` (text with spans cut) and `n_chars_removed` (0 for
-   * untouched docs).
+   * `cleaned` (text with spans cut; NULL text stays NULL) and
+   * `n_chars_removed` (0 for untouched docs, INCLUDING NULL-text rows, so
+   * downstream sums never silently skip rows).
    */
   def removeSharedSpans(df: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text",
@@ -887,7 +888,7 @@ object Dedup {
     joined
       .withColumn("cleaned", when(col("sp").isNull, t).otherwise(splice))
       .withColumn("n_chars_removed",
-        (length(t) - length(col("cleaned"))).cast("long"))
+        coalesce((length(t) - length(col("cleaned"))).cast("long"), lit(0L)))
       .drop("sp", "__span_doc")
   }
 }

@@ -50,6 +50,16 @@ object Pii {
   /**
    * Per-document PII counts + redacted text. Appends `n_emails`,
    * `n_phones`, `n_ips` (long) and `redacted` (string) to `df`.
+   *
+   * Counting caveat (mirrors the masking-order contract above): each
+   * count runs independently on the RAW text while redaction is
+   * sequential, so an entity that overlaps two pattern families (an IPv4
+   * or dashed number inside an email address) is counted under BOTH
+   * families even though redaction masks it once, under whichever pattern
+   * runs first. Counts can therefore exceed masked entities; the oracle
+   * SQL counts the same way, so cross-engine parity holds. Counting on
+   * the progressively redacted text would under-count instead (the mask
+   * token destroys later matches) — raw-text counts are the contract.
    */
   def scrub(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

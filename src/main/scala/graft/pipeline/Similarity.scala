@@ -233,9 +233,15 @@ object Similarity {
    * per group, so ranking is unchanged) but computed entirely in int64.
    * A float mean would make scores — and boundary ranks — depend on
    * summation order, which no cross-engine gate can hash-compare; the
-   * integer form is bit-identical everywhere. Exactness bound: |n·e|
-   * must fit int64 — n·scale·|x|max < 2^62/dims covers groups of ~10⁹
-   * rows at scale 1000 and unit-norm embeddings.
+   * integer form is bit-identical everywhere. Exactness bound (the
+   * QUADRATIC one — the score squares n·e−S): each term is ≤ (2·n·m)²
+   * where m = max |quantized component| in the group, so the whole fold
+   * needs dims·(2·n·m)² < 2⁶³ — at scale 1000, unit-norm, dims 8 that is
+   * a safe group size of ~5×10⁵ rows (NOT 10⁹: that bound only covered
+   * the linear n·e term). Both this bound and uniform per-group vector
+   * length (heterogeneous dims would null-pad the zip_with and silently
+   * drop rows from the top-k) are enforced at runtime via `raise_error`,
+   * so violation is an explicit failure, never a wrapped score.
    *
    * Plan: quantize scan-local; per-(group, dim) integer sums (explode +
    * map-side-combined aggregate → |groups|·dims rows, tiny); the centroid
@@ -253,15 +259,33 @@ object Similarity {
         x => floor(x.cast("double") * quantScale + 0.5).cast("long")).as("qe"))
     val cent = base.select(col("grp"), posexplode(col("qe")))
       .groupBy(col("grp"), col("pos"))
-      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"),
+        max(abs(col("col"))).as("m"))
       .groupBy(col("grp"))
-      .agg(max(col("n")).as("n"),
+      .agg(max(col("n")).as("n"), min(col("n")).as("n_min"),
+        max(col("m")).as("m"),
         transform(array_sort(collect_list(struct(col("pos"), col("s")))),
           x => x.getField("s")).as("sarr"))
+    val fold = expr(
+      "aggregate(zip_with(qe, sarr, (e, s) -> (n * e - s) * (n * e - s)), " +
+        "0L, (acc, x) -> acc + x)")
+    // guards (see scaladoc): per-dim counts must agree (else zip_with
+    // null-pads and the top-k silently drops rows) and the quadratic
+    // int64 bound must hold (else terms wrap silently); both checked in
+    // double so the check itself cannot overflow
     val scored = base.join(broadcast(cent), "grp")
-      .withColumn("dist_score", expr(
-        "aggregate(zip_with(qe, sarr, (e, s) -> (n * e - s) * (n * e - s)), " +
-          "0L, (acc, x) -> acc + x)"))
+      .withColumn("dist_score",
+        when(col("n_min") =!= col("n"), raise_error(concat(
+          lit("centroidOutliers: heterogeneous vector lengths in group "),
+          col("grp").cast("string"))))
+        .when(size(col("qe")).cast("double") *
+            pow(lit(2.0) * col("n") * col("m"), lit(2.0)) >=
+            lit(9.223372036854776e18),
+          raise_error(concat(
+            lit("centroidOutliers: int64 exactness bound dims*(2*n*m)^2 < 2^63 " +
+              "exceeded in group "), col("grp").cast("string"),
+            lit(" — shrink the group or lower quantScale"))))
+        .otherwise(fold))
     val w = Window.partitionBy(col("grp")).orderBy(col("dist_score").desc, col("id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -41,4 +41,15 @@ object Tables {
       else df
     })
   }
+
+  // Row-count cache: a parquet count() is metadata-cheap but still a job;
+  // gate queries that pass counts as PLAN-BUILD hints (broadcast byte
+  // budgets, LSH auto-tune) should not pay it once per invocation.
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  /** Cached row count per (sfDir, table) — computed once per JVM. */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    countCache.computeIfAbsent((sfDir, name),
+      _ => java.lang.Long.valueOf(table(spark, sfDir, name).count())).longValue()
 }

@@ -123,6 +123,16 @@ object DocStreams {
    * from the lake at verify time, not from state — the stateless join
    * Structured Streaming executes per micro-batch with no extra state.
    *
+   * LAKE-FRESHNESS PRECONDITION: the verify join is inner, so a candidate
+   * pair whose text has not yet landed in `corpus` when its micro-batch
+   * verifies is dropped PERMANENTLY — state remembers sketches, not
+   * texts, and the pair is never re-checked. Deploy with ingestion
+   * committing to the lake before (or atomically with) the stream source
+   * (the natural file-source layout, where `docs` streams the same files
+   * `corpus` reads). If the stream can run ahead of the lake, verify
+   * against a snapshot you know contains the streamed files, or widen the
+   * join to left and alert on null-text rows.
+   *
    * A pair colliding in several bands is emitted once per band; collapse
    * downstream exactly as the batch op's dropDuplicates does. With caps
    * unhit, the verified output over any file sequence equals the batch

@@ -190,13 +190,23 @@ object EventStreams {
    * first place. (A hot user whose every event is its own session still
    * degrades to the unsalted cost — inherent to emitting per-user ordinals.)
    * Measured at one user owning 50% of 8M rows: 12.5 s → ~5 s.
+   *
+   * `tsRange` — the (min, max) of `unix_micros(ts) div 1000` when the
+   * caller already knows it (partition metadata, an upstream agg) — skips
+   * the one-pass span probe job, mirroring [[graft.api.AsofJoin.asofJoinSalted]]'s
+   * parameter of the same name. Any superset of the true range is valid
+   * (buckets just get coarser).
    */
   def sessionizeBatchSalted(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
-                            buckets: Int = 32): DataFrame = {
+                            buckets: Int = 32,
+                            tsRange: Option[(Long, Long)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = events.withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
-    val Array(minTs, maxTs) = e.agg(min(col("ts_ms")), max(col("ts_ms")))
-      .head().toSeq.map(v => Option(v).map(_.asInstanceOf[Long]).getOrElse(0L)).toArray
+    val (minTs, maxTs) = tsRange.getOrElse {
+      val Array(mn, mx) = e.agg(min(col("ts_ms")), max(col("ts_ms")))
+        .head().toSeq.map(v => Option(v).map(_.asInstanceOf[Long]).getOrElse(0L)).toArray
+      (mn, mx)
+    }
     val span = math.max(1L, maxTs - minTs + 1)
     val tagged = e.withColumn("__b",
       ((col("ts_ms") - lit(minTs)) * lit(buckets.toLong) / lit(span)).cast("int"))

@@ -195,6 +195,26 @@ class GeomSpec extends AnyFunSuite {
     assert(rt == mp, "MULTIPOLYGON WKT round-trip")
   }
 
+  test("non-areal WKT types rejected cleanly, naming the type") {
+    // the reference's JTS reader parses these; our region queries need an
+    // areal geometry, so the failure must NAME the type, not garble a parse
+    for ((wkt, t) <- Seq(
+      ("POINT (1 2)", "POINT"),
+      ("LINESTRING (0 0, 1 1, 2 0)", "LINESTRING"),
+      ("GEOMETRYCOLLECTION (POINT (1 2), POLYGON ((0 0, 0 1, 1 1, 0 0)))",
+        "GEOMETRYCOLLECTION"),
+      ("MULTIPOINT ((1 2), (3 4))", "MULTIPOINT"),
+      ("MULTILINESTRING ((0 0, 1 1))", "MULTILINESTRING"))) {
+      val e = intercept[IllegalArgumentException](parseWkt(wkt))
+      assert(e.getMessage.contains(t), s"error for $t was: ${e.getMessage}")
+      assert(e.getMessage.toLowerCase.contains("unsupported"),
+        s"should say unsupported, was: ${e.getMessage}")
+    }
+    // garbage still gets the generic expected-POLYGON error
+    val g = intercept[IllegalArgumentException](parseWkt("WAT (1 2)"))
+    assert(g.getMessage.contains("expected POLYGON or MULTIPOLYGON"))
+  }
+
   test("MULTIPOLYGON with a holed part + bbox/centroid sanity") {
     val mp = parseWkt(
       "MULTIPOLYGON (((0 0, 0 10, 10 10, 10 0, 0 0), (3 3, 3 7, 7 7, 7 3, 3 3)), ((20 0, 20 4, 24 4, 24 0, 20 0)))")

@@ -114,6 +114,16 @@ class EventStreamsSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet
       assert(salted == plain, s"buckets=$b gap=$gap mismatch")
     }
+    // caller-supplied tsRange (skips the span probe job) — exact range and
+    // a loose superset both reproduce the unsalted output
+    val plain = EventStreams.sessionizeBatch(skewed, 60000L).collect().map(_.toSeq).toSet
+    val Array(mn, mx) = skewed.select(expr("unix_micros(ts) div 1000").as("t"))
+      .agg(min($"t"), max($"t")).head.toSeq.map(_.asInstanceOf[Long]).toArray
+    for (range <- Seq((mn, mx), (mn - 500000L, mx + 500000L))) {
+      val got = EventStreams.sessionizeBatchSalted(skewed, 60000L, buckets = 8,
+        tsRange = Some(range)).collect().map(_.toSeq).toSet
+      assert(got == plain, s"tsRange=$range mismatch")
+    }
   }
 
   test("salted asof join == unsalted on real + skewed corpora, any bucket count") {
