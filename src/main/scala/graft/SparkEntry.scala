@@ -578,6 +578,19 @@ object SparkEntry {
           TextAnalysis.tokenCountBpeish(col("text")).as("n_tokens_bpeish"),
           length(col("text")).as("len_chars"))),
 
+    // REAL merges-table BPE tokenization (graft.text.BpeCore contract):
+    // the oracle re-derives both the count AND the full token-sequence md5
+    // from the same merges table via a recursive CTE — one recursion row
+    // per merge step — so the gate checks the merge loop end to end
+    "q_text_tokens_bpe" -> ((s, d) => {
+      val st = TextAnalysis.bpeState(s, graft.text.BpeFixture.merges)
+      Tables.table(s, d, "documents").select(col("doc_id"),
+        coalesce(TextAnalysis.tokenCountBpe(col("text"), st), lit(0))
+          .cast("long").as("n_tokens_bpe"),
+        coalesce(md5(array_join(TextAnalysis.tokenizeBpe(col("text"), st), "\u001E")),
+          md5(lit(""))).as("tokens_md5"))
+    }),
+
     "q_text_quality" -> ((s, d) =>
       TextAnalysis.withQualityScore(Tables.table(s, d, "documents"), "text")
         .select(col("doc_id"), col("n_words"),
@@ -1208,6 +1221,39 @@ object SparkEntry {
         "CAST(length(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens_ws, " +
         "CAST(length(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS INT) AS n_tokens_bpeish, " +
         "CAST(length(text) AS INT) AS len_chars FROM documents"),
+
+    // full BPE replay: distinct pre-tokens run the merge loop as a
+    // recursive CTE (state = chr(31)-delimited symbol string; each step
+    // finds the min-rank pair PRESENT via strpos and splices its leftmost
+    // occurrence — exactly graft.text.BpeCore's contract), then counts and
+    // the chr(30)-joined token sequence fold back per document
+    "q_text_tokens_bpe" ->
+      ("WITH RECURSIVE " +
+        s"m(lhs, rhs, rnk) AS (VALUES ${graft.text.BpeFixture.sqlValues}), " +
+        "pre AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), " +
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s') AS ws FROM documents), " +
+        "occ AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS widx FROM pre), " +
+        "vocab AS (SELECT DISTINCT tok FROM occ), " +
+        "steps(tok, s) AS (" +
+        "SELECT tok, chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) FROM vocab " +
+        "UNION ALL " +
+        "SELECT tok, substr(s, 1, idx - 1) || chr(31) || lhs || rhs || chr(31) " +
+        "|| substr(s, idx + length(chr(31) || lhs || chr(31) || rhs || chr(31))) " +
+        "FROM (SELECT st.tok, st.s, best.lhs, best.rhs, " +
+        "strpos(st.s, chr(31) || best.lhs || chr(31) || best.rhs || chr(31)) AS idx " +
+        "FROM steps st, LATERAL (SELECT m.lhs, m.rhs FROM m " +
+        "WHERE strpos(st.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0 " +
+        "ORDER BY m.rnk LIMIT 1) AS best) t), " +
+        "fin AS (SELECT tok, s FROM steps t WHERE NOT EXISTS (SELECT 1 FROM m " +
+        "WHERE strpos(t.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0)), " +
+        "tokcnt AS (SELECT tok, length(s) - length(replace(s, chr(31), '')) - 1 AS n, " +
+        "replace(substr(s, 2, length(s) - 2), chr(31), chr(30)) AS toks FROM fin), " +
+        "perdoc AS (SELECT o.doc_id, sum(tc.n) AS n_tokens_bpe, " +
+        "md5(string_agg(tc.toks, chr(30) ORDER BY o.widx)) AS tokens_md5 " +
+        "FROM occ o JOIN tokcnt tc USING (tok) GROUP BY o.doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(p.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe, " +
+        "coalesce(p.tokens_md5, md5('')) AS tokens_md5 " +
+        "FROM documents d LEFT JOIN perdoc p USING (doc_id)"),
 
     "q_text_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) AS canon_md5 " +

@@ -21,9 +21,45 @@ object TextAnalysis {
 
   /** BPE-ish token estimate: letter runs, digit runs, and single
     * non-alphanumeric marks each count as one piece (GPT-2-style pre-tokenize
-    * regex, simplified). */
+    * regex, simplified). Kept as the zero-setup estimator; [[tokenCountBpe]]
+    * is the real merges-table count. */
   def tokenCountBpeish(text: Column): Column =
     coalesce(regexp_count(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]")), lit(0))
+
+  /**
+   * Broadcast a BPE merges table once per session for use with
+   * [[tokenCountBpe]] / [[tokenizeBpe]] — rank = sequence position, the
+   * standard merges-file order. Accepts up to ~1M pairs (vocab-bounded by
+   * construction: merges tables are tokenizer artifacts, not data).
+   */
+  def bpeState(spark: org.apache.spark.sql.SparkSession,
+               merges: Seq[(String, String)]): org.apache.spark.sql.graft.BpeState = {
+    require(merges.nonEmpty && merges.size <= (1 << 20),
+      s"merges table must have 1..2^20 pairs, got ${merges.size}")
+    new org.apache.spark.sql.graft.BpeState(
+      spark.sparkContext.broadcast(merges.toArray))
+  }
+
+  /** [[bpeState]] from a (left, right, rank) DataFrame — the lake-resident
+    * merges-table form. Driver-collects (vocab-bounded, see [[bpeState]]). */
+  def bpeStateFromDf(df: DataFrame, leftCol: String = "left",
+                     rightCol: String = "right", rankCol: String = "rank")
+      : org.apache.spark.sql.graft.BpeState = {
+    val merges = df.select(col(leftCol), col(rightCol), col(rankCol).cast("long"))
+      .collect().sortBy(_.getLong(2)).map(r => (r.getString(0), r.getString(1))).toSeq
+    bpeState(df.sparkSession, merges)
+  }
+
+  /** REAL BPE token count from a broadcast merges table — the
+    * tokenizer-truth denominator every training budget is denominated in
+    * (see [[graft.text.BpeCore]] for the deterministic contract). Stateless
+    * scan-local projection like every token counter here. */
+  def tokenCountBpe(text: Column, state: org.apache.spark.sql.graft.BpeState): Column =
+    c(org.apache.spark.sql.graft.BpeTokenCount(e(text), state))
+
+  /** BPE token strings in document order (array<string>). */
+  def tokenizeBpe(text: Column, state: org.apache.spark.sql.graft.BpeState): Column =
+    c(org.apache.spark.sql.graft.BpeTokens(e(text), state))
 
   def langId(text: Column): Column = c(LangId(e(text)))
 
@@ -144,15 +180,20 @@ object TextAnalysis {
    * The running sum windows over `groupCols` (e.g. source or language
    * shard), which is what makes it scale: each group sorts independently
    * under one shuffle, rather than a single global total order.
+   *
+   * `tokenCount` plugs in the budget's denominator: the default whitespace
+   * count keeps the historical contract; pass
+   * `t => tokenCountBpe(t, state)` to budget in REAL tokenizer tokens.
    */
   def packBudgeted(df: DataFrame, groupCols: Seq[String] = Seq("source"),
                    idCol: String = "doc_id", textCol: String = "text",
-                   budgetTokens: Long = 512L): DataFrame = {
+                   budgetTokens: Long = 512L,
+                   tokenCount: Column => Column = tokenCountWs): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetTokens > 0, "budgetTokens must be positive")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens", tokenCountWs(col(textCol)).cast("long"))
+    df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
       .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("pack_id", expr(s"__cum div ${budgetTokens}L"))
       .select((Seq(col(idCol)) ++ groupCols.map(col) ++

@@ -978,3 +978,51 @@ case class VecLshBucket(first: Expression, second: Expression, third: Expression
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): VecLshBucket = copy(f, s, t)
 }
+
+/**
+ * Serializable per-plan holder for BPE tokenization state: ships only the
+ * BROADCAST handle to the merges table; the rank map and the word→tokens
+ * memo cache are built lazily once per executor JVM (both are shared by
+ * every task of every stage that references the expression). This is the
+ * "driven by a broadcast merges/vocab table" contract: a production-sized
+ * merges table (~50k rows) crosses the wire once per executor, not once
+ * per task serialization.
+ */
+class BpeState(val merges: Broadcast[Array[(String, String)]]) extends Serializable {
+  @transient private lazy val ranks = graft.text.BpeCore.buildRanks(merges.value.toSeq)
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  def count(text: String): Int = graft.text.BpeCore.countText(text, ranks, cache)
+  def tokens(text: String): Array[String] = graft.text.BpeCore.tokenizeText(text, ranks, cache)
+}
+
+/** bpe_token_count(text) → int: REAL merges-table BPE token count (see
+  * [[graft.text.BpeCore]] for the deterministic cross-engine contract).
+  * The tokenizer-truth denominator for packing/chunking/mixing budgets. */
+case class BpeTokenCount(child: Expression, state: BpeState)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_token_count"
+  override protected def nullSafeEval(text: Any): Any = state.count(text.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeState", state, classOf[BpeState].getName)
+    defineCodeGen(ctx, ev, t => s"$ref.count($t.toString())")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeTokenCount = copy(child = c)
+}
+
+/** bpe_tokens(text) → array<string>: the token strings themselves, in
+  * document order (pre-tokens concatenated) — for vocab audits and the
+  * gate's sequence-level hash check. */
+case class BpeTokens(child: Expression, state: BpeState)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_tokens"
+  override protected def nullSafeEval(text: Any): Any =
+    new GenericArrayData(state.tokens(text.toString).map(UTF8String.fromString(_): Any))
+  override protected def withNewChildInternal(c: Expression): BpeTokens = copy(child = c)
+}

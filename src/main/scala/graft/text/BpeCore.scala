@@ -1,0 +1,168 @@
+package graft.text
+
+/**
+ * Byte-pair-encoding tokenizer core — REAL merges-table token counting for
+ * training-data budgets (packing, chunk sizing, mixture token shares),
+ * replacing regex estimates with the tokenizer arithmetic production
+ * pipelines budget in. Public algorithm: Sennrich et al., "Neural Machine
+ * Translation of Rare Words with Subword Units" (ACL 2016) and the openly
+ * published GPT-2 encoder (char-level variant here).
+ *
+ * DETERMINISTIC CROSS-ENGINE CONTRACT (what the DuckDB oracle replays):
+ *
+ *  1. Pre-tokenize with [[pretokenRegex]]. The alternation's branches are
+ *     first-meaningful-char disjoint (letters / digits / other-non-space,
+ *     each with one optional leading space, then lone whitespace), so
+ *     leftmost-first (Java) and leftmost-longest (POSIX RE2) semantics
+ *     agree — the same engine-agnosticism discipline as [[graft.pipeline.Pii]].
+ *     No lookaround (RE2 has none), unlike GPT-2's original pattern.
+ *  2. Per pre-token, start from single characters and repeat: among
+ *     adjacent symbol pairs present in the merges table, take the one with
+ *     the MINIMUM rank and merge its LEFTMOST occurrence; stop when no
+ *     adjacent pair is in the table.
+ *
+ * Step 2 merges ONE occurrence per iteration — replayable as a recursive
+ * CTE in any SQL engine (one recursion row per merge; the driver's oracle
+ * does exactly that with unit-separator-delimited symbol strings). For
+ * well-formed merges tables — each merge's constituents are single chars
+ * or outputs of EARLIER ranks, which is how BPE training emits them — a
+ * later merge can never resurrect an earlier-rank pair, so this coincides
+ * with the classic merge-all-occurrences loop.
+ *
+ * Token count = number of surviving symbols; counting needs no vocab-id
+ * mapping, so none is required (symbols not in any vocab count as
+ * themselves, byte-fallback style).
+ */
+object BpeCore {
+  /** See contract point 1. Kept Java/RE2-identical: no lookaround, no
+    * escape classes that differ (`\s` here is the literal ASCII class via
+    * the regex's own semantics on both engines for the chars this corpus
+    * can contain). */
+  val pretokenRegex: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s"
+
+  private val pretokenPattern = java.util.regex.Pattern.compile(pretokenRegex)
+
+  private final val Sep = '\u0000' // rank-map key separator; banned in merges
+
+  /** Rank lookup keyed `lhs NUL rhs`. Merge symbols must be non-empty and
+    * NUL-free (so keys are unambiguous); ranks are the sequence order. */
+  def buildRanks(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      require(l.nonEmpty && r.nonEmpty && l.indexOf(Sep) < 0 && r.indexOf(Sep) < 0,
+        s"merge symbols must be non-empty and NUL-free: rank $i")
+      val prev = m.put(l + Sep + r, Integer.valueOf(i))
+      require(prev == null, s"duplicate merge pair ('$l', '$r')")
+    }
+    m
+  }
+
+  /** Apply the merge loop (contract point 2) to one pre-token. */
+  def tokenizeWord(word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    if (word.length <= 1) return Array(word)
+    val syms = scala.collection.mutable.ArrayBuffer.tabulate(word.length)(i =>
+      word.substring(i, i + 1))
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.get(syms(i) + Sep + syms(i + 1))
+        // strict < keeps the FIRST index at the minimum rank = leftmost
+        // occurrence of the best pair (ranks are distinct per pair)
+        if (r != null && r.intValue < bestRank) { bestRank = r.intValue; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        syms(bestIdx) = syms(bestIdx) + syms(bestIdx + 1)
+        syms.remove(bestIdx + 1)
+      }
+    }
+    syms.toArray
+  }
+
+  // Word→tokens caches grow to the pre-token vocabulary, which natural
+  // text keeps small; the cap bounds adversarial corpora (cache cleared,
+  // correctness unaffected — only the memoization resets).
+  private final val CacheCap = 1 << 16
+
+  private def cachedWord(w: String, ranks: java.util.HashMap[String, Integer],
+                         cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]])
+      : Array[String] = {
+    var toks = cache.get(w)
+    if (toks == null) {
+      toks = tokenizeWord(w, ranks)
+      if (cache.size >= CacheCap) cache.clear()
+      cache.put(w, toks)
+    }
+    toks
+  }
+
+  /** All tokens of `text` in order (pre-tokens concatenated). */
+  def tokenizeText(text: String, ranks: java.util.HashMap[String, Integer],
+                   cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]])
+      : Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m = pretokenPattern.matcher(text)
+    while (m.find()) out ++= cachedWord(m.group(), ranks, cache)
+    out.toArray
+  }
+
+  /** Token count of `text` — same loop, no output materialization. */
+  def countText(text: String, ranks: java.util.HashMap[String, Integer],
+                cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]]): Int = {
+    var n = 0
+    val m = pretokenPattern.matcher(text)
+    while (m.find()) n += cachedWord(m.group(), ranks, cache).length
+    n
+  }
+}
+
+/**
+ * Deterministic fixture merges table for the engine's gate query
+ * (`q_text_tokens_bpe`): multi-level merge chains over the synthetic
+ * corpus vocabulary, including space-prefixed merges and words left
+ * intentionally unmergeable ("dup" → d,u,p). Rank = position. The driver's
+ * DuckDB oracle re-derives tokenization from [[sqlValues]] — the SAME
+ * table — so the gate checks the merge loop, not an echoed constant.
+ */
+object BpeFixture {
+  val merges: Vector[(String, String)] = Vector(
+    ("t", "h"), ("th", "e"), (" ", "the"),                            // the
+    ("i", "n"), ("j", "o"), ("jo", "in"), (" ", "join"),              // join
+    ("a", "n"), ("s", "c"), ("sc", "an"),                             // scan
+    ("a", "s"), ("as", "h"), ("h", "ash"),                            // hash
+    ("r", "o"), ("ro", "w"),                                          // row
+    ("b", "a"), ("ba", "t"), ("bat", "c"), ("batc", "h"),             // batch
+    ("o", "l"), ("c", "ol"), ("col", "u"), ("colu", "m"), ("colum", "n"), // column
+    ("e", "r"), ("m", "er"), ("mer", "g"), ("merg", "e"),             // merge
+    ("o", "r"), ("or", "d"), ("ord", "er"),                           // order
+    ("s", "m"), ("sm", "a"), ("sma", "l"), ("smal", "l"),             // small
+    ("l", "o"), ("s", "lo"), ("slo", "w"),                            // slow
+    ("d", "a"), ("da", "t"), ("dat", "a"),                            // data
+    (" ", "a"),                                                        // " a"
+    ("q", "u"), ("qu", "er"), ("quer", "y"),                          // query
+    ("r", "e"), ("s", "t"), ("st", "re"), ("stre", "a"), ("strea", "m"), // stream
+    ("i", "l"), ("f", "il"), ("fil", "t"), ("filt", "er"),            // filter
+    ("i", "g"), ("b", "ig"),                                          // big
+    ("k", "e"), ("ke", "y"),                                          // key
+    ("g", "g"), ("a", "gg"),                                          // agg
+    ("a", "l"), ("v", "al"), ("val", "u"), ("valu", "e"),             // value
+    ("a", "r"), ("p", "ar"), ("par", "t"),                            // part
+    ("s", "par"), ("spar", "k"),                                      // spark
+    ("g", "ro"), ("gro", "u"), ("grou", "p"),                         // group (via "ro" from row)
+    ("f", "as"), ("fas", "t"),                                        // fast
+    ("s", "or"), ("sor", "t"),                                        // sort
+    ("w", "in"), ("win", "d"), ("o", "w"), ("wind", "ow"),            // window
+    ("c", "u"), ("cu", "st"), ("cust", "o"), ("custo", "mer"),        // customer (via "mer")
+    ("v", "e"), ("ve", "c"), ("vec", "t"), ("vect", "or"),            // vector
+    ("l", "in"), ("lin", "e"),                                        // line
+    (" ", "hash"), (" ", "row"), (" ", "data"), (" ", "key"))         // 2-level space merges
+
+  /** `(lhs, rhs, rank)` rows as a SQL VALUES body for the oracle. */
+  def sqlValues: String = merges.zipWithIndex.map { case ((l, r), i) =>
+    s"('${l.replace("'", "''")}','${r.replace("'", "''")}',$i)"
+  }.mkString(", ")
+}

@@ -1,0 +1,140 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE tokenizer core: hand-derived goldens on the fixture table, a
+  * differential oracle against an independent naive implementation on
+  * random merges/words, concatenation/caching invariants, and the
+  * DataFrame surface (expressions + pluggable packBudgeted denominator). */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ranks = BpeCore.buildRanks(BpeFixture.merges)
+  private def cache = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  test("fixture goldens: multi-level chains, space merges, unmergeable word") {
+    val cases = Seq(
+      "the" -> Seq("the"), " the" -> Seq(" the"),
+      "join" -> Seq("join"), "scan" -> Seq("scan"), "hash" -> Seq("hash"),
+      "batch" -> Seq("batch"), "column" -> Seq("column"), "merge" -> Seq("merge"),
+      "order" -> Seq("order"), "small" -> Seq("small"), "slow" -> Seq("slow"),
+      "data" -> Seq("data"), "query" -> Seq("query"), "stream" -> Seq("stream"),
+      "filter" -> Seq("filter"), "big" -> Seq("big"), "key" -> Seq("key"),
+      "agg" -> Seq("agg"), "value" -> Seq("value"), "part" -> Seq("part"),
+      "spark" -> Seq("spark"), "group" -> Seq("group"), "fast" -> Seq("fast"),
+      "sort" -> Seq("sort"), "window" -> Seq("window"),
+      "customer" -> Seq("customer"), "vector" -> Seq("vector"), "line" -> Seq("line"),
+      " hash" -> Seq(" hash"), " data" -> Seq(" data"),
+      "dup" -> Seq("d", "u", "p"), // intentionally absent from the table
+      // partial merges: " that" stalls after (t,h); " tthe" leaves a lone t
+      " that" -> Seq(" ", "th", "a", "t"),
+      " tthe" -> Seq(" ", "t", "the"),
+      " small" -> Seq(" ", "small"), // no (" ","small") merge in the table
+      "theory" -> Seq("the", "or", "y")) // (o,r) fires inside the tail
+    for ((w, want) <- cases)
+      assert(BpeCore.tokenizeWord(w, ranks).toSeq == want, s"word '$w'")
+  }
+
+  test("min-rank-present beats left-to-right: rank order decides") {
+    // "order": (e,r) rank 24 fires before (o,r) rank 28 even though (o,r)
+    // is leftmost — the contract picks the best RANK, then its leftmost
+    // occurrence. Verify intermediate behavior via a truncated table.
+    val partial = BpeCore.buildRanks(BpeFixture.merges.take(29)) // through ("o","r")
+    assert(BpeCore.tokenizeWord("order", partial).toSeq == Seq("or", "d", "er"))
+    // leftmost occurrence of the best pair: "tth" has (t,h) once, at idx 1
+    assert(BpeCore.tokenizeWord("tth", ranks).toSeq == Seq("t", "th"))
+    // repeated pair merges leftmost-first, then re-evaluates
+    val aa = BpeCore.buildRanks(Seq(("a", "a")))
+    assert(BpeCore.tokenizeWord("aaa", aa).toSeq == Seq("aa", "a"))
+    val aa2 = BpeCore.buildRanks(Seq(("a", "a"), ("aa", "a")))
+    assert(BpeCore.tokenizeWord("aaa", aa2).toSeq == Seq("aaa"))
+  }
+
+  test("differential: random merges/words vs an independent naive replay") {
+    // naive reference: purely functional — rebuild the pair list each step,
+    // pick min rank via sorted scan of the TABLE (not the word), splice
+    // with patch; shares no code with BpeCore
+    def naive(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms = word.map(_.toString).toVector
+      var changed = true
+      while (changed && syms.length > 1) {
+        changed = false
+        val hit = merges.zipWithIndex
+          .filter { case ((l, r), _) => syms.indices.dropRight(1)
+            .exists(i => syms(i) == l && syms(i + 1) == r) }
+          .sortBy(_._2).headOption
+        hit.foreach { case ((l, r), _) =>
+          val i = syms.indices.dropRight(1)
+            .find(i => syms(i) == l && syms(i + 1) == r).get
+          syms = syms.patch(i, Seq(l + r), 2)
+          changed = true
+        }
+      }
+      syms
+    }
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcd"
+    for (trial <- 1 to 200) {
+      // random merges over short symbol strings (dedup pairs, keep order)
+      val pool = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+      for (_ <- 0 until 1 + rnd.nextInt(12)) {
+        def sym() = (0 to rnd.nextInt(2)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        pool += ((sym(), sym()))
+      }
+      val merges = pool.toSeq
+      val rk = BpeCore.buildRanks(merges)
+      for (_ <- 1 to 5) {
+        val w = (0 until rnd.nextInt(12))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        if (w.nonEmpty)
+          assert(BpeCore.tokenizeWord(w, rk).toSeq == naive(w, merges),
+            s"trial $trial word '$w' merges $merges")
+      }
+    }
+  }
+
+  test("text-level: pre-token concatenation, count == tokens.length, cache-invariant") {
+    val texts = Seq("the small data dup row", " join,scan 42 batches!",
+      "  doubled  spaces ", "", "x")
+    val rk = ranks
+    val c1 = cache
+    for (t <- texts) {
+      val toks = BpeCore.tokenizeText(t, rk, c1)
+      assert(BpeCore.countText(t, rk, c1) == toks.length, s"'$t'")
+      assert(toks.mkString == t, s"tokens must concatenate back to the text: '$t'")
+      // fresh cache gives identical output (memoization is invisible)
+      assert(BpeCore.tokenizeText(t, rk, cache).toSeq == toks.toSeq)
+    }
+  }
+
+  test("expressions: count/tokens columns, null/empty totality, packBudgeted plug") {
+    val st = graft.pipeline.TextAnalysis.bpeState(spark, BpeFixture.merges)
+    val df = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, ""), (3L, "the small data"), (4L, "dup dup"))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        graft.pipeline.TextAnalysis.tokenCountBpe($"text", st).as("n"),
+        graft.pipeline.TextAnalysis.tokenizeBpe($"text", st).as("toks"))
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) null else r.getSeq[String](2)))).toMap
+    assert(got(1L) == ((-1, null)), "NULL in, NULL out")
+    assert(got(2L) == ((0, Seq())))
+    assert(got(3L) == ((4, Seq("the", " ", "small", " data"))))
+    assert(got(4L) == ((7, Seq("d", "u", "p", " ", "d", "u", "p"))),
+      "no merge in the table touches 'dup'")
+    // packBudgeted with the BPE denominator: n_tokens column is the BPE
+    // count and the pack assignment follows the exclusive cumulative sum
+    val docs = Seq((1L, "s", "the small data"), (2L, "s", "dup dup"),
+      (3L, "s", "the the the"), (4L, "s", "value")).toDF("doc_id", "source", "text")
+    val packed = graft.pipeline.TextAnalysis.packBudgeted(docs,
+        budgetTokens = 4L,
+        tokenCount = t => graft.pipeline.TextAnalysis.tokenCountBpe(t, st))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // counts: 4, 7, 3, 1 → exclusive cums 0, 4, 11, 14 → packs 0, 1, 2, 3
+    assert(packed.toSeq == Seq((1L, 4L, 0L), (2L, 7L, 1L), (3L, 3L, 2L), (4L, 1L, 3L)))
+  }
+}
