@@ -123,13 +123,25 @@ object TextAnalysis {
    * Plan: tokenize (scan-local explode) → (doc, term) tf aggregate
    * (map-side combined) → term df aggregate over the ALREADY per-doc-
    * distinct tf table (much smaller than the token stream) → shuffle join
-   * tf⋈df on term → per-doc top-k window. `n` (corpus size) is computed
-   * once driver-side — a metadata-cheap count — and folded in as a literal.
+   * tf⋈df on term → per-doc top-k via the bounded-heap
+   * [[org.apache.spark.sql.graft.TopNByOrdStr]] aggregate: partial heaps
+   * ship ≤ topK rows per (map task × doc) where the former window rank
+   * shuffled and SORTED the entire (doc, term) tf stream — the same
+   * window→heap swap [[graft.api.SpatialJoin.knnJoinAgg]] made. `n`
+   * (corpus size) is computed once driver-side — a metadata-cheap count —
+   * and folded in as a literal.
+   *
+   * Determinism: ord = sortable bits of −score (so ascending heap order =
+   * score descending, exactly — IEEE negation is a sign flip); ties break
+   * on the payload `term 0x1F tf 0x1F df`, whose binary order equals
+   * term-ascending order because 0x1F sorts below every [a-z] byte — the
+   * window formulation's (score DESC, term ASC) order, reproduced
+   * bit-exactly.
    */
   def tfidfTopTerms(df: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", minTermLen: Int = 3,
                     topK: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.{DoubleSortableBits, TopNByOrdStr}
     val n = df.count()
     val tf = df.select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "[^a-z]+")).as("term"))
@@ -140,10 +152,20 @@ object TextAnalysis {
     val scored = tf.join(dfreq, "term")
       .withColumn("score",
         col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+    val sep = "\u001F"
+    val agg = c(TopNByOrdStr(
+      org.apache.spark.sql.graft.DoubleSortableBits(e(-col("score"))),
+      e(concat_ws(sep, col("term"), col("tf"), col("df"))),
+      topK).toAggregateExpression())
+    scored.groupBy(col("doc_id"))
+      .agg(agg.as("__top"))
+      .select(col("doc_id"), posexplode(col("__top")))
+      .withColumn("__sp", split(col("col").getField("payload"), sep))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        element_at(col("__sp"), 1).as("term"),
+        element_at(col("__sp"), 2).cast("long").as("tf"),
+        element_at(col("__sp"), 3).cast("long").as("df"))
   }
 
   /**

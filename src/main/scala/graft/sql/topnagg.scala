@@ -206,3 +206,160 @@ case class SortableBitsToDouble(child: Expression)
     defineCodeGen(ctx, ev, l => s"Double.longBitsToDouble($l ^ (($l >> 63) & Long.MAX_VALUE))")
   override protected def withNewChildInternal(c: Expression): SortableBitsToDouble = copy(c)
 }
+
+/**
+ * [[TopNByOrd]] with a STRING payload: keeps the N lexicographically
+ * smallest (ord, payload) pairs per group with the same partial/final
+ * bounded-heap shape. For payloads that start with the logical tie-break
+ * key followed by a separator byte BELOW the key's alphabet (e.g.
+ * `term 0x1F tf 0x1F df` over lowercase terms), binary payload order
+ * equals tie-break-key order, so one aggregate carries the key AND its
+ * side columns — no second join to recover them.
+ */
+case class TopNByOrdStr(ord: Expression, payload: Expression, n: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopNStrBuffer] with ImplicitCastInputTypes {
+
+  require(n > 0, s"n must be positive, got $n")
+
+  override def children: Seq[Expression] = Seq(ord, payload)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("ord", LongType, nullable = false),
+      StructField("payload", StringType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopNStrBuffer = new TopNStrBuffer(n)
+
+  override def update(buf: TopNStrBuffer, input: InternalRow): TopNStrBuffer = {
+    val o = ord.eval(input)
+    val p = payload.eval(input)
+    if (o != null && p != null)
+      // clone: eval may return a buffer-backed UTF8String reused across rows
+      buf.insert(o.asInstanceOf[Long],
+        p.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone())
+    buf
+  }
+
+  override def merge(buf: TopNStrBuffer, other: TopNStrBuffer): TopNStrBuffer = {
+    other.foreach((o, p) => buf.insert(o, p))
+    buf
+  }
+
+  override def eval(buf: TopNStrBuffer): Any =
+    new GenericArrayData(buf.sortedPairs.map { case (o, p) =>
+      InternalRow(o, p)
+    }.toArray[Any])
+
+  override def serialize(buf: TopNStrBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TopNStrBuffer = TopNStrBuffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopNByOrdStr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopNByOrdStr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopNByOrdStr =
+    copy(ord = newChildren(0), payload = newChildren(1))
+  override def prettyName: String = "topn_by_ord_str"
+}
+
+/** Bounded max-heap of (ord, UTF8String payload), lexicographic —
+  * [[TopNBuffer]] with a binary-comparable payload slot. */
+final class TopNStrBuffer(val capacity: Int) {
+  import org.apache.spark.unsafe.types.UTF8String
+  private var ords = new Array[Long](math.min(capacity, 16))
+  private var pays = new Array[UTF8String](math.min(capacity, 16))
+  private var size = 0
+
+  @inline private def gt(o1: Long, p1: UTF8String, o2: Long, p2: UTF8String): Boolean =
+    o1 > o2 || (o1 == o2 && p1.compareTo(p2) > 0)
+
+  def insert(o: Long, p: UTF8String): Unit = {
+    if (size < capacity) {
+      if (size == ords.length) grow()
+      ords(size) = o; pays(size) = p
+      siftUp(size)
+      size += 1
+    } else if (gt(ords(0), pays(0), o, p)) {
+      ords(0) = o; pays(0) = p
+      siftDown(0)
+    }
+  }
+
+  private def grow(): Unit = {
+    val cap = math.min(capacity, ords.length * 2)
+    ords = java.util.Arrays.copyOf(ords, cap)
+    pays = java.util.Arrays.copyOf(pays, cap)
+  }
+
+  private def siftUp(k0: Int): Unit = {
+    var k = k0
+    while (k > 0) {
+      val p = (k - 1) >> 1
+      if (gt(ords(k), pays(k), ords(p), pays(p))) { swap(k, p); k = p }
+      else return
+    }
+  }
+
+  private def siftDown(k0: Int): Unit = {
+    var k = k0
+    while (true) {
+      val l = 2 * k + 1; val r = l + 1
+      var m = k
+      if (l < size && gt(ords(l), pays(l), ords(m), pays(m))) m = l
+      if (r < size && gt(ords(r), pays(r), ords(m), pays(m))) m = r
+      if (m == k) return
+      swap(k, m); k = m
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val to = ords(a); ords(a) = ords(b); ords(b) = to
+    val tp = pays(a); pays(a) = pays(b); pays(b) = tp
+  }
+
+  def foreach(f: (Long, org.apache.spark.unsafe.types.UTF8String) => Unit): Unit = {
+    var i = 0
+    while (i < size) { f(ords(i), pays(i)); i += 1 }
+  }
+
+  def sortedPairs: Seq[(Long, org.apache.spark.unsafe.types.UTF8String)] =
+    (0 until size).map(i => (ords(i), pays(i)))
+      .sortBy(identity)(Ordering.Tuple2(Ordering.Long,
+        Ordering.comparatorToOrdering(
+          java.util.Comparator.naturalOrder[org.apache.spark.unsafe.types.UTF8String]())))
+
+  def toBytes: Array[Byte] = {
+    var bytes = 8
+    var i = 0
+    while (i < size) { bytes += 12 + pays(i).numBytes(); i += 1 }
+    val bb = java.nio.ByteBuffer.allocate(bytes)
+    bb.putInt(capacity).putInt(size)
+    i = 0
+    while (i < size) {
+      bb.putLong(ords(i))
+      val pb = pays(i).getBytes
+      bb.putInt(pb.length).put(pb)
+      i += 1
+    }
+    bb.array()
+  }
+}
+
+object TopNStrBuffer {
+  def fromBytes(bytes: Array[Byte]): TopNStrBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new TopNStrBuffer(bb.getInt())
+    val size = bb.getInt()
+    var i = 0
+    while (i < size) {
+      val o = bb.getLong()
+      val pb = new Array[Byte](bb.getInt())
+      bb.get(pb)
+      buf.insert(o, org.apache.spark.unsafe.types.UTF8String.fromBytes(pb))
+      i += 1
+    }
+    buf
+  }
+}

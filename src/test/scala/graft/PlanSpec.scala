@@ -85,6 +85,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window sort crept back into knn join:\n$p")
   }
 
+  test("tfidf plans as partial/final topn_by_ord_str heaps, no Window sort") {
+    val p = plan(SparkEntry.queries("q_tfidf")(spark, sf))
+    assert(p.contains("topn_by_ord_str"), s"no bounded-heap aggregate:\n$p")
+    assert("partial_topn_by_ord_str|partial.*topn".r.findFirstIn(p).isDefined,
+      s"no partial (map-side) heap stage:\n$p")
+    assert(!p.contains("Window"), s"window sort crept back into tfidf:\n$p")
+  }
+
   test("aggregation runs partial then final (map-side combine)") {
     val p = plan(SparkEntry.queries("q_agg_q1")(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final agg split:\n$p")
