@@ -461,15 +461,17 @@ object Dedup {
    * representative per duplicate cluster" step that turns pairs into an
    * actionable drop-list.
    *
-   * Algorithm: min-label propagation, escalating to pointer doubling only
-   * when propagation alone stops paying. Early rounds take the min over
-   * (own label, neighbors' labels) — one edge-list shuffle, which on the
-   * shallow components that dominate real near-dup graphs converges in 2-3
-   * rounds. If the observed changed-count stops halving round-over-round
-   * (or from round 3 on), each round additionally follows its label's label
-   * (pointer doubling), so a drift-chain of near-dups thousands long still
-   * resolves in O(log diameter) rounds — without paying the doubling
-   * self-join's extra shuffle on the shallow common case. Each iteration
+   * Algorithm: min-label propagation with pointer doubling. Rounds take
+   * the min over (own label, neighbors' labels) — one edge-list shuffle,
+   * which on the shallow components that dominate real near-dup graphs
+   * converges in 2-3 rounds. On modest edge lists (≤ `doublingEagerEdges`,
+   * where rounds cost scheduling floor, not data) every round from the
+   * first also follows its label's label (pointer doubling) to cut round
+   * count; on larger graphs doubling engages only when the observed
+   * changed-count stops halving round-over-round (deep-chain signature)
+   * or from round 3 — so a drift-chain of near-dups thousands long still
+   * resolves in O(log diameter) rounds without paying the doubling
+   * self-join's extra shuffle where propagation alone converges. Each iteration
    * shuffles the EDGE list and the label table only — never the corpus.
    * The convergence check rides the label-update job itself
    * (`Dataset.observe` counts changed labels while the cache
@@ -480,7 +482,8 @@ object Dedup {
    * unconverged labels would silently split true clusters).
    */
   def clusters(pairs: DataFrame, maxIter: Int = 12,
-               driverMaxEdges: Long = 200000L): DataFrame = {
+               driverMaxEdges: Long = 2000000L,
+               doublingEagerEdges: Long = 50000000L): DataFrame = {
     // cache the directed pairs FIRST: the union below references the pairs
     // plan twice, and without this the (possibly expensive — e.g. a full
     // LSH pipeline) upstream would execute once per branch
@@ -494,12 +497,16 @@ object Dedup {
     // driver fast path: a SMALL edge list (the common case — near-dup pairs
     // are a vanishing fraction of any curated corpus) pays several
     // scheduling rounds of pure overhead in the iterative plan, while an
-    // exact union-find over ≤ driverMaxEdges collected pairs (bounded:
-    // ~32 B/edge ⇒ ≤ ~6 MB) is microseconds and yields the identical
+    // exact union-find over ≤ driverMaxEdges collected pairs (2M edges as
+    // primitive long pairs ≈ 64 MB transient — trivial against any driver
+    // heap, and ~milliseconds of union-find) yields the identical
     // min-label component labeling. Corpora with more pairs than the cap
     // take the distributed pointer-doubling loop below unchanged.
     if (nDirected > 0 && nDirected <= driverMaxEdges) {
-      val edgeRows = directed.collect()
+      val edgeRows = {
+        import pairs.sparkSession.implicits._
+        directed.as[(Long, Long)].collect()
+      }
       directed.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -509,15 +516,14 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
         r
       }
-      edgeRows.foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
+      edgeRows.foreach { case (a, b) =>
         val ra = find(a); val rb = find(b)
         // union by MIN root so the representative is the minimum id —
         // exactly the distributed loop's fixpoint labeling
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         else { parent.getOrElseUpdate(a, ra); parent.getOrElseUpdate(b, rb) }
       }
-      val ids = edgeRows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val ids = edgeRows.flatMap { case (a, b) => Seq(a, b) }.distinct
       val spark = pairs.sparkSession
       import spark.implicits._
       return ids.map(id => (id, find(id))).toSeq.toDF("id", "cluster")
@@ -559,9 +565,13 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("c1"))
-      // escalate to doubling once propagation stops shrinking the changed
-      // count geometrically (deep-chain signature), or from round 3 on
-      val doubling = iter >= 3 ||
+      // doubling policy: on a modest edge list (≤ doublingEagerEdges) every
+      // round is scheduling-floor-bound, so halving round count beats
+      // avoiding the self-join — double from round 1. On genuinely large
+      // graphs each round's data cost is real, so escalate only when
+      // propagation stops shrinking the changed count geometrically
+      // (deep-chain signature), or from round 3 on.
+      val doubling = nDirected <= doublingEagerEdges || iter >= 3 ||
         (prevChanged > 0 && lastChanged * 2 > prevChanged)
       val obs = new Observation(s"cc_${callId}_changed_$iter")
       val next = (if (doubling) {
