@@ -189,6 +189,88 @@ object DocStreams {
   }
 
   /**
+   * Streaming EXACT n-gram-Jaccard near-duplicate detection — the stateful
+   * twin of [[Dedup.ngramJaccardPairs]], completing the dedup streaming
+   * story: exact-hash, SimHash, MinHash AND the exact join now all have
+   * stream twins.
+   *
+   * Shape = AllPairs prefix filtering in GroupState: each arriving doc
+   * emits its prefix grams (the first `sz − ⌈t·sz⌉ + 1` of its SORTED
+   * distinct gram hashes — hash order is the stream's fixed total order,
+   * where the batch op ranks by corpus df; any common total order
+   * preserves the prefix lemma, so the two enumerate different CANDIDATE
+   * sets but identical verified outputs). Per prefix-gram bucket, state
+   * holds (id, sz, rk) triples — 16 B per entry, never text — capped at
+   * `maxBucket` first arrivals; an arriving doc pairs against stored
+   * entries that also pass the batch op's length and positional filters
+   * verbatim. Exact verification runs as the same STREAM-STATIC join
+   * against the corpus at rest as [[minhashPairsStream]] — and inherits
+   * its LAKE-FRESHNESS PRECONDITION (candidates verify against `corpus`
+   * at micro-batch time; see that scaladoc).
+   *
+   * A pair colliding on several prefix grams is emitted once per gram;
+   * collapse downstream exactly as the batch op's dropDuplicates does.
+   * With caps unhit, verified output over any file sequence equals the
+   * batch operator on the union of those files (pinned by test).
+   */
+  def ngramPairsStream(docs: DataFrame, corpus: DataFrame,
+                       shingle: Int = 5, threshold: Double = 0.8,
+                       maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.graft.ShingleHashes
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def c(ex: org.apache.spark.sql.catalyst.expressions.Expression) = GraftShims.column(ex)
+    def e(column: org.apache.spark.sql.Column) = GraftShims.expression(column)
+    val ratio = threshold / (1.0 + threshold)
+    val candidates = docs
+      .select(col("doc_id").cast("long").as("id"),
+        array_sort(c(ShingleHashes(e(col("text")), e(lit(shingle))))).as("grams"))
+      .withColumn("sz", size(col("grams")))
+      .filter(col("sz") > 0)
+      // same 1e-9 ceil slack as the batch prefix (can only lengthen —
+      // sound); rk is 1-based position in the stream's hash order
+      .select(col("id"), col("sz"), posexplode(slice(col("grams"), lit(1),
+        col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int") + lit(1))))
+      .select(col("col").as("gram"), col("id"), col("sz"), (col("pos") + 1).as("rk"))
+      .as[(Long, Long, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Int, Int)],
+         state: GroupState[Seq[(Long, Int, Int)]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty).toBuffer
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          rows.toArray.sortBy(_._2).foreach { case (_, id, sz, rk) =>
+            seen.foreach { case (pid, psz, prk) =>
+              if (pid != id) {
+                val (aSz, aRk, bSz, bRk) =
+                  if (pid < id) (psz, prk, sz, rk) else (sz, rk, psz, prk)
+                // batch length + positional filters, same FP slack direction
+                val lenOk = bSz * threshold <= aSz + 1e-6 &&
+                  aSz * threshold <= bSz + 1e-6
+                val posOk = ratio * (aSz + bSz) - 1e-6 <=
+                  1.0 + math.min(aSz - aRk, bSz - bRk)
+                if (lenOk && posOk)
+                  out += (if (pid < id) (pid, id) else (id, pid))
+              }
+            }
+            if (seen.length < maxBucket) seen += ((id, sz, rk))
+          }
+          state.update(seen.toSeq)
+          out.iterator
+      }.toDF("id_a", "id_b")
+    val ta = corpus.select(col("doc_id").cast("long").as("id_a"), col("text").as("text_a"))
+    val tb = corpus.select(col("doc_id").cast("long").as("id_b"), col("text").as("text_b"))
+    candidates.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("jaccard", Dedup.ngramJaccard(col("text_a"), col("text_b"), shingle))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
    * Streaming sequence packing — the stateful twin of
    * [[TextAnalysis.packBudgeted]]: per group (`source`), a running token
    * sum lives in `GroupState` (one long per group) and each doc's pack_id

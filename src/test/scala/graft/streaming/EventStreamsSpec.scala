@@ -344,6 +344,44 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EXACT ngram-Jaccard pairs == batch twin (stateful, cross-batch)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // generous caps both sides (equality needs caps unhit); the batch op's
+    // candidates rank prefixes by corpus df, the stream by gram hash — the
+    // VERIFIED outputs must still agree exactly
+    val batch = graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.8, maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture needs natural exact near-dups")
+
+    val median = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
+    val crossBatch = batch.exists { case (a, b, _) => a <= median && b > median }
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ngram-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ngram-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(docs.filter(col("doc_id") <= median), "a.parquet", 120000L)
+    writeOne(docs.filter(col("doc_id") > median), "b.parquet", 1000L)
+    val stream = spark.readStream.schema(DocStreams.docFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = DocStreams.ngramPairsStream(stream, docs, threshold = 0.8,
+        maxBucket = 100000)
+      .writeStream.outputMode("append").format("memory").queryName("ng_out").start()
+    try {
+      q.processAllAvailable()
+      // per-gram duplicate emissions collapse downstream, as in batch
+      val streamed = spark.table("ng_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"streaming pairs (${streamed.size}) != batch (${batch.size}); crossBatch=$crossBatch")
+    } finally q.stop()
+  }
+
   test("streaming n-gram decontamination == batch twin (cross-batch counts)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val evalDocs = docs.filter(col("doc_id") % 97 === 0)
