@@ -496,6 +496,16 @@ object SparkEntry {
       TextAnalysis.packBudgeted(Tables.table(s, d, "documents"),
         groupCols = Seq("source"), budgetTokens = 512L)),
 
+    // the same packing denominated in REAL BPE tokens (the pluggable
+    // tokenCount hook): the oracle replays the full merge loop per doc,
+    // then the identical exclusive-cumsum pack arithmetic
+    "q_pack_bpe" -> ((s, d) => {
+      val st = TextAnalysis.bpeState(s, graft.text.BpeFixture.merges)
+      TextAnalysis.packBudgeted(Tables.table(s, d, "documents"),
+        groupCols = Seq("source"), budgetTokens = 512L,
+        tokenCount = t => coalesce(TextAnalysis.tokenCountBpe(t, st), lit(0)))
+    }),
+
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents"), "doc_id", Seq("text"))),
 
@@ -1221,6 +1231,37 @@ object SparkEntry {
         "CAST(length(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens_ws, " +
         "CAST(length(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS INT) AS n_tokens_bpeish, " +
         "CAST(length(text) AS INT) AS len_chars FROM documents"),
+
+    // BPE-denominated packing: the q_text_tokens_bpe merge-loop replay
+    // feeding q_pack's exclusive-cumsum arithmetic — the oracle derives
+    // BOTH halves independently
+    "q_pack_bpe" ->
+      ("WITH RECURSIVE " +
+        s"m(lhs, rhs, rnk) AS (VALUES ${graft.text.BpeFixture.sqlValues}), " +
+        "pre AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), " +
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s') AS ws FROM documents), " +
+        "occ AS (SELECT doc_id, unnest(ws) AS tok FROM pre), " +
+        "vocab AS (SELECT DISTINCT tok FROM occ), " +
+        "steps(tok, s) AS (" +
+        "SELECT tok, chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) FROM vocab " +
+        "UNION ALL " +
+        "SELECT tok, substr(s, 1, idx - 1) || chr(31) || lhs || rhs || chr(31) " +
+        "|| substr(s, idx + length(chr(31) || lhs || chr(31) || rhs || chr(31))) " +
+        "FROM (SELECT st.tok, st.s, best.lhs, best.rhs, " +
+        "strpos(st.s, chr(31) || best.lhs || chr(31) || best.rhs || chr(31)) AS idx " +
+        "FROM steps st, LATERAL (SELECT m.lhs, m.rhs FROM m " +
+        "WHERE strpos(st.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0 " +
+        "ORDER BY m.rnk LIMIT 1) AS best) t), " +
+        "fin AS (SELECT tok, s FROM steps t WHERE NOT EXISTS (SELECT 1 FROM m " +
+        "WHERE strpos(t.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0)), " +
+        "tokcnt AS (SELECT tok, length(s) - length(replace(s, chr(31), '')) - 1 AS n FROM fin), " +
+        "perdoc AS (SELECT o.doc_id, sum(tc.n) AS n FROM occ o JOIN tokcnt tc USING (tok) GROUP BY o.doc_id), " +
+        "cnt AS (SELECT d.doc_id, d.source, CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens " +
+        "FROM documents d LEFT JOIN perdoc p USING (doc_id)), " +
+        "c2 AS (SELECT doc_id, source, n_tokens, " +
+        "COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM cnt) " +
+        "SELECT doc_id, source, n_tokens, CAST(cum // 512 AS BIGINT) AS pack_id FROM c2"),
 
     // full BPE replay: distinct pre-tokens run the merge loop as a
     // recursive CTE (state = chr(31)-delimited symbol string; each step

@@ -50,6 +50,37 @@ object TextAnalysis {
     bpeState(df.sparkSession, merges)
   }
 
+  /**
+   * Pre-token frequency histogram — the ONLY corpus pass BPE training
+   * needs. Vocabulary-bounded, not corpus-bounded (a 100 TB
+   * natural-language corpus has millions of distinct pre-tokens against
+   * billions of docs); one scan-local regexp projection + one
+   * map-side-combined aggregate.
+   */
+  def bpeWordHistogram(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(regexp_extract_all(col(textCol),
+        lit(graft.text.BpeCore.pretokenRegex), lit(0))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+
+  /**
+   * Learn a BPE merges table from the corpus itself, closing the tokenizer
+   * loop (train → [[bpeState]] → [[tokenCountBpe]] → [[packBudgeted]])
+   * inside the engine: histogram aggregate (one shuffle), vocab-bounded
+   * collect (guarded by `maxVocab`), then
+   * [[graft.text.BpeTrainer.trainFromHistogram]]'s deterministic driver
+   * loop. The learned table is a pure function of the corpus.
+   */
+  def trainBpe(df: DataFrame, numMerges: Int, textCol: String = "text",
+               minPairCount: Long = 2L, maxVocab: Int = 1 << 20): Vector[(String, String)] = {
+    val hist = bpeWordHistogram(df, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(hist.length <= maxVocab,
+      s"pre-token vocabulary ${hist.length} exceeds maxVocab $maxVocab — " +
+        "normalize the corpus or raise the cap")
+    graft.text.BpeTrainer.trainFromHistogram(
+      hist.sortBy(_._1).toSeq, numMerges, minPairCount)
+  }
+
   /** REAL BPE token count from a broadcast merges table — the
     * tokenizer-truth denominator every training budget is denominated in
     * (see [[graft.text.BpeCore]] for the deterministic contract). Stateless

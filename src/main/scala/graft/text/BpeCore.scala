@@ -166,3 +166,104 @@ object BpeFixture {
     s"('${l.replace("'", "''")}','${r.replace("'", "''")}',$i)"
   }.mkString(", ")
 }
+
+/**
+ * BPE TRAINING — learn the merges table itself from a corpus, closing the
+ * tokenizer loop (train → broadcast → count/tokenize → pack) inside the
+ * engine. Classic algorithm (Sennrich et al., ACL 2016): repeatedly merge
+ * the highest-frequency adjacent symbol pair over the WORD-FREQUENCY
+ * histogram.
+ *
+ * Scale shape: the histogram — (pre-token, count) — is vocabulary-bounded,
+ * not corpus-bounded: a 100 TB natural-language corpus has millions of
+ * distinct pre-tokens against billions of documents, and the aggregate is
+ * one map-side-combined shuffle. The merge-learning loop is then pure
+ * driver arithmetic with INCREMENTAL pair-count updates (only words
+ * containing the merged pair are re-segmented per iteration — the
+ * subword-nmt approach); the alternative, one distributed pair-count job
+ * per merge, costs a scheduling round per vocab entry. Driver memory is
+ * O(histogram), the same bound as the collect.
+ *
+ * Determinism: ties on pair count break lexicographically on (left,
+ * right), so the learned table is a pure function of the histogram.
+ * Tables produced here are well-formed by construction (every merge's
+ * sides are single characters or earlier merge outputs), which is exactly
+ * the condition under which [[BpeCore]]'s single-occurrence tokenization
+ * contract coincides with classic merge-all BPE.
+ */
+object BpeTrainer {
+
+  /** Learn up to `numMerges` merges from (word, count) rows. Stops early
+    * when no pair reaches `minPairCount` (rare-pair merges only overfit). */
+  def trainFromHistogram(hist: Seq[(String, Long)], numMerges: Int,
+                         minPairCount: Long = 2L): Vector[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be non-negative")
+    val words = hist.collect { case (w, c) if w.length > 1 && c > 0 =>
+      (scala.collection.mutable.ArrayBuffer.tabulate(w.length)(i =>
+        w.substring(i, i + 1)), c)
+    }.toArray
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val (syms, c) = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val nv = pairCount.getOrElse(p, 0L) + sign * c
+        if (nv == 0L) pairCount.remove(p) else pairCount(p) = nv
+        if (sign > 0) pairWords.getOrElseUpdate(p,
+          scala.collection.mutable.Set.empty[Int]) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(addPairs(_, 1L))
+
+    val out = Vector.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      // max count, lexicographic (l, r) tie-break — deterministic
+      var best: (String, String) = null
+      var bestC = minPairCount - 1
+      pairCount.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null) exhausted = true
+      else {
+        out += best
+        val (l, r) = best
+        val merged = l + r
+        // re-segment only the words that (may) contain the pair; stale
+        // indices (pair already merged away) are skipped by the scan
+        pairWords.remove(best).foreach(_.foreach { wi =>
+          val (syms, _) = words(wi)
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            has = syms(i) == l && syms(i + 1) == r; i += 1
+          }
+          if (has) {
+            addPairs(wi, -1L)
+            // left-to-right non-overlapping merge-all (training-side
+            // segmentation, the classic loop)
+            var j = 0
+            while (j < syms.length - 1) {
+              if (syms(j) == l && syms(j + 1) == r) {
+                syms(j) = merged; syms.remove(j + 1)
+              }
+              j += 1
+            }
+            addPairs(wi, 1L)
+          }
+        })
+        k += 1
+      }
+    }
+    out.result()
+  }
+}

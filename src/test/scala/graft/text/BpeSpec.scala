@@ -110,6 +110,43 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("trainer: classic Sennrich example learns es, est, lo, low") {
+    val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = BpeTrainer.trainFromHistogram(hist, 4)
+    // (e,s)=9 ties (s,t)=9 → lexicographic; then (es,t)=9; then (l,o)=7
+    // ties (o,w)=7 → lexicographic; then (lo,w)=7
+    assert(merges == Vector(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    // stop-early: no pair reaches minPairCount → table ends
+    val tiny = BpeTrainer.trainFromHistogram(Seq(("ab", 1L)), 10)
+    assert(tiny.isEmpty, "count-1 pairs are below the default minPairCount")
+  }
+
+  test("trainer: well-formed output, deterministic, consistent with tokenizer") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m1 = graft.pipeline.TextAnalysis.trainBpe(docs01, numMerges = 80)
+    val m2 = graft.pipeline.TextAnalysis.trainBpe(docs01, numMerges = 80)
+    assert(m1 == m2, "training must be a pure function of the corpus")
+    assert(m1.length == 80, "corpus has plenty of frequent pairs")
+    // well-formedness: each side is a single char or an earlier output —
+    // the condition under which tokenize == classic merge-all BPE
+    val produced = scala.collection.mutable.Set.empty[String]
+    m1.foreach { case (l, r) =>
+      assert(l.length == 1 || produced.contains(l), s"ill-formed left '$l'")
+      assert(r.length == 1 || produced.contains(r), s"ill-formed right '$r'")
+      produced += (l + r)
+    }
+    // the learned table actually compresses the corpus it was trained on
+    val st = graft.pipeline.TextAnalysis.bpeState(spark, m1)
+    val counts = docs01.select(
+        graft.pipeline.TextAnalysis.tokenCountBpe($"text", st).as("bpe"),
+        graft.pipeline.TextAnalysis.tokenCountWs($"text").as("ws"),
+        length($"text").as("chars"))
+      .agg(sum($"bpe"), sum($"ws"), sum($"chars")).head
+    val (bpe, ws, chars) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    assert(bpe < chars, "BPE must compress below character count")
+    assert(bpe <= ws * 3, s"80 merges on a 31-word vocab should near word-level: bpe=$bpe ws=$ws")
+  }
+
   test("expressions: count/tokens columns, null/empty totality, packBudgeted plug") {
     val st = graft.pipeline.TextAnalysis.bpeState(spark, BpeFixture.merges)
     val df = Seq[(java.lang.Long, String)](
