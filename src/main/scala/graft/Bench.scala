@@ -212,6 +212,32 @@ object Bench {
         ""
       }.get
 
+    // BPE pass: train a merges table on the bench corpus, then count
+    // tokens with it — the tokenizer loop (train → broadcast → count)
+    // measured end-to-end in the official record, not just gate-checked
+    // at fixture scale. Histogram collect is vocabulary-bounded; the
+    // count pass is a stateless scan.
+    val bpePart =
+      if (sys.env.getOrElse("SPARK_GRAFT_BPE", "true") == "false") ""
+      else scala.util.Try {
+        import org.apache.spark.sql.functions.{col, sum}
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+        val (merges, trainSec) = timed(
+          graft.pipeline.TextAnalysis.trainBpe(docs, numMerges = 200))
+        val st = graft.pipeline.TextAnalysis.bpeState(spark, merges)
+        val (tokens, countSec) = timed(
+          docs.select(graft.pipeline.TextAnalysis.tokenCountBpe(col("text"), st)
+            .cast("long").as("n"))
+            .agg(sum(col("n"))).head().getLong(0))
+        f""","bpe":{"merges":${merges.length},"train_sec":$trainSec%.3f,"count_sec":$countSec%.3f,"tokens":$tokens}"""
+      }.recover { case e =>
+        System.err.println(s"[bench] bpe pass failed: ${e.getMessage}")
+        ""
+      }.get
+
     // skew pass: a hot-key corpus (one user owns half of all rows — the
     // worst case for Window.partitionBy) timed through the unsalted vs
     // salted window operators, so the salted twins' payoff is a
@@ -264,7 +290,7 @@ object Bench {
     // (sf0.1 per-query + scalar totals, ~1.5 KB) and is printed LAST, so it
     // can never outgrow the driver's tail capture again (r3's official
     // record came back "parsed": null for exactly that reason).
-    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$ivfPart$scalePart$storagePart$annStoragePart$skewPart}"""
+    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$ivfPart$scalePart$storagePart$annStoragePart$bpePart$skewPart}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("/tmp/graft_bench.json")).foreach { p =>
       scala.util.Try(java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (detailLine + "\n").getBytes("UTF-8")))

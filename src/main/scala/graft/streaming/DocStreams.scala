@@ -129,9 +129,12 @@ object DocStreams {
    * texts, and the pair is never re-checked. Deploy with ingestion
    * committing to the lake before (or atomically with) the stream source
    * (the natural file-source layout, where `docs` streams the same files
-   * `corpus` reads). If the stream can run ahead of the lake, verify
-   * against a snapshot you know contains the streamed files, or widen the
-   * join to left and alert on null-text rows.
+   * `corpus` reads). If the stream can run ahead of the lake, set
+   * `surfaceMissingTexts = true`: the verify join widens to LEFT and a
+   * candidate with an un-landed text is EMITTED with `jaccard = NULL`
+   * instead of silently vanishing — downstream alerts on
+   * `jaccard IS NULL` and re-verifies those pairs once the lake catches
+   * up. (Off by default: the extra rows would break twin equality.)
    *
    * A pair colliding in several bands is emitted once per band; collapse
    * downstream exactly as the batch op's dropDuplicates does. With caps
@@ -140,7 +143,8 @@ object DocStreams {
    */
   def minhashPairsStream(docs: DataFrame, corpus: DataFrame,
                          numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
-                         threshold: Double = 0.8, maxBucket: Int = 10000): DataFrame = {
+                         threshold: Double = 0.8, maxBucket: Int = 10000,
+                         surfaceMissingTexts: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.GraftShims
@@ -180,12 +184,31 @@ object DocStreams {
           state.update(seen.toSeq)
           out.iterator
       }.toDF("id_a", "id_b")
+    verifyAgainstLake(candidates, corpus, shingle, threshold, surfaceMissingTexts)
+  }
+
+  /** Stream-static exact-Jaccard verify shared by the near-dup twins.
+    * `surfaceMissingTexts` widens to LEFT joins: a candidate whose text
+    * has not landed in the lake is emitted with `jaccard = NULL` (alert +
+    * re-verify later) instead of silently vanishing. */
+  private def verifyAgainstLake(candidates: DataFrame, corpus: DataFrame,
+                                shingle: Int, threshold: Double,
+                                surfaceMissingTexts: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
     val ta = corpus.select(col("doc_id").cast("long").as("id_a"), col("text").as("text_a"))
     val tb = corpus.select(col("doc_id").cast("long").as("id_b"), col("text").as("text_b"))
-    candidates.join(ta, "id_a").join(tb, "id_b")
-      .withColumn("jaccard", Dedup.ngramJaccard(col("text_a"), col("text_b"), shingle))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    if (surfaceMissingTexts)
+      candidates.join(ta, Seq("id_a"), "left").join(tb, Seq("id_b"), "left")
+        .withColumn("jaccard",
+          when(col("text_a").isNull || col("text_b").isNull, lit(null).cast("double"))
+            .otherwise(Dedup.ngramJaccard(col("text_a"), col("text_b"), shingle)))
+        .filter(col("jaccard").isNull || col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    else
+      candidates.join(ta, "id_a").join(tb, "id_b")
+        .withColumn("jaccard", Dedup.ngramJaccard(col("text_a"), col("text_b"), shingle))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
   }
 
   /**
@@ -215,7 +238,8 @@ object DocStreams {
    */
   def ngramPairsStream(docs: DataFrame, corpus: DataFrame,
                        shingle: Int = 5, threshold: Double = 0.8,
-                       maxBucket: Int = 10000): DataFrame = {
+                       maxBucket: Int = 10000,
+                       surfaceMissingTexts: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.GraftShims
@@ -262,12 +286,7 @@ object DocStreams {
           state.update(seen.toSeq)
           out.iterator
       }.toDF("id_a", "id_b")
-    val ta = corpus.select(col("doc_id").cast("long").as("id_a"), col("text").as("text_a"))
-    val tb = corpus.select(col("doc_id").cast("long").as("id_b"), col("text").as("text_b"))
-    candidates.join(ta, "id_a").join(tb, "id_b")
-      .withColumn("jaccard", Dedup.ngramJaccard(col("text_a"), col("text_b"), shingle))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyAgainstLake(candidates, corpus, shingle, threshold, surfaceMissingTexts)
   }
 
   /**

@@ -344,6 +344,40 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("minhash stream surfaceMissingTexts: stale-lake pairs surface as NULL, not vanish") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.8, maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    // lake is missing one side of a known duplicate pair
+    val missing = batch.head._2
+    val staleLake = docs.filter(col("doc_id") =!= missing)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-missing-stream")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-missing-part").toFile
+    docs.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(streamDir.toFile, "a.parquet").toPath)
+    val stream = spark.readStream.schema(DocStreams.docFileSchema)
+      .parquet(streamDir.toString)
+    val q = DocStreams.minhashPairsStream(stream, staleLake, threshold = 0.8,
+        maxBucket = 100000, surfaceMissingTexts = true)
+      .writeStream.outputMode("append").format("memory").queryName("miss_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("miss_out").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.isNullAt(2)))
+      val nullPairs = rows.filter(_._2).map(_._1).toSet
+      assert(nullPairs.exists { case (a, b) => a == missing || b == missing },
+        s"pair with un-landed doc $missing must surface with NULL jaccard")
+      // verified pairs (non-null) are exactly the batch pairs not touching
+      // the missing doc
+      val okPairs = rows.filterNot(_._2).map(_._1).toSet
+      assert(okPairs == batch.filter { case (a, b) => a != missing && b != missing })
+    } finally q.stop()
+  }
+
   test("streaming EXACT ngram-Jaccard pairs == batch twin (stateful, cross-batch)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     // generous caps both sides (equality needs caps unhit); the batch op's
