@@ -601,6 +601,17 @@ object SparkEntry {
           md5(lit(""))).as("tokens_md5"))
     }),
 
+    // vocab-id sequences — the format a trainer consumes; the oracle maps
+    // every token through the same deterministic id scheme (codepoint /
+    // 0x110000 + min forming rank) after replaying the merge loop
+    "q_text_token_ids" -> ((s, d) => {
+      val st = TextAnalysis.bpeState(s, graft.text.BpeFixture.merges)
+      Tables.table(s, d, "documents").select(col("doc_id"),
+        coalesce(md5(array_join(
+          transform(TextAnalysis.tokenIdsBpe(col("text"), st), x => x.cast("string")),
+          ",")), md5(lit(""))).as("ids_md5"))
+    }),
+
     "q_text_quality" -> ((s, d) =>
       TextAnalysis.withQualityScore(Tables.table(s, d, "documents"), "text")
         .select(col("doc_id"), col("n_words"),
@@ -1262,6 +1273,40 @@ object SparkEntry {
         "COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM cnt) " +
         "SELECT doc_id, source, n_tokens, CAST(cum // 512 AS BIGINT) AS pack_id FROM c2"),
+
+    // merge-loop replay + deterministic id mapping (formed = lhs||rhs →
+    // min rank; single-codepoint tokens → unicode())
+    "q_text_token_ids" ->
+      ("WITH RECURSIVE " +
+        s"m(lhs, rhs, rnk) AS (VALUES ${graft.text.BpeFixture.sqlValues}), " +
+        "formed AS (SELECT lhs || rhs AS tokstr, min(rnk) AS r FROM m GROUP BY 1), " +
+        "pre AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), " +
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s') AS ws FROM documents), " +
+        "occ AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS widx FROM pre), " +
+        "vocab AS (SELECT DISTINCT tok FROM occ), " +
+        "steps(tok, s) AS (" +
+        "SELECT tok, chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) FROM vocab " +
+        "UNION ALL " +
+        "SELECT tok, substr(s, 1, idx - 1) || chr(31) || lhs || rhs || chr(31) " +
+        "|| substr(s, idx + length(chr(31) || lhs || chr(31) || rhs || chr(31))) " +
+        "FROM (SELECT st.tok, st.s, best.lhs, best.rhs, " +
+        "strpos(st.s, chr(31) || best.lhs || chr(31) || best.rhs || chr(31)) AS idx " +
+        "FROM steps st, LATERAL (SELECT m.lhs, m.rhs FROM m " +
+        "WHERE strpos(st.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0 " +
+        "ORDER BY m.rnk LIMIT 1) AS best) t), " +
+        "fin AS (SELECT tok, s FROM steps t WHERE NOT EXISTS (SELECT 1 FROM m " +
+        "WHERE strpos(t.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0)), " +
+        "toklist AS (SELECT tok, unnest(string_split(substr(s, 2, length(s) - 2), chr(31))) AS t, " +
+        "generate_subscripts(string_split(substr(s, 2, length(s) - 2), chr(31)), 1) AS ti FROM fin), " +
+        "ids AS (SELECT tl.tok, tl.ti, CASE WHEN length(tl.t) = 1 " +
+        "THEN CAST(unicode(tl.t) AS BIGINT) ELSE 1114112 + f.r END AS id " +
+        "FROM toklist tl LEFT JOIN formed f ON f.tokstr = tl.t), " +
+        "pertok AS (SELECT tok, string_agg(CAST(id AS VARCHAR), ',' ORDER BY ti) AS ids_str " +
+        "FROM ids GROUP BY tok), " +
+        "perdoc AS (SELECT o.doc_id, md5(string_agg(pt.ids_str, ',' ORDER BY o.widx)) AS ids_md5 " +
+        "FROM occ o JOIN pertok pt USING (tok) GROUP BY o.doc_id) " +
+        "SELECT d.doc_id, coalesce(p.ids_md5, md5('')) AS ids_md5 " +
+        "FROM documents d LEFT JOIN perdoc p USING (doc_id)"),
 
     // full BPE replay: distinct pre-tokens run the merge loop as a
     // recursive CTE (state = chr(31)-delimited symbol string; each step

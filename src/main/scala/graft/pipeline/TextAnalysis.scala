@@ -92,6 +92,11 @@ object TextAnalysis {
   def tokenizeBpe(text: Column, state: org.apache.spark.sql.graft.BpeState): Column =
     c(org.apache.spark.sql.graft.BpeTokens(e(text), state))
 
+  /** BPE vocab ids in document order (array<long>) — the trainer-feeding
+    * format (codepoint / 0x110000 + forming rank; deterministic). */
+  def tokenIdsBpe(text: Column, state: org.apache.spark.sql.graft.BpeState): Column =
+    c(org.apache.spark.sql.graft.BpeTokenIds(e(text), state))
+
   def langId(text: Column): Column = c(LangId(e(text)))
 
   /** Winnowing fingerprint set (array<long>) — robust doc identity for

@@ -990,10 +990,12 @@ case class VecLshBucket(first: Expression, second: Expression, third: Expression
  */
 class BpeState(val merges: Broadcast[Array[(String, String)]]) extends Serializable {
   @transient private lazy val ranks = graft.text.BpeCore.buildRanks(merges.value.toSeq)
+  @transient private lazy val formed = graft.text.BpeCore.buildFormedIds(merges.value.toSeq)
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
   def count(text: String): Int = graft.text.BpeCore.countText(text, ranks, cache)
   def tokens(text: String): Array[String] = graft.text.BpeCore.tokenizeText(text, ranks, cache)
+  def ids(text: String): Array[Long] = graft.text.BpeCore.idsText(text, ranks, formed, cache)
 }
 
 /** bpe_token_count(text) → int: REAL merges-table BPE token count (see
@@ -1025,4 +1027,19 @@ case class BpeTokens(child: Expression, state: BpeState)
   override protected def nullSafeEval(text: Any): Any =
     new GenericArrayData(state.tokens(text.toString).map(UTF8String.fromString(_): Any))
   override protected def withNewChildInternal(c: Expression): BpeTokens = copy(child = c)
+}
+
+/** bpe_token_ids(text) → array<long>: vocab ids in document order — the
+  * format a trainer actually consumes (codepoint for single-codepoint
+  * tokens, 0x110000 + first forming rank for merge outputs; see
+  * [[graft.text.BpeCore.buildFormedIds]]). */
+case class BpeTokenIds(child: Expression, state: BpeState)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_token_ids"
+  override protected def nullSafeEval(text: Any): Any =
+    new GenericArrayData(state.ids(text.toString))
+  override protected def withNewChildInternal(c: Expression): BpeTokenIds = copy(child = c)
 }

@@ -57,11 +57,16 @@ object BpeCore {
     m
   }
 
-  /** Apply the merge loop (contract point 2) to one pre-token. */
+  /** Apply the merge loop (contract point 2) to one pre-token. Initial
+    * symbols are CODEPOINTS, not UTF-16 units — SQL engines split strings
+    * by codepoint, so surrogate-pair characters (emoji) must start as one
+    * symbol here too or the cross-engine contract silently diverges. */
   def tokenizeWord(word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
     if (word.length <= 1) return Array(word)
-    val syms = scala.collection.mutable.ArrayBuffer.tabulate(word.length)(i =>
-      word.substring(i, i + 1))
+    val cps = word.codePoints().toArray
+    if (cps.length == 1) return Array(word)
+    val syms = scala.collection.mutable.ArrayBuffer.tabulate(cps.length)(i =>
+      new String(Character.toChars(cps(i))))
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue
@@ -117,6 +122,48 @@ object BpeCore {
     val m = pretokenPattern.matcher(text)
     while (m.find()) n += cachedWord(m.group(), ranks, cache).length
     n
+  }
+
+  /**
+   * Vocab-id map for merge OUTPUTS — the id space trainers consume:
+   * single-codepoint tokens use the codepoint itself (0..0x10FFFF);
+   * merge-formed tokens get 0x110000 + the FIRST rank whose lhs ++ rhs
+   * equals the token (several merges can form the same string; first-rank
+   * is the deterministic choice, `min(rank)` on the SQL side). The two
+   * ranges never collide, so ids are unique per distinct token string.
+   */
+  def buildFormedIds(merges: Seq[(String, String)]): java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      m.putIfAbsent(l + r, java.lang.Long.valueOf(0x110000L + i))
+    }
+    m
+  }
+
+  /** Id of one token under [[buildFormedIds]]' scheme. Multi-codepoint
+    * tokens are always merge outputs (only merges concatenate symbols),
+    * so a miss means the token came from a foreign tokenizer — fail. */
+  def idOf(token: String, formed: java.util.HashMap[String, java.lang.Long]): Long =
+    if (token.codePointCount(0, token.length) == 1) token.codePointAt(0).toLong
+    else {
+      val v = formed.get(token)
+      require(v != null, s"token '$token' was not formed by any merge in this table")
+      v.longValue
+    }
+
+  /** Token ids of `text` in order — [[tokenizeText]] mapped through
+    * [[idOf]], sharing the same word cache. */
+  def idsText(text: String, ranks: java.util.HashMap[String, Integer],
+              formed: java.util.HashMap[String, java.lang.Long],
+              cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]]): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val m = pretokenPattern.matcher(text)
+    while (m.find()) {
+      val toks = cachedWord(m.group(), ranks, cache)
+      var i = 0
+      while (i < toks.length) { out += idOf(toks(i), formed); i += 1 }
+    }
+    out.toArray
   }
 }
 
@@ -198,9 +245,11 @@ object BpeTrainer {
   def trainFromHistogram(hist: Seq[(String, Long)], numMerges: Int,
                          minPairCount: Long = 2L): Vector[(String, String)] = {
     require(numMerges >= 0, "numMerges must be non-negative")
+    // codepoint symbols, matching [[BpeCore.tokenizeWord]]
     val words = hist.collect { case (w, c) if w.length > 1 && c > 0 =>
-      (scala.collection.mutable.ArrayBuffer.tabulate(w.length)(i =>
-        w.substring(i, i + 1)), c)
+      val cps = w.codePoints().toArray
+      (scala.collection.mutable.ArrayBuffer.tabulate(cps.length)(i =>
+        new String(Character.toChars(cps(i)))), c)
     }.toArray
     val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val pairWords = scala.collection.mutable.HashMap

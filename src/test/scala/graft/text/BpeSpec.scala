@@ -110,6 +110,35 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("codepoint symbols: non-BMP chars are ONE symbol (SQL-engine parity)") {
+    // "a😀b": 4 UTF-16 units but 3 codepoints — a UTF-16 split would give
+    // the surrogates as separate symbols and diverge from any SQL engine
+    val none = BpeCore.buildRanks(Seq(("x", "y")))
+    assert(BpeCore.tokenizeWord("a😀b", none).toSeq ==
+      Seq("a", "😀", "b"))
+    val withEmoji = BpeCore.buildRanks(Seq(("a", "😀")))
+    assert(BpeCore.tokenizeWord("a😀b", withEmoji).toSeq ==
+      Seq("a😀", "b"))
+  }
+
+  test("token ids: codepoint / formed-rank scheme, duplicate-string first-rank") {
+    // table where two merges form the same string "abc": first rank wins
+    val merges = Seq(("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc"))
+    val ranks = BpeCore.buildRanks(merges)
+    val formed = BpeCore.buildFormedIds(merges)
+    assert(BpeCore.idOf("a", formed) == 'a'.toLong)
+    assert(BpeCore.idOf("😀", formed) == 0x1F600L, "emoji id = codepoint")
+    assert(BpeCore.idOf("ab", formed) == 0x110000L + 0)
+    assert(BpeCore.idOf("abc", formed) == 0x110000L + 1, "first forming rank wins")
+    assert(BpeCore.idOf("bc", formed) == 0x110000L + 2)
+    intercept[IllegalArgumentException](BpeCore.idOf("zz", formed))
+    // idsText == tokenizeText mapped through idOf, same cache
+    val ch = cache
+    val txt = "abc ab zq"
+    assert(BpeCore.idsText(txt, ranks, formed, ch).toSeq ==
+      BpeCore.tokenizeText(txt, ranks, ch).map(BpeCore.idOf(_, formed)).toSeq)
+  }
+
   test("trainer: classic Sennrich example learns es, est, lo, low") {
     val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
     val merges = BpeTrainer.trainFromHistogram(hist, 4)
