@@ -300,15 +300,22 @@ object DocStreams {
    * ingestion) the assignment is identical to the batch operator's global
    * doc_id order; out-of-order arrival packs in arrival order, the same
    * trade watermarked streaming dedup makes for late rows.
+   *
+   * `tokenCount` is the same pluggable denominator as the batch op's —
+   * pass `t => TextAnalysis.tokenCountBpe(t, state)` to budget the stream
+   * in real tokenizer tokens (the projection is stateless, so streaming
+   * support is untouched).
    */
-  def packBudgetedStream(docs: DataFrame, budgetTokens: Long = 512L): DataFrame = {
+  def packBudgetedStream(docs: DataFrame, budgetTokens: Long = 512L,
+                         tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                           TextAnalysis.tokenCountWs): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(budgetTokens > 0, "budgetTokens must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
-        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        coalesce(tokenCount(col("text")).cast("long"), lit(0L)).as("n_tokens"))
       .as[(Long, String, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

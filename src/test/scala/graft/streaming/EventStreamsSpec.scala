@@ -269,6 +269,26 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(batch.nonEmpty && streamed == batch,
         "stateful streaming packing must equal the batch assignment on in-order arrival")
     } finally q.stop()
+
+    // pluggable denominator: the BPE-budgeted stream must equal the
+    // BPE-budgeted batch op the same way (the q_pack_bpe semantics)
+    val st = graft.pipeline.TextAnalysis.bpeState(spark, graft.text.BpeFixture.merges)
+    def bpeCount(t: org.apache.spark.sql.Column) =
+      coalesce(graft.pipeline.TextAnalysis.tokenCountBpe(t, st), lit(0))
+    val batchBpe = graft.pipeline.TextAnalysis.packBudgeted(docs,
+      groupCols = Seq("source"), budgetTokens = 512L, tokenCount = bpeCount)
+      .select("doc_id", "source", "n_tokens", "pack_id")
+      .collect().map(_.toSeq).toSet
+    val stream2 = spark.readStream.schema(DocStreams.docFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q2 = DocStreams.packBudgetedStream(stream2, 512L, tokenCount = bpeCount)
+      .writeStream.outputMode("append").format("memory").queryName("pack_bpe_out").start()
+    try {
+      q2.processAllAvailable()
+      val streamed2 = spark.table("pack_bpe_out").collect().map(_.toSeq).toSet
+      assert(streamed2 == batchBpe && batchBpe != batch,
+        "BPE-budgeted stream must equal BPE-budgeted batch (and differ from ws)")
+    } finally q2.stop()
   }
 
   test("streaming simhash near-dup pairs == batch twin (stateful, cross-batch)") {

@@ -58,7 +58,8 @@ class BpeSpec extends AnyFunSuite {
     // pick min rank via sorted scan of the TABLE (not the word), splice
     // with patch; shares no code with BpeCore
     def naive(word: String, merges: Seq[(String, String)]): Seq[String] = {
-      var syms = word.map(_.toString).toVector
+      var syms = word.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toVector
       var changed = true
       while (changed && syms.length > 1) {
         changed = false
@@ -76,7 +77,10 @@ class BpeSpec extends AnyFunSuite {
       syms
     }
     val rnd = new scala.util.Random(11)
-    val alpha = "abcd"
+    // unicode-hard alphabet: ASCII, space-class neighbor, accented (é),
+    // combining acute (U+0301), and a non-BMP emoji — the naive reference
+    // below iterates codepoints, so agreement pins codepoint symbolization
+    val alpha = "abcd" + "é́😀"
     for (trial <- 1 to 200) {
       // random merges over short symbol strings (dedup pairs, keep order)
       val pool = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
