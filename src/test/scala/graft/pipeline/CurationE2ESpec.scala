@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * End-to-end curation pipeline over the real corpus: the operators are
+ * individually oracled; this suite pins that they COMPOSE — normalize →
+ * exact-dedup drop → near-dup cluster drop → quality floor → train/val/
+ * test split → BPE-budgeted packing — with the cross-operator invariants
+ * a production pipeline relies on (no duplicate text survives, splits are
+ * disjoint and leakage-free, packs respect the trained-tokenizer budget,
+ * and the whole chain is deterministic end to end).
+ */
+class CurationE2ESpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  private def runPipeline() = {
+    // 1. canonical text (NFC + lower + ws collapse) — dedup keys off this
+    val normed = docs.withColumn("canon", TextAnalysis.normalizeText($"text"))
+    // 2. exact dedup on the canonical text: keep min doc_id per group
+    val keepExact = Dedup.exact(normed, "doc_id", Seq("canon"))
+      .select($"keep_id".as("doc_id"))
+    val afterExact = normed.join(keepExact, "doc_id")
+    // 3. near-dup clusters over the survivors: drop non-representatives
+    val pairs = Dedup.minhashLshPairs(afterExact.select($"doc_id", $"canon".as("text")),
+      "doc_id", "text", threshold = 0.8, maxBucket = 100000)
+    val dropNear = Dedup.clusters(pairs.select($"id_a", $"id_b"))
+      .filter($"id" =!= $"cluster").select($"id".as("doc_id"))
+    val afterNear = afterExact.join(dropNear, Seq("doc_id"), "left_anti")
+    // 4. quality floor on the scored corpus
+    val quality = TextAnalysis.withQualityScore(afterNear, "text")
+      .filter($"quality_score" >= 0.3)
+    // 5. leakage-free split, then 6. BPE-budgeted packing of the train band
+    val split = Sampling.deterministicSplit(quality, "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val merges = TextAnalysis.trainBpe(split.filter($"split" === "train"), numMerges = 100)
+    val st = TextAnalysis.bpeState(spark, merges)
+    val packed = TextAnalysis.packBudgeted(split.filter($"split" === "train"),
+      groupCols = Seq("source"), budgetTokens = 256L,
+      tokenCount = t => TextAnalysis.tokenCountBpe(t, st))
+    (afterExact, afterNear, split, merges, packed)
+  }
+
+  test("curation chain: dedup/quality/split/pack invariants hold on the real corpus") {
+    val (afterExact, afterNear, split, merges, packed) = runPipeline()
+
+    // exact dedup: canonical texts unique afterwards, representatives are min ids
+    val n = afterExact.count()
+    assert(afterExact.select("canon").distinct().count() == n)
+    assert(n <= docs.count()) // sf0.01 happens to have no exact dups; near-dups below do fire
+
+    // near-dup drop keeps one representative per cluster: re-running the
+    // pair search on survivors finds no pair of docs that BOTH survived a
+    // cluster (pairs within a cluster all share the min-id representative)
+    val survivorPairs = Dedup.minhashLshPairs(
+      afterNear.select($"doc_id", $"canon".as("text")), "doc_id", "text",
+      threshold = 0.8, maxBucket = 100000)
+    assert(survivorPairs.count() == 0,
+      "no near-duplicate pair may survive representative selection")
+
+    // split: total, disjoint by construction; train is the large band
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == split.count())
+    assert(Set("train", "val", "test").subsetOf(bySplit.keySet))
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L) &&
+      bySplit("train") > bySplit.getOrElse("test", 0L))
+
+    // packing: every pack's doc set is contiguous in doc_id order within
+    // its source, and the exclusive-cumsum start of each pack is under
+    // budget boundaries (pack_id = cum div budget exactly)
+    val rows = packed.select($"source", $"doc_id", $"n_tokens", $"pack_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      var cum = 0L
+      g.sortBy(_._2).foreach { case (_, _, nTok, packId) =>
+        assert(packId == cum / 256L, "pack assignment must equal exclusive cumsum div budget")
+        cum += nTok
+      }
+    }
+    assert(merges.nonEmpty && rows.nonEmpty)
+  }
+
+  test("curation chain is deterministic end to end") {
+    val (_, _, s1, m1, p1) = runPipeline()
+    val (_, _, s2, m2, p2) = runPipeline()
+    assert(m1 == m2, "trained tokenizer must be a pure function of the corpus")
+    assert(s1.select("doc_id", "split").collect().map(_.toSeq).toSet ==
+      s2.select("doc_id", "split").collect().map(_.toSeq).toSet)
+    assert(p1.collect().map(_.toSeq).toSet == p2.collect().map(_.toSeq).toSet)
+  }
+}
