@@ -159,6 +159,10 @@ class BpeSpec extends AnyFunSuite {
     val m1 = graft.pipeline.TextAnalysis.trainBpe(docs01, numMerges = 80)
     val m2 = graft.pipeline.TextAnalysis.trainBpe(docs01, numMerges = 80)
     assert(m1 == m2, "training must be a pure function of the corpus")
+    // partitioning must not leak into the learned table (histogram counts
+    // are exact; tie-breaks are lexicographic, never arrival-order)
+    val m3 = graft.pipeline.TextAnalysis.trainBpe(docs01.repartition(7), numMerges = 80)
+    assert(m3 == m1, "training must be partition-invariant")
     assert(m1.length == 80, "corpus has plenty of frequent pairs")
     // well-formedness: each side is a single char or an earlier output —
     // the condition under which tokenize == classic merge-all BPE
