@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.Gis
-import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.sql.{functions => G}
 import graft.streaming.EventStreams
@@ -446,6 +446,19 @@ object SparkEntry {
       Sampling.deterministicSplit(Tables.table(s, d, "documents"), "doc_id",
           SplitWeights)
         .select(col("doc_id"), col("split"))),
+
+    // composed curation chain (normalize → exact-dedup keep → quality
+    // floor → split; near-dup drop is gate-covered by q_dedup_clusters and
+    // exercised in CurationE2ESpec): the oracle re-derives the WHOLE chain
+    // in one SQL — cross-operator composition checked cross-engine, not
+    // just each stage alone
+    "q_curate" -> ((s, d) => {
+      val curated = Curation.curate(Tables.table(s, d, "documents"),
+        Curation.Config(dropNearDups = false, splits = SplitWeights))
+      curated.select(col("doc_id"),
+        round(col("quality_score") * 1000).cast("long").as("quality_milli"),
+        col("split"))
+    }),
 
     // deterministic data mixing: per-source keep fractions, scan-local
     "q_sample_mix" -> ((s, d) =>
@@ -1154,6 +1167,33 @@ object SparkEntry {
           s"WHEN md5(CAST(doc_id AS VARCHAR)) < '$h' THEN '$n' "
         }.mkString +
         s"ELSE '${SplitWeights.last._1}' END AS split FROM documents"),
+
+    // the full stage-1/2/4/5 curation chain in one SQL: canonical text →
+    // min-id-per-canon keep set → quality formula (exact-double filter,
+    // milli-rounded only for the hash) → split CASE from the shared
+    // cumulative thresholds
+    "q_curate" ->
+      ("WITH c AS (SELECT doc_id, text, " +
+        "trim(regexp_replace(lower(nfc_normalize(text)), '[ \\t\\n\\r]+', ' ', 'g')) AS canon " +
+        "FROM documents), " +
+        "keep AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon), " +
+        "f AS (SELECT c.doc_id, c.text FROM c JOIN keep USING (doc_id)), " +
+        "sig AS (SELECT doc_id, length(text) AS n_chars, " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, " +
+        "len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s.,;:!?''\"()-]')) AS n_symbol, " +
+        "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|was|for|on|are|with|as|at)\\b')) AS n_stop " +
+        "FROM f), " +
+        "q AS (SELECT doc_id, greatest(0.0, least(1.0, " +
+        "0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0) " +
+        "+ 0.3 * least((CAST(n_stop AS DOUBLE) / (CAST(n_words AS DOUBLE) + 1.0)) * 5.0, 1.0) " +
+        "+ 0.3 * greatest(0.0, 1.0 - (CAST(n_symbol AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 1.0)) * 10.0)" +
+        ")) AS score FROM sig) " +
+        "SELECT doc_id, CAST(round(score * 1000) AS BIGINT) AS quality_milli, CASE " +
+        SplitCumHex.map { case (n, h) =>
+          s"WHEN md5(CAST(doc_id AS VARCHAR)) < '$h' THEN '$n' "
+        }.mkString +
+        s"ELSE '${SplitWeights.last._1}' END AS split " +
+        "FROM q WHERE score >= 0.3"),
 
     // per-source threshold CASE generated from the same mixture manifest;
     // unlisted sources get a NULL threshold, so the comparison drops them

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * One-call corpus curation — the composition a production training-data
+ * pipeline runs, built from the individually-oracled operators in the
+ * order that keeps every stage deterministic:
+ *
+ *  1. canonical text ([[TextAnalysis.normalizeText]]: NFC + lower +
+ *     whitespace collapse) — the dedup key, so byte-different
+ *     render-identical texts collapse;
+ *  2. exact dedup on the canonical text ([[Dedup.exact]], keep = min id);
+ *  3. optionally, near-duplicate drop: MinHash-LSH pairs →
+ *     connected-component labels ([[Dedup.clusters]]) → non-representative
+ *     ids anti-joined away;
+ *  4. quality floor on [[TextAnalysis.withQualityScore]]'s score;
+ *  5. leakage-free train/val/test labels ([[Sampling.deterministicSplit]]).
+ *
+ * Every stage is a pure function of row identity and text, so the whole
+ * chain is reproducible across engines, partitionings, and reruns — the
+ * property pinned per-operator by the driver's oracles, per-chain by
+ * `q_curate` (stages 1-2-4-5 re-derived in one SQL), and end-to-end with
+ * the near-dup stage by `CurationE2ESpec`.
+ *
+ * Scale shape: normalize/quality/split are scan-local projections; exact
+ * dedup is one map-side-combined shuffle of (canon-hash) groups; the
+ * near-dup stage shuffles signatures and pair ids, never the corpus
+ * (see [[Dedup.minhashLshPairs]] / [[Dedup.clusters]]); the final joins
+ * are on id sets orders of magnitude smaller than the corpus.
+ */
+object Curation {
+
+  /** Knobs for [[curate]]; defaults mirror the gate configuration. */
+  final case class Config(
+      minQuality: Double = 0.3,
+      dropNearDups: Boolean = true,
+      nearDupThreshold: Double = 0.8,
+      maxBucket: Int = 10000,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  /**
+   * Returns the curated corpus: every surviving input row plus `canon`
+   * (canonical text), the quality signal columns (`quality_score` et al,
+   * see [[TextAnalysis.withQualityScore]]), and `split`.
+   */
+  def curate(df: DataFrame, config: Config = Config(),
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(config.minQuality >= 0.0 && config.minQuality <= 1.0,
+      "minQuality must be in [0, 1]")
+    val normed = df.withColumn("canon", TextAnalysis.normalizeText(col(textCol)))
+    val keepExact = Dedup.exact(normed, idCol, Seq("canon"))
+      .select(col("keep_id").as(idCol))
+    val afterExact = normed.join(keepExact, idCol)
+    val afterNear =
+      if (!config.dropNearDups) afterExact
+      else {
+        val pairs = Dedup.minhashLshPairs(
+          afterExact.select(col(idCol).as("doc_id"), col("canon").as("text")),
+          "doc_id", "text",
+          threshold = config.nearDupThreshold, maxBucket = config.maxBucket)
+        val drop = Dedup.clusters(pairs.select(col("id_a"), col("id_b")))
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as(idCol))
+        afterExact.join(drop, Seq(idCol), "left_anti")
+      }
+    val scored = TextAnalysis.withQualityScore(afterNear, textCol)
+      .filter(col("quality_score") >= config.minQuality)
+    Sampling.deterministicSplit(scored, idCol, config.splits)
+  }
+}

@@ -86,6 +86,13 @@ class CurationE2ESpec extends AnyFunSuite {
     assert(merges.nonEmpty && rows.nonEmpty)
   }
 
+  test("Curation.curate == the hand-built chain (API composes identically)") {
+    val (_, _, split, _, _) = runPipeline()
+    val api = Curation.curate(docs)
+    assert(api.select($"doc_id", $"split").collect().map(_.toSeq).toSet ==
+      split.select($"doc_id", $"split").collect().map(_.toSeq).toSet)
+  }
+
   test("curation chain is deterministic end to end") {
     val (_, _, s1, m1, p1) = runPipeline()
     val (_, _, s2, m2, p2) = runPipeline()
