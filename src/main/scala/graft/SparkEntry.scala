@@ -642,6 +642,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
           col("top_word_count"), col("n_words_alpha"), col("n_distinct_words"))),
 
+    // Gopher/MassiveText composite quality RULES (Rae et al. 2021 §A1.1):
+    // every ratio rule is an integer cross-multiplication, so the 0/1
+    // verdict flags are hash-exact — the oracle re-derives each rule from
+    // the same counts with the same arithmetic. The corpus is stopword-poor
+    // word soup, so fixture tails (stopword-rich / bullet-list / ellipsis
+    // trailer, keyed on doc_id) make every rule flip both ways
+    "q_quality_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(
+          Tables.table(s, d, "documents").withColumn("text", qualityFixtureText))
+        .select(col("doc_id"), col("n_words"), col("n_lines"),
+          col("r_word_count"), col("r_mean_word_len"), col("r_symbol_ratio"),
+          col("r_bullet_lines"), col("r_ellipsis_lines"), col("r_alpha_words"),
+          col("r_stopwords"), col("passes"))),
+
     // lang_id over a deterministic 9-class fixture (one provably-unambiguous
     // phrase per class keyed by doc_id % 9): the REAL heuristic expression
     // runs on every row, and because each phrase is single-script or has a
@@ -832,6 +846,20 @@ object SparkEntry {
         lit("  CAFE\u0301\tMixed Case")).otherwise(lit("")),
       when(pmod(col("doc_id"), lit(3)) === 0,
         lit("\ntail  space   ")).otherwise(lit("")))
+
+  /** Corpus text + quality-rule-tripping tails by doc_id rule — the fixture
+    * half of q_quality_rules (the oracle rebuilds the same text): stopword
+    * tail flips r_stopwords, 10 bullet lines flip r_bullet_lines (10 of 11
+    * lines > 90%), two "..." trailers flip r_ellipsis_lines and feed the
+    * ellipsis-symbol count. */
+  private def qualityFixtureText: Column =
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit(" the cat is on the mat and it was here")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        lit(Seq.fill(10)("\n- item").mkString)).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        lit("\ntrail one...\ntrail two...")).otherwise(lit("")))
 
   /** Corpus text with synthetic PII appended as pure functions of doc_id —
     * the fixture half of q_pii_redact (the oracle rebuilds the same text). */
@@ -1576,6 +1604,50 @@ object SparkEntry {
         "+ 0.3 * least((CAST(n_stop AS DOUBLE) / (CAST(n_words AS DOUBLE) + 1.0)) * 5.0, 1.0) " +
         "+ 0.3 * greatest(0.0, 1.0 - (CAST(n_symbol AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 1.0)) * 10.0)" +
         ")) * 1000) AS BIGINT) AS quality_milli FROM f"),
+
+    // same integer cross-multiplication arithmetic as TextAnalysis.gopherRules,
+    // over the same rebuilt fixture text
+    "q_quality_rules" ->
+      ("WITH fx AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' the cat is on the mat and it was here' ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 0 THEN repeat(chr(10) || '- item', 10) ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'trail one...' || chr(10) || 'trail two...' ELSE '' END " +
+        "AS text FROM documents), " +
+        "f AS (SELECT doc_id, text, " +
+        "regexp_split_to_array(trim(text), '\\s+') AS ws, " +
+        "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls " +
+        "FROM fx), " +
+        "c AS (SELECT doc_id, " +
+        "CAST(len(ws) AS BIGINT) AS n_words, " +
+        "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonws, " +
+        "CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash, " +
+        "CAST(len(regexp_extract_all(text, '\\.{3}|\u2026')) AS BIGINT) AS n_ell, " +
+        "CAST(len(ls) AS BIGINT) AS n_lines, " +
+        "CAST(len(list_filter(ls, x -> regexp_matches(x, '^[-*\u2022]'))) AS BIGINT) AS n_bullet, " +
+        "CAST(len(list_filter(ls, x -> regexp_matches(x, '(\\.{3}|\u2026)$'))) AS BIGINT) AS n_ell_lines, " +
+        "CAST(len(list_filter(ws, w -> regexp_matches(w, '[\\p{L}]'))) AS BIGINT) AS n_alpha_words, " +
+        "CAST(len(list_distinct(regexp_extract_all(lower(text), " +
+        "'\\b(the|and|of|to|in|is|that|it|was|for|on|are|with|as|at)\\b'))) AS BIGINT) AS n_stop " +
+        "FROM f), " +
+        "r AS (SELECT doc_id, n_words, n_lines, " +
+        "CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_word_count, " +
+        "CASE WHEN 3 * n_words <= n_nonws AND n_nonws <= 10 * n_words THEN 1 ELSE 0 END AS r_mean_word_len, " +
+        "CASE WHEN 10 * (n_hash + n_ell) <= n_words THEN 1 ELSE 0 END AS r_symbol_ratio, " +
+        "CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END AS r_bullet_lines, " +
+        "CASE WHEN 10 * n_ell_lines <= 3 * n_lines THEN 1 ELSE 0 END AS r_ellipsis_lines, " +
+        "CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS r_alpha_words, " +
+        "CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stopwords FROM c) " +
+        "SELECT doc_id, n_words, n_lines, " +
+        "CAST(r_word_count AS BIGINT) AS r_word_count, " +
+        "CAST(r_mean_word_len AS BIGINT) AS r_mean_word_len, " +
+        "CAST(r_symbol_ratio AS BIGINT) AS r_symbol_ratio, " +
+        "CAST(r_bullet_lines AS BIGINT) AS r_bullet_lines, " +
+        "CAST(r_ellipsis_lines AS BIGINT) AS r_ellipsis_lines, " +
+        "CAST(r_alpha_words AS BIGINT) AS r_alpha_words, " +
+        "CAST(r_stopwords AS BIGINT) AS r_stopwords, " +
+        "CAST(CASE WHEN r_word_count + r_mean_word_len + r_symbol_ratio + r_bullet_lines " +
+        "+ r_ellipsis_lines + r_alpha_words + r_stopwords = 7 THEN 1 ELSE 0 END AS BIGINT) AS passes " +
+        "FROM r"),
 
     "q_json_extract" ->
       ("SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events"),

@@ -331,6 +331,71 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** Stopword alternation shared by [[withQualityScore]] and
+    * [[gopherRules]] — a deliberate common subset that Java and RE2
+    * regex engines tokenize identically. */
+  val StopwordRegex: String =
+    "\\b(the|and|of|to|in|is|that|it|was|for|on|are|with|as|at)\\b"
+
+  /**
+   * Gopher-style composite quality-rule filter (Rae et al. 2021 §A1.1,
+   * the MassiveText heuristics), emitted as integer counts plus 0/1 rule
+   * flags so the verdict is hash-exact across engines: every ratio rule is
+   * expressed as an integer cross-multiplication (e.g. mean word length in
+   * [3,10] ⇔ 3·n_words ≤ n_nonws_chars ≤ 10·n_words) — no floating-point
+   * division anywhere, hence no cross-engine ulp risk.
+   *
+   * Rules (each `r_* = 1` when the document PASSES):
+   *   - r_word_count:    minWords ≤ n_words ≤ maxWords
+   *   - r_mean_word_len: mean word length in [3, 10] chars
+   *   - r_symbol_ratio:  (#hash + #ellipsis) / n_words ≤ 0.1
+   *   - r_bullet_lines:  ≤ 90% of non-empty lines start with a bullet
+   *   - r_ellipsis_lines: ≤ 30% of non-empty lines end with an ellipsis
+   *   - r_alpha_words:   ≥ 80% of words contain at least one letter
+   *   - r_stopwords:     ≥ 2 DISTINCT stopwords from the common list
+   * `passes` is their conjunction.
+   *
+   * Scale: one scan-local projection — no shuffle, no UDF; every count is
+   * a codegen'd regexp/array expression, so this composes with any
+   * downstream filter at 100 TB for the cost of the scan itself.
+   */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id",
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = split(trim(t), "\\s+")
+    val nWords = size(words).cast("long")
+    // total non-whitespace chars = sum of word lengths (mean-word-len numerator)
+    val nNonWs = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val nHash = coalesce(regexp_count(t, lit("#")), lit(0)).cast("long")
+    val nEllipsis = coalesce(regexp_count(t, lit("\\.{3}|\u2026")), lit(0)).cast("long")
+    val lines = filter(transform(split(t, "\n"), x => trim(x)), x => x =!= "")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.rlike("^[-*\u2022]"))).cast("long")
+    val nEllLines = size(filter(lines, l => l.rlike("(\\.{3}|\u2026)$"))).cast("long")
+    val nAlphaWords = size(filter(words, w => w.rlike("[\\p{L}]"))).cast("long")
+    val nStopDistinct = size(array_distinct(
+      regexp_extract_all(lower(t), lit(StopwordRegex), lit(0)))).cast("long")
+    def flag(cond: Column): Column = when(cond, 1L).otherwise(0L)
+    val out = df.select(col(idCol), t)
+      .withColumn("n_words", nWords)
+      .withColumn("n_lines", nLines)
+      .withColumn("r_word_count",
+        flag(col("n_words").between(minWords.toLong, maxWords.toLong)))
+      .withColumn("r_mean_word_len",
+        flag(lit(3L) * col("n_words") <= nNonWs && nNonWs <= lit(10L) * col("n_words")))
+      .withColumn("r_symbol_ratio", flag(lit(10L) * (nHash + nEllipsis) <= col("n_words")))
+      .withColumn("r_bullet_lines", flag(lit(10L) * nBullet <= lit(9L) * col("n_lines")))
+      .withColumn("r_ellipsis_lines", flag(lit(10L) * nEllLines <= lit(3L) * col("n_lines")))
+      .withColumn("r_alpha_words", flag(lit(5L) * nAlphaWords >= lit(4L) * col("n_words")))
+      .withColumn("r_stopwords", flag(nStopDistinct >= 2L))
+    val ruleCols = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stopwords")
+    out.withColumn("passes",
+        flag(ruleCols.map(col(_) === 1L).reduce(_ && _)))
+      .drop(textCol)
+  }
+
   /**
    * Heuristic quality features + score in one projection:
    * length, word stats, punctuation/symbol/upper ratios, stopword hit rate.
@@ -346,8 +411,7 @@ object TextAnalysis {
     val nPunct = coalesce(regexp_count(t, lit("[.,;:!?]")), lit(0))
     val nSymbol = coalesce(regexp_count(t, lit("[^\\p{L}\\p{N}\\s.,;:!?'\"()-]")), lit(0))
     val nUpper = coalesce(regexp_count(t, lit("[A-Z]")), lit(0))
-    val nStop = coalesce(regexp_count(lower(t),
-      lit("\\b(the|and|of|to|in|is|that|it|was|for|on|are|with|as|at)\\b")), lit(0))
+    val nStop = coalesce(regexp_count(lower(t), lit(StopwordRegex)), lit(0))
     df.withColumn("n_chars_m", nChars)
       .withColumn("n_words", nWords)
       .withColumn("mean_word_len", meanWordLen)

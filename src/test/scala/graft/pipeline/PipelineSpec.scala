@@ -253,6 +253,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((0, 0, 0L, 0L, 0L)), got(3L))
   }
 
+  test("gopherRules: each rule trips on its planted violation only") {
+    val good = (1 to 60).map(i => s"word$i is on the list").mkString(" ") // 300 words, 3 stopwords, all alpha
+    val fixture = Seq(
+      (1L, good),
+      (2L, "too short to pass the word count rule here"), // < 50 words
+      (3L, (1 to 60).map(_ => "aa").mkString(" ") + " the is"), // mean word len 2
+      (4L, good + " " + (1 to 30).map(_ => "###").mkString(" ")), // hash soup
+      (5L, good + "\n" + (1 to 20).map(i => s"- bullet $i").mkString("\n")), // all-bullet tail
+      (6L, good + "\n" + (1 to 20).map(i => s"line $i trails off...").mkString("\n")),
+      (7L, (1 to 60).map(i => s"${i}23 4567 8901").mkString(" ") + " the is"), // numeric words
+      (8L, (1 to 60).map(i => s"zebra$i quokka").mkString(" "))) // no stopwords
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(fixture, minWords = 50)
+      .collect().map(r => r.getLong(0) -> r.getValuesMap[Long](Seq(
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+        "r_ellipsis_lines", "r_alpha_words", "r_stopwords", "passes"))).toMap
+    assert(got(1L).values.forall(_ == 1L), got(1L))
+    assert(got(2L)("r_word_count") == 0L && got(2L)("passes") == 0L, got(2L))
+    assert(got(3L)("r_mean_word_len") == 0L && got(3L)("passes") == 0L, got(3L))
+    assert(got(4L)("r_symbol_ratio") == 0L && got(4L)("passes") == 0L, got(4L))
+    assert(got(5L)("r_bullet_lines") == 0L && got(5L)("passes") == 0L, got(5L))
+    assert(got(6L)("r_ellipsis_lines") == 0L && got(6L)("passes") == 0L, got(6L))
+    assert(got(7L)("r_alpha_words") == 0L && got(7L)("passes") == 0L, got(7L))
+    assert(got(8L)("r_stopwords") == 0L && got(8L)("passes") == 0L, got(8L))
+    // violations are isolated: every doc trips ONLY its planted rule (doc 3's
+    // filler is alpha-only so other flags hold; doc 4 keeps enough real words)
+    for ((id, flags) <- got if id >= 2L)
+      assert(flags.values.count(_ == 0L) == 2, s"doc $id trips extra rules: $flags")
+  }
+
   test("simhash pairs: planted near-dups within hamming 3 are found") {
     val pairs = Dedup.simhashPairs(planted, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
