@@ -775,6 +775,16 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("cleaned")).as("clean_md5"),
           col("n_chars_removed"))),
 
+    // LINE-level global dedup (C4 keep-one-occurrence boilerplate removal):
+    // fixture adds shared header/footer lines keyed on doc_id so the pass
+    // has real cross-doc boilerplate to strip; the oracle re-derives the
+    // identical first-occurrence rule and the spliced text md5
+    "q_dedup_lines" -> ((s, d) =>
+      Dedup.dedupLines(
+          Tables.table(s, d, "documents").withColumn("text", lineDedupFixtureText))
+        .select(col("doc_id"), md5(col("cleaned")).as("clean_md5"),
+          col("n_lines_removed"))),
+
     // Unicode NFC normalization over a fixture with decomposed accents and
     // messy whitespace (corpus is ASCII/NFC already, so the interesting
     // inputs are doc_id-derived); the oracle re-runs DuckDB's own
@@ -846,6 +856,19 @@ object SparkEntry {
         lit("  CAFE\u0301\tMixed Case")).otherwise(lit("")),
       when(pmod(col("doc_id"), lit(3)) === 0,
         lit("\ntail  space   ")).otherwise(lit("")))
+
+  /** Corpus text wrapped in cross-doc boilerplate lines — the fixture half
+    * of q_dedup_lines (the oracle rebuilds the same text): one of 5 shared
+    * header lines (kept only in its minimal doc), the original single-line
+    * body (deduped across exact-duplicate docs), and a footer line shared
+    * by all even docs (kept only in doc 0). */
+  private def lineDedupFixtureText: Column =
+    concat(
+      lit("shared header line for corpus group "),
+      pmod(col("doc_id"), lit(5)).cast("string"),
+      lit("\n"), col("text"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("\nshared even-documents footer boilerplate line")).otherwise(lit("")))
 
   /** Corpus text + quality-rule-tripping tails by doc_id rule — the fixture
     * half of q_quality_rules (the oracle rebuilds the same text): stopword
@@ -1499,6 +1522,30 @@ object SparkEntry {
         "ELSE p.body || substr(d.text, p.laste + 1, len(d.text) - p.laste) END) AS BIGINT) " +
         "AS n_chars_removed " +
         "FROM documents d LEFT JOIN pieces p USING (doc_id)"),
+
+    // rebuilds the line-dedup fixture, replays the identical
+    // first-occurrence rule (row_number over digest ordered by doc, pos =
+    // Spark's min(struct(id, pos))), and re-splices kept lines in order —
+    // clean_md5 only matches if both engines keep byte-identical lines
+    "q_dedup_lines" ->
+      ("WITH fx AS (SELECT doc_id, 'shared header line for corpus group ' || " +
+        "CAST(doc_id % 5 AS VARCHAR) || chr(10) || text || " +
+        "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'shared even-documents footer boilerplate line' " +
+        "ELSE '' END AS text FROM documents), " +
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM fx), " +
+        "l AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, arr[CAST(i AS INT)] AS ln " +
+        "FROM ls, unnest(range(1, len(arr) + 1)) AS t(i)), " +
+        "el AS (SELECT doc_id, pos, md5(ln) AS dg FROM l WHERE length(trim(ln)) >= 10), " +
+        "rk AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY dg " +
+        "ORDER BY doc_id, pos) AS rn FROM el), " +
+        "dr AS (SELECT doc_id, pos FROM rk WHERE rn > 1), " +
+        "kept AS (SELECT l.doc_id, l.pos, l.ln FROM l LEFT JOIN dr " +
+        "ON l.doc_id = dr.doc_id AND l.pos = dr.pos WHERE dr.doc_id IS NULL), " +
+        "agg AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id), " +
+        "nrm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dr GROUP BY doc_id) " +
+        "SELECT f.doc_id, md5(coalesce(a.cleaned, '')) AS clean_md5, " +
+        "coalesce(n.n, 0) AS n_lines_removed " +
+        "FROM fx f LEFT JOIN agg a USING (doc_id) LEFT JOIN nrm n USING (doc_id)"),
 
     // rebuilds the normalization fixture (chr(769) = the combining acute,
     // chr(9)/chr(10) = tab/newline), then re-normalizes with DuckDB's own

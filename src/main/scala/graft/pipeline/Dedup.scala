@@ -901,4 +901,46 @@ object Dedup {
         coalesce((length(t) - length(col("cleaned"))).cast("long"), lit(0L)))
       .drop("sp", "__span_doc")
   }
+
+  /**
+   * Global LINE-level exact dedup — the C4-family boilerplate-removal pass
+   * (Raffel et al. JMLR'20 §2.2 keep-one-occurrence rule, applied to
+   * lines): every line whose trimmed length is ≥ `minLen` is kept only at
+   * its FIRST corpus occurrence — the lexicographically minimal
+   * (doc_id, position) — and removed from every other document (and from
+   * later positions of the same document); shorter lines always stay, so
+   * structure like blank separators survives. Returns one row per input
+   * doc: (doc_id, cleaned, n_lines_removed), NULL text staying NULL with
+   * n_lines_removed = 0 (the [[removeSharedSpans]] totality contract).
+   *
+   * Scale shape: the corpus text never crosses an exchange. The decision
+   * stream ships (digest, id, pos) — a 16-byte md5 per eligible line;
+   * first-occurrence selection is one map-side-combined min-aggregate on
+   * the digest; drop positions collapse to ONE small sorted-int-array row
+   * per affected doc, which joins back on doc_id (broadcast under AQE
+   * whenever few docs are affected) and the splice is a scan-local
+   * higher-order filter over split(text) — the same
+   * corpus-stays-in-place shape as [[removeSharedSpans]].
+   */
+  def dedupLines(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", minLen: Int = 10): DataFrame = {
+    require(minLen >= 1, "minLen must be positive")
+    val lines = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__ln")))
+      .filter(length(trim(col("__ln"))) >= minLen)
+      .select(col("__id"), col("__pos"), md5(col("__ln")).as("__dg"))
+    val first = lines.groupBy(col("__dg"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__keep"))
+    val drops = lines.join(first, "__dg")
+      .filter(!(col("__id") === col("__keep.__id") &&
+        col("__pos") === col("__keep.__pos")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__drop"))
+    df.join(drops, col(idCol) === drops("__id"), "left")
+      .select(col(idCol),
+        when(col("__drop").isNull, col(textCol))
+          .otherwise(array_join(filter(split(col(textCol), "\n"),
+            (_, i) => !array_contains(col("__drop"), i)), "\n")).as("cleaned"),
+        coalesce(size(col("__drop")), lit(0)).cast("long").as("n_lines_removed"))
+  }
 }

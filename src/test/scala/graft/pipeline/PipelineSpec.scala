@@ -253,6 +253,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((0, 0, 0L, 0L, 0L)), got(3L))
   }
 
+  test("dedupLines: global first-occurrence line dedup with splice") {
+    val fixture = Seq[(Long, String)](
+      (1L, "common boilerplate header\nunique body of doc one\nshort"),
+      (2L, "common boilerplate header\nunique body of doc two\ncommon boilerplate header"),
+      (3L, "unique body of doc three\nrepeated internal line here\nrepeated internal line here"),
+      (4L, "common boilerplate header"),
+      (5L, null)).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(fixture).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2)))).toMap
+    // doc 1 owns the first occurrence of the header; "short" is under minLen
+    assert(got(1L) == ((Some("common boilerplate header\nunique body of doc one\nshort"), 0L)), got(1L))
+    // both of doc 2's header copies drop (cross-doc AND later-position)
+    assert(got(2L) == ((Some("unique body of doc two"), 2L)), got(2L))
+    // in-doc duplicate: first kept, second removed
+    assert(got(3L) == ((Some("unique body of doc three\nrepeated internal line here"), 1L)), got(3L))
+    // every line removed -> empty string, not NULL
+    assert(got(4L) == ((Some(""), 1L)), got(4L))
+    // NULL in, NULL out with zero removals (totality contract)
+    assert(got(5L) == ((None, 0L)), got(5L))
+  }
+
   test("gopherRules: each rule trips on its planted violation only") {
     val good = (1 to 60).map(i => s"word$i is on the list").mkString(" ") // 300 words, 3 stopwords, all alpha
     val fixture = Seq(
