@@ -775,6 +775,22 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("cleaned")).as("clean_md5"),
           col("n_chars_removed"))),
 
+    // INCREMENTAL dedup: the %10==0 docs replay as an arriving batch
+    // (id-offset into a fresh key space) probing a persisted MinHash index
+    // of the full corpus — every batch doc is an exact copy of its source
+    // (jaccard 1.0, so LSH recall is exactly 1 for those pairs) plus any
+    // genuine near-dups of that source; the oracle brute-forces the same
+    // cross-set Jaccard join
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val path = s"/tmp/graft_mh_index_${Integer.toHexString(d.hashCode)}"
+      Dedup.writeMinhashIndex(docs, path)
+      Dedup.dedupAgainstIndex(s, path, batch, docs)
+        .select(col("new_id"), col("corpus_id"))
+    }),
+
     // LINE-level global dedup (C4 keep-one-occurrence boilerplate removal):
     // fixture adds shared header/footer lines keyed on doc_id so the pass
     // has real cross-doc boilerplate to strip; the oracle re-derives the
@@ -1522,6 +1538,24 @@ object SparkEntry {
         "ELSE p.body || substr(d.text, p.laste + 1, len(d.text) - p.laste) END) AS BIGINT) " +
         "AS n_chars_removed " +
         "FROM documents d LEFT JOIN pieces p USING (doc_id)"),
+
+    // brute-force cross-set Jaccard between the rebuilt batch and the
+    // corpus — same inverted-index CTE shape as JaccardPairsCtes, valid
+    // for the same recall reasons (exact copies collide in every band;
+    // near-dups at ≥ 0.8 detect at ≈ 0.9998)
+    "q_dedup_incremental" ->
+      ("WITH bt AS (SELECT doc_id + 1000000 AS new_id, text FROM documents WHERE doc_id % 10 = 0), " +
+        "ga AS (SELECT new_id, unnest(list_distinct(list_transform(" +
+        "range(1, length(text)-3), i -> substr(text, i, 5)))) AS gram FROM bt), " +
+        "gb AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, length(text)-3), i -> substr(text, i, 5)))) AS gram FROM documents), " +
+        "sa AS (SELECT new_id, count(*) AS sz FROM ga GROUP BY new_id), " +
+        "sb AS (SELECT doc_id, count(*) AS sz FROM gb GROUP BY doc_id), " +
+        "co AS (SELECT a.new_id, b.doc_id AS corpus_id, count(*) AS inter " +
+        "FROM ga a JOIN gb b USING (gram) GROUP BY 1, 2) " +
+        "SELECT co.new_id AS new_id, co.corpus_id AS corpus_id FROM co " +
+        "JOIN sa ON sa.new_id = co.new_id JOIN sb ON sb.doc_id = co.corpus_id " +
+        "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8"),
 
     // rebuilds the line-dedup fixture, replays the identical
     // first-occurrence rule (row_number over digest ordered by doc, pos =

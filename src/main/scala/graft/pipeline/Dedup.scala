@@ -943,4 +943,75 @@ object Dedup {
             (_, i) => !array_contains(col("__drop"), i)), "\n")).as("cleaned"),
         coalesce(size(col("__drop")), lit(0)).cast("long").as("n_lines_removed"))
   }
+
+  /**
+   * Persist the corpus MinHash-LSH index: one row per (id, sig, band, key),
+   * range-partitioned and sorted by bucket key so parquet row-group
+   * min/max statistics prune key-equality probes. This is the artifact
+   * that makes dedup INCREMENTAL — the 100 TB corpus is signed once, and
+   * every arriving batch probes the index instead of re-reading corpus
+   * text (see [[dedupAgainstIndex]]).
+   */
+  def writeMinhashIndex(df: DataFrame, path: String, idCol: String = "doc_id",
+                        textCol: String = "text", numHashes: Int = 64,
+                        bands: Int = 16, shingle: Int = 5): Unit = {
+    import org.apache.spark.sql.graft.{MinHashSig, SigBands}
+    df.select(col(idCol).as("id"),
+        c(MinHashSig(e(col(textCol)), e(lit(numHashes)), e(lit(shingle)))).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(c(SigBands(e(col("sig")), e(lit(bands))))).as(Seq("band", "key")))
+      .repartitionByRange(col("key"))
+      .sortWithinPartitions(col("key"), col("band"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /**
+   * Near-duplicate pairs between an ARRIVING BATCH and the corpus behind a
+   * persisted [[writeMinhashIndex]] index — the incremental form of
+   * [[minhashLshPairs]]: the corpus is never re-signed and its text is
+   * touched only for the final exact verification of surviving candidates.
+   * Emits (new_id, corpus_id, jaccard) with jaccard ≥ threshold; callers
+   * drop or link batch docs from the pairs.
+   *
+   * Scale shape: the batch (assumed ≪ corpus, the incremental premise) is
+   * signed in one scan; its bucket keys probe the index via an equi-join
+   * on (band, key) — when the batch contributes ≤ `maxPushdownKeys`
+   * distinct keys they are additionally pushed as a static `isin`
+   * predicate into the index scan, which the sorted-by-key layout turns
+   * into row-group pruning (the bounded driver collect is capped by the
+   * same knob). The signature-estimate prefilter kills LSH false
+   * positives where the candidates are born, and only surviving pairs pay
+   * the two text lookups (batch + corpus by id — candidate side is small,
+   * so AQE broadcasts it against the corpus scan).
+   */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, batch: DataFrame, corpus: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
+                        threshold: Double = 0.8,
+                        maxPushdownKeys: Int = 8192): DataFrame = {
+    import org.apache.spark.sql.graft.{MinHashSig, SigBands, SigJaccard}
+    val index = spark.read.parquet(indexPath)
+    val bsigs = batch.select(col(idCol).as("new_id"),
+      c(MinHashSig(e(col(textCol)), e(lit(numHashes)), e(lit(shingle)))).as("new_sig"))
+    val bband = bsigs.select(col("new_id"), col("new_sig"),
+      posexplode(c(SigBands(e(col("new_sig")), e(lit(bands))))).as(Seq("band", "key")))
+    // bounded collect (≤ maxPushdownKeys + 1 rows) decides whether the
+    // batch's keys can become a static parquet row-group-pruning predicate
+    val keySample = bband.select(col("key")).distinct()
+      .limit(maxPushdownKeys + 1).collect().map(_.getLong(0))
+    val pruned =
+      if (keySample.length <= maxPushdownKeys) index.filter(col("key").isin(keySample: _*))
+      else index
+    val pairs = pruned.join(bband, Seq("band", "key"))
+      .filter(c(SigJaccard(e(col("sig")), e(col("new_sig")))) >= threshold - 0.2)
+      .select(col("new_id"), col("id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    val bt = batch.select(col(idCol).as("new_id"), col(textCol).as("new_text"))
+    val ct = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("corpus_text"))
+    pairs.join(bt, "new_id").join(ct, "corpus_id")
+      .withColumn("jaccard", ngramJaccard(col("new_text"), col("corpus_text"), shingle))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
 }

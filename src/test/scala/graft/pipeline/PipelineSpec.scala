@@ -253,6 +253,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((0, 0, 0L, 0L, 0L)), got(3L))
   }
 
+  test("dedupAgainstIndex: incremental pairs == brute-force cross-set pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    val batch = planted.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+    Dedup.writeMinhashIndex(planted, dir)
+    val got = Dedup.dedupAgainstIndex(spark, dir, batch, planted, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val corpusAll = planted.collect().map(r => (r.getLong(0), r.getString(1)))
+    val batchAll = batch.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ib, tb) <- batchAll; (ic, tc) <- corpusAll
+      j = TextCore.ngramJaccard(tb, tc, 5)
+      if j >= 0.7
+    } yield (ib, ic)).toSet
+    val gotSet = got.map(p => (p._1, p._2)).toSet
+    assert(brute.nonEmpty, "fixture produced no cross-set pairs")
+    assert(gotSet.subsetOf(brute), "incremental emitted a below-threshold pair")
+    // batch docs are verbatim corpus copies -> their self-pairs are certain
+    // (identical sigs collide in every band); marginal ~0.7 pairs follow the
+    // usual LSH detection curve, so bound recall like the batch-path test
+    val selfPairs = batchAll.map { case (ib, _) => (ib, ib - 100000L) }.toSet
+    assert(selfPairs.subsetOf(gotSet), "a verbatim-copy self-pair was missed")
+    val recall = gotSet.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.95, s"incremental recall $recall too low (${brute.size} true pairs)")
+    got.foreach { case (ib, ic, j) =>
+      val tb = batchAll.find(_._1 == ib).get._2
+      val tc = corpusAll.find(_._1 == ic).get._2
+      assert(j == TextCore.ngramJaccard(tb, tc, 5))
+    }
+  }
+
   test("dedupLines: global first-occurrence line dedup with splice") {
     val fixture = Seq[(Long, String)](
       (1L, "common boilerplate header\nunique body of doc one\nshort"),
