@@ -614,6 +614,22 @@ object SparkEntry {
           md5(lit(""))).as("tokens_md5"))
     }),
 
+    // BYTE-LEVEL BPE (the GPT-2 byte-level variant): initial symbols are
+    // UTF-8 bytes rendered as chr(byte) chars, so multi-byte characters
+    // (planted by the fixture tail) decompose and re-merge through byte
+    // merges; the oracle rebuilds the same text and decomposes codepoints
+    // to bytes with pure chr() arithmetic before the same merge loop
+    "q_text_tokens_bpe_bytes" -> ((s, d) => {
+      val st = TextAnalysis.bpeState(s, graft.text.BpeFixture.byteTable, byteLevel = true)
+      Tables.table(s, d, "documents")
+        .withColumn("text", bpeByteFixtureText)
+        .select(col("doc_id"),
+          coalesce(TextAnalysis.tokenCountBpe(col("text"), st), lit(0))
+            .cast("long").as("n_tokens_bpe"),
+          coalesce(md5(array_join(TextAnalysis.tokenizeBpe(col("text"), st), "\u001E")),
+            md5(lit(""))).as("tokens_md5"))
+    }),
+
     // vocab-id sequences — the format a trainer consumes; the oracle maps
     // every token through the same deterministic id scheme (codepoint /
     // 0x110000 + min forming rank) after replaying the merge loop
@@ -872,6 +888,17 @@ object SparkEntry {
         lit("  CAFE\u0301\tMixed Case")).otherwise(lit("")),
       when(pmod(col("doc_id"), lit(3)) === 0,
         lit("\ntail  space   ")).otherwise(lit("")))
+
+  /** Corpus text + multi-byte-char tails keyed on doc_id — the fixture half
+    * of q_text_tokens_bpe_bytes (byte-level BPE must split these into UTF-8
+    * byte symbols: 2-byte accents, a 3-byte ellipsis, a 4-byte emoji whose
+    * final byte stays unmerged). */
+  private def bpeByteFixtureText: Column =
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit(" caf\u00e9 d\u00e9j\u00e0 vu\u2026")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit(" \uD83D\uDE00ok")).otherwise(lit("")))
 
   /** Corpus text wrapped in cross-doc boilerplate lines — the fixture half
     * of q_dedup_lines (the oracle rebuilds the same text): one of 5 shared
@@ -1447,6 +1474,50 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(coalesce(p.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe, " +
         "coalesce(p.tokens_md5, md5('')) AS tokens_md5 " +
         "FROM documents d LEFT JOIN perdoc p USING (doc_id)"),
+
+    // byte-level merge-loop replay: the fixture text is rebuilt with chr()
+    // codepoints, then each pre-token's chars decompose to UTF-8 bytes by
+    // pure arithmetic (chr(byte) symbols) before the identical min-rank
+    // leftmost-splice recursion over the byte-level merges table
+    "q_text_tokens_bpe_bytes" ->
+      ("WITH RECURSIVE " +
+        s"m(lhs, rhs, rnk) AS (VALUES ${graft.text.BpeFixture.sqlValuesBytes}), " +
+        "fx AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233) || ' d' || chr(233) || 'j' || chr(224) || " +
+        "' vu' || chr(8230) ELSE '' END || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(128512) || 'ok' ELSE '' END AS text " +
+        "FROM documents), " +
+        "pre AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), " +
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s') AS ws FROM fx), " +
+        "occ AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS widx FROM pre), " +
+        "vocab AS (SELECT DISTINCT tok FROM occ), " +
+        "steps(tok, s) AS (" +
+        "SELECT tok, chr(31) || array_to_string(list_transform(string_split(tok, ''), c -> " +
+        "CASE WHEN unicode(c) < 128 THEN c " +
+        "WHEN unicode(c) < 2048 THEN chr(192 + unicode(c) // 64) || chr(31) || chr(128 + unicode(c) % 64) " +
+        "WHEN unicode(c) < 65536 THEN chr(224 + unicode(c) // 4096) || chr(31) || " +
+        "chr(128 + (unicode(c) // 64) % 64) || chr(31) || chr(128 + unicode(c) % 64) " +
+        "ELSE chr(240 + unicode(c) // 262144) || chr(31) || chr(128 + (unicode(c) // 4096) % 64) || " +
+        "chr(31) || chr(128 + (unicode(c) // 64) % 64) || chr(31) || chr(128 + unicode(c) % 64) END" +
+        "), chr(31)) || chr(31) FROM vocab " +
+        "UNION ALL " +
+        "SELECT tok, substr(s, 1, idx - 1) || chr(31) || lhs || rhs || chr(31) " +
+        "|| substr(s, idx + length(chr(31) || lhs || chr(31) || rhs || chr(31))) " +
+        "FROM (SELECT st.tok, st.s, best.lhs, best.rhs, " +
+        "strpos(st.s, chr(31) || best.lhs || chr(31) || best.rhs || chr(31)) AS idx " +
+        "FROM steps st, LATERAL (SELECT m.lhs, m.rhs FROM m " +
+        "WHERE strpos(st.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0 " +
+        "ORDER BY m.rnk LIMIT 1) AS best) t), " +
+        "fin AS (SELECT tok, s FROM steps t WHERE NOT EXISTS (SELECT 1 FROM m " +
+        "WHERE strpos(t.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0)), " +
+        "tokcnt AS (SELECT tok, length(s) - length(replace(s, chr(31), '')) - 1 AS n, " +
+        "replace(substr(s, 2, length(s) - 2), chr(31), chr(30)) AS toks FROM fin), " +
+        "perdoc AS (SELECT o.doc_id, sum(tc.n) AS n_tokens_bpe, " +
+        "md5(string_agg(tc.toks, chr(30) ORDER BY o.widx)) AS tokens_md5 " +
+        "FROM occ o JOIN tokcnt tc USING (tok) GROUP BY o.doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(p.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe, " +
+        "coalesce(p.tokens_md5, md5('')) AS tokens_md5 " +
+        "FROM fx d LEFT JOIN perdoc p USING (doc_id)"),
 
     "q_text_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) AS canon_md5 " +

@@ -33,11 +33,12 @@ object TextAnalysis {
    * construction: merges tables are tokenizer artifacts, not data).
    */
   def bpeState(spark: org.apache.spark.sql.SparkSession,
-               merges: Seq[(String, String)]): org.apache.spark.sql.graft.BpeState = {
+               merges: Seq[(String, String)],
+               byteLevel: Boolean = false): org.apache.spark.sql.graft.BpeState = {
     require(merges.nonEmpty && merges.size <= (1 << 20),
       s"merges table must have 1..2^20 pairs, got ${merges.size}")
     new org.apache.spark.sql.graft.BpeState(
-      spark.sparkContext.broadcast(merges.toArray))
+      spark.sparkContext.broadcast(merges.toArray), byteLevel)
   }
 
   /** [[bpeState]] from a (left, right, rank) DataFrame — the lake-resident

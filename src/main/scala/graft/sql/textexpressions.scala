@@ -988,14 +988,18 @@ case class VecLshBucket(first: Expression, second: Expression, third: Expression
  * merges table (~50k rows) crosses the wire once per executor, not once
  * per task serialization.
  */
-class BpeState(val merges: Broadcast[Array[(String, String)]]) extends Serializable {
+class BpeState(val merges: Broadcast[Array[(String, String)]],
+               val byteLevel: Boolean = false) extends Serializable {
   @transient private lazy val ranks = graft.text.BpeCore.buildRanks(merges.value.toSeq)
   @transient private lazy val formed = graft.text.BpeCore.buildFormedIds(merges.value.toSeq)
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
-  def count(text: String): Int = graft.text.BpeCore.countText(text, ranks, cache)
-  def tokens(text: String): Array[String] = graft.text.BpeCore.tokenizeText(text, ranks, cache)
-  def ids(text: String): Array[Long] = graft.text.BpeCore.idsText(text, ranks, formed, cache)
+  def count(text: String): Int =
+    graft.text.BpeCore.countText(text, ranks, cache, byteLevel)
+  def tokens(text: String): Array[String] =
+    graft.text.BpeCore.tokenizeText(text, ranks, cache, byteLevel)
+  def ids(text: String): Array[Long] =
+    graft.text.BpeCore.idsText(text, ranks, formed, cache, byteLevel)
 }
 
 /** bpe_token_count(text) → int: REAL merges-table BPE token count (see

@@ -57,16 +57,10 @@ object BpeCore {
     m
   }
 
-  /** Apply the merge loop (contract point 2) to one pre-token. Initial
-    * symbols are CODEPOINTS, not UTF-16 units — SQL engines split strings
-    * by codepoint, so surrogate-pair characters (emoji) must start as one
-    * symbol here too or the cross-engine contract silently diverges. */
-  def tokenizeWord(word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
-    if (word.length <= 1) return Array(word)
-    val cps = word.codePoints().toArray
-    if (cps.length == 1) return Array(word)
-    val syms = scala.collection.mutable.ArrayBuffer.tabulate(cps.length)(i =>
-      new String(Character.toChars(cps(i))))
+  /** The contract-point-2 loop over an initial symbol sequence: repeat
+    * {min-rank adjacent pair present → merge its leftmost occurrence}. */
+  private def mergeLoop(syms: scala.collection.mutable.ArrayBuffer[String],
+                        ranks: java.util.HashMap[String, Integer]): Array[String] = {
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue
@@ -88,17 +82,50 @@ object BpeCore {
     syms.toArray
   }
 
+  /** Apply the merge loop (contract point 2) to one pre-token. Initial
+    * symbols are CODEPOINTS, not UTF-16 units — SQL engines split strings
+    * by codepoint, so surrogate-pair characters (emoji) must start as one
+    * symbol here too or the cross-engine contract silently diverges. */
+  def tokenizeWord(word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    if (word.length <= 1) return Array(word)
+    val cps = word.codePoints().toArray
+    if (cps.length == 1) return Array(word)
+    mergeLoop(scala.collection.mutable.ArrayBuffer.tabulate(cps.length)(i =>
+      new String(Character.toChars(cps(i)))), ranks)
+  }
+
+  /**
+   * BYTE-LEVEL initial symbols (the GPT-2 byte-level variant): one
+   * single-char string per UTF-8 byte of the pre-token, char = the byte
+   * value itself (U+0000..U+00FF) — the rendering a SQL oracle reproduces
+   * with `chr(byte)` arithmetic on codepoints, no blob machinery needed.
+   * ASCII pre-tokens decompose identically to their codepoint symbols, so
+   * with the same merges table byte-level and char-level tokenization
+   * coincide on pure-ASCII text (pinned by test).
+   */
+  def byteSymbols(word: String): Array[String] = {
+    val bs = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Array.tabulate(bs.length)(i => String.valueOf((bs(i) & 0xff).toChar))
+  }
+
+  /** Byte-level [[tokenizeWord]]: same merge loop over [[byteSymbols]]. */
+  def tokenizeWordBytes(word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    val syms = byteSymbols(word)
+    if (syms.length <= 1) syms
+    else mergeLoop(scala.collection.mutable.ArrayBuffer.from(syms), ranks)
+  }
+
   // Word→tokens caches grow to the pre-token vocabulary, which natural
   // text keeps small; the cap bounds adversarial corpora (cache cleared,
   // correctness unaffected — only the memoization resets).
   private final val CacheCap = 1 << 16
 
   private def cachedWord(w: String, ranks: java.util.HashMap[String, Integer],
-                         cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]])
-      : Array[String] = {
+                         cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]],
+                         byteLevel: Boolean = false): Array[String] = {
     var toks = cache.get(w)
     if (toks == null) {
-      toks = tokenizeWord(w, ranks)
+      toks = if (byteLevel) tokenizeWordBytes(w, ranks) else tokenizeWord(w, ranks)
       if (cache.size >= CacheCap) cache.clear()
       cache.put(w, toks)
     }
@@ -107,20 +134,21 @@ object BpeCore {
 
   /** All tokens of `text` in order (pre-tokens concatenated). */
   def tokenizeText(text: String, ranks: java.util.HashMap[String, Integer],
-                   cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]])
-      : Array[String] = {
+                   cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]],
+                   byteLevel: Boolean = false): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val m = pretokenPattern.matcher(text)
-    while (m.find()) out ++= cachedWord(m.group(), ranks, cache)
+    while (m.find()) out ++= cachedWord(m.group(), ranks, cache, byteLevel)
     out.toArray
   }
 
   /** Token count of `text` — same loop, no output materialization. */
   def countText(text: String, ranks: java.util.HashMap[String, Integer],
-                cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]]): Int = {
+                cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]],
+                byteLevel: Boolean = false): Int = {
     var n = 0
     val m = pretokenPattern.matcher(text)
-    while (m.find()) n += cachedWord(m.group(), ranks, cache).length
+    while (m.find()) n += cachedWord(m.group(), ranks, cache, byteLevel).length
     n
   }
 
@@ -155,11 +183,12 @@ object BpeCore {
     * [[idOf]], sharing the same word cache. */
   def idsText(text: String, ranks: java.util.HashMap[String, Integer],
               formed: java.util.HashMap[String, java.lang.Long],
-              cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]]): Array[Long] = {
+              cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]],
+              byteLevel: Boolean = false): Array[Long] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     val m = pretokenPattern.matcher(text)
     while (m.find()) {
-      val toks = cachedWord(m.group(), ranks, cache)
+      val toks = cachedWord(m.group(), ranks, cache, byteLevel)
       var i = 0
       while (i < toks.length) { out += idOf(toks(i), formed); i += 1 }
     }
@@ -211,6 +240,37 @@ object BpeFixture {
   /** `(lhs, rhs, rank)` rows as a SQL VALUES body for the oracle. */
   def sqlValues: String = merges.zipWithIndex.map { case ((l, r), i) =>
     s"('${l.replace("'", "''")}','${r.replace("'", "''")}',$i)"
+  }.mkString(", ")
+
+  /**
+   * Byte-level fixture extension: merges over UTF-8 BYTE symbols (each a
+   * chr(byte) char, see [[BpeCore.byteSymbols]]) for the multi-byte chars
+   * the byte-level gate fixture plants. The ASCII [[merges]] apply
+   * unchanged at byte level (ASCII bytes ARE their codepoint symbols);
+   * these continue the rank sequence. The emoji chain stops one byte
+   * short on purpose — partial merges must surface as two tokens.
+   */
+  val byteMerges: Vector[(String, String)] = Vector(
+    ("\u00c3", "\u00a9"),             // e-acute = C3 A9 -> one token
+    ("\u00c3", "\u00a0"),             // a-grave = C3 A0 -> one token
+    ("\u00e2", "\u0080"),             // ellipsis = E2 80 A6: first pair
+    ("\u00e2\u0080", "\u00a6"),       //   then + A6 -> one token
+    ("\u00f0", "\u009f"),             // emoji = F0 9F 98 80: F0 9F
+    ("\u00f0\u009f", "\u0098"))       //   + 98; byte 80 stays separate
+
+  /** The byte-level table: ASCII merges + byte merges, ranks continuous. */
+  def byteTable: Vector[(String, String)] = merges ++ byteMerges
+
+  /** One symbol as a SQL string expression — plain literal for printable
+    * ASCII, chr() concatenation otherwise (never raw control/high bytes
+    * in generated SQL). */
+  private def sqlStr(s: String): String =
+    if (s.forall(c => c >= ' ' && c < 127 && c != '\'')) s"'$s'"
+    else s.map(c => s"chr(${c.toInt})").mkString("(", " || ", ")")
+
+  /** `(lhs, rhs, rank)` VALUES body for the BYTE-level oracle. */
+  def sqlValuesBytes: String = byteTable.zipWithIndex.map { case ((l, r), i) =>
+    s"(${sqlStr(l)},${sqlStr(r)},$i)"
   }.mkString(", ")
 }
 

@@ -125,6 +125,34 @@ class BpeSpec extends AnyFunSuite {
       Seq("a😀", "b"))
   }
 
+  test("byte level: UTF-8 byte symbols, byte merges, emoji partial merge") {
+    val branks = BpeCore.buildRanks(BpeFixture.byteTable)
+    // 2-byte accent merges to one token whose string is its chr(byte) pair
+    assert(BpeCore.tokenizeWordBytes("\u00e9", branks).toSeq == Seq("\u00c3\u00a9"))
+    assert(BpeCore.tokenizeWordBytes("\u00e0", branks).toSeq == Seq("\u00c3\u00a0"))
+    // 3-byte ellipsis chains both byte merges
+    assert(BpeCore.tokenizeWordBytes("\u2026", branks).toSeq ==
+      Seq("\u00e2\u0080\u00a6"))
+    // 4-byte emoji stops one byte short by fixture design
+    assert(BpeCore.tokenizeWordBytes("\uD83D\uDE00", branks).toSeq ==
+      Seq("\u00f0\u009f\u0098", "\u0080"))
+    // ASCII pre-tokens: byte symbols == codepoint symbols, so byte-level
+    // tokenization with the same table is IDENTICAL on pure-ASCII text
+    val cache1 = cache; val cache2 = cache
+    for (t <- Seq("the quick batch scan", " customer window group",
+        "dup dup dup", "a1 b2 #!?", ""))
+      assert(BpeCore.tokenizeText(t, branks, cache1, byteLevel = true).toSeq ==
+        BpeCore.tokenizeText(t, branks, cache2, byteLevel = false).toSeq, s"'$t'")
+    // mixed text: counts add up pre-token-wise (concatenation contract)
+    val mixed = " caf\u00e9 d\u00e9j\u00e0 vu\u2026 \uD83D\uDE00ok"
+    val toks = BpeCore.tokenizeText(mixed, branks, cache, byteLevel = true)
+    assert(toks.length ==
+      BpeCore.countText(mixed, branks, cache, byteLevel = true))
+    // " caf" -> 4 byte tokens; e-acute 1; " d" -> 2; e-acute/j/a-grave -> 3;
+    // " vu" -> 3; ellipsis 1; " (emoji)" -> 3 (partial merge); "ok" -> 2
+    assert(toks.length == 4 + 1 + 2 + 1 + 1 + 1 + 3 + 1 + 3 + 2, toks.toSeq)
+  }
+
   test("token ids: codepoint / formed-rank scheme, duplicate-string first-rank") {
     // table where two merges form the same string "abc": first rank wins
     val merges = Seq(("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc"))
