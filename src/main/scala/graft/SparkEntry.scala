@@ -558,6 +558,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup-shaped semantic dedup: deterministic md5-ordered codebook →
+    // argmax-cosine cluster assignment (first-index tie-break) →
+    // within-cluster pairs at tau; the oracle re-derives the identical
+    // codebook, assignment, and pair set in SQL
+    "q_dedup_semantic" -> ((s, d) =>
+      Similarity.semanticNearDupPairs(Tables.table(s, d, "embeddings"),
+          nClusters = 8, tau = 0.35)
+        .select(col("id_a"), col("id_b"))),
+
     // Brute-force cosine top-k vs the vec_id=0 embedding (ids only; scores
     // float-accumulation-sensitive so left out of the hash)
     "q_embed_topk" -> ((s, d) => {
@@ -1719,6 +1728,24 @@ object SparkEntry {
         "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c " +
         "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) " +
         "SELECT id_a, id_b FROM p WHERE c >= 0.5"),
+
+    // replays the deterministic codebook (md5-ordered first 8 ids), the
+    // argmax-cosine assignment with the same first-index tie-break, and
+    // the within-cluster pair threshold
+    "q_dedup_semantic" ->
+      ("WITH cent AS (SELECT embedding AS cv, row_number() OVER " +
+        "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx " +
+        "FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), " +
+        "scored AS (SELECT e.vec_id, e.embedding, c.cidx, " +
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS cs " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "asg AS (SELECT vec_id, embedding, cidx FROM (SELECT vec_id, embedding, cidx, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cidx ASC) AS rn FROM scored) " +
+        "WHERE rn = 1) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asg a JOIN asg b " +
+        "ON a.cidx = b.cidx AND a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(b.embedding AS DOUBLE[])) >= 0.35"),
 
     "q_ingest_tsv" ->
       ("SELECT DISTINCT CAST(X AS DOUBLE) AS lon, CAST(Y AS DOUBLE) AS lat " +

@@ -291,4 +291,57 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("grp"), col("id"), col("dist_score"))
   }
+
+  /**
+   * SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
+   * arXiv:2303.09540): cluster embeddings by nearest centroid, then
+   * compare ONLY within a cluster — the blocking step that turns a
+   * corpus-quadratic cosine join into per-cluster quadratics, the same
+   * candidate-generation/verification split as every dedup here.
+   *
+   * Centroids are the `nClusters` corpus vectors minimal in
+   * (md5(id), id) order — a deterministic pseudo-random sample any SQL
+   * engine re-derives. Lloyd refinement would tighten clusters but is
+   * deliberately NOT applied: the whole chain (codebook → argmax-cosine
+   * assignment with first-index tie-break → within-cluster pairs at
+   * `tau`) stays exactly replayable cross-engine, which is what the gate
+   * verifies. Recall vs a full quadratic scan is the SemDeDup trade:
+   * cross-cluster pairs are unseen by design (measured in the spec).
+   *
+   * Scale shape: the codebook is a bounded driver collect (`nClusters`
+   * rows); assignment is scan-local; one shuffle groups each cluster;
+   * `maxCluster` caps the in-cluster quadratic (counted via `metrics`,
+   * never silent — same contract as Dedup.capBuckets).
+   */
+  def semanticNearDupPairs(df: DataFrame, idCol: String = "vec_id",
+                           vecCol: String = "embedding", nClusters: Int = 8,
+                           tau: Double = 0.5, maxCluster: Int = 100000,
+                           metrics: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.graft.VecCosine
+    require(nClusters >= 1, "nClusters must be positive")
+    val cent = df.select(col(vecCol).as("v"),
+        md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
+      .orderBy(col("h"), col("id")).limit(nClusters)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", c(VecNearestCentroid(e(col("v")), cent)))
+    val grouped = assigned.groupBy(col("cell"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("items"))
+    val observed = metrics match {
+      case Some(obs) => grouped.observe(obs,
+        sum(when(size(col("items")) > maxCluster, 1L).otherwise(0L)).as("dropped_clusters"),
+        sum(when(size(col("items")) > maxCluster, size(col("items")).cast("long"))
+          .otherwise(0L)).as("dropped_vec_slots"),
+        max(size(col("items"))).as("max_cluster_size"))
+      case None => grouped
+    }
+    observed.filter(size(col("items")).between(2, maxCluster))
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("cos", c(VecCosine(e(col("a.v")), e(col("b.v")))))
+      .filter(col("cos") >= tau)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
 }

@@ -253,6 +253,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((0, 0, 0L, 0L, 0L)), got(3L))
   }
 
+  test("semanticNearDupPairs: within-cluster exact, subset of brute force") {
+    val embs01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val got = Similarity.semanticNearDupPairs(embs01, nClusters = 4, tau = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val all = embs01.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= 0.35
+    } yield (ia, ib)).toSet
+    val gotSet = got.map(p => (p._1, p._2)).toSet
+    assert(brute.nonEmpty, "corpus has no >=0.35 cosine pairs")
+    assert(gotSet.subsetOf(brute), "emitted a below-threshold or wrong pair")
+    // within-cluster completeness: replicate the deterministic codebook +
+    // argmax assignment; every brute pair co-located in a cluster must be
+    // emitted (the only misses are cross-cluster — the SemDeDup trade)
+    val cent = all.map { case (id, v) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (md5, id, v)
+    }.sortBy(t => (t._1, t._2)).take(4).map(_._3)
+    val cellOf = all.map { case (id, v) =>
+      id -> cent.indices.maxBy(i => (cos(v, cent(i)), -i))
+    }.toMap
+    val sameCell = brute.filter { case (a, b) => cellOf(a) == cellOf(b) }
+    assert(sameCell.subsetOf(gotSet),
+      s"missed ${(sameCell -- gotSet).take(3)} within-cluster pairs")
+    assert(gotSet == sameCell, "emitted a cross-cluster pair")
+  }
+
   test("dedupAgainstIndex: incremental pairs == brute-force cross-set pairs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
     val batch = planted.filter($"doc_id" % 3 === 0)
