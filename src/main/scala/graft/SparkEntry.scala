@@ -466,6 +466,18 @@ object SparkEntry {
           "source", "doc_id", MixFractions.toMap)
         .select(col("doc_id"), col("source"))),
 
+    // token-budget sampling: keep docs per source in md5(id) order until
+    // the source's token budget runs out (exclusive-cumsum contract)
+    "q_sample_budget" -> ((s, d) =>
+      Sampling.sampleByTokenBudget(Tables.table(s, d, "documents"),
+        BudgetTokens.toMap)),
+
+    // epoch-based upsampling: per-source multipliers n + f emit n copies
+    // plus a deterministic md5-threshold extra epoch for fraction f
+    "q_sample_epochs" -> ((s, d) =>
+      Sampling.mixWithEpochs(Tables.table(s, d, "documents"),
+        EpochFactors.toMap)),
+
     // CDC snapshot apply: corpus version N+1 from a changeset with upserts
     // and deletion tombstones (deterministically derived from doc_id)
     "q_cdc_apply" -> ((s, d) => {
@@ -556,6 +568,17 @@ object SparkEntry {
           threshold = 0.5, targetRecall = 0.999,
           corpusSizeHint = Tables.rowCount(s, d, "embeddings"))
         .select(col("id_a"), col("id_b"))
+    }),
+
+    // batch cosine top-k JOIN: 5 query vectors each retrieve their 10
+    // nearest corpus vectors via broadcast + bounded-heap aggregate (ids
+    // only — rank-boundary score margins verified well above float noise)
+    "q_embed_topk_join" -> ((s, d) => {
+      val embs = Tables.table(s, d, "embeddings")
+      val queries = embs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.cosineTopKJoin(queries, embs, 10)
+        .select(col("query_id"), col("vec_id"))
     }),
 
     // SemDeDup-shaped semantic dedup: deterministic md5-ordered codebook →
@@ -887,6 +910,21 @@ object SparkEntry {
     * between the Spark query and the generated oracle CASE). */
   private val MixFractions: Seq[(String, Double)] = Seq(
     "src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.75)
+
+  /** The q_sample_budget manifest: per-source token budgets (shared between
+    * the Spark query and the generated oracle CASE). Values sit below each
+    * source's sf0.01 token total so the budget actually bites. */
+  private val BudgetTokens: Seq[(String, Long)] = Seq(
+    "src0" -> 2000L, "src1" -> 1000L, "src2" -> 500L, "src3" -> 3000L)
+
+  /** The q_sample_epochs manifest: per-source epoch multipliers, with the
+    * fractional-part thresholds hex-rendered ONCE so both engines compare
+    * against identical literals (the SplitCumHex pattern). */
+  private val EpochFactors: Seq[(String, Double)] = Seq(
+    "src0" -> 2.0, "src1" -> 0.5, "src2" -> 1.25, "src3" -> 3.5)
+  private val EpochHex: Seq[(String, Long, String)] = EpochFactors.map { case (g, ep) =>
+    (g, math.floor(ep).toLong, Sampling.fractionThresholdHex(ep - math.floor(ep)))
+  }
 
   /** Corpus text + decomposed-accent and whitespace mess appended by doc_id
     * rule — the fixture half of q_text_normalize ("́" is the combining
@@ -1308,6 +1346,29 @@ object SparkEntry {
         }.mkString +
         "END"),
 
+    // identical exclusive-cumsum arithmetic over the identical md5 order
+    "q_sample_budget" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, " +
+        "COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) " +
+        "SELECT doc_id, source, n_tokens FROM c WHERE cum < CASE source " +
+        BudgetTokens.map { case (g, b) => s"WHEN '$g' THEN $b " }.mkString +
+        "END"),
+
+    // same whole + fractional-threshold epoch count, expanded by range()
+    "q_sample_epochs" ->
+      ("WITH n AS (SELECT doc_id, source, " +
+        "(CASE source " +
+        EpochHex.map { case (g, w, _) => s"WHEN '$g' THEN $w " }.mkString +
+        "END) + (CASE WHEN md5(CAST(doc_id AS VARCHAR)) < CASE source " +
+        EpochHex.map { case (g, _, h) => s"WHEN '$g' THEN '$h' " }.mkString +
+        "END THEN 1 ELSE 0 END) AS nn FROM documents) " +
+        "SELECT doc_id, source, CAST(e AS BIGINT) AS epoch " +
+        "FROM n, unnest(range(nn)) AS u(e) WHERE nn > 0"),
+
     // same changeset derivation; anti join + upsert union
     "q_cdc_apply" ->
       ("WITH changes AS (SELECT doc_id, source, n_chars + 1000000 AS n_chars, " +
@@ -1728,6 +1789,17 @@ object SparkEntry {
         "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c " +
         "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) " +
         "SELECT id_a, id_b FROM p WHERE c >= 0.5"),
+
+    // per-query window rank with (score DESC, vec_id ASC) — equals the
+    // bounded-heap join because rank-boundary margins dwarf float noise
+    "q_embed_topk_join" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q.query_id, e.vec_id, " +
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS c " +
+        "FROM embeddings e CROSS JOIN q), " +
+        "r AS (SELECT query_id, vec_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rn FROM s) " +
+        "SELECT query_id, vec_id FROM r WHERE rn <= 10"),
 
     // replays the deterministic codebook (md5-ordered first 8 ids), the
     // argmax-cosine assignment with the same first-index tie-break, and

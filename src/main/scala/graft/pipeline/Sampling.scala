@@ -88,6 +88,67 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /**
+   * Token-budget sampling: per source, keep documents in deterministic
+   * (md5(id), id) order until the source's TOKEN budget is exhausted —
+   * "take N billion tokens of web, M of code", the unit real mixtures are
+   * specified in. A doc is kept while its EXCLUSIVE running token sum is
+   * under budget, so the last kept doc may overrun by its own tail — the
+   * same conveyor contract as [[TextAnalysis.packBudgeted]], which keeps
+   * the selection a pure function of (group, id-order, token counts).
+   * Sources absent from `budgets` are dropped (explicit manifest).
+   * `tokenCount` plugs the denominator (pass a BPE counter for
+   * tokenizer-truth budgets). One shuffle: each source's window sorts
+   * independently; the hash order also makes samples NEST across budget
+   * increases (a bigger budget keeps a superset).
+   */
+  def sampleByTokenBudget(df: DataFrame, budgets: Map[String, Long],
+                          groupCol: String = "source", idCol: String = "doc_id",
+                          textCol: String = "text",
+                          tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                            TextAnalysis.tokenCountWs): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0),
+      "budgets must be non-empty and positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (g, b)) =>
+      when(col(groupCol) === lit(g), lit(b)).otherwise(acc)
+    }
+    df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("__cum") < budget) // null budget (unlisted source) drops
+      .select(col(idCol), col(groupCol), col("n_tokens"))
+  }
+
+  /**
+   * Epoch-based mixing (upsampling): per-source epoch multipliers — the
+   * LLaMA-style "web ×1, books ×2, code ×0.5" recipe. A multiplier
+   * n + f (integer + fraction) replicates every doc n times and once more
+   * for the deterministic md5-threshold fraction f of ids, emitting one
+   * row per (doc, epoch). Selection of the fractional epoch nests with f
+   * and is a pure function of row identity — reruns and engines agree.
+   * Scan-local: the CASE picks the per-row count, sequence+explode emits
+   * epochs; no shuffle at any scale. Sources absent from `epochs` drop.
+   */
+  def mixWithEpochs(df: DataFrame, epochs: Map[String, Double],
+                    groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(epochs.nonEmpty, "epochs must not be empty")
+    require(epochs.values.forall(e => e > 0 && e <= 100), "epoch factors must be in (0, 100]")
+    val whole = epochs.foldLeft(lit(null).cast("long")) { case (acc, (g, ep)) =>
+      when(col(groupCol) === lit(g), lit(math.floor(ep).toLong)).otherwise(acc)
+    }
+    val fracThresh = epochs.foldLeft(lit(null).cast("string")) { case (acc, (g, ep)) =>
+      val f = ep - math.floor(ep)
+      when(col(groupCol) === lit(g), lit(fractionThresholdHex(f))).otherwise(acc)
+    }
+    val n = whole + when(md5(col(idCol).cast("string")) < fracThresh, 1L).otherwise(0L)
+    df.withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .select(col(idCol), col(groupCol),
+        explode(sequence(lit(0L), col("__n") - 1L)).as("epoch"))
+  }
+
   /** Exactly min(k, |group|) rows per group, chosen by id-hash order — a
     * deterministic per-stratum reservoir (stratified sampling with a hard
     * per-stratum cap). */

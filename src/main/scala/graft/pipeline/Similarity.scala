@@ -293,6 +293,37 @@ object Similarity {
   }
 
   /**
+   * Batch cosine top-k JOIN: every query vector gets its k nearest corpus
+   * vectors — the bulk-ANN workload (retrieval eval, hard-negative mining,
+   * cross-corpus linking). Plan: the query set BROADCASTS against one
+   * corpus scan (queries ≪ corpus is the workload's premise); scoring is
+   * scan-local; the per-query top-k is the bounded-heap
+   * [[org.apache.spark.sql.graft.TopNByOrd]] aggregate, so each map task
+   * ships ≤ k rows per query — never a corpus sort, never a pair shuffle.
+   * Deterministic order: ord = sortable bits of −score (ascending heap =
+   * score descending, IEEE-exact); score ties would fall to insert order,
+   * so emit-and-compare as (query_id, vec_id) sets with verified score
+   * margins, as the gate does.
+   */
+  def cosineTopKJoin(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qIdCol: String = "query_id", idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.{DoubleSortableBits, SortableBitsToDouble, TopNByOrd, VecCosine}
+    require(k >= 1, "k must be positive")
+    val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+      .join(broadcast(q))
+      .withColumn("__score", c(VecCosine(e(col("__cv")), e(col("__qv")))))
+    val agg = c(TopNByOrd(
+      DoubleSortableBits(e(-col("__score"))), e(col("__cid")), k).toAggregateExpression())
+    scored.groupBy(col("query_id"))
+      .agg(agg.as("__topn"))
+      .select(col("query_id"), explode(col("__topn")).as("__p"))
+      .select(col("query_id"), col("__p.id").as(idCol),
+        (-c(SortableBitsToDouble(e(col("__p.ord"))))).as("score"))
+  }
+
+  /**
    * SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
    * arXiv:2303.09540): cluster embeddings by nearest centroid, then
    * compare ONLY within a cluster — the blocking step that turns a

@@ -253,6 +253,85 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((0, 0, 0L, 0L, 0L)), got(3L))
   }
 
+  test("sampleByTokenBudget: exclusive-cumsum keep rule, nesting across budgets") {
+    val small = Sampling.sampleByTokenBudget(docs, Map("src0" -> 500L, "src1" -> 300L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // replicate: md5-order docs per source, keep while exclusive cumsum < budget
+    val byId = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def expected(budgets: Map[String, Long]) = (for {
+      (src, budget) <- budgets.toSeq
+      group = byId.filter(_._2 == src).sortBy(t => (md5hex(t._1.toString), t._1))
+      picks = group.scanLeft((0L, None: Option[(Long, String, Long)])) {
+        case ((cum, _), (id, s, text)) =>
+          val n = text.trim.split("\\s+").length.toLong
+          (cum + n, if (cum < budget) Some((id, s, n)) else None)
+      }.flatMap(_._2)
+      p <- picks
+    } yield p).toSet
+    assert(small.toSet == expected(Map("src0" -> 500L, "src1" -> 300L)), "keep rule diverged")
+    assert(small.nonEmpty && small.map(_._2).toSet == Set("src0", "src1"),
+      "unlisted sources must drop")
+    // nesting: a bigger budget keeps a superset per source
+    val big = Sampling.sampleByTokenBudget(docs, Map("src0" -> 2000L, "src1" -> 300L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(small.filter(_._2 == "src0").toSet.subsetOf(big.filter(_._2 == "src0").toSet))
+  }
+
+  test("mixWithEpochs: whole copies exact, fractional epoch thresholded, contiguous") {
+    val got = Sampling.mixWithEpochs(docs, Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 1.25))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2).view.mapValues(_.length).toMap
+    val perDoc = got.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // epochs are contiguous 0..n-1 per doc
+    perDoc.foreach { case ((id, _), eps) =>
+      assert(eps == (0L until eps.length).toSeq, s"doc $id epochs $eps") }
+    // src0 x2.0: every doc exactly twice
+    assert(got.count(_._2 == "src0") == 2 * bySrc("src0"))
+    // src1 x0.5 / src2 x1.25: whole part exact, fraction within 4 sigma
+    def within(src: String, factor: Double): Unit = {
+      val n = bySrc(src).toDouble
+      val f = factor - math.floor(factor)
+      val gotN = got.count(_._2 == src).toDouble
+      val sigma = math.sqrt(n * f * (1 - f))
+      assert(math.abs(gotN - factor * n) <= 4 * sigma + 1, s"$src: $gotN vs ${factor * n}")
+    }
+    within("src1", 0.5); within("src2", 1.25)
+    assert(!got.exists(_._2 == "src3"), "unlisted source must drop")
+    // determinism
+    val again = Sampling.mixWithEpochs(docs, Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 1.25))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.sorted.toSeq == got.sorted.toSeq)
+  }
+
+  test("cosineTopKJoin: per-query results == brute-force top-k") {
+    val queries = embs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.cosineTopKJoin(queries, embs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val all = embs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (qid <- 0L until 3L) {
+      val qv = all.find(_._1 == qid).get._2
+      val brute = all.map { case (id, v) => (id, cos(v, qv)) }
+        .sortBy(t => (-t._2, t._1)).take(5)
+      val mine = got.filter(_._1 == qid).sortBy(t => (-t._3, t._2))
+      assert(mine.map(_._2).toSeq == brute.map(_._1).toSeq, s"query $qid ids")
+      // scores are the exact VecOps doubles (sortable-bits round trip)
+      mine.zip(brute).foreach { case ((_, _, s), (_, bs)) => assert(s == bs) }
+      assert(mine.head._2 == qid, s"query $qid must retrieve itself first")
+    }
+  }
+
   test("semanticNearDupPairs: within-cluster exact, subset of brute force") {
     val embs01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val got = Similarity.semanticNearDupPairs(embs01, nClusters = 4, tau = 0.35)
