@@ -330,4 +330,56 @@ object DocStreams {
           out.iterator
       }.toDF("doc_id", "source", "n_tokens", "pack_id")
   }
+
+  /**
+   * Streaming INCREMENTAL dedup: each micro-batch of arriving documents
+   * probes the persisted [[graft.pipeline.Dedup.writeMinhashIndex]] index.
+   * Stream-static joins only (index and corpus both at rest), so the
+   * query is completely STATELESS — no GroupState, no watermark, nothing
+   * accumulates: the production shape of ingestion-time dedup, where the
+   * index is rebuilt on the lake's compaction cadence while arrivals
+   * probe it continuously. Inherits the LAKE-FRESHNESS precondition of
+   * the other near-dup twins on the corpus-text verify side;
+   * `surfaceMissingTexts` widens to a LEFT join + NULL jaccard so stale
+   * candidates surface instead of vanishing. A pair colliding in several
+   * bands emits once per band; collapse downstream exactly as the batch
+   * op's dropDuplicates does.
+   */
+  def dedupAgainstIndexStream(docs: DataFrame, indexPath: String,
+                              corpus: DataFrame, numHashes: Int = 64,
+                              bands: Int = 16, shingle: Int = 5,
+                              threshold: Double = 0.8,
+                              surfaceMissingTexts: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.{MinHashSig, SigBands, SigJaccard}
+    def c(ex: org.apache.spark.sql.catalyst.expressions.Expression) = GraftShims.column(ex)
+    def e(column: org.apache.spark.sql.Column) = GraftShims.expression(column)
+    val spark = docs.sparkSession
+    val index = spark.read.parquet(indexPath)
+    val bband = docs
+      .select(col("doc_id").cast("long").as("new_id"), col("text").as("new_text"),
+        c(MinHashSig(e(col("text")), e(lit(numHashes)), e(lit(shingle)))).as("new_sig"))
+      .select(col("new_id"), col("new_text"), col("new_sig"),
+        posexplode(c(SigBands(e(col("new_sig")), e(lit(bands))))).as(Seq("band", "key")))
+    val cand = bband.join(index, Seq("band", "key"))
+      .filter(c(SigJaccard(e(col("sig")), e(col("new_sig")))) >= threshold - 0.2)
+      .select(col("new_id"), col("new_text"), col("id").as("corpus_id"))
+    val ct = corpus.select(col("doc_id").cast("long").as("corpus_id"),
+      col("text").as("corpus_text"))
+    val verified =
+      if (surfaceMissingTexts)
+        cand.join(ct, Seq("corpus_id"), "left")
+          .withColumn("jaccard",
+            when(col("corpus_text").isNull, lit(null).cast("double"))
+              .otherwise(graft.pipeline.Dedup.ngramJaccard(
+                col("new_text"), col("corpus_text"), shingle)))
+          .filter(col("jaccard").isNull || col("jaccard") >= threshold)
+      else
+        cand.join(ct, Seq("corpus_id"))
+          .withColumn("jaccard", graft.pipeline.Dedup.ngramJaccard(
+            col("new_text"), col("corpus_text"), shingle))
+          .filter(col("jaccard") >= threshold)
+    verified.select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
 }

@@ -93,6 +93,40 @@ class CurationE2ESpec extends AnyFunSuite {
       split.select($"doc_id", $"split").collect().map(_.toSeq).toSet)
   }
 
+  test("v2 chain: rules floor -> line dedup -> budget sample -> epochs compose") {
+    // the round's new operators composed the way a production pipeline
+    // would: Gopher rule floor (relaxed to the synthetic corpus), global
+    // line dedup of shared boilerplate, per-source token budget, epoch mix
+    val boiler = docs.withColumn("text",
+      concat(lit("boilerplate header for every document here\n"), $"text"))
+    val ruled = TextAnalysis.gopherRules(boiler, minWords = 10)
+      .filter($"r_word_count" === 1L && $"r_mean_word_len" === 1L)
+      .select("doc_id")
+    val kept = boiler.join(ruled, "doc_id")
+    val cleaned = Dedup.dedupLines(kept)
+    // exactly one survivor carries the shared header line
+    val carriers = cleaned.filter($"cleaned".contains("boilerplate header")).count()
+    assert(carriers == 1L, s"header must survive exactly once, got $carriers")
+    assert(cleaned.count() == kept.count(), "line dedup must not drop documents")
+    // budget-sample the cleaned corpus (re-attach source), then epoch-mix
+    val sampled = Sampling.sampleByTokenBudget(
+      cleaned.join(docs.select("doc_id", "source"), "doc_id")
+        .select($"doc_id", $"source", $"cleaned".as("text")),
+      Map("src0" -> 1500L, "src1" -> 800L))
+    val perSrc = sampled.groupBy("source").agg(sum("n_tokens").as("t"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // budget respected up to the conveyor overrun (one doc's tail)
+    val maxDoc = sampled.agg(max("n_tokens")).head.getLong(0)
+    assert(perSrc("src0")._1 < 1500L + maxDoc && perSrc("src1")._1 < 800L + maxDoc)
+    val mixed = Sampling.mixWithEpochs(
+      sampled.select($"doc_id", $"source"), Map("src0" -> 2.0, "src1" -> 1.5))
+    val m = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("src0") == 2 * perSrc("src0")._2, "whole-epoch copies must be exact")
+    assert(m("src1") >= perSrc("src1")._2 && m("src1") <= 2 * perSrc("src1")._2)
+  }
+
   test("curation chain is deterministic end to end") {
     val (_, _, s1, m1, p1) = runPipeline()
     val (_, _, s2, m2, p2) = runPipeline()

@@ -364,6 +364,44 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup vs persisted index == batch twin (stateless)") {
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val batchDocs = corpus.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-idx-stream").toString
+    graft.pipeline.Dedup.writeMinhashIndex(corpus, idxDir)
+    val batch = graft.pipeline.Dedup.dedupAgainstIndex(spark, idxDir,
+        batchDocs, corpus, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture needs cross-set near-dups")
+
+    val median = batchDocs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-inc-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-inc-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(batchDocs.filter(col("doc_id") <= median), "a.parquet", 120000L)
+    writeOne(batchDocs.filter(col("doc_id") > median), "b.parquet", 1000L)
+    val stream = spark.readStream.schema(DocStreams.docFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = DocStreams.dedupAgainstIndexStream(stream, idxDir, corpus, threshold = 0.7)
+      .writeStream.outputMode("append").format("memory").queryName("inc_out").start()
+    try {
+      q.processAllAvailable()
+      // per-band duplicate emissions collapse downstream, as in batch
+      val streamed = spark.table("inc_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"streaming pairs (${streamed.size}) != batch (${batch.size})")
+    } finally q.stop()
+  }
+
   test("minhash stream surfaceMissingTexts: stale-lake pairs surface as NULL, not vanish") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val batch = graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text",
