@@ -570,6 +570,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // product-quantization ADC top-k (Jégou et al. — the compression half
+    // of IVF+PQ): md5-deterministic codebooks, argmin-L2 encode, per-query
+    // lookup-table scoring; every arithmetic step is sequential in both
+    // engines and the tie-break is total, so the oracle replay is exact
+    "q_embed_pq_topk" -> ((s, d) => {
+      val embs = Tables.table(s, d, "embeddings")
+      val cbs = Similarity.pqCodebooks(embs, m = 8, nCodes = 16)
+      val q = embs.filter(col("vec_id") === 0L).select(col("embedding")).head()
+        .getSeq[Float](0).toArray
+      Similarity.pqTopK(embs, cbs, q, 10).select(col("vec_id"))
+    }),
+
     // batch cosine top-k JOIN: 5 query vectors each retrieve their 10
     // nearest corpus vectors via broadcast + bounded-heap aggregate (ids
     // only — rank-boundary score margins verified well above float noise)
@@ -1789,6 +1801,37 @@ object SparkEntry {
         "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c " +
         "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) " +
         "SELECT id_a, id_b FROM p WHERE c >= 0.5"),
+
+    // full PQ replay: codebooks from the md5 order, per-(vec, subspace)
+    // argmin over codes with the same sequential (a-b)*(a-b) accumulation,
+    // ADC as an s-ordered list_sum (sequential like the JVM loop), total
+    // (adc, vec_id) tie-break — exact equality end to end
+    "q_embed_pq_topk" ->
+      ("WITH cb AS (SELECT embedding AS v, row_number() OVER " +
+        "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code " +
+        "FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), " +
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        "sub AS (SELECT unnest(range(0, 8)) AS s), " +
+        "enc0 AS (SELECT e.vec_id, sub.s, cb.code, " +
+        "list_sum(list_transform(range(1, 9), j -> " +
+        "(CAST(e.embedding[CAST(sub.s * 8 + j AS INT)] AS DOUBLE) - " +
+        "CAST(cb.v[CAST(sub.s * 8 + j AS INT)] AS DOUBLE)) * " +
+        "(CAST(e.embedding[CAST(sub.s * 8 + j AS INT)] AS DOUBLE) - " +
+        "CAST(cb.v[CAST(sub.s * 8 + j AS INT)] AS DOUBLE)))) AS d " +
+        "FROM embeddings e CROSS JOIN sub CROSS JOIN cb), " +
+        "enc AS (SELECT vec_id, s, code FROM (SELECT vec_id, s, code, " +
+        "row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code ASC) AS rn " +
+        "FROM enc0) WHERE rn = 1), " +
+        "qtab AS (SELECT sub.s, cb.code, " +
+        "list_sum(list_transform(range(1, 9), j -> " +
+        "(CAST(q.qv[CAST(sub.s * 8 + j AS INT)] AS DOUBLE) - " +
+        "CAST(cb.v[CAST(sub.s * 8 + j AS INT)] AS DOUBLE)) * " +
+        "(CAST(q.qv[CAST(sub.s * 8 + j AS INT)] AS DOUBLE) - " +
+        "CAST(cb.v[CAST(sub.s * 8 + j AS INT)] AS DOUBLE)))) AS d " +
+        "FROM q CROSS JOIN sub CROSS JOIN cb), " +
+        "adc AS (SELECT e.vec_id, list_sum(array_agg(t.d ORDER BY e.s)) AS a " +
+        "FROM enc e JOIN qtab t ON t.s = e.s AND t.code = e.code GROUP BY e.vec_id) " +
+        "SELECT vec_id FROM adc ORDER BY a ASC, vec_id ASC LIMIT 10"),
 
     // per-query window rank with (score DESC, vec_id ASC) — equals the
     // bounded-heap join because rank-boundary margins dwarf float noise

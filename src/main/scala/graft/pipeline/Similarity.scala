@@ -293,6 +293,71 @@ object Similarity {
   }
 
   /**
+   * Deterministic product-quantization codebooks (Jégou et al., TPAMI'11
+   * — the compression half of the IVF+PQ standard ANN stack; [[ivfTrain]]
+   * is the coarse half). The `nCodes` corpus vectors minimal in
+   * (md5(id), id) order each contribute their s-th subvector to subspace
+   * s's codebook — the same deterministic selection as
+   * [[semanticNearDupPairs]], chosen over k-means residual training so
+   * the ENTIRE encode → ADC chain is SQL-replayable (the gate's oracle
+   * re-derives codebooks, code assignments, and scores exactly).
+   * Returns codebooks(s)(c) = code c of subspace s.
+   */
+  def pqCodebooks(df: DataFrame, m: Int, nCodes: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Array[Float]]] = {
+    require(m >= 1 && nCodes >= 1, "m and nCodes must be positive")
+    val chosen = df.select(col(vecCol).as("v"),
+        md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
+      .orderBy(col("h"), col("id")).limit(nCodes)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(chosen.nonEmpty && chosen.head.length % m == 0,
+      s"dim ${chosen.headOption.map(_.length)} must divide into $m subspaces")
+    val sub = chosen.head.length / m
+    Array.tabulate(m)(s => chosen.map(v => v.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** PQ-encode: per-subspace nearest-code indices — the 8-bit-per-subspace
+    * compressed representation stored instead of raw floats at scale. */
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Float]]],
+               vecCol: String = "embedding"): DataFrame =
+    df.withColumn("pq_codes",
+      c(org.apache.spark.sql.graft.PqEncode(e(col(vecCol)), codebooks)))
+
+  /**
+   * PQ top-k by asymmetric distance: the query precomputes its distance
+   * to every code ONCE (m×nCodes lookup table, driver-side), then each
+   * row's score is m table lookups — no float vector is touched at scan
+   * time, which is the whole point of PQ at 100 TB (codes are ~dims/sub×1
+   * byte vs dims×4). Returns (id, adc) ascending. Approximate by nature;
+   * the spec measures recall against exact cosine top-k.
+   */
+  def pqTopK(df: DataFrame, codebooks: Array[Array[Array[Float]]],
+             query: Array[Float], k: Int, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = query.length / m
+    val table = Array.tabulate(m) { s =>
+      codebooks(s).map { code =>
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = query(s * sub + j).toDouble - code(j).toDouble
+          d += diff * diff
+          j += 1
+        }
+        d
+      }
+    }
+    pqEncode(df, codebooks, vecCol)
+      .select(col(idCol),
+        c(org.apache.spark.sql.graft.PqAdcConst(
+          e(col("pq_codes")), table)).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * Batch cosine top-k JOIN: every query vector gets its k nearest corpus
    * vectors — the bulk-ANN workload (retrieval eval, hard-negative mining,
    * cross-corpus linking). Plan: the query set BROADCASTS against one

@@ -805,6 +805,53 @@ object VecOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /**
+   * Product-quantization encode: split the vector into `m` equal
+   * subspaces; per subspace, the index of the codebook entry with the
+   * smallest squared L2 distance (sequential-dimension accumulation, so
+   * a SQL engine summing `(a[i]-b[i])^2` left to right reproduces the
+   * exact double). Ties keep the FIRST (lowest) code index.
+   * `codebooks(s)(c)` = code c of subspace s.
+   */
+  def pqEncode(a: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val sub = a.numElements() / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val codes = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < codes.length) {
+        val code = codes(c)
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = a.getFloat(s * sub + j).toDouble - code(j).toDouble
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance (ADC) score from PQ codes: Σ_s table(s)(code_s),
+    * the classic precomputed query-to-code lookup (Jégou et al., TPAMI'11).
+    * Sequential in s, so the SQL replay's per-subspace sum order matches. */
+  def pqAdc(codes: ArrayData, table: Array[Array[Double]]): Double = {
+    var s = 0
+    var acc = 0.0
+    val m = math.min(codes.numElements(), table.length)
+    while (s < m) { acc += table(s)(codes.getInt(s)); s += 1 }
+    acc
+  }
+
   /** Index of the cosine-nearest centroid (IVF coarse quantization). */
   def nearestCentroid(a: ArrayData, centroids: Array[Array[Float]]): Int = {
     var best = 0
@@ -910,6 +957,40 @@ case class VecNearestCentroid(child: Expression, centroids: Array[Array[Float]])
     defineCodeGen(ctx, ev, a => s"org.apache.spark.sql.graft.VecOps.nearestCentroid($a, $cRef)")
   }
   override protected def withNewChildInternal(c: Expression): VecNearestCentroid = copy(child = c)
+}
+
+/** pq_encode(embedding) → array<int>: per-subspace nearest-code indices
+  * against a constant codebook set (product quantization, Jégou et al.). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.pqEncode(a.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("graftPqCodebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, a => s"org.apache.spark.sql.graft.VecOps.pqEncode($a, $cb)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** pq_adc(codes) → double: asymmetric-distance score via a constant
+  * per-query lookup table (precomputed query-to-code distances). */
+case class PqAdcConst(child: Expression, table: Array[Array[Double]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.pqAdc(a.asInstanceOf[ArrayData], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("graftPqTable", table, "double[][]")
+    defineCodeGen(ctx, ev, a => s"org.apache.spark.sql.graft.VecOps.pqAdc($a, $t)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqAdcConst = copy(child = c)
 }
 
 /** vec_cosine_const(embedding) → double cosine vs a constant query vector. */

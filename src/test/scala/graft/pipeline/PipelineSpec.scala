@@ -307,6 +307,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.sorted.toSeq == got.sorted.toSeq)
   }
 
+  test("PQ: encode == brute argmin, ADC == table sum, recall measured") {
+    val embs01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val m = 8
+    val cbs = Similarity.pqCodebooks(embs01, m = m, nCodes = 16)
+    val all = embs01.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val sub = all.head._2.length / m
+    def sq(a: Array[Float], aOff: Int, b: Array[Float]): Double = {
+      var d = 0.0; var j = 0
+      while (j < sub) { val x = a(aOff + j).toDouble - b(j).toDouble; d += x * x; j += 1 }
+      d
+    }
+    // encode matches a brute scala argmin (first-code tie-break)
+    val encoded = Similarity.pqEncode(embs01, cbs)
+      .select("vec_id", "pq_codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    for ((id, v) <- all.take(50)) {
+      val want = Array.tabulate(m)(s =>
+        cbs(s).zipWithIndex.minBy { case (code, ci) => (sq(v, s * sub, code), ci) }._2)
+      assert(encoded(id).toSeq == want.toSeq, s"vec $id")
+    }
+    // ADC top-k: scores equal the brute table-sum replica; order total
+    val q = all.find(_._1 == 0L).get._2
+    val table = Array.tabulate(m)(s => cbs(s).map(code => sq(q, s * sub, code)))
+    val got = Similarity.pqTopK(embs01, cbs, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val bruteAdc = all.map { case (id, _) =>
+      id -> encoded(id).zipWithIndex.foldLeft(0.0) { case (acc, (c, s)) => acc + table(s)(c) }
+    }.toMap
+    got.foreach { case (id, adc) => assert(adc == bruteAdc(id), s"vec $id adc") }
+    assert(got.map(_._1).toSeq ==
+      all.map(_._1).sortBy(id => (bruteAdc(id), id)).take(10).toSeq)
+    // recall vs exact cosine top-10: PQ with 16 codes x 8 subspaces on an
+    // isotropic corpus is coarse — record a sane floor, not a miracle
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = all.sortBy { case (id, v) => (-cos(v, q), id) }.take(10).map(_._1).toSet
+    val recall = got.map(_._1).count(exact.contains).toDouble / 10
+    assert(recall >= 0.2, s"PQ recall $recall collapsed (expected >= 0.2 incl. self)")
+  }
+
   test("cosineTopKJoin: per-query results == brute-force top-k") {
     val queries = embs.filter($"vec_id" < 3)
       .select($"vec_id".as("query_id"), $"embedding")
