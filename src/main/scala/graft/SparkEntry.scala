@@ -582,6 +582,22 @@ object SparkEntry {
       Similarity.pqTopK(embs, cbs, q, 10).select(col("vec_id"))
     }),
 
+    // the COMPOSED IVF+PQ index: deterministic coarse cells partition the
+    // stored layout (probe = directory pruning), rows carry only (id,
+    // codes); probe 3 of 8 cells, rank by the ADC table — the full
+    // 100 TB ANN chain, exactly SQL-replayed
+    "q_embed_ivfpq_topk" -> ((s, d) => {
+      val embs = Tables.table(s, d, "embeddings")
+      val cents = Similarity.deterministicCentroids(embs, nCells = 8)
+      val cbs = Similarity.pqCodebooks(embs, m = 8, nCodes = 16)
+      val path = s"/tmp/graft_ivfpq_${Integer.toHexString(d.hashCode)}"
+      Similarity.writeEmbeddingsIvfPq(embs, path, cents, cbs)
+      val q = embs.filter(col("vec_id") === 0L).select(col("embedding")).head()
+        .getSeq[Float](0).toArray
+      Similarity.ivfPqTopK(s, path, cents, cbs, q, 10, nProbe = 3)
+        .select(col("vec_id"))
+    }),
+
     // batch cosine top-k JOIN: 5 query vectors each retrieve their 10
     // nearest corpus vectors via broadcast + bounded-heap aggregate (ids
     // only — rank-boundary score margins verified well above float noise)
@@ -886,6 +902,41 @@ object SparkEntry {
           md5(col("redacted")).as("redacted_md5"))
     })
   )
+
+  /** Shared CTEs for the PQ oracles: the md5-ordered 16-code codebook,
+    * the vec_id=0 query, and the 8-subspace index table. */
+  private val PqCommonCtes: String =
+    "cb AS (SELECT embedding AS v, row_number() OVER " +
+      "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code " +
+      "FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), " +
+      "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+      "sub AS (SELECT unnest(range(0, 8)) AS s), "
+
+  /** PQ encode + ADC tail over a `src(vec_id, embedding)` CTE: argmin code
+    * per (vec, subspace) with sequential (a-b)*(a-b) accumulation, ADC as
+    * an s-ordered list_sum (sequential like the JVM loop), total
+    * (adc, vec_id) tie-break. */
+  private val PqOracleTail: String =
+    "enc0 AS (SELECT e.vec_id, sub.s, cb.code, " +
+      "list_sum(list_transform(range(1, 9), j -> " +
+      "(CAST(e.embedding[CAST(sub.s * 8 + j AS INT)] AS DOUBLE) - " +
+      "CAST(cb.v[CAST(sub.s * 8 + j AS INT)] AS DOUBLE)) * " +
+      "(CAST(e.embedding[CAST(sub.s * 8 + j AS INT)] AS DOUBLE) - " +
+      "CAST(cb.v[CAST(sub.s * 8 + j AS INT)] AS DOUBLE)))) AS d " +
+      "FROM src e CROSS JOIN sub CROSS JOIN cb), " +
+      "enc AS (SELECT vec_id, s, code FROM (SELECT vec_id, s, code, " +
+      "row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code ASC) AS rn " +
+      "FROM enc0) WHERE rn = 1), " +
+      "qtab AS (SELECT sub.s, cb.code, " +
+      "list_sum(list_transform(range(1, 9), j -> " +
+      "(CAST(q.qv[CAST(sub.s * 8 + j AS INT)] AS DOUBLE) - " +
+      "CAST(cb.v[CAST(sub.s * 8 + j AS INT)] AS DOUBLE)) * " +
+      "(CAST(q.qv[CAST(sub.s * 8 + j AS INT)] AS DOUBLE) - " +
+      "CAST(cb.v[CAST(sub.s * 8 + j AS INT)] AS DOUBLE)))) AS d " +
+      "FROM q CROSS JOIN sub CROSS JOIN cb), " +
+      "adc AS (SELECT e.vec_id, list_sum(array_agg(t.d ORDER BY e.s)) AS a " +
+      "FROM enc e JOIN qtab t ON t.s = e.s AND t.code = e.code GROUP BY e.vec_id) " +
+      "SELECT vec_id FROM adc ORDER BY a ASC, vec_id ASC LIMIT 10"
 
   /** Shared CTE chain for the span-dedup oracles: word-aligned gram
     * occurrences (1-based i → 0-based pos), ≥2-doc digests, and the
@@ -1807,31 +1858,30 @@ object SparkEntry {
     // ADC as an s-ordered list_sum (sequential like the JVM loop), total
     // (adc, vec_id) tie-break — exact equality end to end
     "q_embed_pq_topk" ->
-      ("WITH cb AS (SELECT embedding AS v, row_number() OVER " +
-        "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code " +
-        "FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), " +
-        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
-        "sub AS (SELECT unnest(range(0, 8)) AS s), " +
-        "enc0 AS (SELECT e.vec_id, sub.s, cb.code, " +
-        "list_sum(list_transform(range(1, 9), j -> " +
-        "(CAST(e.embedding[CAST(sub.s * 8 + j AS INT)] AS DOUBLE) - " +
-        "CAST(cb.v[CAST(sub.s * 8 + j AS INT)] AS DOUBLE)) * " +
-        "(CAST(e.embedding[CAST(sub.s * 8 + j AS INT)] AS DOUBLE) - " +
-        "CAST(cb.v[CAST(sub.s * 8 + j AS INT)] AS DOUBLE)))) AS d " +
-        "FROM embeddings e CROSS JOIN sub CROSS JOIN cb), " +
-        "enc AS (SELECT vec_id, s, code FROM (SELECT vec_id, s, code, " +
-        "row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code ASC) AS rn " +
-        "FROM enc0) WHERE rn = 1), " +
-        "qtab AS (SELECT sub.s, cb.code, " +
-        "list_sum(list_transform(range(1, 9), j -> " +
-        "(CAST(q.qv[CAST(sub.s * 8 + j AS INT)] AS DOUBLE) - " +
-        "CAST(cb.v[CAST(sub.s * 8 + j AS INT)] AS DOUBLE)) * " +
-        "(CAST(q.qv[CAST(sub.s * 8 + j AS INT)] AS DOUBLE) - " +
-        "CAST(cb.v[CAST(sub.s * 8 + j AS INT)] AS DOUBLE)))) AS d " +
-        "FROM q CROSS JOIN sub CROSS JOIN cb), " +
-        "adc AS (SELECT e.vec_id, list_sum(array_agg(t.d ORDER BY e.s)) AS a " +
-        "FROM enc e JOIN qtab t ON t.s = e.s AND t.code = e.code GROUP BY e.vec_id) " +
-        "SELECT vec_id FROM adc ORDER BY a ASC, vec_id ASC LIMIT 10"),
+      ("WITH " + PqCommonCtes +
+        "src AS (SELECT vec_id, embedding FROM embeddings), " +
+        PqOracleTail),
+
+    // the COMPOSED IVF+PQ replay: deterministic coarse centroids + probe
+    // selection (cosine DESC, cidx ASC — the driver's sort), argmax cell
+    // assignment, then the identical PQ encode/ADC tail restricted to
+    // probed cells — the full index chain re-derived in one SQL
+    "q_embed_ivfpq_topk" ->
+      ("WITH cent AS (SELECT embedding AS cv, row_number() OVER " +
+        "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx " +
+        "FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), " +
+        PqCommonCtes +
+        "probes AS (SELECT cidx FROM (SELECT c.cidx, row_number() OVER " +
+        "(ORDER BY list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) DESC, " +
+        "c.cidx ASC) AS rn FROM cent c CROSS JOIN q) WHERE rn <= 3), " +
+        "cscored AS (SELECT e.vec_id, e.embedding, c.cidx, " +
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS cs " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "asg AS (SELECT vec_id, embedding, cidx FROM (SELECT vec_id, embedding, cidx, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cidx ASC) AS rn FROM cscored) " +
+        "WHERE rn = 1), " +
+        "src AS (SELECT a.vec_id, a.embedding FROM asg a JOIN probes p USING (cidx)), " +
+        PqOracleTail),
 
     // per-query window rank with (score DESC, vec_id ASC) — equals the
     // bounded-heap join because rank-boundary margins dwarf float noise

@@ -358,6 +358,86 @@ object Similarity {
   }
 
   /**
+   * Deterministic coarse centroids for the composed IVF+PQ index: the
+   * `nCells` corpus vectors minimal in (md5(id), id) order — same
+   * selection rule as [[pqCodebooks]]/[[semanticNearDupPairs]], chosen so
+   * the composed index is SQL-replayable end to end (the k-means
+   * [[ivfTrain]] codebook remains the quality path when an oracle is not
+   * required; recall for both is a measured number, never a claim).
+   */
+  def deterministicCentroids(df: DataFrame, nCells: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): Array[Array[Float]] = {
+    require(nCells >= 1, "nCells must be positive")
+    df.select(col(vecCol).as("v"), md5(col(idCol).cast("string")).as("h"),
+        col(idCol).as("id"))
+      .orderBy(col("h"), col("id")).limit(nCells)
+      .collect().map(_.getSeq[Float](0).toArray)
+  }
+
+  /**
+   * Write the composed IVF+PQ index: rows carry ONLY (id, pq_codes),
+   * directory-partitioned by coarse cell — the full 100 TB ANN layout in
+   * one artifact. A probe reads nProbe cell DIRECTORIES (partition
+   * pruning, no file of any other cell is opened) and scores m-byte code
+   * rows through a lookup table (no float vector is stored, read, or
+   * shuffled — PQ's entire point: ~m bytes/row vs 4·dims).
+   */
+  def writeEmbeddingsIvfPq(df: DataFrame, path: String,
+                           centroids: Array[Array[Float]],
+                           codebooks: Array[Array[Array[Float]]],
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): Unit =
+    pqEncode(ivfAssign(df, centroids, vecCol), codebooks, vecCol)
+      .select(col(idCol), col("ivf_cell"), col("pq_codes"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+  /**
+   * IVF+PQ top-k (IVFADC, Jégou et al.): probe the `nProbe` cells whose
+   * centroids are cosine-nearest the query (driver arithmetic, same
+   * sequential loop as the stored assignment), read only those cell
+   * directories, rank by the precomputed ADC table, total (adc, id)
+   * tie-break. Approximate on both axes (cell recall × code
+   * quantization) — measured, not claimed, in the spec/bench.
+   */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                centroids: Array[Array[Float]],
+                codebooks: Array[Array[Array[Float]]],
+                query: Array[Float], k: Int, nProbe: Int = 2,
+                idCol: String = "vec_id"): DataFrame = {
+    def cosArr(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = centroids.indices
+      .sortBy(ci => (-cosArr(query, centroids(ci)), ci)).take(nProbe)
+    val m = codebooks.length
+    val sub = query.length / m
+    val table = Array.tabulate(m) { s =>
+      codebooks(s).map { code =>
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = query(s * sub + j).toDouble - code(j).toDouble
+          d += diff * diff
+          j += 1
+        }
+        d
+      }
+    }
+    spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(probes.map(Integer.valueOf): _*))
+      .select(col(idCol),
+        c(org.apache.spark.sql.graft.PqAdcConst(e(col("pq_codes")), table)).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * Batch cosine top-k JOIN: every query vector gets its k nearest corpus
    * vectors — the bulk-ANN workload (retrieval eval, hard-negative mining,
    * cross-corpus linking). Plan: the query set BROADCASTS against one

@@ -352,6 +352,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"PQ recall $recall collapsed (expected >= 0.2 incl. self)")
   }
 
+  test("IVF+PQ composed index: directory pruning + chain == brute replica") {
+    val embs01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cents = Similarity.deterministicCentroids(embs01, nCells = 8)
+    val cbs = Similarity.pqCodebooks(embs01, m = 8, nCodes = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.writeEmbeddingsIvfPq(embs01, path, cents, cbs)
+    // the layout is cell-partitioned and stores codes, never vectors
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("ivf_cell=")).toSet
+    assert(dirs.size >= 4, s"expected multiple cell dirs, got $dirs")
+    assert(!spark.read.parquet(path).columns.contains("embedding"))
+    val q = embs01.filter($"vec_id" === 0L).select("embedding").head()
+      .getSeq[Float](0).toArray
+    // probe touches only the probed cells' files
+    val probed = Similarity.ivfPqTopK(spark, path, cents, cbs, q, 10, nProbe = 3)
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+    }.get
+    val allFiles = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val touched = scan.map(_.files.size).sum
+    assert(touched < allFiles, s"probe must prune: touched $touched of $allFiles")
+    // chain equals a brute Scala replica (assignment -> probe -> encode -> ADC)
+    val all = embs01.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sub = 8
+    def sq(a: Array[Float], off: Int, b: Array[Float]): Double = {
+      var d = 0.0; var j = 0
+      while (j < sub) { val x = a(off + j).toDouble - b(j).toDouble; d += x * x; j += 1 }
+      d
+    }
+    val probes = cents.indices.sortBy(ci => (-cos(q, cents(ci)), ci)).take(3).toSet
+    val table = Array.tabulate(8)(s => cbs(s).map(code => sq(q, s * sub, code)))
+    val brute = all
+      .filter { case (_, v) => probes(cents.indices.maxBy(ci => (cos(v, cents(ci)), -ci))) }
+      .map { case (id, v) =>
+        val adc = (0 until 8).foldLeft(0.0) { (acc, s) =>
+          acc + table(s)(cbs(s).zipWithIndex
+            .minBy { case (code, ci) => (sq(v, s * sub, code), ci) }._2)
+        }
+        (id, adc)
+      }.sortBy { case (id, adc) => (adc, id) }.take(10).map(_._1).toSeq
+    assert(probed.collect().map(_.getLong(0)).toSeq == brute)
+  }
+
   test("cosineTopKJoin: per-query results == brute-force top-k") {
     val queries = embs.filter($"vec_id" < 3)
       .select($"vec_id".as("query_id"), $"embedding")
