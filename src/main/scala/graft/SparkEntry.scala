@@ -478,6 +478,13 @@ object SparkEntry {
       Sampling.mixWithEpochs(Tables.table(s, d, "documents"),
         EpochFactors.toMap)),
 
+    // proportional stratified sampling: per-source quota floor(frac*n+0.5)
+    // with a minPerGroup floor, chosen in (md5(id), id) order
+    "q_sample_strat" -> ((s, d) =>
+      Sampling.proportionalStratified(Tables.table(s, d, "documents"),
+          Seq("source"), "doc_id", 0.15, minPerGroup = 2)
+        .select(col("doc_id"), col("source"))),
+
     // CDC snapshot apply: corpus version N+1 from a changeset with upserts
     // and deletion tombstones (deterministically derived from doc_id)
     "q_cdc_apply" -> ((s, d) => {
@@ -1431,6 +1438,17 @@ object SparkEntry {
         "END THEN 1 ELSE 0 END) AS nn FROM documents) " +
         "SELECT doc_id, source, CAST(e AS BIGINT) AS epoch " +
         "FROM n, unnest(range(nn)) AS u(e) WHERE nn > 0"),
+
+    // identical quota arithmetic: floor(frac*n + 0.5) in DOUBLE (the frac
+    // literal must be cast — DuckDB's bare 0.15 is DECIMAL) over the same
+    // (md5(id), id) rank; greatest() applies the minPerGroup floor
+    "q_sample_strat" ->
+      ("SELECT doc_id, source FROM (" +
+        "SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS n FROM documents) " +
+        "WHERE rn <= greatest(CAST(2 AS BIGINT), " +
+        "CAST(floor(CAST(0.15 AS DOUBLE) * n + 0.5) AS BIGINT))"),
 
     // same changeset derivation; anti join + upsert union
     "q_cdc_apply" ->

@@ -160,4 +160,38 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /**
+   * PROPORTIONAL stratified sampling: exactly
+   * max(minPerGroup, floor(frac·N_g + 0.5)) rows from every stratum (capped
+   * at N_g), chosen in (md5(id), id) order — the eval-set construction that
+   * keeps every stratum's share equal to its corpus share, while
+   * [[perGroupDeterministic]]'s fixed k flattens strata and
+   * [[deterministicFraction]]'s global threshold only hits shares in
+   * expectation (a rare stratum can lose every row to hash luck; here
+   * `minPerGroup` floors it, the way survey samplers keep rare strata
+   * represented). The quota is an exact per-group count, not a
+   * probability, so repeated runs agree row-for-row, and because one hash
+   * order drives every frac, samples NEST across frac increases.
+   *
+   * Plan: ONE shuffle on the stratum key serves both the group count
+   * (window aggregate) and the rank — Spark reuses the exchange, so the
+   * cost equals the fixed-k variant's. The 0.5 rounding offset is exact in
+   * double for any frac expressible as p/2^k·10^-m at sane group sizes;
+   * the same floor(frac·n + 0.5) arithmetic replays in any engine.
+   */
+  def proportionalStratified(df: DataFrame, groupCols: Seq[String],
+                             idCol: String, frac: Double,
+                             minPerGroup: Int = 1): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac out of (0,1]: $frac")
+    require(minPerGroup >= 0, "minPerGroup must be >= 0")
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val w = part.orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    val quota = greatest(lit(minPerGroup.toLong),
+      floor(lit(frac) * count(lit(1)).over(part) + lit(0.5)).cast("long"))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__quota", quota)
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
 }

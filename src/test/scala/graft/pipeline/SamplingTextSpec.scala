@@ -53,6 +53,49 @@ class SamplingTextSpec extends AnyFunSuite {
     assert(again == baseSet)
   }
 
+  test("proportionalStratified: exact quotas, min floor, nesting, invariance") {
+    val frac = 0.15
+    val got = Sampling.proportionalStratified(docs, Seq("source"), "doc_id",
+      frac, minPerGroup = 2)
+    val sizes = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quota = max(minPerGroup, floor(frac*n + 0.5)) capped at n, per group
+    totals.foreach { case (g, n) =>
+      val quota = math.min(n,
+        math.max(2L, math.floor(frac * n + 0.5).toLong))
+      assert(sizes.getOrElse(g, 0L) == quota, s"group $g: n=$n")
+    }
+    // a rare stratum still gets its floor: slice to 1 row for one source
+    val oneSrc = docs.select("source").distinct().limit(1)
+      .collect().head.getString(0)
+    val tiny = docs.filter(col("source") === oneSrc).limit(1)
+      .unionByName(docs.filter(col("source") =!= oneSrc))
+    val tinySizes = Sampling.proportionalStratified(tiny, Seq("source"),
+        "doc_id", 0.01, minPerGroup = 2)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tinySizes(oneSrc) == 1L, "floor capped at group size")
+    // nesting: smaller frac selects a subset of a larger frac's rows
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val small = Sampling.proportionalStratified(docs, Seq("source"),
+        "doc_id", 0.05, minPerGroup = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(ids), "samples must nest across frac increases")
+    // partition invariance
+    val again = Sampling.proportionalStratified(docs.repartition(13),
+        Seq("source"), "doc_id", frac, minPerGroup = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+  }
+
+  test("proportionalStratified plans one exchange for count and rank") {
+    val plan = Sampling.proportionalStratified(docs, Seq("source"),
+      "doc_id", 0.2).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 2, plan)
+  }
+
   test("vocabStats: counts match a hand-built corpus; top-k order is total") {
     val tiny = Seq(
       (1L, "alpha beta beta Gamma-gamma"),
