@@ -501,6 +501,21 @@ object SparkEntry {
     "q_vocab_df" -> ((s, d) =>
       TextAnalysis.vocabStats(Tables.table(s, d, "documents"))),
 
+    // CCNet-style LM quality scoring with an integer Zipf-surprisal LM
+    // derived from the corpus itself: total/mean bits per doc, exact in
+    // any engine (floor(log2 rank) is bit arithmetic, not a float log)
+    "q_lm_surprisal" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val st = TextAnalysis.lmStateFromVocab(
+        TextAnalysis.zipfVocab(docs, "text", topV = 200))
+      val toks = split(trim(col("text")), "\\s+")
+      docs.select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          TextAnalysis.lmSurprisal(toks, st).as("surprisal_bits"))
+        .withColumn("mean_centibits",
+          expr("(surprisal_bits * 100) div n_tokens"))
+    }),
+
     "q_contamination" -> ((s, d) =>
       TextAnalysis.contaminationProbes(Tables.table(s, d, "documents"),
         ContaminationProbes)),
@@ -1464,6 +1479,25 @@ object SparkEntry {
         "FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term " +
         "FROM documents) WHERE length(term) >= 3 " +
         "GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 100"),
+
+    // the oracle re-derives the WHOLE LM: token counts → top-200 vocab by
+    // (n DESC, token ASC) → integer bit costs length(bin(rank))-1 → per-doc
+    // left-join sum with the same OOV cost floor(log2(V+1))
+    "q_lm_surprisal" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t " +
+        "FROM documents), " +
+        "cnt AS (SELECT t, count(*) AS n FROM tok GROUP BY t), " +
+        "v AS (SELECT t, row_number() OVER (ORDER BY n DESC, t ASC) AS r " +
+        "FROM cnt ORDER BY n DESC, t ASC LIMIT 200), " +
+        "vc AS (SELECT t, CAST(length(bin(r)) - 1 AS BIGINT) AS cost FROM v), " +
+        "par AS (SELECT CAST(length(bin(count(*) + 1)) - 1 AS BIGINT) AS oov FROM vc), " +
+        "sc AS (SELECT k.doc_id, count(*) AS ntok, " +
+        "sum(COALESCE(vc.cost, par.oov)) AS sbits " +
+        "FROM tok k LEFT JOIN vc ON k.t = vc.t CROSS JOIN par GROUP BY k.doc_id) " +
+        "SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens, " +
+        "CAST(sbits AS BIGINT) AS surprisal_bits, " +
+        "(CAST(sbits AS BIGINT) * 100) // CAST(ntok AS BIGINT) AS mean_centibits " +
+        "FROM sc"),
 
     "q_contamination" ->
       ("SELECT probe, count(*) AS n_docs, min(doc_id) AS first_doc " +

@@ -98,6 +98,67 @@ object TextAnalysis {
   def tokenIdsBpe(text: Column, state: org.apache.spark.sql.graft.BpeState): Column =
     c(org.apache.spark.sql.graft.BpeTokenIds(e(text), state))
 
+  /** Integer log2 of a positive long (bit length − 1). */
+  private def ilog2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+
+  /**
+   * Corpus-derived Zipf unigram vocabulary: the top-`topV` whitespace
+   * tokens by (count DESC, token ASC) with an INTEGER surprisal cost
+   * `cost_bits = floor(log2(rank))`. Under Zipf's law p(r) ∝ 1/r, so
+   * log2(rank) is unigram surprisal in bits up to an additive constant —
+   * the deterministic, cross-engine-exact stand-in for float-logprob LM
+   * scoring (CCNet-style perplexity filtering, Wenzek et al. LREC'20):
+   * floor(log2) is pure bit arithmetic, so no transcendental is ever
+   * evaluated and rankings replay bit-identically in any engine
+   * (`length(bin(rank)) - 1` in SQL).
+   *
+   * Plan: scan-local tokenize → one map-side-combined count aggregate →
+   * TakeOrderedAndProject to `topV` (vocabulary-bounded, like
+   * [[bpeWordHistogram]]) → rank/cost over the tiny limited set.
+   */
+  def zipfVocab(df: DataFrame, textCol: String = "text",
+                topV: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topV > 0 && topV <= (1 << 20), s"topV out of range: $topV")
+    val top = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topV)
+    // rank over the ≤topV-row survivor set: vocabulary-bounded single
+    // partition, the same boundedness argument as the BPE histogram
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token").asc))
+          .cast("long"))
+      .withColumn("cost_bits", length(bin(col("rank"))).cast("long") - 1L)
+      .select(col("token"), col("rank"), col("cost_bits"))
+  }
+
+  /** Broadcast LM scoring state from explicit (token, cost) rows — the
+    * production import path for an externally-trained LM vocabulary (e.g.
+    * KenLM costs quantized to integers). */
+  def lmState(spark: org.apache.spark.sql.SparkSession,
+              costs: Seq[(String, Long)], oovCost: Long)
+      : org.apache.spark.sql.graft.LmState = {
+    require(costs.size <= (1 << 21), s"vocabulary too large: ${costs.size}")
+    new org.apache.spark.sql.graft.LmState(
+      spark.sparkContext.broadcast(costs.toArray), oovCost)
+  }
+
+  /** [[lmState]] from a [[zipfVocab]]-shaped DataFrame (token, cost_bits).
+    * Driver-collects (vocabulary-bounded); OOV tokens pay
+    * floor(log2(V + 1)) — one rank past the vocabulary edge. */
+  def lmStateFromVocab(vocab: DataFrame): org.apache.spark.sql.graft.LmState = {
+    val rows = vocab.select(col("token"), col("cost_bits").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    lmState(vocab.sparkSession, rows, ilog2(rows.size + 1L))
+  }
+
+  /** Total integer surprisal (bits) of a whitespace-token array under a
+    * broadcast unigram cost table — scan-local, codegen'd, zero shuffles. */
+  def lmSurprisal(tokens: Column, state: org.apache.spark.sql.graft.LmState): Column =
+    c(org.apache.spark.sql.graft.LmCostSum(e(tokens), state))
+
   def langId(text: Column): Column = c(LangId(e(text)))
 
   /** Winnowing fingerprint set (array<long>) — robust doc identity for

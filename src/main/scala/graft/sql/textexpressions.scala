@@ -1128,3 +1128,55 @@ case class BpeTokenIds(child: Expression, state: BpeState)
     new GenericArrayData(state.ids(text.toString))
   override protected def withNewChildInternal(c: Expression): BpeTokenIds = copy(child = c)
 }
+
+/**
+ * Serializable per-plan holder for unigram-LM scoring state: ships only the
+ * BROADCAST handle to the (token, cost) vocabulary; the lookup map is built
+ * lazily once per executor JVM. Costs are INTEGER bits (log2-rank
+ * surprisal, or any externally-supplied integer cost column — e.g. a KenLM
+ * vocabulary quantized to milli-nats), so scoring is exact cross-engine:
+ * no float log is ever evaluated at scoring time.
+ */
+class LmState(val vocab: Broadcast[Array[(String, Long)]],
+              val oovCost: Long) extends Serializable {
+  // value type must stay boxed: a primitive-Long map would auto-unbox the
+  // null returned for absent keys to 0, silently making OOV tokens free
+  @transient private lazy val costs: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.value.length * 2)
+    vocab.value.foreach { case (t, c) => m.put(t, java.lang.Long.valueOf(c)) }
+    m
+  }
+  /** Σ cost(token) over an array of tokens; unknown tokens pay oovCost. */
+  def costSum(tokens: ArrayData): Long = {
+    var s = 0L
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val t = tokens.getUTF8String(i).toString
+      val c = costs.get(t)
+      s += (if (c == null) oovCost else c.longValue())
+      i += 1
+    }
+    s
+  }
+}
+
+/** lm_cost_sum(tokens) → bigint: total integer surprisal of a token array
+  * under a broadcast unigram cost table (OOV tokens pay the table's OOV
+  * cost). Scan-local and codegen'd — the 100 TB perplexity-filter shape:
+  * vocabulary crosses the wire once per executor, corpus never shuffles. */
+case class LmCostSum(child: Expression, state: LmState)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lm_cost_sum"
+  override protected def nullSafeEval(tokens: Any): Any =
+    state.costSum(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lmState", state, classOf[LmState].getName)
+    defineCodeGen(ctx, ev, t => s"$ref.costSum($t)")
+  }
+  override protected def withNewChildInternal(c: Expression): LmCostSum = copy(child = c)
+}

@@ -96,6 +96,57 @@ class SamplingTextSpec extends AnyFunSuite {
     assert(plan.split("Exchange").length - 1 <= 2, plan)
   }
 
+  test("zipfVocab: ranks by (count desc, token asc); costs are floor(log2 rank)") {
+    val tiny = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d"),
+      (3L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfVocab(tiny, "text", topV = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // counts: a=5, b=3, c=1, d=1 → top-3 = a(1), b(2), c(3: tie c<d)
+    assert(got.toSeq == Seq(("a", 1L, 0L), ("b", 2L, 1L), ("c", 3L, 1L)))
+  }
+
+  test("lmSurprisal: hand-computed bits incl. OOV; null text → null") {
+    val tiny = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d"),
+      (3L, "a")).toDF("doc_id", "text")
+    val st = TextAnalysis.lmStateFromVocab(
+      TextAnalysis.zipfVocab(tiny, "text", topV = 3))
+    // vocab: a→0, b→1, c→1; V=3 → OOV cost = floor(log2(4)) = 2 (d)
+    val toks = split(trim(col("text")), "\\s+")
+    val got = tiny.select(col("doc_id"),
+        TextAnalysis.lmSurprisal(toks, st).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 0L))
+    val withNull = Seq((9L, null: String)).toDF("doc_id", "text")
+    val nullRow = withNull.select(
+      TextAnalysis.lmSurprisal(split(trim(col("text")), "\\s+"), st)).collect()
+    assert(nullRow.head.isNullAt(0))
+  }
+
+  test("lmSurprisal scoring stage is scan-local (no exchange)") {
+    val st = TextAnalysis.lmStateFromVocab(
+      TextAnalysis.zipfVocab(docs, "text", topV = 50))
+    val plan = docs.select(col("doc_id"),
+        TextAnalysis.lmSurprisal(split(trim(col("text")), "\\s+"), st))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1) Project"), plan) // codegen'd projection
+  }
+
+  test("zipfVocab is partition-invariant and vocab derivation bounded") {
+    val base = TextAnalysis.zipfVocab(docs, "text", topV = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val again = TextAnalysis.zipfVocab(docs.repartition(17), "text", topV = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again == base)
+    val plan = TextAnalysis.zipfVocab(docs, "text", topV = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("vocabStats: counts match a hand-built corpus; top-k order is total") {
     val tiny = Seq(
       (1L, "alpha beta beta Gamma-gamma"),
