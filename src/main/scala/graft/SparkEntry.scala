@@ -899,6 +899,22 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("cleaned")).as("clean_md5"),
           col("n_lines_removed"))),
 
+    // INCREMENTAL line dedup: corpus (3/4 of docs) line-hashed into a
+    // persisted digest index; the arriving batch (1/4) is cleaned against
+    // the index plus its own within-batch first-occurrence rule — the
+    // foreachBatch body of the streaming twin, oracled end to end
+    "q_dedup_lines_incr" -> ((s, d) => {
+      val fx = Tables.table(s, d, "documents")
+        .withColumn("text", lineDedupFixtureText)
+      val corpus = fx.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val batch = fx.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val path = s"/tmp/graft_line_index_${Integer.toHexString(d.hashCode)}"
+      Dedup.writeLineIndex(corpus, path)
+      Dedup.dedupLinesAgainstIndex(s, path, batch)
+        .select(col("doc_id"), md5(col("cleaned")).as("clean_md5"),
+          col("n_lines_removed"))
+    }),
+
     // Unicode NFC normalization over a fixture with decomposed accents and
     // messy whitespace (corpus is ASCII/NFC already, so the interesting
     // inputs are doc_id-derived); the oracle re-runs DuckDB's own
@@ -1817,6 +1833,35 @@ object SparkEntry {
     // first-occurrence rule (row_number over digest ordered by doc, pos =
     // Spark's min(struct(id, pos))), and re-splices kept lines in order —
     // clean_md5 only matches if both engines keep byte-identical lines
+    // the oracle rebuilds the index semantics in SQL: corpus digests are a
+    // DISTINCT set; a batch line drops when its digest is in that set OR a
+    // batch-internal (id, pos) predecessor shares it; splice as q_dedup_lines
+    "q_dedup_lines_incr" ->
+      ("WITH fx AS (SELECT doc_id, 'shared header line for corpus group ' || " +
+        "CAST(doc_id % 5 AS VARCHAR) || chr(10) || text || " +
+        "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'shared even-documents footer boilerplate line' " +
+        "ELSE '' END AS text FROM documents), " +
+        "bat AS (SELECT * FROM fx WHERE doc_id % 4 = 0), " +
+        "cls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM fx WHERE doc_id % 4 <> 0), " +
+        "cl AS (SELECT arr[CAST(i AS INT)] AS ln FROM cls, unnest(range(1, len(arr) + 1)) AS t(i)), " +
+        "cdg AS (SELECT DISTINCT md5(ln) AS dg FROM cl WHERE length(trim(ln)) >= 10), " +
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM bat), " +
+        "l AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, arr[CAST(i AS INT)] AS ln " +
+        "FROM ls, unnest(range(1, len(arr) + 1)) AS t(i)), " +
+        "el AS (SELECT doc_id, pos, md5(ln) AS dg FROM l WHERE length(trim(ln)) >= 10), " +
+        "rk AS (SELECT doc_id, pos, dg, row_number() OVER " +
+        "(PARTITION BY dg ORDER BY doc_id, pos) AS rn FROM el), " +
+        "dr AS (SELECT doc_id, pos FROM rk WHERE rn > 1 " +
+        "OR dg IN (SELECT dg FROM cdg)), " +
+        "kept AS (SELECT l.doc_id, l.pos, l.ln FROM l LEFT JOIN dr " +
+        "ON l.doc_id = dr.doc_id AND l.pos = dr.pos WHERE dr.doc_id IS NULL), " +
+        "agg AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS cleaned " +
+        "FROM kept GROUP BY doc_id), " +
+        "nrm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dr GROUP BY doc_id) " +
+        "SELECT b.doc_id, md5(coalesce(a.cleaned, '')) AS clean_md5, " +
+        "coalesce(n.n, 0) AS n_lines_removed FROM bat b " +
+        "LEFT JOIN agg a USING (doc_id) LEFT JOIN nrm n USING (doc_id)"),
+
     "q_dedup_lines" ->
       ("WITH fx AS (SELECT doc_id, 'shared header line for corpus group ' || " +
         "CAST(doc_id % 5 AS VARCHAR) || chr(10) || text || " +

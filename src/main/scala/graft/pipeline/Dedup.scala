@@ -925,10 +925,7 @@ object Dedup {
   def dedupLines(df: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", minLen: Int = 10): DataFrame = {
     require(minLen >= 1, "minLen must be positive")
-    val lines = df.select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__ln")))
-      .filter(length(trim(col("__ln"))) >= minLen)
-      .select(col("__id"), col("__pos"), md5(col("__ln")).as("__dg"))
+    val lines = eligibleLines(df, idCol, textCol, minLen)
     val first = lines.groupBy(col("__dg"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__keep"))
     val drops = lines.join(first, "__dg")
@@ -936,12 +933,94 @@ object Dedup {
         col("__pos") === col("__keep.__pos")))
       .groupBy(col("__id"))
       .agg(sort_array(collect_list(col("__pos"))).as("__drop"))
+    spliceLineDrops(df, drops, idCol, textCol)
+  }
+
+  /** Eligible-line decision stream: (__id, __pos, __dg) — a 16-byte md5
+    * per line whose trimmed length is ≥ minLen; doc text never leaves the
+    * scan. Shared by [[dedupLines]] / [[writeLineIndex]] /
+    * [[dedupLinesAgainstIndex]] so all three agree on eligibility. */
+  private def eligibleLines(df: DataFrame, idCol: String, textCol: String,
+                            minLen: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__ln")))
+      .filter(length(trim(col("__ln"))) >= minLen)
+      .select(col("__id"), col("__pos"), md5(col("__ln")).as("__dg"))
+
+  /** Join a (__id, __drop sorted-int-array) drop table back onto the
+    * corpus and splice — scan-local higher-order filter, corpus text
+    * never shuffles (broadcast under AQE when few docs are affected). */
+  private def spliceLineDrops(df: DataFrame, drops: DataFrame,
+                              idCol: String, textCol: String): DataFrame =
     df.join(drops, col(idCol) === drops("__id"), "left")
       .select(col(idCol),
         when(col("__drop").isNull, col(textCol))
           .otherwise(array_join(filter(split(col(textCol), "\n"),
             (_, i) => !array_contains(col("__drop"), i)), "\n")).as("cleaned"),
         coalesce(size(col("__drop")), lit(0)).cast("long").as("n_lines_removed"))
+
+  /**
+   * Persist the corpus line-digest index: one row per distinct eligible
+   * line digest with its keeper (first (id, pos) occurrence),
+   * range-partitioned and sorted by digest so parquet row-group min/max
+   * statistics prune digest-equality probes. The artifact that makes LINE
+   * dedup INCREMENTAL: a 100 TB corpus is line-hashed once; every
+   * arriving batch probes 16-byte digests instead of re-reading corpus
+   * text (see [[dedupLinesAgainstIndex]]).
+   */
+  def writeLineIndex(df: DataFrame, path: String, idCol: String = "doc_id",
+                     textCol: String = "text", minLen: Int = 10,
+                     numPartitions: Int = 8): Unit =
+    eligibleLines(df, idCol, textCol, minLen)
+      .groupBy(col("__dg"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__keep"))
+      .select(col("__dg").as("dg"), col("__keep.__id").as("keep_id"),
+        col("__keep.__pos").as("keep_pos"))
+      .repartitionByRange(numPartitions, col("dg"))
+      .sortWithinPartitions(col("dg"))
+      .write.mode("overwrite").parquet(path)
+
+  /**
+   * Incremental C4-style line dedup of an arriving batch against a
+   * [[writeLineIndex]]-persisted corpus: a batch line is dropped when its
+   * digest exists in the index (the corpus saw it first) OR an earlier
+   * (id, pos) occurrence exists within the batch itself; splice and
+   * output shape are [[dedupLines]]'s exactly. This is the `foreachBatch`
+   * body of the streaming twin — stream-static join only, no state.
+   *
+   * Equality contract with the batch op (the arrival-order caveat, like
+   * the lake-freshness contract on
+   * [[graft.streaming.DocStreams.minhashPairsStream]]): when every corpus
+   * id precedes every batch id, the result equals
+   * `dedupLines(corpus ∪ batch)` restricted to batch docs, because batch-
+   * global (id, pos) order then coincides with corpus-first-then-batch
+   * order. Out-of-order arrival keeps the DROP decisions valid (a line in
+   * the index is a duplicate either way) but the keeper attribution
+   * differs from a from-scratch batch run — document order, not a defect.
+   *
+   * Scale shape: the batch ships digests only; the index join reads ONE
+   * pruned column of the index (AQE broadcasts whichever side is small);
+   * corpus text is never touched at all — the whole point of the index.
+   */
+  def dedupLinesAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, batch: DataFrame,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             minLen: Int = 10): DataFrame = {
+    require(minLen >= 1, "minLen must be positive")
+    val idx = spark.read.parquet(indexPath)
+      .select(col("dg").as("__dg")).withColumn("__in_idx", lit(true))
+    val lines = eligibleLines(batch, idCol, textCol, minLen)
+    val first = lines.groupBy(col("__dg"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__keep"))
+    val drops = lines.join(first, "__dg")
+      .join(idx, Seq("__dg"), "left")
+      .filter(coalesce(col("__in_idx"), lit(false)) ||
+        !(col("__id") === col("__keep.__id") &&
+          col("__pos") === col("__keep.__pos")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__drop"))
+    spliceLineDrops(batch, drops, idCol, textCol)
   }
 
   /**

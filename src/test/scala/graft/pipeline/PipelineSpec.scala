@@ -517,6 +517,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(5L) == ((None, 0L)), got(5L))
   }
 
+  test("dedupLinesAgainstIndex == batch dedupLines under id-ordered arrival") {
+    val fixture = Seq[(Long, String)](
+      (1L, "common boilerplate header\nunique body of doc one\nshort"),
+      (2L, "common boilerplate header\nunique body of doc two\ncommon boilerplate header"),
+      (3L, "unique body of doc three\nrepeated internal line here\nrepeated internal line here"),
+      (4L, "common boilerplate header"),
+      (5L, "unique body of doc five\ncommon boilerplate header\nbatch-only shared line"),
+      (6L, "batch-only shared line\nunique body of doc six"),
+      (7L, null)).toDF("doc_id", "text")
+    val corpus = fixture.filter(col("doc_id") <= 4)
+    val batch = fixture.filter(col("doc_id") > 4)
+    val idx = java.nio.file.Files.createTempDirectory("graft-line-idx").toString
+    Dedup.writeLineIndex(corpus, idx)
+    val got = Dedup.dedupLinesAgainstIndex(spark, idx, batch).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2)))).toMap
+    // every corpus id precedes every batch id, so the incremental result
+    // must equal the from-scratch batch pass restricted to batch docs
+    val full = Dedup.dedupLines(fixture).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2)))).toMap
+    assert(got == full.filter(_._1 > 4), s"got=$got full=$full")
+    // spot semantics: doc 5 loses the corpus-owned header, keeps the first
+    // occurrence of the batch-only line; doc 6 loses it (doc 5 saw it first)
+    assert(got(5L) == ((Some("unique body of doc five\nbatch-only shared line"), 1L)))
+    assert(got(6L) == ((Some("unique body of doc six"), 1L)))
+    assert(got(7L) == ((None, 0L))) // NULL totality
+  }
+
   test("gopherRules: each rule trips on its planted violation only") {
     val good = (1 to 60).map(i => s"word$i is on the list").mkString(" ") // 300 words, 3 stopwords, all alpha
     val fixture = Seq(

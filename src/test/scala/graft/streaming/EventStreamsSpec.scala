@@ -507,6 +507,72 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental LINE dedup (foreachBatch) == batch twin, cross-batch") {
+    import org.apache.spark.sql.DataFrame
+    // corpus ids < batch1 ids < batch2 ids: the id-ordered-arrival contract
+    // under which foreachBatch-incremental equals the from-scratch pass
+    val fixture = Seq[(Long, String)](
+      (1L, "common boilerplate header\nunique body of doc one"),
+      (2L, "common boilerplate header\nunique body of doc two"),
+      (5L, "unique body of doc five\ncommon boilerplate header\nbatch-only shared line"),
+      (6L, "batch-only shared line\nunique body of doc six"),
+      (8L, "batch-only shared line\nunique body of doc eight\nsecond-wave shared line"),
+      (9L, "second-wave shared line\nunique body of doc nine"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val corpus = fixture.filter(col("doc_id") <= 2)
+    val b1 = fixture.filter(col("doc_id") >= 5 && col("doc_id") <= 6)
+    val b2 = fixture.filter(col("doc_id") >= 8)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-line-idx-stream").toString
+    graft.pipeline.Dedup.writeLineIndex(corpus, idxDir)
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-lines-stream")
+    def writeOne(d: DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lines-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(b1, "a.parquet", 120000L)
+    writeOne(b2, "b.parquet", 1000L)
+
+    val out = scala.collection.mutable.Map[Long, (Option[String], Long)]()
+    var seen: DataFrame = corpus
+    val stream = spark.readStream.schema(DocStreams.docFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cleaned = graft.pipeline.Dedup
+          .dedupLinesAgainstIndex(spark, idxDir, batch).collect()
+        out.synchronized {
+          cleaned.foreach(r =>
+            out(r.getLong(0)) = (Option(r.getString(1)), r.getLong(2)))
+        }
+        // fold the arrived batch into the index before the next one (a
+        // micro-batch DF is only valid within its batch — materialize it)
+        val rows = batch.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val local = spark.createDataFrame(rows.toSeq).toDF("doc_id", "text")
+          .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        seen = seen.unionByName(local)
+        graft.pipeline.Dedup.writeLineIndex(seen, idxDir)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val full = graft.pipeline.Dedup.dedupLines(fixture).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2)))).toMap
+    assert(out.toMap == full.filter(_._1 >= 5),
+      s"streamed=$out batch=${full.filter(_._1 >= 5)}")
+    // the cross-batch case actually fired: b2's duplicate of b1's
+    // batch-only line was dropped via the index update between batches
+    assert(out(8L)._2 >= 1L)
+  }
+
   test("stateful sessionization emits closed sessions") {
     val ds = events
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
