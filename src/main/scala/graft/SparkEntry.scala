@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.Gis
-import graft.pipeline.{Curation, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Provenance, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.sql.{functions => G}
 import graft.streaming.EventStreams
@@ -898,6 +898,26 @@ object SparkEntry {
           Tables.table(s, d, "documents").withColumn("text", lineDedupFixtureText))
         .select(col("doc_id"), md5(col("cleaned")).as("clean_md5"),
           col("n_lines_removed"))),
+
+    // URL/domain provenance filtering (RefinedWeb/C4-style): fixture
+    // injects two doc_id-derived URLs (mixed case, www., path/query) per
+    // doc; domains normalize scan-locally and the blocklist decision is a
+    // broadcast semi-join — the oracle replays extraction, normalization,
+    // and the blocklist hit via the same Java/RE2-parity patterns
+    "q_url_filter" -> ((s, d) => {
+      import s.implicits._
+      val fx = Tables.table(s, d, "documents")
+        .withColumn("text", concat(col("text"),
+          lit(" see https://Site-"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com/page?id="), col("doc_id"),
+          lit(" and http://www.Mirror-"), pmod(col("doc_id"), lit(3)),
+          lit(".example.org/x")))
+      val bl = Seq("site-2.example.com", "mirror-1.example.org").toDF("domain")
+      Provenance.flagBlocked(Provenance.withDomains(fx), bl)
+        .select(col("doc_id"), col("n_urls"),
+          size(col("domains")).cast("long").as("n_domains"),
+          array_join(col("domains"), ",").as("domains_csv"), col("blocked"))
+    }),
 
     // INCREMENTAL line dedup: corpus (3/4 of docs) line-hashed into a
     // persisted digest index; the arriving batch (1/4) is cleaned against
@@ -1833,6 +1853,28 @@ object SparkEntry {
     // first-occurrence rule (row_number over digest ordered by doc, pos =
     // Spark's min(struct(id, pos))), and re-splices kept lines in order —
     // clean_md5 only matches if both engines keep byte-identical lines
+    // same fixture URLs; extraction/normalization replayed with the same
+    // RE2-parity patterns; blocklist hit via unnest + VALUES join
+    "q_url_filter" ->
+      ("WITH fx AS (SELECT doc_id, text || ' see https://Site-' || " +
+        "CAST(doc_id % 7 AS VARCHAR) || '.example.com/page?id=' || " +
+        "CAST(doc_id AS VARCHAR) || ' and http://www.Mirror-' || " +
+        "CAST(doc_id % 3 AS VARCHAR) || '.example.org/x' AS text FROM documents), " +
+        "e AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(:[0-9]{1,5})?[A-Za-z0-9/._~%+&#?=-]*')) AS n_urls, " +
+        "list_sort(list_distinct(list_transform(" +
+        "regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(:[0-9]{1,5})?[A-Za-z0-9/._~%+&#?=-]*'), " +
+        "x -> regexp_replace(regexp_extract(lower(x), 'https?://([a-z0-9.-]+)', 1), '^www\\.', '')))) AS doms " +
+        "FROM fx), " +
+        "hits AS (SELECT DISTINCT doc_id FROM " +
+        "(SELECT doc_id, unnest(doms) AS d FROM e) q " +
+        "JOIN (VALUES ('site-2.example.com'), ('mirror-1.example.org')) AS bl(d) USING (d)) " +
+        "SELECT e.doc_id, CAST(n_urls AS BIGINT) AS n_urls, " +
+        "CAST(len(doms) AS BIGINT) AS n_domains, " +
+        "array_to_string(doms, ',') AS domains_csv, " +
+        "CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS blocked " +
+        "FROM e LEFT JOIN hits h ON e.doc_id = h.doc_id"),
+
     // the oracle rebuilds the index semantics in SQL: corpus digests are a
     // DISTINCT set; a batch line drops when its digest is in that set OR a
     // batch-internal (id, pos) predecessor shares it; splice as q_dedup_lines

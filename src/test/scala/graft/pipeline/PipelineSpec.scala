@@ -517,6 +517,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(5L) == ((None, 0L)), got(5L))
   }
 
+  test("Provenance: URL extraction, domain normalization, blocklist flag") {
+    val fixture = Seq[(Long, String)](
+      (1L, "intro https://WWW.Example.COM:8080/path?q=1 more http://sub.site.org/x tail"),
+      (2L, "dup https://example.com/a then https://example.com/b"),
+      (3L, "no urls at all here"),
+      (4L, null)).toDF("doc_id", "text")
+    val got = Provenance.withDomains(fixture)
+      .select("doc_id", "n_urls", "domains").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1),
+          Option(r.getSeq[String](2)).map(_.toList)))).toMap
+    // port stripped, www. stripped, case folded; duplicates collapse
+    assert(got(1L) == ((2L, Some(List("example.com", "sub.site.org")))), got(1L))
+    assert(got(2L) == ((2L, Some(List("example.com")))), got(2L))
+    assert(got(3L) == ((0L, Some(Nil))), got(3L))
+    assert(got(4L) == ((-1L, None)), got(4L)) // NULL text → NULL out
+    val bl = Seq("sub.site.org").toDF("domain")
+    val flagged = Provenance.flagBlocked(Provenance.withDomains(fixture), bl)
+    val blocked = flagged.collect().map(r =>
+      r.getLong(0) -> r.getAs[Long]("blocked")).toMap
+    assert(blocked == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L), blocked)
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("dedupLinesAgainstIndex == batch dedupLines under id-ordered arrival") {
     val fixture = Seq[(Long, String)](
       (1L, "common boilerplate header\nunique body of doc one\nshort"),
