@@ -723,6 +723,18 @@ object SparkEntry {
           ",")), md5(lit(""))).as("ids_md5"))
     }),
 
+    // DETOKENIZE — decode(encode(text)) must equal text byte-for-byte for
+    // every document: the oracle is the identity md5, which checks the
+    // decode path end-to-end because the encode path is independently
+    // oracled by q_text_token_ids (same table, same id scheme)
+    "q_text_detok" -> ((s, d) => {
+      val st = TextAnalysis.bpeState(s, graft.text.BpeFixture.merges)
+      Tables.table(s, d, "documents").select(col("doc_id"),
+        coalesce(md5(TextAnalysis.detokenizeBpe(
+          TextAnalysis.tokenIdsBpe(col("text"), st), st)), md5(lit("")))
+          .as("detok_md5"))
+    }),
+
     "q_text_quality" -> ((s, d) =>
       TextAnalysis.withQualityScore(Tables.table(s, d, "documents"), "text")
         .select(col("doc_id"), col("n_words"),
@@ -1662,6 +1674,12 @@ object SparkEntry {
         "FROM occ o JOIN pertok pt USING (tok) GROUP BY o.doc_id) " +
         "SELECT d.doc_id, coalesce(p.ids_md5, md5('')) AS ids_md5 " +
         "FROM documents d LEFT JOIN perdoc p USING (doc_id)"),
+
+    // round-trip contract: decode(encode(text)) == text, so the oracle is
+    // the identity md5 — the strongest possible independent check of the
+    // decode path given encode is separately oracled (q_text_token_ids)
+    "q_text_detok" ->
+      "SELECT doc_id, md5(coalesce(text, '')) AS detok_md5 FROM documents",
 
     // full BPE replay: distinct pre-tokens run the merge loop as a
     // recursive CTE (state = chr(31)-delimited symbol string; each step

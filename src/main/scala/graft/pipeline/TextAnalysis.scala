@@ -98,6 +98,13 @@ object TextAnalysis {
   def tokenIdsBpe(text: Column, state: org.apache.spark.sql.graft.BpeState): Column =
     c(org.apache.spark.sql.graft.BpeTokenIds(e(text), state))
 
+  /** Decode a vocab-id array back to text — the exact inverse of
+    * [[tokenIdsBpe]] (lossless round trip; see
+    * [[graft.text.BpeCore.decodeIds]]). The sampling-side half of the
+    * tokenizer surface: model outputs arrive as id sequences. */
+  def detokenizeBpe(ids: Column, state: org.apache.spark.sql.graft.BpeState): Column =
+    c(org.apache.spark.sql.graft.BpeDetokenize(e(ids), state))
+
   /** Integer log2 of a positive long (bit length − 1). */
   private def ilog2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
 

@@ -1081,6 +1081,9 @@ class BpeState(val merges: Broadcast[Array[(String, String)]],
     graft.text.BpeCore.tokenizeText(text, ranks, cache, byteLevel)
   def ids(text: String): Array[Long] =
     graft.text.BpeCore.idsText(text, ranks, formed, cache, byteLevel)
+  def decode(ids: ArrayData): UTF8String =
+    UTF8String.fromString(graft.text.BpeCore.decodeIds(
+      ids.toLongArray(), merges.value, byteLevel))
 }
 
 /** bpe_token_count(text) → int: REAL merges-table BPE token count (see
@@ -1112,6 +1115,27 @@ case class BpeTokens(child: Expression, state: BpeState)
   override protected def nullSafeEval(text: Any): Any =
     new GenericArrayData(state.tokens(text.toString).map(UTF8String.fromString(_): Any))
   override protected def withNewChildInternal(c: Expression): BpeTokens = copy(child = c)
+}
+
+/** bpe_detokenize(ids) → string: decode a vocab-id sequence back to text —
+  * the exact inverse of bpe_token_ids (see [[graft.text.BpeCore.decodeIds]];
+  * lossless: decode(encode(t)) == t because the pre-token regex partitions
+  * every input). The sampling-side half of the tokenizer surface: model
+  * outputs land as id sequences and detokenize on the way back to the lake.
+  * Scan-local and codegen'd; ids outside the table's space fail loudly. */
+case class BpeDetokenize(child: Expression, state: BpeState)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_detokenize"
+  override protected def nullSafeEval(ids: Any): Any =
+    state.decode(ids.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeState", state, classOf[BpeState].getName)
+    defineCodeGen(ctx, ev, t => s"$ref.decode($t)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeDetokenize = copy(child = c)
 }
 
 /** bpe_token_ids(text) → array<long>: vocab ids in document order — the

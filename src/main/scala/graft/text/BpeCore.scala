@@ -194,6 +194,50 @@ object BpeCore {
     }
     out.toArray
   }
+
+  /** The token STRING an id denotes under [[buildFormedIds]]' scheme —
+    * the exact inverse of [[idOf]]: ids below 0x110000 are codepoints,
+    * 0x110000 + rank is the string `merges(rank)` forms. Fails on ids
+    * outside both ranges (a foreign tokenizer's id space). */
+  def tokenOfId(id: Long, merges: IndexedSeq[(String, String)]): String =
+    if (id >= 0 && id < 0x110000L) new String(Character.toChars(id.toInt))
+    else {
+      val rank = id - 0x110000L
+      require(rank >= 0 && rank < merges.length,
+        s"id $id is outside this table's id space (merges: ${merges.length})")
+      val (l, r) = merges(rank.toInt)
+      l + r
+    }
+
+  /**
+   * Decode an id sequence back to text — the inverse of [[idsText]].
+   * Because the pre-token regex partitions every input (each char falls in
+   * exactly one alternation branch) and tokens concatenate to their
+   * pre-token, decode(encode(text)) == text for ANY text: the lossless
+   * round trip trainers rely on when they detokenize model samples.
+   * Char-level ids append their token strings directly; BYTE-level ids
+   * (tokens whose chars are UTF-8 byte renderings, see [[byteSymbols]])
+   * accumulate bytes and decode UTF-8 once at the end.
+   */
+  def decodeIds(ids: Array[Long], merges: IndexedSeq[(String, String)],
+                byteLevel: Boolean = false): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < ids.length) { sb.append(tokenOfId(ids(i), merges)); i += 1 }
+    if (!byteLevel) sb.toString
+    else {
+      val s = sb.toString
+      val bytes = new Array[Byte](s.length)
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        require(c < 256, s"byte-level token char U+${c.toInt.toHexString} is not a byte")
+        bytes(j) = c.toByte
+        j += 1
+      }
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
 }
 
 /**

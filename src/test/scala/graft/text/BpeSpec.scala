@@ -239,4 +239,46 @@ class BpeSpec extends AnyFunSuite {
     // counts: 4, 7, 3, 1 → exclusive cums 0, 4, 11, 14 → packs 0, 1, 2, 3
     assert(packed.toSeq == Seq((1L, 4L, 0L), (2L, 7L, 1L), (3L, 3L, 2L), (4L, 1L, 3L)))
   }
+
+  test("detokenize: golden id decode, lossless round trip, foreign-id failure") {
+    // golden: codepoint ids decode to their chars, formed ids to lhs++rhs
+    val m = BpeFixture.merges
+    assert(BpeCore.tokenOfId('x'.toLong, m) == "x")
+    assert(BpeCore.tokenOfId(0x110000L + 1, m) == "the") // rank 1 = (th,e)
+    assert(BpeCore.tokenOfId(0x1F600L, m) == "😀") // non-BMP codepoint
+    assert(BpeCore.decodeIds(Array(0x110000L + 2, ' '.toLong, 'x'.toLong), m) == " the x") // rank 2 = (" ",the)
+    // round trip on hard inputs: unicode, emoji (surrogate pairs), mixed
+    val ranksM = ranks
+    val formed = BpeCore.buildFormedIds(m)
+    for (t <- Seq("", "the small data", "dup dup dup", "café … ok",
+      "a😀b 😀😀", "  leading  spaces",
+      "tabs\tand\nnewlines\n", "digits 123 mix3d !?#")) {
+      val ids = BpeCore.idsText(t, ranksM, formed, cache)
+      assert(BpeCore.decodeIds(ids, m) == t, s"round trip '$t'")
+    }
+    // byte-level round trip: bytes accumulate, UTF-8 decodes once at the end
+    val bt = BpeFixture.byteTable
+    val branks = BpeCore.buildRanks(bt)
+    val bformed = BpeCore.buildFormedIds(bt)
+    for (t <- Seq("café déjà vu…", "😀ok", "plain ascii")) {
+      val ids = BpeCore.idsText(t, branks, bformed, cache, byteLevel = true)
+      assert(BpeCore.decodeIds(ids, bt, byteLevel = true) == t, s"byte round trip '$t'")
+    }
+    // foreign id (beyond codepoints and this table's ranks) fails loudly
+    intercept[IllegalArgumentException] {
+      BpeCore.tokenOfId(0x110000L + m.length, m)
+    }
+    // DataFrame surface: expression round trip + NULL totality
+    val st = graft.pipeline.TextAnalysis.bpeState(spark, m)
+    val df = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, ""), (3L, "the small data"), (4L, "café 😀"))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id", graft.pipeline.TextAnalysis.detokenizeBpe(
+        graft.pipeline.TextAnalysis.tokenIdsBpe($"text", st), st).as("back"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == null, "NULL in, NULL out")
+    assert(got(2L) == "")
+    assert(got(3L) == "the small data")
+    assert(got(4L) == "café 😀")
+  }
 }
