@@ -766,6 +766,18 @@ object SparkEntry {
           col("r_bullet_lines"), col("r_ellipsis_lines"), col("r_alpha_words"),
           col("r_stopwords"), col("passes"))),
 
+    // jusText-style line-level boilerplate removal: per-line integer/regex
+    // rules (word count, terminal punctuation, URL, shouty-caps), blank
+    // lines preserved. The fixture plants one line per rule keyed on
+    // doc_id so every rule removes AND keeps lines at the gate scale; the
+    // oracle replays the identical rules in list_filter lambdas and
+    // re-derives the cleaned-text md5 independently
+    "q_boilerplate" -> ((s, d) =>
+      TextAnalysis.removeBoilerplate(
+          Tables.table(s, d, "documents").withColumn("text", boilerplateFixtureText))
+        .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+          md5(coalesce(col("cleaned"), lit(""))).as("clean_md5"))),
+
     // lang_id over a deterministic 9-class fixture (one provably-unambiguous
     // phrase per class keyed by doc_id % 9): the REAL heuristic expression
     // runs on every row, and because each phrase is single-script or has a
@@ -1092,6 +1104,26 @@ object SparkEntry {
       lit("\n"), col("text"),
       when(pmod(col("doc_id"), lit(2)) === 0,
         lit("\nshared even-documents footer boilerplate line")).otherwise(lit("")))
+
+  /** Corpus text rebuilt as a page with one line per boilerplate rule,
+    * keyed on doc_id — the fixture half of q_boilerplate (the oracle
+    * rebuilds the same text): the body gets terminal punctuation (kept
+    * prose), then planted nav/url/shouty/short lines trip each rule, a
+    * blank line tests structure preservation, and a second prose line
+    * tests multi-keep. */
+  private def boilerplateFixtureText: Column =
+    concat(
+      col("text"), lit("."),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("\nClick here to subscribe")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("\nVisit http://example.com/page for more details today."))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        lit("\nBREAKING NEWS UPDATES EVERY HOUR TODAY.")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        lit("\n\nThis closing paragraph is long enough and it ends properly."))
+        .otherwise(lit("")))
 
   /** Corpus text + quality-rule-tripping tails by doc_id rule — the fixture
     * half of q_quality_rules (the oracle rebuilds the same text): stopword
@@ -2149,6 +2181,36 @@ object SparkEntry {
         "CAST(CASE WHEN r_word_count + r_mean_word_len + r_symbol_ratio + r_bullet_lines " +
         "+ r_ellipsis_lines + r_alpha_words + r_stopwords = 7 THEN 1 ELSE 0 END AS BIGINT) AS passes " +
         "FROM r"),
+
+    // line-rule replay: rebuild the same fixture page, classify every line
+    // with the identical integer/regex rules inside list_filter lambdas,
+    // and re-derive counts + the cleaned-text md5 independently
+    "q_boilerplate" ->
+      ("WITH fx AS (SELECT doc_id, text || '.' || " +
+        "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Click here to subscribe' ELSE '' END || " +
+        "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Visit http://example.com/page for more details today.' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'BREAKING NEWS UPDATES EVERY HOUR TODAY.' ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 0 THEN chr(10) || chr(10) || 'This closing paragraph is long enough and it ends properly.' ELSE '' END " +
+        "AS text FROM documents), " +
+        "l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fx), " +
+        "k AS (SELECT doc_id, " +
+        "list_filter(ls, x -> trim(x) <> '') AS nonblank, " +
+        "list_filter(ls, x -> trim(x) <> '' AND " +
+        "length(string_split_regex(trim(x), '\\s+')) >= 5 AND " +
+        "regexp_matches(trim(x), '[.!?]$') AND " +
+        "strpos(x, 'http://') = 0 AND strpos(x, 'https://') = 0 AND " +
+        "2 * length(regexp_replace(x, '[^A-Z]', '', 'g')) <= length(regexp_replace(x, '[^A-Za-z]', '', 'g'))" +
+        ") AS prose, " +
+        "list_filter(ls, x -> trim(x) = '' OR (" +
+        "length(string_split_regex(trim(x), '\\s+')) >= 5 AND " +
+        "regexp_matches(trim(x), '[.!?]$') AND " +
+        "strpos(x, 'http://') = 0 AND strpos(x, 'https://') = 0 AND " +
+        "2 * length(regexp_replace(x, '[^A-Z]', '', 'g')) <= length(regexp_replace(x, '[^A-Za-z]', '', 'g'))" +
+        ")) AS kept FROM l) " +
+        "SELECT doc_id, " +
+        "CAST(coalesce(len(nonblank), 0) AS BIGINT) AS n_lines, " +
+        "CAST(coalesce(len(nonblank) - len(prose), 0) AS BIGINT) AS n_boiler, " +
+        "md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5 FROM k"),
 
     "q_json_extract" ->
       ("SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events"),

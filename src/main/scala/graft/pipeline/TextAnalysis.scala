@@ -466,6 +466,50 @@ object TextAnalysis {
   }
 
   /**
+   * Line-level boilerplate removal — the jusText-family pass (Pomikálek
+   * 2011; the page-cleaning step C4 applies before document filtering):
+   * drop navigation/ad/footer LINES while keeping prose. A non-blank line
+   * is PROSE iff it has ≥ `minWords` words AND ends in terminal
+   * punctuation ([.!?]) AND carries no URL AND is not shouty
+   * (2·uppercase > letters); anything else non-blank is boilerplate.
+   * Blank lines always stay, so paragraph structure survives — the same
+   * structure-preserving stance as [[graft.pipeline.Dedup.dedupLines]]'
+   * minLen rule. Every test is integer/regex-exact (counts compare via
+   * cross-multiplication, never ratios), so decisions replay
+   * bit-identically in an independent engine.
+   *
+   * Returns the input plus `cleaned` (prose + blank lines re-joined; NULL
+   * text stays NULL), `n_lines` (non-blank), `n_boiler` (removed count,
+   * 0 for NULL — the [[graft.pipeline.Dedup.removeSharedSpans]] totality
+   * contract).
+   *
+   * Scale: one scan-local projection — split, three higher-order filters,
+   * join back; no shuffle, no state, no UDF. At 100 TB this composes with
+   * the scan like every rule pass here.
+   */
+  def removeBoilerplate(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", minWords: Int = 5): DataFrame = {
+    require(minWords >= 1, "minWords must be positive")
+    val lines = split(col(textCol), "\n")
+    def blank(l: Column): Column = trim(l) === ""
+    def prose(l: Column): Column = {
+      val t = trim(l)
+      val nWords = size(split(t, "\\s+")).cast("long")
+      val nUpper = length(regexp_replace(l, "[^A-Z]", "")).cast("long")
+      val nAlpha = length(regexp_replace(l, "[^A-Za-z]", "")).cast("long")
+      nWords >= minWords.toLong && t.rlike("[.!?]$") &&
+        instr(l, "http://") === 0 && instr(l, "https://") === 0 &&
+        lit(2L) * nUpper <= nAlpha
+    }
+    val nonBlank = size(filter(lines, l => !blank(l))).cast("long")
+    val kept = size(filter(lines, l => !blank(l) && prose(l))).cast("long")
+    df.withColumn("cleaned",
+        array_join(filter(lines, l => blank(l) || prose(l)), "\n"))
+      .withColumn("n_lines", coalesce(nonBlank, lit(0L)))
+      .withColumn("n_boiler", coalesce(nonBlank - kept, lit(0L)))
+  }
+
+  /**
    * Heuristic quality features + score in one projection:
    * length, word stats, punctuation/symbol/upper ratios, stopword hit rate.
    * Score mirrors the C4/Gopher-style hand rules: penalize very short docs,

@@ -599,6 +599,37 @@ class PipelineSpec extends AnyFunSuite {
       assert(flags.values.count(_ == 0L) == 2, s"doc $id trips extra rules: $flags")
   }
 
+  test("removeBoilerplate: per-line rules, blank preservation, NULL totality") {
+    val fixture = Seq[(java.lang.Long, String)](
+      (1L, "This first sentence is long enough and it ends properly.\n" +
+        "Click here\n" + // short + no terminal punct
+        "Visit http://spam.example.com because this link is great today.\n" + // URL
+        "THIS LINE IS VERY SHOUTY INDEED TODAY.\n" + // caps
+        "no terminal punctuation on this long enough line\n" +
+        "\n" + // blank — kept
+        "A second proper sentence survives the cleaning pass as well!"),
+      (2L, "Short doc."), // 2 words < minWords → everything removed
+      (3L, null)).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplate(fixture, minWords = 5)
+      .select("doc_id", "cleaned", "n_lines", "n_boiler")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((Some(
+      "This first sentence is long enough and it ends properly.\n\n" +
+        "A second proper sentence survives the cleaning pass as well!"),
+      6L, 4L)), got(1L))
+    assert(got(2L) == ((Some(""), 1L, 1L)))
+    assert(got(3L) == ((None, 0L, 0L)), "NULL totality")
+    // boundary: exactly minWords with terminal punct and mixed case passes
+    val edge = Seq((1L, "one two three four five.")).toDF("doc_id", "text")
+    assert(TextAnalysis.removeBoilerplate(edge, minWords = 5)
+      .select("n_boiler").head().getLong(0) == 0L)
+    // shouty boundary: exactly half uppercase letters is NOT shouty
+    val half = Seq((1L, "AB ab CD cd EF ef.")).toDF("doc_id", "text")
+    assert(TextAnalysis.removeBoilerplate(half, minWords = 5)
+      .select("n_boiler").head().getLong(0) == 0L)
+  }
+
   test("simhash pairs: planted near-dups within hamming 3 are found") {
     val pairs = Dedup.simhashPairs(planted, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
