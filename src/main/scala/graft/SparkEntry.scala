@@ -485,6 +485,17 @@ object SparkEntry {
           Seq("source"), "doc_id", 0.15, minPerGroup = 2)
         .select(col("doc_id"), col("source"))),
 
+    // temperature (α=1/2) source rebalancing over the deterministically
+    // skewed mixture — integer isqrt weights, floor quotas, (md5(id), id)
+    // rank: the oracle replays mix → count → isqrt → quota → rank with the
+    // same integer arithmetic end to end
+    "q_sample_temperature" -> ((s, d) =>
+      Sampling.temperatureResample(
+          Sampling.deterministicMix(Tables.table(s, d, "documents"),
+            "source", "doc_id", MixFractions.toMap),
+          totalTarget = 24L)
+        .select(col("doc_id"), col("source"))),
+
     // CDC snapshot apply: corpus version N+1 from a changeset with upserts
     // and deletion tombstones (deterministically derived from doc_id)
     "q_cdc_apply" -> ((s, d) => {
@@ -1510,6 +1521,22 @@ object SparkEntry {
           s"WHEN '$g' THEN '${Sampling.fractionThresholdHex(p)}' "
         }.mkString +
         "END"),
+
+    // mix replay + integer temperature quotas: count per surviving source,
+    // isqrt weight, floor(T*w/Σw) quota, (md5(id), id) rank — all integer
+    "q_sample_temperature" ->
+      ("WITH mixed AS (SELECT doc_id, source FROM documents " +
+        "WHERE md5(CAST(doc_id AS VARCHAR)) < CASE source " +
+        MixFractions.map { case (g, p) =>
+          s"WHEN '$g' THEN '${Sampling.fractionThresholdHex(p)}' "
+        }.mkString +
+        "END), " +
+        "c AS (SELECT source, count(*) AS n FROM mixed GROUP BY source), " +
+        "w AS (SELECT source, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c), " +
+        "q AS (SELECT source, CAST((24 * w) // (SELECT sum(w) FROM w) AS BIGINT) AS quota FROM w), " +
+        "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn FROM mixed) " +
+        "SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= quota"),
 
     // identical exclusive-cumsum arithmetic over the identical md5 order
     "q_sample_budget" ->

@@ -149,6 +149,46 @@ object Sampling {
         explode(sequence(lit(0L), col("__n") - 1L)).as("epoch"))
   }
 
+  /**
+   * TEMPERATURE-based source rebalancing — the multilingual/multi-source
+   * α-sampling recipe (XLM, mT5: sample source g proportional to n_g^α,
+   * α < 1 flattens the distribution so small sources are up-represented).
+   * α is fixed at 1/2 and computed as INTEGER isqrt — w_g = floor(√n_g) is
+   * exact integer arithmetic for n_g < 2^52 (IEEE sqrt is correctly
+   * rounded; a non-square's root is never within half-ulp of an integer at
+   * that scale), so quotas replay bit-identically cross-engine with no
+   * float thresholds anywhere. Each source keeps its first
+   * quota_g = floor(T·w_g / Σw) rows in (md5(id), id) order — the same
+   * rank-vs-exact-quota contract as [[proportionalStratified]], so samples
+   * nest as T grows and reruns agree row-for-row. Σ quota_g ≤ T (floors);
+   * a quota above n_g simply keeps the whole source.
+   *
+   * Scale shape: source counts are one map-side-combined aggregate on a
+   * group-cardinality-bounded table (sources number in the thousands, not
+   * billions); quota arithmetic happens on that tiny table (the
+   * unpartitioned window is over #sources rows) and broadcasts back; the
+   * corpus itself shuffles ONCE for the per-source rank window.
+   */
+  def temperatureResample(df: DataFrame, totalTarget: Long,
+                          groupCol: String = "source",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(totalTarget > 0, "totalTarget must be positive")
+    require(totalTarget <= (1L << 37),
+      "totalTarget * isqrt(group count) must stay below 2^63 for exact quotas")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val quotas = counts
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+      .withColumn("__wsum", sum(col("__w")).over(Window.partitionBy()))
+      .withColumn("__quota", expr(s"($totalTarget * __w) div __wsum"))
+      .select(col(groupCol), col("__quota"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.join(broadcast(quotas), Seq(groupCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Exactly min(k, |group|) rows per group, chosen by id-hash order — a
     * deterministic per-stratum reservoir (stratified sampling with a hard
     * per-stratum cap). */

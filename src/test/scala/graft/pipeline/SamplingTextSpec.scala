@@ -90,6 +90,31 @@ class SamplingTextSpec extends AnyFunSuite {
     assert(again == ids)
   }
 
+  test("temperatureResample: isqrt quotas, flattening, nesting, invariance") {
+    // skewed corpus: 16 / 4 / 1 rows across three sources → isqrt weights
+    // 4 / 2 / 1 (Σ = 7): α = 1/2 flattens 16:4:1 toward 4:2:1
+    val rows = (1 to 16).map(i => (i.toLong, "big")) ++
+      (21 to 24).map(i => (i.toLong, "mid")) ++ Seq((31L, "tiny"))
+    val skewed = rows.toDF("doc_id", "source")
+    val got = Sampling.temperatureResample(skewed, totalTarget = 14L)
+    val sizes = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quotas: floor(14*4/7)=8, floor(14*2/7)=4, floor(14*1/7)=2 capped at n=1
+    assert(sizes == Map("big" -> 8L, "mid" -> 4L, "tiny" -> 1L), sizes)
+    // nesting: a smaller target selects a subset of a larger target's rows
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val small = Sampling.temperatureResample(skewed, totalTarget = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(ids), "samples must nest across target increases")
+    // partition invariance
+    val again = Sampling.temperatureResample(skewed.repartition(13), 14L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+    // a quota above the group size keeps the whole group, never fails
+    val all = Sampling.temperatureResample(skewed, totalTarget = (1L << 37))
+    assert(all.count() == skewed.count())
+  }
+
   test("proportionalStratified plans one exchange for count and rank") {
     val plan = Sampling.proportionalStratified(docs, Seq("source"),
       "doc_id", 0.2).queryExecution.executedPlan.toString
