@@ -512,6 +512,21 @@ object SparkEntry {
     "q_vocab_df" -> ((s, d) =>
       TextAnalysis.vocabStats(Tables.table(s, d, "documents"))),
 
+    // fastText-style hashed linear quality classifier: integer weights in
+    // a broadcast table, features = unigrams + adjacent bigrams, bucket =
+    // first 16 md5 bits mod B. The gate's weight table is a pure function
+    // of the bucket id, so the oracle re-derives every weight AND every
+    // bucket (md5-hex arithmetic) — it replays the whole scorer, not a
+    // stored model
+    "q_quality_classifier" -> ((s, d) => {
+      val st = TextAnalysis.classifierState(s,
+        Array.tabulate(4096)(b => (b % 21).toLong - 10L), bias = 5L)
+      Tables.table(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.classifierScore(split(trim(col("text")), "\\s+"), st)
+            .as("score"))
+        .withColumn("label", when(col("score") >= 0L, 1L).otherwise(0L))
+    }),
+
     // CCNet-style LM quality scoring with an integer Zipf-surprisal LM
     // derived from the corpus itself: total/mean bits per doc, exact in
     // any engine (floor(log2 rank) is bit arithmetic, not a float log)
@@ -1586,6 +1601,23 @@ object SparkEntry {
         "FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term " +
         "FROM documents) WHERE length(term) >= 3 " +
         "GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 100"),
+
+    // full scorer replay: unigram + adjacent-bigram features, bucket =
+    // first 16 md5 bits (hex-string arithmetic) mod 4096, weight re-derived
+    // from the bucket id by the same formula, bias + integer sum
+    "q_quality_classifier" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "uni AS (SELECT doc_id, unnest(ws) AS f FROM t), " +
+        "bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1), " +
+        "i -> ws[i] || ' ' || ws[i + 1])) AS f FROM t), " +
+        "feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), " +
+        "sc AS (SELECT doc_id, 5 + sum(" +
+        "(CAST(concat('0x', substr(md5(f), 1, 4)) AS BIGINT) % 4096) % 21 - 10" +
+        ") AS score FROM feats GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(sc.score AS BIGINT) AS score, " +
+        "CAST(CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label " +
+        "FROM documents d LEFT JOIN sc USING (doc_id)"),
 
     // the oracle re-derives the WHOLE LM: token counts → top-200 vocab by
     // (n DESC, token ASC) → integer bit costs length(bin(rank))-1 → per-doc

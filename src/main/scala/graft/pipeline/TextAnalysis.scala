@@ -166,6 +166,39 @@ object TextAnalysis {
   def lmSurprisal(tokens: Column, state: org.apache.spark.sql.graft.LmState): Column =
     c(org.apache.spark.sql.graft.LmCostSum(e(tokens), state))
 
+  /** Broadcast hashed-linear-classifier state from a dense integer weight
+    * array (index = bucket) + bias — the fastText-style quality-classifier
+    * import path (train elsewhere, quantize weights to integers). */
+  def classifierState(spark: org.apache.spark.sql.SparkSession,
+                      weights: Array[Long], bias: Long)
+      : org.apache.spark.sql.graft.HashedLinearState = {
+    require(weights.nonEmpty && weights.length <= (1 << 22),
+      s"weight table must have 1..2^22 buckets, got ${weights.length}")
+    new org.apache.spark.sql.graft.HashedLinearState(
+      spark.sparkContext.broadcast(weights), bias)
+  }
+
+  /** [[classifierState]] from a lake-resident (bucket, weight) table —
+    * absent buckets weigh 0. Driver-collects (bucket-bounded by
+    * construction: the table is a model artifact, not data). */
+  def classifierStateFromDf(df: DataFrame, numBuckets: Int, bias: Long,
+                            bucketCol: String = "bucket",
+                            weightCol: String = "weight")
+      : org.apache.spark.sql.graft.HashedLinearState = {
+    val w = new Array[Long](numBuckets)
+    df.select(col(bucketCol).cast("long"), col(weightCol).cast("long"))
+      .collect().foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    classifierState(df.sparkSession, w, bias)
+  }
+
+  /** Integer linear-classifier score of a token array under a broadcast
+    * hashed weight table (unigrams + adjacent bigrams; see
+    * [[org.apache.spark.sql.graft.HashedLinearState]]) — scan-local,
+    * codegen'd, zero shuffles. */
+  def classifierScore(tokens: Column,
+                      state: org.apache.spark.sql.graft.HashedLinearState): Column =
+    c(org.apache.spark.sql.graft.HashedLinearScore(e(tokens), state))
+
   def langId(text: Column): Column = c(LangId(e(text)))
 
   /** Winnowing fingerprint set (array<long>) — robust doc identity for

@@ -1185,6 +1185,62 @@ class LmState(val vocab: Broadcast[Array[(String, Long)]],
   }
 }
 
+/**
+ * Hashed-feature LINEAR classifier state — the fastText-style quality
+ * classifier shape (Joulin et al. 2016; hashing trick per Weinberger et
+ * al. ICML'09): score = bias + Σ over features of W[bucket(feature)],
+ * features = unigrams + adjacent-token bigrams, bucket = the first 16
+ * bits of md5(feature) mod numBuckets. Weights are INTEGER (train
+ * elsewhere, quantize to milli-units on import), so scores are exact in
+ * any engine that can replay md5-bucket arithmetic — DuckDB does it with
+ * CAST('0x'||substr(md5(f),1,4) AS BIGINT). Ships only the broadcast
+ * handle; the dense weight array crosses the wire once per executor.
+ */
+class HashedLinearState(val weights: Broadcast[Array[Long]],
+                        val bias: Long) extends Serializable {
+  private def bucketOf(md: java.security.MessageDigest, w: Array[Long], f: String): Int = {
+    val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % w.length
+  }
+  /** bias + Σ W[bucket(unigram)] + Σ W[bucket(prev ++ " " ++ cur)]. */
+  def score(tokens: ArrayData): Long = {
+    val w = weights.value
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var s = bias
+    var prev: String = null
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val t = tokens.getUTF8String(i).toString
+      s += w(bucketOf(md, w, t))
+      if (prev != null) s += w(bucketOf(md, w, prev + " " + t))
+      prev = t
+      i += 1
+    }
+    s
+  }
+}
+
+/** hashed_linear_score(tokens) → bigint: integer linear-classifier score of
+  * a token array under a broadcast hashed weight table (see
+  * [[HashedLinearState]]). Scan-local and codegen'd — the 100 TB
+  * quality-filter shape: the model crosses the wire once per executor,
+  * the corpus never shuffles, and the filter composes with the scan. */
+case class HashedLinearScore(child: Expression, state: HashedLinearState)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashed_linear_score"
+  override protected def nullSafeEval(tokens: Any): Any =
+    state.score(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("clfState", state, classOf[HashedLinearState].getName)
+    defineCodeGen(ctx, ev, t => s"$ref.score($t)")
+  }
+  override protected def withNewChildInternal(c: Expression): HashedLinearScore = copy(child = c)
+}
+
 /** lm_cost_sum(tokens) → bigint: total integer surprisal of a token array
   * under a broadcast unigram cost table (OOV tokens pay the table's OOV
   * cost). Scan-local and codegen'd — the 100 TB perplexity-filter shape:

@@ -161,6 +161,56 @@ class SamplingTextSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan) // codegen'd projection
   }
 
+  test("classifierScore: independent md5 replay, DF import path, totality") {
+    // independent replay: rebuild every feature's bucket/weight with raw
+    // MessageDigest arithmetic (shares no code with HashedLinearState)
+    val b = 64
+    val weights = Array.tabulate(b)(i => (i % 7).toLong - 3L)
+    def bucket(f: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % b
+    }
+    def expected(text: String, bias: Long): Long = {
+      val ws = text.trim.split("\\s+", -1)
+      val uni = ws.map(w => weights(bucket(w))).sum
+      val bi = ws.sliding(2).filter(_.length == 2)
+        .map(p => weights(bucket(p(0) + " " + p(1)))).sum
+      bias + uni + bi
+    }
+    val st = TextAnalysis.classifierState(spark, weights, bias = 2L)
+    val fixture = Seq[(java.lang.Long, String)](
+      (1L, "the quick brown fox"), (2L, "single"), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val got = fixture.select(col("doc_id"), TextAnalysis.classifierScore(
+        split(trim(col("text")), "\\s+"), st).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) == Some(expected("the quick brown fox", 2L)))
+    assert(got(2L) == Some(expected("single", 2L)))
+    assert(got(3L) == Some(expected("", 2L)), "empty text scores, not nulls")
+    assert(got(4L) == None, "NULL in, NULL out")
+    // lake-resident import path: sparse (bucket, weight) rows, absent = 0
+    val sparse = weights.zipWithIndex.collect { case (w, i) if w != 0 => (i.toLong, w) }
+      .toSeq.toDF("bucket", "weight")
+    val st2 = TextAnalysis.classifierStateFromDf(sparse, b, bias = 2L)
+    val again = fixture.filter(col("text").isNotNull)
+      .select(TextAnalysis.classifierScore(split(trim(col("text")), "\\s+"), st2))
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == Seq(expected("the quick brown fox", 2L),
+      expected("single", 2L), expected("", 2L)))
+  }
+
+  test("classifierScore stage is scan-local (no exchange)") {
+    val st = TextAnalysis.classifierState(spark,
+      Array.tabulate(4096)(i => (i % 21).toLong - 10L), bias = 5L)
+    val plan = docs.select(col("doc_id"), TextAnalysis.classifierScore(
+        split(trim(col("text")), "\\s+"), st))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1) Project"), plan) // codegen'd projection
+  }
+
   test("zipfVocab is partition-invariant and vocab derivation bounded") {
     val base = TextAnalysis.zipfVocab(docs, "text", topV = 100)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
