@@ -749,6 +749,17 @@ object SparkEntry {
           ",")), md5(lit(""))).as("ids_md5"))
     }),
 
+    // TOKEN-denominated chunking: conveyor cut (chunk = exclusive token
+    // cumsum div budget) at pre-token boundaries; the oracle replays the
+    // merge loop for per-pretoken counts, the window cumsum, and the
+    // ordered chunk reassembly md5 — the whole slicer, independently
+    "q_chunk_tokens" -> ((s, d) => {
+      val st = TextAnalysis.bpeState(s, graft.text.BpeFixture.merges)
+      TextAnalysis.chunkByTokens(Tables.table(s, d, "documents"), st, maxTokens = 8L)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+    }),
+
     // DETOKENIZE — decode(encode(text)) must equal text byte-for-byte for
     // every document: the oracle is the identity md5, which checks the
     // decode path end-to-end because the encode path is independently
@@ -1771,6 +1782,38 @@ object SparkEntry {
     // decode path given encode is separately oracled (q_text_token_ids)
     "q_text_detok" ->
       "SELECT doc_id, md5(coalesce(text, '')) AS detok_md5 FROM documents",
+
+    // merge-loop replay for per-pretoken counts, then the conveyor cut as
+    // one window cumsum (chunk = exclusive cum // 8) and ordered reassembly
+    "q_chunk_tokens" ->
+      ("WITH RECURSIVE " +
+        s"m(lhs, rhs, rnk) AS (VALUES ${graft.text.BpeFixture.sqlValues}), " +
+        "pre AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), " +
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s') AS ws FROM documents), " +
+        "occ AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS widx FROM pre), " +
+        "vocab AS (SELECT DISTINCT tok FROM occ), " +
+        "steps(tok, s) AS (" +
+        "SELECT tok, chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) FROM vocab " +
+        "UNION ALL " +
+        "SELECT tok, substr(s, 1, idx - 1) || chr(31) || lhs || rhs || chr(31) " +
+        "|| substr(s, idx + length(chr(31) || lhs || chr(31) || rhs || chr(31))) " +
+        "FROM (SELECT st.tok, st.s, best.lhs, best.rhs, " +
+        "strpos(st.s, chr(31) || best.lhs || chr(31) || best.rhs || chr(31)) AS idx " +
+        "FROM steps st, LATERAL (SELECT m.lhs, m.rhs FROM m " +
+        "WHERE strpos(st.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0 " +
+        "ORDER BY m.rnk LIMIT 1) AS best) t), " +
+        "fin AS (SELECT tok, s FROM steps t WHERE NOT EXISTS (SELECT 1 FROM m " +
+        "WHERE strpos(t.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0)), " +
+        "tokcnt AS (SELECT tok, length(s) - length(replace(s, chr(31), '')) - 1 AS n FROM fin), " +
+        "cum AS (SELECT o.doc_id, o.tok, o.widx, tc.n, " +
+        "COALESCE(SUM(tc.n) OVER (PARTITION BY o.doc_id ORDER BY o.widx " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c " +
+        "FROM occ o JOIN tokcnt tc USING (tok)), " +
+        "ch AS (SELECT doc_id, c // 8 AS cid, CAST(sum(n) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(tok, '' ORDER BY widx)) AS chunk_md5 " +
+        "FROM cum GROUP BY doc_id, c // 8) " +
+        "SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY cid) - 1 AS chunk_idx, " +
+        "n_tokens, chunk_md5 FROM ch"),
 
     // full BPE replay: distinct pre-tokens run the merge loop as a
     // recursive CTE (state = chr(31)-delimited symbol string; each step

@@ -105,6 +105,30 @@ object TextAnalysis {
   def detokenizeBpe(ids: Column, state: org.apache.spark.sql.graft.BpeState): Column =
     c(org.apache.spark.sql.graft.BpeDetokenize(e(ids), state))
 
+  /** Chunk array of `text` under the conveyor token-budget cut (see
+    * [[graft.text.BpeCore.chunkText]]) — scan-local, zero shuffles. */
+  def bpeChunks(text: Column, state: org.apache.spark.sql.graft.BpeState,
+                maxTokens: Long): Column =
+    c(org.apache.spark.sql.graft.BpeChunks(e(text), state, maxTokens))
+
+  /**
+   * TOKEN-denominated chunking — [[chunk]]'s character windows replaced by
+   * real tokenizer-token budgets, the unit training windows are actually
+   * sized in: one row per chunk with its positional index, text, and BPE
+   * token count. Cuts fall on pre-token boundaries only; chunks
+   * concatenate back to the document. Fully scan-local (the chunk array
+   * is one expression pass; posexplode is a per-row generator) — no
+   * shuffle at any scale, unlike a window-cumsum formulation.
+   */
+  def chunkByTokens(df: DataFrame, state: org.apache.spark.sql.graft.BpeState,
+                    maxTokens: Long, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+        posexplode(bpeChunks(col(textCol), state, maxTokens))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long"), col("chunk"),
+        tokenCountBpe(col("chunk"), state).cast("long").as("n_tokens"))
+
   /** Integer log2 of a positive long (bit length − 1). */
   private def ilog2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
 

@@ -1084,6 +1084,8 @@ class BpeState(val merges: Broadcast[Array[(String, String)]],
   def decode(ids: ArrayData): UTF8String =
     UTF8String.fromString(graft.text.BpeCore.decodeIds(
       ids.toLongArray(), merges.value, byteLevel))
+  def chunks(text: String, maxTokens: Long): Array[String] =
+    graft.text.BpeCore.chunkText(text, ranks, cache, maxTokens, byteLevel)
 }
 
 /** bpe_token_count(text) → int: REAL merges-table BPE token count (see
@@ -1115,6 +1117,22 @@ case class BpeTokens(child: Expression, state: BpeState)
   override protected def nullSafeEval(text: Any): Any =
     new GenericArrayData(state.tokens(text.toString).map(UTF8String.fromString(_): Any))
   override protected def withNewChildInternal(c: Expression): BpeTokens = copy(child = c)
+}
+
+/** bpe_chunks(text) → array<string>: slice text into ~maxTokens-token
+  * chunks at pre-token boundaries (the conveyor cut rule — see
+  * [[graft.text.BpeCore.chunkText]]). Chunks concatenate back to the
+  * input; one scan-local pass, the 100 TB training-window shape. */
+case class BpeChunks(child: Expression, state: BpeState, maxTokens: Long)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_chunks"
+  override protected def nullSafeEval(text: Any): Any =
+    new GenericArrayData(state.chunks(text.toString, maxTokens)
+      .map(UTF8String.fromString(_): Any))
+  override protected def withNewChildInternal(c: Expression): BpeChunks = copy(child = c)
 }
 
 /** bpe_detokenize(ids) → string: decode a vocab-id sequence back to text —

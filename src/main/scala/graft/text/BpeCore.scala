@@ -195,6 +195,43 @@ object BpeCore {
     out.toArray
   }
 
+  /**
+   * Chunk `text` into consecutive pieces of ~`maxTokens` BPE tokens,
+   * cutting ONLY at pre-token boundaries — the training-window slicer
+   * denominated in real tokenizer tokens. The cut rule is the conveyor
+   * contract shared with the packing/budget operators: a pre-token with
+   * exclusive running token sum c belongs to chunk c div maxTokens, so the
+   * assignment is a pure function of (pre-token order, counts) and replays
+   * as one window cumsum in any SQL engine. A chunk can overrun by at most
+   * one pre-token's tail (pre-tokens are atomic — a pathological
+   * million-char word lands alone in its own oversized chunk rather than
+   * splitting mid-merge). Chunks concatenate back to exactly `text`, and
+   * because every chunk starts at an original pre-token boundary, its
+   * re-tokenization equals the original token subsequence (pinned by
+   * test) — chunk token counts sum to the document's count.
+   */
+  def chunkText(text: String, ranks: java.util.HashMap[String, Integer],
+                cache: java.util.concurrent.ConcurrentHashMap[String, Array[String]],
+                maxTokens: Long, byteLevel: Boolean = false): Array[String] = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var cum = 0L
+    var curId = 0L
+    val m = pretokenPattern.matcher(text)
+    while (m.find()) {
+      val w = m.group()
+      val id = cum / maxTokens
+      if (id != curId && sb.length > 0) {
+        out += sb.toString; sb.setLength(0); curId = id
+      }
+      sb.append(w)
+      cum += cachedWord(w, ranks, cache, byteLevel).length
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
   /** The token STRING an id denotes under [[buildFormedIds]]' scheme —
     * the exact inverse of [[idOf]]: ids below 0x110000 are codepoints,
     * 0x110000 + rank is the string `merges(rank)` forms. Fails on ids

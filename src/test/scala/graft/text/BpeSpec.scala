@@ -240,6 +240,48 @@ class BpeSpec extends AnyFunSuite {
     assert(packed.toSeq == Seq((1L, 4L, 0L), (2L, 7L, 1L), (3L, 3L, 2L), (4L, 1L, 3L)))
   }
 
+  test("chunkText: conveyor cut goldens, lossless concat, recount invariant") {
+    val ranksM = ranks
+    def chunksOf(t: String, max: Long) = BpeCore.chunkText(t, ranksM, cache, max)
+    // "the small data" pre-tokens: the(1 tok) / " small"(2: " ","small") /
+    // " data"(1: space merge) — exclusive cums 0,1,3 → max=2 chunk ids
+    // 0,0,1: cut before " data"
+    assert(chunksOf("the small data", 2).toSeq == Seq("the small", " data"))
+    // max=1: every pre-token chunks alone (" small" overruns its budget)
+    assert(chunksOf("the small data", 1).toSeq == Seq("the", " small", " data"))
+    // oversized pre-token: "dup" is 3 tokens (d,u,p) — alone it overruns
+    // max=2 in its own chunk; following pre-tokens land in later chunks
+    assert(chunksOf("dup the", 2).toSeq == Seq("dup", " the"))
+    // whole doc under budget → one chunk
+    assert(chunksOf("the small data", 100).toSeq == Seq("the small data"))
+    assert(chunksOf("", 4).isEmpty)
+    // lossless concat + recount invariant on hard inputs: every chunk
+    // re-tokenizes to the original token subsequence, so counts sum
+    for (t <- Seq("the small data stream filter join", "dup dup dup dup",
+      "a😀b 😀😀 café …", "  leading  spaces", "tabs\tand\nnewlines\n",
+      "digits 123 mix3d !?# the query")) {
+      for (max <- Seq(1L, 2L, 3L, 7L)) {
+        val cs = chunksOf(t, max)
+        assert(cs.mkString == t, s"concat '$t' max=$max")
+        val whole = BpeCore.countText(t, ranksM, cache)
+        val parts = cs.map(c => BpeCore.countText(c, ranksM, cache)).sum
+        assert(parts == whole, s"recount '$t' max=$max: $parts != $whole")
+        // token sequences concatenate too (stronger than counts)
+        val seqWhole = BpeCore.tokenizeText(t, ranksM, cache).toSeq
+        val seqParts = cs.flatMap(c => BpeCore.tokenizeText(c, ranksM, cache)).toSeq
+        assert(seqParts == seqWhole, s"token seq '$t' max=$max")
+      }
+    }
+    // DataFrame surface: positional idx, per-chunk counts, totality
+    val st = graft.pipeline.TextAnalysis.bpeState(spark, BpeFixture.merges)
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "the small data"), (2L, ""), (3L, null)).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis.chunkByTokens(df, st, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0L, "the small", 3L), (1L, 1L, " data", 1L)),
+      "empty and NULL docs produce no chunk rows")
+  }
+
   test("detokenize: golden id decode, lossless round trip, foreign-id failure") {
     // golden: codepoint ids decode to their chars, formed ids to lhs++rhs
     val m = BpeFixture.merges
