@@ -527,6 +527,19 @@ object SparkEntry {
         .withColumn("label", when(col("score") >= 0L, 1L).otherwise(0L))
     }),
 
+    // DSIR-style importance scoring: hashed n-gram bucket counts over a
+    // target subset vs the raw corpus, integer bit-cost log-ratio weights
+    // (ilog2(nt+1) − ilog2(nr+1)), scan-local scoring. The oracle rebuilds
+    // buckets, both count tables, the weights, AND the per-doc sums
+    "q_importance" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val st = TextAnalysis.importanceState(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), docs, numBuckets = 4096)
+      docs.select(col("doc_id"),
+        TextAnalysis.classifierScore(split(trim(col("text")), "\\s+"), st)
+          .as("imp_score"))
+    }),
+
     // CCNet-style LM quality scoring with an integer Zipf-surprisal LM
     // derived from the corpus itself: total/mean bits per doc, exact in
     // any engine (floor(log2 rank) is bit arithmetic, not a float log)
@@ -1628,6 +1641,25 @@ object SparkEntry {
         ") AS score FROM feats GROUP BY doc_id) " +
         "SELECT d.doc_id, CAST(sc.score AS BIGINT) AS score, " +
         "CAST(CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label " +
+        "FROM documents d LEFT JOIN sc USING (doc_id)"),
+
+    // full DSIR replay: features → md5 buckets → target/raw counts →
+    // bit-cost weights length(bin(n+1))-1 → per-doc integer sums
+    "q_importance" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "uni AS (SELECT doc_id, unnest(ws) AS f FROM t), " +
+        "bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1), " +
+        "i -> ws[i] || ' ' || ws[i + 1])) AS f FROM t), " +
+        "feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), " +
+        "buck AS (SELECT doc_id, CAST(concat('0x', substr(md5(f), 1, 4)) AS BIGINT) % 4096 AS b " +
+        "FROM feats), " +
+        "tc AS (SELECT b, count(*) AS n FROM buck WHERE doc_id % 10 = 0 GROUP BY b), " +
+        "rc AS (SELECT b, count(*) AS n FROM buck GROUP BY b), " +
+        "w AS (SELECT rc.b, CAST(length(bin(COALESCE(tc.n, 0) + 1)) - 1 AS BIGINT) " +
+        "- CAST(length(bin(rc.n + 1)) - 1 AS BIGINT) AS w FROM rc LEFT JOIN tc USING (b)), " +
+        "sc AS (SELECT bu.doc_id, sum(w.w) AS s FROM buck bu JOIN w USING (b) GROUP BY bu.doc_id) " +
+        "SELECT d.doc_id, CAST(sc.s AS BIGINT) AS imp_score " +
         "FROM documents d LEFT JOIN sc USING (doc_id)"),
 
     // the oracle re-derives the WHOLE LM: token counts → top-200 vocab by

@@ -223,6 +223,51 @@ object TextAnalysis {
                       state: org.apache.spark.sql.graft.HashedLinearState): Column =
     c(org.apache.spark.sql.graft.HashedLinearScore(e(tokens), state))
 
+  /** Unigram + adjacent-bigram feature array of a text column — the same
+    * feature definition [[org.apache.spark.sql.graft.HashedLinearState]]
+    * scores, expressed in built-ins for the counting side. */
+  private def hashedFeatures(text: Column): Column = {
+    val ws = split(trim(text), "\\s+")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    concat(ws, zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** Per-bucket feature counts of a corpus: bucket = first 16 md5 bits of
+    * the feature mod `numBuckets` (the [[classifierScore]] hash). One
+    * explode + one map-side-combined aggregate onto a bucket-bounded
+    * table — the corpus never shuffles, only (bucket, count). */
+  def hashedBucketCounts(df: DataFrame, numBuckets: Int,
+                         textCol: String = "text"): DataFrame =
+    df.select(explode(hashedFeatures(col(textCol))).as("__f"))
+      .select(pmod(conv(substring(md5(col("__f")), 1, 4), 16, 10).cast("long"),
+        lit(numBuckets.toLong)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /**
+   * DSIR-style importance weights (Xie et al., "Data Selection for
+   * Language Models via Importance Resampling", NeurIPS 2023): score raw
+   * documents by how target-like their hashed n-gram features are. The
+   * log-likelihood ratio is INTEGER bit costs — w[b] = ilog2(n_target[b]+1)
+   * − ilog2(n_raw[b]+1), the same floor(log2) = length(bin(n))−1 bit
+   * arithmetic as [[zipfVocab]] — so scores replay exactly cross-engine
+   * (no float log anywhere; the +1 is add-one smoothing). Counting is two
+   * bucket-bounded aggregates; scoring is the scan-local
+   * [[classifierScore]] — at 100 TB the raw corpus is read once to count
+   * and once to score, and only (bucket, count) rows ever shuffle.
+   */
+  def importanceState(target: DataFrame, raw: DataFrame, numBuckets: Int,
+                      textCol: String = "text")
+      : org.apache.spark.sql.graft.HashedLinearState = {
+    val tc = hashedBucketCounts(target, numBuckets, textCol).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val rc = hashedBucketCounts(raw, numBuckets, textCol).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val w = Array.tabulate(numBuckets)(b =>
+      ilog2(tc.getOrElse(b, 0L) + 1L) - ilog2(rc.getOrElse(b, 0L) + 1L))
+    classifierState(target.sparkSession, w, bias = 0L)
+  }
+
   def langId(text: Column): Column = c(LangId(e(text)))
 
   /** Winnowing fingerprint set (array<long>) — robust doc identity for

@@ -201,6 +201,46 @@ class SamplingTextSpec extends AnyFunSuite {
       expected("single", 2L), expected("", 2L)))
   }
 
+  test("importanceState: independent count/weight replay, target bias sign") {
+    val b = 128
+    def bucket(f: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % b
+    }
+    def feats(text: String): Seq[String] = {
+      val ws = text.trim.split("\\s+", -1).toSeq
+      ws ++ ws.sliding(2).filter(_.length == 2).map(p => p(0) + " " + p(1))
+    }
+    def ilog2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val targetTexts = Seq("alpha beta alpha", "beta alpha")
+    val rawTexts = targetTexts ++ Seq("gamma delta", "delta gamma delta", "epsilon")
+    val target = targetTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val raw = rawTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // independent replay: bucket counts from raw MessageDigest arithmetic
+    val tcnt = targetTexts.flatMap(feats).groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val rcnt = rawTexts.flatMap(feats).groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    def expected(text: String): Long =
+      feats(text).map { f =>
+        val bk = bucket(f)
+        ilog2(tcnt.getOrElse(bk, 0L) + 1L) - ilog2(rcnt.getOrElse(bk, 0L) + 1L)
+      }.sum
+    val st = TextAnalysis.importanceState(target, raw, b)
+    val got = raw.select(col("doc_id"), TextAnalysis.classifierScore(
+        split(trim(col("text")), "\\s+"), st).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rawTexts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == expected(t), s"doc $i '$t'")
+    }
+    // sign sanity: target-domain docs score at least as high as any
+    // out-of-domain doc (features seen in target get the bit-ratio boost)
+    val inDomain = (0 to 1).map(i => got(i.toLong)).min
+    val outDomain = (2 to 4).map(i => got(i.toLong)).max
+    assert(inDomain > outDomain, s"in=$inDomain out=$outDomain")
+  }
+
   test("classifierScore stage is scan-local (no exchange)") {
     val st = TextAnalysis.classifierState(spark,
       Array.tabulate(4096)(i => (i % 21).toLong - 10L), bias = 5L)
