@@ -993,6 +993,22 @@ object SparkEntry {
           array_join(col("domains"), ",").as("domains_csv"), col("blocked"))
     }),
 
+    // URL-keyed crawl dedup: one doc per canonical page key (lowercase,
+    // port/www./fragment/trailing-slash stripped, query kept); the fixture
+    // plants colliding mixed-case/port/fragment URL variants keyed on
+    // doc_id % 17 and leaves 1/4 of docs URL-less (always kept); the
+    // oracle re-derives key, keeper, and flag from the same text
+    "q_dedup_url" -> ((s, d) => {
+      val fx = Tables.table(s, d, "documents")
+        .withColumn("text", concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) =!= 3,
+            concat(lit(" see https://WWW.Example.com:8080/page"),
+              pmod(col("doc_id"), lit(17)), lit("/#sec"),
+              pmod(col("doc_id"), lit(3)))).otherwise(lit(""))))
+      Provenance.dedupByUrl(fx)
+        .select(col("doc_id"), col("url_key"), col("kept"))
+    }),
+
     // INCREMENTAL line dedup: corpus (3/4 of docs) line-hashed into a
     // persisted digest index; the arriving batch (1/4) is cleaned against
     // the index plus its own within-batch first-occurrence rule — the
@@ -2058,6 +2074,25 @@ object SparkEntry {
         "array_to_string(doms, ',') AS domains_csv, " +
         "CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS blocked " +
         "FROM e LEFT JOIN hits h ON e.doc_id = h.doc_id"),
+
+    // key/keeper/flag replay: same extraction, same literal-replacement
+    // normalization chain, min-id keeper, URL-less docs always kept
+    "q_dedup_url" ->
+      ("WITH fx AS (SELECT doc_id, text || CASE WHEN doc_id % 4 <> 3 THEN " +
+        "' see https://WWW.Example.com:8080/page' || CAST(doc_id % 17 AS VARCHAR) " +
+        "|| '/#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END AS text FROM documents), " +
+        "u0 AS (SELECT doc_id, lower(regexp_extract(text, " +
+        "'https?://[A-Za-z0-9.-]+(:[0-9]{1,5})?[A-Za-z0-9/._~%+&#?=-]*', 0)) AS u FROM fx), " +
+        "k AS (SELECT doc_id, CASE WHEN u IS NULL OR u = '' THEN NULL ELSE " +
+        "regexp_replace(regexp_extract(u, 'https?://([a-z0-9.-]+)', 1), '^www\\.', '') || " +
+        "regexp_replace(regexp_replace(regexp_replace(u, " +
+        "'^https?://[a-z0-9.-]+(:[0-9]{1,5})?', ''), '#.*$', ''), '/$', '') END AS url_key " +
+        "FROM u0), " +
+        "keep AS (SELECT url_key, min(doc_id) AS kid FROM k " +
+        "WHERE url_key IS NOT NULL GROUP BY url_key) " +
+        "SELECT k.doc_id, k.url_key, " +
+        "CAST(CASE WHEN k.url_key IS NULL OR k.doc_id = kp.kid THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+        "FROM k LEFT JOIN keep kp USING (url_key)"),
 
     // the oracle rebuilds the index semantics in SQL: corpus digests are a
     // DISTINCT set; a batch line drops when its digest is in that set OR a

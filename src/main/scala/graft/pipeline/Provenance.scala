@@ -58,6 +58,51 @@ object Provenance {
   }
 
   /**
+   * Canonical URL key of a document's FIRST URL — the page identity used
+   * for crawl-level dedup: lowercase, port stripped (host class), leading
+   * "www." stripped, fragment stripped, trailing slash stripped; query
+   * strings KEPT (distinct query = distinct page, the C4 stance). NULL
+   * when the document carries no URL. Every regexp here is in the
+   * [[Pii]]-contract subset and every replacement is literal (no
+   * backreferences), so the key re-derives identically cross-engine.
+   */
+  def urlKey(text: Column): Column = {
+    val u = lower(regexp_extract(text, urlPattern, 0))
+    val path = regexp_replace(regexp_replace(
+      regexp_replace(u, "^https?://[a-z0-9.-]+(:[0-9]{1,5})?", ""),
+      "#.*$", ""), "/$", "")
+    val dom = regexp_replace(regexp_extract(u, hostPattern, 1), "^www\\.", "")
+    when(u === "", lit(null).cast("string")).otherwise(concat(dom, path))
+  }
+
+  /**
+   * URL-keyed exact dedup — the crawl-dedup pass that runs BEFORE content
+   * dedup (one document per page: re-crawls, mirrors-with-fragments, and
+   * http/https/www variants collapse): among documents sharing a
+   * [[urlKey]], only the minimum id is kept; documents with no URL always
+   * stay. Appends `url_key` and `kept` (1/0) rather than dropping rows,
+   * so the decision is auditable and the drop is one trailing filter.
+   *
+   * Scale shape: the decision stream is (id, url_key) pairs — text never
+   * enters the min-aggregate shuffle; the drop set (duplicate ids only,
+   * far smaller than the corpus when dup rates are sane) joins back on
+   * the id, broadcast under AQE whenever it fits.
+   */
+  def dedupByUrl(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val pairs = df.select(col(idCol).as("__id"), urlKey(col(textCol)).as("__k"))
+      .filter(col("__k").isNotNull)
+    val drops = pairs.join(
+        pairs.groupBy(col("__k")).agg(min(col("__id")).as("__keep")), "__k")
+      .filter(col("__id") =!= col("__keep"))
+      .select(col("__id"))
+    df.join(drops, col(idCol) === col("__id"), "left")
+      .withColumn("url_key", urlKey(col(textCol)))
+      .withColumn("kept", when(col("__id").isNull, 1L).otherwise(0L))
+      .drop("__id")
+  }
+
+  /**
    * Blocklist flagging against a lake-resident blocklist table
    * (`domain` column): appends `blocked` (long 0/1). The blocklist
    * broadcasts (real-world lists are ≤ millions of rows); the corpus

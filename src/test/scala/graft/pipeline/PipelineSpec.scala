@@ -542,6 +542,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("dedupByUrl: canonical page key, min-id keeper, URL-less kept") {
+    val fixture = Seq[(Long, String)](
+      (1L, "see https://WWW.Example.com:8080/Page/#frag"),  // key example.com/page
+      (2L, "see http://example.com/page"),                  // same page, http + bare
+      (3L, "see https://example.com/page?q=1"),             // query kept → distinct
+      (4L, "see https://example.com/page?q=1#other"),       // dup of 3 (fragment)
+      (5L, "no urls here"),
+      (6L, null)).toDF("doc_id", "text")
+    val keys = fixture.select(col("doc_id"),
+        Provenance.urlKey(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(keys(1L) == "example.com/page", keys(1L))
+    assert(keys(2L) == "example.com/page")
+    assert(keys(3L) == "example.com/page?q=1")
+    assert(keys(4L) == "example.com/page?q=1")
+    assert(keys(5L) == null && keys(6L) == null)
+    val got = Provenance.dedupByUrl(fixture)
+      .select("doc_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L, 6L -> 1L), got)
+  }
+
   test("dedupLinesAgainstIndex == batch dedupLines under id-ordered arrival") {
     val fixture = Seq[(Long, String)](
       (1L, "common boilerplate header\nunique body of doc one\nshort"),
