@@ -512,6 +512,11 @@ object SparkEntry {
     "q_vocab_df" -> ((s, d) =>
       TextAnalysis.vocabStats(Tables.table(s, d, "documents"))),
 
+    // per-source corpus report: integer counts/totals in ONE map-side-
+    // combined aggregate — the pass that brackets every curation stage
+    "q_corpus_stats" -> ((s, d) =>
+      Curation.corpusStats(Tables.table(s, d, "documents"))),
+
     // fastText-style hashed linear quality classifier: integer weights in
     // a broadcast table, features = unigrams + adjacent bigrams, bucket =
     // first 16 md5 bits mod B. The gate's weight table is a pure function
@@ -1642,6 +1647,16 @@ object SparkEntry {
         "FROM documents) WHERE length(term) >= 3 " +
         "GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 100"),
 
+    "q_corpus_stats" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+        "CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE length(text) END) AS BIGINT) AS total_chars, " +
+        "CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE " +
+        "length(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(CASE WHEN text IS NOT NULL AND length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short, " +
+        "CAST(max(length(text)) AS BIGINT) AS max_chars " +
+        "FROM documents GROUP BY source"),
+
     // full scorer replay: unigram + adjacent-bigram features, bucket =
     // first 16 md5 bits (hex-string arithmetic) mod 4096, weight re-derived
     // from the bucket id by the same formula, bias + integer sum
@@ -2367,13 +2382,13 @@ object SparkEntry {
         "list_filter(ls, x -> trim(x) <> '' AND " +
         "length(string_split_regex(trim(x), '\\s+')) >= 5 AND " +
         "regexp_matches(trim(x), '[.!?]$') AND " +
-        "strpos(x, 'http://') = 0 AND strpos(x, 'https://') = 0 AND " +
+        "strpos(lower(x), 'http://') = 0 AND strpos(lower(x), 'https://') = 0 AND " +
         "2 * length(regexp_replace(x, '[^A-Z]', '', 'g')) <= length(regexp_replace(x, '[^A-Za-z]', '', 'g'))" +
         ") AS prose, " +
         "list_filter(ls, x -> trim(x) = '' OR (" +
         "length(string_split_regex(trim(x), '\\s+')) >= 5 AND " +
         "regexp_matches(trim(x), '[.!?]$') AND " +
-        "strpos(x, 'http://') = 0 AND strpos(x, 'https://') = 0 AND " +
+        "strpos(lower(x), 'http://') = 0 AND strpos(lower(x), 'https://') = 0 AND " +
         "2 * length(regexp_replace(x, '[^A-Z]', '', 'g')) <= length(regexp_replace(x, '[^A-Za-z]', '', 'g'))" +
         ")) AS kept FROM l) " +
         "SELECT doc_id, " +

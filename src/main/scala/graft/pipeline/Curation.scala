@@ -69,4 +69,28 @@ object Curation {
       .filter(col("quality_score") >= config.minQuality)
     Sampling.deterministicSplit(scored, idCol, config.splits)
   }
+
+  /**
+   * Per-source corpus report — the daily sanity dashboard every curation
+   * pipeline materializes before and after each pass: document / null /
+   * short-doc counts, character and whitespace-token totals, and the
+   * longest document, all INTEGER so snapshots diff exactly across runs
+   * and engines. One map-side-combined aggregate over the scan — at
+   * 100 TB this is the cheapest full-corpus job there is, which is why
+   * it brackets every expensive pass (drop rates fall out of diffing two
+   * reports).
+   */
+  def corpusStats(df: DataFrame, groupCol: String = "source",
+                  textCol: String = "text",
+                  shortChars: Int = 100): DataFrame = {
+    val t = col(textCol)
+    df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(t.isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(t.isNull, 0L).otherwise(length(t).cast("long"))).as("total_chars"),
+      sum(when(t.isNull, 0L)
+        .otherwise(TextAnalysis.tokenCountWs(t).cast("long"))).as("total_tokens"),
+      sum(when(t.isNotNull && length(t) < shortChars, 1L).otherwise(0L)).as("n_short"),
+      max(length(t)).cast("long").as("max_chars"))
+  }
 }

@@ -600,7 +600,7 @@ object TextAnalysis {
       val nUpper = length(regexp_replace(l, "[^A-Z]", "")).cast("long")
       val nAlpha = length(regexp_replace(l, "[^A-Za-z]", "")).cast("long")
       nWords >= minWords.toLong && t.rlike("[.!?]$") &&
-        instr(l, "http://") === 0 && instr(l, "https://") === 0 &&
+        instr(lower(l), "http://") === 0 && instr(lower(l), "https://") === 0 &&
         lit(2L) * nUpper <= nAlpha
     }
     val nonBlank = size(filter(lines, l => !blank(l))).cast("long")

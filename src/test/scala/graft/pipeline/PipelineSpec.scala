@@ -622,11 +622,26 @@ class PipelineSpec extends AnyFunSuite {
       assert(flags.values.count(_ == 0L) == 2, s"doc $id trips extra rules: $flags")
   }
 
+  test("corpusStats: integer report on a hand corpus, null handling") {
+    val fixture = Seq[(java.lang.Long, String, String)](
+      (1L, "a", "one two three"), (2L, "a", null), (3L, "a", "x" * 150),
+      (4L, "b", "")).toDF("doc_id", "source", "text")
+    val got = Curation.corpusStats(fixture)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    // a: 3 docs, 1 null, chars 13+150, tokens 3+150? no — "x"*150 is ONE
+    // token; short docs: only the 13-char one; max 150
+    assert(got("a") == ((3L, 1L, 163L, 4L, 1L, 150L)), got("a"))
+    // b: empty text counts 0 chars, 1 whitespace token ([''] split), short
+    assert(got("b") == ((1L, 0L, 0L, 1L, 1L, 0L)), got("b"))
+  }
+
   test("removeBoilerplate: per-line rules, blank preservation, NULL totality") {
     val fixture = Seq[(java.lang.Long, String)](
       (1L, "This first sentence is long enough and it ends properly.\n" +
         "Click here\n" + // short + no terminal punct
-        "Visit http://spam.example.com because this link is great today.\n" + // URL
+        "Visit HTTP://spam.example.com because this link is great today.\n" + // URL (case-blind)
         "THIS LINE IS VERY SHOUTY INDEED TODAY.\n" + // caps
         "no terminal punctuation on this long enough line\n" +
         "\n" + // blank — kept
