@@ -48,6 +48,28 @@ object DocStreams {
   def contaminationStream(docs: DataFrame, probes: Seq[String]): DataFrame =
     TextAnalysis.contaminationProbes(docs, probes)
 
+  /** Streaming boilerplate-line removal: the per-line rules are
+    * scan-local, so cleaning is identical at any micro-batch split. */
+  def boilerplateStream(docs: DataFrame, minWords: Int = 5): DataFrame =
+    TextAnalysis.removeBoilerplate(docs, minWords = minWords)
+
+  /** Streaming quality-classifier scoring: broadcast-model projection —
+    * the model crosses the wire once per executor, rows score statelessly
+    * as they arrive (the ingestion-gate shape). */
+  def classifierStream(docs: DataFrame,
+                       state: org.apache.spark.sql.graft.HashedLinearState): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.withColumn("score",
+      TextAnalysis.classifierScore(split(trim(col("text")), "\\s+"), state))
+  }
+
+  /** Streaming token-denominated chunking: the chunk array is one
+    * stateless expression pass + generator — batch-split invariant. */
+  def chunkByTokensStream(docs: DataFrame,
+                          state: org.apache.spark.sql.graft.BpeState,
+                          maxTokens: Long): DataFrame =
+    TextAnalysis.chunkByTokens(docs, state, maxTokens)
+
   /** Streaming n-gram decontamination: the batch operator unchanged on a
     * stream — eval-set grams reduce ONCE on the static side and broadcast;
     * the stream side is a stateless explode + broadcast join, and the only

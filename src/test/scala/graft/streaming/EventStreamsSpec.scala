@@ -223,6 +223,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming boilerplate + classifier + token chunking == batch twins") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val st = graft.pipeline.TextAnalysis.bpeState(spark, graft.text.BpeFixture.merges)
+    val clf = graft.pipeline.TextAnalysis.classifierState(spark,
+      Array.tabulate(256)(i => (i % 9).toLong - 4L), bias = 1L)
+    // composed stage: clean lines → score the cleaned text → chunk it,
+    // all stateless — streaming must equal batch at any micro-batch split
+    def stage(df: org.apache.spark.sql.DataFrame) = {
+      // corpus lines lack terminal punctuation; close them so the
+      // boilerplate pass keeps prose (same planting as the gate fixture)
+      val page = df.withColumn("text",
+        concat(col("text"), lit(".\nClick here to subscribe")))
+      val cleaned = DocStreams.boilerplateStream(page)
+        .select(col("doc_id"), col("cleaned").as("text"))
+      graft.pipeline.TextAnalysis.chunkByTokens(
+          DocStreams.classifierStream(cleaned, clf).filter(col("score") >= -1000L),
+          st, maxTokens = 16L)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
+    }
+    val stream = DocStreams.readDocStream(spark, stageDocsDir())
+    val q = stage(stream)
+      .writeStream.outputMode("append").format("memory").queryName("curate_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curate_out").collect().map(_.toSeq).toSet
+      val batch = stage(docs).collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming chunking == batch twin (stateless generator)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val stream = DocStreams.readDocStream(spark, stageDocsDir())
