@@ -127,6 +127,49 @@ class CurationE2ESpec extends AnyFunSuite {
     assert(m("src1") >= perSrc("src1")._2 && m("src1") <= 2 * perSrc("src1")._2)
   }
 
+  test("v3 chain: url dedup -> boilerplate -> classifier floor -> temperature -> token chunks") {
+    // this round's operators composed as a crawl-side pipeline: page-level
+    // URL dedup, line cleaning, model-scored floor, α-rebalance, windowing
+    val st = TextAnalysis.bpeState(spark, graft.text.BpeFixture.merges)
+    val clf = TextAnalysis.classifierState(spark,
+      Array.tabulate(512)(i => (i % 9).toLong - 3L), bias = 0L)
+    // plant colliding page URLs (several docs per page key) and a closed line
+    val crawled = docs.filter($"text".isNotNull).withColumn("text",
+      concat($"text", lit(".\nsee https://example.com/p"),
+        pmod($"doc_id", lit(13)), lit("\nClick here")))
+    val paged = graft.pipeline.Provenance.dedupByUrl(crawled)
+    val pages = paged.filter($"kept" === 1L)
+    // exactly one survivor per page key; URL-less docs impossible here
+    assert(pages.count() == pages.select("url_key").distinct().count())
+    val cleaned = TextAnalysis.removeBoilerplate(pages)
+      .select($"doc_id", $"source", $"cleaned".as("text"))
+    // the planted nav/url lines are gone, the closed prose line stays
+    assert(cleaned.filter($"text".contains("Click here")).count() == 0L)
+    assert(cleaned.filter(length($"text") > 0).count() > 0L)
+    val scored = cleaned.withColumn("score",
+      TextAnalysis.classifierScore(split(trim($"text"), "\\s+"), clf))
+    val floored = scored.filter($"score" >= -50L)
+    val rebalanced = Sampling.temperatureResample(floored, totalTarget = 60L)
+    // quotas are exact: re-derive them from the floored counts
+    val counts = floored.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wsum = counts.values.map(n => math.sqrt(n.toDouble).toLong).sum
+    val got = rebalanced.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (g, n) =>
+      val quota = math.min(n, 60L * math.sqrt(n.toDouble).toLong / wsum)
+      assert(got.getOrElse(g, 0L) == quota, s"source $g: n=$n")
+    }
+    // window the survivors in real tokens; chunks rebuild their documents
+    val chunks = TextAnalysis.chunkByTokens(rebalanced, st, maxTokens = 16L)
+    val rebuilt = chunks.groupBy("doc_id")
+      .agg(concat_ws("", sort_array(collect_list(struct($"chunk_idx", $"chunk")))
+        .getField("chunk")).as("back"))
+    val joined = rebalanced.join(rebuilt, "doc_id")
+    assert(joined.filter($"back" =!= $"text").count() == 0L,
+      "chunks must concatenate back to their documents")
+  }
+
   test("curation chain is deterministic end to end") {
     val (_, _, s1, m1, p1) = runPipeline()
     val (_, _, s2, m2, p2) = runPipeline()
