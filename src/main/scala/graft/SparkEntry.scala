@@ -560,6 +560,22 @@ object SparkEntry {
           expr("(surprisal_bits * 100) div n_tokens"))
     }),
 
+    // bigram-backoff LM (one rung up the KenLM ladder): in-table pairs pay
+    // the bigram Zipf cost, others back off to unigram + a fixed integer
+    // penalty; first token pays unigram. The oracle re-derives BOTH vocab
+    // tables and replays the backoff CASE per (lag, token) pair
+    "q_lm_bigram" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val st = TextAnalysis.bigramLmStateFromVocab(
+        TextAnalysis.zipfVocab(docs, "text", topV = 200),
+        TextAnalysis.zipfBigramVocab(docs, "text", topB = 200),
+        backoffCost = 3L)
+      val toks = split(trim(col("text")), "\\s+")
+      docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        TextAnalysis.lmSurprisalBigram(toks, st).as("surprisal_bits"))
+    }),
+
     "q_contamination" -> ((s, d) =>
       TextAnalysis.contaminationProbes(Tables.table(s, d, "documents"),
         ContaminationProbes)),
@@ -1711,6 +1727,31 @@ object SparkEntry {
         "CAST(sbits AS BIGINT) AS surprisal_bits, " +
         "(CAST(sbits AS BIGINT) * 100) // CAST(ntok AS BIGINT) AS mean_centibits " +
         "FROM sc"),
+
+    // both vocab tables re-derived (top-200 by (n DESC, key ASC), bin()
+    // bit costs), then the backoff CASE replayed per (lag, token) pair
+    "q_lm_bigram" ->
+      ("WITH tok AS (SELECT doc_id, unnest(ws) AS t, generate_subscripts(ws, 1) AS i " +
+        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)), " +
+        "cnt AS (SELECT t, count(*) AS n FROM tok GROUP BY t), " +
+        "v AS (SELECT t, row_number() OVER (ORDER BY n DESC, t ASC) AS r " +
+        "FROM cnt ORDER BY n DESC, t ASC LIMIT 200), " +
+        "vc AS (SELECT t, CAST(length(bin(r)) - 1 AS BIGINT) AS cost FROM v), " +
+        "par AS (SELECT CAST(length(bin(count(*) + 1)) - 1 AS BIGINT) AS oov FROM vc), " +
+        "pair AS (SELECT doc_id, i, lag(t) OVER (PARTITION BY doc_id ORDER BY i) AS p, t FROM tok), " +
+        "bcnt AS (SELECT p || ' ' || t AS pr, count(*) AS n FROM pair WHERE p IS NOT NULL GROUP BY 1), " +
+        "bv AS (SELECT pr, row_number() OVER (ORDER BY n DESC, pr ASC) AS r " +
+        "FROM bcnt ORDER BY n DESC, pr ASC LIMIT 200), " +
+        "bc AS (SELECT pr, CAST(length(bin(r)) - 1 AS BIGINT) AS cost FROM bv), " +
+        "sc AS (SELECT q.doc_id, count(*) AS ntok, sum(" +
+        "CASE WHEN q.p IS NULL THEN COALESCE(vc.cost, par.oov) " +
+        "WHEN bc.cost IS NOT NULL THEN bc.cost " +
+        "ELSE 3 + COALESCE(vc.cost, par.oov) END) AS sbits " +
+        "FROM pair q LEFT JOIN vc ON q.t = vc.t " +
+        "LEFT JOIN bc ON q.p || ' ' || q.t = bc.pr " +
+        "CROSS JOIN par GROUP BY q.doc_id) " +
+        "SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens, " +
+        "CAST(sbits AS BIGINT) AS surprisal_bits FROM sc"),
 
     "q_contamination" ->
       ("SELECT probe, count(*) AS n_docs, min(doc_id) AS first_doc " +

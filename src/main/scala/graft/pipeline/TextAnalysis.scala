@@ -190,6 +190,66 @@ object TextAnalysis {
   def lmSurprisal(tokens: Column, state: org.apache.spark.sql.graft.LmState): Column =
     c(org.apache.spark.sql.graft.LmCostSum(e(tokens), state))
 
+  /**
+   * Corpus-derived Zipf BIGRAM vocabulary — [[zipfVocab]] one n-gram up:
+   * the top-`topB` adjacent-token pairs (joined with one space — tokens
+   * are whitespace-split so the key is unambiguous) by (count DESC, pair
+   * ASC), with the same INTEGER `cost_bits = floor(log2(rank))` surprisal.
+   * Same plan shape: scan-local pair projection → one map-side-combined
+   * aggregate → TakeOrderedAndProject → rank over the bounded survivors.
+   */
+  def zipfBigramVocab(df: DataFrame, textCol: String = "text",
+                      topB: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topB > 0 && topB <= (1 << 20), s"topB out of range: $topB")
+    val ws = split(trim(col(textCol)), "\\s+")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val pairs = zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    val top = df.select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topB)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("pair").asc))
+          .cast("long"))
+      .withColumn("cost_bits", length(bin(col("rank"))).cast("long") - 1L)
+      .select(col("pair"), col("rank"), col("cost_bits"))
+  }
+
+  /** Broadcast bigram-backoff LM state from explicit (token, cost) and
+    * (pair, cost) rows — the production import path for an
+    * externally-trained n-gram LM quantized to integer costs. */
+  def bigramLmState(spark: org.apache.spark.sql.SparkSession,
+                    uniCosts: Seq[(String, Long)], biCosts: Seq[(String, Long)],
+                    oovCost: Long, backoffCost: Long)
+      : org.apache.spark.sql.graft.BigramLmState = {
+    require(uniCosts.size <= (1 << 21) && biCosts.size <= (1 << 22),
+      s"LM tables too large: ${uniCosts.size} uni / ${biCosts.size} bi")
+    new org.apache.spark.sql.graft.BigramLmState(
+      spark.sparkContext.broadcast(uniCosts.toArray),
+      spark.sparkContext.broadcast(biCosts.toArray), oovCost, backoffCost)
+  }
+
+  /** [[bigramLmState]] from [[zipfVocab]] + [[zipfBigramVocab]] frames.
+    * OOV pays floor(log2(V+1)); the backoff penalty is the caller's
+    * integer discount. Driver-collects (vocabulary-bounded). */
+  def bigramLmStateFromVocab(uniVocab: DataFrame, biVocab: DataFrame,
+                             backoffCost: Long)
+      : org.apache.spark.sql.graft.BigramLmState = {
+    val u = uniVocab.select(col("token"), col("cost_bits").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = biVocab.select(col("pair"), col("cost_bits").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    bigramLmState(uniVocab.sparkSession, u, b, ilog2(u.size + 1L), backoffCost)
+  }
+
+  /** Total integer surprisal (bits) under a broadcast bigram-backoff LM —
+    * scan-local, codegen'd, zero shuffles. */
+  def lmSurprisalBigram(tokens: Column,
+                        state: org.apache.spark.sql.graft.BigramLmState): Column =
+    c(org.apache.spark.sql.graft.BigramLmCostSum(e(tokens), state))
+
   /** Broadcast hashed-linear-classifier state from a dense integer weight
     * array (index = bucket) + bias — the fastText-style quality-classifier
     * import path (train elsewhere, quantize weights to integers). */

@@ -1278,3 +1278,68 @@ case class LmCostSum(child: Expression, state: LmState)
   }
   override protected def withNewChildInternal(c: Expression): LmCostSum = copy(child = c)
 }
+
+/**
+ * BIGRAM-backoff LM scoring state — one rung up the KenLM ladder from
+ * [[LmState]]: a token after context `prev` pays the bigram cost when
+ * `prev ++ " " ++ cur` is in the bigram table, else a fixed integer
+ * backoff penalty plus its unigram cost (Katz-style backoff with the
+ * discount folded into one integer — the quantization every integer-cost
+ * import applies anyway). The first token of a document has no context
+ * and pays its unigram cost. All costs are INTEGER, so scores replay
+ * exactly cross-engine. Same broadcast discipline as [[LmState]]: maps
+ * are built lazily once per executor JVM; values stay boxed (a primitive
+ * map would unbox absent-key nulls to 0 — free OOV tokens).
+ */
+class BigramLmState(val uni: Broadcast[Array[(String, Long)]],
+                    val bi: Broadcast[Array[(String, Long)]],
+                    val oovCost: Long, val backoffCost: Long) extends Serializable {
+  @transient private lazy val uniM: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](uni.value.length * 2)
+    uni.value.foreach { case (t, c) => m.put(t, java.lang.Long.valueOf(c)) }
+    m
+  }
+  @transient private lazy val biM: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](bi.value.length * 2)
+    bi.value.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
+    m
+  }
+  def costSum(tokens: ArrayData): Long = {
+    var s = 0L
+    var prev: String = null
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val t = tokens.getUTF8String(i).toString
+      val u = uniM.get(t)
+      val uc = if (u == null) oovCost else u.longValue()
+      if (prev == null) s += uc
+      else {
+        val b = biM.get(prev + " " + t)
+        s += (if (b == null) backoffCost + uc else b.longValue())
+      }
+      prev = t
+      i += 1
+    }
+    s
+  }
+}
+
+/** bigram_lm_cost_sum(tokens) → bigint: total integer surprisal under a
+  * broadcast bigram-backoff LM (see [[BigramLmState]]). Scan-local and
+  * codegen'd; both tables cross the wire once per executor. */
+case class BigramLmCostSum(child: Expression, state: BigramLmState)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bigram_lm_cost_sum"
+  override protected def nullSafeEval(tokens: Any): Any =
+    state.costSum(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramLmState", state, classOf[BigramLmState].getName)
+    defineCodeGen(ctx, ev, t => s"$ref.costSum($t)")
+  }
+  override protected def withNewChildInternal(c: Expression): BigramLmCostSum = copy(child = c)
+}

@@ -201,6 +201,34 @@ class SamplingTextSpec extends AnyFunSuite {
       expected("single", 2L), expected("", 2L)))
   }
 
+  test("bigram LM: hand-computed backoff bits, vocab derivation, totality") {
+    // uni costs: the=1, cat=2, sat=3; bigram: "the cat"=1; oov=7, backoff=3
+    val st = TextAnalysis.bigramLmState(spark,
+      Seq("the" -> 1L, "cat" -> 2L, "sat" -> 3L), Seq("the cat" -> 1L),
+      oovCost = 7L, backoffCost = 3L)
+    val fixture = Seq[(java.lang.Long, String)](
+      // the(1) + "the cat" bigram(1) + backoff+sat(3+3) + backoff+oov(3+7)
+      (1L, "the cat sat down"),
+      (2L, "the"),            // single token: unigram only
+      (3L, "zz the cat"),     // oov(7) + backoff+the(3+1) + bigram(1)
+      (4L, null)).toDF("doc_id", "text")
+    val got = fixture.select(col("doc_id"), TextAnalysis.lmSurprisalBigram(
+        split(trim(col("text")), "\\s+"), st).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(1L) == 1L + 1L + 6L + 10L, got(1L))
+    assert(got(2L) == 1L)
+    assert(got(3L) == 7L + 4L + 1L, got(3L))
+    assert(got(4L) == -1L, "NULL in, NULL out")
+    // vocab derivation: bigram ranks by (count desc, pair asc), bit costs
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val bi = TextAnalysis.zipfBigramVocab(corpus, topB = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // pairs: "a b"×3, "b a"×1, "b c"×1, "b x"×1 → ranks 1..4, ties lexical
+    assert(bi.toSeq == Seq(("a b", 1L, 0L), ("b a", 2L, 1L),
+      ("b c", 3L, 1L), ("b x", 4L, 2L)), bi.toSeq)
+  }
+
   test("importanceState: independent count/weight replay, target bias sign") {
     val b = 128
     def bucket(f: String): Int = {
