@@ -519,7 +519,7 @@ object SparkEntry {
 
     // fastText-style hashed linear quality classifier: integer weights in
     // a broadcast table, features = unigrams + adjacent bigrams, bucket =
-    // first 16 md5 bits mod B. The gate's weight table is a pure function
+    // first 32 md5 bits mod B. The gate's weight table is a pure function
     // of the bucket id, so the oracle re-derives every weight AND every
     // bucket (md5-hex arithmetic) — it replays the whole scorer, not a
     // stored model
@@ -1674,7 +1674,7 @@ object SparkEntry {
         "FROM documents GROUP BY source"),
 
     // full scorer replay: unigram + adjacent-bigram features, bucket =
-    // first 16 md5 bits (hex-string arithmetic) mod 4096, weight re-derived
+    // first 32 md5 bits (hex-string arithmetic) mod 4096, weight re-derived
     // from the bucket id by the same formula, bias + integer sum
     "q_quality_classifier" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws " +
@@ -1684,7 +1684,7 @@ object SparkEntry {
         "i -> ws[i] || ' ' || ws[i + 1])) AS f FROM t), " +
         "feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), " +
         "sc AS (SELECT doc_id, 5 + sum(" +
-        "(CAST(concat('0x', substr(md5(f), 1, 4)) AS BIGINT) % 4096) % 21 - 10" +
+        "(CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 4096) % 21 - 10" +
         ") AS score FROM feats GROUP BY doc_id) " +
         "SELECT d.doc_id, CAST(sc.score AS BIGINT) AS score, " +
         "CAST(CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label " +
@@ -1699,7 +1699,7 @@ object SparkEntry {
         "bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1), " +
         "i -> ws[i] || ' ' || ws[i + 1])) AS f FROM t), " +
         "feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), " +
-        "buck AS (SELECT doc_id, CAST(concat('0x', substr(md5(f), 1, 4)) AS BIGINT) % 4096 AS b " +
+        "buck AS (SELECT doc_id, CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS b " +
         "FROM feats), " +
         "tc AS (SELECT b, count(*) AS n FROM buck WHERE doc_id % 10 = 0 GROUP BY b), " +
         "rc AS (SELECT b, count(*) AS n FROM buck GROUP BY b), " +

@@ -293,14 +293,14 @@ object TextAnalysis {
       (a, b) => concat(a, lit(" "), b)))
   }
 
-  /** Per-bucket feature counts of a corpus: bucket = first 16 md5 bits of
+  /** Per-bucket feature counts of a corpus: bucket = first 32 md5 bits of
     * the feature mod `numBuckets` (the [[classifierScore]] hash). One
     * explode + one map-side-combined aggregate onto a bucket-bounded
     * table — the corpus never shuffles, only (bucket, count). */
   def hashedBucketCounts(df: DataFrame, numBuckets: Int,
                          textCol: String = "text"): DataFrame =
     df.select(explode(hashedFeatures(col(textCol))).as("__f"))
-      .select(pmod(conv(substring(md5(col("__f")), 1, 4), 16, 10).cast("long"),
+      .select(pmod(conv(substring(md5(col("__f")), 1, 8), 16, 10).cast("long"),
         lit(numBuckets.toLong)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
 

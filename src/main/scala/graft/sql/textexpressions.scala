@@ -1207,18 +1207,21 @@ class LmState(val vocab: Broadcast[Array[(String, Long)]],
  * Hashed-feature LINEAR classifier state — the fastText-style quality
  * classifier shape (Joulin et al. 2016; hashing trick per Weinberger et
  * al. ICML'09): score = bias + Σ over features of W[bucket(feature)],
- * features = unigrams + adjacent-token bigrams, bucket = the first 16
- * bits of md5(feature) mod numBuckets. Weights are INTEGER (train
+ * features = unigrams + adjacent-token bigrams, bucket = the first 32
+ * bits of md5(feature) mod numBuckets (32 bits so every bucket of even a
+ * multi-million-slot table is reachable). Weights are INTEGER (train
  * elsewhere, quantize to milli-units on import), so scores are exact in
  * any engine that can replay md5-bucket arithmetic — DuckDB does it with
- * CAST('0x'||substr(md5(f),1,4) AS BIGINT). Ships only the broadcast
+ * CAST('0x'||substr(md5(f),1,8) AS BIGINT). Ships only the broadcast
  * handle; the dense weight array crosses the wire once per executor.
  */
 class HashedLinearState(val weights: Broadcast[Array[Long]],
                         val bias: Long) extends Serializable {
   private def bucketOf(md: java.security.MessageDigest, w: Array[Long], f: String): Int = {
     val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % w.length
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (h % w.length).toInt
   }
   /** bias + Σ W[bucket(unigram)] + Σ W[bucket(prev ++ " " ++ cur)]. */
   def score(tokens: ArrayData): Long = {

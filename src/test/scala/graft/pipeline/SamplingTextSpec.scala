@@ -169,7 +169,9 @@ class SamplingTextSpec extends AnyFunSuite {
     def bucket(f: String): Int = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(f.getBytes("UTF-8"))
-      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % b
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (h % b).toInt
     }
     def expected(text: String, bias: Long): Long = {
       val ws = text.trim.split("\\s+", -1)
@@ -234,7 +236,9 @@ class SamplingTextSpec extends AnyFunSuite {
     def bucket(f: String): Int = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(f.getBytes("UTF-8"))
-      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % b
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (h % b).toInt
     }
     def feats(text: String): Seq[String] = {
       val ws = text.trim.split("\\s+", -1).toSeq
