@@ -994,6 +994,16 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("cleaned")).as("clean_md5"),
           col("n_lines_removed"))),
 
+    // PARAGRAPH-granularity dedup (MassiveText unit): blank-line-separated
+    // blocks keep their first (doc_id, pos) occurrence — same machinery as
+    // q_dedup_lines with the "\n\n" separator; the oracle re-derives the
+    // keep rule and splice over the rebuilt paragraph fixture
+    "q_dedup_paragraphs" -> ((s, d) =>
+      Dedup.dedupParagraphs(
+          Tables.table(s, d, "documents").withColumn("text", paragraphFixtureText))
+        .select(col("doc_id"), md5(col("cleaned")).as("clean_md5"),
+          col("n_lines_removed").as("n_paras_removed"))),
+
     // URL/domain provenance filtering (RefinedWeb/C4-style): fixture
     // injects two doc_id-derived URLs (mixed case, www., path/query) per
     // doc; domains normalize scan-locally and the blocklist decision is a
@@ -1191,6 +1201,20 @@ object SparkEntry {
       lit("\n"), col("text"),
       when(pmod(col("doc_id"), lit(2)) === 0,
         lit("\nshared even-documents footer boilerplate line")).otherwise(lit("")))
+
+  /** Corpus text rebuilt as blank-line-separated paragraphs — the fixture
+    * half of q_dedup_paragraphs (the oracle rebuilds the same text): a
+    * shared intro paragraph per doc_id%6 group (kept only in its minimal
+    * doc), the original body, and a closing paragraph shared by all even
+    * docs (kept only in doc 0). */
+  private def paragraphFixtureText: Column =
+    concat(
+      lit("shared introductory paragraph for corpus group "),
+      pmod(col("doc_id"), lit(6)).cast("string"),
+      lit("\n\n"), col("text"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("\n\nshared closing paragraph across all even documents"))
+        .otherwise(lit("")))
 
   /** Corpus text rebuilt as a page with one line per boilerplate rule,
     * keyed on doc_id — the fixture half of q_boilerplate (the oracle
@@ -2197,6 +2221,29 @@ object SparkEntry {
         "nrm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dr GROUP BY doc_id) " +
         "SELECT f.doc_id, md5(coalesce(a.cleaned, '')) AS clean_md5, " +
         "coalesce(n.n, 0) AS n_lines_removed " +
+        "FROM fx f LEFT JOIN agg a USING (doc_id) LEFT JOIN nrm n USING (doc_id)"),
+
+    // paragraph replay: the line-dedup oracle with a two-newline separator
+    // and the paragraph fixture (min eligible length 20)
+    "q_dedup_paragraphs" ->
+      ("WITH fx AS (SELECT doc_id, 'shared introductory paragraph for corpus group ' || " +
+        "CAST(doc_id % 6 AS VARCHAR) || chr(10) || chr(10) || text || " +
+        "CASE WHEN doc_id % 2 = 0 THEN chr(10) || chr(10) || " +
+        "'shared closing paragraph across all even documents' " +
+        "ELSE '' END AS text FROM documents), " +
+        "ls AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS arr FROM fx), " +
+        "l AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, arr[CAST(i AS INT)] AS ln " +
+        "FROM ls, unnest(range(1, len(arr) + 1)) AS t(i)), " +
+        "el AS (SELECT doc_id, pos, md5(ln) AS dg FROM l WHERE length(trim(ln)) >= 20), " +
+        "rk AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY dg " +
+        "ORDER BY doc_id, pos) AS rn FROM el), " +
+        "dr AS (SELECT doc_id, pos FROM rk WHERE rn > 1), " +
+        "kept AS (SELECT l.doc_id, l.pos, l.ln FROM l LEFT JOIN dr " +
+        "ON l.doc_id = dr.doc_id AND l.pos = dr.pos WHERE dr.doc_id IS NULL), " +
+        "agg AS (SELECT doc_id, string_agg(ln, chr(10) || chr(10) ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id), " +
+        "nrm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dr GROUP BY doc_id) " +
+        "SELECT f.doc_id, md5(coalesce(a.cleaned, '')) AS clean_md5, " +
+        "coalesce(n.n, 0) AS n_paras_removed " +
         "FROM fx f LEFT JOIN agg a USING (doc_id) LEFT JOIN nrm n USING (doc_id)"),
 
     // rebuilds the normalization fixture (chr(769) = the combining acute,

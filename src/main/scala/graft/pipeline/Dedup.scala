@@ -923,9 +923,10 @@ object Dedup {
    * corpus-stays-in-place shape as [[removeSharedSpans]].
    */
   def dedupLines(df: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text", minLen: Int = 10): DataFrame = {
+                 textCol: String = "text", minLen: Int = 10,
+                 sep: String = "\n"): DataFrame = {
     require(minLen >= 1, "minLen must be positive")
-    val lines = eligibleLines(df, idCol, textCol, minLen)
+    val lines = eligibleLines(df, idCol, textCol, minLen, sep)
     val first = lines.groupBy(col("__dg"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__keep"))
     val drops = lines.join(first, "__dg")
@@ -933,17 +934,26 @@ object Dedup {
         col("__pos") === col("__keep.__pos")))
       .groupBy(col("__id"))
       .agg(sort_array(collect_list(col("__pos"))).as("__drop"))
-    spliceLineDrops(df, drops, idCol, textCol)
+    spliceLineDrops(df, drops, idCol, textCol, sep)
   }
 
-  /** Eligible-line decision stream: (__id, __pos, __dg) — a 16-byte md5
-    * per line whose trimmed length is ≥ minLen; doc text never leaves the
-    * scan. Shared by [[dedupLines]] / [[writeLineIndex]] /
-    * [[dedupLinesAgainstIndex]] so all three agree on eligibility. */
+  /** PARAGRAPH-granularity [[dedupLines]] — the MassiveText/Gopher unit
+    * (Rae et al. 2021 dedup paragraphs, not lines): blank-line-separated
+    * blocks keep their first corpus occurrence. Same decision stream,
+    * aggregate, and splice; only the separator and the (longer) minimum
+    * eligible length differ. */
+  def dedupParagraphs(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", minLen: Int = 20): DataFrame =
+    dedupLines(df, idCol, textCol, minLen, sep = "\n\n")
+
+  /** Eligible-unit decision stream: (__id, __pos, __dg) — a 16-byte md5
+    * per `sep`-delimited unit whose trimmed length is ≥ minLen; doc text
+    * never leaves the scan. Shared by [[dedupLines]] / [[writeLineIndex]]
+    * / [[dedupLinesAgainstIndex]] so all agree on eligibility. */
   private def eligibleLines(df: DataFrame, idCol: String, textCol: String,
-                            minLen: Int): DataFrame =
+                            minLen: Int, sep: String = "\n"): DataFrame =
     df.select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__ln")))
+        posexplode(split(col(textCol), sep)).as(Seq("__pos", "__ln")))
       .filter(length(trim(col("__ln"))) >= minLen)
       .select(col("__id"), col("__pos"), md5(col("__ln")).as("__dg"))
 
@@ -951,12 +961,13 @@ object Dedup {
     * corpus and splice — scan-local higher-order filter, corpus text
     * never shuffles (broadcast under AQE when few docs are affected). */
   private def spliceLineDrops(df: DataFrame, drops: DataFrame,
-                              idCol: String, textCol: String): DataFrame =
+                              idCol: String, textCol: String,
+                              sep: String = "\n"): DataFrame =
     df.join(drops, col(idCol) === drops("__id"), "left")
       .select(col(idCol),
         when(col("__drop").isNull, col(textCol))
-          .otherwise(array_join(filter(split(col(textCol), "\n"),
-            (_, i) => !array_contains(col("__drop"), i)), "\n")).as("cleaned"),
+          .otherwise(array_join(filter(split(col(textCol), sep),
+            (_, i) => !array_contains(col("__drop"), i)), sep)).as("cleaned"),
         coalesce(size(col("__drop")), lit(0)).cast("long").as("n_lines_removed"))
 
   /**

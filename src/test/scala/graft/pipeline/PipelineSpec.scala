@@ -622,6 +622,33 @@ class PipelineSpec extends AnyFunSuite {
       assert(flags.values.count(_ == 0L) == 2, s"doc $id trips extra rules: $flags")
   }
 
+  test("dedupParagraphs: first-occurrence keep at paragraph granularity") {
+    val shared = "this exact paragraph appears in several documents"
+    val fixture = Seq[(Long, String)](
+      (1L, s"unique opening paragraph of doc one\n\n$shared"),
+      (2L, s"$shared\n\nunique closing paragraph of doc two"),
+      (3L, s"$shared"),
+      (4L, "one\n\ntwo"), // both under minLen — always kept
+      (5L, null)).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(fixture)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2)))).toMap
+    // doc 1 owns the shared paragraph (min (doc_id, pos) = (1, 1))
+    assert(got(1L) == ((Some(s"unique opening paragraph of doc one\n\n$shared"), 0L)))
+    assert(got(2L) == ((Some("unique closing paragraph of doc two"), 1L)))
+    assert(got(3L) == ((Some(""), 1L)))
+    assert(got(4L) == ((Some("one\n\ntwo"), 0L)), "short paragraphs always stay")
+    assert(got(5L) == ((None, 0L)), "NULL totality")
+    // newlines WITHIN a paragraph do not split it
+    val multi = Seq(
+      (1L, "a paragraph with an internal\nline break inside it\n\nsecond block"),
+      (2L, "a paragraph with an internal\nline break inside it"))
+      .toDF("doc_id", "text")
+    val m = Dedup.dedupParagraphs(multi)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m == Map(1L -> 0L, 2L -> 1L), m)
+  }
+
   test("corpusStats: integer report on a hand corpus, null handling") {
     val fixture = Seq[(java.lang.Long, String, String)](
       (1L, "a", "one two three"), (2L, "a", null), (3L, "a", "x" * 150),
