@@ -490,6 +490,39 @@ object TextAnalysis {
   }
 
   /**
+   * Write the corpus as TOKEN-balanced training shards — the trainer
+   * hand-off artifact: one directory per (group, pack_id) where pack
+   * assignment is [[packBudgeted]]'s conveyor contract (exclusive running
+   * token sum div budget in id order), so every shard holds ≈`budgetTokens`
+   * tokens (overrun ≤ one document's tail), shard membership is a pure
+   * function of the data (reruns re-produce byte-identical shard sets),
+   * and a trainer streams shard directories independently. Directory
+   * layout = Spark partition columns, so reading one shard back prunes at
+   * PLANNING time (PartitionFilters, no file of any other shard is
+   * touched) — the same layout-as-index stance as the geohash and IVF
+   * sinks. One shuffle (the per-group pack window), then a write
+   * clustered by shard.
+   */
+  def writeTokenShards(df: DataFrame, path: String, budgetTokens: Long = 512L,
+                       groupCols: Seq[String] = Seq("source"),
+                       idCol: String = "doc_id", textCol: String = "text",
+                       tokenCount: Column => Column = tokenCountWs): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"__cum div ${budgetTokens}L"))
+      .drop("__cum")
+      .repartition((groupCols :+ "pack_id").map(col): _*)
+      .sortWithinPartitions(col(idCol))
+      .write.mode("overwrite")
+      .partitionBy(groupCols :+ "pack_id": _*)
+      .parquet(path)
+  }
+
+  /**
    * Benchmark-contamination scan: which probe strings (eval-set n-grams,
    * canary phrases) appear in the corpus, in how many documents, and where
    * first. The probe list is broadcast (it is tiny by construction); the

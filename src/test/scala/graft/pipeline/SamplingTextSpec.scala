@@ -203,6 +203,45 @@ class SamplingTextSpec extends AnyFunSuite {
       expected("single", 2L), expected("", 2L)))
   }
 
+  test("writeTokenShards: balanced shards, lossless round trip, shard pruning") {
+    val out = java.nio.file.Files.createTempDirectory("shards_").toString
+    val budget = 400L
+    TextAnalysis.writeTokenShards(docs.filter($"text".isNotNull), out, budget)
+    // partition-column inference reads pack_id back as int — normalize
+    val back = spark.read.parquet(out)
+      .withColumn("pack_id", col("pack_id").cast("long"))
+    // lossless: every (doc_id, text) survives the round trip
+    val orig = docs.filter($"text".isNotNull)
+      .select("doc_id", "text").collect().map(_.toSeq).toSet
+    assert(back.select("doc_id", "text").collect().map(_.toSeq).toSet == orig)
+    // conveyor balance: every shard's token sum ≤ budget + its max doc;
+    // every non-final shard exceeds budget − the corpus's max doc (the
+    // exclusive-cumsum band bound — no arbitrarily sparse shards)
+    val globalMax = back.agg(max("n_tokens")).head.getLong(0)
+    val shards = back.groupBy("source", "pack_id")
+      .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lastPack = shards.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    shards.foreach { case (src, p, t, m) =>
+      assert(t < budget + m, s"$src/$p overruns: $t")
+      if (p != lastPack(src)) assert(t > budget - globalMax, s"$src/$p is sparse: $t")
+    }
+    // planning-time pruning: one shard's read plans only that partition
+    val one = spark.read.parquet(out)
+      .filter($"source" === shards.head._1 && $"pack_id" === 0L)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(one.count() > 0)
+    // determinism: a rewrite produces the identical shard assignment
+    val out2 = java.nio.file.Files.createTempDirectory("shards_").toString
+    TextAnalysis.writeTokenShards(docs.filter($"text".isNotNull), out2, budget)
+    val a = spark.read.parquet(out).select("doc_id", "source", "pack_id")
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(out2).select("doc_id", "source", "pack_id")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("bigram LM: hand-computed backoff bits, vocab derivation, totality") {
     // uni costs: the=1, cat=2, sat=3; bigram: "the cat"=1; oov=7, backoff=3
     val st = TextAnalysis.bigramLmState(spark,
