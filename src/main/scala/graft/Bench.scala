@@ -271,6 +271,36 @@ object Bench {
         ""
       }.get
 
+    // token-shard pass: the trainer hand-off writer measured — write time,
+    // shard count, and the planning-time file pruning a single-shard read
+    // gets from the directory layout (the consumer-side claim as numbers).
+    val shardsPart =
+      if (sys.env.getOrElse("SPARK_GRAFT_SHARDS", "true") == "false") ""
+      else scala.util.Try {
+        import org.apache.spark.sql.functions.{col, input_file_name}
+        def timed[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+          .filter(col("text").isNotNull)
+        val path = "/tmp/graft_bench_shards"
+        val budget = sys.env.getOrElse("SPARK_GRAFT_SHARD_TOKENS", "5000").toLong
+        val (_, wSec) = timed(
+          graft.pipeline.TextAnalysis.writeTokenShards(docs, path, budget))
+        val back = spark.read.parquet(path)
+        val shards = back.select(col("source"), col("pack_id")).distinct()
+        val nShards = shards.count()
+        val filesAll = back.select(input_file_name()).distinct().count()
+        val first = shards.orderBy(col("source"), col("pack_id")).head()
+        val filesOne = back
+          .filter(col("source") === first.getString(0) && col("pack_id") === first.get(1))
+          .select(input_file_name()).distinct().count()
+        f""","shards":{"budget_tokens":$budget,"write_sec":$wSec%.3f,"n_shards":$nShards,"files_total":$filesAll,"files_one_shard":$filesOne}"""
+      }.recover { case e =>
+        System.err.println(s"[bench] shards pass failed: ${e.getMessage}")
+        ""
+      }.get
+
     // skew pass: a hot-key corpus (one user owns half of all rows — the
     // worst case for Window.partitionBy) timed through the unsalted vs
     // salted window operators, so the salted twins' payoff is a
@@ -323,7 +353,7 @@ object Bench {
     // (sf0.1 per-query + scalar totals, ~1.5 KB) and is printed LAST, so it
     // can never outgrow the driver's tail capture again (r3's official
     // record came back "parsed": null for exactly that reason).
-    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$ivfPart$scalePart$storagePart$annStoragePart$bpePart$incrementalPart$skewPart}"""
+    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$ivfPart$scalePart$storagePart$annStoragePart$bpePart$incrementalPart$shardsPart$skewPart}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("/tmp/graft_bench.json")).foreach { p =>
       scala.util.Try(java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (detailLine + "\n").getBytes("UTF-8")))

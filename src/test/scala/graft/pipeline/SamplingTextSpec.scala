@@ -115,6 +115,13 @@ class SamplingTextSpec extends AnyFunSuite {
     assert(all.count() == skewed.count())
   }
 
+  test("temperatureResample broadcasts quotas; corpus shuffles once for rank") {
+    val plan = Sampling.temperatureResample(docs, 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan)
+  }
+
   test("proportionalStratified plans one exchange for count and rank") {
     val plan = Sampling.proportionalStratified(docs, Seq("source"),
       "doc_id", 0.2).queryExecution.executedPlan.toString
