@@ -783,6 +783,16 @@ object SparkEntry {
           ",")), md5(lit(""))).as("ids_md5"))
     }),
 
+    // T5-style span corruption: stride-aligned token blocks masked by
+    // md5(doc:block) threshold, ordinal sentinels, (inputs, targets)
+    // pair emitted — the oracle replays selection, sentinel numbering,
+    // and both reassemblies with the same list arithmetic
+    "q_span_corrupt" -> ((s, d) =>
+      TextAnalysis.spanCorrupt(Tables.table(s, d, "documents"), p = 0.25)
+        .select(col("doc_id"), col("n_blocks"), col("n_masked"),
+          md5(coalesce(col("inputs"), lit(""))).as("inputs_md5"),
+          md5(coalesce(col("targets"), lit(""))).as("targets_md5"))),
+
     // TOKEN-denominated chunking: conveyor cut (chunk = exclusive token
     // cumsum div budget) at pre-token boundaries; the oracle replays the
     // merge loop for per-pretoken counts, the window cumsum, and the
@@ -1910,6 +1920,27 @@ object SparkEntry {
     // decode path given encode is separately oracled (q_text_token_ids)
     "q_text_detok" ->
       "SELECT doc_id, md5(coalesce(text, '')) AS detok_md5 FROM documents",
+
+    // selection, sentinel ordinals, and both reassemblies replayed with
+    // the same md5-threshold + list arithmetic (blocks of 3, p = 0.25)
+    "q_span_corrupt" -> {
+      val hex = Sampling.fractionThresholdHex(0.25)
+      def sel(v: String) =
+        s"md5(CAST(doc_id AS VARCHAR) || ':' || CAST($v AS VARCHAR)) < '$hex'"
+      val ord = s"'<extra_id_' || CAST(len(list_filter(blocks[1:x], y -> ${sel("y")})) AS VARCHAR) || '>'"
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents), " +
+        "b AS (SELECT doc_id, ws, generate_series(0, CAST(floor((len(ws) - 1) / 3.0) AS INT)) AS blocks FROM t) " +
+        "SELECT doc_id, " +
+        "CAST(coalesce(len(blocks), 0) AS BIGINT) AS n_blocks, " +
+        s"CAST(coalesce(len(list_filter(blocks, x -> ${sel("x")})), 0) AS BIGINT) AS n_masked, " +
+        "md5(coalesce(array_to_string(flatten(list_transform(blocks, x -> " +
+        s"CASE WHEN ${sel("x")} THEN [$ord] " +
+        "ELSE ws[x * 3 + 1 : x * 3 + 3] END)), ' '), '')) AS inputs_md5, " +
+        "md5(coalesce(array_to_string(flatten(list_transform(" +
+        s"list_filter(blocks, x -> ${sel("x")}), x -> " +
+        s"[$ord] || ws[x * 3 + 1 : x * 3 + 3])), ' '), '')) AS targets_md5 " +
+        "FROM b"
+    },
 
     // merge-loop replay for per-pretoken counts, then the conveyor cut as
     // one window cumsum (chunk = exclusive cum // 8) and ordered reassembly

@@ -490,6 +490,53 @@ object TextAnalysis {
   }
 
   /**
+   * T5-style SPAN CORRUPTION (Raffel et al. JMLR'20 §3.1.4) — the
+   * denoising-objective training-pair prep: mask ~`p` of each document's
+   * token blocks and emit (inputs, targets), where inputs replace each
+   * masked block with an ordinal sentinel `<extra_id_k>` and targets list
+   * each sentinel followed by the original tokens. Spans are fixed-length
+   * token BLOCKS (block b = tokens [b·L, (b+1)·L)), and block b of doc d
+   * is masked iff md5(d:b) is under the p-threshold — stride-aligned
+   * blocks instead of random starts make selection a pure function of
+   * (doc identity, position): deterministic, overlap-free by
+   * construction, and replayable in any engine with md5 (the same
+   * hash-threshold discipline as [[Sampling.deterministicFraction]]).
+   *
+   * Scale: one scan-local projection — all array arithmetic, no shuffle,
+   * no state. Sentinel ordinals cost O(blocks²) list scans per doc,
+   * negligible at training-window document lengths (blocks ≈ tokens/L).
+   * NULL text → NULL inputs/targets with zero counts (the
+   * [[graft.pipeline.Dedup.removeSharedSpans]] totality contract).
+   */
+  def spanCorrupt(df: DataFrame, p: Double, spanLen: Int = 3,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"mask fraction out of (0,1): $p")
+    require(spanLen >= 1, "spanLen must be positive")
+    val thresh = lit(Sampling.fractionThresholdHex(p))
+    val ws = split(trim(col(textCol)), "\\s+")
+    val lastBlock = floor((size(ws) - 1).cast("double") / lit(spanLen.toDouble))
+      .cast("int")
+    val blocks = sequence(lit(0), lastBlock)
+    def sel(b: Column): Column =
+      md5(concat(col(idCol).cast("string"), lit(":"), b.cast("string"))) < thresh
+    def kOf(b: Column): Column =
+      size(filter(slice(blocks, lit(1), b), x => sel(x)))
+    def sentinel(k: Column): Column =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    def span(b: Column): Column =
+      slice(ws, b * lit(spanLen) + 1, lit(spanLen))
+    val inputArr = flatten(transform(blocks, b =>
+      when(sel(b), array(sentinel(kOf(b)))).otherwise(span(b))))
+    val targetArr = flatten(transform(filter(blocks, b => sel(b)), b =>
+      concat(array(sentinel(kOf(b))), span(b))))
+    df.withColumn("n_blocks", coalesce(size(blocks).cast("long"), lit(0L)))
+      .withColumn("n_masked",
+        coalesce(size(filter(blocks, b => sel(b))).cast("long"), lit(0L)))
+      .withColumn("inputs", array_join(inputArr, " "))
+      .withColumn("targets", array_join(targetArr, " "))
+  }
+
+  /**
    * Write the corpus as TOKEN-balanced training shards — the trainer
    * hand-off artifact: one directory per (group, pack_id) where pack
    * assignment is [[packBudgeted]]'s conveyor contract (exclusive running

@@ -210,6 +210,53 @@ class SamplingTextSpec extends AnyFunSuite {
       expected("single", 2L), expected("", 2L)))
   }
 
+  test("spanCorrupt: independent mask replay, sentinel ordinals, totality") {
+    // independent selection replay: raw MessageDigest hex vs the threshold
+    val p = 0.4
+    val thresh = Sampling.fractionThresholdHex(p)
+    def hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def masked(id: Long, block: Int): Boolean = hex(s"$id:$block") < thresh
+    def expected(id: Long, text: String): (String, String, Long, Long) = {
+      val ws = text.trim.split("\\s+", -1)
+      val nb = (ws.length - 1) / 3 + 1
+      var k = 0
+      val in = Seq.newBuilder[String]; val tg = Seq.newBuilder[String]
+      for (b <- 0 until nb) {
+        val span = ws.slice(b * 3, b * 3 + 3)
+        if (masked(id, b)) {
+          in += s"<extra_id_$k>"; tg += s"<extra_id_$k>"; tg ++= span; k += 1
+        } else in ++= span
+      }
+      (in.result().mkString(" "), tg.result().mkString(" "),
+        nb.toLong, k.toLong)
+    }
+    val texts = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "short doc"), (3L, ""), (7L, "exactly three tokens"))
+    val got = TextAnalysis.spanCorrupt(
+        (texts :+ ((9L, null: String))).toDF("doc_id", "text"), p)
+      .select("doc_id", "inputs", "targets", "n_blocks", "n_masked")
+      .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)),
+        Option(r.getString(2)), r.getLong(3), r.getLong(4)))).toMap
+    for ((id, t) <- texts) {
+      val (in, tg, nb, nm) = expected(id, t)
+      assert(got(id) == ((Some(in), Some(tg), nb, nm)), s"doc $id")
+    }
+    assert(got(9L) == ((None, None, 0L, 0L)), "NULL totality")
+    // the fixture must actually mask something AND keep something
+    assert(texts.map(_._1).map(got(_)._4).sum > 0, "nothing masked at p=0.4")
+    assert(got(1L)._4 < got(1L)._3, "everything masked — fixture degenerate")
+    // inputs + targets reconstruct the document: strip sentinels, re-merge
+    val (in1, tg1, _, _) = expected(1L, texts.head._2)
+    val spans = tg1.split("<extra_id_\\d+> ?").filter(_.nonEmpty).map(_.trim)
+    var rebuilt = in1
+    spans.zipWithIndex.foreach { case (s, k) =>
+      rebuilt = rebuilt.replace(s"<extra_id_$k>", s)
+    }
+    assert(rebuilt == texts.head._2)
+  }
+
   test("writeTokenShards: balanced shards, lossless round trip, shard pruning") {
     val out = java.nio.file.Files.createTempDirectory("shards_").toString
     val budget = 400L
