@@ -783,6 +783,14 @@ object SparkEntry {
           ",")), md5(lit(""))).as("ids_md5"))
     }),
 
+    // FIM (fill-in-the-middle): md5-deterministic cut points and PSM
+    // reorder on the md5-threshold half of docs; the oracle replays cut
+    // arithmetic, selection, and reassembly with hex/substr arithmetic
+    "q_fim" -> ((s, d) =>
+      TextAnalysis.fimTransform(Tables.table(s, d, "documents"))
+        .select(col("doc_id"), col("fim"),
+          md5(coalesce(col("transformed"), lit(""))).as("out_md5"))),
+
     // T5-style span corruption: stride-aligned token blocks masked by
     // md5(doc:block) threshold, ordinal sentinels, (inputs, targets)
     // pair emitted — the oracle replays selection, sentinel numbering,
@@ -1920,6 +1928,25 @@ object SparkEntry {
     // decode path given encode is separately oracled (q_text_token_ids)
     "q_text_detok" ->
       "SELECT doc_id, md5(coalesce(text, '')) AS detok_md5 FROM documents",
+
+    // cut points = first 32 md5 bits of (id:a)/(id:b) mod (len+1); PSM
+    // reassembly and the 50% id-hash selection replayed in substr/hex
+    // arithmetic
+    "q_fim" -> {
+      val hex = Sampling.fractionThresholdHex(0.5)
+      def cut(tag: String) =
+        s"CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '$tag'), 1, 8)) AS BIGINT) % (length(text) + 1)"
+      "WITH c AS (SELECT doc_id, text, " +
+        s"least(${cut(":a")}, ${cut(":b")}) AS lo, " +
+        s"greatest(${cut(":a")}, ${cut(":b")}) AS hi, " +
+        s"md5(CAST(doc_id AS VARCHAR)) < '$hex' AS sel FROM documents) " +
+        "SELECT doc_id, CAST(CASE WHEN sel THEN 1 ELSE 0 END AS BIGINT) AS fim, " +
+        "md5(coalesce(CASE WHEN sel THEN " +
+        "'<PRE>' || substr(text, 1, CAST(lo AS INT)) || " +
+        "'<SUF>' || substr(text, CAST(hi + 1 AS INT), CAST(length(text) - hi AS INT)) || " +
+        "'<MID>' || substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)) " +
+        "ELSE text END, '')) AS out_md5 FROM c"
+    },
 
     // selection, sentinel ordinals, and both reassemblies replayed with
     // the same md5-threshold + list arithmetic (blocks of 3, p = 0.25)

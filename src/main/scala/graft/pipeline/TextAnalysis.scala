@@ -537,6 +537,43 @@ object TextAnalysis {
   }
 
   /**
+   * FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022, "Efficient
+   * Training of Language Models to Fill in the Middle") — the code-model
+   * data prep: split each document at two deterministic character
+   * positions into (prefix, middle, suffix) and emit the PSM reordering
+   * `<PRE>prefix<SUF>suffix<MID>middle`, so the model learns infilling
+   * from an autoregressive objective. Cut points are the first 32 md5
+   * bits of (doc:a) and (doc:b) mod (len+1) — pure functions of document
+   * identity, so the transformation is reproducible across engines and
+   * reruns (the same discipline as every sampler here; fully replayable
+   * as hex/substring arithmetic in SQL). Apply to the `fimFraction` of
+   * docs chosen by the same id-hash threshold; the rest pass through
+   * unchanged (the paper's 50/50 recipe by default). One scan-local
+   * projection; NULL text stays NULL.
+   */
+  def fimTransform(df: DataFrame, fimFraction: Double = 0.5,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(fimFraction > 0.0 && fimFraction <= 1.0,
+      s"fimFraction out of (0,1]: $fimFraction")
+    val t = col(textCol)
+    val n = length(t)
+    def cut(tag: String): Column =
+      pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit(tag))), 1, 8),
+        16, 10).cast("long"), (n + 1).cast("long"))
+    val a = cut(":a")
+    val b = cut(":b")
+    val lo = least(a, b).cast("int")
+    val hi = greatest(a, b).cast("int")
+    val psm = concat(lit("<PRE>"), t.substr(lit(1), lo),
+      lit("<SUF>"), t.substr(hi + 1, n - hi),
+      lit("<MID>"), t.substr(lo + 1, hi - lo))
+    val selected =
+      md5(col(idCol).cast("string")) < lit(Sampling.fractionThresholdHex(fimFraction))
+    df.withColumn("fim", when(selected, 1L).otherwise(0L))
+      .withColumn("transformed", when(selected, psm).otherwise(t))
+  }
+
+  /**
    * Write the corpus as TOKEN-balanced training shards — the trainer
    * hand-off artifact: one directory per (group, pack_id) where pack
    * assignment is [[packBudgeted]]'s conveyor contract (exclusive running

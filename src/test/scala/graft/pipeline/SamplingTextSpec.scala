@@ -257,6 +257,43 @@ class SamplingTextSpec extends AnyFunSuite {
     assert(rebuilt == texts.head._2)
   }
 
+  test("fimTransform: independent cut replay, reassembly, pass-through half") {
+    def hx(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def cut32(s: String, mod: Long): Long =
+      java.lang.Long.parseLong(hx(s).take(8), 16) % mod
+    val thresh = Sampling.fractionThresholdHex(0.5)
+    def expected(id: Long, t: String): (Long, String) = {
+      val sel = hx(id.toString) < thresh
+      if (!sel) (0L, t)
+      else {
+        val n = t.length.toLong
+        val a = cut32(s"$id:a", n + 1); val b = cut32(s"$id:b", n + 1)
+        val lo = math.min(a, b).toInt; val hi = math.max(a, b).toInt
+        (1L, s"<PRE>${t.substring(0, lo)}<SUF>${t.substring(hi)}<MID>${t.substring(lo, hi)}")
+      }
+    }
+    val texts = (1L to 40L).map(i => (i, s"document body number $i with some words"))
+    val got = TextAnalysis.fimTransform(texts.toDF("doc_id", "text"))
+      .select("doc_id", "fim", "transformed")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    texts.foreach { case (id, t) => assert(got(id) == expected(id, t), s"doc $id") }
+    // both halves of the recipe occur
+    assert(got.values.count(_._1 == 1L) > 0 && got.values.count(_._1 == 0L) > 0)
+    // transformed docs reassemble: PRE + MID + SUF == original
+    got.collect { case (id, (1L, out)) =>
+      val pre = out.stripPrefix("<PRE>").takeWhile(_ != '<')
+      val suf = out.substring(out.indexOf("<SUF>") + 5, out.indexOf("<MID>"))
+      val mid = out.substring(out.indexOf("<MID>") + 5)
+      assert(pre + mid + suf == texts(id.toInt - 1)._2, s"doc $id")
+    }
+    // NULL totality
+    val n = TextAnalysis.fimTransform(
+        Seq((99L, null: String)).toDF("doc_id", "text"))
+      .select("transformed").head()
+    assert(n.isNullAt(0))
+  }
+
   test("writeTokenShards: balanced shards, lossless round trip, shard pruning") {
     val out = java.nio.file.Files.createTempDirectory("shards_").toString
     val budget = 400L
