@@ -485,6 +485,14 @@ object SparkEntry {
           Seq("source"), "doc_id", 0.15, minPerGroup = 2)
         .select(col("doc_id"), col("source"))),
 
+    // deterministic global training order: ordinal of (md5(id), id) in
+    // the corpus total order, computed via order-preserving hash buckets
+    // + broadcast offsets (never a single-partition window); the oracle
+    // is the direct global row_number
+    "q_train_order" -> ((s, d) =>
+      Sampling.globalTrainingOrder(Tables.table(s, d, "documents"))
+        .select(col("doc_id"), col("ordinal"))),
+
     // temperature (α=1/2) source rebalancing over the deterministically
     // skewed mixture — integer isqrt weights, floor quotas, (md5(id), id)
     // rank: the oracle replays mix → count → isqrt → quota → rank with the
@@ -1639,6 +1647,10 @@ object SparkEntry {
           s"WHEN '$g' THEN '${Sampling.fractionThresholdHex(p)}' "
         }.mkString +
         "END"),
+
+    "q_train_order" ->
+      ("SELECT doc_id, row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 " +
+        "AS ordinal FROM documents"),
 
     // mix replay + integer temperature quotas: count per surviving source,
     // isqrt weight, floor(T*w/Σw) quota, (md5(id), id) rank — all integer

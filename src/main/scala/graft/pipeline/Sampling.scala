@@ -189,6 +189,42 @@ object Sampling {
       .drop("__rn", "__quota")
   }
 
+  /**
+   * Deterministic GLOBAL training order: every row gets the ordinal of
+   * its (md5(id), id) key in the corpus-wide total order — the "shuffle
+   * once, stream forever" ordering trainers consume, reproducible across
+   * engines, reruns, and partitionings because it is a pure function of
+   * row identity. The naive formulation (row_number over a global ORDER
+   * BY) collapses to a single-partition window; here the hash key's first
+   * 16 bits map rows into `buckets` ORDER-PRESERVING, DATA-INDEPENDENT
+   * ranges (bucket = h16·buckets >> 16 — a fixed monotone map, so no
+   * sampled range boundaries and no cross-job nondeterminism), the tiny
+   * per-bucket count table turns into broadcast exclusive offsets, and
+   * the ordinal is offset + the bucket-local rank. Two jobs (count +
+   * rank), each fully parallel; md5 uniformity keeps buckets balanced.
+   */
+  def globalTrainingOrder(df: DataFrame, idCol: String = "doc_id",
+                          buckets: Int = 256): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536, s"buckets out of [1, 65536]: $buckets")
+    val key = md5(col(idCol).cast("string"))
+    val h16 = conv(substring(key, 1, 4), 16, 10).cast("long")
+    val bkt = shiftright(h16 * lit(buckets.toLong), 16)
+    val keyed = df.withColumn("__key", key).withColumn("__bkt", bkt)
+    val counts = keyed.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__bkt", "__off")
+    val w = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__key").asc, col(idCol).asc)
+    keyed.join(broadcast(offDf), "__bkt")
+      .withColumn("ordinal",
+        col("__off") + row_number().over(w).cast("long") - 1L)
+      .drop("__key", "__bkt", "__off")
+  }
+
   /** Exactly min(k, |group|) rows per group, chosen by id-hash order — a
     * deterministic per-stratum reservoir (stratified sampling with a hard
     * per-stratum cap). */

@@ -115,6 +115,31 @@ class SamplingTextSpec extends AnyFunSuite {
     assert(all.count() == skewed.count())
   }
 
+  test("globalTrainingOrder: ordinal == global sort rank, invariant, no global window") {
+    val got = Sampling.globalTrainingOrder(docs)
+      .select("doc_id", "ordinal").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent replay: full driver-side sort of (md5(id), id)
+    def hx(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val expected = docs.select("doc_id").collect().map(_.getLong(0))
+      .sortBy(id => (hx(id.toString), id)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(got == expected)
+    // ordinals are a contiguous 0..n-1 permutation
+    assert(got.values.toSeq.sorted == (0L until got.size.toLong))
+    // partition invariance and bucket-count invariance
+    val again = Sampling.globalTrainingOrder(docs.repartition(13), buckets = 7)
+      .select("doc_id", "ordinal").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    // scalability shape: the rank window partitions by bucket, never a
+    // single global sort partition
+    val plan = Sampling.globalTrainingOrder(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*Window.*partitionBy=\\[\\].*"), plan)
+  }
+
   test("temperatureResample broadcasts quotas; corpus shuffles once for rank") {
     val plan = Sampling.temperatureResample(docs, 100L)
       .queryExecution.executedPlan.toString
