@@ -525,6 +525,27 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, d) =>
       Curation.corpusStats(Tables.table(s, d, "documents"))),
 
+    // log2-bucketed length histogram: bucket = bit length of the token
+    // count (ilog2 idiom — pure integer), NULL texts in bucket -1; the
+    // distribution report behind packing/chunking budget choices
+    "q_length_histogram" -> ((s, d) =>
+      Curation.lengthHistogram(Tables.table(s, d, "documents"))),
+
+    // tokenizer/vocabulary coverage: per-doc OOV counts against the
+    // corpus-derived top-200 vocab — the LM cost machinery with costs 0
+    // and OOV cost 1, so the scorer IS the counter; the oracle re-derives
+    // the vocab and counts misses independently
+    "q_vocab_coverage" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val st = TextAnalysis.oovState(
+        TextAnalysis.zipfVocab(docs, "text", topV = 200))
+      val toks = split(trim(col("text")), "\\s+")
+      docs.select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          TextAnalysis.lmSurprisal(toks, st).as("n_oov"))
+        .withColumn("oov_permille", expr("(n_oov * 1000) div n_tokens"))
+    }),
+
     // fastText-style hashed linear quality classifier: integer weights in
     // a broadcast table, features = unigrams + adjacent bigrams, bucket =
     // first 32 md5 bits mod B. The gate's weight table is a pure function
@@ -1716,6 +1737,36 @@ object SparkEntry {
         "FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term " +
         "FROM documents) WHERE length(term) >= 3 " +
         "GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 100"),
+
+    // same bit-length bucket (length(bin(n))), same NULL policy, all
+    // integer — the histogram diffs exactly across engines
+    "q_length_histogram" ->
+      ("WITH t AS (SELECT source, " +
+        "CASE WHEN text IS NULL THEN -1 ELSE CAST(length(bin(" +
+        "length(string_split_regex(trim(text), '\\s+')))) AS BIGINT) END AS len_bucket, " +
+        "CASE WHEN text IS NULL THEN 0 ELSE " +
+        "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n " +
+        "FROM documents) " +
+        "SELECT source, len_bucket, count(*) AS n_docs, " +
+        "CAST(sum(n) AS BIGINT) AS total_tokens, " +
+        "CAST(min(n) AS BIGINT) AS min_tokens, " +
+        "CAST(max(n) AS BIGINT) AS max_tokens " +
+        "FROM t GROUP BY source, len_bucket"),
+
+    // vocab re-derived exactly as in q_lm_surprisal (top-200 by n DESC,
+    // token ASC), then misses counted by the vocab left join
+    "q_vocab_coverage" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t " +
+        "FROM documents), " +
+        "cnt AS (SELECT t, count(*) AS n FROM tok GROUP BY t), " +
+        "v AS (SELECT t FROM cnt ORDER BY n DESC, t ASC LIMIT 200), " +
+        "sc AS (SELECT k.doc_id, count(*) AS ntok, " +
+        "sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS noov " +
+        "FROM tok k LEFT JOIN v ON k.t = v.t GROUP BY k.doc_id) " +
+        "SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens, " +
+        "CAST(noov AS BIGINT) AS n_oov, " +
+        "(CAST(noov AS BIGINT) * 1000) // CAST(ntok AS BIGINT) AS oov_permille " +
+        "FROM sc"),
 
     "q_corpus_stats" ->
       ("SELECT source, count(*) AS n_docs, " +

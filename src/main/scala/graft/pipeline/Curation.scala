@@ -93,4 +93,30 @@ object Curation {
       sum(when(t.isNotNull && length(t) < shortChars, 1L).otherwise(0L)).as("n_short"),
       max(length(t)).cast("long").as("max_chars"))
   }
+
+  /**
+   * Log2-bucketed document-length histogram per source — the length-
+   * distribution report behind packing/chunking budget decisions (how much
+   * of the corpus is shorter than one sequence? how heavy is the long
+   * tail?). The bucket is the BIT LENGTH of the whitespace token count
+   * (`length(bin(n))` — bucket b holds docs with n in [2^(b-1), 2^b), the
+   * same integer `ilog2` idiom as the DSIR/LM cost tables, so the report
+   * diffs exactly across engines and runs); NULL texts land in bucket -1
+   * so the histogram stays total. Everything is integer; one map-side-
+   * combined aggregate over the scan — [[corpusStats]]'s cost shape with
+   * a two-column key of bounded cardinality (sources × ~60 buckets).
+   */
+  def lengthHistogram(df: DataFrame, groupCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val n = TextAnalysis.tokenCountWs(t).cast("long")
+    val bucket = when(t.isNull, lit(-1L)).otherwise(length(bin(n)).cast("long"))
+    val nTok = when(t.isNull, 0L).otherwise(n)
+    df.select(col(groupCol), bucket.as("len_bucket"), nTok.as("__n"))
+      .groupBy(col(groupCol), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("total_tokens"),
+        min(col("__n")).as("min_tokens"),
+        max(col("__n")).as("max_tokens"))
+  }
 }

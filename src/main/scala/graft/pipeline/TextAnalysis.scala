@@ -190,6 +190,18 @@ object TextAnalysis {
   def lmSurprisal(tokens: Column, state: org.apache.spark.sql.graft.LmState): Column =
     c(org.apache.spark.sql.graft.LmCostSum(e(tokens), state))
 
+  /** Out-of-vocabulary COUNTING state: every vocabulary token costs 0 and
+    * OOV costs 1, so [[lmSurprisal]] degenerates to a per-doc OOV counter —
+    * the tokenizer/vocabulary coverage report (what share of the corpus a
+    * candidate vocab fails to cover) reuses the broadcast-map scan-local
+    * scoring machinery instead of a 200-way `array_contains` chain.
+    * Driver-collects the vocabulary (bounded by [[zipfVocab]]'s `topV`). */
+  def oovState(vocab: DataFrame): org.apache.spark.sql.graft.LmState = {
+    val rows = vocab.select(col("token")).collect()
+      .map(r => (r.getString(0), 0L)).toSeq
+    lmState(vocab.sparkSession, rows, oovCost = 1L)
+  }
+
   /**
    * Corpus-derived Zipf BIGRAM vocabulary — [[zipfVocab]] one n-gram up:
    * the top-`topB` adjacent-token pairs (joined with one space — tokens

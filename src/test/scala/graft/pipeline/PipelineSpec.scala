@@ -664,6 +664,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got("b") == ((1L, 0L, 0L, 1L, 1L, 0L)), got("b"))
   }
 
+  test("lengthHistogram: bit-length buckets, null bucket -1, integer totals") {
+    val fixture = Seq[(java.lang.Long, String, String)](
+      (1L, "a", "one"), // 1 token → bin(1)='1' → bucket 1
+      (2L, "a", "one two three"), // 3 tokens → bin(3)='11' → bucket 2
+      (3L, "a", (1 to 9).map(_ => "w").mkString(" ")), // 9 → '1001' → 4
+      (4L, "a", null), // bucket -1, 0 tokens
+      (5L, "b", "x y")) // 2 → '10' → bucket 2
+      .toDF("doc_id", "source", "text")
+    val got = Curation.lengthHistogram(fixture)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("a", 1L)) == ((1L, 1L, 1L, 1L)))
+    assert(got(("a", 2L)) == ((1L, 3L, 3L, 3L)))
+    assert(got(("a", 4L)) == ((1L, 9L, 9L, 9L)))
+    assert(got(("a", -1L)) == ((1L, 0L, 0L, 0L)), "null bucket")
+    assert(got(("b", 2L)) == ((1L, 2L, 2L, 2L)))
+    assert(got.size == 5, got)
+  }
+
   test("removeBoilerplate: per-line rules, blank preservation, NULL totality") {
     val fixture = Seq[(java.lang.Long, String)](
       (1L, "This first sentence is long enough and it ends properly.\n" +

@@ -183,6 +183,22 @@ class SamplingTextSpec extends AnyFunSuite {
     assert(nullRow.head.isNullAt(0))
   }
 
+  test("oovState: lmSurprisal degenerates to an OOV counter; null totality") {
+    val tiny = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d"),
+      (3L, "d e"),
+      (4L, null: String)).toDF("doc_id", "text")
+    // vocab top-2 by (count desc, token asc): a(4), b(3) — c/d/e are OOV
+    val st = TextAnalysis.oovState(TextAnalysis.zipfVocab(tiny, "text", topV = 2))
+    val toks = split(trim(col("text")), "\\s+")
+    val got = tiny.select(col("doc_id"),
+        TextAnalysis.lmSurprisal(toks, st).as("n_oov"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> -1L), got)
+  }
+
   test("lmSurprisal scoring stage is scan-local (no exchange)") {
     val st = TextAnalysis.lmStateFromVocab(
       TextAnalysis.zipfVocab(docs, "text", topV = 50))
