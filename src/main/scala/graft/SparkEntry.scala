@@ -623,6 +623,14 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(Tables.table(s, d, "documents"))),
 
+    // BM25 retrieval scoring (ratio Robertson idf — transcendental-free,
+    // see TextAnalysis.bm25): top-20 docs for a 3-term query; scores are
+    // bit-exact cross-engine because every op is an IEEE scalar performed
+    // in the identical order, incl. the sorted-term fold
+    "q_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(Tables.table(s, d, "documents"),
+        Seq("merge", "window", "table"), topN = 20)),
+
     // overlapping fixed-window chunking (stride < size)
     "q_chunk" -> ((s, d) =>
       TextAnalysis.chunk(Tables.table(s, d, "documents"), size = 256, stride = 192)),
@@ -707,6 +715,17 @@ object SparkEntry {
         .getSeq[Float](0).toArray
       Similarity.ivfPqTopK(s, path, cents, cbs, q, 10, nProbe = 3)
         .select(col("vec_id"))
+    }),
+
+    // SQ8 scalar-quantized MIPS top-k (the 4x compression rung between
+    // float and PQ): per-vector int8 codes + scale, INTEGER code dot
+    // product, exact scalar rescale — scores replay bit-identically, so
+    // the oracle re-encodes the corpus AND the query from scratch
+    "q_embed_topk_sq8" -> ((s, d) => {
+      val embs = Tables.table(s, d, "embeddings")
+      val q = embs.filter(col("vec_id") === 0L).select(col("embedding")).head()
+        .getSeq[Float](0).toArray
+      Similarity.sq8TopK(embs, q, 10).select(col("vec_id"))
     }),
 
     // batch cosine top-k JOIN: 5 query vectors each retrieve their 10
@@ -1892,6 +1911,32 @@ object SparkEntry {
         "(PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored) " +
         "WHERE rank <= 5"),
 
+    // full BM25 replay: ratio idf (N-df+0.5)/(df+0.5), the k1/b constant
+    // folds performed as SQL constant expressions (matching Scala's plan-
+    // build folds bit-for-bit), and the per-doc sum as a sorted-term
+    // ordered-list fold — every op an IEEE scalar in the identical order
+    "q_bm25" ->
+      ("WITH base AS (SELECT doc_id, " +
+        "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl, " +
+        "list_filter(string_split_regex(trim(text), '\\s+'), " +
+        "t -> t IN ('merge', 'window', 'table')) AS hits FROM documents), " +
+        "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base), " +
+        "tf AS (SELECT doc_id, dl, t AS term, count(*) AS tf FROM " +
+        "(SELECT doc_id, dl, unnest(hits) AS t FROM base) GROUP BY doc_id, dl, t), " +
+        "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "sc AS (SELECT tf.doc_id, tf.term, " +
+        "((CAST(st.n_docs - dft.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+        "(CAST(dft.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) * " +
+        "((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / " +
+        "(CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * " +
+        "((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * " +
+        "(CAST(tf.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))) AS s " +
+        "FROM tf JOIN dft USING (term) CROSS JOIN st), " +
+        "g AS (SELECT doc_id, count(*) AS n_terms, " +
+        "list_sum(array_agg(s ORDER BY term)) AS bm25 FROM sc GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, bm25 FROM g " +
+        "ORDER BY bm25 DESC, doc_id ASC LIMIT 20"),
+
     "q_dedup_exact" ->
       ("SELECT md5(text) AS dup_hash, count(*) AS n_dups, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY text"),
@@ -2464,6 +2509,24 @@ object SparkEntry {
         "WHERE rn = 1), " +
         "src AS (SELECT a.vec_id, a.embedding FROM asg a JOIN probes p USING (cidx)), " +
         PqOracleTail),
+
+    // full SQ8 replay: corpus and query re-encoded with the same
+    // floor(x*127/max+0.5) arithmetic; the code dot product is integer-
+    // valued (exact in double at any summation order), the rescale is the
+    // same three scalar ops — rankings are bit-identical by construction
+    "q_embed_topk_sq8" ->
+      ("WITH qraw AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +
+        "q AS (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS mq FROM qraw), " +
+        "qc AS (SELECT mq, CASE WHEN mq = 0 THEN list_transform(qv, x -> CAST(0 AS BIGINT)) " +
+        "ELSE list_transform(qv, x -> CAST(floor(x * 127.0 / mq + 0.5) AS BIGINT)) END AS c FROM q), " +
+        "enc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m FROM embeddings), " +
+        "codes AS (SELECT vec_id, m, CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT)) " +
+        "ELSE list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) END AS c FROM enc), " +
+        "s AS (SELECT codes.vec_id, " +
+        "((list_inner_product(CAST(codes.c AS DOUBLE[]), CAST(qc.c AS DOUBLE[])) * codes.m) * qc.mq) / 16129.0 AS sc " +
+        "FROM codes CROSS JOIN qc) " +
+        "SELECT vec_id FROM s ORDER BY sc DESC, vec_id ASC LIMIT 10"),
 
     // per-query window rank with (score DESC, vec_id ASC) — equals the
     // bounded-heap join because rank-boundary margins dwarf float noise

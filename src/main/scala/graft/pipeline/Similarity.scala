@@ -520,4 +520,70 @@ object Similarity {
       .filter(col("cos") >= tau)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
+
+  // ---- SQ8: per-vector symmetric int8 scalar quantization ----
+
+  /**
+   * SQ8 encode — the third compression point on the ANN storage ladder
+   * (float32 → SQ8 at 4× → PQ at ~dims/2×): per-vector symmetric int8
+   * quantization, `sq_scale = max|x|` and
+   * `code_i = floor(x_i · 127 / sq_scale + 0.5)` ∈ [-127, 127], stored as
+   * `array<tinyint>`. Reconstruction error is ≤ sq_scale/254 per
+   * coordinate (half a quantization step), which is why SQ8 ranks almost
+   * identically to float while PQ trades more recall for more
+   * compression. The all-zero vector encodes to all-zero codes (the
+   * 0/0 guard); NULL embeddings stay NULL.
+   *
+   * Every arithmetic step (double promote, multiply, divide, +0.5,
+   * floor) is an IEEE-exact scalar op both engines perform identically,
+   * so encoded codes — unlike any float-mean formulation — are
+   * bit-replayable in SQL: the gate's oracle re-encodes the corpus from
+   * scratch. Scan-local projection; at 100 TB the encoded table is what
+   * you store and scan (4 bytes/dim → 1).
+   */
+  def sq8Encode(df: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    df.withColumn("sq_scale",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+      .withColumn("sq_codes",
+        when(col("sq_scale") === 0.0,
+          transform(col(vecCol), _ => lit(0).cast("byte")))
+        .otherwise(transform(col(vecCol),
+          x => floor(x.cast("double") * lit(127.0) / col("sq_scale") + lit(0.5))
+            .cast("byte"))))
+
+  /**
+   * Quantized maximum-inner-product top-k over SQ8 codes: the query is
+   * quantized with the IDENTICAL arithmetic (JVM doubles run the same
+   * IEEE ops the executors do), each row's score is the INTEGER code dot
+   * product — exact, order-free — rescaled by
+   * `sq_scale · qscale / 127²` into the approximate inner product.
+   * Because the integer dot is exact and the rescale is three exact
+   * scalar ops on it, scores and therefore the (score desc, id) ranking
+   * replay bit-identically cross-engine — no margin argument needed,
+   * unlike every float-accumulation ANN gate. Approximation error vs the
+   * true inner product comes only from quantization (measured in the
+   * spec, not claimed). One scan + TakeOrderedAndProject, no shuffle.
+   */
+  def sq8TopK(df: DataFrame, query: Array[Float], k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(query.length <= (1 << 24),
+      "dims beyond 2^24 could overflow the exact-integer dot bound")
+    var mq = 0.0
+    query.foreach(x => mq = math.max(mq, math.abs(x.toDouble)))
+    val qc: Array[Int] =
+      if (mq == 0.0) Array.fill(query.length)(0)
+      else query.map(x => math.floor(x.toDouble * 127.0 / mq + 0.5).toInt)
+    val dot = aggregate(
+      zip_with(col("sq_codes"), typedLit(qc.toSeq),
+        (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    sq8Encode(df, idCol, vecCol)
+      .select(col(idCol),
+        (dot.cast("double") * col("sq_scale") * lit(mq) / lit(16129.0))
+          .as("sq_score"))
+      .orderBy(col("sq_score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

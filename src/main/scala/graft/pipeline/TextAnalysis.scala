@@ -448,6 +448,69 @@ object TextAnalysis {
   }
 
   /**
+   * BM25 (Robertson et al., TREC-3) relevance of every document to a
+   * small query-term set — the retrieval scorer behind targeted data
+   * selection (mine the pretraining corpus for docs relevant to a task
+   * mixture), decontamination triage, and retrieval evals.
+   * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`
+   * over the query terms present in d; docs matching no term are not
+   * retrieved (standard BM25 semantics).
+   *
+   * Cross-engine exactness: idf is the RATIO Robertson idf
+   * `(N − df + 0.5)/(df + 0.5)` WITHOUT the log — the same
+   * transcendental-free decision as [[tfidfTopTerms]] (the log is
+   * monotone, so the df ordering is preserved; dropping it keeps every
+   * op an IEEE scalar both engines run identically — a production
+   * ranker that needs calibrated scores applies the log downstream).
+   * Scala folds `k1+1` and `1−b` at plan build; the oracle performs the
+   * SAME folds as SQL constant expressions, so no literal-rounding
+   * mismatch can occur. The per-doc sum folds term scores in sorted-term
+   * order (the ordered-list idiom: IEEE addition is order-sensitive, so
+   * the order is part of the contract).
+   *
+   * Plan shape: ONE corpus scan computes (dl, matching occurrences)
+   * scan-local — the term filter is a literal IN applied INSIDE the
+   * token array before anything explodes, so only matching occurrences
+   * ever become rows; df and the (N, Σdl) stats are tiny aggregates that
+   * BROADCAST back onto the matched-term stream; the final top-N is
+   * TakeOrderedAndProject. The corpus never shuffles.
+   */
+  def bm25(df: DataFrame, terms: Seq[String], topN: Int = 20,
+           idCol: String = "doc_id", textCol: String = "text",
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 10000, "terms must be 1..10000")
+    require(topN >= 1, "topN must be positive")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("dl"),
+      filter(toks, t => t.isInCollection(terms)).as("hits"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base.filter(size(col("hits")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfd = col("tf").cast("double")
+    val bterm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)
+    val sTerm = idf * ((tfd * lit(k1 + 1.0)) / (tfd + lit(k1) * bterm))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), sTerm.as("__s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("__s")))),
+            x => x.getField("__s")),
+          lit(0.0), (acc, x) => acc + x).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
+  /**
    * Fixed-window character chunking with stride — the long-document
    * splitter feeding a context-bounded trainer. One row per (doc, offset):
    * offsets are the stride multiples below the text length, so

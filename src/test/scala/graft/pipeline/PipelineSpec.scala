@@ -352,6 +352,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"PQ recall $recall collapsed (expected >= 0.2 incl. self)")
   }
 
+  test("SQ8: encode == brute replica, reconstruction bound, MIPS recall") {
+    val embs01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val all = embs01.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val enc = Similarity.sq8Encode(embs01)
+      .select("vec_id", "sq_scale", "sq_codes").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Byte](2).toArray))).toMap
+    for ((id, v) <- all.take(50)) {
+      val (m, codes) = enc(id)
+      var mm = 0.0; v.foreach(x => mm = math.max(mm, math.abs(x.toDouble)))
+      assert(m == mm, s"scale $id")
+      val want =
+        if (mm == 0.0) v.map(_ => 0: Byte)
+        else v.map(x => math.floor(x.toDouble * 127.0 / mm + 0.5).toByte)
+      assert(codes.toSeq == want.toSeq, s"codes $id")
+      // reconstruction error is at most half a quantization step
+      if (mm > 0) v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x.toDouble - c * mm / 127.0) <= mm / 254.0 + 1e-12) }
+    }
+    // zero vector encodes to zero codes; NULL embedding stays NULL
+    val edge = Seq((1L, Array(0f, 0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val eg = Similarity.sq8Encode(edge).select("vec_id", "sq_scale", "sq_codes")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getSeq[Byte](2).toSeq)))).toMap
+    assert(eg(1L) == ((Some(0.0), Some(Seq(0: Byte, 0: Byte)))))
+    assert(eg(2L) == ((None, None)))
+    // top-k: scores equal the brute integer-dot rescale replica; recall vs
+    // the exact float inner-product top-10 measures quantization loss only
+    val q = all.find(_._1 == 0L).get._2
+    var mq = 0.0; q.foreach(x => mq = math.max(mq, math.abs(x.toDouble)))
+    val qc = q.map(x => math.floor(x.toDouble * 127.0 / mq + 0.5).toLong)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val got = Similarity.sq8TopK(embs01, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    got.foreach { case (id, s) =>
+      val (m, codes) = enc(id)
+      val idot = codes.zip(qc).map { case (a, b) => a.toLong * b }.sum
+      assert(s == ((idot.toDouble * m) * mq) / 16129.0, s"score $id")
+    }
+    val exact = all.sortBy { case (id, v) => (-dot(v, q), id) }.take(10).map(_._1).toSet
+    val recall = got.map(_._1).count(exact.contains).toDouble / 10
+    assert(recall >= 0.6, s"SQ8 recall $recall vs exact MIPS")
+  }
+
   test("IVF+PQ composed index: directory pruning + chain == brute replica") {
     val embs01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val cents = Similarity.deterministicCentroids(embs01, nCells = 8)

@@ -199,6 +199,37 @@ class SamplingTextSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> -1L), got)
   }
 
+  test("bm25: exact hand replica, standard retrieval semantics, total order") {
+    val tiny = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "alpha beta"),
+      (3L, "delta delta delta"),
+      (4L, "beta beta beta beta"),
+      (5L, null: String)).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(tiny, Seq("alpha", "beta"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // replica with the IDENTICAL op tree (N=5 incl. the null doc; Σdl=13
+    // over non-null docs; df: alpha→2, beta→3)
+    val n = 5L; val sumDl = 13L
+    def sterm(tf: Long, dl: Long, df: Long): Double = {
+      val idf = ((n - df).toDouble + 0.5) / (df.toDouble + 0.5)
+      val bterm = (1.0 - 0.75) + 0.75 * (dl.toDouble / (sumDl.toDouble / n.toDouble))
+      idf * ((tf.toDouble * (1.2 + 1.0)) / (tf.toDouble + 1.2 * bterm))
+    }
+    val want = Map( // fold order is term-sorted: alpha before beta
+      1L -> ((2L, (0.0 + sterm(2, 4, 2)) + sterm(1, 4, 3))),
+      2L -> ((2L, (0.0 + sterm(1, 2, 2)) + sterm(1, 2, 3))),
+      4L -> ((1L, 0.0 + sterm(4, 4, 3))))
+    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap == want, got.toSeq)
+    // no-match and null docs are not retrieved; order is (score desc, id)
+    assert(!got.exists(r => r._1 == 3L || r._1 == 5L))
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq)
+    // stats and df joins broadcast; the corpus itself never shuffles
+    val plan = TextAnalysis.bm25(tiny, Seq("alpha", "beta"), topN = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("lmSurprisal scoring stage is scan-local (no exchange)") {
     val st = TextAnalysis.lmStateFromVocab(
       TextAnalysis.zipfVocab(docs, "text", topV = 50))
