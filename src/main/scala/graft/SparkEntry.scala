@@ -820,6 +820,16 @@ object SparkEntry {
             md5(lit(""))).as("tokens_md5"))
     }),
 
+    // fixed-length training examples: per-doc BPE ids + EOS, concatenated
+    // in (md5(id), id) training order, cut into 64-token examples (partial
+    // tail dropped) — the terminal LM data-prep step; the oracle replays
+    // ids, order, the global cut, and every example's ordered id digest
+    "q_examples" -> ((s, d) => {
+      val st = TextAnalysis.bpeState(s, graft.text.BpeFixture.merges)
+      TextAnalysis.buildExamples(Tables.table(s, d, "documents"), st,
+        seqLen = 64, eosId = 2000000L)
+    }),
+
     // vocab-id sequences — the format a trainer consumes; the oracle maps
     // every token through the same deterministic id scheme (codepoint /
     // 0x110000 + min forming rank) after replaying the merge loop
@@ -1147,6 +1157,38 @@ object SparkEntry {
           md5(col("redacted")).as("redacted_md5"))
     })
   )
+
+  /** Shared CTEs for the BPE-id oracles (q_text_token_ids, q_examples):
+    * the fixture merge table, the pre-tokenizer, the recursive merge-loop
+    * replay per distinct pre-token, the deterministic id mapping
+    * (codepoint / 0x110000 + min forming rank), and the per-pre-token
+    * comma-joined id strings. Callers append their own per-doc tail. */
+  private val BpeIdsCtes: String =
+    s"m(lhs, rhs, rnk) AS (VALUES ${graft.text.BpeFixture.sqlValues}), " +
+      "formed AS (SELECT lhs || rhs AS tokstr, min(rnk) AS r FROM m GROUP BY 1), " +
+      "pre AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), " +
+      "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s') AS ws FROM documents), " +
+      "occ AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS widx FROM pre), " +
+      "vocab AS (SELECT DISTINCT tok FROM occ), " +
+      "steps(tok, s) AS (" +
+      "SELECT tok, chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) FROM vocab " +
+      "UNION ALL " +
+      "SELECT tok, substr(s, 1, idx - 1) || chr(31) || lhs || rhs || chr(31) " +
+      "|| substr(s, idx + length(chr(31) || lhs || chr(31) || rhs || chr(31))) " +
+      "FROM (SELECT st.tok, st.s, best.lhs, best.rhs, " +
+      "strpos(st.s, chr(31) || best.lhs || chr(31) || best.rhs || chr(31)) AS idx " +
+      "FROM steps st, LATERAL (SELECT m.lhs, m.rhs FROM m " +
+      "WHERE strpos(st.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0 " +
+      "ORDER BY m.rnk LIMIT 1) AS best) t), " +
+      "fin AS (SELECT tok, s FROM steps t WHERE NOT EXISTS (SELECT 1 FROM m " +
+      "WHERE strpos(t.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0)), " +
+      "toklist AS (SELECT tok, unnest(string_split(substr(s, 2, length(s) - 2), chr(31))) AS t, " +
+      "generate_subscripts(string_split(substr(s, 2, length(s) - 2), chr(31)), 1) AS ti FROM fin), " +
+      "ids AS (SELECT tl.tok, tl.ti, CASE WHEN length(tl.t) = 1 " +
+      "THEN CAST(unicode(tl.t) AS BIGINT) ELSE 1114112 + f.r END AS id " +
+      "FROM toklist tl LEFT JOIN formed f ON f.tokstr = tl.t), " +
+      "pertok AS (SELECT tok, string_agg(CAST(id AS VARCHAR), ',' ORDER BY ti) AS ids_str " +
+      "FROM ids GROUP BY tok)"
 
   /** Shared CTEs for the PQ oracles: the md5-ordered 16-code codebook,
     * the vec_id=0 query, and the 8-subspace index table. */
@@ -2000,36 +2042,29 @@ object SparkEntry {
     // merge-loop replay + deterministic id mapping (formed = lhs||rhs →
     // min rank; single-codepoint tokens → unicode())
     "q_text_token_ids" ->
-      ("WITH RECURSIVE " +
-        s"m(lhs, rhs, rnk) AS (VALUES ${graft.text.BpeFixture.sqlValues}), " +
-        "formed AS (SELECT lhs || rhs AS tokstr, min(rnk) AS r FROM m GROUP BY 1), " +
-        "pre AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), " +
-        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s') AS ws FROM documents), " +
-        "occ AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS widx FROM pre), " +
-        "vocab AS (SELECT DISTINCT tok FROM occ), " +
-        "steps(tok, s) AS (" +
-        "SELECT tok, chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) FROM vocab " +
-        "UNION ALL " +
-        "SELECT tok, substr(s, 1, idx - 1) || chr(31) || lhs || rhs || chr(31) " +
-        "|| substr(s, idx + length(chr(31) || lhs || chr(31) || rhs || chr(31))) " +
-        "FROM (SELECT st.tok, st.s, best.lhs, best.rhs, " +
-        "strpos(st.s, chr(31) || best.lhs || chr(31) || best.rhs || chr(31)) AS idx " +
-        "FROM steps st, LATERAL (SELECT m.lhs, m.rhs FROM m " +
-        "WHERE strpos(st.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0 " +
-        "ORDER BY m.rnk LIMIT 1) AS best) t), " +
-        "fin AS (SELECT tok, s FROM steps t WHERE NOT EXISTS (SELECT 1 FROM m " +
-        "WHERE strpos(t.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0)), " +
-        "toklist AS (SELECT tok, unnest(string_split(substr(s, 2, length(s) - 2), chr(31))) AS t, " +
-        "generate_subscripts(string_split(substr(s, 2, length(s) - 2), chr(31)), 1) AS ti FROM fin), " +
-        "ids AS (SELECT tl.tok, tl.ti, CASE WHEN length(tl.t) = 1 " +
-        "THEN CAST(unicode(tl.t) AS BIGINT) ELSE 1114112 + f.r END AS id " +
-        "FROM toklist tl LEFT JOIN formed f ON f.tokstr = tl.t), " +
-        "pertok AS (SELECT tok, string_agg(CAST(id AS VARCHAR), ',' ORDER BY ti) AS ids_str " +
-        "FROM ids GROUP BY tok), " +
+      ("WITH RECURSIVE " + BpeIdsCtes + ", " +
         "perdoc AS (SELECT o.doc_id, md5(string_agg(pt.ids_str, ',' ORDER BY o.widx)) AS ids_md5 " +
         "FROM occ o JOIN pertok pt USING (tok) GROUP BY o.doc_id) " +
         "SELECT d.doc_id, coalesce(p.ids_md5, md5('')) AS ids_md5 " +
         "FROM documents d LEFT JOIN perdoc p USING (doc_id)"),
+
+    // the same per-doc id replay, then the example cut re-derived from
+    // first principles: EOS append, (md5(id), id) global order, direct
+    // global row_number over the token stream, slice by p div 64, and
+    // the ordered per-example id digest — full examples only
+    "q_examples" ->
+      ("WITH RECURSIVE " + BpeIdsCtes + ", " +
+        "perdoc AS (SELECT o.doc_id, string_agg(pt.ids_str, ',' ORDER BY o.widx) AS ids_str " +
+        "FROM occ o JOIN pertok pt USING (tok) GROUP BY o.doc_id), " +
+        "seqs AS (SELECT d.doc_id, coalesce(p.ids_str || ',', '') || '2000000' AS seq " +
+        "FROM documents d LEFT JOIN perdoc p USING (doc_id)), " +
+        "tok2 AS (SELECT doc_id, unnest(string_split(seq, ',')) AS tid, " +
+        "generate_subscripts(string_split(seq, ','), 1) AS ti FROM seqs), " +
+        "pos AS (SELECT tid, row_number() OVER " +
+        "(ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id, ti) - 1 AS p FROM tok2), " +
+        "g AS (SELECT p // 64 AS example_id, count(*) AS n, " +
+        "md5(string_agg(tid, ',' ORDER BY p)) AS ids_md5 FROM pos GROUP BY p // 64) " +
+        "SELECT CAST(example_id AS BIGINT) AS example_id, ids_md5 FROM g WHERE n = 64"),
 
     // round-trip contract: decode(encode(text)) == text, so the oracle is
     // the identity md5 — the strongest possible independent check of the

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,13 +204,32 @@ object Sampling {
    * rank), each fully parallel; md5 uniformity keeps buckets balanced.
    */
   def globalTrainingOrder(df: DataFrame, idCol: String = "doc_id",
-                          buckets: Int = 256): DataFrame = {
+                          buckets: Int = 256): DataFrame =
+    globalOrderedOffsets(df, lit(1L), idCol, buckets)
+      .withColumnRenamed("global_offset", "ordinal")
+
+  /**
+   * [[globalTrainingOrder]]'s machinery generalized to WEIGHTED offsets:
+   * every row gets the exclusive prefix sum of `weight` over the
+   * corpus-wide (md5(id), id) order as `global_offset` (weight 1 makes
+   * this the training ordinal). Same two fully-parallel jobs — bucket
+   * weight sums become broadcast exclusive bucket offsets, then a
+   * bucket-local window sum finishes the prefix — never a
+   * single-partition window. This is the placement step of
+   * [[graft.pipeline.TextAnalysis.buildExamples]]: with weight = token
+   * count, `global_offset` is each document's first-token position in
+   * the concatenated training stream.
+   */
+  def globalOrderedOffsets(df: DataFrame, weight: Column,
+                           idCol: String = "doc_id",
+                           buckets: Int = 256): DataFrame = {
     require(buckets >= 1 && buckets <= 65536, s"buckets out of [1, 65536]: $buckets")
     val key = md5(col(idCol).cast("string"))
     val h16 = conv(substring(key, 1, 4), 16, 10).cast("long")
     val bkt = shiftright(h16 * lit(buckets.toLong), 16)
-    val keyed = df.withColumn("__key", key).withColumn("__bkt", bkt)
-    val counts = keyed.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
+    val keyed = df.withColumn("__w", weight.cast("long"))
+      .withColumn("__key", key).withColumn("__bkt", bkt)
+    val counts = keyed.groupBy(col("__bkt")).agg(sum(col("__w")).as("__n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.map(_._1)
       .zip(counts.scanLeft(0L)(_ + _._2).init)
@@ -219,10 +238,11 @@ object Sampling {
     val offDf = offsets.toSeq.toDF("__bkt", "__off")
     val w = Window.partitionBy(col("__bkt"))
       .orderBy(col("__key").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     keyed.join(broadcast(offDf), "__bkt")
-      .withColumn("ordinal",
-        col("__off") + row_number().over(w).cast("long") - 1L)
-      .drop("__key", "__bkt", "__off")
+      .withColumn("global_offset",
+        col("__off") + coalesce(sum(col("__w")).over(w), lit(0L)))
+      .drop("__w", "__key", "__bkt", "__off")
   }
 
   /** Exactly min(k, |group|) rows per group, chosen by id-hash order — a

@@ -129,6 +129,50 @@ object TextAnalysis {
       .select(col(idCol), col("chunk_idx").cast("long"), col("chunk"),
         tokenCountBpe(col("chunk"), state).cast("long").as("n_tokens"))
 
+  /**
+   * Fixed-length training-example construction — the terminal step of an
+   * LM data pipeline: each document is BPE-tokenized, an EOS sentinel id
+   * is appended, sequences are concatenated in the deterministic
+   * (md5(id), id) training order ([[Sampling.globalTrainingOrder]]'s
+   * order), and the global token stream is cut into back-to-back
+   * `seqLen`-token examples; the trailing partial example is dropped, as
+   * trainers do. One row per example: (example_id, ids_md5) — the digest
+   * stands in for the id array so results hash-compare across engines.
+   *
+   * Everything upstream of the cut is scan-local (BpeTokenIds + one
+   * posexplode); each document's first-token position comes from the
+   * order-preserving hash-bucket prefix sums
+   * ([[Sampling.globalOrderedOffsets]] with weight = |ids|+1 — never a
+   * single-partition window); the ONE wide shuffle carries (position,
+   * id) pairs grouping into examples — that token movement IS the
+   * operation's output, and each group is exactly `seqLen` ids. At scale
+   * the result partitions cleanly by example_id range (the
+   * [[writeTokenShards]] layout one level down). The tokenizer runs
+   * twice (once for the length, once for the ids); the per-executor word
+   * memo makes the second pass cheap.
+   */
+  def buildExamples(df: DataFrame, state: org.apache.spark.sql.graft.BpeState,
+                    seqLen: Int, eosId: Long, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(seqLen >= 1, "seqLen must be positive")
+    val withIds = df.select(col(idCol).as("doc_id"),
+      concat(
+        coalesce(tokenIdsBpe(col(textCol), state), array().cast("array<bigint>")),
+        array(lit(eosId))).as("__ids"))
+    Sampling.globalOrderedOffsets(
+        withIds, size(col("__ids")).cast("long"), "doc_id")
+      .select(col("global_offset"), posexplode(col("__ids")))
+      .select((col("global_offset") + col("pos")).as("p"), col("col").as("id"))
+      .withColumn("example_id", expr(s"p div $seqLen"))
+      .groupBy(col("example_id"))
+      .agg(count(lit(1)).as("__n"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("id")))),
+            x => x.getField("id").cast("string")), ",")).as("ids_md5"))
+      .filter(col("__n") === seqLen.toLong)
+      .select(col("example_id"), col("ids_md5"))
+  }
+
   /** Integer log2 of a positive long (bit length − 1). */
   private def ilog2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
 

@@ -282,6 +282,39 @@ class BpeSpec extends AnyFunSuite {
       "empty and NULL docs produce no chunk rows")
   }
 
+  test("buildExamples: independent order+cut replica, invariance, totality") {
+    val st = graft.pipeline.TextAnalysis.bpeState(spark, BpeFixture.merges)
+    val docsF = Seq[(java.lang.Long, String)](
+      (1L, "the small data"), (2L, ""), (3L, null), (4L, "dup dup"),
+      (5L, "value table part the the"), (6L, "a b c d e f g h"),
+      (7L, "the query stream")).toDF("doc_id", "text")
+    val seqLen = 5; val eos = 999999L
+    val got = graft.pipeline.TextAnalysis.buildExamples(docsF, st, seqLen, eos)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // replica: per-doc ids from the (separately golden-pinned) id encoder;
+    // the ORDER and the CUT are recomputed from first principles
+    val perDoc: Map[Long, Seq[Long]] = docsF.select($"doc_id",
+        graft.pipeline.TextAnalysis.tokenIdsBpe($"text", st)).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Seq.empty[Long] else r.getSeq[Long](1).toSeq)).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = perDoc.keys.toSeq.sortBy(id => (md5hex(id.toString), id))
+    val stream = ordered.flatMap(id => perDoc(id) :+ eos)
+    val want = stream.grouped(seqLen).zipWithIndex
+      .filter(_._1.length == seqLen)
+      .map { case (ids, i) => i.toLong -> md5hex(ids.mkString(",")) }.toMap
+    assert(got == want, s"got $got want $want")
+    // exactly total div seqLen full examples; empty/null docs contribute
+    // their EOS token only
+    assert(got.size == stream.length / seqLen)
+    // partition-invariant (the order is a pure function of row identity)
+    val again = graft.pipeline.TextAnalysis.buildExamples(
+        docsF.repartition(7), st, seqLen, eos)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   test("detokenize: golden id decode, lossless round trip, foreign-id failure") {
     // golden: codepoint ids decode to their chars, formed ids to lhs++rhs
     val m = BpeFixture.merges
