@@ -653,6 +653,16 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents"), "doc_id", Seq("text"))),
 
+    // cross-source exact-dup overlap matrix over a doc_id-derived
+    // collision fixture (the corpus has no natural exact dups at gate
+    // SF): every 5th doc's text collapses to one of 8 keys spanning
+    // sources, so the matrix is non-trivial and fully re-derivable
+    "q_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.table(s, d, "documents").withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("shared dup "), pmod(col("doc_id"), lit(40)).cast("string")))
+        .otherwise(col("text"))))),
+
     // MinHash LSH near-dup pairs; brute-force 5-gram-Jaccard DuckDB oracle
     // (valid: deterministic seeded LSH with recall 1.0 at gate sf)
     "q_dedup_minhash" -> ((s, d) =>
@@ -1982,6 +1992,17 @@ object SparkEntry {
     "q_dedup_exact" ->
       ("SELECT md5(text) AS dup_hash, count(*) AS n_dups, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY text"),
+
+    // same collision fixture, then the matrix from first principles:
+    // DISTINCT (digest, source) pairs self-joined on digest with an
+    // ordered source pair
+    "q_source_overlap" ->
+      ("WITH fx AS (SELECT source, CASE WHEN doc_id % 5 = 0 " +
+        "THEN 'shared dup ' || CAST(doc_id % 40 AS VARCHAR) ELSE text END AS text " +
+        "FROM documents), " +
+        "s AS (SELECT DISTINCT md5(text) AS h, source FROM fx WHERE text IS NOT NULL) " +
+        "SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_texts " +
+        "FROM s a JOIN s b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2"),
 
     // stride multiples below the text length: DuckDB end-exclusive range ==
     // Spark sequence(0, len-1, stride) for len >= 1

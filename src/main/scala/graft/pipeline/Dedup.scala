@@ -42,6 +42,33 @@ object Dedup {
       .select(md5(concat_ws(" ", cols.map(col): _*)).as("dup_hash"),
         col("n_dups"), col("keep_id"))
 
+  /**
+   * Cross-source exact-duplicate overlap matrix: for every unordered pair
+   * of sources, the number of DISTINCT texts present in both — the report
+   * that sizes snapshot-over-snapshot crawl overlap and tells a mixture
+   * designer which sources double-count each other before weights are
+   * chosen. Set semantics per source (a text repeated within one source
+   * counts once).
+   *
+   * Plan: 16-byte digests shuffle, text never does (the [[exact]]
+   * contract); ONE digest aggregation collects each digest's source set,
+   * pairs expand in-row bounded by |sources|² (a report-table constant,
+   * never corpus-sized), and the pair counts map-side-combine.
+   */
+  def sourceOverlap(df: DataFrame, groupCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val perHash = df.filter(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("__h"), col(groupCol).as("__src"))
+      .groupBy(col("__h"))
+      .agg(array_sort(collect_set(col("__src"))).as("__srcs"))
+      .filter(size(col("__srcs")) >= 2)
+    perHash.select(explode(col("__srcs")).as("source_a"), col("__srcs"))
+      .select(col("source_a"), explode(col("__srcs")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+  }
+
   /** Attach dropped-bucket metrics (`Dataset.observe`) to a bucket table
     * that still carries its size column, then apply the cap. The observe
     * node stays in the final plan's lineage, so `metrics.get` after any

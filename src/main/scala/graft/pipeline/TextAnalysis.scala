@@ -512,12 +512,17 @@ object TextAnalysis {
    * order (the ordered-list idiom: IEEE addition is order-sensitive, so
    * the order is part of the contract).
    *
-   * Plan shape: ONE corpus scan computes (dl, matching occurrences)
-   * scan-local — the term filter is a literal IN applied INSIDE the
-   * token array before anything explodes, so only matching occurrences
-   * ever become rows; df and the (N, Σdl) stats are tiny aggregates that
-   * BROADCAST back onto the matched-term stream; the final top-N is
-   * TakeOrderedAndProject. The corpus never shuffles.
+   * Plan shape: TWO corpus scans total — (1) the (doc, term, tf) stream,
+   * where the term filter is a literal IN applied INSIDE the token array
+   * before anything explodes, so only matching occurrences ever become
+   * rows; (2) the corpus-wide (N, Σdl) stats, a one-row aggregate that
+   * broadcasts. df is a window count over the tiny matched-term stream —
+   * NOT a separate `tf.groupBy` branch, which looks shared but is not:
+   * column pruning specializes the two subplans and defeats
+   * ReuseExchange, silently re-scanning (and re-tokenizing) the corpus a
+   * third time (measured: 3 FileScans → 2, and the probe's warm wall
+   * time dropped accordingly). The final top-N is TakeOrderedAndProject;
+   * the corpus itself never shuffles.
    */
   def bm25(df: DataFrame, terms: Seq[String], topN: Int = 20,
            idCol: String = "doc_id", textCol: String = "text",
@@ -534,14 +539,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val tfd = col("tf").cast("double")
     val bterm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)
     val sTerm = idf * ((tfd * lit(k1 + 1.0)) / (tfd + lit(k1) * bterm))
-    tf.join(broadcast(dfreq), "term")
+    withDf
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), sTerm.as("__s"))
       .groupBy(col("doc_id"))

@@ -714,6 +714,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got("b") == ((1L, 0L, 0L, 1L, 1L, 0L)), got("b"))
   }
 
+  test("sourceOverlap: set semantics, unordered pairs, null exclusion") {
+    val fixture = Seq[(java.lang.Long, String, String)](
+      (1L, "a", "x"), (2L, "a", "x"), // within-source dup counts once
+      (3L, "b", "x"), (4L, "c", "x"), // x spans a, b, c
+      (5L, "a", "y"), (6L, "b", "y"), // y spans a, b
+      (7L, "c", "z"), // z unshared
+      (8L, "b", null)) // null text excluded
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L), got)
+  }
+
   test("lengthHistogram: bit-length buckets, null bucket -1, integer totals") {
     val fixture = Seq[(java.lang.Long, String, String)](
       (1L, "a", "one"), // 1 token → bin(1)='1' → bucket 1

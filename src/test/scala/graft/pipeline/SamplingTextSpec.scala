@@ -224,10 +224,15 @@ class SamplingTextSpec extends AnyFunSuite {
     // no-match and null docs are not retrieved; order is (score desc, id)
     assert(!got.exists(r => r._1 == 3L || r._1 == 5L))
     assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq)
-    // stats and df joins broadcast; the corpus itself never shuffles
+    // the stats row broadcasts, and the corpus is scanned exactly twice
+    // (tf stream + stats; df is a window over tf, NOT a third scan — a
+    // tf.groupBy branch loses ReuseExchange to column pruning)
     val plan = TextAnalysis.bm25(tiny, Seq("alpha", "beta"), topN = 10)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    val filePlan = TextAnalysis.bm25(docs, Seq("alpha", "beta"), topN = 10)
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(filePlan).length == 2, filePlan)
   }
 
   test("lmSurprisal scoring stage is scan-local (no exchange)") {
