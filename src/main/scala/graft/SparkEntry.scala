@@ -520,6 +520,17 @@ object SparkEntry {
     "q_vocab_df" -> ((s, d) =>
       TextAnalysis.vocabStats(Tables.table(s, d, "documents"))),
 
+    // one-pass Space-Saving heavy hitters over raw tokens: the shuffle
+    // carries capacity-bounded sketches, never a (token, count) stream;
+    // capacity 256 ≥ this corpus's 31-token vocabulary, so no eviction
+    // fires and the sketch is EXACT (err 0) — the GROUP BY oracle holds;
+    // the approximate regime's bounds are spec-tested
+    "q_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(
+        Tables.table(s, d, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("token")),
+        col("token"), capacity = 256, k = 20)),
+
     // per-source corpus report: integer counts/totals in ONE map-side-
     // combined aggregate — the pass that brackets every curation stage
     "q_corpus_stats" -> ((s, d) =>
@@ -1808,6 +1819,14 @@ object SparkEntry {
         "FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term " +
         "FROM documents) WHERE length(term) >= 3 " +
         "GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 100"),
+
+    // the sketch runs in its exact regime (capacity >= vocabulary), so
+    // plain GROUP BY counts with the same (count DESC, item ASC) cut are
+    // the oracle, and every max_err is exactly 0
+    "q_heavy_hitters" ->
+      ("SELECT t AS item, count(*) AS est_count, CAST(0 AS BIGINT) AS max_err " +
+        "FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t " +
+        "FROM documents) GROUP BY t ORDER BY est_count DESC, item ASC LIMIT 20"),
 
     // same bit-length bucket (length(bin(n))), same NULL policy, all
     // integer — the histogram diffs exactly across engines

@@ -70,6 +70,19 @@ object DocStreams {
                           maxTokens: Long): DataFrame =
     TextAnalysis.chunkByTokens(docs, state, maxTokens)
 
+  /** Streaming BM25 scoring against a frozen [[TextAnalysis.Bm25Model]]
+    * (extracted once from the corpus at rest): stateless scan-local
+    * projection, the retrieval-model ingestion-gate shape — and
+    * bit-identical to the batch [[TextAnalysis.bm25]] scores over the
+    * model corpus (pinned in the spec). Docs matching no query term are
+    * not retrieved, matching batch semantics. */
+  def bm25Stream(docs: DataFrame, model: TextAnalysis.Bm25Model): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.withColumn("n_terms", TextAnalysis.bm25MatchedTerms(col("text"), model))
+      .withColumn("bm25", TextAnalysis.bm25Score(col("text"), model))
+      .filter(col("n_terms") > 0)
+  }
+
   /** Streaming n-gram decontamination: the batch operator unchanged on a
     * stream — eval-set grams reduce ONCE on the static side and broadcast;
     * the stream side is a stateless explode + broadcast join, and the only

@@ -714,6 +714,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(got("b") == ((1L, 0L, 0L, 1L, 1L, 0L)), got("b"))
   }
 
+  test("heavyHitters: exact regime == groupBy; approximate bounds; roundtrip") {
+    import org.apache.spark.sql.graft.SpaceSavingBuffer
+    // exact regime: capacity >= distinct items → plain counts, err 0
+    val tokens = docs.select(explode(split(trim($"text"), "\\s+")).as("token"))
+    val got = TextAnalysis.heavyHitters(tokens, $"token", capacity = 256, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = tokens.groupBy("token").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }.take(10)
+    assert(got.map(t => (t._1, t._2)).toSeq == want.toSeq, got.toSeq)
+    assert(got.forall(_._3 == 0L), "exact regime must report err 0")
+    // approximate regime on a skewed synthetic stream across partitions:
+    // overestimate-bounded counts and guaranteed presence of true heavies
+    val hot = Seq.fill(500)("hot") ++ Seq.fill(300)("warm")
+    val cold = (0 until 400).map(i => s"cold$i")
+    val stream = scala.util.Random.shuffle(hot ++ cold ++ cold) // fixed seed irrelevant: bounds hold for ANY order
+    val sdf = stream.toDF("token").repartition(13)
+    val approx = TextAnalysis.heavyHitters(sdf, $"token", capacity = 16, k = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val trueCounts = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    approx.foreach { case (item, est, err) =>
+      val t = trueCounts(item)
+      assert(est >= t, s"$item: est $est < true $t")
+      assert(est - err <= t, s"$item: est-err ${est - err} > true $t")
+    }
+    val items = approx.map(_._1).toSet
+    assert(items.contains("hot") && items.contains("warm"),
+      s"true heavy hitters must be tracked (f > N/capacity): $items")
+    // serialization round trip preserves entries exactly
+    val buf = new SpaceSavingBuffer(8)
+    Seq("a", "b", "a", "c", "a", "b").foreach(buf.offer(_, 1L, 0L))
+    val back = SpaceSavingBuffer.fromBytes(buf.toBytes)
+    assert(back.sortedEntries == buf.sortedEntries)
+    assert(buf.sortedEntries == Seq(("a", 3L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+  }
+
   test("sourceOverlap: set semantics, unordered pairs, null exclusion") {
     val fixture = Seq[(java.lang.Long, String, String)](
       (1L, "a", "x"), (2L, "a", "x"), // within-source dup counts once

@@ -253,6 +253,25 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BM25 scoring == batch twin (frozen model, bit-exact)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val terms = Seq("merge", "window", "table")
+    val model = graft.pipeline.TextAnalysis.bm25Model(docs, terms)
+    // batch reference: topN large enough to retrieve every matching doc
+    val batch = graft.pipeline.TextAnalysis.bm25(docs, terms, topN = 1000000)
+      .collect().map(_.toSeq).toSet
+    val stream = DocStreams.readDocStream(spark, stageDocsDir())
+    val q = DocStreams.bm25Stream(stream, model)
+      .select(col("doc_id"), col("n_terms"), col("bm25"))
+      .writeStream.outputMode("append").format("memory").queryName("bm25_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bm25_out").collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"stream ${streamed.size} rows vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming chunking == batch twin (stateless generator)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val stream = DocStreams.readDocStream(spark, stageDocsDir())
