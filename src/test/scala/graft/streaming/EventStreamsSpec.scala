@@ -253,6 +253,27 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters == batch twin (sketch merges across batches)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def tokens(d: org.apache.spark.sql.DataFrame) =
+      d.select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    // exact regime (capacity >= vocabulary): the merged sketch must equal
+    // plain counts no matter how micro-batches split the stream
+    val batch = graft.pipeline.TextAnalysis.heavyHitters(
+      tokens(docs), col("token"), capacity = 256, k = 10)
+      .collect().map(_.toSeq).toSet
+    val stream = DocStreams.readDocStream(spark, stageDocsDir())
+    val q = graft.pipeline.TextAnalysis.heavyHitters(
+        tokens(stream), col("token"), capacity = 256, k = 10)
+      .writeStream.outputMode("complete").format("memory").queryName("hh_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hh_out").collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming BM25 scoring == batch twin (frozen model, bit-exact)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val terms = Seq("merge", "window", "table")
