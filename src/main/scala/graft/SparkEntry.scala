@@ -642,6 +642,24 @@ object SparkEntry {
       TextAnalysis.bm25(Tables.table(s, d, "documents"),
         Seq("merge", "window", "table"), topN = 20)),
 
+    // ranked-retrieval evaluation of the BM25 results against a derived
+    // relevance truth (docs with >= 2 distinct matched terms): integer
+    // recall/hits/first-rank counters — the measurement half of every
+    // retriever here; rank is a 20-row post-limit window (not corpus-wide)
+    "q_retrieval_eval" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val terms = Seq("merge", "window", "table")
+      val res = TextAnalysis.bm25(docs, terms, topN = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      val toks = split(trim(col("text")), "\\s+")
+      val truth = docs.filter(
+          size(array_distinct(filter(toks, t => t.isInCollection(terms)))) >= 2)
+        .select(col("doc_id"))
+      graft.pipeline.Evaluation.retrievalEval(
+        res.select(col("doc_id"), col("rank")), truth)
+    }),
+
     // overlapping fixed-window chunking (stride < size)
     "q_chunk" -> ((s, d) =>
       TextAnalysis.chunk(Tables.table(s, d, "documents"), size = 256, stride = 192)),
@@ -1081,6 +1099,22 @@ object SparkEntry {
         .select(col("new_id"), col("corpus_id"))
     }),
 
+    // the SAME incremental probe through the Bloom key pre-screen: no
+    // false negatives means screen-on results must equal screen-off, so
+    // this gate shares q_dedup_incremental's brute-force oracle verbatim
+    // — the driver independently proves screen-invariance
+    "q_dedup_incremental_bloom" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val path = s"/tmp/graft_mh_index_${Integer.toHexString(d.hashCode)}"
+      val bloom = s"/tmp/graft_mh_bloom_${Integer.toHexString(d.hashCode)}"
+      Dedup.writeMinhashIndex(docs, path)
+      Dedup.writeBloomIndex(s, path, bloom)
+      Dedup.dedupAgainstIndex(s, path, batch, docs, bloomPath = Some(bloom))
+        .select(col("new_id"), col("corpus_id"))
+    }),
+
     // LINE-level global dedup (C4 keep-one-occurrence boilerplate removal):
     // fixture adds shared header/footer lines keyed on doc_id so the pass
     // has real cross-doc boilerplate to strip; the oracle re-derives the
@@ -1178,6 +1212,48 @@ object SparkEntry {
           md5(col("redacted")).as("redacted_md5"))
     })
   )
+
+  /** Shared CTE chain replaying the full BM25 computation (q_bm25,
+    * q_retrieval_eval): term filter inside the token list, (N, Σdl)
+    * stats, tf/df, the constant folds as SQL constant expressions, and
+    * the per-doc sorted-term ordered fold into `g(doc_id, n_terms,
+    * bm25)`. */
+  private val Bm25OracleCtes: String =
+    "base AS (SELECT doc_id, " +
+      "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl, " +
+      "list_filter(string_split_regex(trim(text), '\\s+'), " +
+      "t -> t IN ('merge', 'window', 'table')) AS hits FROM documents), " +
+      "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base), " +
+      "tf AS (SELECT doc_id, dl, t AS term, count(*) AS tf FROM " +
+      "(SELECT doc_id, dl, unnest(hits) AS t FROM base) GROUP BY doc_id, dl, t), " +
+      "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+      "sc AS (SELECT tf.doc_id, tf.term, " +
+      "((CAST(st.n_docs - dft.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+      "(CAST(dft.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) * " +
+      "((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / " +
+      "(CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * " +
+      "((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * " +
+      "(CAST(tf.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))) AS s " +
+      "FROM tf JOIN dft USING (term) CROSS JOIN st), " +
+      "g AS (SELECT doc_id, count(*) AS n_terms, " +
+      "list_sum(array_agg(s ORDER BY term)) AS bm25 FROM sc GROUP BY doc_id)"
+
+  /** Brute-force cross-set Jaccard between the rebuilt batch and the
+    * corpus — shared verbatim by q_dedup_incremental and its
+    * Bloom-screened twin (the screen must be result-invariant). */
+  private val IncrementalOracleSql: String =
+    "WITH bt AS (SELECT doc_id + 1000000 AS new_id, text FROM documents WHERE doc_id % 10 = 0), " +
+      "ga AS (SELECT new_id, unnest(list_distinct(list_transform(" +
+      "range(1, length(text)-3), i -> substr(text, i, 5)))) AS gram FROM bt), " +
+      "gb AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, length(text)-3), i -> substr(text, i, 5)))) AS gram FROM documents), " +
+      "sa AS (SELECT new_id, count(*) AS sz FROM ga GROUP BY new_id), " +
+      "sb AS (SELECT doc_id, count(*) AS sz FROM gb GROUP BY doc_id), " +
+      "co AS (SELECT a.new_id, b.doc_id AS corpus_id, count(*) AS inter " +
+      "FROM ga a JOIN gb b USING (gram) GROUP BY 1, 2) " +
+      "SELECT co.new_id AS new_id, co.corpus_id AS corpus_id FROM co " +
+      "JOIN sa ON sa.new_id = co.new_id JOIN sb ON sb.doc_id = co.corpus_id " +
+      "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8"
 
   /** Shared CTEs for the BPE-id oracles (q_text_token_ids, q_examples):
     * the fixture merge table, the pre-tokenizer, the recursive merge-loop
@@ -1987,26 +2063,30 @@ object SparkEntry {
     // build folds bit-for-bit), and the per-doc sum as a sorted-term
     // ordered-list fold — every op an IEEE scalar in the identical order
     "q_bm25" ->
-      ("WITH base AS (SELECT doc_id, " +
-        "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl, " +
-        "list_filter(string_split_regex(trim(text), '\\s+'), " +
-        "t -> t IN ('merge', 'window', 'table')) AS hits FROM documents), " +
-        "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base), " +
-        "tf AS (SELECT doc_id, dl, t AS term, count(*) AS tf FROM " +
-        "(SELECT doc_id, dl, unnest(hits) AS t FROM base) GROUP BY doc_id, dl, t), " +
-        "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
-        "sc AS (SELECT tf.doc_id, tf.term, " +
-        "((CAST(st.n_docs - dft.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
-        "(CAST(dft.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) * " +
-        "((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / " +
-        "(CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * " +
-        "((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * " +
-        "(CAST(tf.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))) AS s " +
-        "FROM tf JOIN dft USING (term) CROSS JOIN st), " +
-        "g AS (SELECT doc_id, count(*) AS n_terms, " +
-        "list_sum(array_agg(s ORDER BY term)) AS bm25 FROM sc GROUP BY doc_id) " +
-        "SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, bm25 FROM g " +
+      ("WITH " + Bm25OracleCtes +
+        " SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, bm25 FROM g " +
         "ORDER BY bm25 DESC, doc_id ASC LIMIT 20"),
+
+    // the bm25 replay feeding the eval counters: rank over the identical
+    // (bm25 DESC, doc_id) order, truth = docs with >= 2 distinct matched
+    // terms, then hits/recall/first-rank re-derived with pure integers
+    "q_retrieval_eval" ->
+      ("WITH " + Bm25OracleCtes + ", " +
+        "ranked AS (SELECT doc_id, rank FROM (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY bm25 DESC, doc_id ASC) AS rank FROM g) WHERE rank <= 20), " +
+        "truth AS (SELECT doc_id FROM documents WHERE len(list_distinct(" +
+        "list_filter(string_split_regex(trim(text), '\\s+'), " +
+        "t -> t IN ('merge', 'window', 'table')))) >= 2), " +
+        "m AS (SELECT count(*) AS n_retrieved, " +
+        "sum(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits, " +
+        "coalesce(min(CASE WHEN t.doc_id IS NOT NULL THEN r.rank END), 0) AS first_rel_rank " +
+        "FROM ranked r LEFT JOIN truth t USING (doc_id)), " +
+        "n AS (SELECT count(*) AS n_relevant FROM truth) " +
+        "SELECT CAST(m.n_retrieved AS BIGINT) AS n_retrieved, " +
+        "CAST(n.n_relevant AS BIGINT) AS n_relevant, " +
+        "CAST(m.n_hits AS BIGINT) AS n_hits, " +
+        "(CAST(m.n_hits AS BIGINT) * 1000) // CAST(n.n_relevant AS BIGINT) AS recall_permille, " +
+        "CAST(m.first_rel_rank AS BIGINT) AS first_rel_rank FROM m, n"),
 
     "q_dedup_exact" ->
       ("SELECT md5(text) AS dup_hash, count(*) AS n_dups, min(doc_id) AS keep_id " +
@@ -2356,19 +2436,10 @@ object SparkEntry {
     // corpus — same inverted-index CTE shape as JaccardPairsCtes, valid
     // for the same recall reasons (exact copies collide in every band;
     // near-dups at ≥ 0.8 detect at ≈ 0.9998)
-    "q_dedup_incremental" ->
-      ("WITH bt AS (SELECT doc_id + 1000000 AS new_id, text FROM documents WHERE doc_id % 10 = 0), " +
-        "ga AS (SELECT new_id, unnest(list_distinct(list_transform(" +
-        "range(1, length(text)-3), i -> substr(text, i, 5)))) AS gram FROM bt), " +
-        "gb AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
-        "range(1, length(text)-3), i -> substr(text, i, 5)))) AS gram FROM documents), " +
-        "sa AS (SELECT new_id, count(*) AS sz FROM ga GROUP BY new_id), " +
-        "sb AS (SELECT doc_id, count(*) AS sz FROM gb GROUP BY doc_id), " +
-        "co AS (SELECT a.new_id, b.doc_id AS corpus_id, count(*) AS inter " +
-        "FROM ga a JOIN gb b USING (gram) GROUP BY 1, 2) " +
-        "SELECT co.new_id AS new_id, co.corpus_id AS corpus_id FROM co " +
-        "JOIN sa ON sa.new_id = co.new_id JOIN sb ON sb.doc_id = co.corpus_id " +
-        "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8"),
+    "q_dedup_incremental" -> IncrementalOracleSql,
+
+    // identical oracle by design: the Bloom screen must be result-invariant
+    "q_dedup_incremental_bloom" -> IncrementalOracleSql,
 
     // rebuilds the line-dedup fixture, replays the identical
     // first-occurrence rule (row_number over digest ordered by doc, pos =

@@ -1106,13 +1106,23 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text",
                         numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
                         threshold: Double = 0.8,
-                        maxPushdownKeys: Int = 8192): DataFrame = {
-    import org.apache.spark.sql.graft.{MinHashSig, SigBands, SigJaccard}
+                        maxPushdownKeys: Int = 8192,
+                        bloomPath: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.graft.{BloomKeyMightContain, MinHashSig, SigBands, SigJaccard}
     val index = spark.read.parquet(indexPath)
     val bsigs = batch.select(col(idCol).as("new_id"),
       c(MinHashSig(e(col(textCol)), e(lit(numHashes)), e(lit(shingle)))).as("new_sig"))
-    val bband = bsigs.select(col("new_id"), col("new_sig"),
+    val bbandAll = bsigs.select(col("new_id"), col("new_sig"),
       posexplode(c(SigBands(e(col("new_sig")), e(lit(bands))))).as(Seq("band", "key")))
+    // optional Bloom pre-screen (see [[writeBloomIndex]]): a mostly-novel
+    // batch drops most of its bucket keys SCAN-LOCALLY, before the key
+    // collect and the index join — no false negatives, so results are
+    // identical with or without (differential-tested)
+    val bband = bloomPath match {
+      case Some(p) => bbandAll.filter(c(BloomKeyMightContain(e(col("key")),
+        loadBloomState(spark, p))))
+      case None => bbandAll
+    }
     // bounded collect (≤ maxPushdownKeys + 1 rows) decides whether the
     // batch's keys can become a static parquet row-group-pruning predicate
     val keySample = bband.select(col("key")).distinct()
@@ -1131,4 +1141,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
+
+  /**
+   * Write the Bloom membership screen for a [[writeMinhashIndex]] index:
+   * one pass over the index's distinct bucket keys into a serialized
+   * Bloom filter the probe side broadcasts (≈1.2 MB per million keys at
+   * fpp 0.01). At 100 TB this is the cheap first gate of the incremental
+   * path: an arriving batch tests its keys scan-locally and only
+   * surviving (mostly truly-colliding) keys reach the (band, key) join —
+   * Bloom filters have no false negatives, so the screen is a pure
+   * work-skip, never a result change ([[dedupAgainstIndex]]'s
+   * `bloomPath`; differential-tested). The filter lands next to the
+   * index (local path here; a DFS path on a cluster).
+   */
+  def writeBloomIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, bloomPath: String,
+                      fpp: Double = 0.01): Unit = {
+    require(fpp > 0 && fpp < 0.5, s"fpp out of (0, 0.5): $fpp")
+    val keys = spark.read.parquet(indexPath).select(col("key")).distinct()
+    val n = math.max(1L, keys.count())
+    val bf = keys.stat.bloomFilter("key", n, fpp)
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(bloomPath))
+    try bf.writeTo(out) finally out.close()
+  }
+
+  /** Load + broadcast a [[writeBloomIndex]] filter (bytes ship once per
+    * executor; the filter deserializes lazily executor-side). */
+  private def loadBloomState(spark: org.apache.spark.sql.SparkSession,
+                             bloomPath: String): org.apache.spark.sql.graft.BloomState =
+    new org.apache.spark.sql.graft.BloomState(spark.sparkContext.broadcast(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(bloomPath))))
 }

@@ -149,6 +149,34 @@ final class SpaceSavingBuffer(val capacity: Int) {
   }
 }
 
+/** Broadcast-held Bloom filter over a persisted index's bucket keys: the
+  * serialized bytes ship once per executor and the filter deserializes
+  * lazily on first use (same holder pattern as `LmState`). */
+final class BloomState(bytes: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends Serializable {
+  @transient lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new ByteArrayInputStream(bytes.value))
+}
+
+/** Scan-local Bloom membership test over long keys — the pre-screen that
+  * lets an arriving batch drop bucket keys the corpus index cannot
+  * contain BEFORE any join or driver collect. Bloom filters have no
+  * false negatives, so a screen never changes results — false positives
+  * only pass through to the join that would have dropped them anyway. */
+case class BloomKeyMightContain(child: Expression, state: BloomState)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_key_might_contain"
+  override protected def nullSafeEval(k: Any): Any =
+    state.bloom.mightContainLong(k.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): BloomKeyMightContain =
+    copy(child = c)
+}
+
 object SpaceSavingBuffer {
   def fromBytes(bytes: Array[Byte]): SpaceSavingBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))

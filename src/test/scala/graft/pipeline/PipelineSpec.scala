@@ -544,6 +544,21 @@ class PipelineSpec extends AnyFunSuite {
       val tc = corpusAll.find(_._1 == ic).get._2
       assert(j == TextCore.ngramJaccard(tb, tc, 5))
     }
+    // Bloom pre-screen differential: no false negatives → identical rows
+    val bloom = java.nio.file.Files.createTempDirectory("graft_bloom")
+      .resolve("keys.bloom").toString
+    Dedup.writeBloomIndex(spark, dir, bloom)
+    val screened = Dedup.dedupAgainstIndex(spark, dir, batch, planted,
+        threshold = 0.7, bloomPath = Some(bloom))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(screened == got.toSet, "Bloom screen changed results")
+    // a genuinely novel batch is screened down to (near) nothing: keys of
+    // unseen text should mostly miss the corpus-key filter
+    val novel = Seq((1L, "totally novel text the corpus never saw qqq www eee"))
+      .toDF("doc_id", "text")
+    val novelPairs = Dedup.dedupAgainstIndex(spark, dir, novel, planted,
+      threshold = 0.7, bloomPath = Some(bloom)).count()
+    assert(novelPairs == 0L)
   }
 
   test("dedupLines: global first-occurrence line dedup with splice") {

@@ -199,6 +199,27 @@ class SamplingTextSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> -1L), got)
   }
 
+  test("retrievalEval: hand counters, per-query grouping, zero-hit query") {
+    // single query (no query cols): 3 of 4 retrieved are relevant,
+    // truth has 6 docs, first relevant at rank 2
+    val results = Seq((10L, 1L), (11L, 2L), (12L, 3L), (13L, 4L))
+      .toDF("doc_id", "rank")
+    val truth = Seq(11L, 12L, 13L, 20L, 21L, 22L).toDF("doc_id")
+    val got = Evaluation.retrievalEval(results, truth).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((4L, 6L, 3L, 500L, 2L)), got)
+    // grouped: query A hits at rank 1 of 2 truths; query B retrieves
+    // nothing relevant -> first_rel_rank 0, recall 0
+    val r2 = Seq(("A", 10L, 1L), ("A", 11L, 2L), ("B", 12L, 1L))
+      .toDF("query", "doc_id", "rank")
+    val t2 = Seq(("A", 10L), ("A", 99L), ("B", 98L)).toDF("query", "doc_id")
+    val g2 = Evaluation.retrievalEval(r2, t2, queryCols = Seq("query"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(g2("A") == ((2L, 2L, 1L, 500L, 1L)), g2("A"))
+    assert(g2("B") == ((1L, 1L, 0L, 0L, 0L)), g2("B"))
+  }
+
   test("bm25: exact hand replica, standard retrieval semantics, total order") {
     val tiny = Seq(
       (1L, "alpha beta alpha gamma"),
