@@ -536,6 +536,12 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, d) =>
       Curation.corpusStats(Tables.table(s, d, "documents"))),
 
+    // per-source character-class composition (charset/script dashboard):
+    // disjoint integer class counts summing to total_chars, shares in
+    // permille — encoding corruption and script mixes show up here first
+    "q_script_ratio" -> ((s, d) =>
+      Curation.scriptRatio(Tables.table(s, d, "documents"))),
+
     // log2-bucketed length histogram: bucket = bit length of the token
     // count (ilog2 idiom — pure integer), NULL texts in bucket -1; the
     // distribution report behind packing/chunking budget choices
@@ -1943,6 +1949,27 @@ object SparkEntry {
         "CAST(sum(CASE WHEN text IS NOT NULL AND length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short, " +
         "CAST(max(length(text)) AS BIGINT) AS max_chars " +
         "FROM documents GROUP BY source"),
+
+    // same complement-deletion class counts (DuckDB needs the 'g' flag —
+    // Spark's regexp_replace is global by default), same disjointness
+    // construction (other_ascii and non_ascii derived from totals)
+    "q_script_ratio" ->
+      ("WITH t AS (SELECT source, " +
+        "CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS c, " +
+        "CASE WHEN text IS NULL THEN 0 ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END AS lat, " +
+        "CASE WHEN text IS NULL THEN 0 ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) END AS dig, " +
+        "CASE WHEN text IS NULL THEN 0 ELSE length(regexp_replace(text, '[^\\s]', '', 'g')) END AS sp, " +
+        "CASE WHEN text IS NULL THEN 0 ELSE length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) END AS na " +
+        "FROM documents) " +
+        "SELECT source, CAST(sum(c) AS BIGINT) AS total_chars, " +
+        "CAST(sum(lat) AS BIGINT) AS n_latin, " +
+        "CAST(sum(dig) AS BIGINT) AS n_digit, " +
+        "CAST(sum(sp) AS BIGINT) AS n_space, " +
+        "CAST(sum(c) - sum(na) - sum(lat) - sum(dig) - sum(sp) AS BIGINT) AS n_other_ascii, " +
+        "CAST(sum(na) AS BIGINT) AS n_non_ascii, " +
+        "(CAST(sum(lat) AS BIGINT) * 1000) // greatest(CAST(sum(c) AS BIGINT), 1) AS latin_permille, " +
+        "(CAST(sum(na) AS BIGINT) * 1000) // greatest(CAST(sum(c) AS BIGINT), 1) AS non_ascii_permille " +
+        "FROM t GROUP BY source"),
 
     // full scorer replay: unigram + adjacent-bigram features, bucket =
     // first 32 md5 bits (hex-string arithmetic) mod 4096, weight re-derived

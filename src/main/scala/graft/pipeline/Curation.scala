@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -118,5 +118,49 @@ object Curation {
         sum(col("__n")).as("total_tokens"),
         min(col("__n")).as("min_tokens"),
         max(col("__n")).as("max_tokens"))
+  }
+
+  /**
+   * Per-source character-class composition report — the charset/script
+   * dashboard next to [[corpusStats]]: how many characters are Latin
+   * letters, digits, whitespace, other ASCII (punctuation), and
+   * non-ASCII. Encoding corruption (mojibake), unexpected script mixes,
+   * and markup-heavy sources all show up here as class-share shifts long
+   * before any per-doc quality rule fires; web-curation pipelines (C4,
+   * RefinedWeb) read exactly these shares when deciding per-source
+   * handling. Classes are counted by deleting the complement class and
+   * taking lengths — simple RE2-parity character classes only (the
+   * [[Pii]] pattern contract), so both engines count identically; counts
+   * are disjoint and sum to `total_chars` by construction (non_ascii =
+   * chars − ascii; other_ascii = ascii − latin − digit − space). All
+   * INTEGER, shares in permille of total (0 when a source is all-NULL);
+   * one map-side-combined aggregate over the scan — [[corpusStats]]'s
+   * cost shape at 100 TB.
+   */
+  def scriptRatio(df: DataFrame, groupCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def classCount(pattern: String): Column =
+      when(t.isNull, 0L)
+        .otherwise(length(regexp_replace(t, pattern, "")).cast("long"))
+    val nChars = when(t.isNull, 0L).otherwise(length(t).cast("long"))
+    df.select(col(groupCol),
+        nChars.as("__c"),
+        classCount("[^A-Za-z]").as("__latin"),
+        classCount("[^0-9]").as("__digit"),
+        classCount("[^\\s]").as("__space"),
+        classCount("[\\x00-\\x7F]").as("__nonascii"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("total_chars"),
+        sum(col("__latin")).as("n_latin"),
+        sum(col("__digit")).as("n_digit"),
+        sum(col("__space")).as("n_space"),
+        (sum(col("__c")) - sum(col("__nonascii")) - sum(col("__latin")) -
+          sum(col("__digit")) - sum(col("__space"))).as("n_other_ascii"),
+        sum(col("__nonascii")).as("n_non_ascii"))
+      .withColumn("latin_permille",
+        expr("(n_latin * 1000) div greatest(total_chars, 1)"))
+      .withColumn("non_ascii_permille",
+        expr("(n_non_ascii * 1000) div greatest(total_chars, 1)"))
   }
 }

@@ -729,6 +729,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got("b") == ((1L, 0L, 0L, 1L, 1L, 0L)), got("b"))
   }
 
+  test("scriptRatio: disjoint class counts sum to total, null-safe, permille") {
+    // "Ab1 ?\u00e9" = 6 chars: 2 latin, 1 digit, 1 space, 1 other-ascii
+    // ('?'), 1 non-ascii (e-acute, \u00e9); NULL source contributes zeros
+    val fixture = Seq[(java.lang.Long, String, String)](
+      (1L, "a", "Ab1 ?\u00e9"), (2L, "a", null), (3L, "b", "xy 12"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.scriptRatio(fixture)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))).toMap
+    assert(got("a") == ((6L, 2L, 1L, 1L, 1L, 1L, 333L, 166L)), got("a"))
+    assert(got("b") == ((5L, 2L, 2L, 1L, 0L, 0L, 400L, 0L)), got("b"))
+    // classes partition the text: sum of the five class counts == total
+    got.values.foreach { case (c, lat, dig, sp, oth, na, _, _) =>
+      assert(lat + dig + sp + oth + na == c)
+    }
+  }
+
   test("heavyHitters: exact regime == groupBy; approximate bounds; roundtrip") {
     import org.apache.spark.sql.graft.SpaceSavingBuffer
     // exact regime: capacity >= distinct items → plain counts, err 0
