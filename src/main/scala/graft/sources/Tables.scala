@@ -18,6 +18,25 @@ object Tables {
   def configure(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /**
+   * The events `ts` column has shipped under two parquet schemas:
+   * nanos-annotated INT64 (which Spark surfaces as a nanos long under
+   * `nanosAsLong` — truncate to micros) and plain micros TIMESTAMP with
+   * isAdjustedToUTC=false (which Spark surfaces as TIMESTAMP_NTZ).
+   * Normalize both to TimestampType so downstream `unix_micros`
+   * arithmetic is schema-independent; the NTZ→TZ cast is wall-clock-
+   * preserving because every session here pins spark.sql.session.timeZone
+   * to UTC — the same micros DuckDB's `epoch_us(ts)` reads.
+   */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   // DataFrame (logical plan) cache: avoids re-listing files and re-reading
   // parquet footers on every query of a multi-query run. Weakly keyed by
   // session so stopped sessions (and their plans) can be collected.
@@ -37,8 +56,7 @@ object Tables {
     perSession.computeIfAbsent((sfDir, name), { _ =>
       configure(spark)
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      if (name == "events") normalizeEventTs(df) else df
     })
   }
 

@@ -17,11 +17,13 @@ import org.apache.spark.sql.types._
  */
 object EventStreams {
 
-  /** Raw file schema: ts arrives as TIMESTAMP(NANOS) which we read as a
-    * nanos long (see graft.sources.Tables) and convert to TimestampType. */
+  /** Raw file schema: ts arrives as micros TIMESTAMP with
+    * isAdjustedToUTC=false (TIMESTAMP_NTZ in Spark); normalized to
+    * TimestampType on read (see [[graft.sources.Tables.normalizeEventTs]];
+    * the batch path additionally accepts the older nanos-INT64 layout). */
   val eventFileSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -30,8 +32,8 @@ object EventStreams {
   /** Streaming file source over a directory of event parquet files. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     graft.sources.Tables.configure(spark)
-    spark.readStream.schema(eventFileSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(eventFileSchema).parquet(dir))
   }
 
   /** Tumbling-window counts per event_type with late-data watermark. */

@@ -43,7 +43,9 @@ object ScaleUp {
   /** Reusable scale-up body — also called in-session by [[graft.Bench]] so
     * the sf1 numbers are produced inside the driver-recorded bench run. */
   def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
-    // events.parquet carries TIMESTAMP(NANOS); read the raw int64 column
+    // events.parquet has shipped as TIMESTAMP(NANOS) int64 and as plain
+    // micros TIMESTAMP_NTZ; nanosAsLong lets the legacy layout load, and
+    // ts passes through unchanged either way (replicas share timestamps)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
