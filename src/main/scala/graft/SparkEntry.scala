@@ -517,6 +517,27 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // snapshot DIFF over the cdc fixture widened with genuinely-new keys
+    // (doc_id + 10,000,000 for doc_id % 11 == 0) so added, removed, and
+    // changed all appear; payload digests use the fixed U+0001/U+0002
+    // md5 recipe the oracle recomputes byte-identically via chr(1)/chr(2)
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val changes = docs
+        .filter(pmod(col("doc_id"), lit(3)) === 0 || pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("op",
+          when(pmod(col("doc_id"), lit(7)) === 0, "delete").otherwise("upsert"))
+        .withColumn("n_chars", col("n_chars") + 1000000L)
+      val inserts = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("op", lit("upsert"))
+      val next = graft.pipeline.Snapshots.applyChanges(
+        docs, changes.unionByName(inserts), Seq("doc_id"))
+      graft.pipeline.Snapshots.diff(docs, next, Seq("doc_id"),
+          Seq("source", "n_chars"))
+        .select(col("doc_id"), col("change"), col("old_md5"), col("new_md5"))
+    }),
+
     "q_vocab_df" -> ((s, d) =>
       TextAnalysis.vocabStats(Tables.table(s, d, "documents"))),
 
@@ -620,6 +641,27 @@ object SparkEntry {
       docs.select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         TextAnalysis.lmSurprisalBigram(toks, st).as("surprisal_bits"))
+    }),
+
+    // CCNet-style per-language perplexity terciles (Wenzek et al. 2020
+    // §4.3): the lm_surprisal chain scores fluency in integer centibits
+    // per token; NTILE(3) over the total (score, doc_id) order per lang
+    // labels head/middle/tail. The oracle re-derives the WHOLE LM chain
+    // and replays the same NTILE over the same total order.
+    "q_ccnet_buckets" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val st = TextAnalysis.lmStateFromVocab(
+        TextAnalysis.zipfVocab(docs, "text", topV = 200))
+      val toks = split(trim(col("text")), "\\s+")
+      val scored = docs.select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tokens"),
+          TextAnalysis.lmSurprisal(toks, st).as("surprisal_bits"))
+        .withColumn("mean_centibits",
+          expr("(surprisal_bits * 100) div n_tokens"))
+      graft.pipeline.Curation.perplexityBuckets(
+          scored, "lang", "mean_centibits", "doc_id", nBuckets = 3)
+        .select(col("doc_id"), col("lang"), col("mean_centibits"),
+          col("bucket"), col("bucket_label"))
     }),
 
     "q_contamination" -> ((s, d) =>
@@ -1896,6 +1938,32 @@ object SparkEntry {
         "ANTI JOIN changes c ON b.doc_id = c.doc_id " +
         "UNION ALL SELECT doc_id, source, n_chars FROM changes WHERE op = 'upsert'"),
 
+    // replays the widened changeset, the apply, the chr(1)/chr(2) concat
+    // digests on both versions, and the full-outer classification
+    "q_snapshot_diff" ->
+      ("WITH changes AS (SELECT doc_id, source, n_chars + 1000000 AS n_chars, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op " +
+        "FROM documents WHERE doc_id % 3 = 0 OR doc_id % 7 = 0), " +
+        "inserts AS (SELECT doc_id + 10000000 AS doc_id, source, n_chars, " +
+        "'upsert' AS op FROM documents WHERE doc_id % 11 = 0), " +
+        "allch AS (SELECT * FROM changes UNION ALL SELECT * FROM inserts), " +
+        "next AS (SELECT b.doc_id, b.source, b.n_chars FROM documents b " +
+        "ANTI JOIN allch c ON b.doc_id = c.doc_id " +
+        "UNION ALL SELECT doc_id, source, n_chars FROM allch WHERE op = 'upsert'), " +
+        "bd AS (SELECT doc_id, md5(COALESCE(CAST(source AS VARCHAR), chr(2)) " +
+        "|| chr(1) || COALESCE(CAST(n_chars AS VARCHAR), chr(2))) AS old_md5 " +
+        "FROM documents), " +
+        "nd AS (SELECT doc_id, md5(COALESCE(CAST(source AS VARCHAR), chr(2)) " +
+        "|| chr(1) || COALESCE(CAST(n_chars AS VARCHAR), chr(2))) AS new_md5 " +
+        "FROM next) " +
+        "SELECT COALESCE(bd.doc_id, nd.doc_id) AS doc_id, " +
+        "CASE WHEN bd.doc_id IS NULL THEN 'added' " +
+        "WHEN nd.doc_id IS NULL THEN 'removed' " +
+        "WHEN old_md5 <> new_md5 THEN 'changed' ELSE 'unchanged' END AS change, " +
+        "old_md5, new_md5 " +
+        "FROM bd FULL OUTER JOIN nd ON bd.doc_id = nd.doc_id " +
+        "WHERE bd.doc_id IS NULL OR nd.doc_id IS NULL OR old_md5 <> new_md5"),
+
     "q_vocab_df" ->
       ("SELECT term, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences " +
         "FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term " +
@@ -2006,6 +2074,29 @@ object SparkEntry {
         "sc AS (SELECT bu.doc_id, sum(w.w) AS s FROM buck bu JOIN w USING (b) GROUP BY bu.doc_id) " +
         "SELECT d.doc_id, CAST(sc.s AS BIGINT) AS imp_score " +
         "FROM documents d LEFT JOIN sc USING (doc_id)"),
+
+    // re-derives the whole LM chain (the q_lm_surprisal oracle) and then
+    // replays the SAME standard-SQL NTILE over the same total
+    // (mean_centibits, doc_id) order per language
+    "q_ccnet_buckets" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t " +
+        "FROM documents), " +
+        "cnt AS (SELECT t, count(*) AS n FROM tok GROUP BY t), " +
+        "v AS (SELECT t, row_number() OVER (ORDER BY n DESC, t ASC) AS r " +
+        "FROM cnt ORDER BY n DESC, t ASC LIMIT 200), " +
+        "vc AS (SELECT t, CAST(length(bin(r)) - 1 AS BIGINT) AS cost FROM v), " +
+        "par AS (SELECT CAST(length(bin(count(*) + 1)) - 1 AS BIGINT) AS oov FROM vc), " +
+        "sc AS (SELECT k.doc_id, count(*) AS ntok, " +
+        "sum(COALESCE(vc.cost, par.oov)) AS sbits " +
+        "FROM tok k LEFT JOIN vc ON k.t = vc.t CROSS JOIN par GROUP BY k.doc_id), " +
+        "scr AS (SELECT d.doc_id, d.lang, " +
+        "(CAST(sc.sbits AS BIGINT) * 100) // CAST(sc.ntok AS BIGINT) AS mean_centibits " +
+        "FROM documents d JOIN sc USING (doc_id)) " +
+        "SELECT doc_id, lang, mean_centibits, " +
+        "CAST(ntile(3) OVER (PARTITION BY lang ORDER BY mean_centibits, doc_id) AS BIGINT) AS bucket, " +
+        "CASE ntile(3) OVER (PARTITION BY lang ORDER BY mean_centibits, doc_id) " +
+        "WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS bucket_label " +
+        "FROM scr"),
 
     // the oracle re-derives the WHOLE LM: token counts → top-200 vocab by
     // (n DESC, token ASC) → integer bit costs length(bin(rank))-1 → per-doc

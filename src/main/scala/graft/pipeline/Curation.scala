@@ -163,4 +163,42 @@ object Curation {
       .withColumn("non_ascii_permille",
         expr("(n_non_ascii * 1000) div greatest(total_chars, 1)"))
   }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §4.3): per
+   * group (CCNet partitions by language), rank documents by a language-
+   * model score and cut the ranking into `nBuckets` equal-frequency
+   * buckets — CCNet keeps the "head"/"middle" perplexity terciles and
+   * drops the "tail". Works over ANY per-doc integer score column (here:
+   * [[TextAnalysis.lmSurprisal]]'s mean centibits-per-token, so lower =
+   * more fluent, bucket 1 = head, exactly CCNet's orientation).
+   *
+   * Determinism: the window order (`scoreCol` ASC, `idCol` ASC) is total
+   * because ids are unique, so standard-SQL NTILE (first `n mod k`
+   * buckets get the extra row) assigns identically in any engine — the
+   * oracle replays the same NTILE over the same total order.
+   *
+   * Scale shape: one shuffle of compact (id, group, score) triples on the
+   * group key; the window sorts scores WITHIN a language, the same cost
+   * class as CCNet's own per-language percentile cut. Heavily-skewed
+   * group sizes (one dominant language) sort more rows in one partition —
+   * at that point swap the NTILE for a two-pass approximate-threshold cut
+   * (percentile_approx bounds are differential-tested in PipelineSpec);
+   * the exact NTILE is the oracle-checkable reference semantics.
+   */
+  def perplexityBuckets(scored: DataFrame, groupCol: String = "lang",
+                        scoreCol: String = "mean_centibits",
+                        idCol: String = "doc_id",
+                        nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val b = ntile(nBuckets).over(w)
+    scored.withColumn("bucket", b.cast("long"))
+      .withColumn("bucket_label",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === nBuckets, "tail")
+          .otherwise("middle"))
+  }
 }

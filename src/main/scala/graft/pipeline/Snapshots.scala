@@ -41,4 +41,48 @@ object Snapshots {
   def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame =
     applyChanges(base, updates.withColumn("__op", lit("upsert")),
       keyCols, opCol = "__op")
+
+  /**
+   * Snapshot diff — the audit inverse of [[applyChanges]]: classify every
+   * key across two corpus versions as `added` (key only in `next`),
+   * `removed` (key only in `base`), or `changed` (key in both, payload
+   * digest differs); unchanged keys are dropped unless
+   * `includeUnchanged`. This is what a pipeline runs before promoting a
+   * refreshed training set: "what did this crawl actually change, and is
+   * the churn rate sane?"
+   *
+   * The payload digest is md5 over `compareCols` joined with a U+0001
+   * separator, NULL encoded as U+0002 — a fixed byte recipe (not
+   * engine-native struct hashing) so any engine recomputes the identical
+   * digest; columns with free-form text that could contain the separators
+   * still compare correctly unless a crafted pair collides across a
+   * column boundary (the standard concat-digest caveat).
+   *
+   * Scale shape: each side projects to (key, 16-byte digest) AT THE SCAN
+   * — full payloads never shuffle — then one sort-merge full-outer join
+   * on the key. Both sides are corpus-sized, so two compact shuffles is
+   * the floor for an exact diff; a small-delta refresh should diff
+   * against [[applyChanges]]' input changeset instead (no join at all).
+   */
+  def diff(base: DataFrame, next: DataFrame, keyCols: Seq[String],
+           compareCols: Seq[String],
+           includeUnchanged: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "keyCols and compareCols must not be empty")
+    def digested(df: DataFrame, name: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        md5(concat_ws("\u0001",
+          compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+          .as(name): _*)
+    val b = digested(base, "old_md5")
+    val n = digested(next, "new_md5")
+    val joined = b.join(n, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged"))
+    if (includeUnchanged) joined
+    else joined.filter(col("change") =!= "unchanged")
+  }
 }

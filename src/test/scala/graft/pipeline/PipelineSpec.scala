@@ -1606,6 +1606,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(up == Set((1L, "A1", 100L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
   }
 
+  test("Snapshots.diff: added/removed/changed classified, unchanged dropped") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("doc_id", "text", "v")
+    val next = Seq((1L, "a", 10L),   // unchanged
+        (2L, "B2", 20L),             // changed (text)
+        (4L, "d", 41L),              // changed (v)
+        (9L, "new", 90L))            // added; 3 removed
+      .toDF("doc_id", "text", "v")
+    val got = Snapshots.diff(base, next, Seq("doc_id"), Seq("text", "v"))
+      .select("doc_id", "change")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "changed"), (9L, "added")))
+    // includeUnchanged surfaces key 1; NULL payload digests as the sentinel,
+    // so NULL vs non-NULL is a change, NULL vs NULL is not
+    val all = Snapshots.diff(base, next, Seq("doc_id"), Seq("text", "v"),
+      includeUnchanged = true)
+    assert(all.count() == 5)
+    val withNull = Seq((1L, null.asInstanceOf[String], 10L)).toDF("doc_id", "text", "v")
+    assert(Snapshots.diff(base, withNull.unionByName(base.filter($"doc_id" =!= 1)),
+      Seq("doc_id"), Seq("text", "v")).select("doc_id", "change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "changed")))
+    assert(Snapshots.diff(withNull, withNull, Seq("doc_id"), Seq("text", "v"))
+      .count() == 0)
+  }
+
+  test("Curation.perplexityBuckets: ntile sizes, order, label orientation") {
+    // 7 rows in one group: ntile(3) → sizes 3,2,2 along ascending score
+    val scored = Seq((1L, "en", 50L), (2L, "en", 10L), (3L, "en", 30L),
+        (4L, "en", 20L), (5L, "en", 60L), (6L, "en", 40L), (7L, "en", 70L),
+        (8L, "de", 5L), (9L, "de", 6L))
+      .toDF("doc_id", "lang", "mean_centibits")
+    val got = Curation.perplexityBuckets(scored)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    // en ascending: 10,20,30 → head; 40,50 → middle; 60,70 → tail
+    assert(got(2L) == (1L, "head") && got(4L) == (1L, "head") && got(3L) == (1L, "head"))
+    assert(got(6L) == (2L, "middle") && got(1L) == (2L, "middle"))
+    assert(got(5L) == (3L, "tail") && got(7L) == (3L, "tail"))
+    // two-doc group: bucket 1 (head) and 2 (middle — never 'tail' label
+    // unless bucket == nBuckets)
+    assert(got(8L) == (1L, "head") && got(9L) == (2L, "middle"))
+    // ties broken by id: equal scores split deterministically
+    val tied = Seq((1L, "en", 5L), (2L, "en", 5L), (3L, "en", 5L))
+      .toDF("doc_id", "lang", "mean_centibits")
+    val t = Curation.perplexityBuckets(tied)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(t == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   // --- Unicode normalization ---
 
   test("normalizeText: NFC composition, lowering, whitespace collapse") {
