@@ -862,6 +862,12 @@ object SparkEntry {
         .select(col("grp").as("source"), col("id").as("vec_id"), col("dist_score"))
     }),
 
+    // distributed integer-exact Lloyd k-means (8 cells, 2 update rounds):
+    // seeds, both assignment/update rounds, and the final assignment all
+    // replay bit-identically — the oracle unrolls the whole trajectory
+    "q_kmeans" -> ((s, d) =>
+      Similarity.kmeansAssign(Tables.table(s, d, "embeddings"), k = 8, iters = 2)),
+
     // IVF coarse-quantized ANN (no SQL oracle; recall-tested in scalatest)
     "q_embed_topk_ivf" -> ((s, d) => {
       val embs = Tables.table(s, d, "embeddings")
@@ -1266,6 +1272,35 @@ object SparkEntry {
     * stats, tf/df, the constant folds as SQL constant expressions, and
     * the per-doc sorted-term ordered fold into `g(doc_id, n_terms,
     * bm25)`. */
+  /** Unrolled DuckDB replay of [[graft.pipeline.Similarity.kmeansAssign]]
+    * (k=8, iters=2, scale=1000): quantize → md5-minimal seeds → two
+    * (assign, update) rounds → final assignment. Integer arithmetic only;
+    * DuckDB `//` and Spark `div` both truncate toward zero. */
+  private val KmeansOracleSql: String = {
+    def assign(cents: String, name: String): String =
+      s"${name}x AS (SELECT q.id, q.qe, $cents.cell AS cell, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(q.qe)), " +
+        s"i -> (q.qe[i] - $cents.cvec[i]) * (q.qe[i] - $cents.cvec[i]))) AS BIGINT) AS dist " +
+        s"FROM kq q CROSS JOIN $cents), " +
+        s"$name AS (SELECT id, qe, cell, dist FROM (SELECT *, " +
+        s"row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn FROM ${name}x) WHERE rn = 1)"
+    def update(assignName: String, prev: String, name: String): String =
+      s"${name}u AS (SELECT cell, dim, CAST(sum(v) // count(*) AS BIGINT) AS c FROM " +
+        s"(SELECT cell, generate_subscripts(qe, 1) AS dim, unnest(qe) AS v FROM $assignName) " +
+        "GROUP BY cell, dim), " +
+        s"$name AS (SELECT p.cell, COALESCE(u.cvec, p.cvec) AS cvec FROM $prev p " +
+        s"LEFT JOIN (SELECT cell, list(c ORDER BY dim) AS cvec FROM ${name}u GROUP BY cell) u " +
+        "USING (cell))"
+    "WITH kq AS (SELECT vec_id AS id, list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe FROM embeddings), " +
+      "seeds AS (SELECT id, qe FROM kq ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8), " +
+      "c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, qe AS cvec FROM seeds), " +
+      assign("c0", "a1") + ", " + update("a1", "c0", "c1") + ", " +
+      assign("c1", "a2") + ", " + update("a2", "c1", "c2") + ", " +
+      assign("c2", "a3") +
+      " SELECT id AS vec_id, cell, dist FROM a3"
+  }
+
   private val Bm25OracleCtes: String =
     "base AS (SELECT doc_id, " +
       "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl, " +
@@ -1813,6 +1848,8 @@ object SparkEntry {
     "q_sample_frac" ->
       (s"SELECT o_orderkey FROM orders " +
         s"WHERE md5(CAST(o_orderkey AS VARCHAR)) < '${Sampling.fractionThresholdHex(0.1)}'"),
+
+    "q_kmeans" -> KmeansOracleSql,
 
     // same quantization (floor(x*1000 + 0.5) in double — IEEE-unambiguous),
     // same integer sums, same n*e - S score, same (score DESC, id) top-5

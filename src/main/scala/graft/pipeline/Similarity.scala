@@ -586,4 +586,83 @@ object Similarity {
       .orderBy(col("sq_score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /**
+   * Distributed Lloyd k-means (the embedding-clustering workhorse behind
+   * SemDeDup-style cluster-then-dedup and corpus topic maps) with FULLY
+   * DETERMINISTIC integer arithmetic, so the whole trajectory — seeds,
+   * every assignment, every centroid update — replays bit-identically in
+   * any engine:
+   *
+   *  - vectors quantize scan-local to `round(x·quantScale)` int64 (the
+   *    [[centroidOutliers]] floor(x·s + 0.5) recipe — IEEE-exact in both
+   *    engines);
+   *  - seeds are the `k` corpus vectors minimal in (md5(id), id) order —
+   *    the deterministic codebook-selection idiom of [[pqTrain]] — with
+   *    cell index = ascending-id rank among the seeds;
+   *  - assignment is exact-integer squared-L2 argmin, ties to the lowest
+   *    cell (int64-safe while dims·(2·quantScale·max|x|)² < 2⁶³ — dims
+   *    4×10¹² at scale 1000 and unit-range values, never binding);
+   *  - the centroid update is per-dim `sum div count` (BOTH engines
+   *    truncate integer division toward zero), an empty cell keeps its
+   *    previous centroid.
+   *
+   * Unlike [[ivfTrain]] (driver-side float training on a SAMPLE, for IVF
+   * routing where approximation is fine), this trains on the FULL corpus
+   * distributively and its output is oracle-checkable.
+   *
+   * Scale shape: assignment is scan-local (centroids ship to executors as
+   * a k×dims literal inside the codegen'd argmin — no join, no shuffle);
+   * the update is posexplode + map-side-combined (cell, dim) sums, so
+   * each scan task emits ≤ k·dims rows into one compact shuffle per
+   * iteration. The corpus itself never shuffles. Driver holds k·dims
+   * longs between iterations (k ≤ 4096 enforced) and the corpus is
+   * re-scanned iters+1 times — cache the input when iterating deeply.
+   */
+  def kmeansAssign(df: DataFrame, k: Int, iters: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   quantScale: Int = 1000): DataFrame = {
+    require(k >= 1 && k <= 4096, "k must be in [1, 4096] (driver-held centroids)")
+    require(iters >= 1 && quantScale >= 1, "iters and quantScale must be positive")
+    val base = df.select(col(idCol).as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * quantScale + 0.5).cast("long")).as("qe"))
+    val seedRows = base
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(k)
+      .orderBy(col("id"))
+      .collect()
+    require(seedRows.length == k, s"need >= $k vectors, got ${seedRows.length}")
+    var cents: Array[Array[Long]] = seedRows.map(_.getSeq[Long](1).toArray)
+
+    // scan-local exact-integer argmin over the current centroids
+    def withCell(): DataFrame = {
+      val alts = cents.zipWithIndex.map { case (cvec, j) =>
+        val dist = aggregate(
+          zip_with(col("qe"), typedLit(cvec.toSeq),
+            (ev, cc) => (ev - cc) * (ev - cc)),
+          lit(0L), (acc, x) => acc + x)
+        struct(dist.as("dist"), lit(j.toLong).as("cell"))
+      }
+      base.withColumn("__a", array_min(array(alts.toIndexedSeq: _*)))
+    }
+
+    (1 to iters).foreach { _ =>
+      val updated = withCell()
+        .select(col("__a.cell").as("cell"),
+          posexplode(col("qe")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"), expr("s div n").as("c"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cvec"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray)
+        .toMap
+      cents = cents.indices.map(j => updated.getOrElse(j, cents(j))).toArray
+    }
+    withCell().select(col("id").as(idCol),
+      col("__a.cell").as("cell"), col("__a.dist").as("dist"))
+  }
 }

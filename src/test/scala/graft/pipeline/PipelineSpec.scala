@@ -352,6 +352,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"PQ recall $recall collapsed (expected >= 0.2 incl. self)")
   }
 
+  test("kmeansAssign == local Lloyd replica; partition-invariant") {
+    val k = 4; val iters = 2; val scale = 1000
+    val all = embs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // local replica of the documented trajectory
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val q = all.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * scale + 0.5).toLong)
+    }.toMap
+    val seeds = all.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(k).sorted
+    var cents = seeds.map(q)
+    def dist(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def assign(): Map[Long, (Long, Long)] = q.map { case (id, v) =>
+      val (d, c) = cents.zipWithIndex.map { case (cv, j) => (dist(v, cv), j.toLong) }.min
+      id -> ((c, d))
+    }
+    (1 to iters).foreach { _ =>
+      val byCell = assign().toSeq.groupBy(_._2._1)
+      cents = cents.indices.map { j =>
+        byCell.get(j.toLong) match {
+          case None => cents(j)
+          case Some(members) =>
+            val vs = members.map { case (id, _) => q(id) }
+            val n = vs.length
+            Array.tabulate(cents(j).length)(d => vs.map(_(d)).sum / n)
+        }
+      }.toArray
+    }
+    val want = assign().map { case (id, (c, d)) => (id, c, d) }.toSet
+    val got = Similarity.kmeansAssign(embs, k = k, iters = iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // partition layout cannot change the result
+    val got7 = Similarity.kmeansAssign(embs.repartition(7), k = k, iters = iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got7 == want)
+  }
+
   test("SQ8: encode == brute replica, reconstruction bound, MIPS recall") {
     val embs01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val all = embs01.select("vec_id", "embedding").collect()
