@@ -320,6 +320,16 @@ object SparkEntry {
           k = 3, radius = 10.0, aKeyCol = "c_custkey", bIdCol = "s_suppkey")
         .select(col("a_c_custkey"), col("b_s_suppkey"))),
 
+    // PassJoin edit-distance self-join (VLDB'12 pigeonhole segment
+    // blocking + thresholded levenshtein verify) over distinct part
+    // names; the oracle is the brute-force quadratic on the same table
+    "q_join_fuzzy" -> ((s, d) => {
+      val names = Tables.table(s, d, "part")
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
+        .select(col("id"), col("p_name").as("text"))
+      graft.api.FuzzyJoin.editDistanceSelfJoin(names, tau = 2)
+    }),
+
     // skew-resilient two-stage salted aggregation
     "q_salted_count" -> ((s, d) =>
       graft.pipeline.Skew.saltedCount(
@@ -1757,6 +1767,15 @@ object SparkEntry {
         "SELECT a_c_custkey, b_s_suppkey, " +
         "row_number() OVER (PARTITION BY a_c_custkey ORDER BY distance ASC, b_s_suppkey ASC) AS rn " +
         "FROM j) WHERE rn <= 3"),
+
+    // brute-force quadratic on the tiny distinct-name table — PassJoin's
+    // blocking is exact, so the candidate-verified result must equal it
+    "q_join_fuzzy" ->
+      ("WITH names AS (SELECT min(p_partkey) AS id, p_name AS t FROM part GROUP BY p_name) " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist " +
+        "FROM names a JOIN names b ON a.id < b.id " +
+        "WHERE levenshtein(a.t, b.t) <= 2"),
 
     "q_salted_count" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",

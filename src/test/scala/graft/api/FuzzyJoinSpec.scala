@@ -1,0 +1,71 @@
+package graft.api
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FuzzyJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to a.length) {
+        val t = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = t
+      }
+    }
+    d(a.length)
+  }
+
+  test("editDistanceSelfJoin == brute force on random word-soup strings") {
+    // deterministic corpus with planted near-misses: typo'd variants of a
+    // base vocabulary at distances 1..3, plus unrelated strings
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefg"
+    def word(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val bases = (0 until 30).map(_ => word(5 + rnd.nextInt(10)))
+    val variants = bases.flatMap { b =>
+      val edit = rnd.nextInt(3) match {
+        case 0 => b.updated(rnd.nextInt(b.length), alphabet(rnd.nextInt(7))) // sub
+        case 1 => b.take(rnd.nextInt(b.length)) + alphabet(rnd.nextInt(7)) + b.drop(rnd.nextInt(b.length)) // messy insert
+        case 2 => b.patch(rnd.nextInt(b.length), Nil, 1) // delete
+      }
+      Seq(b, edit.toString)
+    }
+    val rows = variants.distinct.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("id", "text")
+    for (tau <- 1 to 3) {
+      val got = FuzzyJoin.editDistanceSelfJoin(df, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        d = lev(ta, tb) if d <= tau
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got == want, s"tau=$tau")
+      assert(want.nonEmpty, s"fixture must contain pairs at tau=$tau")
+    }
+  }
+
+  test("editDistanceJoin: two-table form, short strings, null/empty totality") {
+    val left = Seq((1L, "abc"), (2L, "a"), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val right = Seq((10L, "abd"), (11L, "b"), (12L, ""), (13L, "xyzzy"))
+      .toDF("id", "text")
+    val got = FuzzyJoin.editDistanceJoin(left, right, tau = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over non-null rows
+    val want = (for {
+      (ia, ta) <- Seq((1L, "abc"), (2L, "a"), (3L, ""))
+      (ib, tb) <- Seq((10L, "abd"), (11L, "b"), (12L, ""), (13L, "xyzzy"))
+      d = lev(ta, tb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want)
+    // ("", "") at distance 0 and one-char strings must be present
+    assert(got.contains((3L, 12L, 0L)) && got.contains((2L, 11L, 1L)))
+  }
+}
