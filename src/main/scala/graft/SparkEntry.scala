@@ -1002,6 +1002,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
           col("top_word_count"), col("n_words_alpha"), col("n_distinct_words"))),
 
+    // Gopher n-gram REPETITION signals (most-common-gram chars for n=2,3,4;
+    // duplicated-gram token coverage for n=5,10) over the planted-repetition
+    // fixture; the oracle re-derives every stream, count, and range-window
+    "q_repetition_ngram" -> ((s, d) =>
+      TextAnalysis.repetitionNgramStats(
+        Tables.table(s, d, "documents").withColumn("text", repetitionFixtureText))
+        .select(col("doc_id"), col("n_word_chars"), col("top2_chars"),
+          col("top3_chars"), col("top4_chars"), col("dup5_chars"),
+          col("dup10_chars"))),
+
     // Gopher/MassiveText composite quality RULES (Rae et al. 2021 §A1.1):
     // every ratio rule is an integer cross-multiplication, so the 0/1
     // verdict flags are hash-exact — the oracle re-derives each rule from
@@ -1311,6 +1321,52 @@ object SparkEntry {
       " SELECT id AS vec_id, cell, dist FROM a3"
   }
 
+  /** DuckDB replay of [[graft.pipeline.TextAnalysis.repetitionNgramStats]]
+    * over the planted-repetition fixture: same tokenization, gram streams,
+    * (count DESC, gram DESC) top pick, and (n−1)-preceding range-window
+    * coverage union. */
+  private val RepetitionNgramOracleSql: String = {
+    def gram(n: Int) =
+      s"g$n AS (SELECT doc_id, p AS pos, array_to_string(ws[p+1:p+$n], ' ') AS g " +
+        s"FROM tk, unnest(generate_series(0, len(ws) - $n)) AS u(p)), "
+    def top(n: Int) =
+      s"t$n AS (SELECT doc_id, c * (length(g) - ${n - 1}) AS v FROM " +
+        "(SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY c DESC, g DESC) AS rn " +
+        s"FROM (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g)) " +
+        "WHERE rn = 1), "
+    def dup(n: Int) =
+      s"d$n AS (SELECT doc_id, sum(len) AS v FROM " +
+        "(SELECT doc_id, len, sum(st) OVER (PARTITION BY doc_id ORDER BY pos " +
+        s"RANGE BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS cov FROM " +
+        "(SELECT doc_id, pos, 1 AS st, 0 AS len FROM " +
+        s"(SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g$n) " +
+        "WHERE cc >= 2 " +
+        "UNION ALL SELECT doc_id, pos, 0 AS st, length(w) AS len FROM tok)) " +
+        "WHERE len > 0 AND cov >= 1 GROUP BY doc_id), "
+    "WITH rt AS (SELECT doc_id, text || " +
+      s"CASE WHEN doc_id % 5 = 0 THEN '${rep5Phrase + rep5Phrase}' ELSE '' END || " +
+      s"CASE WHEN doc_id % 6 = 0 THEN '${rep10Phrase + rep10Phrase}' ELSE '' END AS text " +
+      "FROM documents), " +
+      "tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+      "x -> x <> '') AS ws FROM rt), " +
+      "tok AS (SELECT doc_id, p AS pos, ws[p+1] AS w " +
+      "FROM tk, unnest(generate_series(0, len(ws) - 1)) AS u(p)), " +
+      "nw AS (SELECT doc_id, sum(length(w)) AS v FROM tok GROUP BY doc_id), " +
+      gram(2) + gram(3) + gram(4) + gram(5) + gram(10) +
+      top(2) + top(3) + top(4) + dup(5) + dup(10).stripSuffix(", ") + " " +
+      "SELECT d.doc_id, CAST(COALESCE(nw.v, 0) AS BIGINT) AS n_word_chars, " +
+      "CAST(COALESCE(t2.v, 0) AS BIGINT) AS top2_chars, " +
+      "CAST(COALESCE(t3.v, 0) AS BIGINT) AS top3_chars, " +
+      "CAST(COALESCE(t4.v, 0) AS BIGINT) AS top4_chars, " +
+      "CAST(COALESCE(d5.v, 0) AS BIGINT) AS dup5_chars, " +
+      "CAST(COALESCE(d10.v, 0) AS BIGINT) AS dup10_chars " +
+      "FROM documents d LEFT JOIN nw USING (doc_id) " +
+      "LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) " +
+      "LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id) " +
+      "LEFT JOIN d10 USING (doc_id)"
+  }
+
   private val Bm25OracleCtes: String =
     "base AS (SELECT doc_id, " +
       "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl, " +
@@ -1539,6 +1595,20 @@ object SparkEntry {
     * tail flips r_stopwords, 10 bullet lines flip r_bullet_lines (10 of 11
     * lines > 90%), two "..." trailers flip r_ellipsis_lines and feed the
     * ellipsis-symbol count. */
+  /** Planted n-gram repetition: the gate corpus has no natural repeated
+    * ≥5-grams (checked), so docs keyed on doc_id get a doubled phrase —
+    * 8 words twice (dup 5-grams) and 12 words twice (dup 10-grams). */
+  // `final` with a literal → compile-time constants, safe to reference
+  // from vals declared earlier in the object (no init-order NPE)
+  private final val rep5Phrase = " quick brown fox jumps over lazy dog again"
+  private final val rep10Phrase = " one two three four five six seven eight nine ten eleven twelve"
+  private def repetitionFixtureText: Column =
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(rep5Phrase + rep5Phrase))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(6)) === 0, lit(rep10Phrase + rep10Phrase))
+        .otherwise(lit("")))
+
   private def qualityFixtureText: Column =
     concat(col("text"),
       when(pmod(col("doc_id"), lit(3)) === 0,
@@ -2518,6 +2588,8 @@ object SparkEntry {
     "q_text_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) AS canon_md5 " +
         "FROM documents"),
+
+    "q_repetition_ngram" -> RepetitionNgramOracleSql,
 
     "q_text_repetition" ->
       ("WITH lines AS (SELECT doc_id, " +

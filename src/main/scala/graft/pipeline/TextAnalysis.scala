@@ -868,6 +868,82 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher/MassiveText N-GRAM repetition signals (Rae et al. 2021 §A1.1
+   * — the other half of [[repetitionStats]]'s duplicate-line suite):
+   * per doc,
+   *
+   *  - for each n in `topNs` (Gopher: 2, 3, 4): characters attributable
+   *    to the MOST COMMON token n-gram — occurrences × gram chars, where
+   *    gram chars = length(gram) − (n−1) joining spaces; ties break to
+   *    the lexicographically greatest gram (max struct semantics, which
+   *    the oracle replays as ORDER BY count DESC, gram DESC);
+   *  - for each n in `dupNs` (Gopher: 5..10): characters of tokens
+   *    COVERED by at least one n-gram occurring ≥ 2 times in the doc —
+   *    overlapping occurrences count a token once (an interval-union,
+   *    computed as a range-frame window: token at position p is covered
+   *    iff some duplicated gram STARTS in [p−n+1, p]);
+   *  - `n_word_chars`: total token characters, the denominator Gopher
+   *    divides by (kept integer here; ratios are one `div` away).
+   *
+   * Every count is integer-exact, so the gate hash-compares. Tokens are
+   * the [[graft.text.TextCore.tokenNgramsAll]] contract (maximal
+   * [a-z0-9] runs, lowercased); NULL/token-less docs report all zeros.
+   *
+   * Scale shape: gram streams explode scan-locally (native one-pass
+   * expression, no per-gram slice trees); each top-n signal is two
+   * map-side-combined aggregations of (doc, gram) counts; each dup-n
+   * signal is one (doc, gram) window + one per-doc range window over
+   * compact (pos, len) events — all shuffles carry token positions and
+   * 16-ish-byte grams, never documents. Signals join back per doc id.
+   */
+  def repetitionNgramStats(df: DataFrame, topNs: Seq[Int] = Seq(2, 3, 4),
+                           dupNs: Seq[Int] = Seq(5, 10),
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.TokenNgramsAll
+    require(topNs.forall(_ >= 1) && dupNs.forall(_ >= 2), "invalid n")
+    def gramsAll(t: Column, n: Int): Column = c(TokenNgramsAll(e(t), e(lit(n))))
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val charTotals = base.select(col("__id"),
+      coalesce(aggregate(gramsAll(col("__t"), 1), lit(0L),
+        (acc, w) => acc + length(w).cast("long")), lit(0L)).as("n_word_chars"))
+    val topParts = topNs.map { n =>
+      base.select(col("__id"), explode(gramsAll(col("__t"), n)).as("__g"))
+        .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("__id"))
+        .agg(max(struct(col("__c"), col("__g"))).as("__top"))
+        .select(col("__id"),
+          (col("__top.__c") * (length(col("__top.__g")) - lit(n - 1)).cast("long"))
+            .as(s"top${n}_chars"))
+    }
+    val dupParts = dupNs.map { n =>
+      val grams = base.select(col("__id"),
+        posexplode(gramsAll(col("__t"), n)).as(Seq("__pos", "__g")))
+      val starts = grams
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(col("__id"), col("__g"))))
+        .filter(col("__n") >= 2)
+        .select(col("__id"), col("__pos"), lit(1L).as("__st"), lit(0L).as("__len"))
+      val toks = base.select(col("__id"),
+          posexplode(gramsAll(col("__t"), 1)).as(Seq("__pos", "__w")))
+        .select(col("__id"), col("__pos"), lit(0L).as("__st"),
+          length(col("__w")).cast("long").as("__len"))
+      val cover = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+        .rangeBetween(-(n - 1), 0)
+      starts.unionByName(toks)
+        .withColumn("__cov", sum(col("__st")).over(cover))
+        .filter(col("__len") > 0 && col("__cov") >= 1)
+        .groupBy(col("__id"))
+        .agg(sum(col("__len")).as(s"dup${n}_chars"))
+    }
+    (Seq(charTotals) ++ topParts ++ dupParts)
+      .reduce((a, b) => a.join(b, Seq("__id"), "left"))
+      .na.fill(0L)
+      .withColumnRenamed("__id", idCol)
+  }
+
+  /**
    * N-gram-level contamination scan — the real decontamination practice
    * (eval-set leakage shows up as shared token n-grams long before exact
    * probe strings match): counts, per training doc, the DISTINCT token

@@ -274,6 +274,28 @@ object TokenNgrams {
   def toUtf8(a: Array[String]): Array[UTF8String] = a.map(UTF8String.fromString)
 }
 
+/** token_ngrams_all(text, n) → array<string>: ALL ordered token n-grams,
+  * duplicates preserved (posexplode index = starting token position; see
+  * [[graft.text.TextCore.tokenNgramsAll]]) — the repetition-counting
+  * sibling of [[TokenNgrams]]. */
+case class TokenNgramsAll(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_ngrams_all"
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    new GenericArrayData(TextCore.tokenNgramsAll(
+      text.toString, n.asInstanceOf[Int]).map(UTF8String.fromString).asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"(Object[]) org.apache.spark.sql.graft.TokenNgrams.toUtf8(" +
+        s"graft.text.TextCore.tokenNgramsAll($t.toString(), $n)))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TokenNgramsAll =
+    copy(l, r)
+}
+
 /** aligned_gram_pos_md5s(text, minLen) → array<struct<pos:int, g:binary>>:
   * one (start offset, md5) entry per word-aligned gram occurrence —
   * duplicates KEPT (unlike [[AlignedGramMd5s]]), because span-coverage

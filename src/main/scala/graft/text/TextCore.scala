@@ -377,6 +377,45 @@ object TextCore {
     out
   }
 
+  /**
+   * ALL lowercase-alphanumeric token `n`-grams IN ORDER, duplicates
+   * preserved (gram k starts at token position k) — the
+   * repetition-counting sibling of [[tokenNgrams]], which dedups; the
+   * same tokenization contract (maximal [a-z0-9] runs of the lowercase
+   * text). `n = 1` yields the token stream itself.
+   */
+  def tokenNgramsAll(text: String, n: Int): Array[String] = {
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+    val toks = new scala.collection.mutable.ArrayBuffer[String](s.length / 6 + 1)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      var c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        while (i < len && {
+          c = s.charAt(i); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) i += 1
+        toks += s.substring(start, i)
+      } else i += 1
+    }
+    if (toks.length < n) return Array.empty
+    val out = new Array[String](toks.length - n + 1)
+    var k = 0
+    while (k <= toks.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(k + j))
+        j += 1
+      }
+      out(k) = sb.toString
+      k += 1
+    }
+    out
+  }
+
   /** Word-aligned gram START OFFSETS (0-based UTF-16 units) of `text` —
     * the position companion of [[alignedGramMd5s]]: `starts(text, L)(k)`
     * is where the k-th digest's gram begins when digests are emitted

@@ -352,6 +352,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"PQ recall $recall collapsed (expected >= 0.2 incl. self)")
   }
 
+  test("repetitionNgramStats: hand-fixture counts, overlap-once coverage, totality") {
+    val fixture = Seq(
+      (1L, "a bb a bb a"),            // top2 tie → greatest gram; no dup5
+      (2L, "x y z w v x y z w v"),    // dup 5-gram covers all 10 tokens
+      (3L, null.asInstanceOf[String]),
+      (4L, "unique words only here")) // all grams unique, < 5 tokens
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionNgramStats(fixture, topNs = Seq(2, 3), dupNs = Seq(5))
+      .select("doc_id", "n_word_chars", "top2_chars", "top3_chars", "dup5_chars")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // doc1: tokens [a,bb,a,bb,a]; "bb a"×2 wins the (count, gram) tie → 2×3;
+    // "a bb a"×2 → 2×4; single 5-gram → no dup coverage
+    assert(got(1L) == ((7L, 6L, 8L, 0L)))
+    // doc2: "x y z w v" repeats at starts {0,5} → every token covered
+    assert(got(2L) == ((10L, 4L, 6L, 10L)))
+    // NULL text: present, all zero
+    assert(got(3L) == ((0L, 0L, 0L, 0L)))
+    // no repetition: top counts 1 × chars of the lexicographically greatest gram
+    assert(got(4L) == ((19L, 9L, 13L, 0L)))
+    // overlap counted once: "p q p q p q" — "p q"×3, "q p"×2 all overlapping;
+    // dup2 coverage = all 6 tokens, not 10
+    val overlap = Seq((1L, "p q p q p q")).toDF("doc_id", "text")
+    val o = TextAnalysis.repetitionNgramStats(overlap, topNs = Seq(2), dupNs = Seq(2))
+      .select("dup2_chars").head().getLong(0)
+    assert(o == 6L)
+  }
+
   test("kmeansAssign == local Lloyd replica; partition-invariant") {
     val k = 4; val iters = 2; val scale = 1000
     val all = embs.select("vec_id", "embedding").collect()
