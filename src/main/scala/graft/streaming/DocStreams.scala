@@ -417,4 +417,55 @@ object DocStreams {
           .filter(col("jaccard") >= threshold)
     verified.select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
+
+  /**
+   * Cross-batch stateful streaming twin of
+   * [[graft.pipeline.Dedup.dedupLines]]' first-occurrence DECISION
+   * stream: emits one (doc_id, pos) row for every eligible line
+   * occurrence that LOSES keeper selection — exactly the drop table the
+   * batch splice consumes. State per line digest is the 12-byte keeper
+   * (id, pos); eligibility (trimmed length ≥ minLen) matches the batch
+   * op, so short/blank structural lines never enter state.
+   *
+   * ARRIVAL-ORDER CONTRACT (the [[minhashPairsStream]] lake-freshness
+   * pattern): within a micro-batch the keeper is the (id, pos) minimum,
+   * but ACROSS batches it is first-ARRIVAL. Stream drops equal the batch
+   * op's drops exactly when files arrive in ascending doc-id order (then
+   * arrival order and (id, pos) order coincide); out-of-order arrival
+   * keeps every drop decision valid — a line whose digest is in state is
+   * a duplicate either way — but attributes the kept copy to the earlier
+   * ARRIVAL, not the smaller id. Document order, not a defect.
+   *
+   * Scale shape: state is one (id, pos) pair per DISTINCT eligible line
+   * digest — the same cardinality as the [[graft.pipeline.Dedup.writeLineIndex]]
+   * artifact, streamed instead of persisted; per batch, each digest
+   * group ships its occurrences only.
+   */
+  def dedupLinesStream(docs: DataFrame, minLen: Int = 10,
+                       sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.functions._
+    require(minLen >= 1, "minLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("id"),
+        posexplode(split(col("text"), sep)).as(Seq("pos", "ln")))
+      .filter(length(trim(col("ln"))) >= minLen)
+      .select(md5(col("ln")).as("dg"), col("id"), col("pos"))
+      .as[(String, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, Int)],
+         state: GroupState[(Long, Int)]) =>
+          val occs = rows.map(t => (t._2, t._3)).toArray
+          if (state.exists) occs.iterator
+          else {
+            val keep = occs.min
+            state.update(keep)
+            occs.iterator.filterNot(_ == keep)
+          }
+      }
+      .toDF("doc_id", "pos")
+  }
 }

@@ -577,6 +577,57 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedupLines decision twin == batch drops under id-ordered arrival") {
+    import org.apache.spark.sql.DataFrame
+    val fixture = Seq[(Long, String)](
+      (1L, "common boilerplate header\nunique body of doc one"),
+      (2L, "common boilerplate header\nunique body of doc two\ncommon boilerplate header"),
+      (5L, "unique body of doc five\nsecond-wave shared line"),
+      (8L, "second-wave shared line\ncommon boilerplate header\nunique body of doc eight"),
+      (9L, "short\nunique body of doc nine"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-linetwin-stream")
+    def writeOne(d: DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-linetwin-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    // id-ordered waves: the contract under which stream drops == batch drops
+    writeOne(fixture.filter(col("doc_id") <= 2), "a.parquet", 120000L)
+    writeOne(fixture.filter(col("doc_id") >= 5), "b.parquet", 1000L)
+    val stream = spark.readStream.schema(DocStreams.docFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = DocStreams.dedupLinesStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("linetwin_out").start()
+    val got =
+      try {
+        q.processAllAvailable()
+        spark.table("linetwin_out").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+      } finally q.stop()
+    // batch decision table: every eligible occurrence except the (id, pos)-min
+    val lines = fixture
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "ln")))
+      .filter(length(trim(col("ln"))) >= 10)
+      .select(col("doc_id"), col("pos"), md5(col("ln")).as("dg"))
+    val first = lines.groupBy("dg").agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+    val want = lines.join(first, "dg")
+      .filter(!(col("doc_id") === col("k.doc_id") && col("pos") === col("k.pos")))
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want)
+    // the fixture exercises within-batch, within-doc, and CROSS-BATCH dups
+    assert(want.contains((2L, 0)) && want.contains((2L, 2)) &&
+      want.contains((8L, 0)) && want.contains((8L, 1)))
+    // short lines never enter the decision stream
+    assert(!got.exists { case (id, pos) => id == 9L && pos == 0 })
+  }
+
   test("streaming incremental LINE dedup (foreachBatch) == batch twin, cross-batch") {
     import org.apache.spark.sql.DataFrame
     // corpus ids < batch1 ids < batch2 ids: the id-ordered-arrival contract
