@@ -457,6 +457,12 @@ object SparkEntry {
           SplitWeights)
         .select(col("doc_id"), col("split"))),
 
+    // deterministic 5-fold CV assignment: 32-bit md5 prefix mod k, a pure
+    // function of the id (stable under corpus growth — leakage-free CV)
+    "q_folds" -> ((s, d) =>
+      Sampling.deterministicFolds(Tables.table(s, d, "documents"), "doc_id", k = 5)
+        .select(col("doc_id"), col("fold"))),
+
     // composed curation chain (normalize → exact-dedup keep → quality
     // floor → split; near-dup drop is gate-covered by q_dedup_clusters and
     // exercised in CurationE2ESpec): the oracle re-derives the WHOLE chain
@@ -1963,6 +1969,10 @@ object SparkEntry {
           s"WHEN md5(CAST(doc_id AS VARCHAR)) < '$h' THEN '$n' "
         }.mkString +
         s"ELSE '${SplitWeights.last._1}' END AS split FROM documents"),
+
+    "q_folds" ->
+      ("SELECT doc_id, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) " +
+        "AS BIGINT) % 5 AS fold FROM documents"),
 
     // the full stage-1/2/4/5 curation chain in one SQL: canonical text →
     // min-id-per-canon keep set → quality formula (exact-double filter,

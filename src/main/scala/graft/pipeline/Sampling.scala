@@ -89,6 +89,25 @@ object Sampling {
   }
 
   /**
+   * Deterministic k-FOLD assignment (cross-validation / sharded-eval
+   * folds): fold = 32-bit md5 prefix of the id, mod k — a pure function
+   * of row identity, so folds are stable across reruns, partitionings,
+   * and engines, and an id keeps its fold as the corpus grows (the
+   * property leakage-free CV needs: fold(i) never depends on which other
+   * rows exist). Scan-local projection, zero shuffles; expected fold
+   * sizes are uniform to md5 quality. The same 32-bit-prefix idiom as
+   * the hashed-feature classifier, replayable in any engine with hex
+   * string arithmetic.
+   */
+  def deterministicFolds(df: DataFrame, idCol: String = "doc_id",
+                         k: Int = 5): DataFrame = {
+    require(k >= 2 && k <= (1 << 16), "k must be in [2, 65536]")
+    df.withColumn("fold",
+      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(k.toLong)))
+  }
+
+  /**
    * Token-budget sampling: per source, keep documents in deterministic
    * (md5(id), id) order until the source's TOKEN budget is exhausted —
    * "take N billion tokens of web, M of code", the unit real mixtures are

@@ -223,6 +223,38 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 0, s"mixing must stay a scan-local filter:\n$plan")
   }
 
+  test("kmeans final assignment plan: centroid-literal argmin, zero shuffles") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.pipeline.Similarity.kmeansAssign(embs, k = 4, iters = 1)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    var shuffles = 0
+    plan.foreach {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => shuffles += 1
+      case _: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => shuffles += 1
+      case _ =>
+    }
+    assert(shuffles == 0,
+      s"assignment must ship centroids into the scan, not shuffle vectors:\n$plan")
+    // folds: scan-local projection, zero shuffles, stable under growth
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val folds = graft.pipeline.Sampling.deterministicFolds(docs)
+    var fShuffles = 0
+    folds.queryExecution.executedPlan.foreach {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => fShuffles += 1
+      case _ =>
+    }
+    assert(fShuffles == 0)
+    val half = graft.pipeline.Sampling.deterministicFolds(
+      docs.filter(col("doc_id") % 2 === 0))
+    val full = folds.filter(col("doc_id") % 2 === 0)
+    assert(half.select("doc_id", "fold").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      full.select("doc_id", "fold").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("applyChanges plan: small changeset broadcasts, corpus never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val changes = docs.limit(20).withColumn("op", lit("upsert"))
