@@ -1018,6 +1018,14 @@ object SparkEntry {
           col("top3_chars"), col("top4_chars"), col("dup5_chars"),
           col("dup10_chars"))),
 
+    // the published Gopher thresholds applied to those signals — integer
+    // cross-multiplication flags, conjunction as a product
+    "q_repetition_rules" -> ((s, d) =>
+      TextAnalysis.repetitionRules(
+        Tables.table(s, d, "documents").withColumn("text", repetitionFixtureText))
+        .select(col("doc_id"), col("n_word_chars"), col("r_top2"), col("r_top3"),
+          col("r_top4"), col("r_dup5"), col("r_dup10"), col("passes"))),
+
     // Gopher/MassiveText composite quality RULES (Rae et al. 2021 §A1.1):
     // every ratio rule is an integer cross-multiplication, so the 0/1
     // verdict flags are hash-exact — the oracle re-derives each rule from
@@ -2600,6 +2608,23 @@ object SparkEntry {
         "FROM documents"),
 
     "q_repetition_ngram" -> RepetitionNgramOracleSql,
+
+    // the signal replay wrapped with the published-threshold flag
+    // arithmetic (integer cross-multiplications, product conjunction)
+    "q_repetition_rules" ->
+      (s"WITH base AS ($RepetitionNgramOracleSql) " +
+        "SELECT doc_id, n_word_chars, " +
+        "CAST(CASE WHEN top2_chars * 1000 <= n_word_chars * 200 THEN 1 ELSE 0 END AS BIGINT) AS r_top2, " +
+        "CAST(CASE WHEN top3_chars * 1000 <= n_word_chars * 180 THEN 1 ELSE 0 END AS BIGINT) AS r_top3, " +
+        "CAST(CASE WHEN top4_chars * 1000 <= n_word_chars * 160 THEN 1 ELSE 0 END AS BIGINT) AS r_top4, " +
+        "CAST(CASE WHEN dup5_chars * 1000 <= n_word_chars * 150 THEN 1 ELSE 0 END AS BIGINT) AS r_dup5, " +
+        "CAST(CASE WHEN dup10_chars * 1000 <= n_word_chars * 100 THEN 1 ELSE 0 END AS BIGINT) AS r_dup10, " +
+        "CAST((CASE WHEN top2_chars * 1000 <= n_word_chars * 200 THEN 1 ELSE 0 END) * " +
+        "(CASE WHEN top3_chars * 1000 <= n_word_chars * 180 THEN 1 ELSE 0 END) * " +
+        "(CASE WHEN top4_chars * 1000 <= n_word_chars * 160 THEN 1 ELSE 0 END) * " +
+        "(CASE WHEN dup5_chars * 1000 <= n_word_chars * 150 THEN 1 ELSE 0 END) * " +
+        "(CASE WHEN dup10_chars * 1000 <= n_word_chars * 100 THEN 1 ELSE 0 END) AS BIGINT) AS passes " +
+        "FROM base"),
 
     "q_text_repetition" ->
       ("WITH lines AS (SELECT doc_id, " +

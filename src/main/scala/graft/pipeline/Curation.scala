@@ -196,9 +196,30 @@ object Curation {
       .orderBy(col(scoreCol).asc, col(idCol).asc)
     val b = ntile(nBuckets).over(w)
     scored.withColumn("bucket", b.cast("long"))
-      .withColumn("bucket_label",
-        when(col("bucket") === 1, "head")
-          .when(col("bucket") === nBuckets, "tail")
-          .otherwise("middle"))
+      .withColumn("bucket_label", bucketLabel(col("bucket"), nBuckets))
   }
+
+  /** head / middle / tail label for a 1-based bucket index. */
+  def bucketLabel(bucket: Column, nBuckets: Int): Column =
+    when(bucket === 1, "head")
+      .when(bucket === nBuckets, "tail")
+      .otherwise("middle")
+
+  /**
+   * FROZEN per-group bucket boundaries from a batch [[perplexityBuckets]]
+   * pass: one row per group with the bucket-ascending array of MAX scores
+   * (the CCNet "score a new shard against last month's percentiles"
+   * model — the [[graft.pipeline.TextAnalysis.bm25]]-frozen-model pattern
+   * for the streaming twin). |groups| rows; broadcast it.
+   */
+  def perplexityThresholds(scored: DataFrame, groupCol: String = "lang",
+                           scoreCol: String = "mean_centibits",
+                           idCol: String = "doc_id",
+                           nBuckets: Int = 3): DataFrame =
+    perplexityBuckets(scored, groupCol, scoreCol, idCol, nBuckets)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col(scoreCol)).as("hi"))
+      .groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col("bucket"), col("hi")))),
+        x => x.getField("hi")).as("bucket_his"))
 }

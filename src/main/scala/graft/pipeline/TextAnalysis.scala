@@ -944,6 +944,34 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher repetition RULES at the published thresholds (Rae et al. 2021
+   * Table A1 repetition rows): a doc PASSES a rule when the signal stays
+   * at or below its threshold fraction of total word characters — most-
+   * common 2/3/4-gram chars ≤ 20/18/16 %, duplicated 5/10-gram coverage
+   * ≤ 15/10 %. Every rule is an integer cross-multiplication over
+   * [[repetitionNgramStats]] counts (never a float division), so the 0/1
+   * flags hash-compare cross-engine; `passes` is the conjunction
+   * (product of flags). Token-less docs pass vacuously (0 ≤ 0) — the
+   * word-count rule in [[gopherRules]] is the right gate for those.
+   */
+  def repetitionRules(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    def pass(num: Column, permille: Int): Column =
+      when(num * 1000L <= col("n_word_chars") * permille.toLong, 1L).otherwise(0L)
+    repetitionNgramStats(df, topNs = Seq(2, 3, 4), dupNs = Seq(5, 10),
+        idCol = idCol, textCol = textCol)
+      .select(col(idCol), col("n_word_chars"),
+        pass(col("top2_chars"), 200).as("r_top2"),
+        pass(col("top3_chars"), 180).as("r_top3"),
+        pass(col("top4_chars"), 160).as("r_top4"),
+        pass(col("dup5_chars"), 150).as("r_dup5"),
+        pass(col("dup10_chars"), 100).as("r_dup10"))
+      .withColumn("passes",
+        col("r_top2") * col("r_top3") * col("r_top4") *
+          col("r_dup5") * col("r_dup10"))
+  }
+
+  /**
    * N-gram-level contamination scan — the real decontamination practice
    * (eval-set leakage shows up as shared token n-grams long before exact
    * probe strings match): counts, per training doc, the DISTINCT token

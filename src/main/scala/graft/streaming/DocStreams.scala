@@ -419,6 +419,39 @@ object DocStreams {
   }
 
   /**
+   * FROZEN-MODEL streaming twin of
+   * [[graft.pipeline.Curation.perplexityBuckets]] (the
+   * [[bm25Stream]] pattern): arriving pre-scored docs are bucketed
+   * against a broadcast per-group boundary table built by
+   * [[graft.pipeline.Curation.perplexityThresholds]] — bucket = first
+   * boundary holding the score, scores beyond every boundary land in
+   * the last bucket (CCNet scores new shards against last month's
+   * percentiles exactly this way). Stateless: one broadcast join + a
+   * scan-local array count.
+   *
+   * Equality contract with the batch NTILE: identical for every doc
+   * whose score differs from all bucket boundaries; docs TIED at a
+   * boundary all take the earlier bucket here, where batch NTILE splits
+   * the tie by id to keep frequencies equal. Frozen-model semantics,
+   * not a defect — documented like the arrival-order contracts. Groups
+   * absent from the threshold table are dropped (inner join): an
+   * unknown language has no percentiles to score against.
+   */
+  def perplexityBucketsStream(scored: DataFrame, thresholds: DataFrame,
+                              groupCol: String = "lang",
+                              scoreCol: String = "mean_centibits",
+                              nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    scored.join(broadcast(thresholds), groupCol)
+      .withColumn("bucket",
+        least(lit(nBuckets.toLong),
+          size(filter(col("bucket_his"), h => h < col(scoreCol))).cast("long") + 1L))
+      .withColumn("bucket_label",
+        graft.pipeline.Curation.bucketLabel(col("bucket"), nBuckets))
+      .drop("bucket_his")
+  }
+
+  /**
    * Cross-batch stateful streaming twin of
    * [[graft.pipeline.Dedup.dedupLines]]' first-occurrence DECISION
    * stream: emits one (doc_id, pos) row for every eligible line

@@ -380,6 +380,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(o == 6L)
   }
 
+  test("repetitionRules: planted repetition fails, clean doc passes") {
+    val clean = (1 to 40).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, "x y z w v x y z w v"), // dup 5-gram covers 100% ≫ 15%
+      (2L, clean))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionRules(docs)
+      .select("doc_id", "r_dup5", "passes")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((1L, 1L)))
+  }
+
   test("kmeansAssign == local Lloyd replica; partition-invariant") {
     val k = 4; val iters = 2; val scale = 1000
     val all = embs.select("vec_id", "embedding").collect()

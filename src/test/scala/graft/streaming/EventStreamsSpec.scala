@@ -577,6 +577,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming perplexity buckets (frozen thresholds) == batch ntile on distinct scores") {
+    import org.apache.spark.sql.DataFrame
+    // distinct scores per group → the boundary-tie caveat cannot fire
+    val scored = (0 until 30).map(i => (i.toLong, if (i % 2 == 0) "en" else "de", (i * 7 % 31).toLong))
+      .toDF("doc_id", "lang", "mean_centibits")
+    val thresholds = graft.pipeline.Curation.perplexityThresholds(scored)
+    val batch = graft.pipeline.Curation.perplexityBuckets(scored)
+      .select("doc_id", "bucket", "bucket_label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ccnet-stream")
+    scored.coalesce(1).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("mean_centibits", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val q = DocStreams.perplexityBucketsStream(stream, thresholds)
+      .select("doc_id", "bucket", "bucket_label")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ccnet_out").start()
+    val got =
+      try {
+        q.processAllAvailable()
+        spark.table("ccnet_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      } finally q.stop()
+    assert(got == batch)
+    // out-of-range scores land in the catch-all tail bucket
+    val probe = Seq((99L, "en", 10000L)).toDF("doc_id", "lang", "mean_centibits")
+    val tail = DocStreams.perplexityBucketsStream(probe, thresholds)
+      .select("bucket", "bucket_label").head()
+    assert(tail.getLong(0) == 3L && tail.getString(1) == "tail")
+    // unknown group: dropped (no percentiles to score against)
+    val unk = Seq((100L, "xx", 5L)).toDF("doc_id", "lang", "mean_centibits")
+    assert(DocStreams.perplexityBucketsStream(unk, thresholds).count() == 0)
+  }
+
   test("streaming dedupLines decision twin == batch drops under id-ordered arrival") {
     import org.apache.spark.sql.DataFrame
     val fixture = Seq[(Long, String)](
