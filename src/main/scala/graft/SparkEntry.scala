@@ -918,6 +918,17 @@ object SparkEntry {
     // (planted by the fixture tail) decompose and re-merge through byte
     // merges; the oracle rebuilds the same text and decomposes codepoints
     // to bytes with pure chr() arithmetic before the same merge loop
+    // per-language tokenizer fertility (BPE tokens / ws word, chars /
+    // BPE token, integer permille) — the multilingual-tokenizer
+    // diagnostic; the oracle replays the merge loop AND the report
+    "q_tokenizer_fertility" -> ((s, d) => {
+      val st = TextAnalysis.bpeState(s, graft.text.BpeFixture.merges)
+      TextAnalysis.tokenizerFertility(Tables.table(s, d, "documents"), st)
+        .select(col("lang"), col("n_docs"), col("n_bpe_tokens"),
+          col("n_ws_tokens"), col("n_chars"), col("fertility_permille"),
+          col("chars_per_token_permille"))
+    }),
+
     "q_text_tokens_bpe_bytes" -> ((s, d) => {
       val st = TextAnalysis.bpeState(s, graft.text.BpeFixture.byteTable, byteLevel = true)
       Tables.table(s, d, "documents")
@@ -2558,6 +2569,41 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(coalesce(p.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe, " +
         "coalesce(p.tokens_md5, md5('')) AS tokens_md5 " +
         "FROM documents d LEFT JOIN perdoc p USING (doc_id)"),
+
+    // the same merge-loop replay, reduced to counts and grouped by lang
+    // with the identical integer permille arithmetic
+    "q_tokenizer_fertility" ->
+      ("WITH RECURSIVE " +
+        s"m(lhs, rhs, rnk) AS (VALUES ${graft.text.BpeFixture.sqlValues}), " +
+        "pre AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), " +
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s') AS ws FROM documents), " +
+        "occ AS (SELECT doc_id, unnest(ws) AS tok FROM pre), " +
+        "vocab AS (SELECT DISTINCT tok FROM occ), " +
+        "steps(tok, s) AS (" +
+        "SELECT tok, chr(31) || array_to_string(string_split(tok, ''), chr(31)) || chr(31) FROM vocab " +
+        "UNION ALL " +
+        "SELECT tok, substr(s, 1, idx - 1) || chr(31) || lhs || rhs || chr(31) " +
+        "|| substr(s, idx + length(chr(31) || lhs || chr(31) || rhs || chr(31))) " +
+        "FROM (SELECT st.tok, st.s, best.lhs, best.rhs, " +
+        "strpos(st.s, chr(31) || best.lhs || chr(31) || best.rhs || chr(31)) AS idx " +
+        "FROM steps st, LATERAL (SELECT m.lhs, m.rhs FROM m " +
+        "WHERE strpos(st.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0 " +
+        "ORDER BY m.rnk LIMIT 1) AS best) t), " +
+        "fin AS (SELECT tok, s FROM steps t WHERE NOT EXISTS (SELECT 1 FROM m " +
+        "WHERE strpos(t.s, chr(31) || m.lhs || chr(31) || m.rhs || chr(31)) > 0)), " +
+        "tokcnt AS (SELECT tok, length(s) - length(replace(s, chr(31), '')) - 1 AS n FROM fin), " +
+        "perdoc AS (SELECT o.doc_id, sum(tc.n) AS nb " +
+        "FROM occ o JOIN tokcnt tc USING (tok) GROUP BY o.doc_id), " +
+        "base AS (SELECT d.lang, coalesce(p.nb, 0) AS nb, " +
+        "length(string_split_regex(trim(d.text), '\\s+')) AS nw, " +
+        "length(d.text) AS nc FROM documents d LEFT JOIN perdoc p USING (doc_id)) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(nb) AS BIGINT) AS n_bpe_tokens, " +
+        "CAST(sum(nw) AS BIGINT) AS n_ws_tokens, " +
+        "CAST(sum(nc) AS BIGINT) AS n_chars, " +
+        "(CAST(sum(nb) AS BIGINT) * 1000) // greatest(CAST(sum(nw) AS BIGINT), 1) AS fertility_permille, " +
+        "(CAST(sum(nc) AS BIGINT) * 1000) // greatest(CAST(sum(nb) AS BIGINT), 1) AS chars_per_token_permille " +
+        "FROM base GROUP BY lang"),
 
     // byte-level merge-loop replay: the fixture text is rebuilt with chr()
     // codepoints, then each pre-token's chars decompose to UTF-8 bytes by

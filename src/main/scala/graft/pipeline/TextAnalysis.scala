@@ -384,6 +384,36 @@ object TextAnalysis {
     classifierState(target.sparkSession, w, bias = 0L)
   }
 
+  /**
+   * Per-group tokenizer FERTILITY report — the "how does this tokenizer
+   * treat each language/source" table a pipeline reads before budgeting
+   * mixtures in tokens: real BPE tokens, whitespace tokens, and chars
+   * per group, with fertility (BPE tokens per whitespace word) and
+   * compression (chars per BPE token) in integer permille. High
+   * fertility on a language = the vocab under-serves it (its share of a
+   * fixed TOKEN budget buys less text) — the standard multilingual-
+   * tokenizer diagnostic. One map-side-combined aggregate; the BPE count
+   * is the scan-local broadcast-merges expression.
+   */
+  def tokenizerFertility(df: DataFrame, state: org.apache.spark.sql.graft.BpeState,
+                         groupCol: String = "lang",
+                         textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.select(col(groupCol),
+        coalesce(tokenCountBpe(t, state), lit(0)).cast("long").as("__nb"),
+        tokenCountWs(t).cast("long").as("__nw"),
+        length(t).cast("long").as("__nc"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nb")).as("n_bpe_tokens"),
+        sum(col("__nw")).as("n_ws_tokens"),
+        sum(col("__nc")).as("n_chars"))
+      .withColumn("fertility_permille",
+        expr("(n_bpe_tokens * 1000) div greatest(n_ws_tokens, 1)"))
+      .withColumn("chars_per_token_permille",
+        expr("(n_chars * 1000) div greatest(n_bpe_tokens, 1)"))
+  }
+
   def langId(text: Column): Column = c(LangId(e(text)))
 
   /** Winnowing fingerprint set (array<long>) — robust doc identity for
