@@ -330,6 +330,20 @@ object SparkEntry {
       graft.api.FuzzyJoin.editDistanceSelfJoin(names, tau = 2)
     }),
 
+    // INCREMENTAL fuzzy matching: odd-id names probe a persisted
+    // even-id-name segment index — the edit-distance analog of
+    // q_dedup_incremental; the oracle is the brute-force cross product
+    "q_join_fuzzy_incr" -> ((s, d) => {
+      val names = Tables.table(s, d, "part")
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
+        .select(col("id"), col("p_name").as("text"))
+      val path = s"/tmp/graft_edit_index_${Integer.toHexString(d.hashCode)}"
+      graft.api.FuzzyJoin.writeEditIndex(
+        names.filter(pmod(col("id"), lit(2)) === 0), path, tau = 2)
+      graft.api.FuzzyJoin.editDistanceAgainstIndex(
+        s, path, names.filter(pmod(col("id"), lit(2)) === 1), tau = 2)
+    }),
+
     // skew-resilient two-stage salted aggregation
     "q_salted_count" -> ((s, d) =>
       graft.pipeline.Skew.saltedCount(
@@ -1871,6 +1885,13 @@ object SparkEntry {
         "CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist " +
         "FROM names a JOIN names b ON a.id < b.id " +
         "WHERE levenshtein(a.t, b.t) <= 2"),
+
+    "q_join_fuzzy_incr" ->
+      ("WITH names AS (SELECT min(p_partkey) AS id, p_name AS t FROM part GROUP BY p_name) " +
+        "SELECT a.id AS id_l, b.id AS id_r, " +
+        "CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist " +
+        "FROM names a JOIN names b ON a.id % 2 = 0 AND b.id % 2 = 1 " +
+        "AND levenshtein(a.t, b.t) <= 2"),
 
     "q_salted_count" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",

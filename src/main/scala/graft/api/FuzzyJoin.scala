@@ -68,23 +68,33 @@ object FuzzyJoin {
   }
 
   /** Probe-side signatures: substrings at every compatible (length, slot,
-    * shift), deduped per (id, length, slot, segment). */
+    * shift), deduped per (id, length, slot, segment) SCAN-LOCALLY — the
+    * candidate set is built and distinct'ed inside one higher-order
+    * expression, so one generator fires per row and the dedup needs no
+    * shuffle (which also keeps this stage legal and stateless on a
+    * stream). */
   private def probeSignatures(df: DataFrame, tau: Int,
                               idCol: String, textCol: String): DataFrame = {
     val k = tau + 1
+    val m = col("__m")
+    val combos = flatten(transform(sequence(m - tau, m + tau), l =>
+      flatten(transform(sequence(lit(0), lit(tau)), i =>
+        transform(sequence(lit(-tau), lit(tau)), dd =>
+          struct(l.as("l"), i.as("i"),
+            (segStart(l, i, k) + dd).as("p"),
+            segWidth(l, i, k).as("w")))))))
+    val valid = filter(combos, cb =>
+      cb.getField("l") >= 0 && cb.getField("p") >= 0 &&
+        cb.getField("p") + cb.getField("w") <= m)
+    val sigs = array_distinct(transform(valid, cb =>
+      struct(cb.getField("l").as("__l"), cb.getField("i").as("__i"),
+        col("__rs").substr(cb.getField("p") + 1, cb.getField("w")).as("__seg"))))
     df.select(col(idCol).as("__rid"), col(textCol).as("__rs"))
       .filter(col("__rs").isNotNull)
       .withColumn("__m", length(col("__rs")).cast("int"))
-      .withColumn("__l", explode(sequence(col("__m") - tau, col("__m") + tau)))
-      .filter(col("__l") >= 0)
-      .withColumn("__i", explode(sequence(lit(0), lit(tau))))
-      .withColumn("__w", segWidth(col("__l"), col("__i"), k))
-      .withColumn("__d", explode(sequence(lit(-tau), lit(tau))))
-      .withColumn("__p", segStart(col("__l"), col("__i"), k) + col("__d"))
-      .filter(col("__p") >= 0 && col("__p") + col("__w") <= col("__m"))
-      .select(col("__rid"), col("__l"), col("__i"),
-        substring(col("__rs"), col("__p") + 1, col("__w")).as("__seg"))
-      .dropDuplicates("__rid", "__l", "__i", "__seg")
+      .select(col("__rid"), explode(sigs).as("__sig"))
+      .select(col("__rid"), col("__sig.__l").as("__l"),
+        col("__sig.__i").as("__i"), col("__sig.__seg").as("__seg"))
   }
 
   /**
@@ -116,4 +126,53 @@ object FuzzyJoin {
     editDistanceJoin(df, df, tau, idCol, textCol)
       .filter(col("id_l") < col("id_r"))
       .select(col("id_l").as("id_a"), col("id_r").as("id_b"), col("dist"))
+
+  /**
+   * Persist the index side for INCREMENTAL fuzzy matching: segment
+   * signatures range-partitioned and sorted by segment text (parquet
+   * row-group min/max prunes probe equality lookups) plus the id→text
+   * table the verify stage re-joins. A 100 TB reference set is segmented
+   * ONCE; every arriving batch probes signatures instead of re-reading
+   * reference texts — the [[graft.pipeline.Dedup.writeMinhashIndex]]
+   * shape for edit distance. `tau` is baked into the layout (segment
+   * boundaries depend on it); probe with the same value.
+   */
+  def writeEditIndex(df: DataFrame, path: String, tau: Int,
+                     idCol: String = "id", textCol: String = "text",
+                     numPartitions: Int = 8): Unit = {
+    indexSignatures(df, tau, idCol, textCol)
+      .repartitionByRange(numPartitions, col("__seg"))
+      .sortWithinPartitions(col("__seg"))
+      .write.mode("overwrite").parquet(s"$path/signatures")
+    df.select(col(idCol).as("__lid"), col(textCol).as("__ls"))
+      .filter(col("__ls").isNotNull)
+      .write.mode("overwrite").parquet(s"$path/texts")
+  }
+
+  /**
+   * Match an arriving batch against a [[writeEditIndex]] reference set:
+   * all (index id, batch id, dist ≤ tau) pairs. Stateless stream-static
+   * shape — this is the `foreachBatch` body of (or directly a transform
+   * on) a streaming source; pass `dedupCandidates = false` on a stream
+   * (a global distinct is stateful there) and collapse the per-matching-
+   * signature duplicate pairs downstream, exactly the
+   * [[graft.streaming.DocStreams.dedupAgainstIndexStream]] contract.
+   */
+  def editDistanceAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String, batch: DataFrame, tau: Int,
+                               idCol: String = "id", textCol: String = "text",
+                               dedupCandidates: Boolean = true): DataFrame = {
+    val sigs = spark.read.parquet(s"$path/signatures")
+    val texts = spark.read.parquet(s"$path/texts")
+    val candRaw = probeSignatures(batch, tau, idCol, textCol)
+      .join(sigs, Seq("__l", "__i", "__seg"))
+      .select(col("__lid"), col("__rid"))
+    val cand = if (dedupCandidates) candRaw.distinct() else candRaw
+    cand.join(texts, "__lid")
+      .join(batch.select(col(idCol).as("__rid"), col(textCol).as("__rs")), "__rid")
+      .withColumn("dist", expr(s"levenshtein(__ls, __rs, $tau)"))
+      .filter(col("dist") >= 0)
+      .select(col("__lid").as("id_l"), col("__rid").as("id_r"),
+        col("dist").cast("long").as("dist"))
+  }
 }

@@ -51,6 +51,48 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistanceAgainstIndex == brute cross-set; streaming probe matches") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcde"
+    def word(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val bases = (0 until 25).map(_ => word(6 + rnd.nextInt(6)))
+    val rows = bases.flatMap { b =>
+      Seq(b, b.updated(rnd.nextInt(b.length), alphabet(rnd.nextInt(5))).toString)
+    }.distinct.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("id", "text")
+    val ref = df.filter($"id" % 2 === 0)
+    val probe = df.filter($"id" % 2 === 1)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-edit-idx").toString
+    FuzzyJoin.writeEditIndex(ref, idxDir, tau = 2)
+    val got = FuzzyJoin.editDistanceAgainstIndex(spark, idxDir, probe, tau = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (ia, ta) <- rows if ia % 2 == 0
+      (ib, tb) <- rows if ib % 2 == 1
+      dd = lev(ta, tb) if dd <= 2
+    } yield (ia, ib, dd.toLong)).toSet
+    assert(got == want && want.nonEmpty)
+    // streaming probe (stateless stream-static): per-signature duplicate
+    // pairs collapse downstream to the same set
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-edit-stream")
+    probe.coalesce(1).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val q = FuzzyJoin.editDistanceAgainstIndex(spark, idxDir, stream, tau = 2,
+        dedupCandidates = false)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("editidx_out").start()
+    val got2 =
+      try {
+        q.processAllAvailable()
+        spark.table("editidx_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      } finally q.stop()
+    assert(got2 == want)
+  }
+
   test("editDistanceJoin: two-table form, short strings, null/empty totality") {
     val left = Seq((1L, "abc"), (2L, "a"), (3L, ""), (4L, null.asInstanceOf[String]))
       .toDF("id", "text")
