@@ -170,6 +170,49 @@ class CurationE2ESpec extends AnyFunSuite {
       "chunks must concatenate back to their documents")
   }
 
+  test("v4 chain: snapshot refresh -> diff audit -> repetition filter -> ccnet buckets -> folds") {
+    // 1. roll the corpus forward with a changeset, audit the churn
+    val changes = docs.filter($"doc_id" % 9 === 0)
+      .withColumn("text", concat($"text", lit(" refreshed crawl content")))
+      .withColumn("op", lit("upsert"))
+    val next = Snapshots.applyChanges(docs, changes, Seq("doc_id"))
+    val audit = Snapshots.diff(docs, next, Seq("doc_id"), Seq("text"))
+      .groupBy("change").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every change row is an upsert of an existing key → all 'changed'
+    assert(audit == Map("changed" -> docs.filter($"doc_id" % 9 === 0).count()))
+    // 2. repetition rules floor (the refreshed corpus is word soup → passes)
+    val clean = next.join(
+      TextAnalysis.repetitionRules(next).filter($"passes" === 1).select("doc_id"),
+      "doc_id")
+    // 3. CCNet buckets over the LM score; keep head + middle per language
+    val st = TextAnalysis.lmStateFromVocab(TextAnalysis.zipfVocab(clean, "text", topV = 200))
+    val toks = split(trim($"text"), "\\s+")
+    val scored = clean.select($"doc_id", $"lang",
+        size(toks).cast("long").as("n_tokens"),
+        TextAnalysis.lmSurprisal(toks, st).as("sb"))
+      .withColumn("mean_centibits", expr("(sb * 100) div n_tokens"))
+    val bucketed = Curation.perplexityBuckets(scored)
+    val kept = bucketed.filter($"bucket_label" =!= "tail")
+    // ntile buckets are equal-frequency: head+middle keeps ~2/3 per language
+    val perLang = bucketed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // NTILE gives the tail bucket exactly floor(n/3) rows
+    perLang.foreach { case (l, n) =>
+      assert(keptLang(l) == n - n / 3, s"lang $l: n=$n")
+    }
+    // 4. folds partition the survivors totally and stably
+    val folds = Sampling.deterministicFolds(kept)
+    assert(folds.filter($"fold" < 0 || $"fold" > 4).count() == 0)
+    assert(folds.count() == kept.count())
+    // chain determinism
+    val again = Sampling.deterministicFolds(
+      Curation.perplexityBuckets(scored).filter($"bucket_label" =!= "tail"))
+    assert(again.select("doc_id", "fold").collect().map(_.toSeq).toSet ==
+      folds.select("doc_id", "fold").collect().map(_.toSeq).toSet)
+  }
+
   test("curation chain is deterministic end to end") {
     val (_, _, s1, m1, p1) = runPipeline()
     val (_, _, s2, m2, p2) = runPipeline()
