@@ -51,6 +51,20 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistanceSelfJoin: non-ASCII (BMP) strings measured in code points") {
+    val rows = Seq((1L, "café"), (2L, "cafe"), (3L, "cafés"),
+      (4L, "über"), (5L, "uber"), (6L, "unrelated"))
+    val got = FuzzyJoin.editDistanceSelfJoin(rows.toDF("id", "text"), tau = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      d = lev(ta, tb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want)
+    assert(want.contains((1L, 2L, 1L)) && want.contains((1L, 3L, 1L)) &&
+      want.contains((4L, 5L, 1L)))
+  }
+
   test("editDistanceAgainstIndex == brute cross-set; streaming probe matches") {
     val rnd = new scala.util.Random(11)
     val alphabet = "abcde"
