@@ -206,6 +206,36 @@ object Curation {
       .otherwise("middle")
 
   /**
+   * The SKEW-SCALE variant of [[perplexityBuckets]] — the two-pass
+   * approximate-threshold cut its scaladoc promises: pass 1 computes
+   * per-group approximate bucket boundaries (`percentile_approx`, a
+   * mergeable sketch — map-side-combined, no per-group sort); pass 2
+   * assigns scan-locally against the broadcast boundary table with the
+   * same first-boundary-holding-the-score rule as the streaming twin.
+   * One dominant language no longer funnels its whole (id, score)
+   * stream through a single sort partition — the NTILE's only
+   * scale hazard. Bucket FREQUENCIES are approximate (sketch accuracy),
+   * assignment is still deterministic and monotone in the score; the
+   * exact NTILE remains the oracle-checkable reference semantics.
+   */
+  def perplexityBucketsApprox(scored: DataFrame, groupCol: String = "lang",
+                              scoreCol: String = "mean_centibits",
+                              nBuckets: Int = 3,
+                              accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val thresholds = scored.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol),
+        array(qs.map(lit): _*), lit(accuracy)).as("bucket_his"))
+    scored.join(broadcast(thresholds), groupCol)
+      .withColumn("bucket",
+        least(lit(nBuckets.toLong),
+          size(filter(col("bucket_his"), h => h < col(scoreCol))).cast("long") + 1L))
+      .withColumn("bucket_label", bucketLabel(col("bucket"), nBuckets))
+      .drop("bucket_his")
+  }
+
+  /**
    * FROZEN per-group bucket boundaries from a batch [[perplexityBuckets]]
    * pass: one row per group with the bucket-ascending array of MAX scores
    * (the CCNet "score a new shard against last month's percentiles"

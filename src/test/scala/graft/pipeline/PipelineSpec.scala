@@ -380,6 +380,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(o == 6L)
   }
 
+  test("perplexityBucketsApprox: frequencies near exact ntile, monotone in score") {
+    // per-group distinct scores; large enough that sketch error is tiny
+    val scored = (0 until 300).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else "de", (i * 37 % 1009).toLong))
+      .toDF("doc_id", "lang", "mean_centibits")
+    val approx = Curation.perplexityBucketsApprox(scored)
+    val exact = Curation.perplexityBuckets(scored)
+    // frequency deviation per (lang, bucket) bounded (exact sketch at this n)
+    val af = approx.groupBy("lang", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ef = exact.groupBy("lang", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    ef.foreach { case (k, n) =>
+      assert(math.abs(af.getOrElse(k, 0L) - n) <= math.max(2L, n / 10),
+        s"bucket $k: exact=$n approx=${af.getOrElse(k, 0L)}")
+    }
+    // monotone: within a group, a higher score never gets a lower bucket
+    val rows = approx.select("lang", "mean_centibits", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for {
+      grp <- rows.groupBy(_._1).values
+      pair <- grp.sortBy(_._2).sliding(2) if pair.length == 2
+    } assert(pair(0)._3 <= pair(1)._3,
+      s"monotonicity violated: ${pair(0)} vs ${pair(1)}")
+  }
+
   test("repetitionRules: planted repetition fails, clean doc passes") {
     val clean = (1 to 40).map(i => f"w$i%02d").mkString(" ")
     val docs = Seq(
