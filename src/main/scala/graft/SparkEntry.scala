@@ -590,6 +590,20 @@ object SparkEntry {
     // per-source character-class composition (charset/script dashboard):
     // disjoint integer class counts summing to total_chars, shares in
     // permille — encoding corruption and script mixes show up here first
+    // per-DOC script mix over a planted-tail fixture: the corpus is
+    // all-ASCII (checked), so doc_id % 4 == 0 appends a CJK tail — short
+    // Latin docs flip to mixed, long ones stay under the 5% floor, and
+    // the other docs stay pure; all counts integer, flag = cross-mult
+    "q_script_mix" -> ((s, d) =>
+      graft.pipeline.Curation.scriptMix(
+        Tables.table(s, d, "documents").withColumn("text",
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              lit(" " + CjkTail)).otherwise(lit("")))))
+        .select(col("doc_id"), col("total_chars"), col("n_latin"),
+          col("n_non_ascii"), col("latin_permille"),
+          col("non_ascii_permille"), col("is_mixed"))),
+
     "q_script_ratio" -> ((s, d) =>
       Curation.scriptRatio(Tables.table(s, d, "documents"))),
 
@@ -1639,6 +1653,8 @@ object SparkEntry {
     * 8 words twice (dup 5-grams) and 12 words twice (dup 10-grams). */
   // `final` with a literal → compile-time constants, safe to reference
   // from vals declared earlier in the object (no init-order NPE)
+  private final val CjkTail =
+    "数据清洗流水线质量检查数据清洗流水线质量检查数据清洗流水线质量检查数据清洗流水线质量检查"
   private final val rep5Phrase = " quick brown fox jumps over lazy dog again"
   private final val rep10Phrase = " one two three four five six seven eight nine ten eleven twelve"
   private def repetitionFixtureText: Column =
@@ -2197,6 +2213,21 @@ object SparkEntry {
     // same complement-deletion class counts (DuckDB needs the 'g' flag —
     // Spark's regexp_replace is global by default), same disjointness
     // construction (other_ascii and non_ascii derived from totals)
+    "q_script_mix" ->
+      (s"WITH rt AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 " +
+        s"THEN ' $CjkTail' ELSE '' END AS text FROM documents), " +
+        "t AS (SELECT doc_id, " +
+        "CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS c, " +
+        "CASE WHEN text IS NULL THEN 0 ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END AS lat, " +
+        "CASE WHEN text IS NULL THEN 0 ELSE length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) END AS na " +
+        "FROM rt) " +
+        "SELECT doc_id, CAST(c AS BIGINT) AS total_chars, " +
+        "CAST(lat AS BIGINT) AS n_latin, CAST(na AS BIGINT) AS n_non_ascii, " +
+        "(CAST(lat AS BIGINT) * 1000) // greatest(CAST(c AS BIGINT), 1) AS latin_permille, " +
+        "(CAST(na AS BIGINT) * 1000) // greatest(CAST(c AS BIGINT), 1) AS non_ascii_permille, " +
+        "CAST(CASE WHEN lat * 1000 >= c * 50 AND na * 1000 >= c * 50 AND c > 0 " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS is_mixed FROM t"),
+
     "q_script_ratio" ->
       ("WITH t AS (SELECT source, " +
         "CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS c, " +

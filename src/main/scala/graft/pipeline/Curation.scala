@@ -165,6 +165,39 @@ object Curation {
   }
 
   /**
+   * Per-DOCUMENT script mix — the doc-granular sibling of [[scriptRatio]]:
+   * web curation (C4/RefinedWeb family) drops or reroutes pages whose
+   * text mixes scripts heavily (template chrome in one script, content
+   * in another, or mojibake). `is_mixed` fires when BOTH Latin letters
+   * and non-ASCII characters each hold ≥ `minPermille` of the doc's
+   * characters — an integer cross-multiplication, so the flag
+   * hash-compares cross-engine. Same simple character classes as
+   * [[scriptRatio]] (RE2-parity, both engines count identically).
+   * Scan-local projection, zero shuffles; NULL text reports all zeros
+   * and is never mixed.
+   */
+  def scriptMix(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", minPermille: Int = 50): DataFrame = {
+    require(minPermille >= 1 && minPermille <= 500, "minPermille in [1, 500]")
+    val t = col(textCol)
+    def classCount(pattern: String): Column =
+      when(t.isNull, 0L)
+        .otherwise(length(regexp_replace(t, pattern, "")).cast("long"))
+    df.select(col(idCol),
+        when(t.isNull, 0L).otherwise(length(t).cast("long")).as("total_chars"),
+        classCount("[^A-Za-z]").as("n_latin"),
+        classCount("[\\x00-\\x7F]").as("n_non_ascii"))
+      .withColumn("latin_permille",
+        expr("(n_latin * 1000) div greatest(total_chars, 1)"))
+      .withColumn("non_ascii_permille",
+        expr("(n_non_ascii * 1000) div greatest(total_chars, 1)"))
+      .withColumn("is_mixed",
+        when(col("n_latin") * 1000L >= col("total_chars") * minPermille.toLong &&
+          col("n_non_ascii") * 1000L >= col("total_chars") * minPermille.toLong &&
+          col("total_chars") > 0L, 1L).otherwise(0L))
+  }
+
+  /**
    * CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §4.3): per
    * group (CCNet partitions by language), rank documents by a language-
    * model score and cut the ranking into `nBuckets` equal-frequency
