@@ -1195,6 +1195,21 @@ object SparkEntry {
     // per-doc count of word-aligned 40-char grams appearing verbatim in at
     // least one other document; md5 gram digests are identical in both
     // engines, so the oracle re-derivation is string-exact
+    // C4 three-sentence-span dedup (Raffel et al. JMLR'20 §2.2) over a
+    // planted fixture (cross-doc shared span + within-doc doubled span);
+    // the oracle replays sentence extraction, span digests, global
+    // first-occurrence, coverage union, and the splice — clean-text md5
+    // also proves the sentence pieces partition the text exactly
+    "q_dedup_sentences" -> ((s, d) =>
+      Dedup.dedupSentenceSpans(
+        Tables.table(s, d, "documents").withColumn("text",
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit(sent3Tail)).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0, lit(sent5Tail)).otherwise(lit("")))))
+        .select(col("doc_id"),
+          md5(coalesce(col("cleaned"), lit(""))).as("clean_md5"),
+          col("n_sentences_removed"))),
+
     "q_dedup_substring" -> ((s, d) =>
       Dedup.sharedSubstringStats(Tables.table(s, d, "documents"), minLen = 40)),
 
@@ -1655,6 +1670,14 @@ object SparkEntry {
   // from vals declared earlier in the object (no init-order NPE)
   private final val CjkTail =
     "数据清洗流水线质量检查数据清洗流水线质量检查数据清洗流水线质量检查数据清洗流水线质量检查"
+  // sentence-span fixture: cross-doc shared 3-sentence span (%3) and a
+  // within-doc doubled 3-sentence span (%5); the base corpus has no
+  // sentence punctuation, so each base doc is one piece
+  private final val sent3Tail =
+    ". Alpha beta gamma one. Delta epsilon two. Zeta eta theta three."
+  private final val sent5Tail =
+    " Repeat me once. Repeat me twice. Repeat me thrice." +
+      " Repeat me once. Repeat me twice. Repeat me thrice."
   private final val rep5Phrase = " quick brown fox jumps over lazy dog again"
   private final val rep10Phrase = " one two three four five six seven eight nine ten eleven twelve"
   private def repetitionFixtureText: Column =
@@ -2775,6 +2798,33 @@ object SparkEntry {
         "ELSE 'und' END AS lang_pred FROM hits"),
 
     // word-aligned 40-char gram digests re-derived string-exactly (md5 is
+    // sentence extraction (same RE2/Java-agreeing pattern), chr(31)
+    // span digests, (doc_id, pos)-first keeper, coverage-union splice
+    "q_dedup_sentences" ->
+      (s"WITH rt AS (SELECT doc_id, text || " +
+        s"CASE WHEN doc_id % 3 = 0 THEN '$sent3Tail' ELSE '' END || " +
+        s"CASE WHEN doc_id % 5 = 0 THEN '$sent5Tail' ELSE '' END AS text FROM documents), " +
+        "pc AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$') AS ps FROM rt), " +
+        "occ AS (SELECT doc_id, p AS pos, " +
+        "md5(array_to_string(list_transform(ps[p+1:p+3], x -> trim(x)), chr(31))) AS dg " +
+        "FROM pc, unnest(generate_series(0, len(ps) - 3)) AS u(p)), " +
+        "fst AS (SELECT dg, doc_id AS kid, pos AS kpos FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY dg ORDER BY doc_id, pos) AS rn FROM occ) WHERE rn = 1), " +
+        "drops AS (SELECT o.doc_id, o.pos FROM occ o JOIN fst f USING (dg) " +
+        "WHERE NOT (o.doc_id = f.kid AND o.pos = f.kpos)), " +
+        "dl AS (SELECT doc_id, list(pos ORDER BY pos) AS dps FROM drops GROUP BY doc_id), " +
+        "outp AS (SELECT pc.doc_id, " +
+        "CASE WHEN dl.doc_id IS NULL THEN array_to_string(ps, '') ELSE " +
+        "array_to_string(list_transform(list_filter(generate_series(0, len(ps) - 1), " +
+        "i -> len(list_filter(dl.dps, d -> d <= i AND i < d + 3)) = 0), " +
+        "i -> ps[CAST(i AS INT) + 1]), '') END AS cleaned, " +
+        "CASE WHEN dl.doc_id IS NULL THEN 0 ELSE " +
+        "len(ps) - len(list_filter(generate_series(0, len(ps) - 1), " +
+        "i -> len(list_filter(dl.dps, d -> d <= i AND i < d + 3)) = 0)) END AS nrem " +
+        "FROM pc LEFT JOIN dl USING (doc_id)) " +
+        "SELECT doc_id, md5(COALESCE(cleaned, '')) AS clean_md5, " +
+        "CAST(nrem AS BIGINT) AS n_sentences_removed FROM outp"),
+
     // the same function in both engines); range(1, len-38) is positions
     // 1..len-39 = the Spark sequence(1, length-39)
     "q_dedup_substring" ->

@@ -949,6 +949,67 @@ object Dedup {
    * higher-order filter over split(text) — the same
    * corpus-stays-in-place shape as [[removeSharedSpans]].
    */
+  /**
+   * C4 THREE-SENTENCE-SPAN dedup (Raffel et al. JMLR'20 §2.2: "we
+   * discard all but one of any three-sentence span occurring more than
+   * once in the data set") — the sentence-granular member of the
+   * first-occurrence family ([[dedupLines]] = lines,
+   * [[dedupParagraphs]] = blocks). Sentences are the pieces of
+   * `regexp_extract_all(text, "[^.!?]*[.!?]+|[^.!?]+$")` — a partition
+   * of the text (every char lands in exactly one piece; RE2/Java agree
+   * because the greedy first alternative never backtracks into the `$`
+   * anchor case), so joining surviving pieces with "" reconstructs
+   * untouched docs byte-exactly. Span identity is the md5 of the
+   * `spanLen` TRIMMED consecutive pieces; the globally-first (id, pos)
+   * occurrence survives, every other occurrence's sentences are removed
+   * (overlapping removals union — each sentence leaves once). Returns
+   * (id, cleaned, n_sentences_removed); NULL text stays NULL with 0
+   * removed (the [[removeSharedSpans]] totality contract).
+   *
+   * Scale shape: identical to [[dedupLines]] — the decision stream
+   * ships 16-byte span digests (never sentences), first-occurrence
+   * selection is one map-side-combined min-aggregate, drop starts
+   * collapse to one sorted-int-array row per affected doc, and the
+   * splice is a scan-local indexed filter; corpus text never crosses an
+   * exchange.
+   */
+  def dedupSentenceSpans(df: DataFrame, spanLen: Int = 3,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(spanLen >= 2, "spanLen must be at least 2")
+    val sentPattern = "[^.!?]*[.!?]+|[^.!?]+$"
+    def piecesOf(t: Column): Column =
+      regexp_extract_all(t, lit(sentPattern), lit(0))
+    val withSpans = df
+      .select(col(idCol).as("__id"), piecesOf(col(textCol)).as("__ps"))
+      .select(col("__id"),
+        when(size(col("__ps")) >= spanLen,
+          transform(sequence(lit(0), size(col("__ps")) - spanLen),
+            p => md5(array_join(
+              transform(slice(col("__ps"), p + 1, lit(spanLen)), x => trim(x)),
+              "\u001F"))))
+          .otherwise(array().cast("array<string>")).as("__spans"))
+    val occ = withSpans
+      .select(col("__id"), posexplode(col("__spans")).as(Seq("__pos", "__dg")))
+    val first = occ.groupBy(col("__dg"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__keep"))
+    val drops = occ.join(first, "__dg")
+      .filter(!(col("__id") === col("__keep.__id") &&
+        col("__pos") === col("__keep.__pos")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__drop"))
+    val ps = piecesOf(col(textCol))
+    val surviving = filter(ps,
+      (_, i) => !exists(col("__drop"), d => d <= i && i < d + spanLen))
+    df.join(drops, col(idCol) === drops("__id"), "left")
+      .select(col(idCol),
+        when(col("__drop").isNull, col(textCol))
+          .otherwise(array_join(surviving, "")).as("cleaned"),
+        when(col("__drop").isNull || col(textCol).isNull, lit(0L))
+          .otherwise((size(ps) - size(surviving)).cast("long"))
+          .as("n_sentences_removed"))
+  }
+
   def dedupLines(df: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", minLen: Int = 10,
                  sep: String = "\n"): DataFrame = {

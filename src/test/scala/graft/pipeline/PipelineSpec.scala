@@ -380,6 +380,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(o == 6L)
   }
 
+  test("dedupSentenceSpans: C4 three-sentence rule — cross-doc, in-doc, totality") {
+    val fixture = Seq(
+      (1L, "Intro one. Shared sent a. Shared sent b. Shared sent c. Outro one."),
+      (2L, "Other intro. Shared sent a. Shared sent b. Shared sent c. Outro two."),
+      (3L, "No punctuation here"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "Dup in doc. Dup in doc. X. Dup in doc. Dup in doc. X. Tail."))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSentenceSpans(fixture)
+      .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2))))
+      .toMap
+    // doc1 keeps everything (it owns every keeper it participates in)
+    assert(got(1L) == ((Some("Intro one. Shared sent a. Shared sent b. Shared sent c. Outro one."), 0L)))
+    // doc2 loses the shared 3-sentence span (positions 1..3)
+    assert(got(2L) == ((Some("Other intro. Outro two."), 3L)))
+    // no sentences → untouched; NULL stays NULL with 0 removed
+    assert(got(3L) == ((Some("No punctuation here"), 0L)))
+    assert(got(4L) == ((None, 0L)))
+    // within-doc doubled span: second occurrence (sentences 3..5) removed
+    assert(got(5L) == ((Some("Dup in doc. Dup in doc. X. Tail."), 3L)))
+  }
+
   test("perplexityBucketsApprox: frequencies near exact ntile, monotone in score") {
     // per-group distinct scores; large enough that sketch error is tiny
     val scored = (0 until 300).map(i =>
