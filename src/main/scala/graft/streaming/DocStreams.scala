@@ -476,17 +476,51 @@ object DocStreams {
    */
   def dedupLinesStream(docs: DataFrame, minLen: Int = 10,
                        sep: String = "\n"): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.functions._
     require(minLen >= 1, "minLen must be positive")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
+    firstOccurrenceDrops(docs
       .select(col("doc_id").cast("long").as("id"),
         posexplode(split(col("text"), sep)).as(Seq("pos", "ln")))
       .filter(length(trim(col("ln"))) >= minLen)
-      .select(md5(col("ln")).as("dg"), col("id"), col("pos"))
-      .as[(String, Long, Int)]
+      .select(md5(col("ln")).as("dg"), col("id"), col("pos")))
+  }
+
+  /**
+   * Cross-batch streaming DECISION twin of
+   * [[graft.pipeline.Dedup.dedupSentenceSpans]] (the C4 three-sentence
+   * rule): emits one (doc_id, pos) row per span START that loses global
+   * first-occurrence selection — downstream expands each start to its
+   * `spanLen` covered sentences and splices, exactly the batch op's
+   * coverage-union. State per distinct span digest is the 12-byte
+   * keeper. Same arrival-order contract as [[dedupLinesStream]].
+   */
+  def sentenceSpanDropsStream(docs: DataFrame, spanLen: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(spanLen >= 2, "spanLen must be at least 2")
+    val pieces = regexp_extract_all(col("text"),
+      lit("[^.!?]*[.!?]+|[^.!?]+$"), lit(0))
+    val spans = docs
+      .select(col("doc_id").cast("long").as("id"), pieces.as("ps"))
+      .select(col("id"),
+        when(size(col("ps")) >= spanLen,
+          transform(sequence(lit(0), size(col("ps")) - spanLen),
+            p => md5(array_join(
+              transform(slice(col("ps"), p + 1, lit(spanLen)), x => trim(x)),
+              "\u001F"))))
+          .otherwise(array().cast("array<string>")).as("spans"))
+      .select(col("id"), posexplode(col("spans")).as(Seq("pos", "dg")))
+    firstOccurrenceDrops(spans.select(col("dg"), col("id"), col("pos")))
+  }
+
+  /** Shared cross-batch first-occurrence core: input (dg, id, pos)
+    * occurrence stream; GroupState per digest holds the keeper (id, pos);
+    * emits every losing occurrence. Within a batch the keeper is the
+    * (id, pos) minimum; across batches it is first arrival. */
+  private def firstOccurrenceDrops(occurrences: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = occurrences.sparkSession
+    import spark.implicits._
+    occurrences.as[(String, Long, Int)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[(String, Long, Int)],

@@ -614,6 +614,50 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(DocStreams.perplexityBucketsStream(unk, thresholds).count() == 0)
   }
 
+  test("streaming sentence-span decision twin == batch removals under id-ordered arrival") {
+    import org.apache.spark.sql.DataFrame
+    val fixture = Seq[(Long, String)](
+      (1L, "Intro one. Shared sent a. Shared sent b. Shared sent c. Outro one."),
+      (2L, "Other intro. Shared sent a. Shared sent b. Shared sent c. Outro two."),
+      (5L, "Late doc. Shared sent a. Shared sent b. Shared sent c. Late outro."))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-senttwin-stream")
+    def writeOne(d: DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-senttwin-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(fixture.filter(col("doc_id") <= 2), "a.parquet", 120000L)
+    writeOne(fixture.filter(col("doc_id") >= 5), "b.parquet", 1000L)
+    val stream = spark.readStream.schema(DocStreams.docFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = DocStreams.sentenceSpanDropsStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("senttwin_out").start()
+    val dropStarts =
+      try {
+        q.processAllAvailable()
+        spark.table("senttwin_out").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+      } finally q.stop()
+    // expand starts to covered sentences and compare against the batch op
+    val covered = dropStarts.flatMap { case (id, p) => (p until p + 3).map(id -> _) }
+      .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+    val batch = graft.pipeline.Dedup.dedupSentenceSpans(fixture)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    batch.foreach { case (id, _, nRemoved) =>
+      assert(covered.get(id).map(_.size.toLong).getOrElse(0L) == nRemoved,
+        s"doc $id: stream covers ${covered.get(id)} vs batch removed $nRemoved")
+    }
+    // docs 2 and 5 each lose the shared span; doc 1 (global keeper) loses none
+    assert(!covered.contains(1L) && covered(2L).size == 3 && covered(5L).size == 3)
+  }
+
   test("streaming dedupLines decision twin == batch drops under id-ordered arrival") {
     import org.apache.spark.sql.DataFrame
     val fixture = Seq[(Long, String)](
