@@ -602,7 +602,9 @@ object Similarity {
    *    cell index = ascending-id rank among the seeds;
    *  - assignment is exact-integer squared-L2 argmin, ties to the lowest
    *    cell (int64-safe while dims·(2·quantScale·max|x|)² < 2⁶³ — dims
-   *    4×10¹² at scale 1000 and unit-range values, never binding);
+   *    4×10¹² at scale 1000 and unit-range values; ENFORCED at runtime
+   *    each update round from the measured max|q|, so violation is an
+   *    explicit failure, never a wrapped score);
    *  - the centroid update is per-dim `sum div count` (BOTH engines
    *    truncate integer division toward zero), an empty cell keeps its
    *    previous centroid.
@@ -648,16 +650,32 @@ object Similarity {
     }
 
     (1 to iters).foreach { _ =>
-      val updated = withCell()
+      val perDim = withCell()
         .select(col("__a.cell").as("cell"),
           posexplode(col("qe")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .select(col("cell"), col("dim"), expr("s div n").as("c"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+          max(abs(col("v"))).as("m"))
+      val rows = perDim
         .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).as("cvec"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"),
+            expr("s div n").as("c")))),
+          x => x.getField("c")).as("cvec"),
+          max(col("m")).as("m"))
         .collect()
+      // int64 exactness guard (the centroidOutliers posture: documented
+      // bounds are ENFORCED): every distance term is ≤ (2·max|q|)² —
+      // centroids are trunc-division means, so |c| ≤ max|q| — and the
+      // fold sums dims of them. ANSI mode already faults the wrapped
+      // arithmetic; this require adds the actionable message and covers
+      // non-ANSI sessions. Checked in double so the check itself cannot
+      // overflow; fires before any result leaves the operator.
+      val maxAbs = (rows.map(_.getLong(2)) :+ 0L).max.toDouble
+      val dims = cents.head.length.toDouble
+      require(dims * (2.0 * maxAbs) * (2.0 * maxAbs) < 9.223372036854776e18,
+        s"kmeansAssign: int64 distance bound dims*(2*max|q|)^2 < 2^63 exceeded " +
+          s"(dims=${dims.toInt}, max|q|=${maxAbs.toLong}) — lower quantScale")
+      val updated = rows
         .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray)
         .toMap
       cents = cents.indices.map(j => updated.getOrElse(j, cents(j))).toArray

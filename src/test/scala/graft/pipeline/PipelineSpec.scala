@@ -482,6 +482,15 @@ class PipelineSpec extends AnyFunSuite {
     val got7 = Similarity.kmeansAssign(embs.repartition(7), k = k, iters = iters)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got7 == want)
+    // bound violation is an explicit failure, never a silent wrap: ANSI
+    // mode faults the arithmetic itself; the operator's own require
+    // catches it (with the actionable message) in non-ANSI sessions
+    val ex = intercept[Exception] {
+      Similarity.kmeansAssign(embs, k = 2, iters = 1,
+        quantScale = Int.MaxValue).collect()
+    }
+    assert(ex.getMessage.contains("int64 distance bound") ||
+      ex.getMessage.contains("ARITHMETIC_OVERFLOW"))
   }
 
   test("SQ8: encode == brute replica, reconstruction bound, MIPS recall") {
