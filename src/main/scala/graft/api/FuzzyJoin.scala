@@ -147,6 +147,11 @@ object FuzzyJoin {
     df.select(col(idCol).as("__lid"), col(textCol).as("__ls"))
       .filter(col("__ls").isNotNull)
       .write.mode("overwrite").parquet(s"$path/texts")
+    // tau is baked into the segment boundaries; persist it so a probe
+    // with a different value fails loudly instead of silently missing
+    // pairs (the pigeonhole guarantee only holds at the written tau)
+    df.sparkSession.range(1).select(lit(tau).as("tau"))
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /**
@@ -162,6 +167,10 @@ object FuzzyJoin {
                                path: String, batch: DataFrame, tau: Int,
                                idCol: String = "id", textCol: String = "text",
                                dedupCandidates: Boolean = true): DataFrame = {
+    val writtenTau = spark.read.parquet(s"$path/meta").head().getAs[Int]("tau")
+    require(writtenTau == tau,
+      s"index at $path was segmented for tau=$writtenTau, probed with tau=$tau " +
+        "— the pigeonhole guarantee only holds at the written value")
     val sigs = spark.read.parquet(s"$path/signatures")
     val texts = spark.read.parquet(s"$path/texts")
     val candRaw = probeSignatures(batch, tau, idCol, textCol)

@@ -58,6 +58,11 @@ object Snapshots {
    * still compare correctly unless a crafted pair collides across a
    * column boundary (the standard concat-digest caveat).
    *
+   * NULL keys never equi-join, so a NULL-keyed row shows up as `removed`
+   * on the base side AND `added` on the next side rather than comparing —
+   * keys are expected non-null (they are ids); pre-filter or coalesce
+   * upstream if a corpus ever carries null ids.
+   *
    * Scale shape: each side projects to (key, 16-byte digest) AT THE SCAN
    * — full payloads never shuffle — then one sort-merge full-outer join
    * on the key. Both sides are corpus-sized, so two compact shuffles is

@@ -105,6 +105,12 @@ class FuzzyJoinSpec extends AnyFunSuite {
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       } finally q.stop()
     assert(got2 == want)
+    // probing with a different tau than the index was segmented for is a
+    // loud failure, not silent missed pairs
+    val ex = intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceAgainstIndex(spark, idxDir, probe, tau = 1)
+    }
+    assert(ex.getMessage.contains("segmented for tau=2"))
   }
 
   test("editDistanceJoin: two-table form, short strings, null/empty totality") {
