@@ -582,6 +582,18 @@ object SparkEntry {
           .select(explode(split(trim(col("text")), "\\s+")).as("token")),
         col("token"), capacity = 256, k = 20)),
 
+    // corpus-level frequent-PHRASE mining (boilerplate phrase lists, the
+    // RefinedWeb "most common 3-grams" report): Space-Saving over the
+    // ordered gram stream. Capacity 32768 ≥ 31³ — the gate corpus' fixed
+    // 31-word vocabulary bounds distinct 3-grams COMBINATORIALLY, so the
+    // sketch is in its exact regime at every gate scale and the GROUP BY
+    // oracle is exact with err 0
+    "q_heavy_ngrams" -> ((s, d) =>
+      TextAnalysis.heavyHitters(
+        Tables.table(s, d, "documents")
+          .select(explode(TextAnalysis.tokenNgramsAll(col("text"), 3)).as("gram")),
+        col("gram"), capacity = 32768, k = 25)),
+
     // per-source corpus report: integer counts/totals in ONE map-side-
     // combined aggregate — the pass that brackets every curation stage
     "q_corpus_stats" -> ((s, d) =>
@@ -2192,6 +2204,15 @@ object SparkEntry {
       ("SELECT t AS item, count(*) AS est_count, CAST(0 AS BIGINT) AS max_err " +
         "FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t " +
         "FROM documents) GROUP BY t ORDER BY est_count DESC, item ASC LIMIT 20"),
+
+    // exact regime again (capacity ≥ the combinatorial 3-gram ceiling)
+    "q_heavy_ngrams" ->
+      ("SELECT gram AS item, count(*) AS est_count, CAST(0 AS BIGINT) AS max_err " +
+        "FROM (SELECT array_to_string(ws[p+1:p+3], ' ') AS gram FROM " +
+        "(SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents) t, " +
+        "unnest(generate_series(0, len(ws) - 3)) AS u(p)) " +
+        "GROUP BY gram ORDER BY est_count DESC, item ASC LIMIT 25"),
 
     // same bit-length bucket (length(bin(n))), same NULL policy, all
     // integer — the histogram diffs exactly across engines

@@ -414,6 +414,12 @@ object TextAnalysis {
         expr("(n_chars * 1000) div greatest(n_bpe_tokens, 1)"))
   }
 
+  /** ALL ordered token n-grams (duplicates preserved, posexplode index =
+    * starting token position) — the column form of
+    * [[graft.text.TextCore.tokenNgramsAll]]. */
+  def tokenNgramsAll(text: Column, n: Int): Column =
+    c(org.apache.spark.sql.graft.TokenNgramsAll(e(text), e(lit(n))))
+
   def langId(text: Column): Column = c(LangId(e(text)))
 
   /** Winnowing fingerprint set (array<long>) — robust doc identity for
@@ -931,9 +937,8 @@ object TextAnalysis {
                            idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graft.TokenNgramsAll
     require(topNs.forall(_ >= 1) && dupNs.forall(_ >= 2), "invalid n")
-    def gramsAll(t: Column, n: Int): Column = c(TokenNgramsAll(e(t), e(lit(n))))
+    def gramsAll(t: Column, n: Int): Column = tokenNgramsAll(t, n)
     val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
     val charTotals = base.select(col("__id"),
       coalesce(aggregate(gramsAll(col("__t"), 1), lit(0L),
