@@ -320,6 +320,18 @@ object SparkEntry {
           k = 3, radius = 10.0, aKeyCol = "c_custkey", bIdCol = "s_suppkey")
         .select(col("a_c_custkey"), col("b_s_suppkey"))),
 
+    // bucketized interval-lookup join (balance → tier): hash join on the
+    // bucket key instead of Spark's O(n·m) BroadcastNestedLoopJoin for
+    // the same predicate; the oracle runs the raw range join
+    "q_join_interval" -> ((s, d) => {
+      val tiers = s.range(-2, 20).select(col("id").as("tier"),
+        (col("id") * 500.0).as("lo"), ((col("id") + 1) * 500.0).as("hi"))
+      graft.api.IntervalJoin.lookup(
+          Tables.table(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+          "c_acctbal", tiers, bucketWidth = 500.0)
+        .select(col("c_custkey"), col("tier"))
+    }),
+
     // PassJoin edit-distance self-join (VLDB'12 pigeonhole segment
     // blocking + thresholded levenshtein verify) over distinct part
     // names; the oracle is the brute-force quadratic on the same table
@@ -1927,6 +1939,15 @@ object SparkEntry {
         "SELECT a_c_custkey, b_s_suppkey, " +
         "row_number() OVER (PARTITION BY a_c_custkey ORDER BY distance ASC, b_s_suppkey ASC) AS rn " +
         "FROM j) WHERE rn <= 3"),
+
+    // the raw range join — bucketing is a candidate superset re-checked
+    // by the exact predicate, so results must be identical; i*500.0 is
+    // the same IEEE double in both engines
+    "q_join_interval" ->
+      ("WITH tiers AS (SELECT i AS tier, i * 500.0 AS lo, (i + 1) * 500.0 AS hi " +
+        "FROM range(-2, 20) t(i)) " +
+        "SELECT c.c_custkey, t.tier FROM customer c JOIN tiers t " +
+        "ON c.c_acctbal >= t.lo AND c.c_acctbal < t.hi"),
 
     // brute-force quadratic on the tiny distinct-name table — PassJoin's
     // blocking is exact, so the candidate-verified result must equal it

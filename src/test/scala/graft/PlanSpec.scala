@@ -255,6 +255,38 @@ class PlanSpec extends AnyFunSuite {
       full.select("doc_id", "fold").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("interval lookup plans as broadcast HASH join, not nested-loop") {
+    val spark2 = spark
+    import spark2.implicits._
+    val facts = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey", $"c_acctbal")
+    val tiers = spark.range(-2, 20).select($"id".as("tier"),
+      ($"id" * 500.0).as("lo"), (($"id" + 1) * 500.0).as("hi"))
+    val df = graft.api.IntervalJoin.lookup(facts, "c_acctbal", tiers, bucketWidth = 500.0)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    var hash = 0; var nlj = 0
+    plan.foreach {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => hash += 1
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => nlj += 1
+      case _ =>
+    }
+    assert(hash >= 1 && nlj == 0,
+      s"bucketed lookup must hash-join on the bucket key:\n$plan")
+    // and it equals the raw range join exactly (bucketing is a pure
+    // candidate superset re-checked by the real predicate)
+    val raw = facts.join(tiers,
+        facts("c_acctbal") >= tiers("lo") && facts("c_acctbal") < tiers("hi"))
+      .select($"c_custkey", $"tier")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = df.select($"c_custkey", $"tier")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == raw && raw.nonEmpty)
+  }
+
   test("applyChanges plan: small changeset broadcasts, corpus never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val changes = docs.limit(20).withColumn("op", lit("upsert"))
