@@ -669,12 +669,14 @@ object SparkEntry {
 
     // DSIR-style importance scoring: hashed n-gram bucket counts over a
     // target subset vs the raw corpus, integer bit-cost log-ratio weights
-    // (ilog2(nt+1) − ilog2(nr+1)), scan-local scoring. The oracle rebuilds
-    // buckets, both count tables, the weights, AND the per-doc sums
+    // (ilog2(nt+1) − ilog2(nr+1)), scan-local scoring. Counting is the
+    // FUSED single-scan path (target ⊂ raw ⇒ one conditional aggregate,
+    // not two corpus reads). The oracle rebuilds buckets, both count
+    // tables, the weights, AND the per-doc sums
     "q_importance" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
-      val st = TextAnalysis.importanceState(
-        docs.filter(pmod(col("doc_id"), lit(10)) === 0), docs, numBuckets = 4096)
+      val st = TextAnalysis.importanceStateFused(
+        docs, pmod(col("doc_id"), lit(10)) === 0, numBuckets = 4096)
       docs.select(col("doc_id"),
         TextAnalysis.classifierScore(split(trim(col("text")), "\\s+"), st)
           .as("imp_score"))

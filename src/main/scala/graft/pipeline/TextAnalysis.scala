@@ -385,6 +385,40 @@ object TextAnalysis {
   }
 
   /**
+   * [[importanceState]] for the common case where the target is a SUBSET
+   * of the raw corpus selected by a per-row predicate (DSIR's usual
+   * setup: "docs that look like the eval set" vs "everything"). ONE
+   * explode+aggregate scan emits `(bucket, n_target, n_raw)` via a
+   * conditional count instead of two full corpus reads — at 100 TB this
+   * halves the counting cost (one corpus read saved). Weights are
+   * bit-for-bit identical to
+   * `importanceState(raw.filter(isTarget), raw, numBuckets)`:
+   * `count(when(isTarget))` over the exploded features equals the
+   * target-side count, and absent buckets get ilog2(1)−ilog2(1) = 0
+   * either way.
+   */
+  def importanceStateFused(raw: DataFrame, isTarget: Column, numBuckets: Int,
+                           textCol: String = "text")
+      : org.apache.spark.sql.graft.HashedLinearState = {
+    val counts = raw
+      .select(isTarget.as("__t"),
+        explode(hashedFeatures(col(textCol))).as("__f"))
+      .select(col("__t"),
+        pmod(conv(substring(md5(col("__f")), 1, 8), 16, 10).cast("long"),
+          lit(numBuckets.toLong)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("__t"), 1)).as("n_target"),
+        count(lit(1)).as("n_raw"))
+      .collect()
+    val w = new Array[Long](numBuckets)
+    counts.foreach { r =>
+      w(r.getLong(0).toInt) =
+        ilog2(r.getLong(1) + 1L) - ilog2(r.getLong(2) + 1L)
+    }
+    classifierState(raw.sparkSession, w, bias = 0L)
+  }
+
+  /**
    * Per-group tokenizer FERTILITY report — the "how does this tokenizer
    * treat each language/source" table a pipeline reads before budgeting
    * mixtures in tokens: real BPE tokens, whitespace tokens, and chars

@@ -501,6 +501,40 @@ class SamplingTextSpec extends AnyFunSuite {
     assert(inDomain > outDomain, s"in=$inDomain out=$outDomain")
   }
 
+  test("importanceStateFused: single-scan weights == two-scan weights") {
+    val b = 128
+    val rawTexts = Seq("alpha beta alpha", "beta alpha", "gamma delta",
+      "delta gamma delta", "epsilon", "alpha gamma", "zeta eta theta")
+    val raw = rawTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val isTarget = pmod(col("doc_id"), lit(3)) === 0
+    val twoScan = TextAnalysis.importanceState(raw.filter(isTarget), raw, b)
+    val fused = TextAnalysis.importanceStateFused(raw, isTarget, b)
+    assert(twoScan.weights.value.toSeq == fused.weights.value.toSeq)
+    assert(twoScan.bias == fused.bias)
+    // and the scores they induce agree doc-for-doc
+    def scores(st: org.apache.spark.sql.graft.HashedLinearState) =
+      raw.select(col("doc_id"), TextAnalysis.classifierScore(
+          split(trim(col("text")), "\\s+"), st).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(twoScan) == scores(fused))
+  }
+
+  test("importanceStateFused counting is one scan (single aggregate pair)") {
+    // the fused plan must read the corpus once: exactly one pair of
+    // partial+final HashAggregate over one Scan/LocalTableScan — assert
+    // no union of two counting subplans
+    val b = 64
+    val raw = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
+    val counts = raw
+      .select((pmod(col("doc_id"), lit(2)) === 0).as("__t"),
+        explode(split(trim(col("text")), "\\s+")).as("__f"))
+      .groupBy(col("__f"))
+      .agg(count(when(col("__t"), 1)).as("nt"), count(lit(1)).as("nr"))
+    val plan = counts.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), plan)
+  }
+
   test("classifierScore stage is scan-local (no exchange)") {
     val st = TextAnalysis.classifierState(spark,
       Array.tabulate(4096)(i => (i % 21).toLong - 10L), bias = 5L)
