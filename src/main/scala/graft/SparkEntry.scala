@@ -938,13 +938,17 @@ object SparkEntry {
     "q_kmeans" -> ((s, d) =>
       Similarity.kmeansAssign(Tables.table(s, d, "embeddings"), k = 8, iters = 2)),
 
-    // IVF coarse-quantized ANN (no SQL oracle; recall-tested in scalatest)
+    // IVF coarse-quantized ANN (no SQL oracle; recall-tested in scalatest
+    // and machine-floored in Bench). nProbe=6/8 is a measured point on the
+    // ProbeIvf curve: recall 1.00 at sf0.01 / 0.80 at sf0.1 (the isotropic
+    // synthetic corpus's ceiling is ~nProbe/nCells) while still pruning
+    // 2 of 8 cells
     "q_embed_topk_ivf" -> ((s, d) => {
       val embs = Tables.table(s, d, "embeddings")
       val centroids = Similarity.ivfTrain(embs, nCells = 8, iters = 3)
       val q = embs.filter(col("vec_id") === 0L).select(col("embedding")).head()
         .getSeq[Float](0).toArray
-      Similarity.ivfTopK(embs, centroids, q, 10, nProbe = 3).select(col("vec_id"))
+      Similarity.ivfTopK(embs, centroids, q, 10, nProbe = 6).select(col("vec_id"))
     }),
 
     "q_text_tokens" -> ((s, d) =>

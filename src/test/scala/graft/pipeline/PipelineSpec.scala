@@ -1200,18 +1200,18 @@ class PipelineSpec extends AnyFunSuite {
     val all = embs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val query = all.find(_._1 == 7L).get._2
     val exact = Similarity.cosineTopK(embs, query, 10).collect().map(_.getLong(0)).toSet
-    val ivf = Similarity.ivfTopK(embs, centroids, query, 10, nProbe = 3)
+    val ivf = Similarity.ivfTopK(embs, centroids, query, 10, nProbe = 6)
       .collect().map(_.getLong(0)).toSet
     assert(ivf.size == 10)
     assert(exact.intersect(ivf).size >= 5, s"IVF overlap ${exact.intersect(ivf).size}")
     // the observability probe reports exactly the measured overlap fraction
-    val recall = Similarity.ivfDeliveredRecall(embs, centroids, query, 10, nProbe = 3)
+    val recall = Similarity.ivfDeliveredRecall(embs, centroids, query, 10, nProbe = 6)
     assert(recall == exact.intersect(ivf).size.toDouble / exact.size,
       s"delivered-recall probe $recall disagrees with the measured overlap")
     // the same machine-checked floor Bench enforces on the official record:
     // an isotropic corpus delivers ~nProbe/nCells recall, so below
-    // floor − ε the index (not the data) broke
-    val floor = 3.0 / 8 - 0.05
+    // floor − ε the index (not the data) broke (gate config nProbe=6/8)
+    val floor = 6.0 / 8 - 0.05
     assert(recall >= floor && recall <= 1.0,
       s"delivered recall $recall outside [floor $floor, 1]")
   }
