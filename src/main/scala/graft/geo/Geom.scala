@@ -16,9 +16,12 @@ package graft.geo
  *    NOT great-circle.
  *
  * Geometry generality matches the reference's JTS reader for the shapes a
- * query can bring: POLYGON with any number of interior rings (holes) and
- * MULTIPOLYGON. Coordinates are (x=lon, y=lat) throughout, matching WKT
- * axis order.
+ * query can bring (`WKTReader.read` accepts any geometry,
+ * WithinQuery.java:184-185): POLYGON with any number of interior rings
+ * (holes), MULTIPOLYGON, and the non-areal types POINT / MULTIPOINT /
+ * LINESTRING / MULTILINESTRING / GEOMETRYCOLLECTION with JTS `covers`
+ * semantics (a non-areal geometry covers exactly the points on it).
+ * Coordinates are (x=lon, y=lat) throughout, matching WKT axis order.
  */
 object Geom {
 
@@ -64,16 +67,21 @@ object Geom {
     (a2, cx, cy)
   }
 
-  /** A query geometry: POLYGON (with optional holes) or MULTIPOLYGON. */
+  /** A query geometry: areal (POLYGON with optional holes, MULTIPOLYGON)
+    * or non-areal (POINT, MULTIPOINT, LINESTRING, MULTILINESTRING), plus
+    * GEOMETRYCOLLECTION of any mix. */
   sealed trait Geometry {
-    /** Boundary-inclusive containment (JTS `covers` for point arguments). */
+    /** Boundary-inclusive containment (JTS `covers` for point arguments);
+      * for a non-areal geometry, true exactly on the geometry itself. */
     def covers(px: Double, py: Double): Boolean
     /** Axis-aligned bounds: (xMin, xMax, yMin, yMax). */
     def bbox: (Double, Double, Double, Double)
-    /** Area centroid (hole- and part-aware). */
+    /** Centroid of the highest-dimension content (JTS: area, else length,
+      * else point mean). */
     def centroid: Pt
-    /** All exterior-ring vertices — a convex region covering these covers
-      * the whole geometry (holes are inside the exteriors by definition). */
+    /** All defining vertices — a convex region covering these covers the
+      * whole geometry (polygon holes are inside the exteriors; every point
+      * of a segment is in the convex hull of its endpoints). */
     def exteriorPoints: IndexedSeq[Pt]
   }
 
@@ -194,6 +202,138 @@ object Geom {
     }
   }
 
+  // ---- Non-areal query geometries (reference API parity: JTS WKTReader
+  // accepts any geometry as the containment query, WithinQuery.java:184-185;
+  // JTS `covers` on a zero-area geometry keeps exactly the points ON it) ----
+
+  /** Single point: covers (px,py) iff exactly equal (JTS point-covers). */
+  final case class Point(p: Pt) extends Geometry {
+    override def covers(px: Double, py: Double): Boolean = px == p.x && py == p.y
+    override def bbox: (Double, Double, Double, Double) = (p.x, p.x, p.y, p.y)
+    override def centroid: Pt = p
+    override def exteriorPoints: IndexedSeq[Pt] = IndexedSeq(p)
+  }
+
+  /** Point set: covered = equal to any member. */
+  final case class MultiPoint(pts: IndexedSeq[Pt]) extends Geometry {
+    require(pts.nonEmpty, "MULTIPOINT needs at least one point")
+    override def covers(px: Double, py: Double): Boolean = {
+      var i = 0
+      while (i < pts.length) {
+        if (px == pts(i).x && py == pts(i).y) return true
+        i += 1
+      }
+      false
+    }
+    override lazy val bbox: (Double, Double, Double, Double) = boundsOf(pts)
+    override lazy val centroid: Pt = meanOf(pts)
+    override def exteriorPoints: IndexedSeq[Pt] = pts
+  }
+
+  /** Open polyline: covered = on any segment (vertices included). */
+  final case class LineString(pts: IndexedSeq[Pt]) extends Geometry {
+    require(pts.length >= 2, s"LINESTRING needs >=2 points, got ${pts.length}")
+    override def covers(px: Double, py: Double): Boolean = {
+      var i = 1
+      while (i < pts.length) {
+        if (onSegment(pts(i - 1), pts(i), px, py)) return true
+        i += 1
+      }
+      false
+    }
+    override lazy val bbox: (Double, Double, Double, Double) = boundsOf(pts)
+    /** Length-weighted mean of segment midpoints (JTS lineal centroid);
+      * zero total length degenerates to the vertex mean. */
+    override lazy val centroid: Pt = {
+      var len = 0.0; var cx = 0.0; var cy = 0.0
+      var i = 1
+      while (i < pts.length) {
+        val a = pts(i - 1); val b = pts(i)
+        val l = math.hypot(b.x - a.x, b.y - a.y)
+        len += l; cx += (a.x + b.x) / 2 * l; cy += (a.y + b.y) / 2 * l
+        i += 1
+      }
+      if (len < 1e-300) meanOf(pts) else Pt(cx / len, cy / len)
+    }
+    override def exteriorPoints: IndexedSeq[Pt] = pts
+  }
+
+  /** Union of polylines: covered = on any part. */
+  final case class MultiLineString(lines: IndexedSeq[LineString]) extends Geometry {
+    require(lines.nonEmpty, "MULTILINESTRING needs at least one part")
+    override def covers(px: Double, py: Double): Boolean = lines.exists(_.covers(px, py))
+    override lazy val bbox: (Double, Double, Double, Double) = boundsOf(exteriorPoints)
+    override lazy val centroid: Pt = lineCentroid(lines.flatMap(l =>
+      l.pts.sliding(2).map(s => (s(0), s(1)))))
+    override def exteriorPoints: IndexedSeq[Pt] = lines.flatMap(_.pts)
+  }
+
+  /** Heterogeneous union (JTS GEOMETRYCOLLECTION): covered = covered by any
+    * member. Centroid follows JTS: computed from the highest-dimension
+    * members present (areal > lineal > puntal). */
+  final case class GeometryCollection(geoms: IndexedSeq[Geometry]) extends Geometry {
+    require(geoms.nonEmpty, "GEOMETRYCOLLECTION needs at least one geometry")
+    override def covers(px: Double, py: Double): Boolean = geoms.exists(_.covers(px, py))
+    override lazy val bbox: (Double, Double, Double, Double) = {
+      var xMin = Double.PositiveInfinity; var xMax = Double.NegativeInfinity
+      var yMin = Double.PositiveInfinity; var yMax = Double.NegativeInfinity
+      geoms.foreach { g =>
+        val (x0, x1, y0, y1) = g.bbox
+        if (x0 < xMin) xMin = x0; if (x1 > xMax) xMax = x1
+        if (y0 < yMin) yMin = y0; if (y1 > yMax) yMax = y1
+      }
+      (xMin, xMax, yMin, yMax)
+    }
+    override lazy val centroid: Pt = {
+      def dim(g: Geometry): Int = g match {
+        case _: Polygon | _: MultiPolygon => 2
+        case _: LineString | _: MultiLineString => 1
+        case _: Point | _: MultiPoint => 0
+        case GeometryCollection(gs) => gs.map(dim).max
+      }
+      def leaves(g: Geometry): IndexedSeq[Geometry] = g match {
+        case GeometryCollection(gs) => gs.flatMap(leaves)
+        case MultiPolygon(ps) => ps
+        case MultiLineString(ls) => ls
+        case MultiPoint(ps) => ps.map(Point.apply)
+        case other => IndexedSeq(other)
+      }
+      val maxDim = dim(this)
+      val top = leaves(this).filter(dim(_) == maxDim)
+      maxDim match {
+        case 2 => MultiPolygon(top.collect { case p: Polygon => p }).centroid
+        case 1 => lineCentroid(top.collect { case l: LineString => l }
+          .flatMap(l => l.pts.sliding(2).map(s => (s(0), s(1)))))
+        case _ => meanOf(top.collect { case Point(p) => p })
+      }
+    }
+    override def exteriorPoints: IndexedSeq[Pt] = geoms.flatMap(_.exteriorPoints)
+  }
+
+  private def boundsOf(pts: IndexedSeq[Pt]): (Double, Double, Double, Double) = {
+    var xMin = Double.PositiveInfinity; var xMax = Double.NegativeInfinity
+    var yMin = Double.PositiveInfinity; var yMax = Double.NegativeInfinity
+    pts.foreach { p =>
+      if (p.x < xMin) xMin = p.x; if (p.x > xMax) xMax = p.x
+      if (p.y < yMin) yMin = p.y; if (p.y > yMax) yMax = p.y
+    }
+    (xMin, xMax, yMin, yMax)
+  }
+
+  private def meanOf(pts: IndexedSeq[Pt]): Pt =
+    Pt(pts.map(_.x).sum / pts.length, pts.map(_.y).sum / pts.length)
+
+  /** Length-weighted centroid of a segment bag; zero length → endpoint mean. */
+  private def lineCentroid(segs: Seq[(Pt, Pt)]): Pt = {
+    var len = 0.0; var cx = 0.0; var cy = 0.0
+    segs.foreach { case (a, b) =>
+      val l = math.hypot(b.x - a.x, b.y - a.y)
+      len += l; cx += (a.x + b.x) / 2 * l; cy += (a.y + b.y) / 2 * l
+    }
+    if (len < 1e-300) meanOf(segs.flatMap(s => Seq(s._1, s._2)).toIndexedSeq)
+    else Pt(cx / len, cy / len)
+  }
+
   private def onSegment(a: Pt, b: Pt, px: Double, py: Double): Boolean = {
     val cross = (b.x - a.x) * (py - a.y) - (b.y - a.y) * (px - a.x)
     if (cross != 0.0) return false
@@ -249,12 +389,18 @@ object Geom {
     t.substring(1, t.length - 1)
   }
 
+  private def parseCoord(pair: String): Pt = {
+    val t = pair.trim.split("\\s+")
+    require(t.length >= 2, s"malformed coordinate '$pair'")
+    Pt(t(0).toDouble, t(1).toDouble)
+  }
+
+  /** Comma-separated coordinate sequence, closure preserved (LINESTRING). */
+  private def parseCoordSeq(coords: String): IndexedSeq[Pt] =
+    coords.split(',').map(parseCoord).toIndexedSeq
+
   private def parseRing(coords: String): IndexedSeq[Pt] = {
-    val pts = coords.split(',').map { pair =>
-      val t = pair.trim.split("\\s+")
-      require(t.length >= 2, s"malformed coordinate '$pair'")
-      Pt(t(0).toDouble, t(1).toDouble)
-    }.toIndexedSeq
+    val pts = parseCoordSeq(coords)
     // WKT closes the ring by repeating the first point; store it open.
     if (pts.length > 1 && pts.head == pts.last) pts.dropRight(1) else pts
   }
@@ -267,33 +413,45 @@ object Geom {
   }
 
   /**
-   * Parse a WKT query geometry: POLYGON (with any number of interior rings)
-   * or MULTIPOLYGON — the areal surface the reference's region queries use.
-   * The reference's JTS `WKTReader` (WithinQuery.java:184-185) would also
-   * parse POINT / LINESTRING / GEOMETRYCOLLECTION etc., but a non-areal
-   * query geometry has empty `covers` interior semantics for region scans;
-   * those types are rejected here with an error naming the type, rather
-   * than a generic parse failure.
+   * Parse a WKT query geometry — the full type surface the reference's JTS
+   * `WKTReader` accepts as a containment query (WithinQuery.java:184-185):
+   * POLYGON (with any number of interior rings), MULTIPOLYGON, POINT,
+   * MULTIPOINT (both `(1 2, 3 4)` and `((1 2), (3 4))` coordinate forms),
+   * LINESTRING, MULTILINESTRING, and GEOMETRYCOLLECTION (recursive).
+   * Non-areal types carry JTS `covers` semantics: they cover exactly the
+   * points on them, so a region scan against them degenerates to an
+   * on-geometry match rather than an error.
    */
   def parseWkt(wkt: String): Geometry = {
     val s = wkt.trim
     val upper = s.toUpperCase(java.util.Locale.ROOT)
-    if (upper.startsWith("MULTIPOLYGON")) {
+    // longest-prefix first so MULTIPOINT doesn't read as POINT
+    if (upper.startsWith("GEOMETRYCOLLECTION")) {
+      val body = stripParens(s.substring("GEOMETRYCOLLECTION".length))
+      GeometryCollection(splitTopLevel(body).map(parseWkt).toIndexedSeq)
+    } else if (upper.startsWith("MULTIPOLYGON")) {
       val body = stripParens(s.substring("MULTIPOLYGON".length))
       MultiPolygon(splitTopLevel(body).map(g => parsePolygonBody(stripParens(g))).toIndexedSeq)
+    } else if (upper.startsWith("MULTILINESTRING")) {
+      val body = stripParens(s.substring("MULTILINESTRING".length))
+      MultiLineString(splitTopLevel(body).map(g => LineString(parseCoordSeq(stripParens(g)))).toIndexedSeq)
+    } else if (upper.startsWith("MULTIPOINT")) {
+      val body = stripParens(s.substring("MULTIPOINT".length))
+      MultiPoint(splitTopLevel(body).map { g =>
+        val t = g.trim
+        parseCoord(if (t.startsWith("(")) stripParens(t) else t)
+      }.toIndexedSeq)
     } else if (upper.startsWith("POLYGON")) {
       parsePolygonBody(stripParens(s.substring("POLYGON".length)))
+    } else if (upper.startsWith("LINESTRING")) {
+      LineString(parseCoordSeq(stripParens(s.substring("LINESTRING".length))))
+    } else if (upper.startsWith("POINT")) {
+      Point(parseCoord(stripParens(s.substring("POINT".length))))
     } else {
-      // longest-prefix first so MULTIPOINT doesn't read as POINT
-      val known = Seq("GEOMETRYCOLLECTION", "MULTILINESTRING", "MULTIPOINT",
-        "CIRCULARSTRING", "LINESTRING", "POINT")
-      known.find(upper.startsWith) match {
-        case Some(t) => throw new IllegalArgumentException(
-          s"unsupported WKT geometry type $t: region queries take an areal " +
-            "geometry (POLYGON or MULTIPOLYGON)")
-        case None => throw new IllegalArgumentException(
-          s"expected POLYGON or MULTIPOLYGON WKT, got: ${s.take(30)}")
-      }
+      throw new IllegalArgumentException(
+        s"unsupported WKT geometry: ${s.take(30)} (supported: POINT, " +
+          "MULTIPOINT, LINESTRING, MULTILINESTRING, POLYGON, MULTIPOLYGON, " +
+          "GEOMETRYCOLLECTION)")
     }
   }
 
@@ -302,8 +460,8 @@ object Geom {
   def parseWktPolygon(wkt: String): Polygon = parseWkt(wkt) match {
     case p: Polygon => p
     case MultiPolygon(ps) if ps.length == 1 => ps.head
-    case _ => throw new IllegalArgumentException(
-      s"expected a single POLYGON, got a MULTIPOLYGON: ${wkt.take(40)}")
+    case other => throw new IllegalArgumentException(
+      s"expected a single POLYGON, got ${other.getClass.getSimpleName}: ${wkt.take(40)}")
   }
 
   /** WKT text of a geometry (closing each ring), inverse of [[parseWkt]] —
@@ -312,6 +470,16 @@ object Geom {
   def toWkt(g: Geometry): String = g match {
     case p: Polygon => s"POLYGON ${polygonBodyWkt(p)}"
     case MultiPolygon(ps) => ps.map(polygonBodyWkt).mkString("MULTIPOLYGON (", ", ", ")")
+    case Point(p) => s"POINT (${p.x} ${p.y})"
+    case MultiPoint(ps) =>
+      ps.map(p => s"(${p.x} ${p.y})").mkString("MULTIPOINT (", ", ", ")")
+    case LineString(ps) =>
+      ps.map(p => s"${p.x} ${p.y}").mkString("LINESTRING (", ", ", ")")
+    case MultiLineString(ls) =>
+      ls.map(l => l.pts.map(p => s"${p.x} ${p.y}").mkString("(", ", ", ")"))
+        .mkString("MULTILINESTRING (", ", ", ")")
+    case GeometryCollection(gs) =>
+      gs.map(toWkt).mkString("GEOMETRYCOLLECTION (", ", ", ")")
   }
 
   private def polygonBodyWkt(p: Polygon): String = {

@@ -195,24 +195,84 @@ class GeomSpec extends AnyFunSuite {
     assert(rt == mp, "MULTIPOLYGON WKT round-trip")
   }
 
-  test("non-areal WKT types rejected cleanly, naming the type") {
-    // the reference's JTS reader parses these; our region queries need an
-    // areal geometry, so the failure must NAME the type, not garble a parse
-    for ((wkt, t) <- Seq(
-      ("POINT (1 2)", "POINT"),
-      ("LINESTRING (0 0, 1 1, 2 0)", "LINESTRING"),
-      ("GEOMETRYCOLLECTION (POINT (1 2), POLYGON ((0 0, 0 1, 1 1, 0 0)))",
-        "GEOMETRYCOLLECTION"),
-      ("MULTIPOINT ((1 2), (3 4))", "MULTIPOINT"),
-      ("MULTILINESTRING ((0 0, 1 1))", "MULTILINESTRING"))) {
-      val e = intercept[IllegalArgumentException](parseWkt(wkt))
-      assert(e.getMessage.contains(t), s"error for $t was: ${e.getMessage}")
-      assert(e.getMessage.toLowerCase.contains("unsupported"),
-        s"should say unsupported, was: ${e.getMessage}")
-    }
-    // garbage still gets the generic expected-POLYGON error
+  test("POINT: parse, covers iff equal, round-trip") {
+    // JTS covers(point) on a POINT query: true exactly at the point
+    val p = parseWkt("POINT (1.5 -2.5)")
+    assert(p == Geom.Point(Geom.Pt(1.5, -2.5)))
+    assert(p.covers(1.5, -2.5))
+    assert(!p.covers(1.5, -2.4999) && !p.covers(0, 0))
+    assert(p.bbox == (1.5, 1.5, -2.5, -2.5))
+    assert(p.centroid == Geom.Pt(1.5, -2.5))
+    assert(parseWkt(toWkt(p)) == p)
+  }
+
+  test("MULTIPOINT: both WKT coordinate forms, covers any member") {
+    val a = parseWkt("MULTIPOINT ((1 2), (3 4))")
+    val b = parseWkt("MULTIPOINT (1 2, 3 4)")
+    assert(a == b)
+    assert(a.covers(1, 2) && a.covers(3, 4))
+    assert(!a.covers(2, 3))
+    assert(a.centroid == Geom.Pt(2.0, 3.0))
+    assert(parseWkt(toWkt(a)) == a)
+  }
+
+  test("LINESTRING: covers on-segment points incl. vertices, not off-line") {
+    val l = parseWkt("LINESTRING (0 0, 4 0, 4 3)")
+    // vertices, interior segment points
+    assert(l.covers(0, 0) && l.covers(4, 0) && l.covers(4, 3))
+    assert(l.covers(2, 0) && l.covers(4, 1.5))
+    // off the line, and NOT the segment-closure back to the start
+    assert(!l.covers(2, 1) && !l.covers(2, 1.5) && !l.covers(5, 0))
+    // closure preserved: a closed linestring keeps its last segment
+    val closed = parseWkt("LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)")
+    assert(closed.covers(0, 0.5), "closing segment (0 1)-(0 0) must be kept")
+    // length-weighted centroid: segments (0 0)-(4 0) len 4 mid (2,0) and
+    // (4 0)-(4 3) len 3 mid (4,1.5) → ((8+12)/7, (0+4.5)/7)
+    assert(math.abs(l.centroid.x - 20.0 / 7) < 1e-12 &&
+      math.abs(l.centroid.y - 4.5 / 7) < 1e-12)
+    assert(parseWkt(toWkt(l)) == l)
+  }
+
+  test("MULTILINESTRING: covers any part, round-trip") {
+    val ml = parseWkt("MULTILINESTRING ((0 0, 1 1), (5 5, 6 5))")
+    assert(ml.covers(0.5, 0.5) && ml.covers(5.5, 5))
+    assert(!ml.covers(3, 3))
+    assert(parseWkt(toWkt(ml)) == ml)
+  }
+
+  test("GEOMETRYCOLLECTION: union covers, areal-dominant centroid, round-trip") {
+    val gc = parseWkt(
+      "GEOMETRYCOLLECTION (POINT (50 50), LINESTRING (20 0, 30 0), " +
+        "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0)))")
+    // covered by any member: polygon interior+boundary, line, the point
+    assert(gc.covers(5, 5) && gc.covers(0, 0) && gc.covers(25, 0) && gc.covers(50, 50))
+    assert(!gc.covers(25, 1) && !gc.covers(50, 51) && !gc.covers(11, 5))
+    // JTS: centroid of the highest-dimension members only (the polygon)
+    assert(gc.centroid == Geom.Pt(5.0, 5.0))
+    val (x0, x1, y0, y1) = gc.bbox
+    assert((x0, x1, y0, y1) == (0.0, 50.0, 0.0, 50.0))
+    assert(parseWkt(toWkt(gc)) == gc)
+    // nested collection also parses
+    val nested = parseWkt("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (1 2)))")
+    assert(nested.covers(1, 2))
+  }
+
+  test("non-areal geometries prune and refine through minimumBoundingPrefixes") {
+    // the generic pruning path is sound for any geometry whose extent is
+    // inside the convex hull of its exteriorPoints
+    val l = parseWkt("LINESTRING (-73.99 40.75, -73.97 40.76)")
+    val prefixes = GeohashPruning.minimumBoundingPrefixes(l)
+    assert(prefixes.nonEmpty && prefixes.get.nonEmpty)
+    val gc = parseWkt("GEOMETRYCOLLECTION (POINT (-73.98 40.755), " +
+      "POLYGON ((-73.99 40.75, -73.99 40.76, -73.98 40.76, -73.98 40.75, -73.99 40.75)))")
+    assert(GeohashPruning.minimumBoundingPrefixes(gc).nonEmpty)
+  }
+
+  test("still-unsupported WKT gets a clean error") {
     val g = intercept[IllegalArgumentException](parseWkt("WAT (1 2)"))
-    assert(g.getMessage.contains("expected POLYGON or MULTIPOLYGON"))
+    assert(g.getMessage.contains("unsupported WKT"))
+    val c = intercept[IllegalArgumentException](parseWkt("CIRCULARSTRING (0 0, 1 1, 2 0)"))
+    assert(c.getMessage.contains("unsupported WKT"))
   }
 
   test("MULTIPOLYGON with a holed part + bbox/centroid sanity") {
