@@ -100,16 +100,38 @@ object FuzzyJoin {
   /**
    * All (leftId, rightId, dist) pairs with levenshtein(left, right) ≤ tau.
    * Output columns: `id_l`, `id_r`, `dist`.
+   *
+   * CONTRACT: `idCol` must be unique within each side (like
+   * [[writeEditIndex]]'s tau, this is baked into the algebra: candidate
+   * pairs are distinct'ed on ids, so a duplicated id would first merge
+   * distinct strings' candidates and then cross-multiply against every
+   * text copy in the verify re-join, emitting pairs verified against the
+   * WRONG text). Violations that could reach the output fail the job
+   * with a named error rather than silently producing bogus pairs; the
+   * check is an id-keyed partial aggregate fused into the verify
+   * re-join's own shuffle, not an extra corpus pass.
    */
   def editDistanceJoin(left: DataFrame, right: DataFrame, tau: Int,
                        idCol: String = "id", textCol: String = "text"): DataFrame = {
     require(tau >= 1 && tau <= 8, "tau must be in [1, 8] (signature fanout is (2tau+1)^2(tau+1))")
+    // enforce the unique-id contract on the verify side: one text per id,
+    // or a named failure (the raise feeds the text the verify consumes,
+    // so it cannot be pruned)
+    def uniqueTexts(df: DataFrame, side: String, out: String): DataFrame =
+      df.select(col(idCol).as(s"__${side}id"), col(textCol).as(out))
+        .groupBy(col(s"__${side}id"))
+        .agg(count(lit(1)).as("__n"), max(col(out)).as(out))
+        .select(col(s"__${side}id"),
+          when(col("__n") > 1, raise_error(concat(
+            lit(s"editDistanceJoin: duplicate $side-side $idCol "),
+            col(s"__${side}id").cast("string"))))
+            .otherwise(col(out)).as(out))
     val cand = indexSignatures(left, tau, idCol, textCol)
       .join(probeSignatures(right, tau, idCol, textCol), Seq("__l", "__i", "__seg"))
       .select(col("__lid"), col("__rid"))
       .distinct()
-    val lt = left.select(col(idCol).as("__lid"), col(textCol).as("__ls"))
-    val rt = right.select(col(idCol).as("__rid"), col(textCol).as("__rs"))
+    val lt = uniqueTexts(left, "l", "__ls")
+    val rt = uniqueTexts(right, "r", "__rs")
     cand.join(lt, "__lid").join(rt, "__rid")
       .withColumn("dist", expr(s"levenshtein(__ls, __rs, $tau)"))
       .filter(col("dist") >= 0)

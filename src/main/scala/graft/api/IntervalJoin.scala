@@ -26,22 +26,44 @@ import org.apache.spark.sql.functions._
  * interval count (overlapping intervals multiply candidates, which is
  * the join's actual output semantics anyway).
  *
- * Scale shape: intervals (replicated by their span/width) broadcast;
- * facts never shuffle and probe one hash bucket each. For an interval
- * table too big to broadcast, the same bucket columns support a shuffle
- * hash join unchanged.
+ * Scale shape: intervals (replicated by their span/width) broadcast by
+ * default; facts never shuffle and probe one hash bucket each. For an
+ * interval table too big to broadcast, pass `broadcastIntervals = false`
+ * and the same bucket columns drive a shuffle join unchanged.
+ *
+ * Guards: an interval with `lo > hi` fails the job with a named error
+ * (a silent descending `sequence` would drop the row instead), and any
+ * interval spanning more than `maxBucketsPerInterval` buckets fails
+ * fast — one corrupt mega-span would otherwise explode to Spark's
+ * array-size limit and flood the broadcast.
  */
 object IntervalJoin {
 
   def lookup(facts: DataFrame, valueCol: String, intervals: DataFrame,
              loCol: String = "lo", hiCol: String = "hi",
-             bucketWidth: Double): DataFrame = {
+             bucketWidth: Double,
+             broadcastIntervals: Boolean = true,
+             maxBucketsPerInterval: Long = 1 << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
-    val reps = intervals
-      .withColumn("__b", explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+    val loB = bucketOf(col(loCol))
+    val hiB = bucketOf(col(hiCol))
+    // the checks feed the sequence's upper bound, so column pruning can
+    // never optimize them away
+    val hiChecked =
+      when(col(loCol) > col(hiCol),
+        raise_error(concat(lit(s"IntervalJoin: $loCol > $hiCol for interval ["),
+          col(loCol), lit(", "), col(hiCol), lit(")"))))
+      .when(hiB - loB + 1 > maxBucketsPerInterval,
+        raise_error(concat(lit("IntervalJoin: interval ["), col(loCol),
+          lit(", "), col(hiCol),
+          lit(s") spans more than $maxBucketsPerInterval buckets at " +
+            s"width $bucketWidth — raise bucketWidth or maxBucketsPerInterval"))))
+      .otherwise(hiB)
+    val reps = intervals.withColumn("__b", explode(sequence(loB, hiChecked)))
     val probed = facts.withColumn("__b", bucketOf(col(valueCol)))
-    probed.join(broadcast(reps), "__b")
+    probed.join(if (broadcastIntervals) broadcast(reps) else reps, "__b")
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__b")
   }

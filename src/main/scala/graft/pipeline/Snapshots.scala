@@ -56,7 +56,12 @@ object Snapshots {
    * engine-native struct hashing) so any engine recomputes the identical
    * digest; columns with free-form text that could contain the separators
    * still compare correctly unless a crafted pair collides across a
-   * column boundary (the standard concat-digest caveat).
+   * column boundary (the standard concat-digest caveat). The NULL
+   * sentinel shares that caveat: a column whose actual string value is
+   * exactly the one-char U+0002 digests identically to NULL, so a
+   * NULL-to-U+0002 edit classifies as `unchanged` — acceptable for real text (U+0002 is
+   * a C0 control byte), but encode NULLs out-of-band upstream if a
+   * corpus can legitimately carry them.
    *
    * NULL keys never equi-join, so a NULL-keyed row shows up as `removed`
    * on the base side AND `added` on the next side rather than comparing —

@@ -515,7 +515,15 @@ object DocStreams {
   /** Shared cross-batch first-occurrence core: input (dg, id, pos)
     * occurrence stream; GroupState per digest holds the keeper (id, pos);
     * emits every losing occurrence. Within a batch the keeper is the
-    * (id, pos) minimum; across batches it is first arrival. */
+    * (id, pos) minimum; across batches it is first arrival. A redelivered
+    * copy of the keeper's OWN row (reprocessed file, checkpoint rebuild)
+    * is filtered against the stored keeper, never emitted as a drop of
+    * itself — dropping the last surviving copy downstream is the one
+    * unrecoverable failure mode. State is one (long, int) per distinct
+    * digest under NoTimeout: unbounded over an unbounded digest stream by
+    * design (first-occurrence semantics NEED every digest forever); bound
+    * the run, or compact via the batch [[graft.pipeline.Dedup]] paths,
+    * when the digest universe outgrows executor state. */
   private def firstOccurrenceDrops(occurrences: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = occurrences.sparkSession
@@ -526,8 +534,10 @@ object DocStreams {
         (_: String, rows: Iterator[(String, Long, Int)],
          state: GroupState[(Long, Int)]) =>
           val occs = rows.map(t => (t._2, t._3)).toArray
-          if (state.exists) occs.iterator
-          else {
+          if (state.exists) {
+            val keep = state.get
+            occs.iterator.filterNot(_ == keep)
+          } else {
             val keep = occs.min
             state.update(keep)
             occs.iterator.filterNot(_ == keep)

@@ -130,4 +130,22 @@ class FuzzyJoinSpec extends AnyFunSuite {
     // ("", "") at distance 0 and one-char strings must be present
     assert(got.contains((3L, 12L, 0L)) && got.contains((2L, 11L, 1L)))
   }
+
+  test("editDistanceJoin fails fast on a duplicated id instead of bogus pairs") {
+    val left = Seq((1L, "hello"), (1L, "yellow"), (2L, "world"))
+      .toDF("id", "text")
+    val right = Seq((10L, "hallo")).toDF("id", "text")
+    val e = intercept[Exception] {
+      FuzzyJoin.editDistanceJoin(left, right, tau = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("duplicate l-side id")),
+      s"expected named duplicate-id error, got: $e")
+    // unique ids still work untouched
+    val ok = FuzzyJoin.editDistanceJoin(
+      Seq((1L, "hello")).toDF("id", "text"), right, tau = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ok.toSeq == Seq((1L, 10L, 1L)))
+  }
 }

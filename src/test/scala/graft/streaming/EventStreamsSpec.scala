@@ -709,6 +709,46 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(!got.exists { case (id, pos) => id == 9L && pos == 0 })
   }
 
+  test("streaming dedupLines: redelivered keeper row is never dropped as its own dup") {
+    import org.apache.spark.sql.DataFrame
+    // a file-source redelivery (reprocessed file, checkpoint rebuild) must
+    // not emit the keeper as a drop of itself — that would delete the last
+    // surviving copy downstream
+    val doc = Seq[(Long, String)]((1L, "shared keeper line of doc one\nunique body of doc one"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dup = Seq[(Long, String)]((3L, "shared keeper line of doc one\nunique body of doc three"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-redeliver-stream")
+    def writeOne(d: DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-redeliver-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(doc, "a.parquet", 120000L)   // establishes keeper (1, 0)
+    writeOne(dup, "b.parquet", 60000L)    // real dup: (3, 0) drops
+    writeOne(doc, "c.parquet", 1000L)     // keeper's own row redelivered
+    val stream = spark.readStream.schema(DocStreams.docFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = DocStreams.dedupLinesStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("redeliver_out").start()
+    val got =
+      try {
+        q.processAllAvailable()
+        spark.table("redeliver_out").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+      } finally q.stop()
+    assert(got.contains((3L, 0)), s"true dup must drop: $got")
+    assert(!got.contains((1L, 0)), s"keeper must survive its own redelivery: $got")
+  }
+
   test("streaming incremental LINE dedup (foreachBatch) == batch twin, cross-batch") {
     import org.apache.spark.sql.DataFrame
     // corpus ids < batch1 ids < batch2 ids: the id-ordered-arrival contract
