@@ -41,12 +41,40 @@ object ProbeFuzzy {
       val c = f
       println(f"[probe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  (pairs=$c)")
     }
+    // signature volume = rows out of the two explodes (index slots + probe
+    // window) — the deterministic measure of the blocking shuffle, immune
+    // to the host's wall-clock noise
+    def sigVolume(name: String, tau: Int): Unit = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val j = graft.api.FuzzyJoin.editDistanceSelfJoin(df, tau)
+      // execute THIS QueryExecution's own plan instance (count()/write
+      // build fresh QueryExecutions and leave these metric objects at zero)
+      j.queryExecution.toRdd.count()
+      def gens(p: SparkPlan): Seq[Long] = {
+        val self = p match {
+          case g: org.apache.spark.sql.execution.GenerateExec =>
+            g.metrics.get("numOutputRows").map(_.value).toSeq
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        self ++ kids.flatMap(gens)
+      }
+      val rows = gens(j.queryExecution.executedPlan)
+      println(s"[probe] $name explode output rows: ${rows.mkString(", ")} (sum=${rows.sum})")
+    }
     timed("passjoin tau=2") {
       graft.api.FuzzyJoin.editDistanceSelfJoin(df, tau = 2).count()
     }
     timed("passjoin tau=1") {
       graft.api.FuzzyJoin.editDistanceSelfJoin(df, tau = 1).count()
     }
+    sigVolume("tau=2", 2)
+    sigVolume("tau=3", 3)
     timed("brute crossjoin tau=2") {
       val a = df.select($"id".as("ia"), $"text".as("ta"))
       val b = df.select($"id".as("ib"), $"text".as("tb"))
