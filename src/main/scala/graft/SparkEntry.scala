@@ -71,6 +71,15 @@ object SparkEntry {
   // Convex diamond (CCW), edges |x+80.05|+|y+15.05| = 30.025 — off-grid
   private val DiamondWkt =
     "POLYGON ((-110.075 -15.05, -80.05 -45.075, -50.025 -15.05, -80.05 14.975, -110.075 -15.05))"
+  // Mixed-dimension query geometry: an areal rect, a measure-zero
+  // LINESTRING lying exactly on the point grid's lon = -150.0 column
+  // (300/10.0 - 180.0 is exact in IEEE double, so on-line matches are
+  // deterministic cross-engine), and an off-grid POINT that matches
+  // nothing — the JTS covers semantics for each member
+  private val CollectionWkt =
+    "GEOMETRYCOLLECTION (" +
+      "POLYGON ((-60.05 20.05, -60.05 60.05, -20.05 60.05, -20.05 20.05, -60.05 20.05)), " +
+      "LINESTRING (-150 -85, -150 85), POINT (-10.05 70.05))"
   private val Diamond: Seq[(Double, Double)] =
     Seq((-110.075, -15.05), (-80.05, -45.075), (-50.025, -15.05), (-80.05, 14.975))
 
@@ -142,6 +151,16 @@ object SparkEntry {
     "q_within_poly" -> ((s, d) =>
       points(s, d)
         .filter(G.st_covers(DiamondWkt, col("lon"), col("lat")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("lon"), col("lat"))),
+
+    // F2 on the full JTS query-geometry surface (reference
+    // WithinQuery.java:184-185 accepts ANY WKT geometry): one covers
+    // predicate over a GEOMETRYCOLLECTION whose members contribute by
+    // their own dimension — rect interior+boundary, exact on-LINESTRING
+    // points, and a no-op POINT. Single scan, no union
+    "q_within_collection" -> ((s, d) =>
+      points(s, d)
+        .filter(G.st_covers(CollectionWkt, col("lon"), col("lat")))
         .select(col("l_orderkey"), col("l_linenumber"), col("lon"), col("lat"))),
 
     // P3+F1+F2: full filter-and-refine with geohash prefix pruning — result
@@ -1857,6 +1876,14 @@ object SparkEntry {
 
     "q_within_poly" ->
       s"SELECT l_orderkey, l_linenumber, lon, lat FROM ($PointsSql) WHERE $DiamondSql",
+
+    // rect member = bbox test; LINESTRING member = exact lon equality
+    // (the grid value -150.0 is exact in both engines); POINT member is
+    // off-grid and contributes nothing
+    "q_within_collection" ->
+      (s"SELECT l_orderkey, l_linenumber, lon, lat FROM ($PointsSql) " +
+        "WHERE (lon BETWEEN -60.05 AND -20.05 AND lat BETWEEN 20.05 AND 60.05) " +
+        "OR lon = -150.0"),
 
     "q_within_pruned" ->
       (s"SELECT l_orderkey, l_linenumber, lon, lat FROM ($PointsSql) " +
