@@ -44,9 +44,15 @@ object GeohashPruning {
         // cell block spans both — per-part sets keep each part's pruning
         // tight. Sound: a covered point is covered by SOME part, hence in
         // that part's prefix set.
-        val sets = polys.map(p => minimumBoundingPrefixes(p, maxPrecision))
-        if (sets.forall(_.isDefined)) Some(sets.flatMap(_.get).distinct)
-        else None
+        unionOfParts(polys, maxPrecision)
+      // the same per-member union for every other multi-part geometry: a
+      // collection mixing members on two continents must not coarsen the
+      // whole search to one planet-sized cell block
+      case Geom.GeometryCollection(gs) => unionOfParts(gs, maxPrecision)
+      case Geom.MultiPoint(pts) if pts.length > 1 =>
+        unionOfParts(pts.map(Geom.Point.apply), maxPrecision)
+      case Geom.MultiLineString(ls) if ls.length > 1 =>
+        unionOfParts(ls, maxPrecision)
       case _ =>
         val c = query.centroid
         var precision = maxPrecision
@@ -59,6 +65,16 @@ object GeohashPruning {
         }
         None
     }
+  }
+
+  /** Per-part prefix search, unioned. Sound: a covered point is covered
+    * by SOME part, hence in that part's prefix set; None (uncoverable
+    * part) poisons the whole union — callers fall back to a full scan. */
+  private def unionOfParts(parts: Seq[Geometry],
+                           maxPrecision: Int): Option[Seq[String]] = {
+    val sets = parts.map(p => minimumBoundingPrefixes(p, maxPrecision))
+    if (sets.forall(_.isDefined)) Some(sets.flatMap(_.get).distinct)
+    else None
   }
 
   /** KNN candidate prefixes: cell of the query point at `precision` plus its

@@ -314,6 +314,27 @@ class GeomSpec extends AnyFunSuite {
     assert(GeohashPruning.hullOfCells(p2).coversPolygon(mp))
   }
 
+  test("collection/multipoint prefix search stays tight for far-apart members") {
+    // a collection mixing members on two coasts must prune per member,
+    // not coarsen the single-center search to a continent-sized block
+    val gc = parseWkt(
+      "GEOMETRYCOLLECTION (POLYGON ((-74.0 40.7, -74.0 40.76, -73.94 40.76, -73.94 40.7, -74.0 40.7)), " +
+        "POINT (-122.4 37.77), LINESTRING (-87.7 41.8, -87.64 41.86))")
+    val Some(prefixes) = GeohashPruning.minimumBoundingPrefixes(gc)
+    assert(prefixes.forall(_.length >= 3), s"coarse prefixes: $prefixes")
+    gc.exteriorPoints.foreach { p =>
+      val g = Geohash.encode(p.y, p.x, 12)
+      assert(prefixes.exists(g.startsWith), s"vertex $p outside $prefixes")
+    }
+    // a bare POINT member prunes to its own max-precision cell
+    val Some(pt) = GeohashPruning.minimumBoundingPrefixes(parseWkt("POINT (-122.4 37.77)"))
+    assert(pt == Seq(Geohash.encode(37.77, -122.4, 7)), pt)
+    // far-apart MULTIPOINT: per-point union, all precision-7 cells
+    val Some(mpts) = GeohashPruning.minimumBoundingPrefixes(
+      parseWkt("MULTIPOINT ((-74.0 40.7), (-122.4 37.77))"))
+    assert(mpts.size == 2 && mpts.forall(_.length == 7), mpts)
+  }
+
   test("multipolygon prefix search stays tight for far-apart parts (per-part union)") {
     // NYC-ish and Chicago-ish blocks ~12 degrees apart: a single-center
     // search would coarsen until one cell block spans both
