@@ -234,6 +234,8 @@ object Geom {
   final case class LineString(pts: IndexedSeq[Pt]) extends Geometry {
     require(pts.length >= 2, s"LINESTRING needs >=2 points, got ${pts.length}")
     override def covers(px: Double, py: Double): Boolean = {
+      val (x0, x1, y0, y1) = bbox
+      if (px < x0 || px > x1 || py < y0 || py > y1) return false
       var i = 1
       while (i < pts.length) {
         if (onSegment(pts(i - 1), pts(i), px, py)) return true
@@ -273,7 +275,11 @@ object Geom {
     * members present (areal > lineal > puntal). */
   final case class GeometryCollection(geoms: IndexedSeq[Geometry]) extends Geometry {
     require(geoms.nonEmpty, "GEOMETRYCOLLECTION needs at least one geometry")
-    override def covers(px: Double, py: Double): Boolean = geoms.exists(_.covers(px, py))
+    override def covers(px: Double, py: Double): Boolean = {
+      val (x0, x1, y0, y1) = bbox
+      if (px < x0 || px > x1 || py < y0 || py > y1) return false
+      geoms.exists(_.covers(px, py))
+    }
     override lazy val bbox: (Double, Double, Double, Double) = {
       var xMin = Double.PositiveInfinity; var xMax = Double.NegativeInfinity
       var yMin = Double.PositiveInfinity; var yMax = Double.NegativeInfinity
