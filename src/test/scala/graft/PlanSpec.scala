@@ -129,6 +129,28 @@ class PlanSpec extends AnyFunSuite {
     assert("st_covers_wkt".r.findAllIn(p.toLowerCase).size <= 2, p)
   }
 
+  test("st_covers_wkt with a per-row (non-foldable) WKT column, mixed types") {
+    // the dynamic path caches the last-parsed geometry per expression
+    // instance; rows alternate geometry TYPES to defeat a type-keyed
+    // shortcut and exercise the non-areal covers semantics end to end
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))", 1.0, 1.0, true),
+      (2L, "POINT (3.5 4.5)", 3.5, 4.5, true),
+      (3L, "POINT (3.5 4.5)", 3.5, 4.6, false),
+      (4L, "LINESTRING (0 0, 4 0)", 2.0, 0.0, true),
+      (5L, "LINESTRING (0 0, 4 0)", 2.0, 0.1, false),
+      (6L, "GEOMETRYCOLLECTION (POINT (9 9), POLYGON ((5 5, 5 6, 6 6, 6 5, 5 5)))", 9.0, 9.0, true),
+      (7L, "GEOMETRYCOLLECTION (POINT (9 9), POLYGON ((5 5, 5 6, 6 6, 6 5, 5 5)))", 5.5, 5.5, true),
+      (8L, "MULTIPOINT ((1 1), (2 2))", 2.0, 2.0, true),
+      (9L, "MULTIPOINT ((1 1), (2 2))", 1.5, 1.5, false))
+      .toDF("id", "wkt", "lon", "lat", "expect")
+    val got = rows.filter(org.apache.spark.sql.functions.expr("st_covers_wkt(wkt, lon, lat)"))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val want = Seq(1L, 2L, 4L, 6L, 7L, 8L).toSet
+    assert(got == want, s"got $got")
+  }
+
   test("entry (driver flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
