@@ -58,13 +58,40 @@ object GeohashPruning {
         var precision = maxPrecision
         while (precision >= 1) {
           val center = Geohash.encode(c.y, c.x, precision)
-          if (hullOfCells(Seq(center)).coversPolygon(query)) return Some(Seq(center))
+          if (cellsEncodeCover(Seq(center), query)) return Some(Seq(center))
           val nine = center +: Geohash.neighbors(center)
-          if (hullOfCells(nine).coversPolygon(query)) return Some(nine)
+          if (cellsEncodeCover(nine, query)) return Some(nine)
           precision -= 1
         }
         None
     }
+  }
+
+  /**
+   * True iff every point of `query` geohash-ENCODES into one of `cells`.
+   * Encoding is half-open — `Geohash.encode` assigns a point exactly on a
+   * cell's east/north edge to the NEXT cell (`lon >= mid` refines up) — so
+   * the reference's closed convex-hull covers test (WithinQuery.java:89/:94,
+   * JTS `covers`) over-claims for queries whose boundary lies exactly on a
+   * cell edge: the hull says covered, the rowkey lands outside the prefix,
+   * and on-edge points are silently missed. This test uses the cell-union
+   * box with STRICT east/north edges (inclusive only at the global
+   * lon=180 / lat=90 maxima, where encode clamps into the last cell), and
+   * first requires the cells to actually tile their bounding box — an
+   * antimeridian-wrapped neighbor set is not a contiguous block and must
+   * coarsen instead.
+   */
+  private def cellsEncodeCover(cells: Seq[String], query: Geometry): Boolean = {
+    val boxes = cells.map(Geohash.decodeBbox)
+    val y0 = boxes.map(_._1).min; val y1 = boxes.map(_._2).max
+    val x0 = boxes.map(_._3).min; val x1 = boxes.map(_._4).max
+    val tiled = boxes.map(b => (b._2 - b._1) * (b._4 - b._3)).sum
+    val box = (y1 - y0) * (x1 - x0)
+    if (math.abs(tiled - box) > 1e-9 * box) return false
+    val (qx0, qx1, qy0, qy1) = query.bbox
+    val eastOk = if (x1 >= 180.0) qx1 <= x1 else qx1 < x1
+    val northOk = if (y1 >= 90.0) qy1 <= y1 else qy1 < y1
+    qx0 >= x0 && qy0 >= y0 && eastOk && northOk
   }
 
   /** Per-part prefix search, unioned. Sound: a covered point is covered
