@@ -89,6 +89,55 @@ class GeomPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Polygon covers == independent winding-number oracle on star polygons") {
+    // star-shaped simple polygons (sort integer offsets by angle around a
+    // center): possibly concave, never self-intersecting — where even-odd
+    // ray casting is most at risk. The oracle is a from-scratch winding
+    // number + exact integer on-boundary test; for simple polygons the two
+    // definitions must agree everywhere.
+    val starGen: Gen[IndexedSeq[Pt]] = for {
+      cx <- Gen.choose(-20, 20); cy <- Gen.choose(-20, 20)
+      n <- Gen.choose(3, 8)
+      offs <- Gen.listOfN(n * 3, for {
+        dx <- Gen.choose(-12, 12); dy <- Gen.choose(-12, 12)
+        if dx != 0 || dy != 0
+      } yield (dx, dy))
+    } yield {
+      val byAngle = offs.distinct
+        .groupBy { case (dx, dy) => math.atan2(dy.toDouble, dx.toDouble) }
+        .map(_._2.head).toSeq
+        .sortBy { case (dx, dy) => math.atan2(dy.toDouble, dx.toDouble) }
+      byAngle.map { case (dx, dy) => Pt(cx + dx.toDouble, cy + dy.toDouble) }
+        .toIndexedSeq
+    }
+    def cross(a: Pt, b: Pt, px: Long, py: Long): Long =
+      (b.x.toLong - a.x.toLong) * (py - a.y.toLong) -
+        (b.y.toLong - a.y.toLong) * (px - a.x.toLong)
+    def onSegInt(a: Pt, b: Pt, px: Long, py: Long): Boolean =
+      cross(a, b, px, py) == 0 &&
+        px >= math.min(a.x, b.x).toLong && px <= math.max(a.x, b.x).toLong &&
+        py >= math.min(a.y, b.y).toLong && py <= math.max(a.y, b.y).toLong
+    def refCovers(ring: IndexedSeq[Pt], px: Long, py: Long): Boolean = {
+      val edges = (ring :+ ring.head).sliding(2).map(s => (s(0), s(1))).toSeq
+      if (edges.exists { case (a, b) => onSegInt(a, b, px, py) }) return true
+      var wn = 0
+      edges.foreach { case (a, b) =>
+        if (a.y.toLong <= py) {
+          if (b.y.toLong > py && cross(a, b, px, py) > 0) wn += 1
+        } else if (b.y.toLong <= py && cross(a, b, px, py) < 0) wn -= 1
+      }
+      wn != 0
+    }
+    val probe: Gen[(Int, Int)] = for {
+      x <- Gen.choose(-35, 35); y <- Gen.choose(-35, 35)
+    } yield (x, y)
+    check(forAll(starGen.suchThat(_.length >= 3), probe) { (ring, q) =>
+      val (qx, qy) = q
+      Polygon(ring).covers(qx.toDouble, qy.toDouble) ==
+        refCovers(ring, qx.toLong, qy.toLong)
+    })
+  }
+
   test("prefix pruning is sound: covered points stay inside returned prefixes") {
     // scale coords into a small lon/lat window so geohash precision stays
     // meaningful; soundness = any covered probe's geohash extends a prefix
