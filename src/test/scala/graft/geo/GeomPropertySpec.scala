@@ -138,6 +138,23 @@ class GeomPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("geohash cells are half-open: encode lands in decodeBbox with strict east/north") {
+    // the exact semantic the pruning planner's cellsEncodeCover relies on
+    val coordD: Gen[Double] = Gen.oneOf(
+      Gen.choose(-179.0, 179.0),
+      Gen.choose(-64, 64).map(_ / 2.0), // cell-edge-rich dyadic values
+      Gen.oneOf(-180.0, 0.0, 45.0, 90.0, -90.0))
+    val prec: Gen[Int] = Gen.choose(1, 9)
+    check(forAll(coordD, coordD, prec) { (lon0, lat0, p) =>
+      val lon = math.max(-180.0, math.min(180.0, lon0))
+      val lat = math.max(-90.0, math.min(90.0, lat0 / 2)) // keep |lat| <= 90
+      val h = Geohash.encode(lat, lon, p)
+      val (latLo, latHi, lonLo, lonHi) = Geohash.decodeBbox(h)
+      lon >= lonLo && lat >= latLo &&
+        (lon < lonHi || lonHi >= 180.0) && (lat < latHi || latHi >= 90.0)
+    })
+  }
+
   test("prefix pruning is sound: covered points stay inside returned prefixes") {
     // scale coords into a small lon/lat window so geohash precision stays
     // meaningful; soundness = any covered probe's geohash extends a prefix
