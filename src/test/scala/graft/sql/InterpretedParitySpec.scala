@@ -19,7 +19,9 @@ class InterpretedParitySpec extends AnyFunSuite {
   // minhash/simhash, lang-id, BPE, classifier, and vector expressions
   private val queryNames = Seq("q_geohash_keys", "q_within_collection",
     "q_lang_id", "q_text_tokens_bpe", "q_quality_classifier",
-    "q_embed_topk", "q_fingerprint")
+    "q_embed_topk", "q_dedup_minhash", "q_dedup_simhash",
+    "q_embed_topk_sq8", "q_embed_pq_topk", "q_chunk", "q_boilerplate",
+    "q_dedup_spans", "q_text_tokens")
 
   private def rows(name: String): Set[String] =
     graft.SparkEntry.queries(name)(spark, sf)
