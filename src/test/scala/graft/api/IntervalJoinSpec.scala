@@ -39,6 +39,33 @@ class IntervalJoinSpec extends AnyFunSuite {
       s"expected span-guard error, got: $e")
   }
 
+  test("lookup == brute-force nested loop across seeds and bucket widths") {
+    // collision-rich randomized differential: negative values, touching
+    // bounds (hi of one == lo of next, half-open semantics), overlapping
+    // intervals, values exactly on bucket and interval boundaries
+    for (seed <- Seq(11, 22, 33); width <- Seq(0.7, 10.0, 1000.0)) {
+      val rnd = new scala.util.Random(seed)
+      val facts = (0 until 200).map(i =>
+        (i.toLong, (rnd.nextInt(400) - 200) / 2.0)) // halves hit boundaries
+      val ivs = (0 until 40).map { i =>
+        val lo = (rnd.nextInt(380) - 190) / 2.0
+        (i.toLong, lo, lo + rnd.nextInt(40) / 2.0)
+      }
+      val want = (for {
+        (fid, v) <- facts
+        (tid, lo, hi) <- ivs
+        if v >= lo && v < hi
+      } yield (fid, tid)).toSet
+      val got = IntervalJoin.lookup(
+          facts.toDF("fid", "v"), "v", ivs.toDF("tid", "lo", "hi"),
+          bucketWidth = width)
+        .select($"fid", $"tid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"seed=$seed width=$width missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("broadcastIntervals=false produces identical rows (shuffle escape hatch)") {
     val iv = Seq(("a", 0.0, 10.0), ("b", 10.0, 20.0), ("wide", 5.0, 15.0))
       .toDF("tag", "lo", "hi")
