@@ -617,9 +617,16 @@ object Dedup {
       })
         .observe(obs, sum(when(col("cluster") < col("old"), 1L).otherwise(0L)).as("changed"))
         .select(col("id"), col("cluster"))
-        .cache()
+        // localCheckpoint, NOT cache: caching truncates re-execution but
+        // the LOGICAL plan keeps the full round lineage, and the doubling
+        // self-join references the previous round twice — plan size
+        // doubles per round, so by round ~10 the optimizer/explain string
+        // alone OOMs the driver (observed on a 3000-node chain). The
+        // eager local checkpoint materializes the same data AND truncates
+        // the plan to the stored partitions, keeping every round's plan
+        // constant-size; the checkpoint's own job feeds the observation.
+        .localCheckpoint(true)
       val t0 = System.nanoTime()
-      next.count() // materialize cache; the same job feeds the observation
       labels.unpersist()
       labels = next
       val changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)

@@ -1075,6 +1075,20 @@ class PipelineSpec extends AnyFunSuite {
     stars.foreach { case (h, m) => assert(got(m) == h && got(h) == h) }
   }
 
+  test("clusters DISTRIBUTED path: deep chain converges via pointer doubling") {
+    // the 100 TB path: plain min-label propagation needs O(diameter)
+    // rounds (3000 here, far past maxIter=12), so this converges within
+    // the round budget only if the doubling-engagement heuristic actually
+    // engages — the branch the driver fast path never exercises
+    val chain = (0L until 2999L).map(i => (i, i + 1))
+    val stars = (0 until 50).flatMap(s => (1 to 5).map(i => (10000L + s * 10, 10000L + s * 10 + i)))
+    val pairs = (chain ++ stars).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs, driverMaxEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 2999L).foreach(i => assert(got(i) == 0L, s"chain node $i -> ${got(i)}"))
+    stars.foreach { case (h, m) => assert(got(m) == h && got(h) == h) }
+  }
+
   /** Driver-side exact cosine (same sequential double loop as VecOps). */
   private def cosD(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0
