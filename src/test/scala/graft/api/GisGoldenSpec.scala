@@ -166,6 +166,27 @@ class GisGoldenSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("within: prune-on == prune-off for a query exactly on geohash cell edges") {
+    // integration twin of the PruneEdgeRegressionSpec planner fix: a rect
+    // whose east edge sits exactly on lon = 0.0 (a bisection edge at every
+    // precision) with points planted exactly ON that edge — the old
+    // closed-hull prefix test dropped them
+    val pts = Gis.bulkIngest(spark, 400, -0.9, -0.05, -3.6, -2.9, seed = 21)
+      .select("id", "lon", "lat")
+      .unionByName(spark.range(5).selectExpr("concat('edge', id) AS id",
+        "0.0 AS lon", "-3.0 - CAST(id AS DOUBLE)/50 AS lat"))
+      .withColumn("geohash",
+        graft.sql.functions.geohash_encode(col("lat"), col("lon"), 12))
+    val wkt = "POLYGON ((-0.9 -3.6, -0.9 -2.9, 0.0 -2.9, 0.0 -3.6, -0.9 -3.6))"
+    val pruned = Gis.within(pts, wkt).select("id").collect().map(_.getString(0)).sorted
+    val full = Gis.within(pts, wkt, prune = false).select("id").collect().map(_.getString(0)).sorted
+    assert(pruned.sameElements(full),
+      s"pruning dropped rows: full=${full.length} pruned=${pruned.length}")
+    // the planted on-edge points are inside the polygon (covers is
+    // boundary-inclusive) and must survive the pruned path
+    (0 until 5).foreach(i => assert(pruned.contains(s"edge$i"), s"edge$i missing"))
+  }
+
   test("bulkIngest: 1,000 bbox points all pass the bbox polygon filter") {
     // TestBulkIngest.java:44-79
     val pts = Gis.bulkIngest(spark, 1000, -75.99, -75.01, 44.01, 44.99, seed = 7)
