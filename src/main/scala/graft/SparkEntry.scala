@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.Gis
-import graft.pipeline.{Curation, Dedup, Provenance, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, EventAnalytics, Graph, Provenance, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.sql.{functions => G}
 import graft.streaming.EventStreams
@@ -1239,6 +1239,49 @@ object SparkEntry {
         gapMs = 60 * 60 * 1000L)
         .select(col("user_id"), col("session_idx"), col("n_events"),
           col("first_ts"), col("last_ts"))),
+
+    // ordered funnel, earliest-completion semantics (view → click →
+    // purchase, strictly-after on the micros timeline); the single-pass
+    // sorted fold equals the oracle's chained-min CTEs by induction over
+    // the per-user event order. The value floor thins the stream so every
+    // stage 0..3 is populated at every gate scale (measured: 13/32/38/67
+    // users at sf0.01) — unthinned, all users complete trivially.
+    "q_funnel" -> ((s, d) =>
+      EventAnalytics.funnel(
+        Tables.table(s, d, "events").filter(col("value") >= 80),
+        Seq("view", "click", "purchase"))),
+
+    // cohort retention matrix on epoch-aligned 3-day periods; the value
+    // floor sparsifies activity so cohorts actually decay (4 cohorts,
+    // cell counts 1..93 at sf0.01 — unthinned every cell is all-users)
+    "q_retention" -> ((s, d) =>
+      EventAnalytics.retention(
+        Tables.table(s, d, "events").filter(col("value") >= 75),
+        periodDays = 3)),
+
+    // first-order Markov transition counts + integer permille shares
+    "q_transitions" -> ((s, d) =>
+      EventAnalytics.transitions(Tables.table(s, d, "events"))),
+
+    // throttle dedup: keep an event iff ≥ 24h after the last KEPT event of
+    // the same (user, type) — stateful serial decision, oracled via a
+    // recursive CTE that walks each group's rank chain
+    "q_throttle" -> ((s, d) =>
+      EventAnalytics.throttle(Tables.table(s, d, "events"),
+        minGapMs = 24L * 3600 * 1000)),
+
+    // integer-exact PageRank (2 unrolled iterations, damping 850‰, scale
+    // 1e6) over the symmetrized customer↔supplier purchase graph; fixed-
+    // point arithmetic makes every iteration SQL-replayable bit-for-bit
+    "q_pagerank" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pagerankInt(sym, iters = 2).select(col("node"), col("rank"))
+    }),
 
     // exact repeated-substring scan (Lee et al. ACL'22 curation pass):
     // per-doc count of word-aligned 40-char grams appearing verbatim in at
@@ -3330,6 +3373,60 @@ object SparkEntry {
       ("SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_epoch, event_type, " +
         "count(*) AS n, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli " +
         "FROM events GROUP BY 1, 2"),
+
+    "q_funnel" ->
+      ("WITH ev AS (SELECT * FROM events WHERE value >= 80), " +
+        "base AS (SELECT DISTINCT user_id FROM ev WHERE event_type IN ('view','click','purchase')), " +
+        "s1 AS (SELECT user_id, min(epoch_us(ts)) AS ts_1 FROM ev WHERE event_type = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS ts_2 FROM ev e JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.ts_1 GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS ts_3 FROM ev e JOIN s2 ON e.user_id = s2.user_id " +
+        "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.ts_2 GROUP BY 1) " +
+        "SELECT base.user_id, CAST(CASE WHEN ts_1 IS NULL THEN 0 WHEN ts_2 IS NULL THEN 1 " +
+        "WHEN ts_3 IS NULL THEN 2 ELSE 3 END AS BIGINT) AS stage, ts_1, ts_2, ts_3 " +
+        "FROM base LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
+
+    "q_retention" ->
+      ("WITH p AS (SELECT user_id, epoch_us(ts) // 259200000000 AS period FROM events WHERE value >= 75), " +
+        "a AS (SELECT DISTINCT user_id, period FROM p), " +
+        "c AS (SELECT user_id, min(period) AS cohort FROM p GROUP BY 1) " +
+        "SELECT c.cohort, a.period - c.cohort AS period_offset, count(*) AS n_users " +
+        "FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2"),
+
+    "q_transitions" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events), " +
+        "l AS (SELECT user_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e), " +
+        "p AS (SELECT prev_type, event_type, count(*) AS n FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_type, event_type, n, n * 1000 // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS permille FROM p"),
+
+    "q_throttle" ->
+      ("WITH RECURSIVE ranked AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS rn FROM events), " +
+        "walk AS (SELECT user_id, event_type, event_id, ts_us, rn, ts_us AS last_kept, TRUE AS kept " +
+        "FROM ranked WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT r.user_id, r.event_type, r.event_id, r.ts_us, r.rn, " +
+        "CASE WHEN r.ts_us - w.last_kept >= 86400000000 THEN r.ts_us ELSE w.last_kept END AS last_kept, " +
+        "(r.ts_us - w.last_kept >= 86400000000) AS kept " +
+        "FROM ranked r JOIN walk w ON r.user_id = w.user_id AND r.event_type = w.event_type AND r.rn = w.rn + 1) " +
+        "SELECT user_id, event_type, event_id, ts_us FROM walk WHERE kept"),
+
+    "q_pagerank" ->
+      ("WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), " +
+        "e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes), " +
+        "c1 AS (SELECT e.dst AS node, CAST(sum(r0.rank // d.outdeg) AS BIGINT) AS inflow " +
+        "FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src GROUP BY 1), " +
+        "r1 AS (SELECT nodes.node, (150 * 1000000 + 850 * coalesce(c1.inflow, 0)) // 1000 AS rank " +
+        "FROM nodes LEFT JOIN c1 USING (node)), " +
+        "c2 AS (SELECT e.dst AS node, CAST(sum(r1.rank // d.outdeg) AS BIGINT) AS inflow " +
+        "FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src GROUP BY 1), " +
+        "r2 AS (SELECT nodes.node, (150 * 1000000 + 850 * coalesce(c2.inflow, 0)) // 1000 AS rank " +
+        "FROM nodes LEFT JOIN c2 USING (node)) " +
+        "SELECT node, rank FROM r2"),
 
     "q_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms FROM events), " +

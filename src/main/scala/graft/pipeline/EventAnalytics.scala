@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-sequence analytics over the `events` table shape
+ * (event_id, ts, user_id, event_type, value, props).
+ *
+ * The reference's only sequence-shaped operator is the grouped
+ * top-N-earliest coprocessor (TopXEndpoint.java:58-123 — "N earliest
+ * timestamps per distinct reference value"); this module is the idiomatic
+ * widening of that family: ordered funnels, cohort retention, Markov
+ * transitions, and throttle-style in-order dedup. All outputs are integer
+ * (epoch-micros longs, counts, permille ratios) so DuckDB oracles replay
+ * bit-exactly.
+ *
+ * Scale posture shared by every operator here: ONE shuffle keyed by the
+ * entity id (user_id or (user_id, event_type)); per-entity history is
+ * folded scan-locally with higher-order array functions, never a
+ * driver-side collect and never a second shuffle. Per-entity state is
+ * bounded by that entity's own event count — the same bound sessionization
+ * already accepts ([[graft.streaming.EventStreams.sessionizeBatch]]); a
+ * pathologically hot entity should be pre-split with the salted twins.
+ */
+object EventAnalytics {
+
+  private def tsUs: Column = expr("unix_micros(ts)")
+
+  /**
+   * Ordered funnel with earliest-completion semantics: for each user,
+   * `ts_i` is the earliest time step `i` is completed, where step 1 is the
+   * user's earliest `steps(0)` event and step i>1 is the earliest
+   * `steps(i-1)` event STRICTLY after `ts_{i-1}`. `stage` counts completed
+   * steps. Users appear iff they have at least one event of any step type;
+   * unreached steps are NULL.
+   *
+   * The single-pass fold over the (ts, event_id)-sorted per-user history
+   * computes exactly the chained-min fixpoint: when an event of step i is
+   * scanned, every earlier event is already folded, so `ts_{i-1}` is final
+   * and the first qualifying step-i event wins. Equality ties (an event at
+   * exactly `ts_{i-1}`) do NOT advance the funnel — strictly-after on the
+   * micros timeline, identical on the oracle side.
+   *
+   * One shuffle (groupBy user_id); state per user is the array of that
+   * user's step-typed events.
+   */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnel steps must be non-empty and distinct, got $steps")
+    val k = steps.size
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col("event_type") === lit(s), lit(i)).otherwise(acc)
+    }
+    val unset = lit(-1L)
+    val folded = events
+      .filter(col("event_type").isin(steps.map(x => x: Any): _*))
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+        stepIdx.as("step"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+        col("step")))).as("evs"))
+      .withColumn("done",
+        aggregate(col("evs"), array_repeat(unset, k), (acc, e) => {
+          val s = e.getField("step")
+          val t = e.getField("ts_us")
+          // element_at is 1-based: element_at(acc, s) is the PREVIOUS step's
+          // slot for 0-based step s; guarded behind s > 0 so ANSI mode never
+          // sees index 0.
+          val prevDone = when(s === lit(0), lit(true))
+            .otherwise(element_at(acc, s) =!= unset && t > element_at(acc, s))
+          transform(acc, (v, i) =>
+            when(i === s && v === unset && prevDone, t).otherwise(v))
+        }))
+    val tsCols = (1 to k).map { i =>
+      val v = element_at(col("done"), i)
+      when(v =!= unset, v).as(s"ts_$i")
+    }
+    folded.select(
+      col("user_id") +:
+        size(filter(col("done"), v => v =!= unset)).cast("long").as("stage") +:
+        tsCols: _*)
+  }
+
+  /**
+   * Cohort retention matrix on epoch-aligned `periodDays` buckets:
+   * cohort = a user's first-seen period, and each (cohort, offset) cell
+   * counts users active `offset` periods after their cohort period.
+   * Periods are `unix_micros(ts) div (periodDays·86400e6)` — integer,
+   * calendar-agnostic, identical in any engine.
+   *
+   * Two aggregations and one equi-join, all keyed by user_id; the join is
+   * co-partitioned with the distinct-activity aggregate, and the final
+   * cell count is `count(*)` because (user, period) rows are already
+   * distinct and a user has exactly one cohort.
+   */
+  def retention(events: DataFrame, periodDays: Int = 7): DataFrame = {
+    val periodUs = periodDays * 86400L * 1000000L
+    val p = events.select(col("user_id"),
+      expr(s"unix_micros(ts) div ${periodUs}L").as("period"))
+    val activity = p.distinct()
+    val cohort = p.groupBy(col("user_id")).agg(min(col("period")).as("cohort"))
+    activity.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /**
+   * First-order Markov transition counts: per user, consecutive event-type
+   * pairs in (ts, event_id) order, counted globally, with an integer
+   * permille share of each `prev_type`'s outgoing transitions
+   * (`n*1000 div total`). The per-user lag is the one shuffle; the share
+   * is a window over the tiny (|types|²-bounded) pair table.
+   */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val pairs = events
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs.withColumn("permille",
+      expr("n * 1000 div sum(n) over (partition by prev_type)"))
+  }
+
+  /**
+   * Throttle dedup (in-order, stateful): per (user_id, event_type) in
+   * (ts, event_id) order, keep an event iff it is the group's first or at
+   * least `minGapMs` after the last KEPT event. The classic
+   * notification/telemetry rate-limit — unlike gap-sessionization the
+   * decision depends on kept state, so it is a serial fold, not a lag.
+   *
+   * One shuffle (groupBy key); the fold is scan-local over the group's
+   * sorted history and emits the kept (event_id, ts_us) rows. The
+   * streaming twin is [[graft.streaming.EventStreams.throttleStream]]
+   * (same decision, GroupState carries last-kept across batches).
+   */
+  def throttle(events: DataFrame, minGapMs: Long): DataFrame = {
+    require(minGapMs >= 0, s"minGapMs must be >= 0, got $minGapMs")
+    val gapUs = minGapMs * 1000L
+    val noneKept = lit(-1L) // ts_us is non-negative on this data model
+    val emptyKept = array().cast("array<struct<ts_us:bigint,event_id:bigint>>")
+    events
+      .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
+        col("event_id"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"))))
+        .as("evs"))
+      .withColumn("kept",
+        aggregate(col("evs"),
+          struct(noneKept.as("last"), emptyKept.as("kept")),
+          (acc, e) => {
+            val keep = acc.getField("last") === noneKept ||
+              e.getField("ts_us") - acc.getField("last") >= lit(gapUs)
+            struct(
+              when(keep, e.getField("ts_us")).otherwise(acc.getField("last"))
+                .as("last"),
+              when(keep, concat(acc.getField("kept"), array(e)))
+                .otherwise(acc.getField("kept")).as("kept"))
+          },
+          acc => acc.getField("kept")))
+      .select(col("user_id"), col("event_type"),
+        explode(col("kept")).as("e"))
+      .select(col("user_id"), col("event_type"),
+        col("e.event_id").as("event_id"), col("e.ts_us").as("ts_us"))
+  }
+}

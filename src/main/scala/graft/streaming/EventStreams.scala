@@ -244,4 +244,51 @@ object EventStreams {
         min(col("first_ts")).as("first_ts"),
         max(col("last_ts")).as("last_ts"))
   }
+
+  /** A kept (rate-limit survivor) event — [[throttleStream]] output row. */
+  case class Kept(user_id: Long, event_type: String, event_id: Long,
+                  ts_us: Long)
+
+  /**
+   * Streaming twin of [[graft.pipeline.EventAnalytics.throttle]]: per
+   * (user_id, event_type), emit an event iff it is the key's first or at
+   * least `minGapMs` after the last KEPT event; GroupState carries the
+   * last-kept micros timestamp across micro-batches.
+   *
+   * Arrival contract (same family as `dedupLinesStream`'s): within a key,
+   * event time must be non-decreasing ACROSS batches — the decision state
+   * is a single watermark-free scalar, so a late event older than the last
+   * kept one would be throttled against the wrong anchor. Within one
+   * batch the group iterator is re-sorted by (ts_us, event_id), so any
+   * intra-batch order is fine. Under that contract the emitted set equals
+   * the batch operator's output on the concatenated input. State is one
+   * long per active key and never expires (NoTimeout) — bound it upstream
+   * by key cardinality, as with the other decision twins.
+   */
+  def throttleStream(events: Dataset[Event], minGapMs: Long): Dataset[Kept] = {
+    import events.sparkSession.implicits._
+    val gapUs = minGapMs * 1000L
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, Kept](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), batch, state) =>
+          val sorted = batch.toSeq.sortBy { e =>
+            val i = e.ts.toInstant
+            (i.getEpochSecond * 1000000L + i.getNano / 1000L, e.event_id)
+          }
+          var last = state.getOption.getOrElse(-1L)
+          val out = Seq.newBuilder[Kept]
+          sorted.foreach { e =>
+            val i = e.ts.toInstant
+            val t = i.getEpochSecond * 1000000L + i.getNano / 1000L
+            if (last == -1L || t - last >= gapUs) {
+              last = t
+              out += Kept(uid, etype, e.event_id, t)
+            }
+          }
+          state.update(last)
+          out.result().iterator
+      }
+  }
 }

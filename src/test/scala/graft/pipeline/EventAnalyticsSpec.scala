@@ -1,0 +1,206 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Differential net for the event-sequence operators: every operator is
+ * replayed by an independent from-scratch Scala implementation on
+ * collision-rich random data (tiny timestamp domains force exact-tie
+ * paths), across seeds and partitionings.
+ */
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** (event_id, ts_us, user_id, event_type) → events DataFrame with a real
+    * timestamp column; ts_us domain is small so equal-ts ties are common. */
+  private def mkEvents(rows: Seq[(Long, Long, Long, String)]): DataFrame =
+    rows.toDF("event_id", "ts_us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select("event_id", "ts", "user_id", "event_type")
+
+  private def randEvents(seed: Int, n: Int, users: Int, tsMax: Int,
+                         types: Seq[String]): Seq[(Long, Long, Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, rnd.nextInt(tsMax).toLong,
+      rnd.nextInt(users).toLong, types(rnd.nextInt(types.size))))
+  }
+
+  // ---- funnel ----
+
+  /** Chained-min brute force: t_i = min ts of step i strictly after t_{i-1}. */
+  private def bruteFunnel(rows: Seq[(Long, Long, Long, String)],
+                          steps: Seq[String]): Map[Long, Seq[Option[Long]]] = {
+    val byUser = rows.filter(r => steps.contains(r._4)).groupBy(_._3)
+    byUser.map { case (u, evs) =>
+      var prev = Option.empty[Long]
+      val done = steps.zipWithIndex.map { case (s, i) =>
+        val cand = evs.filter(_._4 == s)
+          .filter(e => if (i == 0) true else prev.exists(p => e._2 > p))
+          .map(_._2)
+        val t = if (i > 0 && prev.isEmpty) None
+                else if (cand.isEmpty) None else Some(cand.min)
+        prev = t
+        t
+      }
+      u -> done
+    }
+  }
+
+  test("funnel == chained-min brute force across seeds (tie-rich)") {
+    val steps = Seq("a", "b", "c")
+    for (seed <- 1 to 5) {
+      val rows = randEvents(seed, 400, 12, 30, Seq("a", "b", "c", "x"))
+      val got = EventAnalytics.funnel(mkEvents(rows), steps)
+        .collect().map { r =>
+          r.getLong(0) -> ((1 to 3).map(i =>
+            if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1))),
+            r.getLong(1))
+        }.toMap
+      val want = bruteFunnel(rows, steps)
+      assert(got.keySet == want.keySet, s"seed $seed user set")
+      want.foreach { case (u, done) =>
+        val (ts, stage) = got(u)
+        assert(ts == done, s"seed $seed user $u")
+        assert(stage == done.count(_.isDefined), s"seed $seed user $u stage")
+      }
+    }
+  }
+
+  test("funnel stage counts are prefix-monotone and single-step works") {
+    val rows = randEvents(7, 300, 10, 25, Seq("a", "b", "x"))
+    val one = EventAnalytics.funnel(mkEvents(rows), Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = bruteFunnel(rows, Seq("a"))
+    assert(one == want.map { case (u, d) => u -> d.count(_.isDefined).toLong })
+  }
+
+  // ---- throttle ----
+
+  private def bruteThrottle(rows: Seq[(Long, Long, Long, String)],
+                            gapUs: Long): Set[(Long, String, Long, Long)] =
+    rows.groupBy(r => (r._3, r._4)).flatMap { case ((u, t), evs) =>
+      var last = -1L
+      evs.sortBy(e => (e._2, e._1)).flatMap { e =>
+        if (last == -1L || e._2 - last >= gapUs) {
+          last = e._2
+          Some((u, t, e._1, e._2))
+        } else None
+      }
+    }.toSet
+
+  test("throttle == serial replay across seeds and gaps (incl. gap 0)") {
+    for (seed <- 1 to 4; gapUs <- Seq(0L, 3L, 10L)) {
+      val rows = randEvents(seed * 31, 500, 8, 40, Seq("a", "b"))
+      // operator takes ms; build micros-equivalent by scaling the domain
+      val scaled = rows.map(r => (r._1, r._2 * 1000, r._3, r._4))
+      val got = EventAnalytics.throttle(mkEvents(scaled), minGapMs = gapUs)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val want = bruteThrottle(scaled, gapUs * 1000)
+      assert(got == want, s"seed $seed gap $gapUs")
+      if (gapUs == 0) assert(got.size == rows.size, "gap 0 keeps everything")
+    }
+  }
+
+  test("throttle is partition-invariant") {
+    val rows = randEvents(99, 600, 6, 50, Seq("a", "b", "c"))
+    val df = mkEvents(rows)
+    val a = EventAnalytics.throttle(df, 5L).collect().map(_.toSeq).toSet
+    val b = EventAnalytics.throttle(df.repartition(13), 5L)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  // ---- retention ----
+
+  test("retention == brute force on random activity") {
+    for (seed <- 1 to 3) {
+      val rows = randEvents(seed * 7, 500, 15, 100, Seq("a"))
+      // periodDays=1 → periodUs = 86400e6; scale ts to land in ~4 periods
+      val periodUs = 86400L * 1000000L
+      val scaled = rows.map(r => (r._1, r._2 * (4 * periodUs / 100), r._3, r._4))
+      val got = EventAnalytics.retention(mkEvents(scaled), periodDays = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val periods = scaled.map(r => (r._3, r._2 / periodUs)).distinct
+      val cohort = periods.groupBy(_._1).map { case (u, ps) => u -> ps.map(_._2).min }
+      val want = periods.groupBy(p => (cohort(p._1), p._2 - cohort(p._1)))
+        .map { case (k, v) => k -> v.size.toLong }
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  // ---- transitions ----
+
+  test("transitions == lag replay with integer permille") {
+    for (seed <- 1 to 3) {
+      val rows = randEvents(seed * 13, 400, 9, 35, Seq("a", "b", "c"))
+      val got = EventAnalytics.transitions(mkEvents(rows))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val pairs = rows.groupBy(_._3).toSeq.flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._2, e._1))
+        sorted.zip(sorted.drop(1)).map { case (p, c) => (p._4, c._4) }
+      }
+      val n = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val tot = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val want = n.map { case (k, c) => k -> (c, c * 1000 / tot(k._1)) }
+      assert(got == want, s"seed $seed")
+      got.groupBy(_._1._1).foreach { case (_, out) =>
+        assert(out.values.map(_._2).sum <= 1000)
+      }
+    }
+  }
+
+  // ---- pagerank ----
+
+  private def brutePagerank(edges: Seq[(Long, Long)], iters: Int,
+                            d: Int, scale: Long): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val inflow = e.groupBy(_._2).map { case (v, in) =>
+        v -> in.map { case (u, _) => r(u) / outdeg(u) }.sum
+      }
+      r = nodes.map(v =>
+        v -> (((1000 - d) * scale + d * inflow.getOrElse(v, 0L)) / 1000)).toMap
+    }
+    r
+  }
+
+  test("pagerankInt == integer replica on random graphs with dangling nodes") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 17)
+      // sinks exist: dst domain is wider than src domain
+      val edges = (0 until 120).map(_ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(30).toLong))
+      val got = Graph.pagerankInt(edges.toDF("src", "dst"), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = brutePagerank(edges, 3, 850, 1000000L)
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("pagerankInt long chains survive the checkpoint cadence") {
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 60).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+    val got = Graph.pagerankInt(edges.toDF("src", "dst"), iters = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brutePagerank(edges, 9, 850, 1000000L))
+  }
+
+  test("pagerankInt is partition-invariant and rejects bad params") {
+    val edges = (0L to 40L).map(i => (i % 7, (i * 3) % 7)).toDF("src", "dst")
+    val a = Graph.pagerankInt(edges, 2).collect().map(_.toSeq).toSet
+    val b = Graph.pagerankInt(edges.repartition(11), 2).collect().map(_.toSeq).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException](Graph.pagerankInt(edges, -1))
+    intercept[IllegalArgumentException](Graph.pagerankInt(edges, 1, dampingPermille = 1001))
+  }
+}

@@ -827,4 +827,44 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(closedInBatch >= 0) // structural sanity: >= 0 sessions closed mid-stream
     assert(ds.count() == events.count())
   }
+
+  test("streaming throttle == batch throttle across two time-ordered batches") {
+    // time-split waves satisfy the arrival contract (per-key event time
+    // non-decreasing ACROSS batches); within a batch order is arbitrary
+    val mid = events.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head.getLong(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-throttle-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-throttle-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    writeOne(raw.filter(expr(s"unix_micros(cast(ts as timestamp)) <= $mid")),
+      "a.parquet", 120000L)
+    writeOne(raw.filter(expr(s"unix_micros(cast(ts as timestamp)) > $mid")),
+      "b.parquet", 1000L)
+    val gapMs = 12L * 3600 * 1000
+    val stream = EventStreams.readEventStream(spark, streamDir.toString)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val q = EventStreams.throttleStream(stream, gapMs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("throttle_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("throttle_out")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.pipeline.EventAnalytics.throttle(events, gapMs)
+        .select($"user_id", $"event_type", $"event_id", $"ts_us")
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+      // discrimination: the gap actually drops something
+      assert(batch.size < events.count())
+    } finally q.stop()
+  }
 }
