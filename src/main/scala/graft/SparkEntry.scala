@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.Gis
-import graft.pipeline.{Curation, Dedup, EventAnalytics, Graph, Provenance, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, EventAnalytics, Graph, Provenance, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.Tables
 import graft.sql.{functions => G}
 import graft.streaming.EventStreams
@@ -1282,6 +1282,14 @@ object SparkEntry {
       val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pagerankInt(sym, iters = 2).select(col("node"), col("rank"))
     }),
+
+    // KMV distinct-count sketch: per-supplier estimate of distinct parts
+    // (k=64 min-hashes; ~600 true distinct per supplier, so the
+    // estimation path fires at every gate scale). md5 hashing makes the
+    // sketch itself deterministic — the oracle rebuilds it, not a bound.
+    "q_distinct_kmv" -> ((s, d) =>
+      Sketches.distinctKmv(Tables.table(s, d, "lineitem"),
+        "l_suppkey", "l_partkey", k = 64)),
 
     // exact repeated-substring scan (Lee et al. ACL'22 curation pass):
     // per-doc count of word-aligned 40-char grams appearing verbatim in at
@@ -3427,6 +3435,15 @@ object SparkEntry {
         "r2 AS (SELECT nodes.node, (150 * 1000000 + 850 * coalesce(c2.inflow, 0)) // 1000 AS rank " +
         "FROM nodes LEFT JOIN c2 USING (node)) " +
         "SELECT node, rank FROM r2"),
+
+    "q_distinct_kmv" ->
+      ("WITH h AS (SELECT DISTINCT l_suppkey, CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) AS hv " +
+        "FROM lineitem WHERE l_partkey IS NOT NULL), " +
+        "r AS (SELECT l_suppkey, hv, row_number() OVER (PARTITION BY l_suppkey ORDER BY hv) AS rn FROM h), " +
+        "kk AS (SELECT l_suppkey, count(*) AS n_kept, max(CASE WHEN rn = 64 THEN hv END) AS hk " +
+        "FROM r WHERE rn <= 64 GROUP BY 1) " +
+        "SELECT l_suppkey, n_kept, CASE WHEN n_kept < 64 THEN n_kept " +
+        "ELSE (63 * 4294967296) // hk END AS est_distinct FROM kk"),
 
     "q_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms FROM events), " +

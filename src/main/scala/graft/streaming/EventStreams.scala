@@ -291,4 +291,58 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  /** A funnel step completion — [[funnelStream]] output row. `stage` is
+    * 1-based (stage i ⇔ `steps(i-1)` completed at `ts_us`). */
+  case class StageAdvance(user_id: Long, stage: Int, ts_us: Long)
+
+  /**
+   * Streaming twin of [[graft.pipeline.EventAnalytics.funnel]]: per user,
+   * emit a [[StageAdvance]] the moment each funnel step first completes
+   * (earliest-completion, strictly-after semantics — identical decision
+   * rule). GroupState carries the per-step completion times, so a funnel
+   * can advance across micro-batches; each stage is emitted at most once
+   * per user, ever.
+   *
+   * Arrival contract: per user, event time non-decreasing ACROSS batches
+   * (within a batch the iterator is re-sorted). Under it, the advances
+   * reproduce the batch operator exactly: a user's max emitted stage is
+   * the batch `stage`, and each advance's ts_us is the batch `ts_i`.
+   * Users that never complete step 1 emit nothing (the batch twin lists
+   * them with stage 0). State is `steps.size` longs per user, NoTimeout.
+   */
+  def funnelStream(events: Dataset[Event],
+                   steps: Seq[String]): Dataset[StageAdvance] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnel steps must be non-empty and distinct, got $steps")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.size
+    events
+      .filter(e => stepIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], StageAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Array[Long]]) =>
+          val done = state.getOption.getOrElse(Array.fill(k)(-1L))
+          val sorted = batch.toSeq.sortBy { e =>
+            val i = e.ts.toInstant
+            (i.getEpochSecond * 1000000L + i.getNano / 1000L, e.event_id)
+          }
+          val out = Seq.newBuilder[StageAdvance]
+          sorted.foreach { e =>
+            val s = stepIdx(e.event_type)
+            if (done(s) == -1L) {
+              val i = e.ts.toInstant
+              val t = i.getEpochSecond * 1000000L + i.getNano / 1000L
+              if (s == 0 || (done(s - 1) != -1L && t > done(s - 1))) {
+                done(s) = t
+                out += StageAdvance(uid, s + 1, t)
+              }
+            }
+          }
+          state.update(done)
+          out.result().iterator
+      }
+  }
 }

@@ -867,4 +867,58 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(batch.size < events.count())
     } finally q.stop()
   }
+
+  test("streaming funnel advances == batch funnel across two time-ordered batches") {
+    val steps = Seq("view", "click", "purchase")
+    val mid = events.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head.getLong(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-funnel-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-funnel-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    // thinned like the gate so partial stages actually occur
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+      .filter($"value" >= 50)
+    writeOne(raw.filter(expr(s"unix_micros(cast(ts as timestamp)) <= $mid")),
+      "a.parquet", 120000L)
+    writeOne(raw.filter(expr(s"unix_micros(cast(ts as timestamp)) > $mid")),
+      "b.parquet", 1000L)
+    val stream = EventStreams.readEventStream(spark, streamDir.toString)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val q = EventStreams.funnelStream(stream, steps)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      // advances: user -> stage -> ts_us (each stage emitted at most once)
+      val adv = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(adv.map(a => (a._1, a._2)).distinct.length == adv.length,
+        "a stage was emitted twice for one user")
+      val byUser = adv.groupBy(_._1)
+      val batch = graft.pipeline.EventAnalytics
+        .funnel(events.filter($"value" >= 50), steps)
+        .collect().map { r =>
+          r.getLong(0) -> (r.getLong(1),
+            (1 to 3).map(i => if (r.isNullAt(i + 1)) None
+                              else Some(r.getLong(i + 1))))
+        }.toMap
+      // users with advances = batch users at stage >= 1; times must match
+      assert(byUser.keySet == batch.filter(_._2._1 >= 1).keySet)
+      byUser.foreach { case (u, as) =>
+        val (stage, ts) = batch(u)
+        assert(as.map(_._2).max == stage, s"user $u stage")
+        as.foreach { case (_, s, t) => assert(ts(s - 1).contains(t), s"user $u ts_$s") }
+      }
+      // discrimination: some user stops short of the last stage
+      assert(batch.values.exists(_._1 < 3))
+      assert(batch.values.exists(_._1 == 3))
+    } finally q.stop()
+  }
 }
