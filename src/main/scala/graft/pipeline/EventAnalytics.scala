@@ -90,18 +90,19 @@ object EventAnalytics {
    * Periods are `unix_micros(ts) div (periodDays·86400e6)` — integer,
    * calendar-agnostic, identical in any engine.
    *
-   * Two aggregations and one equi-join, all keyed by user_id; the join is
-   * co-partitioned with the distinct-activity aggregate, and the final
-   * cell count is `count(*)` because (user, period) rows are already
-   * distinct and a user has exactly one cohort.
+   * Three shuffles, no join: distinct (user, period) activity, a
+   * whole-partition window-min per user for the cohort (cheaper than a
+   * separate aggregate + self-join — the window runs over the already-
+   * deduped activity rows), and the final cell count, which is `count(*)`
+   * because (user, period) rows are distinct and a user has one cohort.
    */
   def retention(events: DataFrame, periodDays: Int = 7): DataFrame = {
     val periodUs = periodDays * 86400L * 1000000L
     val p = events.select(col("user_id"),
       expr(s"unix_micros(ts) div ${periodUs}L").as("period"))
-    val activity = p.distinct()
-    val cohort = p.groupBy(col("user_id")).agg(min(col("period")).as("cohort"))
-    activity.join(cohort, Seq("user_id"))
+    p.distinct()
+      .withColumn("cohort",
+        min(col("period")).over(Window.partitionBy(col("user_id"))))
       .groupBy(col("cohort"), (col("period") - col("cohort")).as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }

@@ -333,6 +333,56 @@ class PlanSpec extends AnyFunSuite {
     assert(p.ring == p2.ring)
   }
 
+  private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    var shuffles = 0
+    plan.foreach {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => shuffles += 1
+      case _: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => shuffles += 1
+      case _ =>
+    }
+    shuffles
+  }
+
+  test("event-sequence operator plans: the sorted-fold ops shuffle ONCE") {
+    val events = graft.sources.Tables.table(spark, sf, "events")
+    // funnel and throttle are one groupBy + scan-local fold — exactly one
+    // exchange; a second one means the fold regressed to joins/windows
+    assert(countShuffles(graft.pipeline.EventAnalytics.funnel(
+      events, Seq("view", "click", "purchase"))) == 1)
+    assert(countShuffles(graft.pipeline.EventAnalytics.throttle(
+      events, 3600000L)) == 1)
+    // transitions: user-lag window + pair agg + share window (pair table
+    // is |types|^2-bounded, the extra exchanges carry almost nothing)
+    assert(countShuffles(graft.pipeline.EventAnalytics.transitions(events)) == 3)
+    // retention: distinct activity + cohort window + cell agg, no join
+    assert(countShuffles(graft.pipeline.EventAnalytics.retention(events, 7)) == 3)
+  }
+
+  test("distinctKmv plan: only (group, hash) pairs shuffle, twice") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val df = graft.pipeline.Sketches.distinctKmv(li, "l_suppkey", "l_partkey", 16)
+    assert(countShuffles(df) == 2, "hash dedup + bounded-heap agg")
+    // and the scan is pruned to exactly the two columns involved
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      planStr)
+  }
+
+  test("pagerank plan: no nested-loop or cartesian joins at any iteration") {
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_suppkey as src", "l_partkey as dst").limit(2000)
+    val df = graft.pipeline.Graph.pagerankInt(edges, iters = 2)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("double_sortable_bits totally orders mixed-sign doubles and round-trips") {
     val vals = Seq(-1.0 / 0.0, -1e300, -2.5, -1e-300, -0.0, 0.0, 1e-300, 3.25, 1e300, 1.0 / 0.0)
     val rows = spark.createDataFrame(vals.zipWithIndex.map { case (d, i) => (i, d) })
