@@ -1279,8 +1279,11 @@ object SparkEntry {
       val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      // sym is distinct by construction: e0 is distinct and the swapped
+      // orientation is parity-disjoint (src even, dst odd)
       val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      Graph.pagerankInt(sym, iters = 2).select(col("node"), col("rank"))
+      Graph.pagerankInt(sym, iters = 2, assumeDistinct = true)
+        .select(col("node"), col("rank"))
     }),
 
     // KMV distinct-count sketch: per-supplier estimate of distinct parts

@@ -195,6 +195,17 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == brutePagerank(edges, 9, 850, 1000000L))
   }
 
+  test("assumeDistinct on an already-distinct edge list changes nothing") {
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 100).map(_ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong)).distinct
+    val df = edges.toDF("src", "dst")
+    val a = Graph.pagerankInt(df, 2).collect().map(_.toSeq).toSet
+    val b = Graph.pagerankInt(df, 2, assumeDistinct = true)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("pagerankInt is partition-invariant and rejects bad params") {
     val edges = (0L to 40L).map(i => (i % 7, (i * 3) % 7)).toDF("src", "dst")
     val a = Graph.pagerankInt(edges, 2).collect().map(_.toSeq).toSet
