@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.Gis
-import graft.pipeline.{Curation, Dedup, EventAnalytics, Graph, Provenance, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, EventAnalytics, Graph, MarketBasket, Provenance, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.Tables
 import graft.sql.{functions => G}
 import graft.streaming.EventStreams
@@ -1285,6 +1285,13 @@ object SparkEntry {
       Graph.pagerankInt(sym, iters = 2, assumeDistinct = true)
         .select(col("node"), col("rank"))
     }),
+
+    // pairwise association rules (2-itemset support/confidence/lift, all
+    // integer permille) over order baskets — the "bought together" report;
+    // minSupport=2 keeps ~3.5k genuinely co-occurring part pairs
+    "q_assoc_pairs" -> ((s, d) =>
+      MarketBasket.pairRules(Tables.table(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2)),
 
     // KMV distinct-count sketch: per-supplier estimate of distinct parts
     // (k=64 min-hashes; ~600 true distinct per supplier, so the
@@ -3438,6 +3445,21 @@ object SparkEntry {
         "r2 AS (SELECT nodes.node, (150 * 1000000 + 850 * coalesce(c2.inflow, 0)) // 1000 AS rank " +
         "FROM nodes LEFT JOIN c2 USING (node)) " +
         "SELECT node, rank FROM r2"),
+
+    "q_assoc_pairs" ->
+      ("WITH items0 AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
+        "WHERE l_partkey IS NOT NULL AND l_orderkey IS NOT NULL), " +
+        "sz AS (SELECT b, count(*) AS s FROM items0 GROUP BY 1), " +
+        "items AS (SELECT items0.b, items0.i FROM items0 JOIN sz ON items0.b = sz.b AND sz.s <= 1000), " +
+        "nb AS (SELECT count(*) AS n_baskets FROM sz WHERE s <= 1000), " +
+        "p AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_ab FROM items x " +
+        "JOIN items y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "c AS (SELECT i, count(*) AS n FROM items GROUP BY 1) " +
+        "SELECT p.item_a, p.item_b, p.n_ab, ca.n AS n_a, cb.n AS n_b, " +
+        "p.n_ab * 1000 // ca.n AS conf_ab_permille, " +
+        "p.n_ab * 1000 // cb.n AS conf_ba_permille, " +
+        "p.n_ab * nb.n_baskets * 1000 // (ca.n * cb.n) AS lift_permille " +
+        "FROM p JOIN c ca ON p.item_a = ca.i JOIN c cb ON p.item_b = cb.i CROSS JOIN nb"),
 
     "q_distinct_kmv" ->
       ("WITH h AS (SELECT DISTINCT l_suppkey, CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) AS hv " +

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Pairwise association mining (the support/confidence/lift core of
+ * Agrawal-Srikant frequent itemsets, restricted to 2-itemsets — the size
+ * that powers "bought together" co-occurrence reports without the
+ * exponential lattice).
+ *
+ * All metrics are integer permille so reports hash-compare across
+ * engines: confidence(a→b) = n_ab·1000 div n_a, lift = n_ab·N·1000 div
+ * (n_a·n_b) where N is the basket count.
+ */
+object MarketBasket {
+
+  /**
+   * Co-occurrence pair rules over (basket, item) rows. Duplicate
+   * (basket, item) pairs collapse first, so support counts baskets, not
+   * line items. Pairs are emitted once with `item_a < item_b`;
+   * directional confidences cover both rule orientations.
+   *
+   * Scale shape: the self-join expands within a basket only — one
+   * shuffle keyed by basket, output bounded by Σ basketSize² — and
+   * `maxBasketSize` drops degenerate mega-baskets (a single viral basket
+   * of 10⁵ items would alone emit 5·10⁹ pairs; the standard guard in
+   * every production basket miner). Dropped-basket count is observable
+   * by diffing `n_baskets` against the unguarded distinct count. The
+   * `minSupport` filter runs before the item-count joins, so the
+   * (item_a, item_b) aggregate is the only pair-sized shuffle.
+   *
+   * Overflow headroom: lift's numerator is n_ab·N·1000 ≤ N²·1000 in the
+   * degenerate every-basket-shares-the-pair case — under 2⁶³ for
+   * N < 9·10⁷ baskets, far more in practice since n_ab is a pair's
+   * support — and ANSI mode faults loudly rather than wrapping if a
+   * corpus ever crosses it.
+   */
+  def pairRules(df: DataFrame, basketCol: String, itemCol: String,
+                minSupport: Long = 2, maxBasketSize: Int = 1000): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val items0 = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .filter(col("i").isNotNull && col("b").isNotNull)
+      .distinct()
+    val sizes = items0.groupBy(col("b")).agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+    val items = items0.join(sizes, "b").select(col("b"), col("i"))
+    val nBaskets = sizes.agg(count(lit(1)).as("n_baskets"))
+    val left = items.select(col("b"), col("i").as("item_a"))
+    val right = items.select(col("b"), col("i").as("item_b"))
+    val pairs = left.join(right, Seq("b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val cntA = items.groupBy(col("i").as("item_a")).agg(count(lit(1)).as("n_a"))
+    val cntB = items.groupBy(col("i").as("item_b")).agg(count(lit(1)).as("n_b"))
+    pairs.join(cntA, "item_a").join(cntB, "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        expr("n_ab * 1000 div n_a").as("conf_ab_permille"),
+        expr("n_ab * 1000 div n_b").as("conf_ba_permille"),
+        expr("n_ab * n_baskets * 1000 div (n_a * n_b)").as("lift_permille"))
+  }
+}
