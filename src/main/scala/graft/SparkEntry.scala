@@ -1286,6 +1286,26 @@ object SparkEntry {
         .select(col("node"), col("rank"))
     }),
 
+    // reciprocal-rank fusion of a lexical and a vector ranking (hybrid
+    // search): BM25 top-20 fused with SQ8-ANN top-20 — the SQ8 path is
+    // the bit-replayable ANN ranking, so BOTH input rank orders are
+    // hash-exact cross-engine and the integer fusion replays verbatim
+    "q_rrf" -> ((s, d) => {
+      val bm = TextAnalysis.bm25(Tables.table(s, d, "documents"),
+        Seq("merge", "window", "table"), topN = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      val embs = Tables.table(s, d, "embeddings")
+      val q = embs.filter(col("vec_id") === 0L).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val sq = Similarity.sq8TopK(embs, q, 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("sq_score").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.pipeline.Evaluation.rrfFuse(Seq(bm, sq), "doc_id", "rank")
+    }),
+
     // pairwise association rules (2-itemset support/confidence/lift, all
     // integer permille) over order baskets — the "bought together" report;
     // minSupport=2 keeps ~3.5k genuinely co-occurring part pairs
@@ -3445,6 +3465,27 @@ object SparkEntry {
         "r2 AS (SELECT nodes.node, (150 * 1000000 + 850 * coalesce(c2.inflow, 0)) // 1000 AS rank " +
         "FROM nodes LEFT JOIN c2 USING (node)) " +
         "SELECT node, rank FROM r2"),
+
+    "q_rrf" ->
+      ("WITH " + Bm25OracleCtes + ", " +
+        "ra AS (SELECT doc_id, r FROM (SELECT doc_id, " +
+        "CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS r FROM g) WHERE r <= 20), " +
+        "qraw AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +
+        "q AS (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS mq FROM qraw), " +
+        "qc AS (SELECT mq, CASE WHEN mq = 0 THEN list_transform(qv, x -> CAST(0 AS BIGINT)) " +
+        "ELSE list_transform(qv, x -> CAST(floor(x * 127.0 / mq + 0.5) AS BIGINT)) END AS c FROM q), " +
+        "enc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m FROM embeddings), " +
+        "codes AS (SELECT vec_id, m, CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT)) " +
+        "ELSE list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) END AS c FROM enc), " +
+        "sq AS (SELECT codes.vec_id, " +
+        "((list_inner_product(CAST(codes.c AS DOUBLE[]), CAST(qc.c AS DOUBLE[])) * codes.m) * qc.mq) / 16129.0 AS sqs " +
+        "FROM codes CROSS JOIN qc), " +
+        "rb AS (SELECT doc_id, r FROM (SELECT vec_id AS doc_id, " +
+        "CAST(row_number() OVER (ORDER BY sqs DESC, vec_id ASC) AS BIGINT) AS r FROM sq) WHERE r <= 20), " +
+        "u AS (SELECT doc_id, r FROM ra UNION ALL SELECT doc_id, r FROM rb) " +
+        "SELECT doc_id, count(*) AS n_lists, " +
+        "CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_score FROM u GROUP BY 1"),
 
     "q_assoc_pairs" ->
       ("WITH items0 AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +

@@ -49,4 +49,29 @@ object Evaluation {
       .select(qc ++ Seq(col("n_retrieved"), col("n_relevant"), col("n_hits"),
         col("recall_permille"), col("first_rel_rank")): _*)
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al. SIGIR'09) — the standard
+   * hybrid-search combiner for a lexical and a vector ranking:
+   * score(d) = Σ_lists scale div (kConst + rank_d), summed over the
+   * lists that retrieved d (absent-from-list contributes nothing, the
+   * usual convention). INTEGER division at `scale` = 1e6 keeps the fused
+   * score hash-exact across engines while preserving rank resolution to
+   * k + rank ≲ 1e3.
+   *
+   * Each input carries (idCol, rankCol) with 1-based ranks. Plan: union
+   * of k-sized ranking lists + one tiny aggregate — never corpus-sized;
+   * the heavy lifting stays in the rankers.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String = "doc_id",
+              rankCol: String = "rank", kConst: Int = 60,
+              scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kConst >= 0, s"kConst must be >= 0, got $kConst")
+    rankings.map(_.select(col(idCol), col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"),
+        sum(expr(s"${scale}L div ($kConst + __r)")).as("rrf_score"))
+  }
 }

@@ -292,6 +292,40 @@ object EventStreams {
       }
   }
 
+  /** A consecutive event-type pair — [[transitionsStream]] output row. */
+  case class Transition(user_id: Long, prev_type: String, event_type: String)
+
+  /**
+   * Streaming twin of [[graft.pipeline.EventAnalytics.transitions]]'
+   * pair stream: per user, emit each consecutive (prev_type, event_type)
+   * pair; GroupState carries the last event type so pairs span
+   * micro-batches. Aggregating the emitted pairs (count per pair, then
+   * the permille share) reproduces the batch report exactly under the
+   * in-order arrival contract shared by the other event twins. State is
+   * one string per user, NoTimeout.
+   */
+  def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[String]) =>
+          val sorted = batch.toSeq.sortBy { e =>
+            val i = e.ts.toInstant
+            (i.getEpochSecond * 1000000L + i.getNano / 1000L, e.event_id)
+          }
+          var prev = state.getOption.orNull
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            if (prev != null) out += Transition(uid, prev, e.event_type)
+            prev = e.event_type
+          }
+          if (prev != null) state.update(prev)
+          out.result().iterator
+      }
+  }
+
   /** A funnel step completion — [[funnelStream]] output row. `stage` is
     * 1-based (stage i ⇔ `steps(i-1)` completed at `ts_us`). */
   case class StageAdvance(user_id: Long, stage: Int, ts_us: Long)

@@ -868,6 +868,44 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transition pairs == batch lag pairs across two batches") {
+    val mid = events.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head.getLong(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-trans-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-trans-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    writeOne(raw.filter(expr(s"unix_micros(cast(ts as timestamp)) <= $mid")),
+      "a.parquet", 120000L)
+    writeOne(raw.filter(expr(s"unix_micros(cast(ts as timestamp)) > $mid")),
+      "b.parquet", 1000L)
+    val stream = EventStreams.readEventStream(spark, streamDir.toString)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val q = EventStreams.transitionsStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trans_out").start()
+    try {
+      q.processAllAvailable()
+      // aggregate the emitted pair stream → must equal the batch report's
+      // (prev, next, n) counts (the cross-batch boundary pair included)
+      val streamed = spark.table("trans_out")
+        .groupBy($"prev_type", $"event_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val batch = graft.pipeline.EventAnalytics.transitions(events)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming funnel advances == batch funnel across two time-ordered batches") {
     val steps = Seq("view", "click", "purchase")
     val mid = events.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
