@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
  * (epoch-micros longs, counts, permille ratios) so DuckDB oracles replay
  * bit-exactly.
  *
+ * Null semantics shared by every operator here: events with a null
+ * timestamp are IGNORED (dropped before any fold/window) — a null time
+ * has no position on the timeline, and letting it reach a sorted fold
+ * would poison the fold state via three-valued logic while engines
+ * disagree on null sort order (Spark nulls-first vs DuckDB nulls-last).
+ *
  * Scale posture shared by every operator here: ONE shuffle keyed by the
  * entity id (user_id or (user_id, event_type)); per-entity history is
  * folded scan-locally with higher-order array functions, never a
@@ -54,8 +60,13 @@ object EventAnalytics {
       when(col("event_type") === lit(s), lit(i)).otherwise(acc)
     }
     val unset = lit(-1L)
+    // null-ts events must be dropped BEFORE the fold: a null time folded
+    // into a step slot would both poison the slot (null blocks later
+    // completions — `v === unset` is never true again) and diverge from
+    // the chained-min formulation, which ignores nulls
     val folded = events
-      .filter(col("event_type").isin(steps.map(x => x: Any): _*))
+      .filter(col("event_type").isin(steps.map(x => x: Any): _*) &&
+        col("ts").isNotNull)
       .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
         stepIdx.as("step"))
       .groupBy(col("user_id"))
@@ -98,7 +109,7 @@ object EventAnalytics {
    */
   def retention(events: DataFrame, periodDays: Int = 7): DataFrame = {
     val periodUs = periodDays * 86400L * 1000000L
-    val p = events.select(col("user_id"),
+    val p = events.filter(col("ts").isNotNull).select(col("user_id"),
       expr(s"unix_micros(ts) div ${periodUs}L").as("period"))
     p.distinct()
       .withColumn("cohort",
@@ -118,6 +129,7 @@ object EventAnalytics {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)
     val pairs = events
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
         col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
@@ -145,7 +157,12 @@ object EventAnalytics {
     val gapUs = minGapMs * 1000L
     val noneKept = lit(-1L) // ts_us is non-negative on this data model
     val emptyKept = array().cast("array<struct<ts_us:bigint,event_id:bigint>>")
+    // a null-ts event folded first would be "kept" with a null timestamp
+    // and poison the last-kept anchor (every later comparison goes null →
+    // everything dropped) — null times are ignored, as in every operator
+    // of this module
     events
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
         col("event_id"))
       .groupBy(col("user_id"), col("event_type"))

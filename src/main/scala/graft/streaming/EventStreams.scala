@@ -269,6 +269,7 @@ object EventStreams {
     import events.sparkSession.implicits._
     val gapUs = minGapMs * 1000L
     events
+      .filter(e => e.ts != null) // null-ts contract of the batch twin
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[Long, Kept](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -307,6 +308,7 @@ object EventStreams {
   def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
     import events.sparkSession.implicits._
     events
+      .filter(e => e.ts != null) // null-ts contract of the batch twin
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[String, Transition](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -353,7 +355,7 @@ object EventStreams {
     val stepIdx = steps.zipWithIndex.toMap
     val k = steps.size
     events
-      .filter(e => stepIdx.contains(e.event_type))
+      .filter(e => e.ts != null && stepIdx.contains(e.event_type))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Array[Long], StageAdvance](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

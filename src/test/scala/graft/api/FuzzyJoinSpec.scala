@@ -148,4 +148,32 @@ class FuzzyJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(ok.toSeq == Seq((1L, 10L, 1L)))
   }
+
+  test("editDistanceSelfJoin: supplementary-plane chars (surrogate pairs)") {
+    // 🎉/🚀/𝕏 are outside the BMP (2 UTF-16 units each). The engine's
+    // contract is exactness wrt Spark's own code-point levenshtein — the
+    // brute force here IS that function, so a blocking layer that
+    // miscounted lengths in code units (or split a character) would show
+    // as missing/extra pairs
+    val rnd = new scala.util.Random(41)
+    val alphabet = Seq("a", "b", "🎉", "🚀", "𝕏", "é")
+    def word(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+    val rows = ((0 until 40).map(_ => word(3 + rnd.nextInt(6))) ++
+      Seq("🎉🎉🎉", "🎉🎉", "🎉a🎉", "a🎉🎉", "𝕏", "", "🚀"))
+      .distinct.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("id", "text").cache()
+    val bruteDf = df.toDF("ia", "ta").crossJoin(df.toDF("ib", "tb"))
+      .filter($"ia" < $"ib")
+      .select($"ia", $"ib", levenshtein($"ta", $"tb").cast("long").as("d"))
+    for (tau <- 1 to 2) {
+      val want = bruteDf.filter($"d" <= tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = FuzzyJoin.editDistanceSelfJoin(df, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"tau=$tau diff=${(got diff want).take(3)} " +
+        s"missing=${(want diff got).take(3)}")
+      assert(want.nonEmpty, s"fixture must pair at tau=$tau")
+    }
+  }
 }

@@ -78,6 +78,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(one == want.map { case (u, d) => u -> d.count(_.isDefined).toLong })
   }
 
+  test("null-ts events are ignored, not folded (regression)") {
+    // pre-fix failure modes this pins closed: a null-ts step-1 event
+    // permanently occupied the funnel slot as NULL (user stuck at stage 0
+    // with a null ts_1 while the chained-min oracle ignores nulls), and a
+    // null-ts first event was "kept" by throttle with a null timestamp,
+    // poisoning the last-kept anchor so every later event was dropped
+    val rows = Seq(
+      // (event_id, ts_us or null, user_id, type)
+      (1L, Option.empty[Long], 7L, "a"), // null ts, would fold FIRST
+      (2L, Option(100L), 7L, "a"),
+      (3L, Option(200L), 7L, "b"))
+    val df = rows.toDF("event_id", "ts_us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select("event_id", "ts", "user_id", "event_type")
+    val f = EventAnalytics.funnel(df, Seq("a", "b")).collect()
+    assert(f.length == 1 && f.head.getLong(1) == 2 &&
+      f.head.getLong(2) == 100L && f.head.getLong(3) == 200L)
+    val t = EventAnalytics.throttle(df, minGapMs = 0L)
+      .collect().map(_.getLong(2)).toSet
+    assert(t == Set(2L, 3L), s"null-ts event must not be kept or anchor: $t")
+    val tr = EventAnalytics.transitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tr == Set(("a", "b")))
+    val ret = EventAnalytics.retention(df, periodDays = 1).collect()
+    assert(ret.length == 1 && ret.head.getLong(2) == 1)
+  }
+
   // ---- throttle ----
 
   private def bruteThrottle(rows: Seq[(Long, Long, Long, String)],
