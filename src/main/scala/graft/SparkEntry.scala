@@ -1251,6 +1251,16 @@ object SparkEntry {
         Tables.table(s, d, "events").filter(col("value") >= 80),
         Seq("view", "click", "purchase"))),
 
+    // windowed funnel conversion (complete view→click→purchase within 7
+    // days of ANY anchor): the latest-start DP searches anchors exactly
+    // where the greedy earliest-anchor would time out; same value floor
+    // as q_funnel (converted 23/150 at sf0.01 — both outcomes populated)
+    "q_funnel_window" -> ((s, d) =>
+      EventAnalytics.funnelWindow(
+        Tables.table(s, d, "events").filter(col("value") >= 80),
+        Seq("view", "click", "purchase"),
+        windowMs = 7L * 86400 * 1000)),
+
     // cohort retention matrix on epoch-aligned 3-day periods; the value
     // floor sparsifies activity so cohorts actually decay (4 cohorts,
     // cell counts 1..93 at sf0.01 — unthinned every cell is all-users)
@@ -3423,6 +3433,26 @@ object SparkEntry {
         "SELECT base.user_id, CAST(CASE WHEN ts_1 IS NULL THEN 0 WHEN ts_2 IS NULL THEN 1 " +
         "WHEN ts_3 IS NULL THEN 2 ELSE 3 END AS BIGINT) AS stage, ts_1, ts_2, ts_3 " +
         "FROM base LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
+
+    "q_funnel_window" ->
+      ("WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, " +
+        "CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS s, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn " +
+        "FROM events WHERE value >= 80 AND ts IS NOT NULL AND event_type IN ('view','click','purchase')), " +
+        "walk AS (SELECT user_id, rn, " +
+        "CASE WHEN s = 0 THEN t ELSE CAST(-1 AS BIGINT) END AS dp0, " +
+        "CAST(-1 AS BIGINT) AS dp1, CAST(-1 AS BIGINT) AS dp2, CAST(-1 AS BIGINT) AS conv " +
+        "FROM ev WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT e.user_id, e.rn, " +
+        "CASE WHEN e.s = 0 THEN greatest(w.dp0, e.t) ELSE w.dp0 END, " +
+        "CASE WHEN e.s = 1 AND w.dp0 <> -1 AND e.t - w.dp0 <= 604800000000 THEN greatest(w.dp1, w.dp0) ELSE w.dp1 END, " +
+        "CASE WHEN e.s = 2 AND w.dp1 <> -1 AND e.t - w.dp1 <= 604800000000 THEN greatest(w.dp2, w.dp1) ELSE w.dp2 END, " +
+        "CASE WHEN w.conv = -1 AND e.s = 2 AND w.dp1 <> -1 AND e.t - w.dp1 <= 604800000000 THEN e.t ELSE w.conv END " +
+        "FROM ev e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1) " +
+        "SELECT user_id, CAST(CASE WHEN conv <> -1 THEN 1 ELSE 0 END AS BIGINT) AS converted, " +
+        "CASE WHEN conv <> -1 THEN conv END AS conv_ts " +
+        "FROM walk QUALIFY rn = max(rn) OVER (PARTITION BY user_id)"),
 
     "q_retention" ->
       ("WITH p AS (SELECT user_id, epoch_us(ts) // 259200000000 AS period FROM events WHERE value >= 75), " +

@@ -95,6 +95,70 @@ object EventAnalytics {
   }
 
   /**
+   * Windowed funnel conversion: did the user complete `steps` in order
+   * within `windowMs` of the chain's FIRST step, for ANY choice of
+   * anchor? Unlike [[funnel]]'s earliest-anchor semantics, windowed
+   * conversion requires searching anchors — the earliest step-1 event
+   * may time out where a later one converts — so the fold runs the
+   * standard latest-start DP: `dp(i)` = the latest chain-start time
+   * among chains reaching step i using events at earlier positions.
+   * Extending with a step-i event at time t is valid iff
+   * `t − dp(i−1) ≤ windowUs`, and keeping the LATEST start dominates
+   * every other chain (same reachability, maximal remaining slack), so
+   * the ∃-decision is exact. `conv_ts` is the earliest completion time
+   * over all valid chains; `converted` is its 0/1 flag.
+   *
+   * Chain order is the per-user (ts, event_id) arrival order (strictly
+   * increasing positions; equal timestamps may chain — the window
+   * constraint is on ts alone). One shuffle, scan-local fold, like the
+   * rest of the module.
+   */
+  def funnelWindow(events: DataFrame, steps: Seq[String],
+                   windowMs: Long): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnel steps must be non-empty and distinct, got $steps")
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val k = steps.size
+    val windowUs = windowMs * 1000L
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col("event_type") === lit(s), lit(i)).otherwise(acc)
+    }
+    val unset = lit(-1L)
+    events
+      .filter(col("event_type").isin(steps.map(x => x: Any): _*) &&
+        col("ts").isNotNull)
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+        stepIdx.as("step"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+        col("step")))).as("evs"))
+      .withColumn("st",
+        aggregate(col("evs"),
+          struct(array_repeat(unset, k).as("dp"), unset.as("conv")),
+          (acc, ev) => {
+            val s = ev.getField("step")
+            val t = ev.getField("ts_us")
+            val dp = acc.getField("dp")
+            val conv = acc.getField("conv")
+            // element_at is 1-based: element_at(dp, s) = dp(s−1), guarded
+            // behind s > 0 (ANSI-safe, same idiom as funnel's fold)
+            val chainOk = when(s === lit(0), lit(true))
+              .otherwise(element_at(dp, s) =!= unset &&
+                t - element_at(dp, s) <= lit(windowUs))
+            val newStart = when(s === lit(0), t).otherwise(element_at(dp, s))
+            val newDp = transform(dp, (v, i) =>
+              when(i === s && chainOk, greatest(v, newStart)).otherwise(v))
+            val newConv =
+              when(conv === unset && s === lit(k - 1) && chainOk, t)
+                .otherwise(conv)
+            struct(newDp.as("dp"), newConv.as("conv"))
+          }))
+      .select(col("user_id"),
+        when(col("st.conv") =!= unset, 1L).otherwise(0L).as("converted"),
+        when(col("st.conv") =!= unset, col("st.conv")).as("conv_ts"))
+  }
+
+  /**
    * Cohort retention matrix on epoch-aligned `periodDays` buckets:
    * cohort = a user's first-seen period, and each (cohort, offset) cell
    * counts users active `offset` periods after their cohort period.

@@ -46,8 +46,11 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0,1000], got $dampingPermille")
-    val cast = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
+    // null endpoints carry no edge semantics and would otherwise drop out
+    // of the contribution join but still mint a phantom node row
+    val cast = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
     // `assumeDistinct` skips the dedup shuffle when the caller's edge list
     // is distinct by construction (e.g. a symmetrized union of disjoint
     // orientations) — on the sf0.1 purchase-graph gate that is a full

@@ -78,6 +78,71 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(one == want.map { case (u, d) => u -> d.count(_.isDefined).toLong })
   }
 
+  // ---- windowed funnel ----
+
+  /** Exhaustive chain search: min completion time over all strictly
+    * position-increasing chains whose span fits the window. */
+  private def bruteWindowConv(evs: IndexedSeq[(Long, Int)], k: Int,
+                              w: Long): Option[Long] = {
+    def go(from: Int, step: Int, start: Long): Option[Long] = {
+      var best = Option.empty[Long]
+      var i = from
+      while (i < evs.length) {
+        val (t, s) = evs(i)
+        if (s == step && (step == 0 || t - start <= w)) {
+          val st = if (step == 0) t else start
+          val r = if (step == k - 1) Some(t) else go(i + 1, step + 1, st)
+          if (r.isDefined && best.forall(_ > r.get)) best = r
+        }
+        i += 1
+      }
+      best
+    }
+    go(0, 0, 0L)
+  }
+
+  test("funnelWindow == exhaustive chain search across seeds and windows") {
+    val steps = Seq("a", "b", "c")
+    for (seed <- 1 to 5; w <- Seq(3L, 8L, 100L)) {
+      val rows = randEvents(seed * 29, 350, 10, 40, Seq("a", "b", "c", "x"))
+      // operator takes ms (windowUs = w*1000); rows carry raw micros, so
+      // feed micro-scaled events to keep the arithmetic aligned
+      val gotUs = EventAnalytics.funnelWindow(
+        mkEvents(rows.map(r => (r._1, r._2 * 1000, r._3, r._4))), steps, w)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      val want = rows.filter(r => steps.contains(r._4)).groupBy(_._3)
+        .map { case (u, es) =>
+          val sorted = es.sortBy(e => (e._2, e._1))
+            .map(e => (e._2 * 1000, steps.indexOf(e._4))).toIndexedSeq
+          val conv = bruteWindowConv(sorted, steps.size, w * 1000)
+          u -> (if (conv.isDefined) 1L else 0L, conv)
+        }
+      assert(gotUs == want, s"seed $seed w $w")
+    }
+  }
+
+  test("funnelWindow finds the late anchor the greedy earliest-anchor misses") {
+    // view@0, click@5, purchase@100, view@90, click@95, purchase@99 would
+    // need anchor re-selection... canonical case: earliest view times out,
+    // a later view converts
+    val rows = Seq(
+      (1L, 0L, 1L, "a"), (2L, 5000000L, 1L, "b"), // early anchor, b at 5s
+      (3L, 50000000L, 1L, "a"), // late anchor at 50s
+      (4L, 52000000L, 1L, "b"), (5L, 54000000L, 1L, "c")) // chain in 4s
+    val out = EventAnalytics.funnelWindow(mkEvents(rows), Seq("a", "b", "c"),
+      windowMs = 10000L) // 10s window: chain 3→4→5 fits, 1→2→5 does not
+    val r = out.head()
+    assert(r.getLong(1) == 1L && r.getLong(2) == 54000000L)
+    // plain funnel's earliest-anchor chain would also complete here (it
+    // has no window), so pin the distinction: shrink the window below the
+    // late chain's span and conversion disappears
+    val none = EventAnalytics.funnelWindow(mkEvents(rows), Seq("a", "b", "c"),
+      windowMs = 3000L).head()
+    assert(none.getLong(1) == 0L && none.isNullAt(2))
+  }
+
   test("null-ts events are ignored, not folded (regression)") {
     // pre-fix failure modes this pins closed: a null-ts step-1 event
     // permanently occupied the funnel slot as NULL (user stuck at stage 0
@@ -238,6 +303,12 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val a = Graph.pagerankInt(edges, 2).collect().map(_.toSeq).toSet
     val b = Graph.pagerankInt(edges.repartition(11), 2).collect().map(_.toSeq).toSet
     assert(a == b)
+    // null endpoints are dropped, not phantom nodes
+    val withNull = Seq((Option(1L), Option(2L)), (Option(2L), Option(1L)),
+      (Option(3L), Option.empty[Long]), (Option.empty[Long], Option(4L)))
+      .toDF("src", "dst")
+    val nodes = Graph.pagerankInt(withNull, 1).collect().map(_.getLong(0)).toSet
+    assert(nodes == Set(1L, 2L))
     intercept[IllegalArgumentException](Graph.pagerankInt(edges, -1))
     intercept[IllegalArgumentException](Graph.pagerankInt(edges, 1, dampingPermille = 1001))
   }
