@@ -293,6 +293,61 @@ object EventStreams {
       }
   }
 
+  /** A windowed-funnel conversion — [[funnelWindowStream]] output row. */
+  case class Conversion(user_id: Long, conv_ts: Long)
+
+  /**
+   * Streaming twin of [[graft.pipeline.EventAnalytics.funnelWindow]]: the
+   * same latest-start DP, with the per-step dp array and the converted
+   * flag in GroupState; emits one [[Conversion]] per user at the moment
+   * the first valid chain completes (earliest completion, exactly the
+   * batch `conv_ts`). Users that never convert emit nothing — the batch
+   * twin lists them with converted = 0. In-order arrival contract as the
+   * rest of the family; state is `steps.size + 1` longs per user,
+   * NoTimeout.
+   */
+  def funnelWindowStream(events: Dataset[Event], steps: Seq[String],
+                         windowMs: Long): Dataset[Conversion] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnel steps must be non-empty and distinct, got $steps")
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.size
+    val windowUs = windowMs * 1000L
+    events
+      .filter(e => e.ts != null && stepIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], Conversion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Array[Long]]) =>
+          // state layout: dp(0..k-1) ++ conv at index k, -1 = unset
+          val st = state.getOption.getOrElse(Array.fill(k + 1)(-1L))
+          val sorted = batch.toSeq.sortBy { e =>
+            val i = e.ts.toInstant
+            (i.getEpochSecond * 1000000L + i.getNano / 1000L, e.event_id)
+          }
+          val out = Seq.newBuilder[Conversion]
+          sorted.foreach { e =>
+            val s = stepIdx(e.event_type)
+            val i = e.ts.toInstant
+            val t = i.getEpochSecond * 1000000L + i.getNano / 1000L
+            val chainOk =
+              s == 0 || (st(s - 1) != -1L && t - st(s - 1) <= windowUs)
+            if (chainOk) {
+              val start = if (s == 0) t else st(s - 1)
+              st(s) = math.max(st(s), start)
+              if (s == k - 1 && st(k) == -1L) {
+                st(k) = t
+                out += Conversion(uid, t)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** A consecutive event-type pair — [[transitionsStream]] output row. */
   case class Transition(user_id: Long, prev_type: String, event_type: String)
 

@@ -868,6 +868,47 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed-funnel conversions == batch across two batches") {
+    val steps = Seq("view", "click", "purchase")
+    val windowMs = 7L * 86400 * 1000
+    val mid = events.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head.getLong(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-fw-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fw-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    val raw = spark.read.parquet(s"$dir/events.parquet").filter($"value" >= 80)
+    writeOne(raw.filter(expr(s"unix_micros(cast(ts as timestamp)) <= $mid")),
+      "a.parquet", 120000L)
+    writeOne(raw.filter(expr(s"unix_micros(cast(ts as timestamp)) > $mid")),
+      "b.parquet", 1000L)
+    val stream = EventStreams.readEventStream(spark, streamDir.toString)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val q = EventStreams.funnelWindowStream(stream, steps, windowMs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fw_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("fw_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.pipeline.EventAnalytics
+        .funnelWindow(events.filter($"value" >= 80), steps, windowMs)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      assert(streamed.keySet == batch.filter(_._2._1 == 1L).keySet)
+      streamed.foreach { case (u, t) => assert(batch(u)._2.contains(t)) }
+      // both outcomes genuinely occur on this fixture
+      assert(batch.values.exists(_._1 == 1L) && batch.values.exists(_._1 == 0L))
+    } finally q.stop()
+  }
+
   test("streaming transition pairs == batch lag pairs across two batches") {
     val mid = events.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
       .head.getLong(0)
