@@ -45,8 +45,14 @@ object MarketBasket {
       .distinct()
     val sizes = items0.groupBy(col("b")).agg(count(lit(1)).as("__sz"))
       .filter(col("__sz") <= maxBasketSize)
+    // materialize once: items feeds FIVE consumers (both join sides, both
+    // item-count tables, and transitively the basket count) whose pruned
+    // subplans would otherwise each re-derive the distinct from the scan —
+    // measured 9 parquet scans → 1 on the sf0.1 gate
     val items = items0.join(sizes, "b").select(col("b"), col("i"))
-    val nBaskets = sizes.agg(count(lit(1)).as("n_baskets"))
+      .localCheckpoint(eager = true)
+    val nBaskets = items.select(col("b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
     val left = items.select(col("b"), col("i").as("item_a"))
     val right = items.select(col("b"), col("i").as("item_b"))
     val pairs = left.join(right, Seq("b"))
