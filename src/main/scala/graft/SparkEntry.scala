@@ -1273,6 +1273,14 @@ object SparkEntry {
     "q_transitions" -> ((s, d) =>
       EventAnalytics.transitions(Tables.table(s, d, "events"))),
 
+    // per-user daily resample + forward fill (pandas resample().ffill() /
+    // locf): value-thinned so real gaps exist; spine + last-non-null
+    // window, all integer
+    "q_gapfill" -> ((s, d) =>
+      EventAnalytics.gapFill(
+        Tables.table(s, d, "events").filter(col("value") >= 75),
+        periodDays = 1)),
+
     // throttle dedup: keep an event iff ≥ 24h after the last KEPT event of
     // the same (user, type) — stateful serial decision, oracled via a
     // recursive CTE that walks each group's rank chain
@@ -3460,6 +3468,19 @@ object SparkEntry {
         "c AS (SELECT user_id, min(period) AS cohort FROM p GROUP BY 1) " +
         "SELECT c.cohort, a.period - c.cohort AS period_offset, count(*) AS n_users " +
         "FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2"),
+
+    "q_gapfill" ->
+      ("WITH pc AS (SELECT user_id, epoch_us(ts) // 86400000000 AS period, " +
+        "count(*) AS n, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli " +
+        "FROM events WHERE value >= 75 AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "spans AS (SELECT user_id, min(period) AS lo, max(period) AS hi FROM pc GROUP BY 1), " +
+        "spine AS (SELECT user_id, unnest(range(lo, hi + 1)) AS period FROM spans), " +
+        "j AS (SELECT s.user_id, s.period, p.n, p.value_milli FROM spine s " +
+        "LEFT JOIN pc p ON s.user_id = p.user_id AND s.period = p.period) " +
+        "SELECT user_id, period, coalesce(n, 0) AS n, coalesce(value_milli, 0) AS value_milli, " +
+        "last_value(value_milli IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY period " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_milli, " +
+        "CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap FROM j"),
 
     "q_transitions" ->
       ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events), " +

@@ -183,6 +183,60 @@ object EventAnalytics {
   }
 
   /**
+   * Per-key time-series gap filling with forward fill: bucket events
+   * into epoch-aligned `periodDays` periods, aggregate an integer
+   * metric per (key, period), then densify each key's timeline from its
+   * first to its last active period and carry the last observed value
+   * forward across the gaps. The standard resample→ffill pass (pandas
+   * `resample().ffill()`, Timescale `locf`) for dashboard/feature
+   * timelines.
+   *
+   * Output: user_id, period, `n` (events in that period, 0 in gaps),
+   * `value_milli` (Σ floor(value·1000) that period), `filled_milli`
+   * (value_milli forward-filled from the last non-gap period — gaps
+   * repeat it, the first period is its own observation), `is_gap` 0/1.
+   *
+   * Plan: one aggregate keyed (user, period); the spine is a scan-local
+   * `sequence()` explode off the per-user (min, max) aggregate — span
+   * bounded by the corpus timeline (`require` guards a corrupt row from
+   * exploding the spine); the fill is one window (`last` with
+   * ignoreNulls) over the per-user ordered periods. All integers.
+   */
+  def gapFill(events: DataFrame, periodDays: Int = 1,
+              maxPeriods: Int = 100000): DataFrame = {
+    val periodUs = periodDays * 86400L * 1000000L
+    val perCell = events.filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div ${periodUs}L").as("period"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      .groupBy(col("user_id"), col("period"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vm")).as("value_milli"))
+    val spans = perCell.groupBy(col("user_id"))
+      .agg(min(col("period")).as("__lo"), max(col("period")).as("__hi"))
+    // a corrupt timestamp (year 30000) would otherwise explode the spine;
+    // the guard is woven into the sequence bound so column pruning can't
+    // elide it (the IntervalJoin lesson)
+    val spine = spans
+      .select(col("user_id"),
+        explode(expr(
+          s"sequence(__lo, IF(__hi - __lo >= $maxPeriods, " +
+            "CAST(raise_error(concat('gapFill: key ', CAST(user_id AS STRING), " +
+            s"' spans >= $maxPeriods periods - corrupt timestamps?')) AS BIGINT), " +
+            "__hi))")).as("period"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("period").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(perCell, Seq("user_id", "period"), "left")
+      .select(col("user_id"), col("period"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("value_milli"), lit(0L)).as("value_milli"),
+        last(col("value_milli"), ignoreNulls = true).over(byUser)
+          .as("filled_milli"),
+        when(col("n").isNull, 1L).otherwise(0L).as("is_gap"))
+  }
+
+  /**
    * First-order Markov transition counts: per user, consecutive event-type
    * pairs in (ts, event_id) order, counted globally, with an integer
    * permille share of each `prev_type`'s outgoing transitions

@@ -225,6 +225,53 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- gap fill ----
+
+  test("gapFill == brute spine+ffill replay; guard trips on huge spans") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 37)
+      val periodUs = 86400L * 1000000L
+      // sparse activity over ~12 periods → real gaps
+      val rows = (0 until 120).map { i =>
+        (i.toLong, rnd.nextInt(12).toLong * periodUs + rnd.nextInt(1000).toLong,
+          rnd.nextInt(6).toLong, "a")
+      }
+      val df = mkEvents(rows).withColumn("value",
+        (col("event_id") % 7).cast("double"))
+      val got = EventAnalytics.gapFill(df, periodDays = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val cells = rows.groupBy(r => (r._3, r._2 / periodUs))
+        .map { case (k, v) => k ->
+          (v.size.toLong, v.map(e => (e._1 % 7) * 1000).sum)
+        }
+      val want = cells.keys.groupBy(_._1).flatMap { case (u, ks) =>
+        val lo = ks.map(_._2).min; val hi = ks.map(_._2).max
+        var lastSeen = 0L
+        (lo to hi).map { p =>
+          cells.get((u, p)) match {
+            case Some((n, vm)) =>
+              lastSeen = vm
+              (u, p) -> (n, vm, lastSeen, 0L)
+            case None =>
+              (u, p) -> (0L, 0L, lastSeen, 1L)
+          }
+        }
+      }
+      assert(got == want, s"seed $seed")
+      assert(got.values.exists(_._4 == 1L), s"seed $seed needs gaps")
+    }
+    // corrupt timestamp → named error, not a 10^6-row spine
+    val bad = mkEvents(Seq((1L, 0L, 1L, "a"),
+      (2L, 400000L * 86400L * 1000000L, 1L, "a")))
+      .withColumn("value", lit(1.0))
+    val e = intercept[Exception](
+      EventAnalytics.gapFill(bad, periodDays = 1).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("corrupt timestamps")), e.toString)
+  }
+
   // ---- transitions ----
 
   test("transitions == lag replay with integer permille") {
