@@ -1281,6 +1281,19 @@ object SparkEntry {
         Tables.table(s, d, "events").filter(col("value") >= 75),
         periodDays = 1)),
 
+    // rolling 2σ anomaly flags over the gap-filled daily series — the
+    // z-score test as an exact integer cross-multiplication (no sqrt):
+    // (n·x − Σx)² > k²(n·Σx² − (Σx)²) over a 7-day trailing frame
+    "q_anomaly" -> ((s, d) => {
+      val series = EventAnalytics.gapFill(
+        Tables.table(s, d, "events").filter(col("value") >= 75),
+        periodDays = 1)
+        .select(col("user_id"), col("period"),
+          expr("value_milli div 1000").as("x"))
+      EventAnalytics.rollingAnomalies(series, k = 2, window = 7,
+        minPeriods = 4)
+    }),
+
     // throttle dedup: keep an event iff ≥ 24h after the last KEPT event of
     // the same (user, type) — stateful serial decision, oracled via a
     // recursive CTE that walks each group's rank chain
@@ -3481,6 +3494,26 @@ object SparkEntry {
         "last_value(value_milli IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY period " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_milli, " +
         "CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap FROM j"),
+
+    "q_anomaly" ->
+      ("WITH pc AS (SELECT user_id, epoch_us(ts) // 86400000000 AS period, " +
+        "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli " +
+        "FROM events WHERE value >= 75 AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "spans AS (SELECT user_id, min(period) AS lo, max(period) AS hi FROM pc GROUP BY 1), " +
+        "spine AS (SELECT user_id, unnest(range(lo, hi + 1)) AS period FROM spans), " +
+        "series AS (SELECT s.user_id, s.period, coalesce(p.value_milli, 0) // 1000 AS x " +
+        "FROM spine s LEFT JOIN pc p ON s.user_id = p.user_id AND s.period = p.period), " +
+        "w AS (SELECT user_id, period, x, " +
+        "CAST(count(*) OVER win AS BIGINT) AS n_window, " +
+        "CAST(sum(x) OVER win AS BIGINT) AS s, " +
+        "CAST(sum(x * x) OVER win AS BIGINT) AS s2 " +
+        "FROM series WINDOW win AS (PARTITION BY user_id ORDER BY period " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+        "SELECT user_id, period, x, n_window, " +
+        "(n_window * x - s) * (n_window * x - s) AS dev2_scaled, " +
+        "4 * (n_window * s2 - s * s) AS bound_scaled, " +
+        "CAST(CASE WHEN n_window >= 4 AND (n_window * x - s) * (n_window * x - s) > " +
+        "4 * (n_window * s2 - s * s) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly FROM w"),
 
     "q_transitions" ->
       ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events), " +

@@ -237,6 +237,49 @@ object EventAnalytics {
   }
 
   /**
+   * Rolling z-score anomaly detection over a per-key integer series:
+   * flag period p iff |x_p − μ| > k·σ over the trailing `window` periods
+   * (inclusive), evaluated WITHOUT floats or sqrt by cross-multiplying:
+   *   (n·x − Σx)² > k² · (n·Σx² − (Σx)²)
+   * (both sides are n²-scaled; the inequality is exact in Long
+   * arithmetic). Windows shorter than `minPeriods` never flag (σ is
+   * meaningless on 1-2 points). The series is expected dense per key —
+   * compose over [[gapFill]]'s output so gaps contribute zeros instead
+   * of silently shrinking the window.
+   *
+   * Overflow headroom: |n·x| ≤ window·max|x|, so the left side needs
+   * window²·max|x|² < 2⁶³ — e.g. |x| < 3·10⁷ at window 100. Feed
+   * unit-scaled values, not milli, when magnitudes are large; ANSI
+   * faults loudly beyond the bound.
+   *
+   * One window pass over the (key-partitioned, period-ordered) series —
+   * no extra shuffle when the input is already keyed that way.
+   */
+  def rollingAnomalies(series: DataFrame, k: Int = 3, window: Int = 7,
+                       minPeriods: Int = 3,
+                       keyCol: String = "user_id", ordCol: String = "period",
+                       valCol: String = "x"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(window >= 2 && minPeriods >= 2 && minPeriods <= window,
+      s"need 2 <= minPeriods <= window, got $minPeriods/$window")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol).asc)
+      .rowsBetween(-(window - 1), 0)
+    series
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col(valCol)).over(w))
+      .withColumn("__s2", sum(col(valCol) * col(valCol)).over(w))
+      .select(col(keyCol), col(ordCol), col(valCol),
+        col("__n").as("n_window"),
+        ((col("__n") * col(valCol) - col("__s")) *
+          (col("__n") * col(valCol) - col("__s"))).as("dev2_scaled"),
+        (lit(k.toLong * k) * (col("__n") * col("__s2") - col("__s") * col("__s")))
+          .as("bound_scaled"))
+      .withColumn("is_anomaly",
+        when(col("n_window") >= minPeriods &&
+          col("dev2_scaled") > col("bound_scaled"), 1L).otherwise(0L))
+  }
+
+  /**
    * First-order Markov transition counts: per user, consecutive event-type
    * pairs in (ts, event_id) order, counted globally, with an integer
    * permille share of each `prev_type`'s outgoing transitions

@@ -272,6 +272,48 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("corrupt timestamps")), e.toString)
   }
 
+  // ---- rolling anomalies ----
+
+  test("rollingAnomalies == brute window replay; spike flags, flat doesn't") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 43)
+      val series = (0 until 5).flatMap { u =>
+        (0 until 40).map { p =>
+          val base = 10L + rnd.nextInt(5)
+          val x = if (rnd.nextInt(12) == 0) base + 200 else base // spikes
+          (u.toLong, p.toLong, x)
+        }
+      }
+      val got = EventAnalytics.rollingAnomalies(
+        series.toDF("user_id", "period", "x"), k = 2, window = 7,
+        minPeriods = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+      val want = series.groupBy(_._1).flatMap { case (u, rows) =>
+        val xs = rows.sortBy(_._2).map(_._3).toIndexedSeq
+        xs.indices.map { i =>
+          val wnd = xs.slice(math.max(0, i - 6), i + 1)
+          val n = wnd.size.toLong
+          val s = wnd.sum
+          val s2 = wnd.map(v => v * v).sum
+          val dev2 = (n * xs(i) - s) * (n * xs(i) - s)
+          val bound = 4 * (n * s2 - s * s)
+          (u, i.toLong) -> (n, dev2, bound,
+            if (n >= 4 && dev2 > bound) 1L else 0L)
+        }
+      }
+      assert(got == want, s"seed $seed")
+      assert(got.values.exists(_._4 == 1L), s"seed $seed needs anomalies")
+      assert(got.values.count(_._4 == 1L) < series.size / 4,
+        s"seed $seed flags too much")
+    }
+    // a perfectly flat series never flags (σ = 0 and dev = 0)
+    val flat = (0L until 20L).map(p => (1L, p, 5L))
+    assert(EventAnalytics.rollingAnomalies(
+      flat.toDF("user_id", "period", "x"), 2, 7, 4)
+      .collect().forall(_.getLong(6) == 0L))
+  }
+
   // ---- transitions ----
 
   test("transitions == lag replay with integer permille") {
