@@ -61,6 +61,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.muteBoundedWindowWarn() // after setLogLevel (root reset)
     graft.sql.functions.registerAll(spark)
 
     // warmup: session init + codegen paths
@@ -95,30 +96,39 @@ object Bench {
     }.get
 
     // 10× scale pass (driver-recorded sf1 numbers), skippable via env.
-    // Returns (sf1_total for the compact driver line, full detail fragment
-    // for the side file). The slowest sf1 query is re-timed once at the end
-    // and recorded min-of-2: the sf1 block runs after 64 base-scale queries
-    // (the worst host-noise window — r3's official ngram number was 5.7×
-    // off a controlled re-run), and min-of-2 bounds that artifact.
+    // Returns (compact fragment for the driver line, full detail fragment
+    // for the side file). The suite is run SPARK_GRAFT_SF1_RUNS times
+    // (default 3) and each query's MEDIAN is recorded: the sf1 block runs
+    // after 64+ base-scale queries, the worst host-noise window — single
+    // samples here have been 2-4× off controlled re-runs (r3's ngram 5.7×,
+    // r6's driver-vs-builder 241 s vs 102 s), so the official record
+    // carries n≥3 medians, not one draw.
     val (sf1TotalPart, scalePart) =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SF1", "true") == "false") ("", "")
       else scala.util.Try {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+        val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "3").toInt)
         val tScale0 = System.nanoTime()
         graft.tools.ScaleUp.run(spark, sfDir, sf1Dir, factor = 10)
         val scaleSec = (System.nanoTime() - tScale0) / 1e9
-        val first = timeAll(spark, sf1Dir)
-        val sf1Results = first.sortBy(-_._2).headOption match {
-          case Some((slowest, t1)) =>
-            val t0 = System.nanoTime()
-            scala.util.Try(SparkEntry.queries(slowest)(spark, sf1Dir).count())
-            val t2 = (System.nanoTime() - t0) / 1e9
-            first.map { case (n, t) => if (n == slowest) n -> math.min(t1, t2) else n -> t }
-          case None => first
+        val samples = (1 to runs).map(_ => timeAll(spark, sf1Dir).toMap)
+        def median(xs: Seq[Double]): Double = {
+          val s = xs.sorted
+          if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
         }
-        val sf1Total = sf1Results.map(_._2).sum
-        (f""","sf1_total":$sf1Total%.3f""",
-          f""","sf1_total":$sf1Total%.3f,"sf1_scaleup_sec":$scaleSec%.3f,"sf1_queries":${toJsonMap(sf1Results)}""")
+        val sf1Medians = samples.head.keys.toSeq.sorted
+          .map(name => name -> median(samples.map(_(name))))
+        val sf1Total = sf1Medians.map(_._2).sum
+        // the five queries the r6 audit flagged as superlinear-looking get
+        // their medians into the COMPACT driver line (plus totals); the
+        // full median map + every raw run goes to the detail file
+        val audit = Seq("q_dedup_substring", "q_dedup_url", "q_dedup_cosine",
+          "q_pagerank", "q_assoc_pairs")
+        val auditPart = sf1Medians.filter { case (n, _) => audit.contains(n) }
+        val runsJson = samples.map(m => toJsonMap(m.toSeq.sortBy(_._1)))
+          .mkString("[", ",", "]")
+        (f""","sf1_total":$sf1Total%.3f,"sf1_runs":$runs,"sf1_medians":${toJsonMap(auditPart)}""",
+          f""","sf1_total":$sf1Total%.3f,"sf1_runs":$runs,"sf1_scaleup_sec":$scaleSec%.3f,"sf1_medians":${toJsonMap(sf1Medians)},"sf1_runs_detail":$runsJson""")
       }.recover { case e =>
         System.err.println(s"[bench] sf1 scale pass failed: ${e.getMessage}")
         ("", "")

@@ -510,7 +510,8 @@ object Dedup {
    */
   def clusters(pairs: DataFrame, maxIter: Int = 12,
                driverMaxEdges: Long = 2000000L,
-               doublingEagerEdges: Long = 50000000L): DataFrame = {
+               doublingEagerEdges: Long = 50000000L,
+               checkpointDir: Option[String] = None): DataFrame = {
     // cache the directed pairs FIRST: the union below references the pairs
     // plan twice, and without this the (possibly expensive — e.g. a full
     // LSH pipeline) upstream would execute once per branch
@@ -601,7 +602,7 @@ object Dedup {
       val doubling = nDirected <= doublingEagerEdges || iter >= 3 ||
         (prevChanged > 0 && lastChanged * 2 > prevChanged)
       val obs = new Observation(s"cc_${callId}_changed_$iter")
-      val next = (if (doubling) {
+      val next = Checkpoints.materialize((if (doubling) {
         // 2. path compression: follow my label's label (labels are node
         //    ids, so the mapping is stepped itself) — pointer doubling.
         //    Uncached self-join: both sides recompute the (cheap) step
@@ -616,16 +617,17 @@ object Dedup {
         stepped.select(col("id"), col("old"), col("c1").as("cluster"))
       })
         .observe(obs, sum(when(col("cluster") < col("old"), 1L).otherwise(0L)).as("changed"))
-        .select(col("id"), col("cluster"))
-        // localCheckpoint, NOT cache: caching truncates re-execution but
+        .select(col("id"), col("cluster")),
+        // eager checkpoint, NOT cache: caching truncates re-execution but
         // the LOGICAL plan keeps the full round lineage, and the doubling
         // self-join references the previous round twice — plan size
         // doubles per round, so by round ~10 the optimizer/explain string
         // alone OOMs the driver (observed on a 3000-node chain). The
-        // eager local checkpoint materializes the same data AND truncates
+        // eager checkpoint materializes the same data AND truncates
         // the plan to the stored partitions, keeping every round's plan
         // constant-size; the checkpoint's own job feeds the observation.
-        .localCheckpoint(true)
+        // checkpointDir opts into the fault-tolerant rung (Checkpoints).
+        checkpointDir)
       val t0 = System.nanoTime()
       labels.unpersist()
       labels = next

@@ -254,6 +254,13 @@ object EventAnalytics {
    *
    * One window pass over the (key-partitioned, period-ordered) series —
    * no extra shuffle when the input is already keyed that way.
+   *
+   * Null `valCol` rows are DROPPED at entry (the module's null contract,
+   * same as null timestamps elsewhere): a null x has no place in a
+   * z-test, and letting it through would inflate `n_window` while being
+   * excluded from the sums — silently skewing the bound for every row
+   * whose trailing frame contains it. [[gapFill]] never emits nulls, so
+   * the composed path is unaffected.
    */
   def rollingAnomalies(series: DataFrame, k: Int = 3, window: Int = 7,
                        minPeriods: Int = 3,
@@ -265,6 +272,7 @@ object EventAnalytics {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol).asc)
       .rowsBetween(-(window - 1), 0)
     series
+      .filter(col(valCol).isNotNull)
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__s", sum(col(valCol)).over(w))
       .withColumn("__s2", sum(col(valCol) * col(valCol)).over(w))

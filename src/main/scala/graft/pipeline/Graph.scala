@@ -19,33 +19,15 @@ import org.apache.spark.sql.functions._
  */
 object Graph {
 
-  /**
-   * Fixed-point PageRank over a directed edge list (`src`, `dst` long
-   * columns; duplicate edges are collapsed unless `assumeDistinct` asserts
-   * the caller already did — results assume a simple graph either way).
-   *
-   * r_0(v) = scale;
-   * r_{t+1}(v) = ((1000-d)·scale + d·Σ_{(u,v)∈E} (r_t(u) div outdeg(u))) div 1000
-   * with d = `dampingPermille`. Dangling mass (nodes with no out-edges)
-   * is dropped, the common simplification; feed a symmetrized edge list if
-   * every node must conserve mass (the gate does).
-   *
-   * Per iteration: the contribution join is keyed on `src` against the
-   * once-computed out-degree table, then ONE shuffle aggregates inflow by
-   * `dst`; the node-side left join keeps rank rows for inflow-less nodes.
-   * The logical plan grows linearly in `iters` (no self-join doubling —
-   * cf. the clusters() lineage lesson), and long iteration chains are
-   * localCheckpoint-ed every 8 rounds to keep plan size constant.
-   *
-   * Overflow headroom: Σ inflow ≤ n·scale, so d·Σ stays under 2^63 for
-   * n·scale < 9.2e18/1000 — at the default scale 1e6 that is ~9e9 nodes.
-   */
-  def pagerankInt(edges: DataFrame, iters: Int, dampingPermille: Int = 850,
-                  scale: Long = 1000000L,
-                  assumeDistinct: Boolean = false): DataFrame = {
-    require(iters >= 0, s"iters must be >= 0, got $iters")
-    require(dampingPermille >= 0 && dampingPermille <= 1000,
-      s"dampingPermille must be in [0,1000], got $dampingPermille")
+  /** Loop-invariant tables shared by the fixed-iteration and convergence
+    * drivers: distinct nodes, the edge list joined with out-degrees, the
+    * dangling-node set (no out-edges), and the node count. */
+  private case class PrGraph(nodes: DataFrame, edgeDeg: DataFrame,
+                             dangling: DataFrame, nNodes: Long)
+
+  private def prepare(edges: DataFrame, assumeDistinct: Boolean,
+                      redistributeDangling: Boolean,
+                      checkpointDir: Option[String]): PrGraph = {
     // null endpoints carry no edge semantics and would otherwise drop out
     // of the contribution join but still mint a phantom node row
     val cast = edges.filter(col("src").isNotNull && col("dst").isNotNull)
@@ -59,24 +41,154 @@ object Graph {
     // materialize the loop-invariant tables once: every iteration's lineage
     // references edgeDeg and nodes, so without this the upstream edge
     // derivation (often a join) re-executes per iteration
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = true)
+    val nodes = Checkpoints.materialize(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(),
+      checkpointDir)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgeDeg = e.join(deg, "src").localCheckpoint(eager = true)
-    var ranks = nodes.withColumn("rank", lit(scale))
-    for (i <- 1 to iters) {
-      val inflow = edgeDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("rank div outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-      ranks = nodes
+    val edgeDeg = Checkpoints.materialize(e.join(deg, "src"), checkpointDir)
+    // dangling = nodes with no out-edge; only materialized (and the node
+    // count only collected) when redistribution needs them
+    val dangling =
+      if (!redistributeDangling) nodes.limit(0)
+      else Checkpoints.materialize(
+        nodes.join(edgeDeg.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti"),
+        checkpointDir)
+    val n = if (redistributeDangling) nodes.count() else 0L
+    PrGraph(nodes, edgeDeg, dangling, n)
+  }
+
+  /** One PageRank step: contribution join on `src`, ONE inflow shuffle by
+    * `dst`, node-side left join keeping inflow-less nodes; optionally adds
+    * the per-node share of the dangling mass (a broadcast 1-row frame) to
+    * every node's inflow before damping. */
+  private def step(g: PrGraph, ranks: DataFrame, dampingPermille: Int,
+                   scale: Long, redistributeDangling: Boolean): DataFrame = {
+    val inflow = g.edgeDeg
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .select(col("dst"), expr("rank div outdeg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+    val withDangling = if (redistributeDangling) {
+      // Σ rank over dangling nodes, shared equally: each node receives
+      // dm div n extra inflow (integer division; the ≤ n−1 remainder is
+      // dropped — bounded, documented leakage, same as the damping blend's
+      // own div truncation). The 1-row mass frame broadcasts.
+      val dm = ranks.join(g.dangling, "node")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dm"))
+      g.nodes
         .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"), expr(
-          s"((${1000 - dampingPermille} * ${scale}L) + " +
-            s"$dampingPermille * coalesce(inflow, 0L)) div 1000").as("rank"))
-      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint(eager = true)
+        .crossJoin(broadcast(dm))
+        .select(col("node"),
+          (coalesce(col("inflow"), lit(0L)) +
+            expr(s"__dm div ${g.nNodes}L")).as("inflow"))
+    } else {
+      g.nodes.join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+    }
+    withDangling.select(col("node"), expr(
+      s"((${1000 - dampingPermille} * ${scale}L) + " +
+        s"$dampingPermille * coalesce(inflow, 0L)) div 1000").as("rank"))
+  }
+
+  /**
+   * Fixed-point PageRank over a directed edge list (`src`, `dst` long
+   * columns; duplicate edges are collapsed unless `assumeDistinct` asserts
+   * the caller already did — results assume a simple graph either way).
+   *
+   * r_0(v) = scale;
+   * r_{t+1}(v) = ((1000-d)·scale + d·(Σ_{(u,v)∈E} (r_t(u) div outdeg(u)) + D_t)) div 1000
+   * with d = `dampingPermille` and D_t the dangling term: 0 by default
+   * (dangling mass DROPPED, the common simplification — feed a symmetrized
+   * edge list if every node must conserve mass, as the gate does), or the
+   * equal per-node share `(Σ_{outdeg(u)=0} r_t(u)) div n` when
+   * `redistributeDangling` is set (the Page et al. teleport-style
+   * correction; integer remainder < n is dropped per round).
+   *
+   * Per iteration: the contribution join is keyed on `src` against the
+   * once-computed out-degree table, then ONE shuffle aggregates inflow by
+   * `dst`; the node-side left join keeps rank rows for inflow-less nodes.
+   * The logical plan grows linearly in `iters` (no self-join doubling —
+   * cf. the clusters() lineage lesson), and long iteration chains are
+   * checkpointed every 8 rounds to keep plan size constant.
+   *
+   * `checkpointDir`: None (default) materializes loop invariants and
+   * round checkpoints with `localCheckpoint` — right for local[*], NOT
+   * fault-tolerant (executor loss kills the run). Pass the cluster's
+   * reliable checkpoint directory for the 100 TB posture; see
+   * [[Checkpoints.materialize]].
+   *
+   * Overflow headroom: Σ inflow ≤ n·scale, so d·Σ stays under 2^63 for
+   * n·scale < 9.2e18/1000 — at the default scale 1e6 that is ~9e9 nodes.
+   */
+  def pagerankInt(edges: DataFrame, iters: Int, dampingPermille: Int = 850,
+                  scale: Long = 1000000L,
+                  assumeDistinct: Boolean = false,
+                  redistributeDangling: Boolean = false,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille must be in [0,1000], got $dampingPermille")
+    val g = prepare(edges, assumeDistinct, redistributeDangling, checkpointDir)
+    var ranks = g.nodes.withColumn("rank", lit(scale))
+    for (i <- 1 to iters) {
+      ranks = step(g, ranks, dampingPermille, scale, redistributeDangling)
+      if (i % 8 == 0 && i < iters)
+        ranks = Checkpoints.materialize(ranks, checkpointDir)
     }
     ranks
+  }
+
+  /**
+   * Convergence-mode PageRank: iterate until the L1 rank delta
+   * ‖r_{t+1} − r_t‖₁ ≤ `tolL1` (fixed-point units), capped at `maxIters`
+   * rounds — the production form when the iteration count isn't known up
+   * front. Returns (ranks, iterations run, final L1 delta).
+   *
+   * Damping contracts the rank map (‖Δ_{t+1}‖₁ ≲ d/1000·‖Δ_t‖₁ + n·ε_div
+   * where ε_div ≤ 1 is the integer-truncation noise per node), so the
+   * delta decays geometrically to an n-bounded floor; pick tolL1 ≳ a few
+   * × n for guaranteed termination (required: tolL1 ≥ 1). Throws if
+   * `maxIters` rounds pass without reaching `tolL1` — returning
+   * unconverged ranks silently would defeat the contract (same policy as
+   * [[Dedup.clusters]]).
+   *
+   * Each round is materialized ([[Checkpoints.materialize]] — the delta
+   * check is an action anyway, and truncation keeps plans constant-size)
+   * and the delta rides a second bounded aggregate over the joined
+   * old/new rank tables — one extra ≤n-row shuffle per round, the price
+   * of the stopping rule.
+   */
+  def pagerankIntConverged(edges: DataFrame, tolL1: Long, maxIters: Int = 50,
+                           dampingPermille: Int = 850,
+                           scale: Long = 1000000L,
+                           assumeDistinct: Boolean = false,
+                           redistributeDangling: Boolean = false,
+                           checkpointDir: Option[String] = None)
+      : (DataFrame, Int, Long) = {
+    require(tolL1 >= 1, s"tolL1 must be >= 1, got $tolL1")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille must be in [0,1000], got $dampingPermille")
+    val g = prepare(edges, assumeDistinct, redistributeDangling, checkpointDir)
+    var ranks = Checkpoints.materialize(
+      g.nodes.withColumn("rank", lit(scale)), checkpointDir)
+    var iter = 0
+    var delta = Long.MaxValue
+    while (delta > tolL1 && iter < maxIters) {
+      val next = Checkpoints.materialize(
+        step(g, ranks, dampingPermille, scale, redistributeDangling),
+        checkpointDir)
+      delta = next.withColumnRenamed("rank", "__new")
+        .join(ranks.withColumnRenamed("rank", "__old"), "node")
+        .agg(coalesce(sum(abs(col("__new") - col("__old"))), lit(0L)))
+        .head().getLong(0)
+      ranks = next
+      iter += 1
+    }
+    if (delta > tolL1)
+      throw new IllegalStateException(
+        s"pagerankIntConverged: L1 delta $delta still above tolL1=$tolL1 " +
+          s"after $maxIters rounds — raise maxIters or tolL1")
+    (ranks, iter, delta)
   }
 }

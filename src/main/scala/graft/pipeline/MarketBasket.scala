@@ -36,10 +36,13 @@ object MarketBasket {
    * support — and ANSI mode faults loudly rather than wrapping if a
    * corpus ever crosses it.
    */
-  def pairRules(df: DataFrame, basketCol: String, itemCol: String,
-                minSupport: Long = 2, maxBasketSize: Int = 1000): DataFrame = {
-    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+  /** The shared (basket, item) prep: nulls out, (basket, item) deduped so
+    * support counts baskets, mega-baskets dropped, result materialized
+    * ONCE for the many downstream consumers (see [[pairRules]]'s scan
+    * audit). */
+  private def basketItems(df: DataFrame, basketCol: String, itemCol: String,
+                          maxBasketSize: Int,
+                          checkpointDir: Option[String]): DataFrame = {
     val items0 = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .filter(col("i").isNotNull && col("b").isNotNull)
       .distinct()
@@ -48,9 +51,18 @@ object MarketBasket {
     // materialize once: items feeds FIVE consumers (both join sides, both
     // item-count tables, and transitively the basket count) whose pruned
     // subplans would otherwise each re-derive the distinct from the scan —
-    // measured 9 parquet scans → 1 on the sf0.1 gate
-    val items = items0.join(sizes, "b").select(col("b"), col("i"))
-      .localCheckpoint(eager = true)
+    // measured 9 parquet scans → 1 on the sf0.1 gate. checkpointDir opts
+    // into the fault-tolerant materialization (see Checkpoints)
+    Checkpoints.materialize(
+      items0.join(sizes, "b").select(col("b"), col("i")), checkpointDir)
+  }
+
+  def pairRules(df: DataFrame, basketCol: String, itemCol: String,
+                minSupport: Long = 2, maxBasketSize: Int = 1000,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val items = basketItems(df, basketCol, itemCol, maxBasketSize, checkpointDir)
     val nBaskets = items.select(col("b")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val left = items.select(col("b"), col("i").as("item_a"))
@@ -69,5 +81,68 @@ object MarketBasket {
         expr("n_ab * 1000 div n_a").as("conf_ab_permille"),
         expr("n_ab * 1000 div n_b").as("conf_ba_permille"),
         expr("n_ab * n_baskets * 1000 div (n_a * n_b)").as("lift_permille"))
+  }
+
+  /**
+   * Top-k 3-itemset association rules — [[pairRules]] one lattice level
+   * up, with the classic Apriori candidate prune keeping the shape
+   * tractable: a triple {a,b,c} with support ≥ minSupport necessarily has
+   * its {a,b} sub-pair at support ≥ minSupport, so candidate generation
+   * extends only FREQUENT-pair occurrences by a third same-basket item
+   * (candidate volume ≤ frequent-pair occurrences × basket size — never
+   * the unguarded Σ size³ triple stream; `maxBasketSize` bounds the
+   * extension fan-out). Output is the `topK` triples by
+   * (support DESC, item_a, item_b, item_c ASC) — a total order, so the
+   * cut is deterministic and SQL-replayable — with each rule
+   * orientation's integer-permille confidence (the three sub-pair
+   * supports all ≥ minSupport by the same monotonicity, so the metric
+   * joins never lose a row).
+   *
+   * One Σ size²-bounded self-join (the pair stream), one frequent-pair
+   * semi-restriction, one bounded extension join, one triple aggregate,
+   * then a TakeOrderedAndProject at `topK` — the ≤topK survivors
+   * broadcast into the three pair-count joins.
+   */
+  def tripleRules(df: DataFrame, basketCol: String, itemCol: String,
+                  minSupport: Long = 2, maxBasketSize: Int = 1000,
+                  topK: Int = 1000,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 3, s"maxBasketSize must be >= 3, got $maxBasketSize")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val items = basketItems(df, basketCol, itemCol, maxBasketSize, checkpointDir)
+    val pairOcc = items.select(col("b"), col("i").as("item_a"))
+      .join(items.select(col("b"), col("i").as("item_b")), Seq("b"))
+      .filter(col("item_a") < col("item_b"))
+    // frequent pairs, materialized once: they gate candidate generation
+    // AND supply all three sub-pair supports for the final metrics
+    val freqPairs = Checkpoints.materialize(
+      pairOcc.groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= minSupport),
+      checkpointDir)
+    val triples = pairOcc
+      .join(freqPairs.select(col("item_a"), col("item_b")),
+        Seq("item_a", "item_b"), "left_semi")
+      .join(items.select(col("b"), col("i").as("item_c")), Seq("b"))
+      .filter(col("item_b") < col("item_c"))
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("n_abc"))
+      .filter(col("n_abc") >= minSupport)
+      .orderBy(col("n_abc").desc, col("item_a").asc, col("item_b").asc,
+        col("item_c").asc)
+      .limit(topK)
+    def sub(lo: String, hi: String, as: String): DataFrame =
+      freqPairs.select(col("item_a").as(lo), col("item_b").as(hi),
+        col("n_pair").as(as))
+    triples
+      .join(sub("item_a", "item_b", "n_ab"), Seq("item_a", "item_b"))
+      .join(sub("item_a", "item_c", "n_ac"), Seq("item_a", "item_c"))
+      .join(sub("item_b", "item_c", "n_bc"), Seq("item_b", "item_c"))
+      .select(col("item_a"), col("item_b"), col("item_c"), col("n_abc"),
+        col("n_ab"), col("n_ac"), col("n_bc"),
+        expr("n_abc * 1000 div n_ab").as("conf_ab_c_permille"),
+        expr("n_abc * 1000 div n_ac").as("conf_ac_b_permille"),
+        expr("n_abc * 1000 div n_bc").as("conf_bc_a_permille"))
   }
 }

@@ -36,8 +36,15 @@ object Sketches {
   def distinctKmv(df: DataFrame, groupCol: String, valueCol: String,
                   k: Int): DataFrame = {
     require(k >= 2 && k <= (1 << 20), s"k must be in [2, 2^20], got $k")
-    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    // hash 0 maps to 1: h_k is a divisor, and a value whose md5 opens with
+    // eight hex zeros (p ≈ 2⁻³² per distinct value, but input-controlled)
+    // would otherwise hard-fail the estimate with DIVIDE_BY_ZERO under
+    // ANSI. Merging hash 0 into hash 1 shifts the estimate negligibly;
+    // the DuckDB oracle applies the identical mapping.
+    val h = greatest(
+      conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+      lit(1L))
     val hashes = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), h.as("__h"))
       .distinct()
@@ -51,6 +58,70 @@ object Sketches {
         when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
           .otherwise(
             expr(s"(${k - 1} * 4294967296L) div element_at(__mins, $k).ord"))
+          .as("est_distinct"))
+  }
+
+  /**
+   * HyperLogLog distinct-count estimate per group (Flajolet et al. '07),
+   * fully DETERMINISTIC and integer-exact so a SQL oracle rebuilds the
+   * identical sketch — the replayable twin of Spark's own
+   * `approx_count_distinct` (whose HLL++ uses an engine-private hash and
+   * bias tables, so it can never be cross-engine-gated).
+   *
+   * Register layout on the 32-bit md5-prefix hash (0 mapped to 1, same as
+   * [[distinctKmv]]): the top `b` bits pick one of m = 2^b registers, and
+   * ρ = leading-zeros-within-the-remaining-(32−b)-bits + 1 updates the
+   * register max. The harmonic mean is computed EXACTLY in integers by
+   * scaling each 2^−M_j term to 2^(32−M_j) (registers never hit store
+   * 2^32), so
+   *   est = (α_permille · m² · 2³²) div (1000 · Σ_j 2^(32−M_j))
+   * replays bit-for-bit in any engine — no float, no pow, no ln. The
+   * standard small-range linear-counting correction needs ln and is
+   * deliberately NOT applied; `n_hit` (registers touched) is emitted so a
+   * caller can apply it — use [[distinctKmv]] when exact small counts
+   * matter (it reports them exactly).
+   *
+   * Standard error ≈ 1.04/√m (13% at the default b=6). `b` capped at 10
+   * so α·m²·2³² stays in Long range.
+   *
+   * Scale shape: values hash AT THE SCAN; the (group, register) partial
+   * max combines map-side to ≤ m rows per group per task, so the shuffle
+   * carries bounded register tables, never values — the classic
+   * mergeable-sketch contract.
+   *
+   * Output: groupCol, `n_hit` (registers touched, ≤ m), `est_distinct`.
+   */
+  def distinctHll(df: DataFrame, groupCol: String, valueCol: String,
+                  b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 10, s"b must be in [4, 10], got $b")
+    val m = 1L << b
+    val wBits = 32 - b
+    val wMod = 1L << wBits
+    val alphaPermille: Long = b match {
+      case 4 => 673
+      case 5 => 697
+      case 6 => 709
+      case _ => math.round(721.3 / (1 + 1.079 / m)) // Flajolet's α_m
+    }
+    val h = greatest(
+      conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+      lit(1L))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), h.as("__h"))
+      .select(col(groupCol), expr(s"__h div ${wMod}L").as("__j"),
+        expr(s"__h % ${wMod}L").as("__w"))
+      .select(col(groupCol), col("__j"),
+        when(col("__w") === 0L, lit(wBits + 1L))
+          .otherwise(lit(wBits.toLong) - length(bin(col("__w"))) + 1L)
+          .as("__rho"))
+      .groupBy(col(groupCol), col("__j")).agg(max(col("__rho")).as("__M"))
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_hit"),
+        sum(expr("shiftleft(1L, CAST(32 - __M AS INT))")).as("__sp"))
+      .select(col(groupCol), col("n_hit"),
+        expr(s"($alphaPermille * ${m * m} * 4294967296L) div " +
+          s"(1000 * (__sp + (${m}L - n_hit) * 4294967296L))")
           .as("est_distinct"))
   }
 }

@@ -201,7 +201,10 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(topV)
     // rank over the ≤topV-row survivor set: vocabulary-bounded single
-    // partition, the same boundedness argument as the BPE histogram
+    // partition, the same boundedness argument as the BPE histogram (its
+    // partition-less WARN is muted at the mains — Spark 4's
+    // EliminateWindowPartitions folds away constant partition keys, so
+    // the classic partitionBy(lit(0)) silencer is a no-op)
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("token").asc))
           .cast("long"))

@@ -23,6 +23,7 @@ object RunQuery {
       .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.muteBoundedWindowWarn() // after setLogLevel (root reset)
     graft.sql.functions.registerAll(spark)
     // SPARK_GRAFT_DUMP=<dir>: also write each query's result parquet there
     // (the Verify layout), for targeted single-query oracle checks

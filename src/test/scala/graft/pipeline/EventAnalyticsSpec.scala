@@ -314,6 +314,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().forall(_.getLong(6) == 0L))
   }
 
+  test("rollingAnomalies drops null x rows (module null contract)") {
+    // a null x must neither appear in the output nor inflate n_window for
+    // the rows whose trailing frame contains it
+    val rnd = new scala.util.Random(3)
+    val vals = (0L until 25L).map(p => (1L, p, rnd.nextInt(100).toLong))
+    val withNulls = vals.map { case (u, p, x) =>
+      (u, p, if (p % 7 == 3) Option.empty[Long] else Some(x))
+    }
+    val got = EventAnalytics.rollingAnomalies(
+      withNulls.toDF("user_id", "period", "x"), 2, 7, 4).collect()
+    val clean = EventAnalytics.rollingAnomalies(
+      withNulls.filter(_._3.isDefined)
+        .map { case (u, p, x) => (u, p, x.get) }
+        .toDF("user_id", "period", "x"), 2, 7, 4).collect()
+    assert(got.map(_.toSeq).toSet == clean.map(_.toSeq).toSet)
+    assert(got.forall(!_.isNullAt(2)))
+  }
+
   // ---- transitions ----
 
   test("transitions == lag replay with integer permille") {
@@ -400,5 +418,70 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(nodes == Set(1L, 2L))
     intercept[IllegalArgumentException](Graph.pagerankInt(edges, -1))
     intercept[IllegalArgumentException](Graph.pagerankInt(edges, 1, dampingPermille = 1001))
+  }
+
+  /** Brute PageRank with the equal-share dangling redistribution term:
+    * inflow(v) += (Σ_{outdeg(u)=0} r(u)) div n, same integer truncation. */
+  private def bruteDangling(edges: Seq[(Long, Long)], iters: Int,
+                            d: Int, scale: Long): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = nodes.size.toLong
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filter(v => !outdeg.contains(v)).map(r).sum
+      val share = dm / n
+      val inflow = e.groupBy(_._2).map { case (v, in) =>
+        v -> in.map { case (u, _) => r(u) / outdeg(u) }.sum
+      }
+      r = nodes.map(v =>
+        v -> (((1000 - d) * scale +
+          d * (inflow.getOrElse(v, 0L) + share)) / 1000)).toMap
+    }
+    r
+  }
+
+  test("pagerankInt redistributeDangling == integer replica; mass returns to the graph") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 31)
+      // dst domain wider than src domain → real dangling sinks exist
+      val edges = (0 until 120).map(_ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(30).toLong))
+      val got = Graph.pagerankInt(edges.toDF("src", "dst"), iters = 3,
+          redistributeDangling = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteDangling(edges, 3, 850, 1000000L), s"seed $seed")
+      // redistribution must beat the drop-mass variant in conserved total:
+      // the dropped variant leaks the sinks' outflow every round
+      val dropped = brutePagerank(edges, 3, 850, 1000000L)
+      assert(got.values.sum > dropped.values.sum, s"seed $seed")
+    }
+  }
+
+  test("pagerankIntConverged stops within tolerance; ranks stable under +1 iteration") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 150).map(_ =>
+      (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+    val df = edges.toDF("src", "dst")
+    val n = (edges.map(_._1) ++ edges.map(_._2)).distinct.size.toLong
+    val tol = 40000L
+    val (ranksDf, iters, delta) = Graph.pagerankIntConverged(df, tolL1 = tol)
+    assert(delta <= tol && iters >= 1)
+    val ranks = ranksDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // consistency: the converged result IS the fixed-iteration result at t
+    assert(ranks == brutePagerank(edges, iters, 850, 1000000L))
+    // stability: one more round moves the ranks by at most ~d·tol/1000
+    // plus the n-bounded integer-truncation floor
+    val next = brutePagerank(edges, iters + 1, 850, 1000000L)
+    val deltaNext = ranks.map { case (k, v) => math.abs(next(k) - v) }.sum
+    assert(deltaNext <= tol * 850 / 1000 + 2 * n,
+      s"post-convergence delta $deltaNext vs tol $tol (n=$n)")
+    // unreachable tolerance within 1 round throws rather than returning
+    // unconverged ranks
+    intercept[IllegalStateException](
+      Graph.pagerankIntConverged(df, tolL1 = 1L, maxIters = 1))
+    intercept[IllegalArgumentException](
+      Graph.pagerankIntConverged(df, tolL1 = 0L))
   }
 }

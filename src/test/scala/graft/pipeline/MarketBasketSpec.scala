@@ -78,4 +78,59 @@ class MarketBasketSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  /** Brute 3-itemset top-k: all within-basket triples, support filter,
+    * (support DESC, a, b, c ASC) cut, sub-pair confidences. */
+  private def bruteTriples(rows: Seq[(Long, Long)], minSupport: Long,
+                           maxBasketSize: Int, topK: Int)
+      : Seq[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)] = {
+    val items = rows.distinct
+      .groupBy(_._1).filter(_._2.size <= maxBasketSize)
+    val pairs = items.values.toSeq.flatMap { is =>
+      val s = is.map(_._2).sorted
+      for (a <- s; b <- s if a < b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val triples = items.values.toSeq.flatMap { is =>
+      val s = is.map(_._2).sorted
+      for (a <- s; b <- s if a < b; cc <- s if b < cc) yield (a, b, cc)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= minSupport).toSeq
+      .sortBy { case ((a, b, cc), n) => (-n, a, b, cc) }
+      .take(topK)
+    triples.map { case ((a, b, cc), n) =>
+      val (ab, ac, bc) = (pairs((a, b)), pairs((a, cc)), pairs((b, cc)))
+      (a, b, cc, n, ab, ac, bc, n * 1000 / ab, n * 1000 / ac, n * 1000 / bc)
+    }
+  }
+
+  test("tripleRules == brute force across seeds; top-k cut binds") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 41)
+      // small item domain → dense co-occurrence so triples genuinely repeat
+      val rows = (0 until 900).map(_ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(12).toLong))
+      val want = bruteTriples(rows, 2, 1000, 25)
+      assert(want.size == 25, s"seed $seed: cut must bind for the test to bite")
+      val got = MarketBasket.tripleRules(rows.toDF("b", "i"), "b", "i",
+        minSupport = 2, topK = 25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8), r.getLong(9))).toSet
+      assert(got == want.toSet, s"seed $seed")
+    }
+  }
+
+  test("tripleRules: Apriori monotonicity holds on every emitted rule") {
+    val rnd = new scala.util.Random(6)
+    val rows = (0 until 700).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(10).toLong))
+    val out = MarketBasket.tripleRules(rows.toDF("b", "i"), "b", "i",
+      minSupport = 3, topK = 1000).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(3)
+      assert(n >= 3 && r.getLong(4) >= n && r.getLong(5) >= n && r.getLong(6) >= n,
+        s"sub-pair support below triple support in $r")
+    }
+  }
 }

@@ -24,7 +24,8 @@ class SketchesSpec extends AnyFunSuite {
   private def bruteKmv(rows: Seq[(String, String)], k: Int)
       : Map[String, (Long, Long)] =
     rows.groupBy(_._1).map { case (g, vs) =>
-      val hs = vs.map(v => md5h32(v._2)).distinct.sorted
+      // hash 0 → 1, mirroring the operator's ANSI division guard
+      val hs = vs.map(v => math.max(1L, md5h32(v._2))).distinct.sorted
       val kept = hs.take(k)
       val est =
         if (kept.size < k) kept.size.toLong
@@ -90,5 +91,84 @@ class SketchesSpec extends AnyFunSuite {
       .toDF("g", "v")
     val out = Sketches.distinctKmv(df, "g", "v", 8).head()
     assert(out.getLong(1) == 2 && out.getLong(2) == 2)
+  }
+
+  // ---- HLL ----
+
+  /** Exact Scala replica of the integer HLL: top-b-bit register, ρ from
+    * the remaining 32−b bits, scaled harmonic mean. */
+  private def bruteHll(rows: Seq[(String, String)], b: Int)
+      : Map[String, (Long, Long)] = {
+    val m = 1L << b
+    val wBits = 32 - b
+    val wMod = 1L << wBits
+    val alpha = b match { case 4 => 673L; case 5 => 697L; case 6 => 709L
+      case _ => math.round(721.3 / (1 + 1.079 / m)) }
+    rows.groupBy(_._1).map { case (g, vs) =>
+      val regs = scala.collection.mutable.LongMap.empty[Long]
+      vs.foreach { v =>
+        val h = math.max(1L, md5h32(v._2))
+        val j = h / wMod
+        val w = h % wMod
+        val rho = if (w == 0) wBits + 1L
+          else wBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1L
+        regs(j) = math.max(regs.getOrElse(j, 0L), rho)
+      }
+      val sp = regs.values.map(r => 1L << (32 - r).toInt).sum
+      val s = sp + (m - regs.size) * 4294967296L
+      g -> (regs.size.toLong, alpha * m * m * 4294967296L / (1000L * s))
+    }
+  }
+
+  test("distinctHll == exact Scala replica across seeds and b") {
+    for (seed <- 1 to 3; b <- Seq(4, 6, 8)) {
+      val rnd = new scala.util.Random(seed * 29)
+      val rows = (0 until 3000).map(_ =>
+        (s"g${rnd.nextInt(4)}", s"v${rnd.nextInt(800)}"))
+      val got = Sketches.distinctHll(rows.toDF("g", "v"), "g", "v", b)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got == bruteHll(rows, b), s"seed $seed b $b")
+    }
+  }
+
+  test("distinctHll: duplicates never change the registers") {
+    val base = (0 until 500).map(i => ("g", s"v$i"))
+    val a = Sketches.distinctHll(base.toDF("g", "v"), "g", "v")
+      .collect().map(_.toSeq).toSet
+    val bb = Sketches.distinctHll((base ++ base ++ base).toDF("g", "v"),
+      "g", "v").collect().map(_.toSeq).toSet
+    assert(a == bb)
+  }
+
+  test("distinctHll accuracy brackets approx_count_distinct against the truth") {
+    // true distinct 2000/group; se ≈ 1.04/√64 ≈ 13% — assert a 3-se band
+    // for BOTH our replayable sketch and Spark's HLL++, the operator this
+    // twin exists to mirror
+    val rows = (0 until 2000).flatMap(i =>
+      Seq(("a", s"left-$i"), ("b", s"right-$i")))
+    val df = rows.toDF("g", "v")
+    val hll = Sketches.distinctHll(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val acd = df.groupBy(col("g"))
+      .agg(approx_count_distinct(col("v")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("a", "b").foreach { g =>
+      assert(hll(g) > 1200 && hll(g) < 2800, s"hll($g) = ${hll(g)}")
+      assert(acd(g) > 1200 && acd(g) < 2800, s"acd($g) = ${acd(g)}")
+    }
+  }
+
+  test("distinctHll is partition-invariant, validates b, ignores nulls") {
+    val rows = (0 until 1000).map(i => (s"g${i % 3}", s"v${i % 400}"))
+    val df = rows.toDF("g", "v")
+    val a = Sketches.distinctHll(df, "g", "v").collect().map(_.toSeq).toSet
+    val b = Sketches.distinctHll(df.repartition(17), "g", "v")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException](Sketches.distinctHll(df, "g", "v", 3))
+    intercept[IllegalArgumentException](Sketches.distinctHll(df, "g", "v", 11))
+    val withNull = Seq(("g", Option("x")), ("g", None)).toDF("g", "v")
+    assert(Sketches.distinctHll(withNull, "g", "v").head().getLong(1) == 1L)
   }
 }
