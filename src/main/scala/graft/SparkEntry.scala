@@ -3722,8 +3722,8 @@ object SparkEntry {
         "r AS (SELECT l_suppkey, hv // 67108864 AS j, hv % 67108864 AS w FROM h), " +
         "reg AS (SELECT l_suppkey, j, max(CASE WHEN w = 0 THEN 27 ELSE 26 - length(bin(w)) + 1 END) AS m FROM r GROUP BY 1, 2), " +
         "g AS (SELECT l_suppkey, count(*) AS n_hit, sum(CAST(1 AS BIGINT) << CAST(32 - m AS INTEGER)) AS sp FROM reg GROUP BY 1) " +
-        "SELECT l_suppkey, n_hit, (709 * 4096 * 4294967296) // " +
-        "(1000 * (sp + (64 - n_hit) * 4294967296)) AS est_distinct FROM g"),
+        "SELECT l_suppkey, n_hit, CAST((709 * 4096 * 4294967296) // " +
+        "(1000 * (sp + (64 - n_hit) * 4294967296)) AS BIGINT) AS est_distinct FROM g"),
 
     "q_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms FROM events), " +
