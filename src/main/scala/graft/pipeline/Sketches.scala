@@ -92,35 +92,63 @@ object Sketches {
    * Output: groupCol, `n_hit` (registers touched, ≤ m), `est_distinct`.
    */
   def distinctHll(df: DataFrame, groupCol: String, valueCol: String,
-                  b: Int = 6): DataFrame = {
+                  b: Int = 6): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, valueCol, b), groupCol, b)
+
+  private def alphaPermille(b: Int): Long = b match {
+    case 4 => 673
+    case 5 => 697
+    case 6 => 709
+    case _ => math.round(721.3 / (1 + 1.079 / (1L << b))) // Flajolet's α_m
+  }
+
+  /**
+   * The HLL sketch STATE as a DataFrame: one (group, `register`,
+   * `rho_max`) row per touched register — the mergeable artifact behind
+   * [[distinctHll]]. Persist this per shard/partition/day (≤ 2^b rows per
+   * group, parquet-friendly), then union any set of shard tables into
+   * [[hllEstimate]]: register max commutes, so merge-then-estimate equals
+   * the estimate over the concatenated raw data EXACTLY — the classic
+   * mergeable-sketch contract that makes 100 TB incremental
+   * distinct-counting a metadata operation instead of a corpus re-scan.
+   */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+                   b: Int = 6): DataFrame = {
     require(b >= 4 && b <= 10, s"b must be in [4, 10], got $b")
-    val m = 1L << b
     val wBits = 32 - b
     val wMod = 1L << wBits
-    val alphaPermille: Long = b match {
-      case 4 => 673
-      case 5 => 697
-      case 6 => 709
-      case _ => math.round(721.3 / (1 + 1.079 / m)) // Flajolet's α_m
-    }
     val h = greatest(
       conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
         .cast("long"),
       lit(1L))
     df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), h.as("__h"))
-      .select(col(groupCol), expr(s"__h div ${wMod}L").as("__j"),
+      .select(col(groupCol), expr(s"__h div ${wMod}L").as("register"),
         expr(s"__h % ${wMod}L").as("__w"))
-      .select(col(groupCol), col("__j"),
+      .select(col(groupCol), col("register"),
         when(col("__w") === 0L, lit(wBits + 1L))
           .otherwise(lit(wBits.toLong) - length(bin(col("__w"))) + 1L)
-          .as("__rho"))
-      .groupBy(col(groupCol), col("__j")).agg(max(col("__rho")).as("__M"))
+          .as("rho"))
+      .groupBy(col(groupCol), col("register"))
+      .agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** Merge + estimate over [[hllRegisters]] tables (any union of them —
+    * merging IS `max` per register, re-done here, so shard tables can be
+    * concatenated as-is). Same integer-exact harmonic mean as
+    * [[distinctHll]]; `b` must match the registers' build. */
+  def hllEstimate(registers: DataFrame, groupCol: String,
+                  b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 10, s"b must be in [4, 10], got $b")
+    val m = 1L << b
+    registers
+      .groupBy(col(groupCol), col("register"))
+      .agg(max(col("rho_max")).as("__M"))
       .groupBy(col(groupCol)).agg(
         count(lit(1)).as("n_hit"),
         sum(expr("shiftleft(1L, CAST(32 - __M AS INT))")).as("__sp"))
       .select(col(groupCol), col("n_hit"),
-        expr(s"($alphaPermille * ${m * m} * 4294967296L) div " +
+        expr(s"(${alphaPermille(b)} * ${m * m} * 4294967296L) div " +
           s"(1000 * (__sp + (${m}L - n_hit) * 4294967296L))")
           .as("est_distinct"))
   }

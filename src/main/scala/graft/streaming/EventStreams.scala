@@ -383,6 +383,62 @@ object EventStreams {
       }
   }
 
+  /** A per-(key, period) integer series point — [[rollingAnomaliesStream]]
+    * input row (the shape [[graft.pipeline.EventAnalytics.gapFill]] emits,
+    * with `x` the unit-scaled metric). */
+  case class SeriesPoint(user_id: Long, period: Long, x: Long)
+
+  /** A flagged series point — [[rollingAnomaliesStream]] output row; same
+    * columns and arithmetic as the batch operator's. */
+  case class AnomalyFlag(user_id: Long, period: Long, x: Long,
+                         n_window: Long, dev2_scaled: Long,
+                         bound_scaled: Long, is_anomaly: Long)
+
+  /**
+   * Streaming twin of [[graft.pipeline.EventAnalytics.rollingAnomalies]]:
+   * the same exact-integer z-test — flag iff
+   * (n·x − Σx)² > k²·(n·Σx² − (Σx)²) over the trailing `window` points —
+   * evaluated online. GroupState carries the last `window − 1` x values
+   * per key (a bounded ring of longs), so the trailing frame spans
+   * micro-batches and each point is scored exactly once, on arrival —
+   * the live-dashboard form of the batch detector.
+   *
+   * Arrival contract (the family's): per key, `period` non-decreasing
+   * ACROSS batches (within a batch the iterator is re-sorted by period);
+   * the series is expected dense per key — feed gapFill-shaped output,
+   * as the batch twin documents. Under that contract the emitted flags
+   * equal the batch operator's rows on the concatenated series. State is
+   * ≤ window − 1 longs per key, NoTimeout.
+   */
+  def rollingAnomaliesStream(points: Dataset[SeriesPoint], k: Int = 3,
+                             window: Int = 7, minPeriods: Int = 3)
+      : Dataset[AnomalyFlag] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(window >= 2 && minPeriods >= 2 && minPeriods <= window,
+      s"need 2 <= minPeriods <= window, got $minPeriods/$window")
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], AnomalyFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[SeriesPoint], state: GroupState[Seq[Long]]) =>
+          var hist = state.getOption.getOrElse(Seq.empty)
+          val out = batch.toSeq.sortBy(_.period).map { p =>
+            val frame = hist.takeRight(window - 1) :+ p.x
+            val n = frame.size.toLong
+            val s = frame.sum
+            val s2 = frame.map(v => v * v).sum
+            val dev2 = (n * p.x - s) * (n * p.x - s)
+            val bound = k.toLong * k * (n * s2 - s * s)
+            hist = (hist :+ p.x).takeRight(window - 1)
+            AnomalyFlag(uid, p.period, p.x, n, dev2, bound,
+              if (n >= minPeriods && dev2 > bound) 1L else 0L)
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
+
   /** A funnel step completion — [[funnelStream]] output row. `stage` is
     * 1-based (stage i ⇔ `steps(i-1)` completed at `ts_us`). */
   case class StageAdvance(user_id: Long, stage: Int, ts_us: Long)

@@ -373,6 +373,35 @@ class PlanSpec extends AnyFunSuite {
       planStr)
   }
 
+  test("distinctHll plan: bounded register tables shuffle, twice, pruned scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val df = graft.pipeline.Sketches.distinctHll(li, "l_suppkey", "l_partkey")
+    // (group, register) partial max combines map-side, then the per-group
+    // rollup — two exchanges, like KMV; a third means hashing stopped
+    // happening at the scan
+    assert(countShuffles(df) == 2, "register max + per-group rollup")
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      planStr)
+  }
+
+  test("tripleRules plan: no cartesian/NLJ; base scanned at most twice") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val df = graft.pipeline.MarketBasket.tripleRules(
+      li, "l_orderkey", "l_suppkey", minSupport = 2, topK = 50)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // the deduped (basket, item) table is checkpointed once; only the
+    // items0 derivation's two consumers (sizes agg + the guard join) may
+    // re-read the base — every pair/triple/metric consumer must hit the
+    // checkpoint, not the parquet
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans <= 2, s"base scanned $scans times:\n$plan")
+  }
+
   test("pagerank plan: no nested-loop or cartesian joins at any iteration") {
     val edges = spark.read.parquet(s"$sf/lineitem.parquet")
       .selectExpr("l_suppkey as src", "l_partkey as dst").limit(2000)

@@ -159,6 +159,22 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hllRegisters shard tables merge EXACTLY: union-of-sketches == sketch-of-union") {
+    // the mergeable-sketch contract, asserted as exact equality (register
+    // max commutes): sketch shards A and B separately, concatenate the
+    // register tables, estimate — must equal distinctHll over A ∪ B
+    val rnd = new scala.util.Random(17)
+    val a = (0 until 1200).map(_ => (s"g${rnd.nextInt(3)}", s"v${rnd.nextInt(700)}"))
+    val b = (0 until 1200).map(_ => (s"g${rnd.nextInt(3)}", s"x${rnd.nextInt(700)}"))
+    val merged = Sketches.hllEstimate(
+      Sketches.hllRegisters(a.toDF("g", "v"), "g", "v")
+        .unionByName(Sketches.hllRegisters(b.toDF("g", "v"), "g", "v")), "g")
+      .collect().map(_.toSeq).toSet
+    val direct = Sketches.distinctHll((a ++ b).toDF("g", "v"), "g", "v")
+      .collect().map(_.toSeq).toSet
+    assert(merged == direct)
+  }
+
   test("distinctHll is partition-invariant, validates b, ignores nulls") {
     val rows = (0 until 1000).map(i => (s"g${i % 3}", s"v${i % 400}"))
     val df = rows.toDF("g", "v")

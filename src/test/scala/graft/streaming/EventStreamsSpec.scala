@@ -1000,4 +1000,51 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(batch.values.exists(_._1 == 3))
     } finally q.stop()
   }
+
+  test("streaming rolling anomalies == batch over a two-batch split (cross-batch frames)") {
+    import org.apache.spark.sql.DataFrame
+    // spiky dense series for 3 keys; split by period so trailing frames
+    // SPAN the batch boundary — the GroupState ring is what's under test
+    val rnd = new scala.util.Random(9)
+    val series = for (u <- 0L until 3L; p <- 0L until 24L) yield
+      (u, p, if (p % 11 == 5) 60L + rnd.nextInt(20) else rnd.nextInt(8).toLong)
+    val df = series.toDF("user_id", "period", "x")
+    val batch = graft.pipeline.EventAnalytics.rollingAnomalies(
+        df, k = 2, window = 7, minPeriods = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(batch.values.exists(_._5 == 1L), "fixture must flag something")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-anom-stream")
+    def writeOne(d: DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-anom-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    // boundary at period 10: every frame for periods 10..16 crosses it
+    writeOne(df.filter(col("period") < 10), "a.parquet", 120000L)
+    writeOne(df.filter(col("period") >= 10), "b.parquet", 1000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("period", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      .as[EventStreams.SeriesPoint]
+    val q = EventStreams.rollingAnomaliesStream(stream, k = 2, window = 7,
+        minPeriods = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anom_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("anom_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
