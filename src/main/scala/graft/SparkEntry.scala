@@ -1410,6 +1410,18 @@ object SparkEntry {
       Sketches.distinctHll(Tables.table(s, d, "lineitem"),
         "l_suppkey", "l_partkey", b = 6)),
 
+    // bottom-k uniform-sample quantile sketch: per-supplier p10/p50/p90
+    // of line-item price cents from a k=64 hash-minimal row sample —
+    // deterministic membership, so the oracle rebuilds the exact sample
+    "q_quantile_sketch" -> ((s, d) =>
+      Sketches.quantileSketch(
+        Tables.table(s, d, "lineitem")
+          .withColumn("row_id", expr("l_orderkey * 10 + l_linenumber"))
+          .withColumn("cents",
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")),
+        "l_suppkey", "row_id", "cents", k = 64,
+        qsPermille = Seq(100, 500, 900))),
+
     // exact repeated-substring scan (Lee et al. ACL'22 curation pass):
     // per-doc count of word-aligned 40-char grams appearing verbatim in at
     // least one other document; md5 gram digests are identical in both
@@ -3712,6 +3724,22 @@ object SparkEntry {
         "FROM r WHERE rn <= 64 GROUP BY 1) " +
         "SELECT l_suppkey, n_kept, CASE WHEN n_kept < 64 THEN n_kept " +
         "ELSE (63 * 4294967296) // hk END AS est_distinct FROM kk"),
+
+    // full sample replay: same md5(row_id) 32-bit hash (0→1), the k=64
+    // (hv, v)-lexicographic minimum rows per group, sorted sample, exact
+    // lower-quantile indexing — identical integer arithmetic end to end
+    "q_quantile_sketch" ->
+      ("WITH r AS (SELECT l_suppkey, " +
+        "greatest(CAST('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 8) AS BIGINT), 1) AS hv, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem " +
+        "WHERE l_extendedprice IS NOT NULL AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL), " +
+        "s AS (SELECT l_suppkey, v FROM (SELECT l_suppkey, hv, v, " +
+        "row_number() OVER (PARTITION BY l_suppkey ORDER BY hv, v) AS rn FROM r) WHERE rn <= 64), " +
+        "g AS (SELECT l_suppkey, list_sort(list(v)) AS vals FROM s GROUP BY 1) " +
+        "SELECT l_suppkey, CAST(len(vals) AS BIGINT) AS n_sample, " +
+        "vals[CAST((100 * (len(vals) - 1)) // 1000 AS INTEGER) + 1] AS q100, " +
+        "vals[CAST((500 * (len(vals) - 1)) // 1000 AS INTEGER) + 1] AS q500, " +
+        "vals[CAST((900 * (len(vals) - 1)) // 1000 AS INTEGER) + 1] AS q900 FROM g"),
 
     // full register replay: same 32-bit hash (0→1), top-6-bit register
     // index, leading-zero rank via length(bin(w)) — identical in both

@@ -133,6 +133,87 @@ object Sketches {
       .agg(max(col("rho")).as("rho_max"))
   }
 
+  /**
+   * Bottom-k uniform-sample quantile sketch — the quantile member of the
+   * deterministic sketch trio (with [[distinctKmv]]/[[distinctHll]] for
+   * cardinality and SpaceSaving for heavy hitters). The k rows with the
+   * smallest md5(rowId) hashes form an order-independent uniform sample
+   * of each group (the classic bottom-k sketch), and the reported
+   * quantiles are the EXACT lower quantiles of that sample:
+   * `q_p = sample_sorted[(p·(n−1)) div 1000]`. Sampling error is the
+   * usual O(1/√k) quantile bound; everything after the hash is integer,
+   * so a SQL oracle rebuilds the identical sketch.
+   *
+   * `idCol` must be a UNIQUE row key within the group (it drives the
+   * sample membership); `valueCol` must be integral (cast/scale floats
+   * to cents/milli upstream, as the gates do). Hash ties break by value
+   * — total order, deterministic cross-engine.
+   *
+   * Mergeable: [[quantileSample]] exposes the (group, hv, v) bottom-k
+   * rows; union shard tables and re-sketch — min-k by hash commutes, so
+   * merge-then-quantile equals quantile-over-union exactly (spec-pinned).
+   *
+   * Scale shape: rows hash AT THE SCAN; the bounded [[TopNByOrd]] heaps
+   * combine map-side to ≤ k rows per task × group, so the shuffle carries
+   * samples, never the corpus — same contract as KMV.
+   *
+   * Output: groupCol, `n_sample`, one `q<p>` column per requested
+   * permille (e.g. q500 = median estimate).
+   */
+  def quantileSketch(df: DataFrame, groupCol: String, idCol: String,
+                     valueCol: String, k: Int,
+                     qsPermille: Seq[Int] = Seq(250, 500, 750)): DataFrame = {
+    require(qsPermille.nonEmpty && qsPermille.forall(p => p >= 0 && p <= 1000),
+      s"quantile permilles must be in [0, 1000], got $qsPermille")
+    val base = quantileSample(df, groupCol, idCol, valueCol, k)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("v"))).as("__vals"))
+    val qCols = qsPermille.map { p =>
+      expr(s"element_at(__vals, CAST(($p * (size(__vals) - 1)) div 1000 AS INT) + 1)")
+        .as(s"q$p")
+    }
+    base.select(col(groupCol) +:
+      size(col("__vals")).cast("long").as("n_sample") +: qCols: _*)
+  }
+
+  /**
+   * The mergeable state behind [[quantileSketch]]: per group, the k rows
+   * with the smallest `hv = md5₃₂(rowId)` (0→1, as everywhere), as
+   * (groupCol, `hv`, `v`) rows. Persist per shard; union any set of shard
+   * tables and feed back through this function (idempotent — min-k of a
+   * union of min-k's is the global min-k) or into [[quantileSketch]]'s
+   * aggregation via the same path.
+   */
+  def quantileSample(df: DataFrame, groupCol: String, idCol: String,
+                     valueCol: String, k: Int): DataFrame = {
+    val h = greatest(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+      lit(1L))
+    bottomK(df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol), h.as("__h"),
+        col(valueCol).cast("long").as("__v")), groupCol, k)
+  }
+
+  /** Merge [[quantileSample]] shard tables: min-k of a union of min-k's
+    * is the global min-k, so this returns exactly the sample the whole
+    * concatenated corpus would have produced. `k` must match the shards'. */
+  def quantileSampleMerge(shards: DataFrame, groupCol: String,
+                          k: Int): DataFrame =
+    bottomK(shards.select(col(groupCol), col("hv").as("__h"),
+      col("v").as("__v")), groupCol, k)
+
+  private def bottomK(rows: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= (1 << 20), s"k must be in [2, 2^20], got $k")
+    import org.apache.spark.sql.GraftShims
+    val minK = GraftShims.column(org.apache.spark.sql.graft.TopNByOrd(
+      GraftShims.expression(col("__h")),
+      GraftShims.expression(col("__v")), k).toAggregateExpression())
+    rows.groupBy(col(groupCol)).agg(minK.as("__mins"))
+      .select(col(groupCol), explode(col("__mins")).as("__e"))
+      .select(col(groupCol), col("__e.ord").as("hv"), col("__e.id").as("v"))
+  }
+
   /** Merge + estimate over [[hllRegisters]] tables (any union of them —
     * merging IS `max` per register, re-done here, so shard tables can be
     * concatenated as-is). Same integer-exact harmonic mean as

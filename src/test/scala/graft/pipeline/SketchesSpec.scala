@@ -175,6 +175,64 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  // ---- bottom-k quantile sketch ----
+
+  /** Exact Scala replica: k (hash, value)-lexicographic minima per group,
+    * sorted sample, lower-quantile index. */
+  private def bruteQuantiles(rows: Seq[(String, Long, Long)], k: Int,
+                             qs: Seq[Int]): Map[String, (Long, Seq[Long])] =
+    rows.groupBy(_._1).map { case (g, vs) =>
+      val sample = vs.map(v => (math.max(1L, md5h32(v._2.toString)), v._3))
+        .sorted.take(k).map(_._2).sorted
+      val n = sample.size
+      g -> (n.toLong, qs.map(p => sample((p * (n - 1) / 1000).toInt)))
+    }
+
+  test("quantileSketch == exact Scala replica across seeds") {
+    val qs = Seq(100, 500, 900)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 37)
+      val rows = (0 until 3000).map(i =>
+        (s"g${rnd.nextInt(3)}", i.toLong, rnd.nextInt(100000).toLong))
+      val got = Sketches.quantileSketch(rows.toDF("g", "id", "v"),
+          "g", "id", "v", k = 32, qsPermille = qs)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), Seq(r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == bruteQuantiles(rows, 32, qs), s"seed $seed")
+    }
+  }
+
+  test("quantileSample shards merge EXACTLY: min-k of unions == global min-k") {
+    val rnd = new scala.util.Random(21)
+    val a = (0 until 1500).map(i => (s"g${i % 2}", i.toLong, rnd.nextInt(9999).toLong))
+    val b = (1500 until 3000).map(i => (s"g${i % 2}", i.toLong, rnd.nextInt(9999).toLong))
+    val merged = Sketches.quantileSampleMerge(
+      Sketches.quantileSample(a.toDF("g", "id", "v"), "g", "id", "v", 48)
+        .unionByName(Sketches.quantileSample(b.toDF("g", "id", "v"), "g", "id", "v", 48)),
+      "g", 48).collect().map(_.toSeq).toSet
+    val direct = Sketches.quantileSample((a ++ b).toDF("g", "id", "v"),
+      "g", "id", "v", 48).collect().map(_.toSeq).toSet
+    assert(merged == direct && merged.nonEmpty)
+  }
+
+  test("quantileSketch accuracy: sampled median lands near the true median") {
+    // uniform 0..99999, true median 50000, k=256 → se of the median rank
+    // ≈ 0.5/√256 ≈ 3.1% of the range; assert a generous 5-se band
+    val rows = (0 until 20000).map(i => ("g", i.toLong, ((i * 7919) % 100000).toLong))
+    val q500 = Sketches.quantileSketch(rows.toDF("g", "id", "v"),
+      "g", "id", "v", k = 256, qsPermille = Seq(500)).head().getLong(2)
+    assert(q500 > 35000 && q500 < 65000, s"median estimate $q500")
+  }
+
+  test("quantileSketch: exact-regime (n <= k) quantiles are the true quantiles") {
+    val vals = Seq(10L, 20L, 30L, 40L, 50L)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+    val r = Sketches.quantileSketch(rows.toDF("g", "id", "v"),
+      "g", "id", "v", k = 64, qsPermille = Seq(0, 500, 1000)).head()
+    assert(r.getLong(1) == 5L)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((10L, 30L, 50L)))
+  }
+
   test("distinctHll is partition-invariant, validates b, ignores nulls") {
     val rows = (0 until 1000).map(i => (s"g${i % 3}", s"v${i % 400}"))
     val df = rows.toDF("g", "v")
