@@ -1347,6 +1347,23 @@ object SparkEntry {
         .select(col("node"), col("rank"))
     }),
 
+    // weighted PageRank over the same purchase graph, edge weight = total
+    // quantity traded on the (customer, supplier) pair — flow splits
+    // (r·w) div Σw instead of equally; duplicate pair edges sum their
+    // weights (the operator's additive-flow aggregate)
+    "q_pagerank_weighted" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"), expr("CAST(l_quantity AS BIGINT)").as("w"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"), col("w"))
+      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      Graph.pagerankInt(sym, iters = 2, weightCol = Some("w"))
+        .select(col("node"), col("rank"))
+    }),
+
     // reciprocal-rank fusion of a lexical and a vector ranking (hybrid
     // search): BM25 top-20 fused with SQ8-ANN top-20 — the SQ8 path is
     // the bit-replayable ANN ranking, so BOTH input rank orders are
@@ -3650,6 +3667,27 @@ object SparkEntry {
         "FROM nodes LEFT JOIN c1 USING (node)), " +
         "c2 AS (SELECT e.dst AS node, CAST(sum(r1.rank // d.outdeg) AS BIGINT) AS inflow " +
         "FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src GROUP BY 1), " +
+        "r2 AS (SELECT nodes.node, (150 * 1000000 + 850 * coalesce(c2.inflow, 0)) // 1000 AS rank " +
+        "FROM nodes LEFT JOIN c2 USING (node)) " +
+        "SELECT node, rank FROM r2"),
+
+    // the weighted unroll: per-pair summed quantities, (rank·w) // Σw
+    // flow split, same damping blend — every step integer, replayed
+    // bit-for-bit like the unweighted gate
+    "q_pagerank_weighted" ->
+      ("WITH e0 AS (SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY 1, 2), " +
+        "e AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e GROUP BY 1), " +
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes), " +
+        "c1 AS (SELECT e.dst AS node, CAST(sum((r0.rank * e.w) // d.wsum) AS BIGINT) AS inflow " +
+        "FROM e JOIN r0 ON e.src = r0.node JOIN ws d ON e.src = d.src GROUP BY 1), " +
+        "r1 AS (SELECT nodes.node, (150 * 1000000 + 850 * coalesce(c1.inflow, 0)) // 1000 AS rank " +
+        "FROM nodes LEFT JOIN c1 USING (node)), " +
+        "c2 AS (SELECT e.dst AS node, CAST(sum((r1.rank * e.w) // d.wsum) AS BIGINT) AS inflow " +
+        "FROM e JOIN r1 ON e.src = r1.node JOIN ws d ON e.src = d.src GROUP BY 1), " +
         "r2 AS (SELECT nodes.node, (150 * 1000000 + 850 * coalesce(c2.inflow, 0)) // 1000 AS rank " +
         "FROM nodes LEFT JOIN c2 USING (node)) " +
         "SELECT node, rank FROM r2"),

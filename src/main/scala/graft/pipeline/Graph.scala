@@ -20,24 +20,41 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Loop-invariant tables shared by the fixed-iteration and convergence
-    * drivers: distinct nodes, the edge list joined with out-degrees, the
-    * dangling-node set (no out-edges), and the node count. */
+    * drivers: distinct nodes, the edge list joined with out-degrees (or
+    * out-weight totals), the dangling-node set (no out-edges), the node
+    * count, and whether edges carry weights. */
   private case class PrGraph(nodes: DataFrame, edgeDeg: DataFrame,
-                             dangling: DataFrame, nNodes: Long)
+                             dangling: DataFrame, nNodes: Long,
+                             weighted: Boolean)
 
   private def prepare(edges: DataFrame, assumeDistinct: Boolean,
                       redistributeDangling: Boolean,
-                      checkpointDir: Option[String]): PrGraph = {
+                      checkpointDir: Option[String],
+                      weightCol: Option[String] = None): PrGraph = {
     // null endpoints carry no edge semantics and would otherwise drop out
-    // of the contribution join but still mint a phantom node row
-    val cast = edges.filter(col("src").isNotNull && col("dst").isNotNull)
-      .select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-    // `assumeDistinct` skips the dedup shuffle when the caller's edge list
-    // is distinct by construction (e.g. a symmetrized union of disjoint
-    // orientations) — on the sf0.1 purchase-graph gate that is a full
-    // extra pass over 1.17M edges
-    val e = if (assumeDistinct) cast else cast.distinct()
+    // of the contribution join but still mint a phantom node row; in
+    // weighted mode a null/non-positive weight likewise carries no flow
+    val base = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = weightCol match {
+      case Some(w) =>
+        val cast = base.filter(col(w).isNotNull && col(w) > 0)
+          .select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst"),
+            col(w).cast("long").as("w"))
+        // duplicate (src, dst) edges carry ADDITIVE flow in weighted
+        // mode — sum them (assumeDistinct skips the aggregate when the
+        // caller pre-aggregated)
+        if (assumeDistinct) cast
+        else cast.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      case None =>
+        val cast = base.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        // `assumeDistinct` skips the dedup shuffle when the caller's edge
+        // list is distinct by construction (e.g. a symmetrized union of
+        // disjoint orientations) — on the sf0.1 purchase-graph gate that
+        // is a full extra pass over 1.17M edges
+        if (assumeDistinct) cast else cast.distinct()
+    }
     // materialize the loop-invariant tables once: every iteration's lineage
     // references edgeDeg and nodes, so without this the upstream edge
     // derivation (often a join) re-executes per iteration
@@ -45,7 +62,10 @@ object Graph {
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct(),
       checkpointDir)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val deg = weightCol match {
+      case Some(_) => e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+      case None => e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    }
     val edgeDeg = Checkpoints.materialize(e.join(deg, "src"), checkpointDir)
     // dangling = nodes with no out-edge; only materialized (and the node
     // count only collected) when redistribution needs them
@@ -56,18 +76,21 @@ object Graph {
           Seq("node"), "left_anti"),
         checkpointDir)
     val n = if (redistributeDangling) nodes.count() else 0L
-    PrGraph(nodes, edgeDeg, dangling, n)
+    PrGraph(nodes, edgeDeg, dangling, n, weightCol.isDefined)
   }
 
   /** One PageRank step: contribution join on `src`, ONE inflow shuffle by
     * `dst`, node-side left join keeping inflow-less nodes; optionally adds
     * the per-node share of the dangling mass (a broadcast 1-row frame) to
-    * every node's inflow before damping. */
+    * every node's inflow before damping. Weighted graphs contribute
+    * `(rank · w) div Σw` per edge instead of the equal split. */
   private def step(g: PrGraph, ranks: DataFrame, dampingPermille: Int,
                    scale: Long, redistributeDangling: Boolean): DataFrame = {
+    val contrib =
+      if (g.weighted) expr("(rank * w) div wsum") else expr("rank div outdeg")
     val inflow = g.edgeDeg
       .join(ranks.withColumnRenamed("node", "src"), "src")
-      .select(col("dst"), expr("rank div outdeg").as("c"))
+      .select(col("dst"), contrib.as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
     val withDangling = if (redistributeDangling) {
       // Σ rank over dangling nodes, shared equally: each node receives
@@ -120,15 +143,25 @@ object Graph {
    * Overflow headroom: Σ inflow ≤ n·scale, so d·Σ stays under 2^63 for
    * n·scale < 9.2e18/1000 — at the default scale 1e6 that is ~9e9 nodes.
    */
+  /** With `weightCol` set, edges carry integer weights: node u sends
+    * `(r(u)·w(u,v)) div Σ_x w(u,x)` to v (the weighted-PageRank flow
+    * split); duplicate (src, dst) edges SUM their weights (additive flow)
+    * unless `assumeDistinct` says the caller pre-aggregated; null or
+    * non-positive weights drop the edge. Weight-1 edges reproduce the
+    * unweighted results bit-for-bit (w=1 ⇒ Σw = outdeg). Overflow
+    * headroom shifts to r·w < 2⁶³ — keep weights unit-scaled, not milli,
+    * when ranks can concentrate. */
   def pagerankInt(edges: DataFrame, iters: Int, dampingPermille: Int = 850,
                   scale: Long = 1000000L,
                   assumeDistinct: Boolean = false,
                   redistributeDangling: Boolean = false,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  weightCol: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0,1000], got $dampingPermille")
-    val g = prepare(edges, assumeDistinct, redistributeDangling, checkpointDir)
+    val g = prepare(edges, assumeDistinct, redistributeDangling,
+      checkpointDir, weightCol)
     var ranks = g.nodes.withColumn("rank", lit(scale))
     for (i <- 1 to iters) {
       ranks = step(g, ranks, dampingPermille, scale, redistributeDangling)
@@ -163,13 +196,15 @@ object Graph {
                            scale: Long = 1000000L,
                            assumeDistinct: Boolean = false,
                            redistributeDangling: Boolean = false,
-                           checkpointDir: Option[String] = None)
+                           checkpointDir: Option[String] = None,
+                           weightCol: Option[String] = None)
       : (DataFrame, Int, Long) = {
     require(tolL1 >= 1, s"tolL1 must be >= 1, got $tolL1")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0,1000], got $dampingPermille")
-    val g = prepare(edges, assumeDistinct, redistributeDangling, checkpointDir)
+    val g = prepare(edges, assumeDistinct, redistributeDangling,
+      checkpointDir, weightCol)
     var ranks = Checkpoints.materialize(
       g.nodes.withColumn("rank", lit(scale)), checkpointDir)
     var iter = 0

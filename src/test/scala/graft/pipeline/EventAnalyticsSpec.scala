@@ -459,6 +459,51 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  /** Brute weighted PageRank: duplicate (src, dst) weights sum, flow
+    * splits (r·w) div Σw, same damping blend. */
+  private def bruteWeighted(edges: Seq[(Long, Long, Long)], iters: Int,
+                            d: Int, scale: Long): Map[Long, Long] = {
+    val e = edges.filter(_._3 > 0)
+      .groupBy(t => (t._1, t._2))
+      .map { case ((s, t), v) => (s, t, v.map(_._3).sum) }.toSeq
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val wsum = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val inflow = e.groupBy(_._2).map { case (v, in) =>
+        v -> in.map { case (u, _, w) => r(u) * w / wsum(u) }.sum
+      }
+      r = nodes.map(v =>
+        v -> (((1000 - d) * scale + d * inflow.getOrElse(v, 0L)) / 1000)).toMap
+    }
+    r
+  }
+
+  test("weighted pagerank == integer replica; weight-1 edges reproduce unweighted exactly") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 43)
+      // duplicate (src, dst) pairs occur and must SUM; zero/negative
+      // weights are dropped edges
+      val edges = (0 until 150).map(_ => (rnd.nextInt(15).toLong,
+        rnd.nextInt(20).toLong, (rnd.nextInt(7) - 1).toLong))
+      val got = Graph.pagerankInt(edges.toDF("src", "dst", "w"), iters = 3,
+          weightCol = Some("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteWeighted(edges, 3, 850, 1000000L), s"seed $seed")
+    }
+    // w = 1 everywhere ⇒ Σw = outdeg and (r·1) div Σw = r div outdeg:
+    // bit-identical to the unweighted operator (distinct edges)
+    val rnd = new scala.util.Random(3)
+    val plain = (0 until 90).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong)).distinct
+    val unweighted = Graph.pagerankInt(plain.toDF("src", "dst"), 2)
+      .collect().map(_.toSeq).toSet
+    val ones = Graph.pagerankInt(
+      plain.map { case (s, t) => (s, t, 1L) }.toDF("src", "dst", "w"), 2,
+      weightCol = Some("w")).collect().map(_.toSeq).toSet
+    assert(unweighted == ones)
+  }
+
   test("pagerankIntConverged stops within tolerance; ranks stable under +1 iteration") {
     val rnd = new scala.util.Random(7)
     val edges = (0 until 150).map(_ =>
