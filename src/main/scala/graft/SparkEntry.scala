@@ -1347,6 +1347,29 @@ object SparkEntry {
         .select(col("node"), col("rank"))
     }),
 
+    // per-node triangle counts (local clustering signal) over the brand
+    // affinity graph: brands are adjacent iff they co-occur in ≥ 2.2% of
+    // orders (integer ratio test, scale-invariant — keeps roughly half
+    // of the 300 possible edges at every sf, so counts discriminate);
+    // degree-ordered orientation bounds the wedge join at O(m^1.5)
+    "q_triangles" -> ((s, d) => {
+      val li = Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val brands = Tables.table(s, d, "part")
+        .select(col("p_partkey"), expr("CAST(substr(p_brand, 7) AS BIGINT)").as("i"))
+      val items = li.join(brands, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("bkt"), col("i")).distinct()
+      val nb = items.agg(count_distinct(col("bkt")).as("nb"))
+      val edges = items.select(col("bkt"), col("i").as("src"))
+        .join(items.select(col("bkt"), col("i").as("dst")), "bkt")
+        .filter(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(nb))
+        .filter(expr("c * 10000 >= 220 * nb"))
+        .select(col("src"), col("dst"))
+      Graph.triangleCounts(edges)
+    }),
+
     // weighted PageRank over the same purchase graph, edge weight = total
     // quantity traded on the (customer, supplier) pair — flow splits
     // (r·w) div Σw instead of equally; duplicate pair edges sum their
@@ -3670,6 +3693,20 @@ object SparkEntry {
         "r2 AS (SELECT nodes.node, (150 * 1000000 + 850 * coalesce(c2.inflow, 0)) // 1000 AS rank " +
         "FROM nodes LEFT JOIN c2 USING (node)) " +
         "SELECT node, rank FROM r2"),
+
+    // triangle replay: same affinity edges, then every x<y<z with all
+    // three canonical edges present, counted per member node
+    "q_triangles" ->
+      ("WITH items AS (SELECT DISTINCT l.l_orderkey AS bkt, CAST(substr(p.p_brand, 7) AS BIGINT) AS i " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey), " +
+        "nb AS (SELECT count(DISTINCT bkt) AS n FROM items), " +
+        "pr AS (SELECT x.i AS a, y.i AS b, count(*) AS c FROM items x " +
+        "JOIN items y ON x.bkt = y.bkt AND x.i < y.i GROUP BY 1, 2), " +
+        "e AS (SELECT a, b FROM pr CROSS JOIN nb WHERE c * 10000 >= 220 * n), " +
+        "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+        "JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "m AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) " +
+        "SELECT node, count(*) AS n_triangles FROM m GROUP BY 1"),
 
     // the weighted unroll: per-pair summed quantities, (rank·w) // Σw
     // flow split, same damping blend — every step integer, replayed

@@ -226,4 +226,67 @@ object Graph {
           s"after $maxIters rounds — raise maxIters or tolL1")
     (ranks, iter, delta)
   }
+
+  /**
+   * Per-node triangle counts over an undirected simple graph (edges in
+   * either orientation; duplicates and self-loops collapse/drop) — the
+   * local clustering signal link-graph curation thresholds on (a crawl
+   * domain whose neighborhood closes no triangles is a link farm's
+   * signature, and n_triangles is the numerator of the local clustering
+   * coefficient).
+   *
+   * Algorithm: the classic degree-ordered orientation (Schank-Wagner) —
+   * rank nodes by (degree, id), orient every edge low→high rank, and
+   * enumerate each wedge only at its minimum-rank apex. Each triangle is
+   * found exactly once, and the wedge self-join is bounded by
+   * Σ outdeg² = O(m^{3/2}) on ANY graph (an oriented out-degree never
+   * exceeds √(2m)) — the bound that keeps hub-dominated webgraphs
+   * feasible where the naive wedge count Σ deg² explodes.
+   *
+   * Plan: canonical-edge distinct, a broadcast-size degree table joined
+   * twice, ONE wedge self-join keyed on the apex, one closure semi-join
+   * keyed on the (v1, v2) pair, one explode+count. Equality joins only.
+   *
+   * Output: (node, n_triangles) for every node in ≥ 1 triangle.
+   */
+  def triangleCounts(edges: DataFrame,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val canon = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient low→high (degree, id) rank; keep the canonical pair around
+    val oriented = Checkpoints.materialize(
+      canon
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("u"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a")).as("v"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("db"))
+            .otherwise(col("da")).as("dv")),
+      checkpointDir)
+    // wedges at the apex u, both spokes oriented out of u; order the two
+    // endpoints by the SAME (degree, id) rank so the closing edge — also
+    // oriented by rank — matches (v1, v2) directly
+    val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = e1.join(e2, "u")
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val tris = wedges.join(
+      oriented.select(col("u").as("v1"), col("v").as("v2")),
+      Seq("v1", "v2"), "left_semi")
+    tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -420,6 +420,40 @@ class EventAnalyticsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.pagerankInt(edges, 1, dampingPermille = 1001))
   }
 
+  test("triangleCounts == brute enumeration; orientation/duplicate/self-loop hygiene") {
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val s = adj.toSet
+      val nodes = adj.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val tris = for {
+        x <- nodes; y <- nodes if x < y && s((x, y))
+        z <- nodes if y < z && s((y, z)) && s((x, z))
+      } yield (x, y, z)
+      tris.flatMap { case (a, b, c) => Seq(a, b, c) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    }
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 53)
+      // duplicates, both orientations, and self-loops all present
+      val edges = (0 until 200).map(_ =>
+        (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      val want = brute(edges)
+      assert(want.nonEmpty, s"seed $seed fixture must close triangles")
+      val got = Graph.triangleCounts(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed")
+    }
+    // K4: every node in C(3,2)=3 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graph.triangleCounts(k4.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // triangle-free (bipartite): empty result
+    val bip = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L))
+    assert(Graph.triangleCounts(bip.toDF("src", "dst")).count() == 0)
+  }
+
   /** Brute PageRank with the equal-share dangling redistribution term:
     * inflow(v) += (Σ_{outdeg(u)=0} r(u)) div n, same integer truncation. */
   private def bruteDangling(edges: Seq[(Long, Long)], iters: Int,
