@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming twins of the deterministic sketches in
+ * [[graft.pipeline.Sketches]]. The batch sketches are mergeable by
+ * construction (register max / min-k commute), so their streaming form is
+ * just "hold the bounded state in GroupState and fold each micro-batch
+ * in" — the live-dashboard counterpart of the batch reports, with
+ * identical integer arithmetic so stream output equals the batch sketch
+ * over the concatenated input exactly (spec-pinned, not approximately).
+ */
+object SketchStreams {
+
+  /** A (group, value) observation — [[distinctHllStream]] input row. */
+  case class GV(g: String, v: String)
+
+  /** A live estimate — one row per group per micro-batch that touched
+    * it; `update_seq` increments per emission, so the latest row per
+    * group (max update_seq) is the current estimate. */
+  case class HllEstimate(g: String, update_seq: Long, n_hit: Long,
+                         est_distinct: Long)
+
+  /**
+   * Streaming HLL distinct-count: GroupState holds the 2^b register
+   * maxima (one byte each — ρ ≤ 33−b), updated with the same
+   * md5-prefix/leading-zero arithmetic as
+   * [[graft.pipeline.Sketches.distinctHll]], and the integer-exact
+   * harmonic-mean estimate is re-emitted per batch (Update mode).
+   * Because register max commutes, the emitted estimate after any prefix
+   * of batches EQUALS the batch sketch over that prefix — no
+   * approximation drift across batches, any arrival order. State is 2^b
+   * bytes per group, NoTimeout.
+   */
+  def distinctHllStream(rows: Dataset[GV], b: Int = 6): Dataset[HllEstimate] = {
+    require(b >= 4 && b <= 10, s"b must be in [4, 10], got $b")
+    import rows.sparkSession.implicits._
+    val m = 1 << b
+    val wBits = 32 - b
+    val wMod = 1L << wBits
+    val alphaPermille: Long = b match {
+      case 4 => 673
+      case 5 => 697
+      case 6 => 709
+      case _ => math.round(721.3 / (1 + 1.079 / m))
+    }
+    rows
+      .filter(r => r.v != null)
+      .groupByKey(_.g)
+      .mapGroupsWithState[(Long, Array[Byte]), HllEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, batch: Iterator[GV], state: GroupState[(Long, Array[Byte])]) =>
+          val (seq, regs) = state.getOption.getOrElse((0L, new Array[Byte](m)))
+          batch.foreach { r =>
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(r.v.getBytes("UTF-8"))
+            val h32 = java.lang.Long.parseLong(
+              d.take(4).map(x => f"${x & 0xff}%02x").mkString, 16)
+            val h = math.max(1L, h32)
+            val j = (h / wMod).toInt
+            val w = h % wMod
+            val rho =
+              if (w == 0) wBits + 1
+              else wBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+            if (rho > regs(j)) regs(j) = rho.toByte
+          }
+          state.update((seq + 1, regs))
+          val nHit = regs.count(_ > 0).toLong
+          val sp = regs.filter(_ > 0).map(r => 1L << (32 - r)).sum +
+            (m - nHit) * 4294967296L
+          HllEstimate(g, seq + 1, nHit,
+            alphaPermille * m * m * 4294967296L / (1000L * sp))
+      }
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming HLL == batch sketch after every micro-batch prefix. */
+class SketchStreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("distinctHllStream == batch distinctHll per micro-batch prefix") {
+    val rnd = new scala.util.Random(19)
+    val a = (0 until 1200).map(_ => (s"g${rnd.nextInt(3)}", s"v${rnd.nextInt(600)}"))
+    val b = (0 until 1200).map(_ => (s"g${rnd.nextInt(3)}", s"w${rnd.nextInt(600)}"))
+    def batchSketch(rows: Seq[(String, String)]): Map[String, (Long, Long)] =
+      graft.pipeline.Sketches.distinctHll(rows.toDF("g", "v"), "g", "v")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-hll-stream")
+    def writeOne(rows: Seq[(String, String)], name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hll-part").toFile
+      rows.toDF("g", "v").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(a, "a.parquet", 120000L)
+    writeOne(b, "b.parquet", 1000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      .as[SketchStreams.GV]
+    val q = SketchStreams.distinctHllStream(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hll_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("hll_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // final estimate per group (max update_seq) == batch sketch of a ++ b
+      val fin = rows.groupBy(_._1).map { case (g, rs) =>
+        val last = rs.maxBy(_._2); g -> (last._3, last._4)
+      }
+      assert(fin == batchSketch(a ++ b))
+      // first-batch emission == batch sketch of file a alone (files arrive
+      // in mtime order under maxFilesPerTrigger=1) — the exact-prefix
+      // property register-max mergeability promises
+      val first = rows.filter(_._2 == 1L).map(r => r._1 -> (r._3, r._4)).toMap
+      assert(first == batchSketch(a))
+      // and the stream genuinely saw two batches for every group
+      assert(rows.count(_._2 == 2L) == 3)
+    } finally q.stop()
+  }
+}
