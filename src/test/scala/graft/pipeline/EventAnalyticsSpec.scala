@@ -452,6 +452,14 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // triangle-free (bipartite): empty result
     val bip = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L))
     assert(Graph.triangleCounts(bip.toDF("src", "dst")).count() == 0)
+    // partition-invariant (the orientation rank is a total order, so no
+    // tie resolution can depend on physical layout)
+    val rnd2 = new scala.util.Random(4)
+    val re = (0 until 180).map(_ =>
+      (rnd2.nextInt(13).toLong, rnd2.nextInt(13).toLong)).toDF("src", "dst")
+    val p1 = Graph.triangleCounts(re).collect().map(_.toSeq).toSet
+    val p2 = Graph.triangleCounts(re.repartition(11)).collect().map(_.toSeq).toSet
+    assert(p1 == p2 && p1.nonEmpty)
   }
 
   /** Brute PageRank with the equal-share dangling redistribution term:

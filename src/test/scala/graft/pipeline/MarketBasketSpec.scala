@@ -120,6 +120,18 @@ class MarketBasketSpec extends AnyFunSuite {
     }
   }
 
+  test("tripleRules is partition-invariant") {
+    val rnd = new scala.util.Random(14)
+    val rows = (0 until 700).map(_ =>
+      (rnd.nextInt(45).toLong, rnd.nextInt(11).toLong))
+    val df = rows.toDF("b", "i")
+    val a = MarketBasket.tripleRules(df, "b", "i", 2, topK = 40)
+      .collect().map(_.toSeq).toSet
+    val b = MarketBasket.tripleRules(df.repartition(13), "b", "i", 2, topK = 40)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("tripleRules: Apriori monotonicity holds on every emitted rule") {
     val rnd = new scala.util.Random(6)
     val rows = (0 until 700).map(_ =>
