@@ -102,6 +102,12 @@ object MarketBasket {
    * semi-restriction, one bounded extension join, one triple aggregate,
    * then a TakeOrderedAndProject at `topK` — the ≤topK survivors
    * broadcast into the three pair-count joins.
+   *
+   * The pair stream is derived twice (frequent-pair aggregate +
+   * candidate generation) from the CHECKPOINTED items table rather than
+   * materialized: measured 1.09× warm at sf0.1
+   * ([[graft.tools.ProbeTriples]]) — inside noise — while materializing
+   * Σ size² rows is a real storage cost at 100 TB. Recompute wins.
    */
   def tripleRules(df: DataFrame, basketCol: String, itemCol: String,
                   minSupport: Long = 2, maxBasketSize: Int = 1000,

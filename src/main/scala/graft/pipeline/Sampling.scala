@@ -73,6 +73,14 @@ object Sampling {
    * land in bands, old ids never move — the property shuffling splitters
    * lack). `weights` must sum to 1 (±1e-9); the last band absorbs hash
    * rounding. Scan-local CASE, zero shuffles.
+   *
+   * GROUP-AWARE splits (the duplicate-leakage guard) are this same
+   * function keyed on a group column instead of the row id: pass a
+   * dup-cluster representative ([[Dedup.clusters]] labels), a content
+   * hash (`md5(text)` — exact dups co-travel), or a URL domain as
+   * `idCol`, and every member of the group lands in the SAME band — a
+   * near-dup pair can then never straddle train/val (spec-pinned in
+   * SamplingTextSpec).
    */
   def deterministicSplit(df: DataFrame, idCol: String,
                          weights: Seq[(String, Double)]): DataFrame = {
