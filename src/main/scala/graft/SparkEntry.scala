@@ -1229,6 +1229,20 @@ object SparkEntry {
       Dedup.clusters(pairs.select(col("id_a"), col("id_b")))
     }),
 
+    // incremental cluster maintenance: label the base half of the pair
+    // stream, then fold the delta half in via clustersIncremental — the
+    // contract is EXACT equality with the full recompute, so this gate
+    // shares q_dedup_clusters' oracle verbatim (parity split keeps both
+    // the untouched-keep and re-solve paths populated)
+    "q_dedup_clusters_incr" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(Tables.table(s, d, "documents"),
+          "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val base = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 0)
+      val delta = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 1)
+      Dedup.clustersIncremental(Dedup.clusters(base), delta)
+    }),
+
     // ---- streaming twins ----
 
     "q_stream_window" -> ((s, d) =>
@@ -2038,10 +2052,13 @@ object SparkEntry {
   }
 
   // the salted twins must equal their unsalted counterparts exactly,
-  // so they share the oracle SQL
+  // so they share the oracle SQL; the incremental cluster-maintenance
+  // gate's CONTRACT is equality with the full recompute, so it shares
+  // the full-recompute oracle verbatim
   def oracleSql: Map[String, String] = oracleSqlCore ++ Map(
     "q_join_asof_salted" -> oracleSqlCore("q_join_asof"),
-    "q_sessionize_salted" -> oracleSqlCore("q_sessionize"))
+    "q_sessionize_salted" -> oracleSqlCore("q_sessionize"),
+    "q_dedup_clusters_incr" -> oracleSqlCore("q_dedup_clusters"))
 
   private def oracleSqlCore: Map[String, String] = Map(
     "q_dedup_minhash" -> s"WITH $JaccardPairsCtes SELECT id_a, id_b FROM jpairs",

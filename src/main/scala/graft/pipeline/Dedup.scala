@@ -649,6 +649,59 @@ object Dedup {
   }
 
   /**
+   * Incremental cluster maintenance — the labeling counterpart of
+   * [[dedupAgainstIndex]]'s incremental pair finding: given a PERSISTED
+   * labeling (`id`, `cluster` — [[clusters]] output) and a batch of newly
+   * discovered near-dup pairs, produce the labeling of the union WITHOUT
+   * re-clustering the whole corpus. Only components the new pairs TOUCH
+   * are re-solved: the affected clusters' full membership re-enters as
+   * (member → representative) star edges alongside the new pairs, and
+   * every untouched component keeps its stored labels verbatim.
+   *
+   * Result equals `clusters(oldPairs ∪ newPairs)` EXACTLY (min-id labels;
+   * gate-pinned against the full-recompute oracle): an affected
+   * component's full membership is present in the re-solve, so its new
+   * min label is the true min over every merged component, and untouched
+   * components' min-id labels cannot change.
+   *
+   * Scale shape: the labels table is scanned twice (touched-cluster
+   * lookup + untouched anti-join), both hash joins on bounded key sets;
+   * the re-solve runs on |new pairs| + Σ |affected clusters| edges — at
+   * lake cadence that is the arriving batch's neighborhood, not the
+   * corpus. Labels of merged components are REWRITTEN (min-id can move);
+   * treat cluster ids as stable only while their component is untouched.
+   */
+  def clustersIncremental(labels: DataFrame, newPairs: DataFrame,
+                          maxIter: Int = 12,
+                          driverMaxEdges: Long = 2000000L,
+                          doublingEagerEdges: Long = 50000000L,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = newPairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("cluster").cast("long").as("cluster"))
+    val touched = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    // clusters containing any endpoint of a new pair; materialized once —
+    // it gates BOTH the re-solve membership and the untouched anti-join
+    val aff = Checkpoints.materialize(
+      lab.join(touched, "id").select(col("cluster")).distinct(),
+      checkpointDir)
+    val affMembers = lab.join(aff, "cluster")
+    // star edges (member → representative) reconnect each affected
+    // cluster (the rep is its min member id, so it IS a node); new ids
+    // enter through the pairs themselves
+    val edges = pairs.unionByName(
+      affMembers.select(col("id").as("id_a"), col("cluster").as("id_b")))
+    val relabeled = clusters(edges, maxIter, driverMaxEdges,
+      doublingEagerEdges, checkpointDir)
+    lab.join(aff, Seq("cluster"), "left_anti")
+      .select(col("id"), col("cluster"))
+      .unionByName(relabeled)
+  }
+
+  /**
    * Streaming exact dedup: drop rows whose canonical text hash was already
    * seen, with state bounded by the watermark (late duplicates beyond the
    * watermark pass through — the standard streaming trade-off).

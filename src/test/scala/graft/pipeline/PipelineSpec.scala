@@ -1089,6 +1089,44 @@ class PipelineSpec extends AnyFunSuite {
     stars.foreach { case (h, m) => assert(got(m) == h && got(h) == h) }
   }
 
+  test("clustersIncremental == full recompute across seeds and sequential batches") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 61)
+      val all = (0 until 160).map(_ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+      // fold the pair stream in three arbitrary batches; after each fold
+      // the labeling must equal the full recompute over the prefix
+      val batches = all.grouped((all.size + 2) / 3).toSeq
+      var labels = Dedup.clusters(batches.head.toDF("id_a", "id_b"))
+      var seen = batches.head
+      batches.tail.foreach { b =>
+        labels = Dedup.clustersIncremental(labels, b.toDF("id_a", "id_b"))
+        seen = seen ++ b
+        val full = Dedup.clusters(seen.toDF("id_a", "id_b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == full, s"seed $seed after ${seen.size} pairs")
+      }
+    }
+    // pinned shapes: a delta edge MERGES two existing clusters (labels of
+    // the higher cluster rewrite to the lower rep), brand-new ids form
+    // their own component, and untouched components keep labels verbatim
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val labels0 = Dedup.clusters(base)
+    val delta = Seq((2L, 10L), (30L, 31L)).toDF("id_a", "id_b")
+    val got = Dedup.clustersIncremental(labels0, delta).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+    // empty delta: labels pass through unchanged
+    val same = Dedup.clustersIncremental(labels0,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same == labels0.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   /** Driver-side exact cosine (same sequential double loop as VecOps). */
   private def cosD(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0
