@@ -17,6 +17,54 @@ object SketchStreams {
   /** A (group, value) observation — [[distinctHllStream]] input row. */
   case class GV(g: String, v: String)
 
+  /** A (group, rowId, value) observation — [[quantileSketchStream]]
+    * input row (`id` must be a unique row key, as in the batch sketch). */
+  case class GIV(g: String, id: Long, v: Long)
+
+  /** A live quantile report — one row per group per touching batch;
+    * latest = max `update_seq` per group. Quantile columns correspond
+    * 1:1 to the `qsPermille` argument. */
+  case class QuantileEstimate(g: String, update_seq: Long, n_sample: Long,
+                              quantiles: Seq[Long])
+
+  /**
+   * Streaming bottom-k quantile sketch: GroupState holds the ≤ k
+   * (hash, value) minima per group — min-k commutes, so after any batch
+   * prefix the state IS the batch [[graft.pipeline.Sketches.quantileSample]]
+   * of that prefix, and the emitted quantiles equal the batch
+   * [[graft.pipeline.Sketches.quantileSketch]] exactly (same md5 hash,
+   * 0→1, (hash, value)-lexicographic retention, integer lower-quantile
+   * indexing). State is ≤ k pairs of longs per group, NoTimeout.
+   */
+  def quantileSketchStream(rows: Dataset[GIV], k: Int,
+                           qsPermille: Seq[Int] = Seq(250, 500, 750))
+      : Dataset[QuantileEstimate] = {
+    require(k >= 2 && k <= (1 << 20), s"k must be in [2, 2^20], got $k")
+    require(qsPermille.nonEmpty && qsPermille.forall(p => p >= 0 && p <= 1000),
+      s"quantile permilles must be in [0, 1000], got $qsPermille")
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.g)
+      .mapGroupsWithState[(Long, Seq[(Long, Long)]), QuantileEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, batch: Iterator[GIV], state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          val (seq, prev) = state.getOption.getOrElse((0L, Seq.empty))
+          val incoming = batch.map { r =>
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(r.id.toString.getBytes("UTF-8"))
+            val h32 = java.lang.Long.parseLong(
+              d.take(4).map(x => f"${x & 0xff}%02x").mkString, 16)
+            (math.max(1L, h32), r.v)
+          }.toSeq
+          val kept = (prev ++ incoming).sorted.take(k)
+          state.update((seq + 1, kept))
+          val sample = kept.map(_._2).sorted
+          val n = sample.size
+          QuantileEstimate(g, seq + 1, n.toLong,
+            qsPermille.map(p => sample((p * (n - 1) / 1000).toInt)))
+      }
+  }
+
   /** A live estimate — one row per group per micro-batch that touched
     * it; `update_seq` increments per emission, so the latest row per
     * group (max update_seq) is the current estimate. */

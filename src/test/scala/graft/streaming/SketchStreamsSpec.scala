@@ -55,4 +55,50 @@ class SketchStreamsSpec extends AnyFunSuite {
       assert(rows.count(_._2 == 2L) == 3)
     } finally q.stop()
   }
+
+  test("quantileSketchStream == batch quantileSketch per micro-batch prefix") {
+    val rnd = new scala.util.Random(23)
+    val a = (0 until 1200).map(i => (s"g${i % 3}", i.toLong, rnd.nextInt(100000).toLong))
+    val b = (1200 until 2400).map(i => (s"g${i % 3}", i.toLong, rnd.nextInt(100000).toLong))
+    val qs = Seq(100, 500, 900)
+    def batchSketch(rows: Seq[(String, Long, Long)]): Map[String, (Long, Seq[Long])] =
+      graft.pipeline.Sketches.quantileSketch(rows.toDF("g", "id", "v"),
+          "g", "id", "v", k = 48, qsPermille = qs)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), Seq(r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-qsk-stream")
+    def writeOne(rows: Seq[(String, Long, Long)], name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qsk-part").toFile
+      rows.toDF("g", "id", "v").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(a, "a.parquet", 120000L)
+    writeOne(b, "b.parquet", 1000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      .as[SketchStreams.GIV]
+    val q = SketchStreams.quantileSketchStream(stream, k = 48, qsPermille = qs)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("qsk_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("qsk_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3).toList))
+      val fin = rows.groupBy(_._1).map { case (g, rs) =>
+        val last = rs.maxBy(_._2); g -> (last._3, last._4: Seq[Long])
+      }
+      assert(fin == batchSketch(a ++ b))
+      val first = rows.filter(_._2 == 1L)
+        .map(r => r._1 -> (r._3, r._4: Seq[Long])).toMap
+      assert(first == batchSketch(a))
+    } finally q.stop()
+  }
 }
