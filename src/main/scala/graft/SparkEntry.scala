@@ -1384,6 +1384,27 @@ object SparkEntry {
       Graph.triangleCounts(edges)
     }),
 
+    // local clustering coefficients over the same affinity graph —
+    // integer permille 2000·tri div (d·(d−1)), the link-farm/mirror-
+    // clique curation signal; degree ≥ 2 nodes only
+    "q_clustering_coeff" -> ((s, d) => {
+      val li = Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val brands = Tables.table(s, d, "part")
+        .select(col("p_partkey"), expr("CAST(substr(p_brand, 7) AS BIGINT)").as("i"))
+      val items = li.join(brands, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("bkt"), col("i")).distinct()
+      val nb = items.agg(count_distinct(col("bkt")).as("nb"))
+      val edges = items.select(col("bkt"), col("i").as("src"))
+        .join(items.select(col("bkt"), col("i").as("dst")), "bkt")
+        .filter(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(nb))
+        .filter(expr("c * 10000 >= 220 * nb"))
+        .select(col("src"), col("dst"))
+      Graph.clusteringCoefficients(edges)
+    }),
+
     // weighted PageRank over the same purchase graph, edge weight = total
     // quantity traded on the (customer, supplier) pair — flow splits
     // (r·w) div Σw instead of equally; duplicate pair edges sum their
@@ -3724,6 +3745,25 @@ object SparkEntry {
         "JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
         "m AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) " +
         "SELECT node, count(*) AS n_triangles FROM m GROUP BY 1"),
+
+    // same affinity edges + triangle lattice, joined with canonical
+    // degrees into the integer-permille coefficient
+    "q_clustering_coeff" ->
+      ("WITH items AS (SELECT DISTINCT l.l_orderkey AS bkt, CAST(substr(p.p_brand, 7) AS BIGINT) AS i " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey), " +
+        "nb AS (SELECT count(DISTINCT bkt) AS n FROM items), " +
+        "pr AS (SELECT x.i AS a, y.i AS b, count(*) AS c FROM items x " +
+        "JOIN items y ON x.bkt = y.bkt AND x.i < y.i GROUP BY 1, 2), " +
+        "e AS (SELECT a, b FROM pr CROSS JOIN nb WHERE c * 10000 >= 220 * n), " +
+        "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+        "JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "m AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t), " +
+        "t2 AS (SELECT node, count(*) AS nt FROM m GROUP BY 1), " +
+        "dg AS (SELECT node, count(*) AS degree FROM " +
+        "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1) " +
+        "SELECT dg.node, dg.degree, CAST(coalesce(t2.nt, 0) AS BIGINT) AS n_triangles, " +
+        "(2000 * CAST(coalesce(t2.nt, 0) AS BIGINT)) // (dg.degree * (dg.degree - 1)) AS coeff_permille " +
+        "FROM dg LEFT JOIN t2 USING (node) WHERE dg.degree >= 2"),
 
     // the weighted unroll: per-pair summed quantities, (rank·w) // Σw
     // flow split, same damping blend — every step integer, replayed

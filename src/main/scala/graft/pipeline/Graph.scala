@@ -289,4 +289,37 @@ object Graph {
     tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /**
+   * Local clustering coefficient, integer permille:
+   * `2000·tri(v) div (d(v)·(d(v)−1))` over the canonical simple graph —
+   * the per-node "how closed is this neighborhood" ratio whose LOW
+   * values flag link farms (many neighbors, no closure) and whose HIGH
+   * values flag mirror cliques. Nodes with degree < 2 have no defined
+   * coefficient and are omitted; triangle-free nodes of degree ≥ 2
+   * report 0. Degrees and triangles both come from the same canonical
+   * edge set (duplicates/orientations collapse, self-loops drop), so
+   * the ratio is consistent by construction; [[triangleCounts]] supplies
+   * the numerator (its canonical pass is re-derived here — two cheap
+   * scans of the edge list against the O(m^{3/2}) wedge work).
+   *
+   * Output: (node, degree, n_triangles, coeff_permille).
+   */
+  def clusteringCoefficients(edges: DataFrame,
+                             checkpointDir: Option[String] = None): DataFrame = {
+    val canon = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triangleCounts(edges, checkpointDir), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("2000 * coalesce(n_triangles, 0L) div (degree * (degree - 1))")
+          .as("coeff_permille"))
+  }
 }

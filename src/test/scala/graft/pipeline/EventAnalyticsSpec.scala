@@ -462,6 +462,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(p1 == p2 && p1.nonEmpty)
   }
 
+  test("clusteringCoefficients == brute; K4 fully closed; path graph fully open") {
+    def brute(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+      val adj = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val s = adj.toSet
+      val nodes = adj.flatMap(e => Seq(e._1, e._2)).distinct
+      val deg = nodes.map(n => n -> adj.count(e => e._1 == n || e._2 == n).toLong).toMap
+      val tri = nodes.map { n =>
+        val nb = adj.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }
+        n -> (for (x <- nb; y <- nb if x < y && s((x, y))) yield 1).size.toLong
+      }.toMap
+      nodes.filter(deg(_) >= 2).map(n =>
+        n -> (deg(n), tri(n), 2000L * tri(n) / (deg(n) * (deg(n) - 1)))).toMap
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 67)
+      val edges = (0 until 160).map(_ =>
+        (rnd.nextInt(13).toLong, rnd.nextInt(13).toLong))
+      val got = Graph.clusteringCoefficients(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == brute(edges), s"seed $seed")
+    }
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(Graph.clusteringCoefficients(k4.toDF("src", "dst"))
+      .collect().forall(_.getLong(3) == 1000L))
+    // a path graph has degree-2 interior nodes with zero closure
+    val path = (0L until 5L).map(i => (i, i + 1))
+    val coeffs = Graph.clusteringCoefficients(path.toDF("src", "dst")).collect()
+    assert(coeffs.length == 4 && coeffs.forall(_.getLong(3) == 0L))
+  }
+
   /** Brute PageRank with the equal-share dangling redistribution term:
     * inflow(v) += (Σ_{outdeg(u)=0} r(u)) div n, same integer truncation. */
   private def bruteDangling(edges: Seq[(Long, Long)], iters: Int,
