@@ -1250,6 +1250,14 @@ object SparkEntry {
         .select(unix_seconds(col("window_start")).as("window_epoch"),
           col("event_type"), col("n"), col("value_milli"))),
 
+    // hopping windows (1 h duration, 15 min slide): each event lands in 4
+    // overlapping windows — the trailing-hour-updated-every-15-min shape;
+    // oracle unrolls the 4 epoch-aligned memberships per event
+    "q_stream_window_hop" -> ((s, d) =>
+      EventStreams.hoppingCountsBatch(Tables.table(s, d, "events"))
+        .select(unix_seconds(col("window_start")).as("window_epoch"),
+          col("event_type"), col("n"), col("value_milli"))),
+
     "q_sessionize" -> ((s, d) =>
       EventStreams.sessionizeBatch(Tables.table(s, d, "events"),
         gapMs = 60 * 60 * 1000L)
@@ -3624,6 +3632,18 @@ object SparkEntry {
       ("SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_epoch, event_type, " +
         "count(*) AS n, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli " +
         "FROM events GROUP BY 1, 2"),
+
+    // each event joins its 4 membership windows: start = floor-to-slide
+    // minus j slides, kept while the event is inside the 1 h duration
+    "q_stream_window_hop" ->
+      ("WITH k AS (SELECT unnest(range(0, 4)) AS j), " +
+        "e AS (SELECT epoch_us(ts) AS t, event_type, CAST(floor(value * 1000) AS BIGINT) AS vm " +
+        "FROM events WHERE ts IS NOT NULL), " +
+        "w AS (SELECT (t // 900000000) * 900000000 - j * 900000000 AS ws, event_type, vm, t " +
+        "FROM e CROSS JOIN k) " +
+        "SELECT ws // 1000000 AS window_epoch, event_type, count(*) AS n, " +
+        "CAST(sum(vm) AS BIGINT) AS value_milli " +
+        "FROM w WHERE t < ws + 3600000000 AND ws >= 0 GROUP BY 1, 2"),
 
     "q_funnel" ->
       ("WITH ev AS (SELECT * FROM events WHERE value >= 80 AND ts IS NOT NULL), " +

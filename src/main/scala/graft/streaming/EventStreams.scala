@@ -57,6 +57,41 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_milli"))
 
+  /**
+   * HOPPING (sliding) window counts: duration `window_`, slide `slide`
+   * < duration, so each event contributes to duration/slide overlapping
+   * windows (the rate-over-trailing-hour-updated-every-15-min report
+   * tumbling windows can't express). Spark's `window()` expands the
+   * replicas natively; epoch-aligned starts, so the integer oracle
+   * unrolls the same k = duration/slide window memberships. Null-ts
+   * rows are dropped (the module contract — a null time belongs to no
+   * window, and Spark would otherwise emit a null-window group).
+   */
+  def hoppingCounts(events: DataFrame,
+                    window_ : String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_milli"))
+
+  /** Batch twin of [[hoppingCounts]] — same plan on a static DataFrame. */
+  def hoppingCountsBatch(events: DataFrame,
+                         window_ : String = "1 hour",
+                         slide: String = "15 minutes"): DataFrame =
+    events
+      .filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_milli"))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class Session(user_id: Long, n_events: Int, first_ts: Long, last_ts: Long,

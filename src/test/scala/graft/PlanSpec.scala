@@ -402,6 +402,24 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 2, s"base scanned $scans times:\n$plan")
   }
 
+  test("AQE-off parity for the round's new gates") {
+    // the correctness gates only ever run with AQE on; a result that
+    // depended on runtime re-planning (coalesced partitions, converted
+    // joins) would be invisible to them — pin plan-independence directly
+    val names = Seq("q_assoc_triples", "q_triangles", "q_clustering_coeff",
+      "q_distinct_hll", "q_quantile_sketch", "q_pagerank_weighted",
+      "q_dedup_clusters_incr", "q_embed_topk_ivf_det")
+    names.foreach { n =>
+      val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val off = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
+        assert(off == on, s"$n diverges under AQE-off")
+        assert(on.nonEmpty, s"$n empty at $sf — parity vacuous")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("pagerank plan: no nested-loop or cartesian joins at any iteration") {
     val edges = spark.read.parquet(s"$sf/lineitem.parquet")
       .selectExpr("l_suppkey as src", "l_partkey as dst").limit(2000)

@@ -33,6 +33,30 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping counts == batch twin; every event in 4 overlapping windows") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-hop-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = EventStreams.readEventStream(spark, streamDir.toString)
+    val q = EventStreams.hoppingCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hop_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hop_out")
+        .select("window_start", "event_type", "n", "value_milli")
+        .collect().map(_.toSeq).toSet
+      val batchDf = EventStreams.hoppingCountsBatch(events)
+      val batch = batchDf.collect().map(_.toSeq).toSet
+      assert(streamed == batch && batch.nonEmpty)
+      // membership invariant: Σ n over hopping windows = 4 × event count
+      // (duration/slide = 4 overlapping memberships per event)
+      val total = batchDf.agg(sum(col("n"))).head().getLong(0)
+      assert(total == 4L * events.filter(col("ts").isNotNull).count())
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeated payloads within the watermark") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
     java.nio.file.Files.copy(
