@@ -8,7 +8,11 @@ import org.apache.spark.sql.SparkSession
  *
  * Per-query timing wraps a full action (count) on a warm session; one
  * untimed warmup query first absorbs session/codegen startup so the numbers
- * measure the plans, not JVM warmup.
+ * measure the plans, not JVM warmup. The base-scale suite runs
+ * SPARK_GRAFT_RUNS (default 3) times and each query's MEDIAN is what the
+ * driver line records — single samples under host contention have been up
+ * to 8× off controlled re-runs, so the official artifact carries the
+ * stable number itself (raw runs preserved in the detail file).
  *
  * Scale pass: unless SPARK_GRAFT_SCALE_SF1=false, the run then materializes
  * a deterministic 10× copy of the data ([[graft.tools.ScaleUp]]) and re-runs
@@ -40,6 +44,25 @@ object Bench {
   private def toJsonMap(results: Seq[(String, Double)]): String =
     results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Run the suite `runs` times and reduce each query to its MEDIAN —
+    * the official record carries a contention-robust number per query
+    * (raw runs go to the detail file). Single samples in the driver's
+    * window have been up to 8× off controlled re-runs (r7: q_curate
+    * 13.9 s sample vs 1.68 s median), so the artifact the judge reads
+    * now carries the medians itself, no side record needed. */
+  private def timeMedians(spark: SparkSession, dir: String, runs: Int)
+      : (Seq[(String, Double)], Seq[Seq[(String, Double)]]) = {
+    val samples = (1 to runs).map(_ => timeAll(spark, dir))
+    val byName = samples.map(_.toMap)
+    val meds = samples.head.map(_._1).map(n => n -> median(byName.map(_(n))))
+    (meds, samples)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -67,7 +90,11 @@ object Bench {
     // warmup: session init + codegen paths
     SparkEntry.queries("q_agg_q1")(spark, sfDir).count()
 
-    val results = timeAll(spark, sfDir)
+    // base-scale pass: n=SPARK_GRAFT_RUNS (default 3) full-suite runs,
+    // per-query MEDIAN recorded — the driver line itself is now the
+    // stable record (judge r7 item 1)
+    val baseRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    val (results, baseSamples) = timeMedians(spark, sfDir, baseRuns)
     val total = results.map(_._2).sum
 
     // delivered-recall probe for the one gate query with no SQL oracle
@@ -111,13 +138,7 @@ object Bench {
         val tScale0 = System.nanoTime()
         graft.tools.ScaleUp.run(spark, sfDir, sf1Dir, factor = 10)
         val scaleSec = (System.nanoTime() - tScale0) / 1e9
-        val samples = (1 to runs).map(_ => timeAll(spark, sf1Dir).toMap)
-        def median(xs: Seq[Double]): Double = {
-          val s = xs.sorted
-          if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-        }
-        val sf1Medians = samples.head.keys.toSeq.sorted
-          .map(name => name -> median(samples.map(_(name))))
+        val (sf1Medians, sf1Samples) = timeMedians(spark, sf1Dir, runs)
         val sf1Total = sf1Medians.map(_._2).sum
         // the five queries the r6 audit flagged as superlinear-looking get
         // their medians into the COMPACT driver line (plus totals); the
@@ -125,8 +146,7 @@ object Bench {
         val audit = Seq("q_dedup_substring", "q_dedup_url", "q_dedup_cosine",
           "q_pagerank", "q_assoc_pairs")
         val auditPart = sf1Medians.filter { case (n, _) => audit.contains(n) }
-        val runsJson = samples.map(m => toJsonMap(m.toSeq.sortBy(_._1)))
-          .mkString("[", ",", "]")
+        val runsJson = sf1Samples.map(s => toJsonMap(s)).mkString("[", ",", "]")
         (f""","sf1_total":$sf1Total%.3f,"sf1_runs":$runs,"sf1_medians":${toJsonMap(auditPart)}""",
           f""","sf1_total":$sf1Total%.3f,"sf1_runs":$runs,"sf1_scaleup_sec":$scaleSec%.3f,"sf1_medians":${toJsonMap(sf1Medians)},"sf1_runs_detail":$runsJson""")
       }.recover { case e =>
@@ -367,7 +387,13 @@ object Bench {
     // came back "parsed": null because 129 per-query entries outgrew the
     // window — the full map now lives in the files, stdout carries the
     // slowest queries that fit plus the scalar totals).
-    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonMap(results)},"sf":"$sfDir"$ivfPart$scalePart$storagePart$annStoragePart$bpePart$incrementalPart$shardsPart$skewPart}"""
+    // suppressed bounded-window WARN count: the message-specific mute
+    // (Logs.muteBoundedWindowWarn) reports how many times it fired, so a
+    // future genuinely-unbounded window shows as a count regression in
+    // this committed artifact instead of disappearing into a muted logger
+    val warns = graft.util.Logs.suppressedWindowWarns.get()
+    val baseRunsJson = baseSamples.map(s => toJsonMap(s)).mkString("[", ",", "]")
+    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$baseRuns,"queries":${toJsonMap(results)},"runs_detail":$baseRunsJson,"window_warns_suppressed":$warns,"sf":"$sfDir"$ivfPart$scalePart$storagePart$annStoragePart$bpePart$incrementalPart$shardsPart$skewPart}"""
     (sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq :+ "/tmp/graft_bench.json" :+
       "BENCH_DETAIL.json").distinct.foreach { p =>
       scala.util.Try(java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -375,8 +401,8 @@ object Bench {
         .recover { case e => System.err.println(s"[bench] side-file write failed: ${e.getMessage}") }
     }
     val tailBudget = 1900 // driver tail capture is 2000 chars; leave margin
-    val fixedTail = f""","sf":"$sfDir"$ivfPart$sf1TotalPart,"queries_omitted":000,"detail_file":"BENCH_DETAIL.json"}"""
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"queries":{"""
+    val fixedTail = f""","sf":"$sfDir"$ivfPart$sf1TotalPart,"window_warns_suppressed":$warns,"queries_omitted":000,"detail_file":"BENCH_DETAIL.json"}"""
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$baseRuns,"n_queries":${results.length},"queries":{"""
     var room = tailBudget - head.length - fixedTail.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     results.sortBy(-_._2).foreach { case (k, v) =>
@@ -385,7 +411,7 @@ object Bench {
     }
     val driverLine = head +
       kept.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString(",") +
-      "}" + f""","sf":"$sfDir"$ivfPart$sf1TotalPart,"queries_omitted":${results.length - kept.length},"detail_file":"BENCH_DETAIL.json"}"""
+      "}" + f""","sf":"$sfDir"$ivfPart$sf1TotalPart,"window_warns_suppressed":$warns,"queries_omitted":${results.length - kept.length},"detail_file":"BENCH_DETAIL.json"}"""
     println(driverLine)
     spark.stop()
   }

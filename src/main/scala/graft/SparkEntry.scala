@@ -1430,6 +1430,40 @@ object SparkEntry {
         .select(col("node"), col("rank"))
     }),
 
+    // personalized (seeded) PageRank over the same purchase graph:
+    // teleport mass lands only on BUILDING-segment customer nodes, so
+    // ranks measure proximity to that seed neighborhood — the crawl-
+    // curation variant ("rank domains near my trusted seeds"); same
+    // integer-exact unroll, replayed bit-for-bit by the oracle
+    "q_pagerank_seeded" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.pagerankInt(sym, iters = 2, assumeDistinct = true,
+          seeds = Some(seeds))
+        .select(col("node"), col("rank"))
+    }),
+
+    // label-propagation communities (deterministic synchronous LPA, 3
+    // rounds) over the purchase graph: every node adopts the most
+    // frequent label in its closed neighborhood, ties toward the smallest
+    // label — the curation complement of dup-clusters (mirror FARMS vs
+    // mirror files); the oracle replays each round's vote + argmax
+    "q_label_prop" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      Graph.labelPropagation(e0, iters = 3)
+    }),
+
     // reciprocal-rank fusion of a lexical and a vector ranking (hybrid
     // search): BM25 top-20 fused with SQ8-ANN top-20 — the SQ8 path is
     // the bit-replayable ANN ranking, so BOTH input rank orders are
@@ -3643,7 +3677,7 @@ object SparkEntry {
         "FROM e CROSS JOIN k) " +
         "SELECT ws // 1000000 AS window_epoch, event_type, count(*) AS n, " +
         "CAST(sum(vm) AS BIGINT) AS value_milli " +
-        "FROM w WHERE t < ws + 3600000000 AND ws >= 0 GROUP BY 1, 2"),
+        "FROM w WHERE t < ws + 3600000000 GROUP BY 1, 2"),
 
     "q_funnel" ->
       ("WITH ev AS (SELECT * FROM events WHERE value >= 80 AND ts IS NOT NULL), " +
@@ -3805,6 +3839,64 @@ object SparkEntry {
         "r2 AS (SELECT nodes.node, (150 * 1000000 + 850 * coalesce(c2.inflow, 0)) // 1000 AS rank " +
         "FROM nodes LEFT JOIN c2 USING (node)) " +
         "SELECT node, rank FROM r2"),
+
+    // the personalized unroll: identical to q_pagerank except the seed
+    // flag gates BOTH the initial rank (scale·seed) and the teleport base
+    // term ((1000−d)·scale·seed) — non-seed nodes start at 0 and receive
+    // only damped inflow
+    "q_pagerank_seeded" ->
+      ("WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), " +
+        "e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "seeds AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer " +
+        "WHERE c_mktsegment = 'BUILDING'), " +
+        "sn AS (SELECT nodes.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS seed " +
+        "FROM nodes LEFT JOIN seeds s USING (node)), " +
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
+        "r0 AS (SELECT node, CAST(1000000 * seed AS BIGINT) AS rank FROM sn), " +
+        "c1 AS (SELECT e.dst AS node, CAST(sum(r0.rank // d.outdeg) AS BIGINT) AS inflow " +
+        "FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src GROUP BY 1), " +
+        "r1 AS (SELECT sn.node, sn.seed, " +
+        "CAST((150 * 1000000 * sn.seed + 850 * coalesce(c1.inflow, 0)) // 1000 AS BIGINT) AS rank " +
+        "FROM sn LEFT JOIN c1 USING (node)), " +
+        "c2 AS (SELECT e.dst AS node, CAST(sum(r1.rank // d.outdeg) AS BIGINT) AS inflow " +
+        "FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src GROUP BY 1), " +
+        "r2 AS (SELECT sn.node, " +
+        "CAST((150 * 1000000 * sn.seed + 850 * coalesce(c2.inflow, 0)) // 1000 AS BIGINT) AS rank " +
+        "FROM sn LEFT JOIN c2 USING (node)) " +
+        "SELECT node, rank FROM r2"),
+
+    // synchronous-LPA replay: canonical simple graph, adjacency = both
+    // orientations + one self-vote per node; each round counts (node,
+    // label) votes and takes the per-node argmax with the (count DESC,
+    // label ASC) deterministic tie-break — 3 unrolled rounds
+    "q_label_prop" ->
+      ("WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), " +
+        "canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b " +
+        "FROM e0 WHERE least(src, dst) < greatest(src, dst)), " +
+        "nodes AS (SELECT a AS node FROM canon UNION SELECT b FROM canon), " +
+        "adj AS (SELECT a AS node, b AS nbr FROM canon " +
+        "UNION ALL SELECT b, a FROM canon " +
+        "UNION ALL SELECT node, node FROM nodes), " +
+        "l0 AS (SELECT node, node AS label FROM nodes), " +
+        "v1 AS (SELECT adj.node, l0.label, count(*) AS c FROM adj " +
+        "JOIN l0 ON adj.nbr = l0.node GROUP BY 1, 2), " +
+        "l1 AS (SELECT node, label FROM (SELECT node, label, " +
+        "row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn " +
+        "FROM v1) WHERE rn = 1), " +
+        "v2 AS (SELECT adj.node, l1.label, count(*) AS c FROM adj " +
+        "JOIN l1 ON adj.nbr = l1.node GROUP BY 1, 2), " +
+        "l2 AS (SELECT node, label FROM (SELECT node, label, " +
+        "row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn " +
+        "FROM v2) WHERE rn = 1), " +
+        "v3 AS (SELECT adj.node, l2.label, count(*) AS c FROM adj " +
+        "JOIN l2 ON adj.nbr = l2.node GROUP BY 1, 2), " +
+        "l3 AS (SELECT node, label FROM (SELECT node, label, " +
+        "row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn " +
+        "FROM v3) WHERE rn = 1) " +
+        "SELECT node, label AS community FROM l3"),
 
     "q_rrf" ->
       ("WITH " + Bm25OracleCtes + ", " +

@@ -37,7 +37,15 @@ object Checkpoints {
   def materialize(df: DataFrame, dir: Option[String]): DataFrame = dir match {
     case Some(d) =>
       val sc = df.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.exists(_.contains(d))) sc.setCheckpointDir(d)
+      // `setCheckpointDir(d)` registers `d/<uuid>`; re-set only when the
+      // REQUESTED dir differs from the parent of the registered one,
+      // compared as normalized paths — the old substring `contains` check
+      // let a previously set `/ckpt/ab` spuriously satisfy a request for
+      // `/ckpt/a`, silently leaving checkpoints in the wrong directory
+      val want = new org.apache.hadoop.fs.Path(d).toUri.getPath
+      val has = sc.getCheckpointDir.map(c =>
+        new org.apache.hadoop.fs.Path(c).getParent.toUri.getPath)
+      if (!has.contains(want)) sc.setCheckpointDir(d)
       df.checkpoint(eager = true)
     case None =>
       df.localCheckpoint(eager = true)

@@ -703,15 +703,26 @@ object Dedup {
 
   /**
    * Streaming exact dedup: drop rows whose canonical text hash was already
-   * seen, with state bounded by the watermark (late duplicates beyond the
-   * watermark pass through — the standard streaming trade-off).
+   * seen, with state bounded by the watermark — a duplicate arriving
+   * AFTER its original's state expired re-emits (the standard streaming
+   * trade-off; [[graft.streaming]] LateDataSpec pins the exact contract).
+   *
+   * Uses `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`:
+   * with the dedup key being the hash (not the event-time column), plain
+   * dropDuplicates never evicts state — the watermark bounds nothing and
+   * state grows with every distinct document forever, an unbounded-state
+   * leak at stream scale (found by the r8 late-data contract spec, which
+   * showed expired keys never re-emitting). The WithinWatermark variant
+   * expires each key once the watermark passes its event time + delay,
+   * guaranteeing dedup for duplicates within the delay of each other and
+   * bounding state to the watermark horizon.
    */
   def streamingExactDedup(stream: DataFrame, textCol: String, tsCol: String,
                           watermark: String = "1 hour"): DataFrame =
     stream
       .withColumn("__dup_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("__dup_hash")
+      .dropDuplicatesWithinWatermark("__dup_hash")
       .drop("__dup_hash")
 
   /**

@@ -20,27 +20,36 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Loop-invariant tables shared by the fixed-iteration and convergence
-    * drivers: distinct nodes, the edge list joined with out-degrees (or
-    * out-weight totals), the dangling-node set (no out-edges), the node
-    * count, and whether edges carry weights. */
+    * drivers: distinct nodes (carrying a 0/1 `seed` teleport flag — all-1
+    * when unseeded), the edge list joined with out-degrees (or out-weight
+    * totals), the dangling-node set (no out-edges), the node and seed
+    * counts, and whether edges carry weights. */
   private case class PrGraph(nodes: DataFrame, edgeDeg: DataFrame,
                              dangling: DataFrame, nNodes: Long,
-                             weighted: Boolean)
+                             nSeeds: Long, weighted: Boolean)
 
   private def prepare(edges: DataFrame, assumeDistinct: Boolean,
                       redistributeDangling: Boolean,
                       checkpointDir: Option[String],
-                      weightCol: Option[String] = None): PrGraph = {
+                      weightCol: Option[String] = None,
+                      seeds: Option[DataFrame] = None): PrGraph = {
     // null endpoints carry no edge semantics and would otherwise drop out
     // of the contribution join but still mint a phantom node row; in
     // weighted mode a null/non-positive weight likewise carries no flow
     val base = edges.filter(col("src").isNotNull && col("dst").isNotNull)
     val e = weightCol match {
       case Some(w) =>
-        val cast = base.filter(col(w).isNotNull && col(w) > 0)
+        // filter on the CAST value, not the source column: a fractional
+        // weight in (0, 1) passes `col(w) > 0` but truncates to 0 on the
+        // long cast, minting a zero-weight edge whose owner gets wsum = 0
+        // (ANSI DIVIDE_BY_ZERO in the flow split) while wrongly counting
+        // as non-dangling — post-cast filtering drops it like any other
+        // non-positive weight
+        val cast = base
           .select(col("src").cast("long").as("src"),
             col("dst").cast("long").as("dst"),
             col(w).cast("long").as("w"))
+          .filter(col("w").isNotNull && col("w") > 0)
         // duplicate (src, dst) edges carry ADDITIVE flow in weighted
         // mode — sum them (assumeDistinct skips the aggregate when the
         // caller pre-aggregated)
@@ -58,9 +67,22 @@ object Graph {
     // materialize the loop-invariant tables once: every iteration's lineage
     // references edgeDeg and nodes, so without this the upstream edge
     // derivation (often a join) re-executes per iteration
+    val nodeIds = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // personalized mode: nodes carry a 0/1 teleport flag — seeds outside
+    // the graph's node set are ignored (they have no edges to rank over);
+    // unseeded runs get seed = 1 everywhere, which makes every seeded
+    // formula below collapse to the uniform-teleport original
     val nodes = Checkpoints.materialize(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct(),
+      seeds match {
+        case Some(s) =>
+          val sd = s.select(col("node").cast("long").as("node"))
+            .filter(col("node").isNotNull).distinct()
+            .withColumn("__is_seed", lit(1L))
+          nodeIds.join(sd, Seq("node"), "left")
+            .select(col("node"), coalesce(col("__is_seed"), lit(0L)).as("seed"))
+        case None => nodeIds.withColumn("seed", lit(1L))
+      },
       checkpointDir)
     val deg = weightCol match {
       case Some(_) => e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
@@ -76,14 +98,28 @@ object Graph {
           Seq("node"), "left_anti"),
         checkpointDir)
     val n = if (redistributeDangling) nodes.count() else 0L
-    PrGraph(nodes, edgeDeg, dangling, n, weightCol.isDefined)
+    // dangling mass teleports to the SEED set (uniformly among seeds) in
+    // personalized mode — unseeded, nSeeds = nNodes and the share is the
+    // original dm div n to every node
+    val nSeeds =
+      if (!redistributeDangling) 0L
+      else if (seeds.isEmpty) n
+      else {
+        val k = nodes.filter(col("seed") === 1L).count()
+        require(k > 0, "personalized PageRank with redistributeDangling " +
+          "needs ≥ 1 seed inside the graph's node set")
+        k
+      }
+    PrGraph(nodes, edgeDeg, dangling, n, nSeeds, weightCol.isDefined)
   }
 
   /** One PageRank step: contribution join on `src`, ONE inflow shuffle by
     * `dst`, node-side left join keeping inflow-less nodes; optionally adds
-    * the per-node share of the dangling mass (a broadcast 1-row frame) to
-    * every node's inflow before damping. Weighted graphs contribute
-    * `(rank · w) div Σw` per edge instead of the equal split. */
+    * the per-SEED share of the dangling mass (a broadcast 1-row frame) to
+    * seed nodes' inflow before damping (unseeded: every node is a seed, so
+    * this is the uniform share). Weighted graphs contribute
+    * `(rank · w) div Σw` per edge instead of the equal split; the teleport
+    * base term `(1000−d)·scale` lands only on seed nodes. */
   private def step(g: PrGraph, ranks: DataFrame, dampingPermille: Int,
                    scale: Long, redistributeDangling: Boolean): DataFrame = {
     val contrib =
@@ -93,23 +129,24 @@ object Graph {
       .select(col("dst"), contrib.as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
     val withDangling = if (redistributeDangling) {
-      // Σ rank over dangling nodes, shared equally: each node receives
-      // dm div n extra inflow (integer division; the ≤ n−1 remainder is
-      // dropped — bounded, documented leakage, same as the damping blend's
-      // own div truncation). The 1-row mass frame broadcasts.
-      val dm = ranks.join(g.dangling, "node")
+      // Σ rank over dangling nodes, shared equally among the nSeeds seed
+      // nodes: each seed receives dm div nSeeds extra inflow (integer
+      // division; the ≤ nSeeds−1 remainder is dropped — bounded,
+      // documented leakage, same as the damping blend's own div
+      // truncation). The 1-row mass frame broadcasts.
+      val dm = ranks.join(g.dangling.select("node"), "node")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("__dm"))
       g.nodes
         .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(dm))
-        .select(col("node"),
+        .select(col("node"), col("seed"),
           (coalesce(col("inflow"), lit(0L)) +
-            expr(s"__dm div ${g.nNodes}L")).as("inflow"))
+            expr(s"(__dm div ${g.nSeeds}L) * seed")).as("inflow"))
     } else {
       g.nodes.join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
     }
     withDangling.select(col("node"), expr(
-      s"((${1000 - dampingPermille} * ${scale}L) + " +
+      s"((${1000 - dampingPermille} * ${scale}L * seed) + " +
         s"$dampingPermille * coalesce(inflow, 0L)) div 1000").as("rank"))
   }
 
@@ -151,18 +188,30 @@ object Graph {
     * unweighted results bit-for-bit (w=1 ⇒ Σw = outdeg). Overflow
     * headroom shifts to r·w < 2⁶³ — keep weights unit-scaled, not milli,
     * when ranks can concentrate. */
+  /** With `seeds` set (a single `node` column), PageRank is PERSONALIZED
+    * (Page et al. '99 §6; Haveliwala '02 topic-sensitive): the teleport
+    * term `(1000−d)·scale` lands only on seed nodes, the initial rank is
+    * `scale` on seeds and 0 elsewhere, and — under `redistributeDangling`
+    * — dangling mass returns uniformly to the SEED set rather than to all
+    * nodes. Non-seed ranks then measure proximity to the seed
+    * neighborhood: the crawl-curation variant ("rank domains near my
+    * trusted seeds"). Seeds outside the graph's node set are ignored;
+    * `seeds = all nodes` reproduces standard PageRank bit-for-bit (spec-
+    * pinned). Composes with `weightCol`. */
   def pagerankInt(edges: DataFrame, iters: Int, dampingPermille: Int = 850,
                   scale: Long = 1000000L,
                   assumeDistinct: Boolean = false,
                   redistributeDangling: Boolean = false,
                   checkpointDir: Option[String] = None,
-                  weightCol: Option[String] = None): DataFrame = {
+                  weightCol: Option[String] = None,
+                  seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0,1000], got $dampingPermille")
     val g = prepare(edges, assumeDistinct, redistributeDangling,
-      checkpointDir, weightCol)
-    var ranks = g.nodes.withColumn("rank", lit(scale))
+      checkpointDir, weightCol, seeds)
+    var ranks = g.nodes.select(col("node"),
+      expr(s"${scale}L * seed").as("rank"))
     for (i <- 1 to iters) {
       ranks = step(g, ranks, dampingPermille, scale, redistributeDangling)
       if (i % 8 == 0 && i < iters)
@@ -197,16 +246,18 @@ object Graph {
                            assumeDistinct: Boolean = false,
                            redistributeDangling: Boolean = false,
                            checkpointDir: Option[String] = None,
-                           weightCol: Option[String] = None)
+                           weightCol: Option[String] = None,
+                           seeds: Option[DataFrame] = None)
       : (DataFrame, Int, Long) = {
     require(tolL1 >= 1, s"tolL1 must be >= 1, got $tolL1")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0,1000], got $dampingPermille")
     val g = prepare(edges, assumeDistinct, redistributeDangling,
-      checkpointDir, weightCol)
+      checkpointDir, weightCol, seeds)
     var ranks = Checkpoints.materialize(
-      g.nodes.withColumn("rank", lit(scale)), checkpointDir)
+      g.nodes.select(col("node"), expr(s"${scale}L * seed").as("rank")),
+      checkpointDir)
     var iter = 0
     var delta = Long.MaxValue
     while (delta > tolL1 && iter < maxIters) {
@@ -249,16 +300,40 @@ object Graph {
    *
    * Output: (node, n_triangles) for every node in ≥ 1 triangle.
    */
-  def triangleCounts(edges: DataFrame,
-                     checkpointDir: Option[String] = None): DataFrame = {
-    val canon = edges.filter(col("src").isNotNull && col("dst").isNotNull)
-      .select(
-        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
-        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
+  /** Shared canonical simple-graph pass for the triangle family: distinct
+    * low-high edge pairs (duplicates/orientations collapse, self-loops
+    * drop) plus the per-node degree table derived from them. `canon` is
+    * eagerly materialized ([[Checkpoints.materialize]]) because every
+    * caller feeds it to ≥ 2 consumers (degrees + the orientation join,
+    * and in [[clusteringCoefficients]] also the coefficient denominator)
+    * — column pruning specializes the subplans and defeats ReuseExchange,
+    * so without truncation the raw edge list is re-scanned per consumer. */
+  private def canonDeg(edges: DataFrame, checkpointDir: Option[String])
+      : (DataFrame, DataFrame) = {
+    val canon = Checkpoints.materialize(
+      edges.filter(col("src").isNotNull && col("dst").isNotNull)
+        .select(
+          least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+          greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+        .filter(col("a") < col("b"))
+        .distinct(),
+      checkpointDir)
     val deg = canon.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    (canon, deg)
+  }
+
+  def triangleCounts(edges: DataFrame,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val (canon, deg) = canonDeg(edges, checkpointDir)
+    triangleCountsFrom(canon, deg, checkpointDir)
+  }
+
+  /** Triangle counting proper, over a pre-canonicalized (canon, deg) pair
+    * from [[canonDeg]] — split out so [[clusteringCoefficients]] shares
+    * ONE canonical pass instead of re-deriving it. */
+  private def triangleCountsFrom(canon: DataFrame, deg: DataFrame,
+                                 checkpointDir: Option[String]): DataFrame = {
     // orient low→high (degree, id) rank; keep the canonical pair around
     val oriented = Checkpoints.materialize(
       canon
@@ -290,6 +365,111 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** The synchronous LPA vote table shared by the fixed-round and
+    * convergence drivers: adjacency = both orientations of the canonical
+    * simple graph PLUS a self-loop per node (the node's own current label
+    * votes — the standard damping that keeps bipartite structures from
+    * oscillating forever), materialized once since every round joins it. */
+  private def lpaAdjacency(edges: DataFrame,
+                           checkpointDir: Option[String]): DataFrame = {
+    val (canon, deg) = canonDeg(edges, checkpointDir)
+    Checkpoints.materialize(
+      canon.select(col("a").as("node"), col("b").as("nbr"))
+        .union(canon.select(col("b").as("node"), col("a").as("nbr")))
+        .union(deg.select(col("n").as("node"), col("n").as("nbr"))),
+      checkpointDir)
+  }
+
+  /** One synchronous LPA round: every node adopts the label occurring most
+    * often among its neighbors and itself, ties broken toward the SMALLEST
+    * label — fully deterministic (no random visit order), so the result is
+    * partition-invariant and a SQL oracle replays it round by round. The
+    * per-node argmax is a window over the (node, label) vote counts —
+    * partitioned by node, never global. */
+  private def lpaStep(adj: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val votes = adj
+      .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+      .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+    votes
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("node"))
+          .orderBy(col("c").desc, col("label").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("node"), col("label"))
+  }
+
+  /**
+   * Label-propagation community detection (Raghavan et al. '07), the
+   * deterministic SYNCHRONOUS variant: labels start as the node ids, and
+   * each round every node adopts the most frequent label in its closed
+   * neighborhood (neighbors + itself), ties toward the smallest label.
+   * Runs exactly `iters` rounds — the oracle-replayable form; communities
+   * are the curation complement of [[Dedup.clusters]] (dup clusters find
+   * "same content", communities find "same neighborhood" — mirror FARMS
+   * vs mirror files in a crawl graph).
+   *
+   * Self-loops in the input drop and duplicate/bidirectional edges
+   * collapse (the [[canonDeg]] canonical pass — shared, single edge-list
+   * scan); the self-VOTE is added back explicitly, once per node, as the
+   * oscillation damper. Each round is one adjacency join + one (node,
+   * label) count shuffle + one per-node window; rounds are checkpointed
+   * every 8 to keep plan growth linear (the clusters() lineage lesson).
+   *
+   * Output: (node, community) — community = the final label.
+   */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val adj = lpaAdjacency(edges, checkpointDir)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      labels = lpaStep(adj, labels)
+      if (i % 8 == 0 && i < iters)
+        labels = Checkpoints.materialize(labels, checkpointDir)
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
+  /**
+   * Convergence-mode LPA: iterate until NO node changes label, capped at
+   * `maxIters` rounds; throws if the cap passes first (returning
+   * unconverged communities silently would defeat the contract — same
+   * policy as [[pagerankIntConverged]] and [[Dedup.clusters]]). The
+   * deterministic min-label tie-break plus the self-vote make the common
+   * oscillators (bipartite cores) settle; genuinely cyclic label states
+   * hit the cap and throw. Returns (communities, rounds run).
+   *
+   * Each round is materialized (the change-count check is an action
+   * anyway) and the change count is one ≤n-row join — the price of the
+   * stopping rule, same shape as the PageRank delta check.
+   */
+  def labelPropagationConverged(edges: DataFrame, maxIters: Int = 50,
+                                checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val adj = lpaAdjacency(edges, checkpointDir)
+    var labels = Checkpoints.materialize(
+      adj.select(col("node")).distinct().withColumn("label", col("node")),
+      checkpointDir)
+    var iter = 0
+    var changed = Long.MaxValue
+    while (changed > 0 && iter < maxIters) {
+      val next = Checkpoints.materialize(lpaStep(adj, labels), checkpointDir)
+      changed = next.withColumnRenamed("label", "__new")
+        .join(labels.withColumnRenamed("label", "__old"), "node")
+        .filter(col("__new") =!= col("__old")).count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"labelPropagationConverged: $changed labels still changing after " +
+          s"$maxIters rounds — raise maxIters (oscillating label state)")
+    (labels.select(col("node"), col("label").as("community")), iter)
+  }
+
   /**
    * Local clustering coefficient, integer permille:
    * `2000·tri(v) div (d(v)·(d(v)−1))` over the canonical simple graph —
@@ -299,24 +479,19 @@ object Graph {
    * coefficient and are omitted; triangle-free nodes of degree ≥ 2
    * report 0. Degrees and triangles both come from the same canonical
    * edge set (duplicates/orientations collapse, self-loops drop), so
-   * the ratio is consistent by construction; [[triangleCounts]] supplies
-   * the numerator (its canonical pass is re-derived here — two cheap
-   * scans of the edge list against the O(m^{3/2}) wedge work).
+   * the ratio is consistent by construction; [[canonDeg]] supplies ONE
+   * shared canonical pass (materialized) feeding both the coefficient
+   * denominator and the triangle numerator — the raw edge list is
+   * scanned once, not re-derived per consumer.
    *
    * Output: (node, degree, n_triangles, coeff_permille).
    */
   def clusteringCoefficients(edges: DataFrame,
                              checkpointDir: Option[String] = None): DataFrame = {
-    val canon = edges.filter(col("src").isNotNull && col("dst").isNotNull)
-      .select(
-        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
-        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
-    val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val (canon, degND) = canonDeg(edges, checkpointDir)
+    val deg = degND.select(col("n").as("node"), col("d").as("degree"))
     deg.filter(col("degree") >= 2)
-      .join(triangleCounts(edges, checkpointDir), Seq("node"), "left")
+      .join(triangleCountsFrom(canon, degND, checkpointDir), Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         expr("2000 * coalesce(n_triangles, 0L) div (degree * (degree - 1))")

@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-behavior probes backing the r8 evidence items:
+ *
+ *  - [[ProbeSf10]]: the 5 heaviest bench queries timed at sf1 AND a
+ *    generated sf10 slice (10× sf1 = 100× the driver's bench scale),
+ *    min-of-2 per scale, ratios printed. sf1 ratios near 1–3× say
+ *    scheduling overhead still dominates there; sf10 is where a hidden
+ *    superlinearity would first show.
+ *
+ *  - [[ProbeAttrib]]: names the two widest sf1/sf0.1 ratios from the r7
+ *    medians record with a measured cause — q_dedup_cosine (3.3×): the
+ *    LSH candidate-pair volume and the n-aware (bands, planes) choice at
+ *    each scale; q_heavy_ngrams (7.1×): the exploded gram-stream volume
+ *    (the sketch itself is capacity-bounded, so stream volume IS the
+ *    cost driver).
+ */
+object ProbeSf10 {
+  private val Heavy = Seq("q_assoc_triples", "q_clustering_coeff",
+    "q_pagerank_weighted", "q_dedup_cosine", "q_dedup_clusters_incr")
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val sf1 = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val sf10 = if (args.length > 2) args(2) else "/tmp/graft_sf10"
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt
+    val spark = Probe.session("graft-probe-sf10")
+    if (!new java.io.File(s"$sf1/lineitem.parquet").exists())
+      ScaleUp.run(spark, sf01, sf1, factor = 10)
+    if (!new java.io.File(s"$sf10/lineitem.parquet").exists())
+      ScaleUp.run(spark, sf1, sf10, factor = 10)
+    // warmup (codegen/session)
+    graft.SparkEntry.queries("q_agg_q1")(spark, sf1).count()
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val out = Heavy.map { q =>
+      val a = (1 to runs).map(_ => time(q, sf1)).min
+      val b = (1 to runs).map(_ => time(q, sf10)).min
+      println(f"[probe-sf10] $q sf1=$a%.2fs sf10=$b%.2fs ratio=${b / a}%.2f")
+      (q, a, b)
+    }
+    val json = out.map { case (q, a, b) =>
+      f""""$q":{"sf1_sec":$a%.3f,"sf10_sec":$b%.3f,"ratio":${b / a}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"probe":"sf10","runs_min_of":$runs,"queries":$json}""")
+    spark.stop()
+  }
+}
+
+/** Shared probe session config — mirrors Bench's local[32] posture. */
+object Probe {
+  def session(name: String): SparkSession = {
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.muteBoundedWindowWarn()
+    graft.sql.functions.registerAll(s)
+    s
+  }
+}
+
+object ProbeAttrib {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")
+    val spark = Probe.session("graft-probe-attrib")
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.graft.VecLshBands
+    def c(x: org.apache.spark.sql.catalyst.expressions.Expression) =
+      GraftShims.column(x)
+    def e(x: org.apache.spark.sql.Column) = GraftShims.expression(x)
+
+    val parts = dirs.map { dir =>
+      // --- q_dedup_cosine: candidate volume under the n-aware banding ---
+      val embs = graft.sources.Tables.table(spark, dir, "embeddings")
+      val n = embs.count()
+      val (b, r) = graft.pipeline.Dedup.cosineLshParams(
+        threshold = 0.5, targetRecall = 0.999, corpusSize = n)
+      // Σ C(occupancy, 2) over every (band, bucket) — the exact number of
+      // candidate pairs the bucket-local pair explode emits before the
+      // cosine verify (the verify is a per-pair map-side filter, so this
+      // volume IS the operator's scale driver)
+      val cand = embs
+        .select(col("vec_id"), posexplode(
+          c(VecLshBands(e(col("embedding")), e(lit(b)), e(lit(r)), e(lit(42L))))))
+        .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("m"))
+        .agg(sum(expr("m * (m - 1) div 2"))).head().getLong(0)
+      val verified = graft.SparkEntry.queries("q_dedup_cosine")(spark, dir).count()
+
+      // --- q_heavy_ngrams: exploded gram-stream volume ---
+      val docs = graft.sources.Tables.table(spark, dir, "documents")
+      val grams = docs.select(explode(
+        graft.pipeline.TextAnalysis.tokenNgramsAll(col("text"), 3)).as("gram"))
+      val gramCount = grams.count()
+      val gramDistinct = grams.select(approx_count_distinct(col("gram")))
+        .head().getLong(0)
+      println(f"[probe-attrib] $dir vecs=$n bands=$b planes=$r " +
+        f"cand_pairs=$cand verified=$verified grams=$gramCount distinct~$gramDistinct")
+      f""""$dir":{"vectors":$n,"bands":$b,"planes_per_band":$r,"candidate_pairs":$cand,"verified_pairs":$verified,"grams":$gramCount,"grams_distinct_approx":$gramDistinct}"""
+    }
+    println(s"""{"probe":"attrib","dirs":${parts.mkString("{", ",", "}")}}""")
+    spark.stop()
+  }
+}

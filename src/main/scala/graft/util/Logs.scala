@@ -1,11 +1,27 @@
 package graft.util
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.logging.log4j.{Level, LogManager}
+import org.apache.logging.log4j.core.LoggerContext
+import org.apache.logging.log4j.core.config.LoggerConfig
+import org.apache.logging.log4j.core.filter.AbstractFilter
+import org.apache.logging.log4j.core.Filter.Result
+
 /** Log hygiene for the driver-facing mains. */
 object Logs {
 
+  /** Count of "No Partition Defined" WindowExec WARNs suppressed by
+    * [[muteBoundedWindowWarn]] since JVM start — surfaced in the bench
+    * record (`window_warns_suppressed`) so the mute cannot silently hide
+    * a future genuinely-unbounded window: the gate queries' expected
+    * count is stable, and a regression shows up as a count jump in the
+    * committed bench artifact rather than vanishing into a muted logger. */
+  val suppressedWindowWarns = new AtomicLong(0L)
+
   /**
-   * Mute WindowExec's "No Partition Defined … serious performance
-   * degradation" WARN for this JVM.
+   * Suppress — and COUNT — WindowExec's "No Partition Defined … serious
+   * performance degradation" WARN for this JVM.
    *
    * Several gate queries rank BOUNDED post-limit sets (zipf vocab ≤ topV
    * rows, BM25/RRF top-20) with a global-order window — single-partition
@@ -13,11 +29,46 @@ object Logs {
    * that pollutes the driver-parsed bench/verify logs. It cannot be
    * silenced in the plan: Spark 4's `EliminateWindowPartitions` optimizer
    * rule folds away any constant partition key, so the classic
-   * `partitionBy(lit(0))` idiom no longer works. Muting is scoped to the
-   * window-exec loggers only; every other WARN still surfaces.
+   * `partitionBy(lit(0))` idiom no longer works.
+   *
+   * Unlike a level mute (the pre-r8 approach, which set the whole
+   * `execution.window` package to ERROR and would have hidden ANY future
+   * warning from those operators), this installs a message-specific DENY
+   * filter: only the no-partition message is dropped, every other WARN
+   * from the window operators still surfaces, and each suppression
+   * increments [[suppressedWindowWarns]] so the bench/verify records can
+   * report how many fired (a genuinely unbounded new window query shows
+   * up as a count regression in the committed artifact).
    */
-  def muteBoundedWindowWarn(): Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
+  private val installed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  def muteBoundedWindowWarn(): Unit = {
+    if (!installed.compareAndSet(false, true)) return // idempotent: one filter, one count per event
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val name = "org.apache.spark.sql.execution.window"
+    val filter = new AbstractFilter(Result.DENY, Result.NEUTRAL) {
+      private def decide(msg: String): Result =
+        if (msg != null && msg.contains("No Partition Defined")) {
+          suppressedWindowWarns.incrementAndGet(); Result.DENY
+        } else Result.NEUTRAL
+      override def filter(event: org.apache.logging.log4j.core.LogEvent): Result =
+        decide(if (event.getMessage == null) null
+               else event.getMessage.getFormattedMessage)
+    }
+    val existing = cfg.getLoggerConfig(name)
+    val spec =
+      if (existing.getName == name) existing
+      else {
+        // no config node for the package yet: add an additive one with no
+        // explicit level (inherits the effective level) to carry the filter
+        val lc = new LoggerConfig(name, null, true)
+        cfg.addLogger(name, lc)
+        lc
+      }
+    spec.addFilter(filter)
+    // undo any pre-r8 level mute left in the configuration
+    if (spec.getLevel == Level.ERROR) spec.setLevel(null)
+    ctx.updateLoggers()
+  }
 }

@@ -408,7 +408,8 @@ class PlanSpec extends AnyFunSuite {
     // joins) would be invisible to them — pin plan-independence directly
     val names = Seq("q_assoc_triples", "q_triangles", "q_clustering_coeff",
       "q_distinct_hll", "q_quantile_sketch", "q_pagerank_weighted",
-      "q_dedup_clusters_incr", "q_embed_topk_ivf_det")
+      "q_dedup_clusters_incr", "q_embed_topk_ivf_det",
+      "q_pagerank_seeded", "q_label_prop")
     names.foreach { n =>
       val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
       spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -418,6 +419,23 @@ class PlanSpec extends AnyFunSuite {
         assert(on.nonEmpty, s"$n empty at $sf — parity vacuous")
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
+  }
+
+  test("clusteringCoefficients: ONE canonical-edge pass — no source re-scan in final plan") {
+    // canonDeg materializes the canonical edge set once; degrees, the
+    // orientation join, and the coefficient denominator all read from the
+    // checkpointed blocks. The raw parquet source is scanned exactly once
+    // (inside materialize), so the FINAL plan must contain zero file scans
+    // — a re-derived canonical pass (the pre-r8 shape) shows up here as a
+    // FileScan leaf reappearing.
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_suppkey as src", "l_partkey as dst").limit(2000)
+    val df = graft.pipeline.Graph.clusteringCoefficients(edges)
+    df.count()
+    val p = plan(df)
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 0,
+      s"raw edge source re-scanned $scans times in the final plan (canonDeg must feed every consumer):\n$p")
   }
 
   test("pagerank plan: no nested-loop or cartesian joins at any iteration") {

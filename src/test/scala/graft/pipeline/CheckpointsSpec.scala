@@ -74,6 +74,27 @@ class CheckpointsSpec extends AnyFunSuite {
     }
   }
 
+  test("materialize dir check is anchored: sibling dirs don't alias") {
+    // regression for the substring `contains` check: with checkpoint dir
+    // already set to <parent>/ab, a request for the SIBLING <parent>/a
+    // was spuriously satisfied ("/…/ab/uuid".contains("/…/a")) and blocks
+    // silently landed in the old location — the anchored comparison must
+    // re-set and write into the requested dir
+    val parent = java.nio.file.Files.createTempDirectory("graft_ckpt_sib_")
+    val ab = parent.resolve("ab").toString
+    val a = parent.resolve("a").toString
+    try {
+      val df = spark.range(64).toDF("x")
+      Checkpoints.materialize(df, Some(ab)).count()
+      assert(dirHasFiles(ab), "first dir got no blocks")
+      Checkpoints.materialize(df, Some(a)).count()
+      assert(dirHasFiles(a),
+        "blocks must land in the REQUESTED sibling dir, not the substring-matching old one")
+    } finally {
+      new scala.reflect.io.Directory(parent.toFile).deleteRecursively()
+    }
+  }
+
   test("pairRules honors checkpointDir") {
     val rows = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L),
       (3L, 10L), (3L, 11L)).toDF("basket", "item")

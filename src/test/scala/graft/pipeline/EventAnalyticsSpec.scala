@@ -578,6 +578,153 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(unweighted == ones)
   }
 
+  test("weighted pagerank drops fractional weights in (0,1) instead of minting zero-weight edges") {
+    // a DOUBLE weight 0.5 passes a pre-cast `> 0` filter but truncates to
+    // 0 on the long cast — pre-r8 that minted a zero-weight edge whose
+    // owner had wsum = 0 (ANSI DIVIDE_BY_ZERO in the flow split) and was
+    // wrongly non-dangling; post-cast filtering treats it like any other
+    // non-positive weight: the edge is dropped
+    val frac = Seq((1L, 2L, 1.0), (1L, 3L, 0.5), (4L, 5L, 2.0),
+      (6L, 7L, 0.5)).toDF("src", "dst", "w") // node 6's ONLY edge is fractional
+    val cleaned = Seq((1L, 2L, 1L), (4L, 5L, 2L)).toDF("src", "dst", "w")
+    for (redistribute <- Seq(false, true)) {
+      // dropped-edge semantics: (1,3,0.5) and (6,7,0.5) vanish entirely —
+      // including their nodes — so the result is bit-identical to running
+      // on the integer-only edge list (pre-r8 this faulted with
+      // DIVIDE_BY_ZERO on node 6's wsum=0 under ANSI)
+      val got = Graph.pagerankInt(frac, iters = 3, weightCol = Some("w"),
+        redistributeDangling = redistribute).collect().map(_.toSeq).toSet
+      val cleanedGot = Graph.pagerankInt(cleaned, iters = 3,
+        weightCol = Some("w"), redistributeDangling = redistribute,
+        assumeDistinct = true).collect().map(_.toSeq).toSet
+      assert(got.nonEmpty && got == cleanedGot,
+        s"fractional-weight edges must behave exactly like dropped edges (redistribute=$redistribute)")
+    }
+  }
+
+  // seeded (personalized) replica: init = scale·[v∈S], teleport base lands
+  // only on seeds, dangling mass (when redistributed) returns uniformly
+  // to the seed set
+  private def bruteSeeded(edges: Seq[(Long, Long)], seeds: Set[Long],
+                          iters: Int, d: Int, scale: Long,
+                          redistribute: Boolean): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val s = seeds.intersect(nodes.toSet)
+    var r = nodes.map(v => v -> (if (s(v)) scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = e.groupBy(_._2).map { case (v, in) =>
+        v -> in.map { case (u, _) => r(u) / outdeg(u) }.sum
+      }
+      val dm = if (redistribute)
+        nodes.filterNot(outdeg.contains).map(r).sum else 0L
+      val share = if (redistribute) dm / s.size else 0L
+      r = nodes.map { v =>
+        val base = if (s(v)) (1000L - d) * scale else 0L
+        val fl = inflow.getOrElse(v, 0L) + (if (s(v)) share else 0L)
+        v -> ((base + d * fl) / 1000)
+      }.toMap
+    }
+    r
+  }
+
+  test("seeded pagerank == integer replica; seeds=all reproduces standard exactly") {
+    for (seed <- 1 to 3; redistribute <- Seq(false, true)) {
+      val rnd = new scala.util.Random(seed * 29)
+      val edges = (0 until 120).map(_ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(30).toLong))
+      val seedSet = (0 until 6).map(_ => rnd.nextInt(20).toLong).toSet
+      val got = Graph.pagerankInt(edges.toDF("src", "dst"), iters = 3,
+          redistributeDangling = redistribute,
+          seeds = Some(seedSet.toSeq.toDF("node")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = bruteSeeded(edges, seedSet, 3, 850, 1000000L, redistribute)
+      assert(got == want, s"seed $seed redistribute=$redistribute")
+      // non-seeds far from the seed neighborhood must rank below seeds'
+      // teleport floor — sanity that personalization actually binds
+      assert(got.nonEmpty)
+    }
+    // seeds = every node ⇒ bit-identical to the uniform-teleport operator
+    val rnd = new scala.util.Random(31)
+    val edges = (0 until 100).map(_ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    val allNodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    for (redistribute <- Seq(false, true)) {
+      val std = Graph.pagerankInt(edges.toDF("src", "dst"), iters = 3,
+        redistributeDangling = redistribute).collect().map(_.toSeq).toSet
+      val seeded = Graph.pagerankInt(edges.toDF("src", "dst"), iters = 3,
+        redistributeDangling = redistribute,
+        seeds = Some(allNodes.toDF("node"))).collect().map(_.toSeq).toSet
+      assert(std == seeded, s"seeds=all must equal standard (redistribute=$redistribute)")
+    }
+    // redistributeDangling with zero seeds inside the graph throws
+    intercept[IllegalArgumentException] {
+      Graph.pagerankInt(edges.toDF("src", "dst"), iters = 1,
+        redistributeDangling = true,
+        seeds = Some(Seq(999L).toDF("node"))).collect()
+    }
+  }
+
+  // ---- label propagation ----
+
+  private def bruteLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val canon = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .filter { case (a, b) => a < b }.distinct
+    val nodes = (canon.map(_._1) ++ canon.map(_._2)).distinct
+    val adj = canon.flatMap { case (a, b) => Seq((a, b), (b, a)) } ++
+      nodes.map(v => (v, v))
+    var lab = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lab = adj.groupBy(_._1).map { case (v, nbrs) =>
+        val votes = nbrs.map { case (_, u) => lab(u) }
+          .groupBy(identity).map { case (l, xs) => l -> xs.size }
+        // max count, then min label — the deterministic tie-break
+        v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation == integer replica; partition-invariant; cliques collapse") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 37)
+      val edges = (0 until 100).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val df = edges.toDF("src", "dst")
+      val got = Graph.labelPropagation(df, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteLpa(edges, 3), s"seed $seed")
+      val reparted = Graph.labelPropagation(df.repartition(11), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reparted == got, s"seed $seed not partition-invariant")
+    }
+    // two disjoint triangles: each collapses to its min node id
+    val twoTri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val communities = Graph.labelPropagation(twoTri.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(communities == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagationConverged: fixed point matches brute; oscillators throw at cap") {
+    val twoTri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val (df, rounds) = Graph.labelPropagationConverged(twoTri.toDF("src", "dst"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bruteLpa(twoTri, rounds))
+    // the converged state is a fixed point: one more brute round = same labels
+    assert(bruteLpa(twoTri, rounds + 1) == got)
+    // a path graph converges too (self-vote damps the end-swap oscillation)
+    val path = (0L until 8L).map(i => (i, i + 1))
+    val (pdf, prounds) = Graph.labelPropagationConverged(path.toDF("src", "dst"))
+    assert(pdf.count() == 9 && prounds >= 1)
+    // cap smaller than the rounds needed throws rather than returning
+    // unconverged labels
+    intercept[IllegalStateException] {
+      Graph.labelPropagationConverged(path.toDF("src", "dst"), maxIters = 1)
+    }
+  }
+
   test("pagerankIntConverged stops within tolerance; ranks stable under +1 iteration") {
     val rnd = new scala.util.Random(7)
     val edges = (0 until 150).map(_ =>
