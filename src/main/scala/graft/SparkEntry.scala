@@ -1464,6 +1464,31 @@ object SparkEntry {
       Graph.labelPropagation(e0, iters = 3)
     }),
 
+    // per-community structure report over the LPA partition: member
+    // count, degree mass, intra-community edges — the ingredients of
+    // modularity and the per-cluster density signal a curation rule reads
+    "q_community_stats" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      Graph.communityStats(e0, Graph.labelPropagation(e0, iters = 3))
+    }),
+
+    // Newman-Girvan modularity of that partition, integer permille —
+    // 1000·Σ_c(4·m·e_c − D_c²) div (4m²), every term exact; the oracle
+    // replicates Spark's truncate-toward-zero div for the (possibly
+    // negative) numerator
+    "q_modularity" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      Graph.modularityPermille(e0, Graph.labelPropagation(e0, iters = 3))
+    }),
+
     // reciprocal-rank fusion of a lexical and a vector ranking (hybrid
     // search): BM25 top-20 fused with SQ8-ANN top-20 — the SQ8 path is
     // the bit-replayable ANN ranking, so BOTH input rank orders are
@@ -1782,6 +1807,35 @@ object SparkEntry {
       "LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id) " +
       "LEFT JOIN d10 USING (doc_id)"
   }
+
+  /** Shared LPA replay chain (purchase graph → canonical simple graph →
+    * 3 synchronous vote/argmax rounds) — the common prefix of the
+    * q_label_prop / q_community_stats / q_modularity oracles. */
+  private val LpaCtes: String =
+    "WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst " +
+      "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), " +
+      "canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b " +
+      "FROM e0 WHERE least(src, dst) < greatest(src, dst)), " +
+      "nodes AS (SELECT a AS node FROM canon UNION SELECT b FROM canon), " +
+      "adj AS (SELECT a AS node, b AS nbr FROM canon " +
+      "UNION ALL SELECT b, a FROM canon " +
+      "UNION ALL SELECT node, node FROM nodes), " +
+      "l0 AS (SELECT node, node AS label FROM nodes), " +
+      "v1 AS (SELECT adj.node, l0.label, count(*) AS c FROM adj " +
+      "JOIN l0 ON adj.nbr = l0.node GROUP BY 1, 2), " +
+      "l1 AS (SELECT node, label FROM (SELECT node, label, " +
+      "row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn " +
+      "FROM v1) WHERE rn = 1), " +
+      "v2 AS (SELECT adj.node, l1.label, count(*) AS c FROM adj " +
+      "JOIN l1 ON adj.nbr = l1.node GROUP BY 1, 2), " +
+      "l2 AS (SELECT node, label FROM (SELECT node, label, " +
+      "row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn " +
+      "FROM v2) WHERE rn = 1), " +
+      "v3 AS (SELECT adj.node, l2.label, count(*) AS c FROM adj " +
+      "JOIN l2 ON adj.nbr = l2.node GROUP BY 1, 2), " +
+      "l3 AS (SELECT node, label FROM (SELECT node, label, " +
+      "row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn " +
+      "FROM v3) WHERE rn = 1)"
 
   private val Bm25OracleCtes: String =
     "base AS (SELECT doc_id, " +
@@ -3872,31 +3926,48 @@ object SparkEntry {
     // label) votes and takes the per-node argmax with the (count DESC,
     // label ASC) deterministic tie-break — 3 unrolled rounds
     "q_label_prop" ->
-      ("WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst " +
-        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), " +
-        "canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b " +
-        "FROM e0 WHERE least(src, dst) < greatest(src, dst)), " +
-        "nodes AS (SELECT a AS node FROM canon UNION SELECT b FROM canon), " +
-        "adj AS (SELECT a AS node, b AS nbr FROM canon " +
-        "UNION ALL SELECT b, a FROM canon " +
-        "UNION ALL SELECT node, node FROM nodes), " +
-        "l0 AS (SELECT node, node AS label FROM nodes), " +
-        "v1 AS (SELECT adj.node, l0.label, count(*) AS c FROM adj " +
-        "JOIN l0 ON adj.nbr = l0.node GROUP BY 1, 2), " +
-        "l1 AS (SELECT node, label FROM (SELECT node, label, " +
-        "row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn " +
-        "FROM v1) WHERE rn = 1), " +
-        "v2 AS (SELECT adj.node, l1.label, count(*) AS c FROM adj " +
-        "JOIN l1 ON adj.nbr = l1.node GROUP BY 1, 2), " +
-        "l2 AS (SELECT node, label FROM (SELECT node, label, " +
-        "row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn " +
-        "FROM v2) WHERE rn = 1), " +
-        "v3 AS (SELECT adj.node, l2.label, count(*) AS c FROM adj " +
-        "JOIN l2 ON adj.nbr = l2.node GROUP BY 1, 2), " +
-        "l3 AS (SELECT node, label FROM (SELECT node, label, " +
-        "row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn " +
-        "FROM v3) WHERE rn = 1) " +
-        "SELECT node, label AS community FROM l3"),
+      (LpaCtes + " SELECT node, label AS community FROM l3"),
+
+    // LPA replay + per-community rollup: canonical degrees summed per
+    // community, intra edges = canonical edges whose endpoints share a
+    // label
+    "q_community_stats" ->
+      (LpaCtes +
+        ", deg AS (SELECT node, count(*) AS d FROM " +
+        "(SELECT a AS node FROM canon UNION ALL SELECT b FROM canon) GROUP BY 1), " +
+        "lab AS (SELECT node, label AS community FROM l3), " +
+        "intra AS (SELECT la.community, count(*) AS ie FROM canon " +
+        "JOIN lab la ON canon.a = la.node JOIN lab lb ON canon.b = lb.node " +
+        "WHERE la.community = lb.community GROUP BY 1), " +
+        "st AS (SELECT lab.community, CAST(count(*) AS BIGINT) AS n_nodes, " +
+        "CAST(sum(deg.d) AS BIGINT) AS degree_sum " +
+        "FROM lab JOIN deg ON lab.node = deg.node GROUP BY 1) " +
+        "SELECT st.community, st.n_nodes, st.degree_sum, " +
+        "CAST(coalesce(intra.ie, 0) AS BIGINT) AS intra_edges " +
+        "FROM st LEFT JOIN intra USING (community)"),
+
+    // same lattice folded to the single modularity number; the CASE pair
+    // replicates Spark's truncate-toward-zero `div` (DuckDB's // floors,
+    // which differs on the negative-numerator side)
+    "q_modularity" ->
+      (LpaCtes +
+        ", deg AS (SELECT node, count(*) AS d FROM " +
+        "(SELECT a AS node FROM canon UNION ALL SELECT b FROM canon) GROUP BY 1), " +
+        "lab AS (SELECT node, label AS community FROM l3), " +
+        "intra AS (SELECT la.community, count(*) AS ie FROM canon " +
+        "JOIN lab la ON canon.a = la.node JOIN lab lb ON canon.b = lb.node " +
+        "WHERE la.community = lb.community GROUP BY 1), " +
+        "st AS (SELECT lab.community, CAST(sum(deg.d) AS BIGINT) AS ds, " +
+        "CAST(coalesce(max(intra.ie), 0) AS BIGINT) AS ie " +
+        "FROM lab JOIN deg ON lab.node = deg.node " +
+        "LEFT JOIN intra ON lab.community = intra.community GROUP BY 1), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM canon), " +
+        "num AS (SELECT CAST(coalesce(sum(4 * m.m_edges * st.ie - st.ds * st.ds), 0) AS BIGINT) AS v " +
+        "FROM st CROSS JOIN m) " +
+        "SELECT m.m_edges, CAST(CASE WHEN m.m_edges = 0 THEN 0 " +
+        "WHEN num.v >= 0 THEN (1000 * num.v) // (4 * m.m_edges * m.m_edges) " +
+        "ELSE -((-1000 * num.v) // (4 * m.m_edges * m.m_edges)) END AS BIGINT) AS q_permille " +
+        "FROM m CROSS JOIN num"),
 
     "q_rrf" ->
       ("WITH " + Bm25OracleCtes + ", " +

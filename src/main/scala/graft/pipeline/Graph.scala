@@ -471,6 +471,83 @@ object Graph {
   }
 
   /**
+   * Per-community structure stats over the canonical simple graph:
+   * member count, total degree mass, and INTRA-community edge count —
+   * the ingredients of the Newman-Girvan modularity and the per-cluster
+   * report a curation pass reads ("is this community a dense mirror farm
+   * or a loose topical neighborhood"). Nodes missing from `communities`
+   * are dropped (their edges contribute degree but no membership);
+   * communities are typically [[labelPropagation]] output.
+   *
+   * Plan: one shared canonical pass ([[canonDeg]]), the label table
+   * joined onto each edge endpoint (two equality joins), one count per
+   * community — all shuffles keyed on node or community.
+   *
+   * Output: (community, n_nodes, degree_sum, intra_edges).
+   */
+  def communityStats(edges: DataFrame, communities: DataFrame,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val (canon, deg) = canonDeg(edges, checkpointDir)
+    communityStatsFrom(canon, deg, communities, checkpointDir)
+  }
+
+  private def communityStatsFrom(canon: DataFrame, deg: DataFrame,
+                                 communities: DataFrame,
+                                 checkpointDir: Option[String]): DataFrame = {
+    val lab = Checkpoints.materialize(
+      communities.select(col("node").cast("long").as("node"),
+        col("community").cast("long").as("community"))
+        .filter(col("node").isNotNull && col("community").isNotNull),
+      checkpointDir)
+    val intra = canon
+      .join(lab.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(lab.select(col("node").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    deg.join(lab, deg("n") === lab("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+      .join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"), col("degree_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"))
+  }
+
+  /**
+   * Newman-Girvan modularity of a community partition, integer permille:
+   * Q = Σ_c [ e_c/m − (D_c/2m)² ] over the canonical simple graph, which
+   * clears denominators to the single integer division
+   * `Q_permille = 1000 · Σ_c (4·m·e_c − D_c²) div (4·m²)` — every term
+   * exact, so the SQL oracle replays it bit-for-bit. Q ∈ (−500, 1000]
+   * permille; higher = denser-than-chance communities (a near-zero Q for
+   * an LPA partition says the graph has no real community structure —
+   * the signal that stops a curation rule from acting on noise).
+   *
+   * Overflow headroom: 4·m·e_c ≤ 4m² < 2⁶³ needs m < 1.5e9 canonical
+   * edges per run — partition larger graphs or rescale first.
+   *
+   * Output: one row (m_edges, q_permille).
+   */
+  def modularityPermille(edges: DataFrame, communities: DataFrame,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    // ONE canonical pass feeds the stats AND the edge count
+    val (canon, deg) = canonDeg(edges, checkpointDir)
+    val stats = communityStatsFrom(canon, deg, communities, checkpointDir)
+    val m = canon.agg(count(lit(1)).as("m_edges"))
+    val num = stats.crossJoin(broadcast(m))
+      .agg(coalesce(sum(
+        expr("4 * m_edges * intra_edges - degree_sum * degree_sum")),
+        lit(0L)).as("__num"))
+    // the 1-row m frame rides along so an empty partition (or empty
+    // graph) yields (0, 0) instead of a division fault
+    m.crossJoin(broadcast(num))
+      .select(col("m_edges"),
+        when(col("m_edges") === 0L, lit(0L))
+          .otherwise(expr("1000 * __num div (4 * m_edges * m_edges)"))
+          .as("q_permille"))
+  }
+
+  /**
    * Local clustering coefficient, integer permille:
    * `2000·tri(v) div (d(v)·(d(v)−1))` over the canonical simple graph —
    * the per-node "how closed is this neighborhood" ratio whose LOW

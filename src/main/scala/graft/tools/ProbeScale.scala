@@ -64,8 +64,15 @@ object Probe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      // unlike Bench (sf0.1/sf1, where local-disk I/O is cheap and
+      // compression only costs CPU), the sf10 probe shuffles tens of GB —
+      // uncompressed they exhaust the probe host's disk (measured: a 49 GB
+      // block-manager dir and ENOSPC on the first attempt), so the probe
+      // runs with the cluster posture: compressed shuffle + spill
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.util.Logs.muteBoundedWindowWarn()
@@ -100,7 +107,15 @@ object ProbeAttrib {
           c(VecLshBands(e(col("embedding")), e(lit(b)), e(lit(r)), e(lit(42L))))))
         .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("m"))
         .agg(sum(expr("m * (m - 1) div 2"))).head().getLong(0)
-      val verified = graft.SparkEntry.queries("q_dedup_cosine")(spark, dir).count()
+      // the full verify pass materializes `cand` candidate pairs through
+      // two joins; past ~1e9 candidates that is the measured wall of
+      // threshold-0.5 hyperplane LSH (the Dedup scaladoc's "IVF-partition
+      // first" regime) — the volume number IS the attribution there, so
+      // the probe reports it and skips the infeasible join
+      val verified =
+        if (cand <= 1000000000L)
+          graft.SparkEntry.queries("q_dedup_cosine")(spark, dir).count()
+        else -1L
 
       // --- q_heavy_ngrams: exploded gram-stream volume ---
       val docs = graft.sources.Tables.table(spark, dir, "documents")

@@ -409,7 +409,7 @@ class PlanSpec extends AnyFunSuite {
     val names = Seq("q_assoc_triples", "q_triangles", "q_clustering_coeff",
       "q_distinct_hll", "q_quantile_sketch", "q_pagerank_weighted",
       "q_dedup_clusters_incr", "q_embed_topk_ivf_det",
-      "q_pagerank_seeded", "q_label_prop")
+      "q_pagerank_seeded", "q_label_prop", "q_community_stats", "q_modularity")
     names.foreach { n =>
       val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
       spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -707,6 +707,63 @@ class EventAnalyticsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  // canonical-graph community rollup + Newman-Girvan modularity replica;
+  // Long division in the replica truncates toward zero exactly like
+  // Spark's `div`
+  private def bruteCommunity(edges: Seq[(Long, Long)], labels: Map[Long, Long])
+      : (Map[Long, (Long, Long, Long)], (Long, Long)) = {
+    val canon = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .filter { case (a, b) => a < b }.distinct
+    val deg = (canon.map(_._1) ++ canon.map(_._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    // keep members a Seq: a Set here would collapse EQUAL DEGREE VALUES
+    // in the map-then-sum below
+    val byC = deg.keys.toSeq.filter(labels.contains).groupBy(labels)
+    val stats = byC.map { case (c, members) =>
+      val ms = members.toSet
+      val intra = canon.count { case (a, b) =>
+        ms(a) && ms(b) && labels(a) == labels(b) }
+      c -> (members.size.toLong, members.map(deg).sum, intra.toLong)
+    }
+    val m = canon.size.toLong
+    val num = stats.values.map { case (_, ds, ie) => 4 * m * ie - ds * ds }.sum
+    val q = if (m == 0) 0L else 1000 * num / (4 * m * m)
+    (stats, (m, q))
+  }
+
+  test("communityStats + modularityPermille == brute; negative-Q fixture hits div truncation") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 41)
+      val edges = (0 until 90).map(_ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      val labels = bruteLpa(edges, 2)
+      val labDf = labels.toSeq.toDF("node", "community")
+      val (wantStats, (wantM, wantQ)) = bruteCommunity(edges, labels)
+      val gotStats = Graph.communityStats(edges.toDF("src", "dst"), labDf)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(gotStats == wantStats, s"seed $seed stats")
+      val qRow = Graph.modularityPermille(edges.toDF("src", "dst"), labDf).head()
+      assert((qRow.getLong(0), qRow.getLong(1)) == (wantM, wantQ), s"seed $seed Q")
+    }
+    // cross-cutting labels on a path: zero intra edges ⇒ NEGATIVE Q —
+    // exercises the truncate-toward-zero side where DuckDB's floor //
+    // would differ (the oracle carries the sign-split CASE for this)
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val parity = Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L)
+    val (_, (m, wantQ)) = bruteCommunity(path, parity)
+    val row = Graph.modularityPermille(path.toDF("src", "dst"),
+      parity.toSeq.toDF("node", "community")).head()
+    assert(wantQ < 0, "fixture must produce negative modularity")
+    assert((row.getLong(0), row.getLong(1)) == (m, wantQ))
+    // LPA communities on two clean triangles score far above the
+    // cross-cut partition (sanity: Q orders partitions as it should)
+    val twoTri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val lpaQ = Graph.modularityPermille(twoTri.toDF("src", "dst"),
+      Graph.labelPropagation(twoTri.toDF("src", "dst"), 3)).head().getLong(1)
+    assert(lpaQ == 500L, s"two disjoint triangles under their own labels: Q = 1/2, got $lpaQ")
+  }
+
   test("labelPropagationConverged: fixed point matches brute; oscillators throw at cap") {
     val twoTri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
     val (df, rounds) = Graph.labelPropagationConverged(twoTri.toDF("src", "dst"))
