@@ -820,8 +820,19 @@ object Dedup {
     //    remove almost nothing, while the exact cosine is a few FMA-ns per
     //    pair against a dimension-table join. Verify is a map-side filter;
     //    only the (tiny) surviving near-dup set pays the dedup shuffle.
-    val va = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val vb = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    //    The candidate stream is orders of magnitude larger than the
+    //    vector table, so the stream must NEVER be sorted or — when
+    //    avoidable — shuffled: with the corpus known to fit (≤ 250k rows,
+    //    tens of MB) the vector side is BROADCAST and the stream stays
+    //    entirely map-side; past that, SHUFFLE_HASH keeps the stream a
+    //    pipelined probe with zero sorts (measured at 200k vectors /
+    //    ≈1e9 candidates: the default SMJ's two sorts spilled ~70 GB and
+    //    died on disk; unhinted broadcast only triggers below Spark's
+    //    10 MB autoBroadcast threshold, far under what a driver handles).
+    val vecJoinHint = if (corpusSizeHint > 0 && corpusSizeHint <= 250000L)
+      "broadcast" else "shuffle_hash"
+    val va = base.select(col("id").as("id_a"), col("vec").as("vec_a")).hint(vecJoinHint)
+    val vb = base.select(col("id").as("id_b"), col("vec").as("vec_b")).hint(vecJoinHint)
     pairs.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", c(VecCosine(e(col("vec_a")), e(col("vec_b")))))
       .filter(col("cosine") >= threshold)

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
  *    cost driver).
  */
 object ProbeSf10 {
-  private val Heavy = Seq("q_assoc_triples", "q_clustering_coeff",
-    "q_pagerank_weighted", "q_dedup_cosine", "q_dedup_clusters_incr")
+  private val Heavy = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+    .map(_.split(",").map(_.trim).toSeq)
+    .getOrElse(Seq("q_assoc_triples", "q_clustering_coeff",
+      "q_pagerank_weighted", "q_dedup_cosine", "q_dedup_clusters_incr"))
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -35,19 +37,29 @@ object ProbeSf10 {
       ScaleUp.run(spark, sf1, sf10, factor = 10)
     // warmup (codegen/session)
     graft.SparkEntry.queries("q_agg_q1")(spark, sf1).count()
-    def time(name: String, dir: String): Double = {
+    // a query that exhausts the probe host (disk/heap) records -1 instead
+    // of killing the whole probe — the wall is itself a result
+    def time(name: String, dir: String): Double = scala.util.Try {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
+    }.recover { case ex =>
+      System.err.println(s"[probe-sf10] $name@$dir failed: ${ex.getMessage}")
+      -1.0
+    }.get
+    def minOk(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0); if (ok.isEmpty) -1.0 else ok.min
     }
     val out = Heavy.map { q =>
-      val a = (1 to runs).map(_ => time(q, sf1)).min
-      val b = (1 to runs).map(_ => time(q, sf10)).min
-      println(f"[probe-sf10] $q sf1=$a%.2fs sf10=$b%.2fs ratio=${b / a}%.2f")
+      val a = minOk((1 to runs).map(_ => time(q, sf1)))
+      val b = minOk((1 to runs).map(_ => time(q, sf10)))
+      val ratio = if (a > 0 && b > 0) b / a else -1.0
+      println(f"[probe-sf10] $q sf1=$a%.2fs sf10=$b%.2fs ratio=$ratio%.2f")
       (q, a, b)
     }
     val json = out.map { case (q, a, b) =>
-      f""""$q":{"sf1_sec":$a%.3f,"sf10_sec":$b%.3f,"ratio":${b / a}%.2f}"""
+      val ratio = if (a > 0 && b > 0) b / a else -1.0
+      f""""$q":{"sf1_sec":$a%.3f,"sf10_sec":$b%.3f,"ratio":$ratio%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"probe":"sf10","runs_min_of":$runs,"queries":$json}""")
     spark.stop()

@@ -438,6 +438,19 @@ class PlanSpec extends AnyFunSuite {
       s"raw edge source re-scanned $scans times in the final plan (canonDeg must feed every consumer):\n$p")
   }
 
+  test("cosine near-dup verify joins are hash joins, not sort-merge") {
+    // the candidate-pair stream is orders of magnitude larger than the
+    // vector table; an SMJ would sort the whole stream per verify join
+    // (measured at 200k vectors: ~70 GB of sort spill, ENOSPC) — the
+    // shuffle_hash hint must survive planning so the stream stays a
+    // pipelined probe with zero sorts
+    val df = SparkEntry.queries("q_dedup_cosine")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"verify join lost its hash-join form:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"candidate stream is being sorted:\n$p")
+  }
+
   test("pagerank plan: no nested-loop or cartesian joins at any iteration") {
     val edges = spark.read.parquet(s"$sf/lineitem.parquet")
       .selectExpr("l_suppkey as src", "l_partkey as dst").limit(2000)
