@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.Gis
-import graft.pipeline.{Curation, Dedup, EventAnalytics, Graph, MarketBasket, Provenance, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, EventAnalytics, Graph, MarketBasket, Provenance, Sampling, Similarity, Sketches, Snapshots, TextAnalysis}
 import graft.sources.Tables
 import graft.sql.{functions => G}
 import graft.streaming.EventStreams
@@ -1258,6 +1258,45 @@ object SparkEntry {
         .select(unix_seconds(col("window_start")).as("window_epoch"),
           col("event_type"), col("n"), col("value_milli"))),
 
+    // SESSION windows via Spark's native session_window (30 min gap):
+    // dynamic-length per-user bursts — the declarative sibling of
+    // q_sessionize with watermark-managed streaming state; an event at
+    // EXACTLY gap after the previous still MERGES (next.start <=
+    // current.end joins, spec-pinned at ±1 µs); oracle = island
+    // detection with diff > gap breaking, session_end = last event + gap
+    "q_stream_session" -> ((s, d) =>
+      EventStreams.sessionCountsBatch(Tables.table(s, d, "events"))
+        .select(unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("user_id"), col("n"), col("value_milli"))),
+
+    // interval merge (coverage union): each event opens a value-dependent
+    // half-open window [t, t + 1..1799 s); overlapping-or-touching
+    // per-user windows merge into contiguous coverage spans — the
+    // span-algebra primitive (redaction spans, crawl re-visit windows,
+    // contamination hit coverage); one island sweep, oracle-replayed
+    "q_interval_merge" -> ((s, d) => {
+      val iv = Tables.table(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), expr("unix_micros(ts)").as("s_us"),
+          expr("unix_micros(ts) + ((CAST(floor(value * 1000) AS BIGINT) " +
+            "% 900 + 900) * 1000000)").as("e_us"))
+      EventAnalytics.mergeIntervals(iv, "user_id", "s_us", "e_us")
+    }),
+
+    // SCD type-2 history build (Kimball): the events log versioned into
+    // per-user event_type validity intervals — consecutive duplicate
+    // observations collapse into one version, reappearing values start
+    // NEW versions (runs, not distinct states), same-ts ties order by
+    // attribute (deterministic), open versions carry NULL valid_to
+    "q_scd2" -> ((s, d) =>
+      Snapshots.scd2(Tables.table(s, d, "events"), "user_id", "ts",
+        Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("version_n"))),
+
     "q_sessionize" -> ((s, d) =>
       EventStreams.sessionizeBatch(Tables.table(s, d, "events"),
         gapMs = 60 * 60 * 1000L)
@@ -1487,6 +1526,76 @@ object SparkEntry {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst")).distinct()
       Graph.modularityPermille(e0, Graph.labelPropagation(e0, iters = 3))
+    }),
+
+    // HITS hubs & authorities (2 rounds, max-normalized integer fixed
+    // point) over the DIRECTED customer→supplier purchase graph: hubs =
+    // buyers whose baskets point at strong suppliers, authorities =
+    // suppliers bought by strong buyers — the bipartite complement of the
+    // symmetric-PageRank gate; the oracle unrolls both half-steps of both
+    // rounds bit-for-bit
+    "q_hits" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      Graph.hitsInt(e0, iters = 2, assumeDistinct = true)
+    }),
+
+    // KMV sketch ALGEBRA: per-supplier part-vocabulary overlap between
+    // the first and second half of the shipping timeline, from two k=64
+    // bottom-hash samples — union/Jaccard/intersection estimates computed
+    // sketch-to-sketch (no re-scan of raw values), every step integer so
+    // the oracle rebuilds the identical numbers
+    "q_kmv_setops" -> ((s, d) => {
+      val li = Tables.table(s, d, "lineitem")
+      val a = Sketches.kmvSample(
+        li.filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp")),
+        "l_suppkey", "l_partkey", k = 64)
+      val b = Sketches.kmvSample(
+        li.filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp")),
+        "l_suppkey", "l_partkey", k = 64)
+      Sketches.kmvSetEstimates(a, b, "l_suppkey", k = 64)
+    }),
+
+    // Count-Min point-frequency estimates (d=4 rows × w=256 columns, the
+    // frequency complement of SpaceSaving's top-k): per-returnflag
+    // estimated occurrence counts for every Brand#23 part key; w is kept
+    // small enough that collisions fire and the ≥-true overestimation
+    // bound is exercised, and the md5 row hashes make the whole sketch
+    // SQL-replayable
+    "q_cms_counts" -> ((s, d) => {
+      val sk = Sketches.cmsSketch(Tables.table(s, d, "lineitem"),
+        "l_returnflag", "l_partkey", d = 4, w = 256)
+      val items = Tables.table(s, d, "part")
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey").as("l_partkey"))
+      Sketches.cmsLookup(sk, items, "l_returnflag", "l_partkey", d = 4, w = 256)
+    }),
+
+    // containment (partial-copy) pairs at 800‰ of the SMALLER gram set —
+    // the asymmetric near-dup family member: catches quotes/wrapped
+    // reposts that Jaccard misses; exact by construction (prefix filter +
+    // sorted-merge intersect), integer permille replayed by the oracle
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.table(s, d, "documents"),
+        "doc_id", "text", thresholdPermille = 800)),
+
+    // k-core peel (Seidman '83) of the THINNED purchase graph (only
+    // quantity>45 lines — the full graph is too dense to peel): 4 rounds
+    // at k=4, converged by round 2 at both scales (probed in DuckDB;
+    // extra rounds are no-ops by alive-set monotonicity), survivors
+    // 885/1544 nodes at sf0.01 so both peel outcomes populate richly;
+    // the oracle unrolls every round plus the final in-core degree report
+    "q_kcore" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.kcore(e0, k = 4, iters = 4)
     }),
 
     // reciprocal-rank fusion of a lexical and a vector ranking (hybrid
@@ -1836,6 +1945,35 @@ object SparkEntry {
       "l3 AS (SELECT node, label FROM (SELECT node, label, " +
       "row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn " +
       "FROM v3) WHERE rn = 1)"
+
+  /** Unrolled k-core replay: the thinned purchase graph (quantity > 45
+    * lines only — the full graph is too dense to peel), `iters` rounds of
+    * "keep nodes with ≥ k alive-subgraph degree" (each round = two
+    * alive-set joins + one degree count, exactly [[graft.pipeline.Graph
+    * .kcore]]'s semi-join shape), then the final-survivor in-core degree
+    * report with zero-neighbor survivors reading 0. */
+  private def kcoreOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      "WITH e AS (SELECT DISTINCT least(o.o_custkey * 2, l.l_suppkey * 2 + 1) AS a, " +
+        "greatest(o.o_custkey * 2, l.l_suppkey * 2 + 1) AS b " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE l.l_quantity > 45), " +
+        "adj AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e), " +
+        "alive0 AS (SELECT DISTINCT node FROM adj)")
+    for (i <- 1 to iters)
+      sb.append(s", d$i AS (SELECT adj.node, count(*) AS c FROM adj " +
+        s"JOIN alive${i - 1} x ON adj.node = x.node " +
+        s"JOIN alive${i - 1} y ON adj.nbr = y.node GROUP BY 1), " +
+        s"alive$i AS (SELECT node FROM d$i WHERE c >= $k)")
+    sb.append(s", dfin AS (SELECT adj.node, count(*) AS c FROM adj " +
+      s"JOIN alive$iters x ON adj.node = x.node " +
+      s"JOIN alive$iters y ON adj.nbr = y.node GROUP BY 1) " +
+      s"SELECT CAST(a.node AS BIGINT) AS node, " +
+      "CAST(coalesce(d.c, 0) AS BIGINT) AS core_degree " +
+      s"FROM alive$iters a LEFT JOIN dfin d ON a.node = d.node")
+    sb.toString
+  }
 
   private val Bm25OracleCtes: String =
     "base AS (SELECT doc_id, " +
@@ -3968,6 +4106,153 @@ object SparkEntry {
         "WHEN num.v >= 0 THEN (1000 * num.v) // (4 * m.m_edges * m.m_edges) " +
         "ELSE -((-1000 * num.v) // (4 * m.m_edges * m.m_edges)) END AS BIGINT) AS q_permille " +
         "FROM m CROSS JOIN num"),
+
+    // HITS replay: both half-steps of both rounds unrolled — inflow sum,
+    // 1-row max frame, (raw·scale) // max normalize; every value is
+    // non-negative so // equals Spark's truncating div throughout
+    "q_hits" ->
+      ("WITH e AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS x FROM nodes), " +
+        "a1r AS (SELECT e.dst AS node, CAST(sum(h0.x) AS BIGINT) AS raw " +
+        "FROM e JOIN h0 ON e.src = h0.node GROUP BY 1), " +
+        "a1m AS (SELECT CAST(coalesce(max(raw), 0) AS BIGINT) AS m FROM a1r), " +
+        "a1 AS (SELECT nodes.node, CASE WHEN a1m.m = 0 THEN 0 " +
+        "ELSE (coalesce(a1r.raw, 0) * 1000000) // a1m.m END AS x " +
+        "FROM nodes LEFT JOIN a1r USING (node) CROSS JOIN a1m), " +
+        "h1r AS (SELECT e.src AS node, CAST(sum(a1.x) AS BIGINT) AS raw " +
+        "FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1), " +
+        "h1m AS (SELECT CAST(coalesce(max(raw), 0) AS BIGINT) AS m FROM h1r), " +
+        "h1 AS (SELECT nodes.node, CASE WHEN h1m.m = 0 THEN 0 " +
+        "ELSE (coalesce(h1r.raw, 0) * 1000000) // h1m.m END AS x " +
+        "FROM nodes LEFT JOIN h1r USING (node) CROSS JOIN h1m), " +
+        "a2r AS (SELECT e.dst AS node, CAST(sum(h1.x) AS BIGINT) AS raw " +
+        "FROM e JOIN h1 ON e.src = h1.node GROUP BY 1), " +
+        "a2m AS (SELECT CAST(coalesce(max(raw), 0) AS BIGINT) AS m FROM a2r), " +
+        "a2 AS (SELECT nodes.node, CASE WHEN a2m.m = 0 THEN 0 " +
+        "ELSE (coalesce(a2r.raw, 0) * 1000000) // a2m.m END AS x " +
+        "FROM nodes LEFT JOIN a2r USING (node) CROSS JOIN a2m), " +
+        "h2r AS (SELECT e.src AS node, CAST(sum(a2.x) AS BIGINT) AS raw " +
+        "FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1), " +
+        "h2m AS (SELECT CAST(coalesce(max(raw), 0) AS BIGINT) AS m FROM h2r), " +
+        "h2 AS (SELECT nodes.node, CASE WHEN h2m.m = 0 THEN 0 " +
+        "ELSE (coalesce(h2r.raw, 0) * 1000000) // h2m.m END AS x " +
+        "FROM nodes LEFT JOIN h2r USING (node) CROSS JOIN h2m) " +
+        "SELECT nodes.node, CAST(h2.x AS BIGINT) AS hub, CAST(a2.x AS BIGINT) AS auth " +
+        "FROM nodes JOIN h2 USING (node) JOIN a2 USING (node)"),
+
+    // KMV set-op replay: per-side bottom-64 distinct-hash samples, the
+    // bottom-64 of their union, exact membership flags (X's members are
+    // ≤ each side's k-th smallest, so sample membership IS set
+    // membership), then the integer estimators
+    "q_kmv_setops" ->
+      ("WITH ha AS (SELECT DISTINCT l_suppkey, greatest(CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT), 1) AS hv " +
+        "FROM lineitem WHERE l_partkey IS NOT NULL AND l_shipdate < TIMESTAMP '1995-06-01'), " +
+        "sa AS (SELECT l_suppkey, hv FROM (SELECT l_suppkey, hv, " +
+        "row_number() OVER (PARTITION BY l_suppkey ORDER BY hv) AS rn FROM ha) WHERE rn <= 64), " +
+        "hb AS (SELECT DISTINCT l_suppkey, greatest(CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT), 1) AS hv " +
+        "FROM lineitem WHERE l_partkey IS NOT NULL AND l_shipdate >= TIMESTAMP '1995-06-01'), " +
+        "sb AS (SELECT l_suppkey, hv FROM (SELECT l_suppkey, hv, " +
+        "row_number() OVER (PARTITION BY l_suppkey ORDER BY hv) AS rn FROM hb) WHERE rn <= 64), " +
+        "uu AS (SELECT l_suppkey, hv FROM sa UNION SELECT l_suppkey, hv FROM sb), " +
+        "x AS (SELECT l_suppkey, hv FROM (SELECT l_suppkey, hv, " +
+        "row_number() OVER (PARTITION BY l_suppkey ORDER BY hv) AS rn FROM uu) WHERE rn <= 64), " +
+        "fx AS (SELECT x.l_suppkey, CAST(count(*) AS BIGINT) AS nx, max(x.hv) AS hk, " +
+        "CAST(sum(CASE WHEN a.hv IS NOT NULL AND b.hv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nboth " +
+        "FROM x LEFT JOIN sa a ON x.l_suppkey = a.l_suppkey AND x.hv = a.hv " +
+        "LEFT JOIN sb b ON x.l_suppkey = b.l_suppkey AND x.hv = b.hv GROUP BY 1), " +
+        "ea AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n, max(hv) AS hk FROM sa GROUP BY 1), " +
+        "eb AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n, max(hv) AS hk FROM sb GROUP BY 1), " +
+        "f AS (SELECT fx.l_suppkey, " +
+        "CAST(CASE WHEN ea.n < 64 THEN ea.n ELSE (63 * 4294967296) // ea.hk END AS BIGINT) AS est_a, " +
+        "CAST(CASE WHEN eb.n < 64 THEN eb.n ELSE (63 * 4294967296) // eb.hk END AS BIGINT) AS est_b, " +
+        "CAST(CASE WHEN fx.nx < 64 THEN fx.nx ELSE (63 * 4294967296) // fx.hk END AS BIGINT) AS est_union, " +
+        "CAST((1000 * fx.nboth) // fx.nx AS BIGINT) AS jaccard_permille " +
+        "FROM fx JOIN ea USING (l_suppkey) JOIN eb USING (l_suppkey)) " +
+        "SELECT l_suppkey, est_a, est_b, est_union, jaccard_permille, " +
+        "CAST((jaccard_permille * est_union) // 1000 AS BIGINT) AS est_intersect FROM f"),
+
+    // CMS replay: the d=4 × w=256 counter table rebuilt from the same
+    // md5('r:value') column hashes, then min-of-d cells per (group, item)
+    // with missing cells reading 0
+    "q_cms_counts" ->
+      ("WITH rr AS (SELECT unnest(range(0, 4)) AS r), " +
+        "cells AS (SELECT l_returnflag, r, " +
+        "CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS c " +
+        "FROM lineitem CROSS JOIN rr WHERE l_partkey IS NOT NULL), " +
+        "cnt AS (SELECT l_returnflag, r, c, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2, 3), " +
+        "items AS (SELECT DISTINCT p_partkey AS l_partkey FROM part WHERE p_brand = 'Brand#23'), " +
+        "ic AS (SELECT l_partkey, r, " +
+        "CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS c " +
+        "FROM items CROSS JOIN rr), " +
+        "grp AS (SELECT DISTINCT l_returnflag FROM lineitem) " +
+        "SELECT g.l_returnflag, ic.l_partkey, CAST(min(coalesce(cnt.cnt, 0)) AS BIGINT) AS est_count " +
+        "FROM grp g CROSS JOIN ic LEFT JOIN cnt ON cnt.l_returnflag = g.l_returnflag " +
+        "AND cnt.r = ic.r AND cnt.c = ic.c GROUP BY 1, 2"),
+
+    // containment replay: the same brute-force gram co-occurrence lattice
+    // as the Jaccard oracles, thresholded on 1000·inter ≥ t·min(sz) and
+    // emitting the integer permille
+    "q_kcore" -> kcoreOracleSql(k = 4, iters = 4),
+
+    // session replay: classic island detection — a break where the gap to
+    // the previous event is STRICTLY > 30 min (Spark merges sessions
+    // while next.start <= current.end, so an exact-gap event still
+    // merges), then min/max + gap per island
+    "q_stream_session" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, " +
+        "CAST(floor(value * 1000) AS BIGINT) AS vm FROM events WHERE ts IS NOT NULL), " +
+        "m AS (SELECT user_id, t, vm, CASE WHEN lag(t) OVER w IS NULL " +
+        "OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)), " +
+        "s AS (SELECT user_id, t, vm, sum(brk) OVER " +
+        "(PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT CAST(min(t) AS BIGINT) AS session_start_us, " +
+        "CAST(max(t) + 1800000000 AS BIGINT) AS session_end_us, " +
+        "user_id, count(*) AS n, CAST(sum(vm) AS BIGINT) AS value_milli " +
+        "FROM s GROUP BY user_id, sid"),
+
+    // interval-merge replay: the classic sweep — running max of prior
+    // ends (1-PRECEDING frame), break where start strictly exceeds it
+    // (touching merges), island prefix sum, min/max/count per island
+    "q_interval_merge" ->
+      ("WITH iv AS (SELECT user_id, epoch_us(ts) AS s, " +
+        "epoch_us(ts) + ((CAST(floor(value * 1000) AS BIGINT) % 900 + 900) * 1000000) AS e " +
+        "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL), " +
+        "m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv), " +
+        "b AS (SELECT user_id, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM m), " +
+        "i AS (SELECT user_id, s, e, sum(brk) OVER (PARTITION BY user_id ORDER BY s, e " +
+        "ROWS UNBOUNDED PRECEDING) AS island FROM b) " +
+        "SELECT user_id, CAST(min(s) AS BIGINT) AS \"start\", " +
+        "CAST(max(e) AS BIGINT) AS \"end\", count(*) AS n_merged " +
+        "FROM i GROUP BY user_id, island"),
+
+    // SCD2 replay: run starts = rows whose attribute differs (null-safe)
+    // from the previous observation in (ts, attr) order; lead() over the
+    // survivors yields valid_to; version_n re-ranks the survivors
+    "q_scd2" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS a " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "m AS (SELECT user_id, t, a, " +
+        "row_number() OVER w AS rn, lag(a) OVER w AS pa " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, a)), " +
+        "c AS (SELECT user_id, t, a FROM m WHERE rn = 1 OR (a IS DISTINCT FROM pa)) " +
+        "SELECT user_id, a AS event_type, CAST(t AS BIGINT) AS valid_from_us, " +
+        "CAST(lead(t) OVER w AS BIGINT) AS valid_to_us, " +
+        "CAST(row_number() OVER w AS BIGINT) AS version_n " +
+        "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t, a)"),
+
+    "q_dedup_containment" ->
+      ("WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, length(text)-3), i -> substr(text, i, 5)))) AS gram FROM documents), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id), " +
+        "co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter " +
+        "FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, CAST((1000 * inter) // least(sa.sz, sb.sz) AS BIGINT) AS containment_permille " +
+        "FROM co JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE 1000 * inter >= 800 * least(sa.sz, sb.sz)"),
 
     "q_rrf" ->
       ("WITH " + Bm25OracleCtes + ", " +

@@ -273,6 +273,103 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /**
+   * Exact CONTAINMENT (partial-copy) pairs: (id_a, id_b,
+   * containment_permille) for every pair whose shingle sets satisfy
+   * 1000·|A∩B| ≥ thresholdPermille·min(|A|,|B|) — the asymmetric
+   * complement of [[ngramJaccardPairs]]. Jaccard misses the
+   * quote-and-extend case (a 200-gram doc embedded verbatim in a
+   * 10,000-gram doc has J ≈ 0.02 but containment 1000‰); curation wants
+   * BOTH: Jaccard for mirrors, containment for partial copies /
+   * boilerplate-wrapped reposts / train-test contamination by inclusion.
+   *
+   * Candidate generation is the prefix-filter lemma applied to the
+   * SMALLER side only: |A∩B| ≥ need ⇒ the (|S| − need + 1) globally
+   * rarest grams of the smaller set S must hit the larger set somewhere,
+   * so the smaller side ships a short rare-gram prefix while the larger
+   * side is indexed in FULL (containment has no length filter — a tiny
+   * doc may be contained in any larger one, which is also why this join
+   * is intrinsically heavier than the Jaccard one). Verification is one
+   * early-abandon sorted-merge intersect
+   * ([[org.apache.spark.sql.graft.SortedIntersectAtLeast]]) per distinct
+   * candidate; everything after the threshold test is integer, so the
+   * oracle replays the permille values exactly.
+   *
+   * Bucket cap + metrics as in [[ngramJaccardPairs]] (`maxBucket` bounds
+   * the per-gram index bucket; stopword-like grams are self-limiting
+   * because only RARE grams enter prefixes, but the full-side index still
+   * needs the cap on degenerate corpora). Verify-join gating too: with a
+   * `corpusSizeHint` whose sampled gram-array bytes fit
+   * `broadcastVerifyMaxBytes`, the gram sides broadcast and the candidate
+   * stream never shuffles; past the budget the joins are hinted
+   * shuffle_hash so the stream is never SORT-merge-joined (the cosine
+   * sf10 ENOSPC lesson).
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       thresholdPermille: Int = 800, shingle: Int = 5,
+                       maxBucket: Int = 10000,
+                       corpusSizeHint: Long = 0L,
+                       metrics: Option[Observation] = None,
+                       broadcastVerifyMaxBytes: Long = 256L << 20): DataFrame = {
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in [1, 1000], got $thresholdPermille")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.{ShingleHashes, SortedIntersectAtLeast}
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val docGrams = base.select(col("id"),
+      array_sort(c(ShingleHashes(e(col("text")), e(lit(shingle))))).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val exploded = docGrams
+      .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+    val dfreq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    val rarity = Window.partitionBy(col("id")).orderBy(col("gdf").asc, col("gram").asc)
+    // need = ceil(t·sz/1000), all-integer; prefix length sz − need + 1
+    val prefix = exploded.join(dfreq, "gram")
+      .withColumn("rk", row_number().over(rarity))
+      .filter(col("rk") <=
+        col("sz") - expr(s"($thresholdPermille * sz + 999) div 1000") + lit(1))
+      .select(col("gram"), col("id").as("id_s"), col("sz").as("sz_s"))
+    // full-side inverted index; size-1 buckets hold only the prefix doc
+    // itself (a prefix gram is also a full-index gram), so the ≥2 floor
+    // of the shared cap drops nothing pairable
+    val grouped = exploded.groupBy(col("gram"))
+      .agg(collect_list(struct(col("id"), col("sz"))).as("items"))
+    val buckets = capBuckets(grouped, size(col("items")), maxBucket, metrics)
+    val candidates = buckets.join(prefix, "gram")
+      .select(col("id_s"), col("sz_s"), explode(col("items")).as("b"))
+      // the smaller side enumerates; equal sizes pair once from each
+      // prefix and collapse in the pair dedup
+      .filter(col("sz_s") < col("b.sz") ||
+        (col("sz_s") === col("b.sz") && col("id_s") =!= col("b.id")))
+      .select(least(col("id_s"), col("b.id")).as("id_a"),
+        greatest(col("id_s"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val ga = docGrams.select(col("id").as("id_a"), col("grams").as("g_a"))
+    val gb = docGrams.select(col("id").as("id_b"), col("grams").as("g_b"))
+    // Same verify-join gating as [[ngramJaccardPairs]]: broadcast the
+    // gram-array sides when the byte-budget hint says they fit (the
+    // candidate stream then never shuffles — map-side verify); otherwise
+    // plain shuffled equality joins. Never let Spark SMJ-sort the
+    // candidate stream against a vector/array table (the cosine sf10
+    // ENOSPC lesson).
+    val verified =
+      if (corpusSizeHint > 0 &&
+          corpusSizeHint * sampledDocGramBytes(df, textCol, shingle) <= broadcastVerifyMaxBytes)
+        candidates.join(broadcast(ga), "id_a").join(broadcast(gb), "id_b")
+      else
+        candidates.join(ga.hint("shuffle_hash"), "id_a")
+          .join(gb.hint("shuffle_hash"), "id_b")
+    verified
+      .withColumn("__min", least(size(col("g_a")), size(col("g_b"))))
+      .withColumn("__need",
+        expr(s"($thresholdPermille * __min + 999) div 1000").cast("int"))
+      .withColumn("__inter",
+        c(SortedIntersectAtLeast(e(col("g_a")), e(col("g_b")), e(col("__need")))))
+      .filter(col("__inter") >= col("__need").cast("long"))
+      .select(col("id_a"), col("id_b"),
+        expr("(1000 * __inter) div __min").as("containment_permille"))
+  }
+
   /** Sampled average per-doc gram-array bytes (array header + 8 B per
     * distinct gram), from the first `sampleN` docs — the unit for byte-based
     * broadcast gating. One tiny job (limit-scan, no full pass). */

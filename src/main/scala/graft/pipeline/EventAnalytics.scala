@@ -237,6 +237,54 @@ object EventAnalytics {
   }
 
   /**
+   * Merge overlapping-or-touching half-open intervals [start, end) per
+   * key into their coverage union — the span-algebra primitive behind
+   * "how much of the timeline/document does this set of matches cover"
+   * (redaction spans, crawl re-visit windows, contamination hit spans).
+   * Touching intervals ([0,5) + [5,9)) merge: coverage is contiguous.
+   *
+   * One shuffle by key, then ONE per-key sorted window: the classic
+   * sweep — an interval starts a new merged group iff its start is
+   * strictly past the running max of prior ends (ties on (start, end)
+   * are order-independent under max), then an island-id prefix sum and
+   * a group-by. Never a global sort; per-key interval counts bound
+   * window memory.
+   *
+   * Rows with a null key or bound are dropped (the module null
+   * contract); an INVERTED interval (end < start) faults loudly via a
+   * guard woven into the sweep's end value (column pruning can't elide
+   * it — the gapFill lesson) rather than silently corrupting the
+   * running max.
+   *
+   * Output: (keyCol, `start`, `end`, `n_merged`) — long bounds in the
+   * input's units.
+   */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val in = df
+      .filter(col(keyCol).isNotNull && col(startCol).isNotNull &&
+        col(endCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(startCol).cast("long").as("__s"),
+        expr(s"IF($endCol < $startCol, " +
+          s"CAST(raise_error(concat('mergeIntervals: inverted interval [', " +
+          s"CAST($startCol AS STRING), ', ', CAST($endCol AS STRING), " +
+          s"') for key ', CAST($keyCol AS STRING))) AS BIGINT), " +
+          s"CAST($endCol AS LONG))").as("__e"))
+    val ord = Window.partitionBy(col("__k")).orderBy(col("__s").asc, col("__e").asc)
+    val islands = in
+      .withColumn("__pm",
+        max(col("__e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__pm").isNull || col("__s") > col("__pm"), 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__brk")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("__k"), col("__island"))
+      .agg(min(col("__s")).as("start"), max(col("__e")).as("end"),
+        count(lit(1)).as("n_merged"))
+      .select(col("__k").as(keyCol), col("start"), col("end"), col("n_merged"))
+  }
+
+  /**
    * Rolling z-score anomaly detection over a per-key integer series:
    * flag period p iff |x_p − μ| > k·σ over the trailing `window` periods
    * (inclusive), evaluated WITHOUT floats or sqrt by cross-multiplying:

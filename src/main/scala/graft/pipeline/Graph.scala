@@ -563,6 +563,90 @@ object Graph {
    *
    * Output: (node, degree, n_triangles, coeff_permille).
    */
+  /**
+   * Fixed-point HITS hubs & authorities (Kleinberg '99) over a DIRECTED
+   * edge list — the complement of PageRank on bipartite-flavored link
+   * graphs: authorities are pointed-to quality, hubs are good pointers
+   * (on a crawl graph: directories/aggregators vs content pages; on a
+   * purchase graph: buyers vs suppliers).
+   *
+   * Iteration t (h_0 = `scale` everywhere):
+   *   a_t(v) = max-normalized Σ_{(u,v)∈E} h_{t−1}(u)
+   *   h_t(u) = max-normalized Σ_{(u,v)∈E} a_t(v)
+   * with max-normalization x ← (x · scale) div max(x) — the integer-exact
+   * stand-in for Kleinberg's L2 norm (any per-round rescale yields the
+   * same fixed direction; max keeps the top score at exactly `scale`).
+   * Every step is integer division, so a SQL oracle unrolls the rounds
+   * bit-for-bit and results are partition/summation-order independent.
+   *
+   * Per half-step: ONE contribution join + ONE inflow shuffle (same shape
+   * as [[pagerankInt]]'s step), plus a 1-row max frame that broadcasts
+   * into the normalize projection. Nodes with no in-edges hold authority
+   * 0, no out-edges hub 0 (left joins keep their rows). Long chains
+   * checkpoint every 2 rounds (the lineage lesson — and HITS compounds
+   * twice per round, so the pagerank cadence of 8 is too lax here).
+   *
+   * Overflow headroom: raw ≤ n·scale and the normalize multiplies by
+   * `scale`, so n·scale² < 2⁶³ — at the default scale 1e6 that is ~9.2e6
+   * nodes; drop `scale` to 1e4 for ~9e10-node graphs (precision trades at
+   * 1/scale per round).
+   *
+   * Output: (node, hub, auth) for every node of the graph.
+   */
+  def hitsInt(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+              assumeDistinct: Boolean = false,
+              checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    val cast = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    val e = Checkpoints.materialize(
+      if (assumeDistinct) cast else cast.distinct(), checkpointDir)
+    val nodes = Checkpoints.materialize(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(),
+      checkpointDir)
+    var hubs = nodes.select(col("node"), lit(scale).as("hub"))
+    var auths = nodes.select(col("node"), lit(0L).as("auth"))
+    for (i <- 1 to iters) {
+      auths = hitsHalfStep(nodes, e.select(col("src").as("__from"),
+        col("dst").as("__to")), hubs.withColumnRenamed("hub", "__x"),
+        scale, "auth")
+      hubs = hitsHalfStep(nodes, e.select(col("dst").as("__from"),
+        col("src").as("__to")), auths.withColumnRenamed("auth", "__x"),
+        scale, "hub")
+      // Cadence 2, NOT pagerank's 8: each half-step references its input
+      // twice (the raw-sum feeds both the max frame and the normalize
+      // join), so an un-checkpointed round QUADRUPLES the tree-expanded
+      // plan — 4^8 at cadence 8 OOMs the optimizer; 4^2 = 16x is safe.
+      if (i % 2 == 0 && i < iters) {
+        auths = Checkpoints.materialize(auths, checkpointDir)
+        hubs = Checkpoints.materialize(hubs, checkpointDir)
+      }
+    }
+    nodes.join(hubs, "node").join(auths, "node")
+      .select(col("node"), col("hub"), col("auth"))
+  }
+
+  /** One HITS half-step: sum `__x` scores over edges (__from carries the
+    * score, __to receives), then max-normalize to `scale` via a broadcast
+    * 1-row max frame; inflow-less nodes read 0. The empty-sum guard
+    * (max = 0) keeps an edgeless graph at all-zero instead of faulting. */
+  private def hitsHalfStep(nodes: DataFrame, edges: DataFrame,
+                           scores: DataFrame, scale: Long,
+                           outName: String): DataFrame = {
+    val raw = edges.join(scores.withColumnRenamed("node", "__from"), "__from")
+      .groupBy(col("__to").as("node")).agg(sum(col("__x")).as("__raw"))
+    val mx = raw.agg(coalesce(max(col("__raw")), lit(0L)).as("__mx"))
+    nodes.join(raw, Seq("node"), "left")
+      .crossJoin(broadcast(mx))
+      .select(col("node"),
+        when(col("__mx") === 0L, lit(0L))
+          .otherwise(expr(s"(coalesce(__raw, 0L) * ${scale}L) div __mx"))
+          .as(outName))
+  }
+
   def clusteringCoefficients(edges: DataFrame,
                              checkpointDir: Option[String] = None): DataFrame = {
     val (canon, degND) = canonDeg(edges, checkpointDir)
@@ -573,5 +657,110 @@ object Graph {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         expr("2000 * coalesce(n_triangles, 0L) div (degree * (degree - 1))")
           .as("coeff_permille"))
+  }
+
+  /** Both-orientation adjacency of the canonical simple graph (self-loops
+    * dropped, duplicate/bidirectional edges collapsed), materialized once —
+    * every peel round re-joins it. */
+  private def kcoreAdjacency(edges: DataFrame,
+                             checkpointDir: Option[String]): DataFrame = {
+    val (canon, _) = canonDeg(edges, checkpointDir)
+    Checkpoints.materialize(
+      canon.select(col("a").as("node"), col("b").as("nbr"))
+        .union(canon.select(col("b").as("node"), col("a").as("nbr"))),
+      checkpointDir)
+  }
+
+  /** Degrees restricted to the alive subgraph: adjacency rows whose BOTH
+    * endpoints survive (two semi-joins), then one count shuffle by node.
+    * Alive nodes with zero alive neighbors emit no row — callers that need
+    * them (the final report) left-join and coalesce to 0. */
+  private def aliveDegrees(adj: DataFrame, alive: DataFrame): DataFrame =
+    adj.join(alive, Seq("node"), "left_semi")
+      .join(alive.withColumnRenamed("node", "nbr"), Seq("nbr"), "left_semi")
+      .groupBy(col("node")).agg(count(lit(1)).as("c"))
+
+  /** The shared peel loop: `iters` rounds of "drop every node with < k
+    * alive-subgraph degree", then the (node, core_degree) report over the
+    * survivors. The alive set feeds two semi-joins per round (plan doubles
+    * per round — the lineage lesson at k-core's own rate), so rounds
+    * checkpoint every 4; the final set is materialized because the report
+    * references it three more times. */
+  private def peel(adj: DataFrame, k: Int, iters: Int,
+                   checkpointDir: Option[String]): DataFrame = {
+    var alive = adj.select(col("node")).distinct()
+    for (i <- 1 to iters) {
+      alive = aliveDegrees(adj, alive).filter(col("c") >= k).select("node")
+      if (i % 4 == 0 && i < iters)
+        alive = Checkpoints.materialize(alive, checkpointDir)
+    }
+    kcoreReport(adj, Checkpoints.materialize(alive, checkpointDir))
+  }
+
+  private def kcoreReport(adj: DataFrame, alive: DataFrame): DataFrame =
+    alive.join(aliveDegrees(adj, alive), Seq("node"), "left")
+      .select(col("node"), coalesce(col("c"), lit(0L)).as("core_degree"))
+
+  /**
+   * k-core peeling (Seidman '83) over the canonical simple UNDIRECTED
+   * graph: run exactly `iters` rounds of "remove every node whose degree
+   * among still-alive nodes is < k" — the crawl-curation filter that
+   * strips tendrils and leaf-level link spam while keeping the dense
+   * center (the vertical density complement of [[labelPropagation]]'s
+   * horizontal partition). Fixed rounds are the oracle-replayable form,
+   * and peeling is IDEMPOTENT past its fixpoint (alive_{t+1} ⊆ alive_t,
+   * and a no-op round stays a no-op), so any `iters` ≥ the graph's peel
+   * depth returns the true k-core; [[kcoreConverged]] finds the depth.
+   *
+   * Per round: two semi-joins of the once-materialized adjacency against
+   * the alive set + ONE degree-count shuffle — no row ever carries more
+   * than (node, nbr), so a 100 TB link graph peels at edge-list scan
+   * cost per round. Rounds checkpoint every 4 (the alive plan doubles
+   * per round — each round references alive twice).
+   *
+   * Output: (node, core_degree) for surviving nodes; core_degree is the
+   * degree WITHIN the surviving subgraph (≥ k once converged).
+   */
+  def kcore(edges: DataFrame, k: Int, iters: Int,
+            checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    peel(kcoreAdjacency(edges, checkpointDir), k, iters, checkpointDir)
+  }
+
+  /**
+   * Convergence-mode k-core: peel until a round removes nothing, capped
+   * at `maxIters` rounds; throws if the cap passes first (same policy as
+   * [[pagerankIntConverged]] / [[labelPropagationConverged]] — an
+   * unconverged core returned silently would defeat the ≥-k contract).
+   * Termination is guaranteed in ≤ n rounds since alive only shrinks;
+   * the change check is a count comparison (monotone shrinkage makes
+   * count equality set equality). Returns (report, peel rounds run, the
+   * last being the confirming no-op).
+   */
+  def kcoreConverged(edges: DataFrame, k: Int, maxIters: Int = 50,
+                     checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val adj = kcoreAdjacency(edges, checkpointDir)
+    var alive = Checkpoints.materialize(
+      adj.select(col("node")).distinct(), checkpointDir)
+    var n = alive.count()
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIters) {
+      val next = Checkpoints.materialize(
+        aliveDegrees(adj, alive).filter(col("c") >= k).select("node"),
+        checkpointDir)
+      val m = next.count()
+      changed = m != n
+      alive = next; n = m; iter += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"kcoreConverged: still peeling after $maxIters rounds — raise " +
+          "maxIters")
+    (kcoreReport(adj, alive), iter)
   }
 }

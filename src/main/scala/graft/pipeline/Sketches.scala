@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -212,6 +212,183 @@ object Sketches {
     rows.groupBy(col(groupCol)).agg(minK.as("__mins"))
       .select(col(groupCol), explode(col("__mins")).as("__e"))
       .select(col(groupCol), col("__e.ord").as("hv"), col("__e.id").as("v"))
+  }
+
+  /**
+   * The KMV sketch STATE as a DataFrame: per group, the k smallest DISTINCT
+   * 32-bit value hashes (0→1, as everywhere) as (groupCol, `hv`) rows —
+   * the mergeable artifact behind [[distinctKmv]], and the input to the
+   * set-operation estimators ([[kmvSetEstimates]]). Persist per
+   * shard/segment/day (≤ k rows per group); union any set of shard tables
+   * back through [[kmvEstimate]] — min-k of a union of min-k's is the
+   * global min-k, so merge-then-estimate equals the estimate over the
+   * concatenated raw data EXACTLY (same contract as [[hllRegisters]] /
+   * [[quantileSample]]).
+   */
+  def kmvSample(df: DataFrame, groupCol: String, valueCol: String,
+                k: Int): DataFrame = {
+    val h = greatest(
+      conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+      lit(1L))
+    minKHashes(df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), h.as("__h")).distinct(), groupCol, k)
+  }
+
+  /** The bounded bottom-k of a distinct (group, __h) hash table, as
+    * (groupCol, hv) rows — [[org.apache.spark.sql.graft.TopNByOrd]] heaps
+    * combine map-side, so the shuffle carries ≤ k rows per task × group. */
+  private def minKHashes(hashes: DataFrame, groupCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 2 && k <= (1 << 20), s"k must be in [2, 2^20], got $k")
+    import org.apache.spark.sql.GraftShims
+    val minK = GraftShims.column(org.apache.spark.sql.graft.TopNByOrd(
+      GraftShims.expression(col("__h")),
+      GraftShims.expression(col("__h")), k).toAggregateExpression())
+    hashes.groupBy(col(groupCol)).agg(minK.as("__mins"))
+      .select(col(groupCol), explode(col("__mins")).as("__e"))
+      .select(col(groupCol), col("__e.ord").as("hv"))
+  }
+
+  /** [[distinctKmv]]'s estimator applied to a [[kmvSample]] table — or to
+    * any UNION of same-k shard samples (the bottom-k is idempotently
+    * re-taken first, so concatenated shard tables merge exactly). Output:
+    * groupCol, `n_kept`, `est_distinct` — identical to [[distinctKmv]] run
+    * on the concatenated raw data. */
+  def kmvEstimate(sample: DataFrame, groupCol: String, k: Int): DataFrame =
+    minKHashes(sample.select(col(groupCol), col("hv").as("__h")).distinct(),
+      groupCol, k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("__hk"))
+      .select(col(groupCol), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1} * 4294967296L) div __hk"))
+          .as("est_distinct"))
+
+  /**
+   * Set-operation estimates from two [[kmvSample]] tables built with the
+   * SAME k and hash (Beyer et al. '07 §4): per group present in BOTH
+   * inputs, the bottom-k X of the unioned hash sets estimates the union
+   * cardinality (the usual KMV estimator), and — because every member of X
+   * is ≤ the k-th smallest hash of EACH side — membership of X's hashes in
+   * the two samples is exact, so
+   *   jaccard_permille = (1000 · |X ∩ A ∩ B|) div |X|
+   * is the standard unbiased KMV Jaccard estimate and
+   *   est_intersect = (jaccard_permille · est_union) div 1000
+   * the intersection estimate. Groups with < k distinct hashes in the
+   * union are EXACT (X is the whole union). Everything after the md5 hash
+   * is integer, so a SQL oracle rebuilds the identical numbers.
+   *
+   * This is the sketch algebra that lets a 100 TB curation pass answer
+   * "how much does segment A's vocabulary overlap segment B's" from two
+   * ≤ k-row-per-group sketch tables — no re-scan, no distinct-of-union
+   * shuffle over raw values.
+   *
+   * Output: groupCol, `est_a`, `est_b`, `est_union`, `jaccard_permille`,
+   * `est_intersect`.
+   */
+  def kmvSetEstimates(a: DataFrame, b: DataFrame, groupCol: String,
+                      k: Int): DataFrame = {
+    val sa = a.select(col(groupCol), col("hv"))
+    val sb = b.select(col(groupCol), col("hv"))
+    val x = minKHashes(
+      sa.union(sb).distinct().withColumnRenamed("hv", "__h"), groupCol, k)
+    val flagged = x
+      .join(sa.withColumn("__ina", lit(1L)), Seq(groupCol, "hv"), "left")
+      .join(sb.withColumn("__inb", lit(1L)), Seq(groupCol, "hv"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__nx"), max(col("hv")).as("__hk"),
+        sum(coalesce(col("__ina"), lit(0L)) * coalesce(col("__inb"), lit(0L)))
+          .as("__nboth"))
+    val estA = kmvEstimate(sa, groupCol, k)
+      .select(col(groupCol), col("est_distinct").as("est_a"))
+    val estB = kmvEstimate(sb, groupCol, k)
+      .select(col(groupCol), col("est_distinct").as("est_b"))
+    flagged.join(estA, groupCol).join(estB, groupCol)
+      .select(col(groupCol), col("est_a"), col("est_b"),
+        when(col("__nx") < k, col("__nx"))
+          .otherwise(expr(s"(${k - 1} * 4294967296L) div __hk"))
+          .as("est_union"),
+        expr("(1000 * __nboth) div __nx").as("jaccard_permille"))
+      .withColumn("est_intersect",
+        expr("(jaccard_permille * est_union) div 1000"))
+  }
+
+  /**
+   * Count-Min sketch counters per group (Cormode & Muthukrishnan '05):
+   * `d` deterministic md5-derived hash rows × `w` columns; every input row
+   * increments one cell per hash row, and a point lookup reads the MIN of
+   * its d cells — an overestimate bounded by ε·N (ε = e/w) with
+   * probability 1 − δ (δ = e^−d). The frequency complement of the
+   * SpaceSaving top-k (which names the heavy hitters; CMS answers "how
+   * often does THIS value occur" for any value, from bounded state).
+   *
+   * State: (groupCol, `r`, `c`, `cnt`) — at most d·w rows per group, and
+   * MERGEABLE by summing `cnt` cell-wise ([[cmsMerge]]): shard tables
+   * concatenate, so 100 TB frequency tracking is a per-shard sketch + a
+   * bounded merge, never a global value shuffle. The d·w cell updates
+   * combine map-side (one partial row per task × group × cell).
+   *
+   * Deterministic md5 row hashes (`md5(r || ':' || value)`) make the
+   * sketch itself SQL-replayable — the oracle rebuilds the identical
+   * counters rather than trusting the error bound.
+   */
+  def cmsSketch(df: DataFrame, groupCol: String, valueCol: String,
+                d: Int = 4, w: Int = 256): DataFrame = {
+    require(d >= 1 && d <= 16, s"d must be in [1, 16], got $d")
+    require(w >= 2 && w <= (1 << 20), s"w must be in [2, 2^20], got $w")
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol),
+        explode(array(cmsCells(col(valueCol), d, w): _*)).as("__cell"))
+      .groupBy(col(groupCol), col("__cell.r").as("r"), col("__cell.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The d (r, c) cells a value hashes to: row r's column is the 32-bit
+    * md5 prefix of "r:value" mod w — salt-by-prefix gives d independent
+    * hash functions from the one md5, identically rebuildable in SQL. */
+  private def cmsCells(value: Column, d: Int, w: Int): Seq[Column] =
+    (0 until d).map { r =>
+      struct(lit(r).as("r"),
+        (conv(substring(md5(concat(lit(s"$r:"), value.cast("string"))), 1, 8),
+          16, 10).cast("long") % w).as("c"))
+    }
+
+  /** Merge [[cmsSketch]] shard tables (same d/w): counters add cell-wise,
+    * so the merged sketch equals the sketch of the concatenated raw data
+    * exactly. */
+  def cmsMerge(shards: DataFrame, groupCol: String): DataFrame =
+    shards.groupBy(col(groupCol), col("r"), col("c"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /**
+   * Point-frequency lookups against a [[cmsSketch]]: for every group in
+   * the sketch × every distinct value in `items`, `est_count` = min over
+   * the value's d cells (missing cells read 0, so never-seen values
+   * estimate 0 unless all d cells collide with seen mass). Guarantees
+   * est_count ≥ true count, always.
+   *
+   * `items` is a QUERY set and must be bounded (it broadcasts — the
+   * d·|items| cell table rides to every sketch partition); the sketch
+   * side stays distributed, so looking up a dictionary of tracked values
+   * across millions of groups is one broadcast join.
+   *
+   * Output: groupCol, valueCol, `est_count`.
+   */
+  def cmsLookup(sketch: DataFrame, items: DataFrame, groupCol: String,
+                valueCol: String, d: Int = 4, w: Int = 256): DataFrame = {
+    require(d >= 1 && d <= 16, s"d must be in [1, 16], got $d")
+    require(w >= 2 && w <= (1 << 20), s"w must be in [2, 2^20], got $w")
+    val cells = items.select(col(valueCol)).filter(col(valueCol).isNotNull)
+      .distinct()
+      .select(col(valueCol),
+        explode(array(cmsCells(col(valueCol), d, w): _*)).as("__cell"))
+      .select(col(valueCol), col("__cell.r").as("r"), col("__cell.c").as("c"))
+    sketch.select(col(groupCol)).distinct()
+      .crossJoin(broadcast(cells))
+      .join(sketch, Seq(groupCol, "r", "c"), "left")
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
   /** Merge + estimate over [[hllRegisters]] tables (any union of them —

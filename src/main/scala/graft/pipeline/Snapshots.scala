@@ -37,6 +37,53 @@ object Snapshots {
     untouched.unionByName(upserts)
   }
 
+  /**
+   * SCD TYPE-2 history build (Kimball's slowly-changing dimension): turn
+   * an observation log (key, ts, attributes) into versioned validity
+   * intervals — one row per key × attribute-state RUN, `valid_from` = the
+   * run's first observation, `valid_to` = the next version's start (NULL
+   * while current), `version_n` = 1-based version ordinal. Consecutive
+   * observations with identical attributes collapse into one version; a
+   * value that REAPPEARS later starts a new version (runs, not distinct
+   * states — the dimension-table contract that makes as-of joins against
+   * the history exact).
+   *
+   * Determinism: rows order by (ts, attributes) within a key, so same-ts
+   * observations with different attributes produce adjacent zero-length
+   * versions in attribute order — deterministic and SQL-replayable rather
+   * than arrival-order-dependent. Null keys/timestamps are dropped (the
+   * module null contract: an unplaceable observation versions nothing).
+   * Attribute comparison is null-safe (a null attribute value is a state,
+   * not a wildcard).
+   *
+   * Scale shape: ONE shuffle by key, then two per-key sorted windows (lag
+   * to find run starts, lead for valid_to) — never a global sort. Per-key
+   * history length bounds window memory; dimension keys are users/parts/
+   * suppliers, so histories are thin even when the log is 100 TB.
+   *
+   * Output: (keyCol, attrCols..., valid_from, valid_to, version_n).
+   */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "attrCols must not be empty")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc +: attrCols.map(col(_).asc): _*)
+    val st = struct(attrCols.map(col): _*)
+    val changed = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k") +: col(tsCol).as("__ts") +:
+        attrCols.map(col): _*)
+      .withColumn("__prev", lag(st, 1).over(ord))
+      .filter(col("__prev").isNull || !(st <=> col("__prev")))
+    changed
+      .withColumn("version_n", row_number().over(ord).cast("long"))
+      .withColumn("valid_to", lead(col("__ts"), 1).over(ord))
+      .select(col("__k").as(keyCol) +: attrCols.map(col) :+
+        col("__ts").as("valid_from") :+ col("valid_to") :+
+        col("version_n"): _*)
+  }
+
   /** Upsert-only convenience: every `updates` row replaces-or-inserts. */
   def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame =
     applyChanges(base, updates.withColumn("__op", lit("upsert")),

@@ -403,6 +403,24 @@ object TextOps {
     -1.0 // unreachable
   }
 
+  /** Early-abandon intersection count over two sorted long arrays: the
+    * exact |A ∩ B| when ≥ `need`, -1 the moment the remaining-element
+    * bound proves it can't get there. The verify kernel for CONTAINMENT
+    * (partial-copy) joins, where the threshold is a raw overlap count
+    * rather than a Jaccard ratio. */
+  def sortedIntersectAtLeast(a: ArrayData, b: ArrayData, need: Int): Long = {
+    val la = a.numElements(); val lb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < la && j < lb) {
+      if (inter + math.min(la - i, lb - j) < need) return -1L
+      val va = a.getLong(i); val vb = b.getLong(j)
+      if (va == vb) { inter += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    if (inter >= need) inter.toLong else -1L
+  }
+
   /**
    * Depth-limited LOWER bound on |A Δ B| for two sorted long arrays — the
    * PPJoin+ suffix-filtering probe (Xiao et al. WWW'08 §4, generalized to
@@ -479,6 +497,26 @@ case class SortedJaccardAtLeast(first: Expression, second: Expression, third: Ex
       s"org.apache.spark.sql.graft.TextOps.sortedJaccardAtLeast($a, $b, $t)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): SortedJaccardAtLeast = copy(f, s, t)
+}
+
+/** sorted_intersect_at_least(a, b, need) → long: exact |A ∩ B| if ≥ need,
+  * else -1 via the remaining-element early abandon. Containment-join
+  * verify kernel; reads ArrayData in place like [[SortedJaccardAtLeast]]. */
+case class SortedIntersectAtLeast(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_at_least"
+  override protected def nullSafeEval(a: Any, b: Any, n: Any): Any =
+    TextOps.sortedIntersectAtLeast(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, n) =>
+      s"org.apache.spark.sql.graft.TextOps.sortedIntersectAtLeast($a, $b, $n)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SortedIntersectAtLeast = copy(f, s, t)
 }
 
 /**

@@ -92,6 +92,48 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_milli"))
 
+  /**
+   * SESSION-window aggregates via Spark's native `session_window`: a
+   * dynamic-length window that extends while events keep arriving within
+   * `gap` of the LAST event and closes after a quiet gap — per-user
+   * activity bursts without fixed boundaries (what tumbling/hopping
+   * windows can't express; the declarative sibling of the
+   * flatMapGroupsWithState [[sessionize]], with watermark-managed state
+   * instead of hand-rolled timeouts). An event at EXACTLY gap after the
+   * previous one still MERGES — per-event windows [t, t+gap) join while
+   * next.start ≤ current.end, so only a strictly-longer-than-gap quiet
+   * period splits (spec-pinned at ±1 µs); `session_end` = last event +
+   * gap. Null-ts rows are dropped (the module contract).
+   *
+   * State at scale: streaming session state is keyed (user, open window)
+   * and evicted once the watermark passes `session_end` — bounded by
+   * concurrently-active users, not history.
+   */
+  def sessionCounts(events: DataFrame,
+                    gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("ts").isNotNull)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"), col("value_milli"))
+
+  /** Batch twin of [[sessionCounts]] — same plan on a static DataFrame. */
+  def sessionCountsBatch(events: DataFrame,
+                         gap: String = "30 minutes"): DataFrame =
+    events
+      .filter(col("ts").isNotNull)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"), col("value_milli"))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class Session(user_id: Long, n_events: Int, first_ts: Long, last_ts: Long,

@@ -451,6 +451,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"candidate stream is being sorted:\n$p")
   }
 
+  test("containment verify joins never sort-merge the candidate stream") {
+    // same contract as the cosine pin: on the default (no-hint) path the
+    // gram-array joins are hinted shuffle_hash, and with a fitting
+    // corpusSizeHint they broadcast — either way zero SortMergeJoin
+    // only the id_a/id_b verify joins carry the contract — the upstream
+    // gram-frequency join may legitimately sort-merge two huge sides
+    def smjOnIds(p: String): Boolean = p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && (l.contains("id_a") || l.contains("id_b")))
+    val p = plan(SparkEntry.queries("q_dedup_containment")(spark, sf))
+    assert(!smjOnIds(p), s"candidate stream is being sorted:\n$p")
+    val bc = graft.pipeline.Dedup.containmentPairs(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      thresholdPermille = 800, corpusSizeHint = 100L)
+    val pb = plan(bc)
+    assert(pb.contains("BroadcastHashJoin") && !smjOnIds(pb),
+      s"broadcast verify path lost its form:\n$pb")
+  }
+
   test("pagerank plan: no nested-loop or cartesian joins at any iteration") {
     val edges = spark.read.parquet(s"$sf/lineitem.parquet")
       .selectExpr("l_suppkey as src", "l_partkey as dst").limit(2000)

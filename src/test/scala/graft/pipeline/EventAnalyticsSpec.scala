@@ -807,4 +807,207 @@ class EventAnalyticsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Graph.pagerankIntConverged(df, tolL1 = 0L))
   }
+
+  // ---- HITS ----
+
+  private def bruteHits(edges: Seq[(Long, Long)], iters: Int,
+                        scale: Long): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val ar = e.groupBy(_._2).map { case (v, in) =>
+        v -> in.map(x => hub(x._1)).sum }
+      val am = if (ar.isEmpty) 0L else ar.values.max
+      auth = nodes.map(v =>
+        v -> (if (am == 0) 0L else ar.getOrElse(v, 0L) * scale / am)).toMap
+      val hr = e.groupBy(_._1).map { case (u, out) =>
+        u -> out.map(x => auth(x._2)).sum }
+      val hm = if (hr.isEmpty) 0L else hr.values.max
+      hub = nodes.map(v =>
+        v -> (if (hm == 0) 0L else hr.getOrElse(v, 0L) * scale / hm)).toMap
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  test("hitsInt == integer replica on random directed graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 31)
+      val edges = (0 until 150).map(_ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(25).toLong))
+      val got = Graph.hitsInt(edges.toDF("src", "dst"), iters = 3)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got == bruteHits(edges, 3, 1000000L), s"seed $seed")
+    }
+  }
+
+  test("hitsInt star golden: spokes are pure hubs, the center a pure authority") {
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val got = Graph.hitsInt(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == ((0L, 1000000L)))
+    Seq(1L, 2L, 3L).foreach(v => assert(got(v) == ((1000000L, 0L))))
+  }
+
+  test("hitsInt: checkpoint cadence, partition invariance, validation") {
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 80).map(_ =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(12).toLong))
+    val df = edges.toDF("src", "dst")
+    // 9 rounds crosses four cadence-2 materialization boundaries (2,4,6,8)
+    val got9 = Graph.hitsInt(df, iters = 9).collect().map(_.toSeq).toSet
+    assert(got9 ==
+      bruteHits(edges, 9, 1000000L).map { case (n, (h, a)) => Seq(n, h, a) }.toSet)
+    val a = Graph.hitsInt(df.repartition(7), iters = 2)
+      .collect().map(_.toSeq).toSet
+    val b = Graph.hitsInt(df, iters = 2).collect().map(_.toSeq).toSet
+    assert(a == b)
+    // assumeDistinct on an already-distinct list changes nothing
+    val dd = edges.distinct.toDF("src", "dst")
+    assert(Graph.hitsInt(dd, 2).collect().map(_.toSeq).toSet ==
+      Graph.hitsInt(dd, 2, assumeDistinct = true).collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException](Graph.hitsInt(df, iters = 0))
+    intercept[IllegalArgumentException](Graph.hitsInt(df, iters = 1, scale = 0L))
+  }
+
+  // ---- interval merge ----
+
+  private def bruteMerge(iv: Seq[(Long, Long, Long)])
+      : Set[(Long, Long, Long, Long)] =
+    iv.groupBy(_._1).flatMap { case (k, xs) =>
+      val sorted = xs.map(x => (x._2, x._3)).sorted
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      for ((s, e) <- sorted) {
+        if (out.nonEmpty && s <= out.last._2) {
+          val l = out.last
+          out(out.size - 1) = (l._1, math.max(l._2, e), l._3 + 1)
+        } else out += ((s, e, 1L))
+      }
+      out.map(o => (k, o._1, o._2, o._3))
+    }.toSet
+
+  private def runMerge(iv: Seq[(Long, Long, Long)]) =
+    EventAnalytics.mergeIntervals(iv.toDF("k", "s", "e"), "k", "s", "e")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("mergeIntervals == serial sweep replica on random interval sets") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 23)
+      val iv = (0 until 400).map { _ =>
+        val s = rnd.nextInt(500).toLong
+        (rnd.nextInt(6).toLong, s, s + rnd.nextInt(40).toLong)
+      }
+      assert(runMerge(iv) == bruteMerge(iv), s"seed $seed")
+    }
+  }
+
+  test("mergeIntervals: touching merges, +1 gap splits, nesting absorbs") {
+    // [0,5) + [5,9) touch -> one span; [20,25) is separate; [21,23) nests
+    val iv = Seq((1L, 0L, 5L), (1L, 5L, 9L), (1L, 20L, 25L), (1L, 21L, 23L),
+      (1L, 26L, 30L))
+    assert(runMerge(iv) == Set((1L, 0L, 9L, 2L), (1L, 20L, 25L, 2L),
+      (1L, 26L, 30L, 1L)))
+    // zero-length interval [7,7) inside coverage counts as merged
+    assert(runMerge(Seq((2L, 0L, 10L), (2L, 7L, 7L))) ==
+      Set((2L, 0L, 10L, 2L)))
+  }
+
+  test("mergeIntervals: null contract, inverted-interval guard, partition invariance") {
+    val df = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 0L, 5L), (null, 9L, 12L), (1L, null, 12L), (1L, 14L, null))
+      .toDF("k", "s", "e")
+    val got = EventAnalytics.mergeIntervals(df, "k", "s", "e").collect()
+    assert(got.length == 1 && got(0).getLong(1) == 0L && got(0).getLong(2) == 5L)
+    val bad = Seq((1L, 10L, 3L)).toDF("k", "s", "e")
+    val ex = intercept[Exception](
+      EventAnalytics.mergeIntervals(bad, "k", "s", "e").collect())
+    assert(ex.getMessage.contains("inverted interval"))
+    val rnd = new scala.util.Random(9)
+    val iv = (0 until 300).map { _ =>
+      val s = rnd.nextInt(400).toLong
+      (rnd.nextInt(4).toLong, s, s + rnd.nextInt(30).toLong)
+    }
+    assert(EventAnalytics.mergeIntervals(iv.toDF("k", "s", "e").repartition(11),
+      "k", "s", "e").collect().map(_.toSeq).toSet ==
+      runMerge(iv).map(t => Seq(t._1, t._2, t._3, t._4)))
+  }
+
+  // ---- k-core ----
+
+  private def bruteKcore(edges: Seq[(Long, Long)], k: Int,
+                         iters: Int): Map[Long, Long] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    def degs(av: Set[Long]): Map[Long, Long] = {
+      val m = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      canon.foreach { case (a, b) =>
+        if (av(a) && av(b)) { m(a) += 1; m(b) += 1 } }
+      m.toMap.withDefaultValue(0L)
+    }
+    var alive = (canon.map(_._1) ++ canon.map(_._2)).distinct.toSet
+    for (_ <- 1 to iters) {
+      val d = degs(alive)
+      alive = alive.filter(v => d(v) >= k)
+    }
+    val fd = degs(alive)
+    alive.map(v => v -> fd(v)).toMap
+  }
+
+  test("kcore == brute peel replica on random graphs across seeds and k") {
+    for (seed <- 1 to 3; k <- Seq(2, 3)) {
+      val rnd = new scala.util.Random(seed * 17 + k)
+      val edges = (0 until 120).map(_ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      val got = Graph.kcore(edges.toDF("src", "dst"), k = k, iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteKcore(edges, k, 5), s"seed $seed k $k")
+    }
+  }
+
+  test("kcore path cascade: a 12-path peels from the ends, 6 rounds to empty") {
+    val path = (0L until 11L).map(i => (i, i + 1))
+    val df = path.toDF("src", "dst")
+    // each round removes the two current endpoints: 12 -> 10 -> ... -> 0;
+    // iters=5 crosses the i=4 checkpoint boundary mid-cascade
+    assert(Graph.kcore(df, k = 2, iters = 5).count() === 2L)
+    assert(Graph.kcore(df, k = 2, iters = 6).count() === 0L)
+    val (core, rounds) = Graph.kcoreConverged(df, k = 2)
+    assert(core.count() === 0L && rounds === 7) // 6 peels + confirming no-op
+  }
+
+  test("kcore cycle is its own 2-core; converged == fixed past the depth") {
+    val cycle = (0L until 8L).map(i => (i, (i + 1) % 8))
+    val df = cycle.toDF("src", "dst")
+    val got = Graph.kcore(df, k = 2, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 8L).map(_ -> 2L).toMap)
+    val (conv, rounds) = Graph.kcoreConverged(df, k = 2)
+    assert(rounds === 1) // first peel removes nothing
+    assert(conv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
+  }
+
+  test("kcore: zero-neighbor survivors, partition invariance, validation") {
+    // two triangles joined by a bridge: at k=2 the first peel removes
+    // nothing (every node has degree >= 2); at k=3 the triangle leaves
+    // peel first and the bridge endpoints cascade after them
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (0L, 3L))
+    val df = tri.toDF("src", "dst")
+    assert(Graph.kcore(df, k = 3, iters = 3).count() === 0L)
+    val a = Graph.kcore(df.repartition(5), k = 2, iters = 3)
+      .collect().map(_.toSeq).toSet
+    val b = Graph.kcore(df, k = 2, iters = 3).collect().map(_.toSeq).toSet
+    assert(a == b && a == bruteKcore(tri, 2, 3)
+      .map { case (n, d) => Seq(n, d) }.toSet)
+    intercept[IllegalArgumentException](Graph.kcore(df, k = 0, iters = 1))
+    intercept[IllegalArgumentException](Graph.kcore(df, k = 1, iters = 0))
+    intercept[IllegalArgumentException](Graph.kcoreConverged(df, k = 1, maxIters = 0))
+    // cap-throw: the 12-path at k=2 needs 6 peel rounds, cap at 2 throws
+    val path = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException](
+      Graph.kcoreConverged(path, k = 2, maxIters = 2))
+  }
 }

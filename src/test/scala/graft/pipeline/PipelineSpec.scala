@@ -101,6 +101,89 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  private def bruteContainment(all: Seq[(Long, String)],
+                               tPermille: Int): Map[(Long, Long), Long] = {
+    val sets = all.map { case (id, t) =>
+      id -> TextCore.shingleHashes(t, 5).toSet }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia < ib && sa.nonEmpty && sb.nonEmpty
+      inter = (sa intersect sb).size.toLong
+      mn = math.min(sa.size, sb.size).toLong
+      if 1000L * inter >= tPermille * mn
+    } yield (ia, ib) -> 1000L * inter / mn).toMap
+  }
+
+  test("containmentPairs == brute force EXACTLY (planted + natural corpora)") {
+    for ((corpus, t) <- Seq((docs, 800), (planted, 700))) {
+      val got = Dedup.containmentPairs(corpus, "doc_id", "text",
+        thresholdPermille = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val brute = bruteContainment(
+        corpus.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))), t)
+      assert(brute.nonEmpty, "fixture produced no containment pairs")
+      assert(got == brute, s"t=$t: got ${got.size} vs brute ${brute.size}")
+      // broadcast verify path (corpusSizeHint inside the byte budget)
+      // == the default shuffle_hash path, bit for bit
+      val bcast = Dedup.containmentPairs(corpus, "doc_id", "text",
+        thresholdPermille = t, corpusSizeHint = corpus.count())
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(bcast == brute, s"t=$t broadcast-verify path diverged")
+    }
+  }
+
+  test("containmentPairs catches the quote-in-long-doc case Jaccard misses") {
+    // doc 2 embeds doc 1 verbatim inside ~9× unrelated padding: containment
+    // of the smaller side is ~1000‰ while Jaccard collapses to ~0.1
+    val rnd = new scala.util.Random(77)
+    def prose(n: Int) = (0 until n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar).mkString
+    val quote = prose(300)
+    val corpus = Seq(
+      (1L, quote),
+      (2L, prose(1400) + quote + prose(1400)),
+      (3L, prose(900))).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text",
+      thresholdPermille = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cont.contains((1L, 2L)), "contained quote not found")
+    assert(cont((1L, 2L)) >= 900L)
+    assert(!cont.contains((1L, 3L)) && !cont.contains((2L, 3L)))
+    // the Jaccard operator at 0.8 does NOT report this pair — the
+    // asymmetric operator exists precisely for it
+    val jacc = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jacc.contains((1L, 2L)))
+  }
+
+  test("containmentPairs: threshold boundary is closed, validation rejects bad t") {
+    // sets: A = 10 grams, B ⊇ 8 of them ⇒ containment exactly 800‰ —
+    // a pair AT the threshold must be kept (boundary-closed, the geohash
+    // half-open lesson)
+    val a = "abcdefghijklmn" // 10 distinct 5-grams
+    val b = "abcdefghijkl" + "zzzzzqqqqq" // first 8 grams of a + noise
+    val corpus = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val sa = TextCore.shingleHashes(a, 5).toSet
+    val sb = TextCore.shingleHashes(b, 5).toSet
+    val inter = (sa intersect sb).size
+    val mn = math.min(sa.size, sb.size)
+    val tExact = (1000 * inter / mn).toInt
+    assert(1000 * inter % mn == 0, s"fixture not exactly at threshold: $inter/$mn")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text",
+      thresholdPermille = tExact)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.get((1L, 2L)).contains(tExact.toLong))
+    // one permille above the exact ratio excludes it
+    val above = Dedup.containmentPairs(corpus, "doc_id", "text",
+      thresholdPermille = tExact + 1).count()
+    assert(above == 0L)
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairs(corpus, "doc_id", "text", thresholdPermille = 0))
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairs(corpus, "doc_id", "text", thresholdPermille = 1001))
+  }
+
   test("fused-bucket ngram pairs == flat pipeline (all modes, both corpora)") {
     for (corpus <- Seq(docs, planted); t <- Seq(0.7, 0.8)) {
       def run(mode: String, hint: Long = 0L) =
@@ -1797,6 +1880,85 @@ class PipelineSpec extends AnyFunSuite {
     val up = Snapshots.upsert(base, Seq((1L, "A1", 100L)).toDF("doc_id", "text", "v"),
       Seq("doc_id")).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(up == Set((1L, "A1", 100L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
+  // ---- SCD type-2 ----
+
+  /** Serial SCD2 replay: per key, sort observations by (ts, attr), keep
+    * run starts, lead() for valid_to. */
+  private def bruteScd2(rows: Seq[(Long, Long, String)])
+      : Set[(Long, String, Long, Option[Long], Long)] = {
+    rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val sorted = rs.map(r => (r._2, r._3)).sorted
+      val changed = sorted.zipWithIndex.collect {
+        case ((t, a), i) if i == 0 || sorted(i - 1)._2 != a => (t, a)
+      }
+      changed.zipWithIndex.map { case ((t, a), i) =>
+        (k, a, t,
+          if (i + 1 < changed.length) Some(changed(i + 1)._1) else None,
+          (i + 1).toLong)
+      }
+    }.toSet
+  }
+
+  private def scd2Df(rows: Seq[(Long, Long, String)]) =
+    rows.zipWithIndex.map { case ((k, us, a), i) => (i.toLong, k, us, a) }
+      .toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts",
+        when(col("us") < 0, lit(null)).otherwise(timestamp_micros(col("us"))))
+
+  private def runScd2(rows: Seq[(Long, Long, String)]) =
+    Snapshots.scd2(scd2Df(rows), "user_id", "ts", Seq("event_type"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("valid_from")), unix_micros(col("valid_to")),
+        col("version_n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))).toSet
+
+  test("Snapshots.scd2 == serial replay across random observation logs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 41)
+      val rows = (0 until 300).map(_ => (rnd.nextInt(8).toLong,
+        rnd.nextInt(40).toLong * 1000000L,
+        Seq("view", "click", "error")(rnd.nextInt(3))))
+      assert(runScd2(rows) == bruteScd2(rows), s"seed $seed")
+    }
+  }
+
+  test("Snapshots.scd2: runs not distinct states; dup collapse; open tail") {
+    // A, A, B, A: the reappearing A starts version 3 — and only the
+    // final version has a NULL valid_to
+    val rows = Seq((1L, 10L, "A"), (1L, 20L, "A"), (1L, 30L, "B"), (1L, 40L, "A"))
+    assert(runScd2(rows) == Set(
+      (1L, "A", 10L, Some(30L), 1L),
+      (1L, "B", 30L, Some(40L), 2L),
+      (1L, "A", 40L, None, 3L)))
+  }
+
+  test("Snapshots.scd2: null contract, same-ts determinism, partition invariance") {
+    // null key/ts rows version nothing
+    val withNulls = Seq((1L, 10L, "A"), (1L, -1L, "Z"))
+    assert(runScd2(withNulls) == Set((1L, "A", 10L, None, 1L)))
+    // same-ts ties order by attribute: two zero-length-prefix versions
+    val ties = Seq((2L, 10L, "B"), (2L, 10L, "A"))
+    assert(runScd2(ties) == Set(
+      (2L, "A", 10L, Some(10L), 1L), (2L, "B", 10L, None, 2L)))
+    // a null ATTRIBUTE is a state, not a wildcard: A, null, null, A
+    val nullAttr = Seq((3L, 10L, "A"), (3L, 20L, null), (3L, 30L, null),
+      (3L, 40L, "A"))
+    val got = Snapshots.scd2(scd2Df(nullAttr), "user_id", "ts", Seq("event_type"))
+      .select(col("event_type"), unix_micros(col("valid_from")), col("version_n"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((Some("A"), 10L, 1L), (None, 20L, 2L), (Some("A"), 40L, 3L)))
+    // partition invariance + attr validation
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map(_ => (rnd.nextInt(5).toLong,
+      rnd.nextInt(30).toLong * 1000L, Seq("x", "y")(rnd.nextInt(2))))
+    assert(Snapshots.scd2(scd2Df(rows).repartition(13), "user_id", "ts",
+      Seq("event_type")).count() ===
+      Snapshots.scd2(scd2Df(rows), "user_id", "ts", Seq("event_type")).count())
+    intercept[IllegalArgumentException](
+      Snapshots.scd2(scd2Df(rows), "user_id", "ts", Seq.empty))
   }
 
   test("Snapshots.diff: added/removed/changed classified, unchanged dropped") {

@@ -245,4 +245,152 @@ class SketchesSpec extends AnyFunSuite {
     val withNull = Seq(("g", Option("x")), ("g", None)).toDF("g", "v")
     assert(Sketches.distinctHll(withNull, "g", "v").head().getLong(1) == 1L)
   }
+
+  // ---- KMV sample algebra ----
+
+  test("kmvSample shards merge EXACTLY: estimate-of-union == whole-data sketch") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 3000).map(_ =>
+      (s"g${rnd.nextInt(3)}", s"v${rnd.nextInt(700)}"))
+    val (s1, s2) = rows.splitAt(1100)
+    val merged = Sketches.kmvEstimate(
+      Sketches.kmvSample(s1.toDF("g", "v"), "g", "v", 32)
+        .union(Sketches.kmvSample(s2.toDF("g", "v"), "g", "v", 32)),
+      "g", 32).collect().map(_.toSeq).toSet
+    val whole = Sketches.distinctKmv(rows.toDF("g", "v"), "g", "v", 32)
+      .collect().map(_.toSeq).toSet
+    assert(merged == whole)
+  }
+
+  private def bruteSetEst(a: Seq[(String, String)], b: Seq[(String, String)],
+                          k: Int): Map[String, Seq[Long]] = {
+    def sample(rows: Seq[(String, String)]): Map[String, Seq[Long]] =
+      rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(v => math.max(1L, md5h32(v._2))).distinct.sorted.take(k)
+      }
+    def est(s: Seq[Long]): Long =
+      if (s.size < k) s.size.toLong else (k - 1).toLong * 4294967296L / s.last
+    val sa = sample(a); val sb = sample(b)
+    (sa.keySet intersect sb.keySet).map { g =>
+      val x = (sa(g) ++ sb(g)).distinct.sorted.take(k)
+      val nboth = x.count(h => sa(g).contains(h) && sb(g).contains(h))
+      val eu = est(x)
+      val j = 1000L * nboth / x.size
+      g -> Seq(est(sa(g)), est(sb(g)), eu, j, j * eu / 1000L)
+    }.toMap
+  }
+
+  test("kmvSetEstimates == integer replica in exact AND estimation regimes") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 7)
+      // per-group value domains small enough that SOME groups stay under
+      // k (exact regime) while others overflow it (estimation regime)
+      val a = (0 until 2000).map(_ =>
+        (s"g${rnd.nextInt(4)}", s"v${rnd.nextInt(40 + rnd.nextInt(200))}"))
+      val b = (0 until 2000).map(_ =>
+        (s"g${rnd.nextInt(4)}", s"v${20 + rnd.nextInt(40 + rnd.nextInt(200))}"))
+      val got = Sketches.kmvSetEstimates(
+        Sketches.kmvSample(a.toDF("g", "v"), "g", "v", 64),
+        Sketches.kmvSample(b.toDF("g", "v"), "g", "v", 64), "g", 64)
+        .collect()
+        .map(r => r.getString(0) -> (1 to 5).map(r.getLong).toSeq).toMap
+      assert(got == bruteSetEst(a, b, 64), s"seed $seed")
+    }
+  }
+
+  test("kmvSetEstimates exact regime reports the true set algebra") {
+    // |A|=30, |B|=30, overlap 10, union 50 < k=64 → everything exact
+    val a = (0 until 30).map(i => ("g", s"v$i"))
+    val b = (20 until 50).map(i => ("g", s"v$i"))
+    val r = Sketches.kmvSetEstimates(
+      Sketches.kmvSample(a.toDF("g", "v"), "g", "v", 64),
+      Sketches.kmvSample(b.toDF("g", "v"), "g", "v", 64), "g", 64).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((30L, 30L, 50L)))
+    assert(r.getLong(4) == 200L) // 1000·10/50
+    assert(r.getLong(5) == 10L)  // (200·50)/1000
+  }
+
+  test("kmvSetEstimates estimation-path accuracy lands inside a sane band") {
+    // true union 1500, true Jaccard 500/1500 = 333‰
+    val a = (0 until 1000).map(i => ("g", s"val$i"))
+    val b = (500 until 1500).map(i => ("g", s"val$i"))
+    val r = Sketches.kmvSetEstimates(
+      Sketches.kmvSample(a.toDF("g", "v"), "g", "v", 64),
+      Sketches.kmvSample(b.toDF("g", "v"), "g", "v", 64), "g", 64).head()
+    val estU = r.getLong(3); val j = r.getLong(4); val estI = r.getLong(5)
+    assert(math.abs(estU - 1500L) < 600, s"est_union $estU")
+    assert(math.abs(j - 333L) < 200, s"jaccard $j")
+    assert(math.abs(estI - 500L) < 350, s"est_intersect $estI")
+  }
+
+  // ---- Count-Min ----
+
+  private def bruteCms(rows: Seq[(String, String)], items: Seq[String],
+                       d: Int, w: Int): Map[(String, String), Long] = {
+    val counters = scala.collection.mutable.Map
+      .empty[(String, Int, Long), Long].withDefaultValue(0L)
+    rows.foreach { case (g, v) =>
+      (0 until d).foreach { r =>
+        counters((g, r, md5h32(s"$r:$v") % w)) += 1
+      }
+    }
+    val groups = rows.map(_._1).distinct
+    (for (g <- groups; it <- items.distinct) yield
+      (g, it) -> (0 until d).map(r =>
+        counters((g, r, md5h32(s"$r:$it") % w))).min).toMap
+  }
+
+  test("cmsLookup == integer replica; estimates never undershoot the truth") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 19)
+      // small w so collisions fire; absent items (v9xx) estimate too
+      val rows = (0 until 4000).map(_ =>
+        (s"g${rnd.nextInt(3)}", s"v${rnd.nextInt(60)}"))
+      val items = (0 until 40).map(i => s"v${i * 3}") ++ Seq("v900", "v901")
+      val got = Sketches.cmsLookup(
+        Sketches.cmsSketch(rows.toDF("g", "v"), "g", "v", d = 3, w = 16),
+        items.toDF("v"), "g", "v", d = 3, w = 16)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == bruteCms(rows, items, 3, 16), s"seed $seed")
+      val truth = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      got.foreach { case ((g, v), est) =>
+        assert(est >= truth.getOrElse((g, v), 0L), s"undershoot at ($g,$v)")
+      }
+    }
+  }
+
+  test("cmsSketch shards merge EXACTLY; wide sketch on small domains is exact") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 3000).map(_ =>
+      (s"g${rnd.nextInt(2)}", s"v${rnd.nextInt(50)}"))
+    val (s1, s2) = rows.splitAt(1300)
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsSketch(s1.toDF("g", "v"), "g", "v")
+        .union(Sketches.cmsSketch(s2.toDF("g", "v"), "g", "v")), "g")
+      .collect().map(_.toSeq).toSet
+    val whole = Sketches.cmsSketch(rows.toDF("g", "v"), "g", "v")
+      .collect().map(_.toSeq).toSet
+    assert(merged == whole)
+    // d=8 × w=2^16 over 12 distinct values: some row is collision-free
+    // for every item, so every present-item estimate is EXACT
+    val small = (0 until 600).map(i => ("g", s"u${i % 12}"))
+    val est = Sketches.cmsLookup(
+      Sketches.cmsSketch(small.toDF("g", "v"), "g", "v", d = 8, w = 1 << 16),
+      (0 until 12).map(i => s"u$i").toDF("v"), "g", "v", d = 8, w = 1 << 16)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert((0 until 12).forall(i => est(s"u$i") == 50L))
+  }
+
+  test("cms/kmv param validation and partition invariance") {
+    val df = (0 until 500).map(i => ("g", s"v${i % 80}")).toDF("g", "v")
+    intercept[IllegalArgumentException](Sketches.cmsSketch(df, "g", "v", d = 0))
+    intercept[IllegalArgumentException](Sketches.cmsSketch(df, "g", "v", w = 1))
+    intercept[IllegalArgumentException](Sketches.kmvSample(df, "g", "v", 1))
+    val a = Sketches.kmvSetEstimates(
+      Sketches.kmvSample(df, "g", "v", 16),
+      Sketches.kmvSample(df.repartition(13), "g", "v", 16), "g", 16).head()
+    // identical inputs: jaccard 1000‰, intersection == union estimate
+    assert(a.getLong(4) == 1000L && a.getLong(5) == a.getLong(3))
+  }
 }

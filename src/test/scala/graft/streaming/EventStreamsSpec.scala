@@ -57,6 +57,47 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session counts == batch twin (native session_window)") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sess-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = EventStreams.readEventStream(spark, streamDir.toString)
+    val q = EventStreams.sessionCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .select("session_start", "session_end", "user_id", "n", "value_milli")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.sessionCountsBatch(events)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session_window exact-gap boundary: adjacent-touching sessions merge") {
+    val gapUs = 30L * 60 * 1000000
+    def mk(uss: Seq[Long]) = uss.zipWithIndex.map { case (u, i) =>
+      (i.toLong, u, 7L, "click", 1.0)
+    }.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts",
+        when(col("us") < 0, lit(null)).otherwise(timestamp_micros(col("us"))))
+    // an event at EXACTLY gap after the previous still MERGES (sessions
+    // join while next.start <= current.end); one microsecond past splits
+    assert(EventStreams.sessionCountsBatch(mk(Seq(0L, gapUs + 1))).count() === 2L)
+    val one = EventStreams.sessionCountsBatch(mk(Seq(0L, gapUs)))
+      .select(unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n")).collect()
+    assert(one.length === 1)
+    assert(one(0).getLong(0) === 0L)
+    assert(one(0).getLong(1) === gapUs + gapUs) // end = last + gap
+    assert(one(0).getLong(2) === 2L)
+    // null-ts rows belong to no session (module contract)
+    assert(EventStreams.sessionCountsBatch(mk(Seq(0L, -1L))).count() === 1L)
+  }
+
   test("streaming exact dedup drops repeated payloads within the watermark") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
     java.nio.file.Files.copy(

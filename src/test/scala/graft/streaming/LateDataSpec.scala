@@ -71,6 +71,44 @@ class LateDataSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionCounts late batch: a late-but-still-open event RETROACTIVELY " +
+    "extends the session start; older-than-all drops") {
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.sessionCounts(events,
+        gap = "10 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_sess_out").start()
+    try {
+      // batch 1 (in order): u1 at 12:00 and 12:05 → one open session
+      // [12:00, 12:15); watermark after the batch = 12:05 − 10 = 11:55
+      input.addData((1L, ts("12:00"), 1L, "click", 1.0),
+        (2L, ts("12:05"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2 across the boundary:
+      //  eA u1 11:50 — LATE (ts < wm) but its per-event window
+      //    [11:50, 12:00) ends ABOVE the watermark → kept, touches the
+      //    open session's start → merges, dragging start back to 11:50
+      //  eB u1 11:40 — window [11:40, 11:50) ends below the watermark →
+      //    dropped entirely
+      input.addData((3L, ts("11:50"), 1L, "click", 1.0),
+        (4L, ts("11:40"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: far-future flush advances the watermark past the
+      // session end (13:30 − 10 min = 13:20 > 12:15) → finalize + emit
+      input.addData((5L, ts("13:30"), 99L, "flush", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("late_sess_out")
+        .filter(col("user_id") === 1L)
+        .select(date_format(col("session_start"), "HH:mm"),
+          date_format(col("session_end"), "HH:mm"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(got.toSeq == Seq(("11:50", "12:15", 3L)),
+        s"late-session kept/dropped partition diverged: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streamingExactDedup late batch: older-than-watermark rows drop; " +
     "live dups suppress; expired-state dup re-emits exactly once") {
     // dropDuplicatesWithinWatermark's three-way contract, pinned: (1) an
