@@ -298,12 +298,16 @@ object Dedup {
    * Bucket cap + metrics as in [[ngramJaccardPairs]] (`maxBucket` bounds
    * the per-gram index bucket; stopword-like grams are self-limiting
    * because only RARE grams enter prefixes, but the full-side index still
-   * needs the cap on degenerate corpora). Verify-join gating too: with a
-   * `corpusSizeHint` whose sampled gram-array bytes fit
-   * `broadcastVerifyMaxBytes`, the gram sides broadcast and the candidate
-   * stream never shuffles; past the budget the joins are hinted
-   * shuffle_hash so the stream is never SORT-merge-joined (the cosine
-   * sf10 ENOSPC lesson).
+   * needs the cap on degenerate corpora). Verify-join gating: when the
+   * corpus's sampled gram-array bytes fit `broadcastVerifyMaxBytes`, the
+   * gram sides broadcast and the candidate stream never shuffles —
+   * essential here because a shuffled verify writes candidates ×
+   * gram-array-size bytes (a dup-heavy corpus ENOSPC'd a 76 GB disk at
+   * 10× replication while the gram table itself was 80 MB). Sizing is
+   * auto by default (`corpusSizeHint` 0 counts the input — cheap on a
+   * table scan; pass the known count when the input is an expensive
+   * subplan, or a negative value to force the shuffle path, which is
+   * hinted shuffle_hash so the stream is never SORT-merge-joined).
    */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        thresholdPermille: Int = 800, shingle: Int = 5,
@@ -346,15 +350,19 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     val ga = docGrams.select(col("id").as("id_a"), col("grams").as("g_a"))
     val gb = docGrams.select(col("id").as("id_b"), col("grams").as("g_b"))
-    // Same verify-join gating as [[ngramJaccardPairs]]: broadcast the
-    // gram-array sides when the byte-budget hint says they fit (the
-    // candidate stream then never shuffles — map-side verify); otherwise
-    // plain shuffled equality joins. Never let Spark SMJ-sort the
-    // candidate stream against a vector/array table (the cosine sf10
-    // ENOSPC lesson).
+    // Same verify-join byte budget as [[ngramJaccardPairs]], but sizing is
+    // AUTO by default (corpusSizeHint 0 → one cheap count of the input;
+    // > 0 → trusted count; < 0 → force the shuffle path): the candidate
+    // stream carries a ~KB gram array per pair once joined, so on a
+    // dup-heavy corpus the shuffled verify writes candidates × array-size
+    // bytes — measured at sf1's 10×-replicated bench corpus it filled a
+    // 76 GB disk (ENOSPC) while the broadcastable gram table was 80 MB.
+    // Broadcast when it fits; past the budget use shuffle_hash so the
+    // stream is at least never SORT-merged (the cosine sf10 lesson).
+    val hint = if (corpusSizeHint == 0L) df.count() else corpusSizeHint
     val verified =
-      if (corpusSizeHint > 0 &&
-          corpusSizeHint * sampledDocGramBytes(df, textCol, shingle) <= broadcastVerifyMaxBytes)
+      if (hint > 0 &&
+          hint * sampledDocGramBytes(df, textCol, shingle) <= broadcastVerifyMaxBytes)
         candidates.join(broadcast(ga), "id_a").join(broadcast(gb), "id_b")
       else
         candidates.join(ga.hint("shuffle_hash"), "id_a")

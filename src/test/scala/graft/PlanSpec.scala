@@ -459,14 +459,19 @@ class PlanSpec extends AnyFunSuite {
     // gram-frequency join may legitimately sort-merge two huge sides
     def smjOnIds(p: String): Boolean = p.linesIterator.exists(l =>
       l.contains("SortMergeJoin") && (l.contains("id_a") || l.contains("id_b")))
+    // auto sizing (the gate's default): the tiny corpus fits the byte
+    // budget → broadcast verify, candidate stream never shuffles
     val p = plan(SparkEntry.queries("q_dedup_containment")(spark, sf))
-    assert(!smjOnIds(p), s"candidate stream is being sorted:\n$p")
-    val bc = graft.pipeline.Dedup.containmentPairs(
+    assert(p.contains("BroadcastHashJoin") && !smjOnIds(p),
+      s"auto verify path should broadcast here:\n$p")
+    // forced shuffle path (corpusSizeHint < 0): hash joins, never SMJ —
+    // a sorted candidate stream carrying KB gram arrays is the ENOSPC shape
+    val sh = graft.pipeline.Dedup.containmentPairs(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
-      thresholdPermille = 800, corpusSizeHint = 100L)
-    val pb = plan(bc)
-    assert(pb.contains("BroadcastHashJoin") && !smjOnIds(pb),
-      s"broadcast verify path lost its form:\n$pb")
+      thresholdPermille = 800, corpusSizeHint = -1L)
+    val ps = plan(sh)
+    assert(ps.contains("ShuffledHashJoin") && !smjOnIds(ps),
+      s"forced shuffle verify path lost its hash-join form:\n$ps")
   }
 
   test("pagerank plan: no nested-loop or cartesian joins at any iteration") {

@@ -124,12 +124,16 @@ class PipelineSpec extends AnyFunSuite {
           .map(r => (r.getLong(0), r.getString(1))), t)
       assert(brute.nonEmpty, "fixture produced no containment pairs")
       assert(got == brute, s"t=$t: got ${got.size} vs brute ${brute.size}")
-      // broadcast verify path (corpusSizeHint inside the byte budget)
-      // == the default shuffle_hash path, bit for bit
+      // all three verify paths agree bit for bit: auto (default, counts
+      // the input), explicit-hint broadcast, and forced shuffle_hash
       val bcast = Dedup.containmentPairs(corpus, "doc_id", "text",
         thresholdPermille = t, corpusSizeHint = corpus.count())
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       assert(bcast == brute, s"t=$t broadcast-verify path diverged")
+      val shuf = Dedup.containmentPairs(corpus, "doc_id", "text",
+        thresholdPermille = t, corpusSizeHint = -1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(shuf == brute, s"t=$t forced-shuffle verify path diverged")
     }
   }
 
