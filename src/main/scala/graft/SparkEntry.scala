@@ -1258,6 +1258,14 @@ object SparkEntry {
         .select(unix_seconds(col("window_start")).as("window_epoch"),
           col("event_type"), col("n"), col("value_milli"))),
 
+    // LEFT OUTER stream-stream interval join (batch twin gated; the
+    // watermark-driven null-row emission timing — an unmatched error
+    // emits only once no matching click can still arrive — is pinned in
+    // LateDataSpec): errors keep their row even with no click in the
+    // preceding 10 minutes
+    "q_stream_outer_join" -> ((s, d) =>
+      EventStreams.errorClickJoinOuterBatch(Tables.table(s, d, "events"))),
+
     // SESSION windows via Spark's native session_window (30 min gap):
     // dynamic-length per-user bursts — the declarative sibling of
     // q_sessionize with watermark-managed streaming state; an event at
@@ -1581,6 +1589,28 @@ object SparkEntry {
     "q_dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(Tables.table(s, d, "documents"),
         "doc_id", "text", thresholdPermille = 800)),
+
+    // top-100 bigram collocations by integer lift (min support 5):
+    // phrase mining for tokenizer-vocab / boilerplate-phrase audits —
+    // staged truncating division keeps every intermediate <= 1000·N so
+    // the oracle replays identical truncations, no HUGEINT promotion
+    "q_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.table(s, d, "documents"))),
+
+    // EXACT global quartiles by iterative histogram-refinement selection
+    // (Sketches.kthValue): no total-order shuffle — ~log_1024(range)
+    // filtered counting scans locate the exact k-th element; ranks are
+    // ceil(nq) over integer-cent prices; oracle = row_number replay
+    // (rank arithmetic is engine-independent, ties included)
+    "q_kth_value" -> ((s, d) => {
+      val v = Tables.table(s, d, "lineitem")
+        .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val n = v.count()
+      import s.implicits._
+      Seq(("p25", (n + 3) / 4), ("p50", (n + 1) / 2), ("p75", (3 * n + 3) / 4))
+        .map { case (nm, k) => (nm, k, Sketches.kthValue(v, "cents", k)) }
+        .toDF("q", "k", "value")
+    }),
 
     // k-core peel (Seidman '83) of the THINNED purchase graph (only
     // quantity>45 lines — the full graph is too dense to peel): 4 rounds
@@ -4196,6 +4226,37 @@ object SparkEntry {
     // emitting the integer permille
     "q_kcore" -> kcoreOracleSql(k = 4, iters = 4),
 
+    // collocation replay: same whitespace tokens, same staged truncating
+    // divisions, same deterministic (lift, count, words) order
+    "q_collocations" ->
+      ("WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "uni AS (SELECT unnest(t) AS w FROM toks), " +
+        "uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni), " +
+        "big AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM toks, " +
+        "unnest(range(1, length(t))) AS u(i)), " +
+        "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy " +
+        "FROM big GROUP BY 1, 2 HAVING count(*) >= 5) " +
+        "SELECT w1, w2, c_xy, " +
+        "CAST((((1000 * n.n) // x.c) * c_xy) // y.c AS BIGINT) AS lift_permille " +
+        "FROM bc JOIN uc x ON bc.w1 = x.w CROSS JOIN n JOIN uc y ON bc.w2 = y.w " +
+        "ORDER BY lift_permille DESC, c_xy DESC, w1, w2 LIMIT 100"),
+
+    // exact-selection replay: the k-th element is rank arithmetic over
+    // the sorted column — row_number ties are irrelevant to the VALUE
+    "q_kth_value" ->
+      ("WITH t AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn, " +
+        "count(*) OVER () AS n FROM t) " +
+        "SELECT 'p25' AS q, CAST((n + 3) // 4 AS BIGINT) AS k, " +
+        "CAST(cents AS BIGINT) AS value FROM r WHERE rn = (n + 3) // 4 " +
+        "UNION ALL SELECT 'p50', CAST((n + 1) // 2 AS BIGINT), " +
+        "CAST(cents AS BIGINT) FROM r WHERE rn = (n + 1) // 2 " +
+        "UNION ALL SELECT 'p75', CAST((3 * n + 3) // 4 AS BIGINT), " +
+        "CAST(cents AS BIGINT) FROM r WHERE rn = (3 * n + 3) // 4"),
+
     // session replay: classic island detection — a break where the gap to
     // the previous event is STRICTLY > 30 min (Spark merges sessions
     // while next.start <= current.end, so an exact-gap event still
@@ -4212,6 +4273,17 @@ object SparkEntry {
         "CAST(max(t) + 1800000000 AS BIGINT) AS session_end_us, " +
         "user_id, count(*) AS n, CAST(sum(vm) AS BIGINT) AS value_milli " +
         "FROM s GROUP BY user_id, sid"),
+
+    // outer interval-join replay: ordinary SQL left join — the streaming
+    // path adds only WHEN the null row emits, not WHETHER
+    "q_stream_outer_join" ->
+      ("WITH e AS (SELECT event_id AS error_id, user_id, ts FROM events " +
+        "WHERE event_type = 'error'), " +
+        "c AS (SELECT event_id AS click_id, user_id, ts FROM events " +
+        "WHERE event_type = 'click') " +
+        "SELECT e.error_id, c.click_id, e.user_id FROM e LEFT JOIN c " +
+        "ON e.user_id = c.user_id AND c.ts <= e.ts " +
+        "AND c.ts >= e.ts - INTERVAL 10 MINUTE"),
 
     // interval-merge replay: the classic sweep — running max of prior
     // ends (1-PRECEDING frame), break where start strictly exceeds it

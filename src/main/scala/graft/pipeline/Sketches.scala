@@ -391,6 +391,78 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  /**
+   * EXACT k-th smallest value of a long column WITHOUT a global sort —
+   * iterative histogram refinement (the distributed selection algorithm):
+   * each round buckets the current [lo, hi] candidate range into
+   * `buckets` equal-width cells with ONE map-side-combined count
+   * aggregate, locates the cell containing the k-th rank, and recurses
+   * into it; once the range is narrower than `buckets`, one bounded
+   * per-value count pass finishes exactly. ≤ log_buckets(range) + 1
+   * rounds — ~7 filtered scans at the full 2⁶³ range with the default
+   * 1024 buckets — versus the total-order shuffle a global sort-limit
+   * pays; range predicates push down to the scan, so late rounds read a
+   * shrinking slice. Driver state is ≤ `buckets` count rows per round
+   * (bounded, documented).
+   *
+   * Exactness: every step is integer counting over disjoint cells — no
+   * approximation anywhere; duplicates and any k ∈ [1, n] (1-based rank
+   * over the non-null values) are handled by rank arithmetic. The
+   * value range must satisfy hi − lo < 2⁶³ (any real measure column —
+   * prices, counts, micros timestamps — does; asserted).
+   */
+  def kthValue(df: DataFrame, valueCol: String, k: Long,
+               buckets: Int = 1024): Long = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val vals = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val head = vals.agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+      max(col("__v")).as("hi")).head()
+    val n = head.getLong(0)
+    require(n > 0, "kthValue on an empty/all-null column")
+    require(k <= n, s"k=$k out of range, n=$n")
+    var lo = head.getLong(1)
+    var hi = head.getLong(2)
+    require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue),
+      s"value range [$lo, $hi] overflows the refinement arithmetic")
+    var kk = k
+    while (hi - lo >= buckets) {
+      val w = (hi - lo) / buckets + 1
+      // integer div, NOT `/`: Spark's `/` on longs is double division and
+      // a 53-bit mantissa mis-buckets values once the range passes 2^53
+      val counts = vals.filter(col("__v") >= lo && col("__v") <= hi)
+        .groupBy(expr(s"(__v - ${lo}L) div ${w}L").as("__b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("__b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      var cum = 0L
+      var b = -1L
+      for ((bi, c) <- counts if b < 0) {
+        if (cum + c >= kk) b = bi else cum += c
+      }
+      kk -= cum
+      lo = lo + b * w
+      // BigInt for the cell bound: lo + w - 1 can exceed Long.MaxValue
+      // when the range sits near the top of the long domain
+      val cellHi = BigInt(lo) + BigInt(w) - 1
+      hi = if (cellHi >= BigInt(hi)) hi else cellHi.toLong
+    }
+    val fin = vals.filter(col("__v") >= lo && col("__v") <= hi)
+      .groupBy(col("__v")).agg(count(lit(1)).as("c"))
+      .orderBy(col("__v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    var cum = 0L
+    var out = lo
+    var found = false
+    for ((v, c) <- fin if !found) {
+      if (cum + c >= kk) { out = v; found = true } else cum += c
+    }
+    assert(found, "kthValue refinement invariant broken")
+    out
+  }
+
   /** Merge + estimate over [[hllRegisters]] tables (any union of them —
     * merging IS `max` per register, re-done here, so shard tables can be
     * concatenated as-is). Same integer-exact harmonic mean as

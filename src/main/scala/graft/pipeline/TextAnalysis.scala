@@ -534,6 +534,56 @@ object TextAnalysis {
    * window formulation's (score DESC, term ASC) order, reproduced
    * bit-exactly.
    */
+  /**
+   * Top-k bigram COLLOCATIONS by integer lift — the phrase-mining pass a
+   * tokenizer-vocabulary or boilerplate-phrase audit reads ("new york"
+   * co-occurs far above chance; "the the" doesn't): for adjacent
+   * whitespace-token pairs (x, y),
+   *   lift_permille = ((1000·N div c_x) · c_xy) div c_y
+   * with N = total token count, c_x/c_y unigram counts, c_xy the bigram
+   * count — the PMI ratio p(xy)/(p(x)p(y)) in permille, computed by
+   * STAGED truncating division so every intermediate stays ≤ 1000·N
+   * (< 2⁶³ up to ~9·10¹⁵ tokens — no HUGEINT promotion anywhere, and an
+   * oracle replays the identical truncations; a naive 1000·c_xy·N
+   * numerator overflows BIGINT at ~10⁷ tokens).
+   *
+   * Plan: one token explode feeding BOTH count aggregates (unigrams and
+   * adjacent pairs), two broadcast-or-shuffle joins to attach c_x/c_y,
+   * `minCount` support pruning BEFORE the joins, then a bounded
+   * TakeOrderedAndProject at `topK` (lift desc, count desc, words asc —
+   * fully deterministic). The token stream shuffles as (word, count)
+   * partials only; text never moves.
+   *
+   * Tokenization matches the BM25/bigram-LM family: whitespace split of
+   * the trimmed text — gate-oracle parity pinned there.
+   */
+  def collocations(df: DataFrame, textCol: String = "text",
+                   minCount: Int = 5, topK: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(split(trim(col(textCol)), "\\s+").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = toks.agg(coalesce(sum(size(col("t"))), lit(0L)).as("n"))
+      .head().getLong(0)
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .select(col("w1"), col("w2"), col("c_xy"),
+        expr(s"(((1000 * ${n}L) div c_x) * c_xy) div c_y").as("lift_permille"))
+      .orderBy(col("lift_permille").desc, col("c_xy").desc,
+        col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   def tfidfTopTerms(df: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", minTermLen: Int = 3,
                     topK: Int = 5): DataFrame = {

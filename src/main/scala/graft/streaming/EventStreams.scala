@@ -237,6 +237,50 @@ object EventStreams {
       .select(col("error_id"), col("click_id"), col("user_id"))
   }
 
+  /**
+   * LEFT OUTER stream-stream interval join: like [[errorClickJoin]], but
+   * an error with NO click in its window still emits — with a NULL
+   * click_id — and the null row is emitted only once the watermark
+   * proves no matching click can still arrive (Spark holds the row in
+   * join state until then; the timing is pinned in LateDataSpec). The
+   * batch twin is the plain left join, so the oracle-facing semantics
+   * are ordinary SQL while the streaming path carries the
+   * state-eviction contract.
+   */
+  def errorClickJoinOuter(events: DataFrame,
+                          intervalMs: Long = 10 * 60 * 1000L,
+                          watermark: String = "30 minutes"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    errors.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr(s"INTERVAL ${intervalMs / 1000} SECONDS"),
+      "left_outer")
+      .select(col("error_id"), col("click_id"), col("user_id"))
+  }
+
+  /** Batch twin of [[errorClickJoinOuter]]. */
+  def errorClickJoinOuterBatch(events: DataFrame,
+                               intervalMs: Long = 10 * 60 * 1000L): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    errors.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr(s"INTERVAL ${intervalMs / 1000} SECONDS"),
+      "left_outer")
+      .select(col("error_id"), col("click_id"), col("user_id"))
+  }
+
   /** Batch sessionization twin: session = cumulative count of gap-breaks per
     * user (classic windowed gaps-and-islands). */
   def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {

@@ -619,4 +619,63 @@ class SamplingTextSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getString(2))).groupBy(_._1)
     assert(perCluster.forall(_._2.map(_._2).distinct.size == 1))
   }
+
+  // ---- collocations ----
+
+  /** Serial replica of the staged-division bigram lift. */
+  private def bruteColloc(texts: Seq[String], minCount: Int, topK: Int)
+      : Seq[(String, String, Long, Long)] = {
+    val tokd = texts.map(_.trim.split("\\s+").toSeq)
+    val n = tokd.map(_.size).sum.toLong
+    val uc = tokd.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val bc = tokd.filter(_.size >= 2)
+      .flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= minCount)
+    bc.map { case ((w1, w2), cxy) =>
+      (w1, w2, cxy, ((1000L * n) / uc(w1)) * cxy / uc(w2))
+    }.toSeq
+      .sortBy { case (w1, w2, cxy, l) => (-l, -cxy, w1, w2) }
+      .take(topK)
+  }
+
+  test("collocations == serial replica; planted phrase dominates") {
+    // "new york" always adjacent; "the" is everywhere, so ("the","the")
+    // has high count but chance-level lift
+    val texts = (0 until 60).map(i =>
+      s"the city of new york has the ${i % 7} the avenue") ++
+      (0 until 20).map(i => s"the the the filler ${i % 3} the")
+    val got = TextAnalysis.collocations(texts.toDF("text"),
+      minCount = 5, topK = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val brute = bruteColloc(texts, 5, 1000)
+    assert(got == brute)
+    // the planted always-adjacent phrase scores an order of magnitude
+    // above the chance-level stopword pair (rarer always-adjacent pairs
+    // like filler-digit legitimately score even higher — lift rewards
+    // rarity, which is the point)
+    val newYork = got.find(p => p._1 == "new" && p._2 == "york")
+    val theThe = got.find(p => p._1 == "the" && p._2 == "the")
+    assert(newYork.isDefined && theThe.isDefined,
+      s"expected both pairs in top-20: ${got.take(20)}")
+    assert(newYork.get._4 > 10 * theThe.get._4,
+      s"planted lift ${newYork.get._4} vs stopword ${theThe.get._4}")
+  }
+
+  test("collocations: determinism, null/empty handling, validation") {
+    val texts = Seq[(java.lang.Long, String)]((1L, "a b a b a b a b a b"),
+      (2L, null), (3L, ""), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(texts, "text", minCount = 2, topK = 10)
+      .collect().map(_.toSeq)
+    val rep = TextAnalysis.collocations(texts.repartition(7), "text",
+      minCount = 2, topK = 10).collect().map(_.toSeq)
+    assert(got.toSeq == rep.toSeq) // fully deterministic ORDER, not just set
+    assert(got.exists(r => r(0) == "a" && r(1) == "b"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocations(texts, "text", minCount = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocations(texts, "text", topK = 0))
+  }
 }

@@ -393,4 +393,47 @@ class SketchesSpec extends AnyFunSuite {
     // identical inputs: jaccard 1000‰, intersection == union estimate
     assert(a.getLong(4) == 1000L && a.getLong(5) == a.getLong(3))
   }
+
+  // ---- exact k-th selection ----
+
+  test("kthValue == sorted-seq selection across seeds, duplicates, negatives") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 53)
+      val xs = (0 until 2000).map(_ => rnd.nextInt(400).toLong - 200L)
+      val df = xs.toDF("x")
+      val sorted = xs.sorted
+      // small buckets force several refinement rounds
+      for (k <- Seq(1L, 7L, 1000L, 1999L, 2000L))
+        assert(Sketches.kthValue(df, "x", k, buckets = 8) ==
+          sorted((k - 1).toInt), s"seed $seed k $k")
+    }
+  }
+
+  test("kthValue: wide ±2^60 range exercises integer-div bucketing exactly") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 300).map(_ => (rnd.nextLong() >> 3))
+    val xs = base ++ base.take(50) // duplicates at huge magnitudes
+    val df = xs.toDF("x")
+    val sorted = xs.sorted
+    for (k <- Seq(1L, 100L, 175L, 350L))
+      assert(Sketches.kthValue(df, "x", k) == sorted((k - 1).toInt), s"k $k")
+    // all-equal column: every rank returns the value
+    val const = Seq.fill(100)(42L).toDF("x")
+    assert(Sketches.kthValue(const, "x", 1L) == 42L)
+    assert(Sketches.kthValue(const, "x", 100L) == 42L)
+  }
+
+  test("kthValue: null handling and validation") {
+    val withNulls = Seq[java.lang.Long](5L, null, 1L, null, 3L).toDF("x")
+    assert(Sketches.kthValue(withNulls, "x", 2L) == 3L) // nulls ignored
+    val df = Seq(1L, 2L).toDF("x")
+    intercept[IllegalArgumentException](Sketches.kthValue(df, "x", 0L))
+    intercept[IllegalArgumentException](Sketches.kthValue(df, "x", 3L))
+    intercept[IllegalArgumentException](Sketches.kthValue(df, "x", 1L, buckets = 1))
+    intercept[IllegalArgumentException](
+      Sketches.kthValue(Seq.empty[Long].toDF("x"), "x", 1L))
+    // range overflow guard: [MinValue, MaxValue] refuses loudly
+    intercept[IllegalArgumentException](Sketches.kthValue(
+      Seq(Long.MinValue, Long.MaxValue).toDF("x"), "x", 1L))
+  }
 }

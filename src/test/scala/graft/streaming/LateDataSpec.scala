@@ -109,6 +109,47 @@ class LateDataSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("errorClickJoinOuter: unmatched error emits its NULL row only after " +
+    "the watermark proves no click can still arrive") {
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.errorClickJoinOuter(events,
+        intervalMs = 10 * 60 * 1000L, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("outer_join_out").start()
+    try {
+      // u1's error has a click 5 min before (matches); u2's error has none
+      input.addData((1L, ts("11:55"), 1L, "click", 1.0),
+        (2L, ts("12:00"), 1L, "error", 1.0),
+        (3L, ts("12:00"), 2L, "error", 1.0))
+      q.processAllAvailable()
+      val early = spark.table("outer_join_out")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+      // matched row flows immediately; u2's error is HELD — a click with
+      // ts in [11:50, 12:00] could still arrive (wm is only 11:50)
+      assert(early == Set((2L, Some(1L), 1L)),
+        s"unmatched error must wait for the watermark, got: $early")
+      // advancing the watermark needs far-future events that SURVIVE the
+      // type filters on BOTH join sides (a filtered-out "flush" type never
+      // reaches either watermark node — the global watermark is the min
+      // over both sides); eviction then runs at the END of the batch where
+      // the watermark advanced, so the null row appears in the batch AFTER
+      // — the same end-of-batch cadence the dedup contract pins
+      input.addData((9L, ts("13:00"), 99L, "click", 1.0),
+        (10L, ts("13:00"), 99L, "error", 1.0))
+      q.processAllAvailable()
+      input.addData((11L, ts("13:30"), 99L, "click", 1.0),
+        (12L, ts("13:30"), 99L, "error", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("outer_join_out")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+      assert(after == Set((2L, Some(1L), 1L), (3L, None, 2L),
+        (10L, Some(9L), 99L), (12L, Some(11L), 99L)),
+        s"null-row emission diverged: $after")
+    } finally q.stop()
+  }
+
   test("streamingExactDedup late batch: older-than-watermark rows drop; " +
     "live dups suppress; expired-state dup re-emits exactly once") {
     // dropDuplicatesWithinWatermark's three-way contract, pinned: (1) an
