@@ -1292,6 +1292,28 @@ object SparkEntry {
       EventAnalytics.mergeIntervals(iv, "user_id", "s_us", "e_us")
     }),
 
+    // SCD2 AS-OF LOOKUP — the composition the history exists for: each
+    // event resolved to the dimension version valid AT its timestamp
+    // (latest valid_from <= ts; same-instant ties to the highest
+    // version, matching the asof window's (ts, id) order); built from
+    // Snapshots.scd2 + AsofJoin.asofJoin, so the whole path is the
+    // windowed single-shuffle shape, no range join anywhere in Spark
+    "q_scd2_lookup" -> ((s, d) => {
+      val ev = Tables.table(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"))
+      val hist = Snapshots.scd2(Tables.table(s, d, "events"), "user_id",
+        "ts", Seq("event_type"))
+        .select(col("user_id"), expr("unix_micros(valid_from)").as("vf_us"),
+          col("event_type"), col("version_n"))
+      graft.api.AsofJoin.asofJoin(ev, hist, "user_id", "ts_us", "vf_us",
+        Seq("event_type", "version_n"), "version_n")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_event_type").as("event_type_version"),
+          col("asof_version_n").as("version_n"))
+    }),
+
     // SCD type-2 history build (Kimball): the events log versioned into
     // per-user event_type validity intervals — consecutive duplicate
     // observations collapse into one version, reappearing values start
@@ -4300,6 +4322,25 @@ object SparkEntry {
         "SELECT user_id, CAST(min(s) AS BIGINT) AS \"start\", " +
         "CAST(max(e) AS BIGINT) AS \"end\", count(*) AS n_merged " +
         "FROM i GROUP BY user_id, island"),
+
+    // SCD2-lookup replay: rebuild the history, then pick per event the
+    // version with max (valid_from, version_n) among valid_from <= ts
+    "q_scd2_lookup" ->
+      ("WITH e0 AS (SELECT user_id, epoch_us(ts) AS t, event_type AS a " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "m AS (SELECT user_id, t, a, row_number() OVER w AS rn, lag(a) OVER w AS pa " +
+        "FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY t, a)), " +
+        "c AS (SELECT user_id, t, a FROM m WHERE rn = 1 OR (a IS DISTINCT FROM pa)), " +
+        "h AS (SELECT user_id, a, t AS vf, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY t, a) AS version_n FROM c), " +
+        "ev AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "j AS (SELECT ev.event_id, ev.user_id, ev.t, h.a, h.version_n, " +
+        "row_number() OVER (PARTITION BY ev.event_id ORDER BY h.vf DESC, h.version_n DESC) AS rn " +
+        "FROM ev JOIN h ON ev.user_id = h.user_id AND h.vf <= ev.t) " +
+        "SELECT event_id, user_id, CAST(t AS BIGINT) AS ts_us, " +
+        "a AS event_type_version, CAST(version_n AS BIGINT) AS version_n " +
+        "FROM j WHERE rn = 1"),
 
     // SCD2 replay: run starts = rows whose attribute differs (null-safe)
     // from the previous observation in (ts, attr) order; lead() over the

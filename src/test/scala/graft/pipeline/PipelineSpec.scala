@@ -1965,6 +1965,23 @@ class PipelineSpec extends AnyFunSuite {
       Snapshots.scd2(scd2Df(rows), "user_id", "ts", Seq.empty))
   }
 
+  test("scd2 + asof lookup: every event resolves to the run covering it") {
+    // observations A(10) A(20) B(30) A(40) → versions A@10 v1, B@30 v2,
+    // A@40 v3; each event's lookup returns the run containing its ts
+    val rows = Seq((1L, 10L, "A"), (1L, 20L, "A"), (1L, 30L, "B"), (1L, 40L, "A"))
+    val ev = scd2Df(rows).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val hist = Snapshots.scd2(scd2Df(rows), "user_id", "ts", Seq("event_type"))
+      .select(col("user_id"), unix_micros(col("valid_from")).as("vf_us"),
+        col("event_type"), col("version_n"))
+    val got = graft.api.AsofJoin.asofJoin(ev, hist, "user_id", "ts_us", "vf_us",
+      Seq("event_type", "version_n"), "version_n")
+      .collect().map(r => r.getLong(2) ->
+        (r.getString(3), r.getLong(4))).toMap
+    assert(got == Map(10L -> ("A", 1L), 20L -> ("A", 1L),
+      30L -> ("B", 2L), 40L -> ("A", 3L)))
+  }
+
   test("Snapshots.diff: added/removed/changed classified, unchanged dropped") {
     val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
       .toDF("doc_id", "text", "v")
