@@ -1650,6 +1650,48 @@ object SparkEntry {
       Graph.kcore(e0, k = 4, iters = 4)
     }),
 
+    // multi-source BFS distances (crawl depth / link distance): hops from
+    // the sampled BUILDING-customer seed set over the SPARSER quantity>49
+    // purchase graph (probed in DuckDB: distances 0..4 all populate AND
+    // ~9% of nodes stay unreached at both scales — the >45 graph floods
+    // in 2 hops); 4 min-fold rounds are idempotent past the fixpoint, so
+    // the unrolled oracle replays them verbatim
+    "q_bfs_dist" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").filter(col("l_quantity") > 49)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val e = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = Tables.table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.bfsDistances(e, seeds, rounds = 4, assumeDistinct = true)
+    }),
+
+    // deterministic random walks (DeepWalk corpus prep): 2 walks of 3
+    // steps from every node of the symmetrized quantity>45 purchase
+    // graph; each step's neighbor pick is md5(start:walk:step:cur) mod
+    // outdeg over id-sorted neighbors, so the whole walk corpus replays
+    // verbatim in SQL — the node-embedding training-data primitive
+    "q_random_walks" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val e = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      Graph.randomWalks(e, walksPerNode = 2, length = 3,
+        assumeDistinct = true)
+    }),
+
     // reciprocal-rank fusion of a lexical and a vector ranking (hybrid
     // search): BM25 top-20 fused with SQ8-ANN top-20 — the SQ8 path is
     // the bit-replayable ANN ranking, so BOTH input rank orders are
@@ -2024,6 +2066,68 @@ object SparkEntry {
       s"SELECT CAST(a.node AS BIGINT) AS node, " +
       "CAST(coalesce(d.c, 0) AS BIGINT) AS core_degree " +
       s"FROM alive$iters a LEFT JOIN dfin d ON a.node = d.node")
+    sb.toString
+  }
+
+  /** Unrolled multi-source BFS replay: the quantity>49 purchase graph
+    * symmetrized, sampled BUILDING seeds at distance 0, then `rounds`
+    * rounds of "offer dist+1 along out-edges, min-fold with the current
+    * table" — exactly [[graft.pipeline.Graph.bfsDistances]]'s one-join +
+    * one-min-shuffle shape, idempotent past the fixpoint. */
+  private def bfsOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      "WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS a, " +
+        "l.l_suppkey * 2 + 1 AS b " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE l.l_quantity > 49), " +
+        "e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
+        "seeds AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0 " +
+        "AND c_custkey * 2 IN (SELECT src FROM e)), " +
+        "d0 AS (SELECT node, 0 AS dist FROM seeds)")
+    for (i <- 1 to rounds)
+      sb.append(s", d$i AS (SELECT node, min(dist) AS dist FROM (" +
+        s"SELECT e.dst AS node, x.dist + 1 AS dist FROM d${i - 1} x " +
+        s"JOIN e ON x.node = e.src " +
+        s"UNION ALL SELECT node, dist FROM d${i - 1}) GROUP BY 1)")
+    sb.append(" SELECT CAST(node AS BIGINT) AS node, " +
+      s"CAST(dist AS BIGINT) AS dist FROM d$rounds")
+    sb.toString
+  }
+
+  /** Unrolled deterministic-walk replay: id-sorted neighbor ranks via
+    * row_number, per-step pick = 60-bit md5 prefix mod outdeg — the
+    * identical string, hash, and modulus [[graft.pipeline.Graph
+    * .randomWalks]] computes, so every hop joins to the same adjacency
+    * row in both engines. */
+  private def walksOracleSql(walksPerNode: Int, length: Int): String = {
+    val walkVals = (0 until walksPerNode).map(w => s"($w)").mkString(", ")
+    val sb = new StringBuilder
+    sb.append(
+      "WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS a, " +
+        "l.l_suppkey * 2 + 1 AS b " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE l.l_quantity > 45), " +
+        "e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
+        "adj AS (SELECT src, dst, row_number() OVER " +
+        "(PARTITION BY src ORDER BY dst) - 1 AS idx FROM e), " +
+        "starts AS (SELECT DISTINCT src AS node FROM e), " +
+        s"w(walk) AS (VALUES $walkVals), " +
+        "s0 AS (SELECT starts.node AS start, w.walk AS walk, " +
+        "starts.node AS cur FROM starts CROSS JOIN w)")
+    for (i <- 1 to length)
+      sb.append(s", s$i AS (SELECT x.start, x.walk, adj.dst AS cur " +
+        s"FROM s${i - 1} x JOIN deg ON deg.src = x.cur " +
+        s"JOIN adj ON adj.src = x.cur AND adj.idx = " +
+        s"CAST('0x' || substr(md5(CAST(x.start AS VARCHAR) || ':' || " +
+        s"CAST(x.walk AS VARCHAR) || ':' || '$i' || ':' || " +
+        s"CAST(x.cur AS VARCHAR)), 1, 15) AS BIGINT) % deg.outdeg)")
+    sb.append((0 to length).map(i =>
+      s" SELECT CAST(start AS BIGINT) AS start, CAST(walk AS BIGINT) AS walk, " +
+        s"CAST($i AS BIGINT) AS step, CAST(cur AS BIGINT) AS node FROM s$i")
+      .mkString(" UNION ALL"))
     sb.toString
   }
 
@@ -4247,6 +4351,10 @@ object SparkEntry {
     // as the Jaccard oracles, thresholded on 1000·inter ≥ t·min(sz) and
     // emitting the integer permille
     "q_kcore" -> kcoreOracleSql(k = 4, iters = 4),
+
+    "q_bfs_dist" -> bfsOracleSql(rounds = 4),
+
+    "q_random_walks" -> walksOracleSql(walksPerNode = 2, length = 3),
 
     // collocation replay: same whitespace tokens, same staged truncating
     // divisions, same deterministic (lift, count, words) order

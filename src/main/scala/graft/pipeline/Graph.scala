@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -762,5 +763,198 @@ object Graph {
         s"kcoreConverged: still peeling after $maxIters rounds — raise " +
           "maxIters")
     (kcoreReport(adj, alive), iter)
+  }
+
+  // ------------------------------------------------------ BFS distances
+
+  /** Shared BFS setup: the distinct null-free long edge list (the
+    * loop-invariant table every round joins — materialized once) and the
+    * round-0 distance table (seeds ∩ graph nodes at distance 0; seeds
+    * outside the node set are ignored, mirroring [[pagerankInt]]'s seeded
+    * contract — they have no edges to measure distance over).
+    * `assumeDistinct` skips the dedup shuffle when the caller's edge list
+    * is distinct by construction (e.g. a symmetrized union of disjoint
+    * orientations). */
+  private def bfsSetup(edges: DataFrame, seeds: DataFrame,
+                       assumeDistinct: Boolean,
+                       checkpointDir: Option[String])
+      : (DataFrame, DataFrame) = {
+    val cast = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    val e = Checkpoints.materialize(
+      if (assumeDistinct) cast else cast.distinct(), checkpointDir)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val d0 = Checkpoints.materialize(
+      seeds.select(col("node").cast("long").as("node"))
+        .filter(col("node").isNotNull).distinct()
+        .join(nodes, Seq("node"), "left_semi")
+        .withColumn("dist", lit(0L)),
+      checkpointDir)
+    (e, d0)
+  }
+
+  /** One propagation round: every reached node offers dist+1 along its
+    * out-edges; the offer stream unions with the current table and
+    * min-folds per node — ONE join keyed on the current node + ONE min
+    * shuffle, rows never wider than (node, dist). */
+  private def bfsStep(e: DataFrame, dist: DataFrame): DataFrame =
+    dist.select(col("node").as("src"), col("dist"))
+      .join(e, "src")
+      .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      .union(dist)
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+
+  /**
+   * Multi-source BFS distances: minimum hop count from any seed along
+   * DIRECTED src→dst edges (union both orientations for undirected
+   * distance). The crawl-depth / link-distance primitive: "how far is
+   * every page from the trusted seed set" feeds crawl frontier budgeting
+   * and TrustRank-style curation cuts the same way [[pagerankInt]]'s
+   * seeded mode feeds importance weighting.
+   *
+   * Runs exactly `rounds` propagation rounds. Distances min-fold, so
+   * rounds are IDEMPOTENT past the fixpoint (a no-op round stays a no-op)
+   * and any `rounds` ≥ the true seed eccentricity returns exact
+   * distances — the oracle-replayable form, like [[kcore]];
+   * [[bfsDistancesConverged]] finds the depth. Nodes unreachable within
+   * `rounds` emit NO row. Seeds outside the graph's node set are ignored.
+   *
+   * The dist plan references itself twice per round (offer + union), so
+   * rounds checkpoint every 4 — the k-core doubling rate. At 100 TB each
+   * round costs one edge-list scan keyed on the frontier; rows never
+   * carry more than (node, dist).
+   */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                   assumeDistinct: Boolean = false,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val (e, d0) = bfsSetup(edges, seeds, assumeDistinct, checkpointDir)
+    var dist = d0
+    for (i <- 1 to rounds) {
+      dist = bfsStep(e, dist)
+      if (i % 4 == 0 && i < rounds)
+        dist = Checkpoints.materialize(dist, checkpointDir)
+    }
+    dist
+  }
+
+  /**
+   * Convergence-mode BFS: propagate until a round changes nothing, capped
+   * at `maxRounds` (throws if the cap passes first — house policy, see
+   * [[kcoreConverged]]). The change check is (row count, Σ dist)
+   * equality: reached-set growth raises the count and any distance
+   * improvement strictly lowers the sum while min-folding can never raise
+   * one, so the pair is stable iff the table is. Termination ≤ n rounds.
+   * Returns (distances, rounds run — the last being the confirming no-op).
+   */
+  def bfsDistancesConverged(edges: DataFrame, seeds: DataFrame,
+                            maxRounds: Int = 50,
+                            assumeDistinct: Boolean = false,
+                            checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val (e, d0) = bfsSetup(edges, seeds, assumeDistinct, checkpointDir)
+    var dist = d0
+    var state = dist.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
+      .head()
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxRounds) {
+      val next = Checkpoints.materialize(bfsStep(e, dist), checkpointDir)
+      val ns = next.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
+        .head()
+      changed = ns != state
+      dist = next; state = ns; iter += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"bfsDistancesConverged: still propagating after $maxRounds " +
+          "rounds — raise maxRounds")
+    (dist, iter)
+  }
+
+  // ------------------------------------------------------- random walks
+
+  /** The deterministic per-step pick hash: the first 60 bits of
+    * md5("start:walk:step:cur") as a non-negative long — uniform enough
+    * that pick bias is ≤ outdeg/2⁶⁰, and replayable in any engine that
+    * has md5 over strings (DuckDB: CAST('0x' || substr(md5(…), 1, 15)
+    * AS BIGINT)). */
+  private def walkPick(step: Int): org.apache.spark.sql.Column =
+    expr("CAST(conv(substring(md5(concat_ws(':', CAST(start AS STRING), " +
+      s"CAST(walk AS STRING), '$step', CAST(cur AS STRING))), 1, 15), " +
+      "16, 10) AS BIGINT)")
+
+  /**
+   * Deterministic "random" walks — the DeepWalk / node2vec(p=q=1) corpus
+   * prep (Perozzi et al. KDD'14): `walksPerNode` walks of `length` steps
+   * start at EVERY node; at step s a walk at node v moves to the
+   * out-neighbor whose rank among v's neighbors (sorted by id) is
+   * md5(start:walk:s:v) mod outdeg(v). The md5-driven choice makes the
+   * walk corpus a pure function of the edge list — partition-independent,
+   * rerun-stable, and SQL-replayable — while distributing uniformly over
+   * neighbors up to a ≤ outdeg/2⁶⁰ bias. Walks that reach a node with no
+   * out-edges stop early (rows up to the dead end emit); symmetrize the
+   * edge list for never-dying undirected walks.
+   *
+   * Per step: one join against the per-node out-degree table to compute
+   * the pick index, then one EQUI-join against the (src, idx) adjacency —
+   * both shuffles keyed on the current node, no fan-out (the pick is
+   * resolved before touching adjacency, so a hub's 10⁶ neighbors are
+   * never replicated per walk). State rows never carry more than
+   * (start, walk, cur); at 100 TB the walk frontier is
+   * nodes × walksPerNode rows regardless of edge count.
+   *
+   * Output: (start, walk, step, node) — step 0 is the start node itself.
+   */
+  def randomWalks(edges: DataFrame, walksPerNode: Int, length: Int,
+                  assumeDistinct: Boolean = false,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    require(length >= 1, s"length must be >= 1, got $length")
+    val cast = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    val e = Checkpoints.materialize(
+      if (assumeDistinct) cast else cast.distinct(), checkpointDir)
+    // neighbor ranks: one window shuffle over the edge list, materialized
+    // once — every step equi-joins it on (src, idx)
+    val adj = Checkpoints.materialize(
+      e.select(col("src"), col("dst"),
+        (row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+          .cast("long").as("nbr_idx")),
+      checkpointDir)
+    val deg = Checkpoints.materialize(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), checkpointDir)
+    val starts = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var state = starts
+      .select(col("node").as("start"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walk"),
+        col("node").as("cur"))
+    val steps = scala.collection.mutable.ArrayBuffer(
+      state.select(col("start"), col("walk"), lit(0L).as("step"),
+        col("cur").as("node")))
+    for (s <- 1 to length) {
+      val picked = state.join(deg, state("cur") === deg("src"))
+        .select(col("start"), col("walk"), col("cur"),
+          pmod(walkPick(s), col("outdeg")).as("pick"))
+      // materialize EVERY step: the final union reads all L frontiers, so
+      // an unmaterialized chain re-executes O(L²/2) joins (L=40 DeepWalk
+      // walks would pay ~800 joins); each frontier is only
+      // nodes × walksPerNode rows — cheap to pin
+      state = Checkpoints.materialize(
+        picked
+          .join(adj, picked("cur") === adj("src") &&
+            picked("pick") === adj("nbr_idx"))
+          .select(col("start"), col("walk"), col("dst").as("cur")),
+        checkpointDir)
+      steps += state.select(col("start"), col("walk"),
+        lit(s.toLong).as("step"), col("cur").as("node"))
+    }
+    steps.reduce(_ union _)
   }
 }

@@ -421,6 +421,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE-off parity for the round-8 gates") {
+    val names = Seq("q_hits", "q_kmv_setops", "q_cms_counts",
+      "q_dedup_containment", "q_kcore", "q_scd2", "q_scd2_lookup",
+      "q_interval_merge", "q_kth_value", "q_collocations",
+      "q_bfs_dist", "q_random_walks")
+    names.foreach { n =>
+      val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val off = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
+        assert(off == on, s"$n diverges under AQE-off")
+        assert(on.nonEmpty, s"$n empty at $sf — parity vacuous")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("bfs/walks plans: no nested-loop or cartesian joins at any round") {
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_suppkey as src", "l_partkey as dst").limit(2000)
+    val seeds = spark.range(1, 5).selectExpr("id as node")
+    val bfs = graft.pipeline.Graph.bfsDistances(edges, seeds, rounds = 5)
+    bfs.count()
+    val bp = bfs.queryExecution.executedPlan.toString
+    assert(!bp.contains("BroadcastNestedLoopJoin") &&
+      !bp.contains("CartesianProduct"), bp)
+    val walks = graft.pipeline.Graph.randomWalks(edges, 2, 3)
+    walks.count()
+    val wp = walks.queryExecution.executedPlan.toString
+    // every per-step join is an equi-join on the current node (the pick
+    // resolves BEFORE adjacency is touched — a hub's neighbors are never
+    // replicated per walk), so neither NLJ nor cartesian may appear
+    assert(!wp.contains("BroadcastNestedLoopJoin") &&
+      !wp.contains("CartesianProduct"), wp)
+  }
+
   test("clusteringCoefficients: ONE canonical-edge pass — no source re-scan in final plan") {
     // canonDeg materializes the canonical edge set once; degrees, the
     // orientation join, and the coefficient denominator all read from the

@@ -1010,4 +1010,162 @@ class EventAnalyticsSpec extends AnyFunSuite {
     intercept[IllegalStateException](
       Graph.kcoreConverged(path, k = 2, maxIters = 2))
   }
+
+  // ------------------------------------------------------ BFS distances
+
+  private def bruteBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+                       rounds: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.toSet
+    var dist = seeds.intersect(nodes).map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val offers = e.flatMap { case (s, d) => dist.get(s).map(x => d -> (x + 1)) }
+      dist = (dist.toSeq ++ offers).groupBy(_._1)
+        .map { case (n, xs) => n -> xs.map(_._2).min }
+    }
+    dist
+  }
+
+  private def seedsDf(s: Set[Long]): DataFrame = s.toSeq.toDF("node")
+
+  test("bfsDistances == brute min-fold replica on random directed graphs") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 31)
+      val edges = (0 until 150).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val seeds = (0 until 3).map(_ => rnd.nextInt(40).toLong).toSet
+      val got = Graph.bfsDistances(edges.toDF("src", "dst"), seedsDf(seeds),
+        rounds = 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteBfs(edges, seeds, 6), s"seed $seed")
+    }
+  }
+
+  test("bfsDistances: directed one-way reachability vs symmetrized") {
+    // 0→1→2→3→4, seed {2}: only the forward arm is reachable
+    val path = (0L until 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Graph.bfsDistances(path, seedsDf(Set(2L)), rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 0L, 3L -> 1L, 4L -> 2L))
+    val sym = path.union(path.select(col("dst").as("src"), col("src").as("dst")))
+    val gotSym = Graph.bfsDistances(sym, seedsDf(Set(2L)), rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSym == Map(0L -> 2L, 1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("bfsDistancesConverged == fixed rounds past depth; caps; edge cases") {
+    val path = (0L until 6L).map(i => (i, i + 1))
+    val sym = path ++ path.map(_.swap)
+    val df = sym.toDF("src", "dst")
+    // seed 99 is outside the graph's node set — ignored
+    val (dist, rounds) = Graph.bfsDistancesConverged(df, seedsDf(Set(0L, 99L)))
+    val m = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == (0L to 6L).map(i => i -> i).toMap)
+    assert(rounds === 7) // 6 improving rounds + the confirming no-op
+    // fixed rounds far past the depth (crosses the cadence-4 checkpoint
+    // boundary) return the identical fixpoint
+    val fixed = Graph.bfsDistances(df, seedsDf(Set(0L)), rounds = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == m)
+    // partition invariance
+    val rep = Graph.bfsDistances(df.repartition(7), seedsDf(Set(0L)), rounds = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == m)
+    intercept[IllegalStateException](
+      Graph.bfsDistancesConverged(df, seedsDf(Set(0L)), maxRounds = 3))
+    // no seeds inside the graph → empty result, converges on the first no-op
+    val (e0, r0) = Graph.bfsDistancesConverged(df, seedsDf(Set(999L)))
+    assert(e0.count() === 0L && r0 === 1)
+    // null endpoints carry no edge; null seeds drop
+    val withNull = Seq((Some(0L), Some(1L)), (None, Some(5L)), (Some(4L), None))
+      .toDF("src", "dst")
+    val gn = Graph.bfsDistances(withNull, Seq(Some(0L), Option.empty[Long]).toDF("node"),
+      rounds = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gn == Map(0L -> 0L, 1L -> 1L))
+    intercept[IllegalArgumentException](
+      Graph.bfsDistances(df, seedsDf(Set(0L)), rounds = 0))
+  }
+
+  // ------------------------------------------------------- random walks
+
+  /** The operator's pick function, recomputed from first principles:
+    * 60-bit md5("start:walk:step:cur") prefix mod outdeg. */
+  private def md5Pick(start: Long, walk: Long, step: Int, cur: Long,
+                      outdeg: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$start:$walk:$step:$cur".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % outdeg).toInt
+  }
+
+  private def bruteWalks(edges: Seq[(Long, Long)], w: Int,
+                         len: Int): Set[(Long, Long, Long, Long)] = {
+    val e = edges.distinct
+    val adj = e.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._2).sorted.toIndexedSeq }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val out = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    for (start <- nodes; walk <- 0 until w) {
+      var cur = start
+      out += ((start, walk.toLong, 0L, cur))
+      var s = 1
+      var dead = false
+      while (s <= len && !dead) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            cur = nbrs(md5Pick(start, walk.toLong, s, cur, nbrs.size))
+            out += ((start, walk.toLong, s.toLong, cur))
+          case None => dead = true
+        }
+        s += 1
+      }
+    }
+    out.toSet
+  }
+
+  test("randomWalks == md5-replica on random directed graphs; hops are edges") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 7)
+      val edges = (0 until 100).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(e => e._1 != e._2)
+      val got = Graph.randomWalks(edges.toDF("src", "dst"),
+        walksPerNode = 2, length = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == bruteWalks(edges, 2, 4), s"seed $seed")
+      // every consecutive (step, step+1) pair in a walk is a real edge
+      val eset = edges.toSet
+      got.groupBy(t => (t._1, t._2)).values.foreach { walk =>
+        walk.toSeq.sortBy(_._3).map(_._4).sliding(2).foreach {
+          case Seq(a, b) => assert(eset.contains((a, b)), s"hop $a->$b seed $seed")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("randomWalks: dead ends stop early; determinism; invariance; validation") {
+    // star 0→{1,2,3}: walks from the leaves are a single step-0 row, walks
+    // from 0 take exactly one hop and die at the leaf
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val rows = Graph.randomWalks(star, walksPerNode = 3, length = 5).collect()
+    assert(rows.count(_.getLong(2) == 0L) === 12) // 4 nodes × 3 walks
+    val hops = rows.filter(_.getLong(2) > 0L)
+    assert(hops.length === 3 &&
+      hops.forall(r => r.getLong(0) == 0L && r.getLong(2) == 1L))
+    // determinism and partition invariance: the corpus is a pure function
+    // of the edge list
+    val rnd = new scala.util.Random(99)
+    val edges = (0 until 80).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)).filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    def runSet(d: DataFrame) = Graph.randomWalks(d, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val once = runSet(df)
+    assert(runSet(df) == once && runSet(df.repartition(9)) == once)
+    intercept[IllegalArgumentException](Graph.randomWalks(df, 0, 3))
+    intercept[IllegalArgumentException](Graph.randomWalks(df, 1, 0))
+  }
 }
