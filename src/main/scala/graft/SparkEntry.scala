@@ -1673,6 +1673,30 @@ object SparkEntry {
       Graph.bfsDistances(e, seeds, rounds = 4, assumeDistinct = true)
     }),
 
+    // common-neighbor link-prediction scores: node pairs of the
+    // symmetrized quantity>45 purchase graph sharing >= 3 neighbors —
+    // on this bipartite graph that IS co-engagement similarity
+    // (customers sharing suppliers / suppliers sharing customers);
+    // probed in DuckDB: 1126/3303/1281 pairs with n_common spreads of
+    // 20/11/5 distinct values at sf0.001/0.01/0.1
+    "q_common_nbrs" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.commonNeighbors(e0, minCommon = 3)
+    }),
+
+    // exponentially decayed per-event-type daily counts (alpha = 0.9/day
+    // EWMA): the trending-score fold, integer-exact so the recursive-CTE
+    // oracle replays every truncating step; all 5 types decay to the
+    // same global end day so scores are cross-key comparable
+    "q_decayed_counts" -> ((s, d) =>
+      EventAnalytics.decayedCounts(Tables.table(s, d, "events"),
+        "event_type", alphaPermille = 900, periodDays = 1)),
+
     // deterministic random walks (DeepWalk corpus prep): 2 walks of 3
     // steps from every node of the symmetrized quantity>45 purchase
     // graph; each step's neighbor pick is md5(start:walk:step:cur) mod
@@ -4355,6 +4379,41 @@ object SparkEntry {
     "q_bfs_dist" -> bfsOracleSql(rounds = 4),
 
     "q_random_walks" -> walksOracleSql(walksPerNode = 2, length = 3),
+
+    // wedge enumeration grouped by endpoints over the canonical simple
+    // graph — the open complement of the triangle oracle's closure
+    "q_common_nbrs" ->
+      ("WITH e0 AS (SELECT DISTINCT least(o.o_custkey * 2, l.l_suppkey * 2 + 1) AS a, " +
+        "greatest(o.o_custkey * 2, l.l_suppkey * 2 + 1) AS b " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE l.l_quantity > 45), " +
+        "adj AS (SELECT a AS apex, b AS nbr FROM e0 UNION ALL SELECT b, a FROM e0), " +
+        "w AS (SELECT x.nbr AS p, y.nbr AS q FROM adj x " +
+        "JOIN adj y ON x.apex = y.apex AND x.nbr < y.nbr), " +
+        "cn AS (SELECT p, q, count(*) AS n FROM w GROUP BY 1, 2) " +
+        "SELECT CAST(p AS BIGINT) AS a, CAST(q AS BIGINT) AS b, " +
+        "CAST(n AS BIGINT) AS n_common FROM cn WHERE n >= 3"),
+
+    // decayed-count replay: the recursive CTE walks each key's period
+    // chain from its first event day to the GLOBAL end day, applying the
+    // identical truncating step ((s*900)//1000 + n — operands are
+    // non-negative, so DuckDB's floor-// equals Spark's trunc-div)
+    "q_decayed_counts" ->
+      ("WITH RECURSIVE ev AS (SELECT event_type AS key, " +
+        "epoch_us(ts) // 86400000000 AS p FROM events " +
+        "WHERE event_type IS NOT NULL AND ts IS NOT NULL), " +
+        "c AS (SELECT key, p, count(*) AS n FROM ev GROUP BY 1, 2), " +
+        "lo AS (SELECT key, min(p) AS lo FROM c GROUP BY 1), " +
+        "hi AS (SELECT max(p) AS hi FROM c), " +
+        "r(key, p, s) AS (" +
+        "SELECT c.key, c.p, c.n FROM c JOIN lo ON c.key = lo.key AND c.p = lo.lo " +
+        "UNION ALL " +
+        "SELECT r.key, r.p + 1, (r.s * 900) // 1000 + coalesce(c2.n, 0) " +
+        "FROM r JOIN hi ON r.p < hi.hi " +
+        "LEFT JOIN c c2 ON c2.key = r.key AND c2.p = r.p + 1) " +
+        "SELECT r.key AS key, CAST(r.p AS BIGINT) AS period, " +
+        "CAST(coalesce(c.n, 0) AS BIGINT) AS n, CAST(r.s AS BIGINT) AS decayed " +
+        "FROM r LEFT JOIN c ON c.key = r.key AND c.p = r.p"),
 
     // collocation replay: same whitespace tokens, same staged truncating
     // divisions, same deterministic (lift, count, words) order

@@ -237,6 +237,69 @@ object EventAnalytics {
   }
 
   /**
+   * Exponentially decayed per-key event counts (discrete EWMA): events
+   * bucket to fixed periods (period = ts_us div periodUs), every key's
+   * series gap-fills with zeros up to the GLOBAL last period, and a
+   * per-key sequential fold applies
+   * `s_p = (s_{p-1} · alphaPermille) div 1000 + n_p` — the trending-score
+   * primitive ("what is hot NOW") behind crawl re-visit scheduling and
+   * topic-drift monitors. Decaying every key to the same global end makes
+   * scores comparable across keys: a key that went quiet decays toward 0
+   * like everything else. Steady-state headroom:
+   * s ≤ n_max · 1000/(1000−alpha), far under 2⁶³ for any real rate.
+   *
+   * Integer-exact and inherently SEQUENTIAL (each step truncates before
+   * the next), so the fold runs scan-local per key after ONE count
+   * shuffle, and a recursive CTE replays it bit-for-bit (`div` == `//`
+   * on these non-negative operands). The trajectory array builds by
+   * per-step append — O(periods²) element copies per key — so
+   * `maxPeriods` bounds the spine, woven into the sequence bound so
+   * column pruning can't elide the guard (the [[gapFill]] lesson).
+   *
+   * Null keys/timestamps drop (module contract). Output: (key, period,
+   * n, decayed) for every period from the key's first event to the
+   * global end.
+   */
+  def decayedCounts(events: DataFrame, keyCol: String, alphaPermille: Int,
+                    periodDays: Int = 1, maxPeriods: Int = 20000)
+      : DataFrame = {
+    require(alphaPermille >= 0 && alphaPermille <= 1000,
+      s"alphaPermille must be in [0, 1000], got $alphaPermille")
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    require(maxPeriods >= 1, s"maxPeriods must be >= 1, got $maxPeriods")
+    val periodUs = periodDays * 86400L * 1000000L
+    val counts = events
+      .filter(col(keyCol).isNotNull && col("ts").isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros(ts) div ${periodUs}L").as("period"))
+      .groupBy(col("key"), col("period"))
+      .agg(count(lit(1)).as("n"))
+    // the global end is ONE row — broadcast it under every key
+    val hi = counts.agg(max(col("period")).as("__hi"))
+    val perKey = counts.groupBy(col("key"))
+      .agg(map_from_entries(collect_list(struct(col("period"), col("n"))))
+        .as("__cmap"),
+        min(col("period")).as("__lo"))
+      .crossJoin(broadcast(hi))
+    perKey
+      .select(col("key"), col("__cmap"),
+        explode(expr(
+          s"aggregate(sequence(__lo, IF(__hi - __lo >= $maxPeriods, " +
+            "CAST(raise_error(concat('decayedCounts: key ', " +
+            "CAST(key AS STRING), " +
+            s"' spans >= $maxPeriods periods - corrupt timestamps?')) " +
+            "AS BIGINT), __hi)), " +
+            "CAST(array() AS ARRAY<STRUCT<p: BIGINT, s: BIGINT>>), " +
+            "(acc, p) -> array_append(acc, named_struct('p', p, " +
+            "'s', (IF(size(acc) = 0, 0L, element_at(acc, size(acc)).s) " +
+            s"* $alphaPermille) div 1000 + coalesce(__cmap[p], 0L))))"))
+          .as("t"))
+      .select(col("key"), col("t.p").as("period"),
+        coalesce(expr("__cmap[t.p]"), lit(0L)).as("n"),
+        col("t.s").as("decayed"))
+  }
+
+  /**
    * Merge overlapping-or-touching half-open intervals [start, end) per
    * key into their coverage union — the span-algebra primitive behind
    * "how much of the timeline/document does this set of matches cover"

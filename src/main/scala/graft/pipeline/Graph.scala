@@ -875,6 +875,56 @@ object Graph {
     (dist, iter)
   }
 
+  // -------------------------------------------------- common neighbors
+
+  /**
+   * Common-neighbor link-prediction scores (Liben-Nowell & Kleinberg
+   * CIKM'03): for every node pair sharing ≥ `minCommon` neighbors in the
+   * canonical simple graph, the shared-neighbor count — wedge enumeration
+   * grouped by endpoint pair, the OPEN-wedge complement of
+   * [[triangleCounts]]. On a bipartite provenance graph this IS
+   * co-engagement similarity ("users sharing ≥ m suppliers", "pages
+   * sharing ≥ m linking hosts"); with `excludeExisting` the non-adjacent
+   * survivors are the classic link-prediction candidate set.
+   *
+   * Cost is Σ_apex deg² — quadratic in hub degree, like every exact
+   * common-neighbor method. `maxApexDegree` caps the apexes enumerated
+   * (one 10⁶-degree hub alone contributes 10¹² wedges at web scale);
+   * skipped apexes make counts a LOWER bound — pairs can only drop,
+   * never appear spuriously (the [[MarketBasket]] mega-basket guard
+   * family; callers needing exactness raise the cap explicitly). The
+   * `minCommon` cut applies BEFORE the existing-edge anti-join, and
+   * wedges shuffle as bare (p, q) id pairs — payloads never move.
+   *
+   * Output: (a, b, n_common) with a < b.
+   */
+  def commonNeighbors(edges: DataFrame, minCommon: Int = 1,
+                      excludeExisting: Boolean = false,
+                      maxApexDegree: Int = 100000,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    require(maxApexDegree >= 2,
+      s"maxApexDegree must be >= 2 (a wedge needs 2 neighbors), got $maxApexDegree")
+    val (canon, deg) = canonDeg(edges, checkpointDir)
+    val adj = canon.select(col("a").as("apex"), col("b").as("nbr"))
+      .union(canon.select(col("b").as("apex"), col("a").as("nbr")))
+    val capped = adj.join(
+      deg.filter(col("d") <= maxApexDegree).select(col("n").as("apex")),
+      Seq("apex"), "left_semi")
+    val cn = capped.select(col("apex"), col("nbr").as("p"))
+      .join(capped.select(col("apex"), col("nbr").as("q")), Seq("apex"))
+      .filter(col("p") < col("q"))
+      .groupBy(col("p"), col("q"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    val out =
+      if (excludeExisting)
+        cn.join(canon, cn("p") === canon("a") && cn("q") === canon("b"),
+          "left_anti")
+      else cn
+    out.select(col("p").as("a"), col("q").as("b"), col("n_common"))
+  }
+
   // ------------------------------------------------------- random walks
 
   /** The deterministic per-step pick hash: the first 60 bits of

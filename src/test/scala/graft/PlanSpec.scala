@@ -425,7 +425,7 @@ class PlanSpec extends AnyFunSuite {
     val names = Seq("q_hits", "q_kmv_setops", "q_cms_counts",
       "q_dedup_containment", "q_kcore", "q_scd2", "q_scd2_lookup",
       "q_interval_merge", "q_kth_value", "q_collocations",
-      "q_bfs_dist", "q_random_walks")
+      "q_bfs_dist", "q_random_walks", "q_common_nbrs", "q_decayed_counts")
     names.foreach { n =>
       val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
       spark.conf.set("spark.sql.adaptive.enabled", "false")

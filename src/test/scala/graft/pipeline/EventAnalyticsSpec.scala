@@ -1086,6 +1086,137 @@ class EventAnalyticsSpec extends AnyFunSuite {
       Graph.bfsDistances(df, seedsDf(Set(0L)), rounds = 0))
   }
 
+  // -------------------------------------------------- common neighbors
+
+  private def bruteCommon(edges: Seq[(Long, Long)], minCommon: Int,
+                          exclude: Boolean): Map[(Long, Long), Long] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    val nbrs = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    canon.foreach { case (a, b) => nbrs(a) += b; nbrs(b) += a }
+    val nodes = nbrs.keys.toSeq.sorted
+    val eset = canon.toSet
+    (for {
+      i <- nodes; j <- nodes if i < j
+      c = nbrs(i).intersect(nbrs(j)).size.toLong
+      if c >= minCommon && !(exclude && eset((i, j)))
+    } yield (i, j) -> c).toMap
+  }
+
+  test("commonNeighbors == brute pairwise-intersection replica") {
+    for (seed <- 1 to 3; mc <- Seq(1, 2)) {
+      val rnd = new scala.util.Random(seed * 13 + mc)
+      val edges = (0 until 120).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val got = Graph.commonNeighbors(edges.toDF("src", "dst"),
+        minCommon = mc)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == bruteCommon(edges, mc, exclude = false), s"seed $seed mc $mc")
+      val gotEx = Graph.commonNeighbors(edges.toDF("src", "dst"),
+        minCommon = mc, excludeExisting = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(gotEx == bruteCommon(edges, mc, exclude = true), s"ex seed $seed mc $mc")
+    }
+  }
+
+  test("commonNeighbors: apex cap makes counts a lower bound; invariance") {
+    // K4 minus an edge: 0-1, 0-2, 0-3, 1-2, 1-3 (2-3 missing). Pair (2,3)
+    // shares apexes {0, 1}; capping apex degree below 3 skips BOTH
+    // degree-3 apexes, so (2,3) disappears — counts only ever drop
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L))
+    val df = g.toDF("src", "dst")
+    val full = Graph.commonNeighbors(df, minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(full((2L, 3L)) === 2L && full((0L, 1L)) === 2L)
+    val capped = Graph.commonNeighbors(df, minCommon = 1, maxApexDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // only apexes 2 and 3 (degree 2) survive the cap; each contributes
+    // the single wedge (0, 1)
+    assert(capped == Map((0L, 1L) -> 2L))
+    assert(capped.forall { case (k, v) => v <= full.getOrElse(k, 0L) })
+    // excludeExisting drops adjacent pairs only
+    val ex = Graph.commonNeighbors(df, minCommon = 2, excludeExisting = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ex == Set((2L, 3L)))
+    // partition invariance
+    val rep = Graph.commonNeighbors(df.repartition(5), minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rep == full)
+    intercept[IllegalArgumentException](Graph.commonNeighbors(df, minCommon = 0))
+    intercept[IllegalArgumentException](
+      Graph.commonNeighbors(df, maxApexDegree = 1))
+  }
+
+  // ------------------------------------------------------ decayed counts
+
+  private def bruteDecayed(rows: Seq[(String, Long)], alpha: Int)
+      : Map[(String, Long), (Long, Long)] = {
+    val counts = rows.groupBy(identity).map { case ((k, p), xs) =>
+      (k, p) -> xs.size.toLong }
+    val hi = rows.map(_._2).max
+    rows.groupBy(_._1).flatMap { case (k, evs) =>
+      val lo = evs.map(_._2).min
+      var s = 0L
+      (lo to hi).map { p =>
+        val n = counts.getOrElse((k, p), 0L)
+        s = s * alpha / 1000 + n
+        (k, p) -> (n, s)
+      }
+    }
+  }
+
+  private def decayedDf(rows: Seq[(String, Long)]): DataFrame =
+    rows.zipWithIndex.map { case ((k, day), i) =>
+      (i.toLong, k, new java.sql.Timestamp(day * 86400000L)) }
+      .toDF("event_id", "event_type", "ts")
+
+  test("decayedCounts == serial fold replica; quiet keys decay to global end") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map(_ =>
+      (s"t${rnd.nextInt(4)}", rnd.nextInt(15).toLong)) ++
+      Seq(("early", 0L), ("early", 1L)) // goes quiet — must decay to day 14
+    val got = EventAnalytics.decayedCounts(decayedDf(rows), "event_type",
+      alphaPermille = 900)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == bruteDecayed(rows, 900))
+    // the quiet key's trajectory reaches the global end with n = 0 rows
+    assert(got.contains(("early", 14L)) && got(("early", 14L))._1 === 0L)
+  }
+
+  test("decayedCounts: alpha edges, null contract, guard, validation") {
+    val rows = Seq(("a", 0L), ("a", 0L), ("a", 2L), ("b", 1L))
+    // alpha = 0: score is just the period count
+    val a0 = EventAnalytics.decayedCounts(decayedDf(rows), "event_type", 0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(a0 == Map(("a", 0L) -> 2L, ("a", 1L) -> 0L, ("a", 2L) -> 1L,
+      ("b", 1L) -> 1L, ("b", 2L) -> 0L))
+    // alpha = 1000: score is the running cumulative count
+    val a1 = EventAnalytics.decayedCounts(decayedDf(rows), "event_type", 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(a1 == Map(("a", 0L) -> 2L, ("a", 1L) -> 2L, ("a", 2L) -> 3L,
+      ("b", 1L) -> 1L, ("b", 2L) -> 1L))
+    // null key/ts rows drop
+    val withNull = decayedDf(rows)
+      .union(Seq((99L, null.asInstanceOf[String],
+        new java.sql.Timestamp(86400000L))).toDF("event_id", "event_type", "ts"))
+    assert(EventAnalytics.decayedCounts(withNull, "event_type", 900).count() ===
+      EventAnalytics.decayedCounts(decayedDf(rows), "event_type", 900).count())
+    // corrupt-timestamp spine guard faults loudly
+    val corrupt = decayedDf(rows ++ Seq(("a", 10000000L)))
+    val ex = intercept[Exception](
+      EventAnalytics.decayedCounts(corrupt, "event_type", 900, maxPeriods = 100)
+        .collect())
+    assert(ex.getMessage.contains("corrupt timestamps") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("corrupt timestamps"))
+    intercept[IllegalArgumentException](
+      EventAnalytics.decayedCounts(decayedDf(rows), "event_type", 1001))
+    intercept[IllegalArgumentException](
+      EventAnalytics.decayedCounts(decayedDf(rows), "event_type", 900, periodDays = 0))
+  }
+
   // ------------------------------------------------------- random walks
 
   /** The operator's pick function, recomputed from first principles:
