@@ -436,4 +436,25 @@ class SketchesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sketches.kthValue(
       Seq(Long.MinValue, Long.MaxValue).toDF("x"), "x", 1L))
   }
+
+  test("kthValues: shared-scan multi-rank == per-rank kthValue across seeds") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 71)
+      val xs = (0 until 1500).map(_ => rnd.nextInt(300).toLong - 150L)
+      val df = xs.toDF("x")
+      val sorted = xs.sorted
+      // extremes, adjacent ranks, a duplicate rank — brackets diverge,
+      // collide, and stay identical respectively; buckets=8 forces many
+      // shared rounds
+      val ks = Seq(1L, 375L, 376L, 750L, 750L, 1125L, 1500L)
+      val got = Sketches.kthValues(df, "x", ks, buckets = 8)
+      assert(got == ks.map(k => sorted((k - 1).toInt)), s"seed $seed")
+      assert(got == ks.map(k => Sketches.kthValue(df, "x", k, buckets = 8)),
+        s"seed $seed vs singleton path")
+    }
+    // validation
+    val df = Seq(1L, 2L, 3L).toDF("x")
+    intercept[IllegalArgumentException](Sketches.kthValues(df, "x", Seq.empty))
+    intercept[IllegalArgumentException](Sketches.kthValues(df, "x", Seq(1L, 4L)))
+  }
 }
