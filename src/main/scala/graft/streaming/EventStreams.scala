@@ -414,6 +414,57 @@ object EventStreams {
       }
   }
 
+  /** [[decayedCountsStream]] output row: a key's decayed score AS OF its
+    * latest observed period. */
+  case class Decayed(key: String, period: Long, decayed: Long)
+
+  /**
+   * Streaming twin of [[graft.pipeline.EventAnalytics.decayedCounts]],
+   * keyed by event_type: GroupState holds (last folded period, score);
+   * each batch buckets its events to periods, walks every period from
+   * the state's period + 1 through the batch's last — gap periods decay
+   * with the IDENTICAL truncating step `s = (s·α) div 1000 + n`, so the
+   * emitted score equals the batch operator's (key, period, decayed) row
+   * at the key's latest period over the events seen so far (the batch op
+   * additionally decays every key to the GLOBAL end for cross-key
+   * comparability; apply the same α-steps to align ends). In-order
+   * arrival contract as the rest of the family; null-ts/null-key events
+   * ignored (the batch contract). State is two longs per key, NoTimeout.
+   */
+  def decayedCountsStream(events: Dataset[Event], alphaPermille: Int,
+                          periodDays: Int = 1): Dataset[Decayed] = {
+    import events.sparkSession.implicits._
+    require(alphaPermille >= 0 && alphaPermille <= 1000,
+      s"alphaPermille must be in [0, 1000], got $alphaPermille")
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val periodUs = periodDays * 86400L * 1000000L
+    events
+      .filter(e => e.ts != null && e.event_type != null)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long), Decayed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, batch, state) =>
+          val periods = batch.map { e =>
+            val i = e.ts.toInstant
+            (i.getEpochSecond * 1000000L + i.getNano / 1000L) / periodUs
+          }.toSeq
+          if (periods.isEmpty) Iterator.empty
+          else {
+            val counts = periods.groupBy(identity)
+              .map { case (p, xs) => p -> xs.size.toLong }
+            var (last, s) = state.getOption.getOrElse((periods.min - 1, 0L))
+            val end = math.max(last, periods.max)
+            var p = last + 1
+            while (p <= end) {
+              s = s * alphaPermille / 1000 + counts.getOrElse(p, 0L)
+              p += 1
+            }
+            state.update((end, s))
+            Iterator.single(Decayed(key, end, s))
+          }
+      }
+  }
+
   /** A windowed-funnel conversion — [[funnelWindowStream]] output row. */
   case class Conversion(user_id: Long, conv_ts: Long)
 

@@ -933,6 +933,59 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decayed counts == batch trajectory rows across two batches") {
+    val mid = events.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head.getLong(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-decay-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-decay-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    writeOne(raw.filter(expr(s"unix_micros(cast(ts as timestamp)) <= $mid")),
+      "a.parquet", 120000L)
+    writeOne(raw.filter(expr(s"unix_micros(cast(ts as timestamp)) > $mid")),
+      "b.parquet", 1000L)
+    val stream = EventStreams.readEventStream(spark, streamDir.toString)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val q = EventStreams.decayedCountsStream(stream, alphaPermille = 900)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("decay_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("decay_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // every emitted state row must equal the FULL batch trajectory's
+      // (key, period, decayed) row at that period — for the final batch
+      // this holds directly (all events ≤ the key's last period have
+      // arrived); for the mid-stream emission it holds because the time
+      // split puts every event of earlier periods into the first batch
+      val batch = graft.pipeline.EventAnalytics.decayedCounts(
+        events, "event_type", alphaPermille = 900)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(streamed.nonEmpty)
+      // two batches → up to 2 emissions per key
+      streamed.foreach { case (k, p, s) =>
+        assert(batch((k, p)) == s, s"key $k period $p")
+      }
+      // the final emission per key is the key's LAST event period — its
+      // batch row at that exact period
+      val finalPer = streamed.groupBy(_._1).map { case (k, xs) =>
+        k -> xs.map(_._2).max }
+      val lastEvent = events.filter($"ts".isNotNull)
+        .groupBy($"event_type")
+        .agg(expr("max(unix_micros(ts) div 86400000000)").as("p"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(finalPer == lastEvent)
+    } finally q.stop()
+  }
+
   test("streaming windowed-funnel conversions == batch across two batches") {
     val steps = Seq("view", "click", "purchase")
     val windowMs = 7L * 86400 * 1000
