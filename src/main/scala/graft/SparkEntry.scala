@@ -4392,11 +4392,15 @@ object SparkEntry {
         "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
         "WHERE l.l_quantity > 45), " +
         "adj AS (SELECT a AS apex, b AS nbr FROM e0 UNION ALL SELECT b, a FROM e0), " +
-        "w AS (SELECT x.nbr AS p, y.nbr AS q FROM adj x " +
-        "JOIN adj y ON x.apex = y.apex AND x.nbr < y.nbr), " +
-        "cn AS (SELECT p, q, count(*) AS n FROM w GROUP BY 1, 2) " +
+        "dg AS (SELECT apex, count(*) AS d FROM adj GROUP BY 1), " +
+        "w AS (SELECT x.nbr AS p, y.nbr AS q, " +
+        "1000 // CAST(length(bin(dg.d)) - 1 AS BIGINT) AS aw FROM adj x " +
+        "JOIN adj y ON x.apex = y.apex AND x.nbr < y.nbr " +
+        "JOIN dg ON dg.apex = x.apex), " +
+        "cn AS (SELECT p, q, count(*) AS n, sum(aw) AS aa FROM w GROUP BY 1, 2) " +
         "SELECT CAST(p AS BIGINT) AS a, CAST(q AS BIGINT) AS b, " +
-        "CAST(n AS BIGINT) AS n_common FROM cn WHERE n >= 3"),
+        "CAST(n AS BIGINT) AS n_common, CAST(aa AS BIGINT) AS aa_permille " +
+        "FROM cn WHERE n >= 3"),
 
     // decayed-count replay: the recursive CTE walks each key's period
     // chain from its first event day to the GLOBAL end day, applying the

@@ -887,6 +887,13 @@ object Graph {
    * sharing ≥ m linking hosts"); with `excludeExisting` the non-adjacent
    * survivors are the classic link-prediction candidate set.
    *
+   * Besides the raw count, every pair carries `aa_permille` — the
+   * integer Adamic-Adar surrogate Σ_apex 1000 div floor(log₂ deg(apex))
+   * (floor(log₂ d) = bit length − 1, pure bit arithmetic, so the score
+   * replays exactly in SQL): rare shared neighbors weigh more than hub
+   * neighbors, the classic link-prediction refinement. A wedge apex
+   * always has deg ≥ 2, so the divisor is ≥ 1 — no zero-division edge.
+   *
    * Cost is Σ_apex deg² — quadratic in hub degree, like every exact
    * common-neighbor method. `maxApexDegree` caps the apexes enumerated
    * (one 10⁶-degree hub alone contributes 10¹² wedges at web scale);
@@ -894,9 +901,9 @@ object Graph {
    * never appear spuriously (the [[MarketBasket]] mega-basket guard
    * family; callers needing exactness raise the cap explicitly). The
    * `minCommon` cut applies BEFORE the existing-edge anti-join, and
-   * wedges shuffle as bare (p, q) id pairs — payloads never move.
+   * wedges shuffle as bare (p, q, weight) rows — payloads never move.
    *
-   * Output: (a, b, n_common) with a < b.
+   * Output: (a, b, n_common, aa_permille) with a < b.
    */
   def commonNeighbors(edges: DataFrame, minCommon: Int = 1,
                       excludeExisting: Boolean = false,
@@ -908,21 +915,28 @@ object Graph {
     val (canon, deg) = canonDeg(edges, checkpointDir)
     val adj = canon.select(col("a").as("apex"), col("b").as("nbr"))
       .union(canon.select(col("b").as("apex"), col("a").as("nbr")))
+    // each adjacency row carries its apex's AA weight so the wedge join
+    // needs no second degree lookup; floor(log2 d) = bit length - 1.
+    // Degree-1 apexes form no wedges — dropping them up front is
+    // result-invariant AND keeps the weight's log2(d) divisor >= 1
     val capped = adj.join(
-      deg.filter(col("d") <= maxApexDegree).select(col("n").as("apex")),
-      Seq("apex"), "left_semi")
-    val cn = capped.select(col("apex"), col("nbr").as("p"))
+      deg.filter(col("d") >= 2 && col("d") <= maxApexDegree)
+        .select(col("n").as("apex"),
+          expr("1000L div CAST(length(bin(d)) - 1 AS BIGINT)").as("aa_w")),
+      Seq("apex"))
+    val cn = capped.select(col("apex"), col("aa_w"), col("nbr").as("p"))
       .join(capped.select(col("apex"), col("nbr").as("q")), Seq("apex"))
       .filter(col("p") < col("q"))
       .groupBy(col("p"), col("q"))
-      .agg(count(lit(1)).as("n_common"))
+      .agg(count(lit(1)).as("n_common"), sum(col("aa_w")).as("aa_permille"))
       .filter(col("n_common") >= minCommon)
     val out =
       if (excludeExisting)
         cn.join(canon, cn("p") === canon("a") && cn("q") === canon("b"),
           "left_anti")
       else cn
-    out.select(col("p").as("a"), col("q").as("b"), col("n_common"))
+    out.select(col("p").as("a"), col("q").as("b"), col("n_common"),
+      col("aa_permille"))
   }
 
   // ------------------------------------------------------- random walks

@@ -1088,8 +1088,10 @@ class EventAnalyticsSpec extends AnyFunSuite {
 
   // -------------------------------------------------- common neighbors
 
+  /** (a, b) -> (n_common, aa_permille): pairwise neighbor intersection
+    * plus the integer Adamic-Adar sum Σ 1000/floor(log2 deg(apex)). */
   private def bruteCommon(edges: Seq[(Long, Long)], minCommon: Int,
-                          exclude: Boolean): Map[(Long, Long), Long] = {
+                          exclude: Boolean): Map[(Long, Long), (Long, Long)] = {
     val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
       .filter(e => e._1 != e._2).distinct
     val nbrs = scala.collection.mutable.Map[Long, Set[Long]]()
@@ -1097,43 +1099,51 @@ class EventAnalyticsSpec extends AnyFunSuite {
     canon.foreach { case (a, b) => nbrs(a) += b; nbrs(b) += a }
     val nodes = nbrs.keys.toSeq.sorted
     val eset = canon.toSet
+    def ilog2(d: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(d)
     (for {
       i <- nodes; j <- nodes if i < j
-      c = nbrs(i).intersect(nbrs(j)).size.toLong
-      if c >= minCommon && !(exclude && eset((i, j)))
-    } yield (i, j) -> c).toMap
+      common = nbrs(i).intersect(nbrs(j))
+      if common.size >= minCommon && !(exclude && eset((i, j)))
+    } yield (i, j) ->
+      (common.size.toLong,
+        common.toSeq.map(w => 1000L / ilog2(nbrs(w).size.toLong)).sum)).toMap
   }
 
-  test("commonNeighbors == brute pairwise-intersection replica") {
+  test("commonNeighbors == brute pairwise-intersection replica (count + AA)") {
     for (seed <- 1 to 3; mc <- Seq(1, 2)) {
       val rnd = new scala.util.Random(seed * 13 + mc)
       val edges = (0 until 120).map(_ =>
         (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
       val got = Graph.commonNeighbors(edges.toDF("src", "dst"),
         minCommon = mc)
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
       assert(got == bruteCommon(edges, mc, exclude = false), s"seed $seed mc $mc")
       val gotEx = Graph.commonNeighbors(edges.toDF("src", "dst"),
         minCommon = mc, excludeExisting = true)
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
       assert(gotEx == bruteCommon(edges, mc, exclude = true), s"ex seed $seed mc $mc")
     }
   }
 
   test("commonNeighbors: apex cap makes counts a lower bound; invariance") {
-    // K4 minus an edge: 0-1, 0-2, 0-3, 1-2, 1-3 (2-3 missing). Pair (2,3)
-    // shares apexes {0, 1}; capping apex degree below 3 skips BOTH
-    // degree-3 apexes, so (2,3) disappears — counts only ever drop
-    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L))
+    // K4 minus an edge: 0-1, 0-2, 0-3, 1-2, 1-3 (2-3 missing), plus a
+    // pendant 3-4 (degree-1 node 4 must not fault the AA log2 divisor).
+    // Pair (2,3) shares apexes {0, 1}; capping apex degree below 3 skips
+    // BOTH degree-3 apexes, so (2,3) disappears — counts only ever drop
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (3L, 4L))
     val df = g.toDF("src", "dst")
     val full = Graph.commonNeighbors(df, minCommon = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(full((2L, 3L)) === 2L && full((0L, 1L)) === 2L)
     val capped = Graph.commonNeighbors(df, minCommon = 1, maxApexDegree = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    // only apexes 2 and 3 (degree 2) survive the cap; each contributes
-    // the single wedge (0, 1)
-    assert(capped == Map((0L, 1L) -> 2L))
+    // only apex 2 (degree 2) survives the cap (0/1/3 are degree 3, the
+    // pendant 4 is degree 1); it contributes the single wedge (0, 1)
+    assert(capped == Map((0L, 1L) -> 1L))
     assert(capped.forall { case (k, v) => v <= full.getOrElse(k, 0L) })
     // excludeExisting drops adjacent pairs only
     val ex = Graph.commonNeighbors(df, minCommon = 2, excludeExisting = true)
