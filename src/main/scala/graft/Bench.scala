@@ -38,7 +38,18 @@ object Bench {
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // release the query's localCheckpoint blocks OUTSIDE the timed
+        // window: in a 170-query marathon, waiting for the ContextCleaner's
+        // weak-reference GC let block-manager residue accumulate and
+        // inflated LATER memory-hungry queries 3-6x at sf1 (measured:
+        // q_dedup_ngram 24.0 s mid-marathon vs 7.1 s fresh-session — the
+        // corpus and plans identical). Each gate query is self-contained,
+        // so freeing between queries is semantics-neutral.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache() // DataFrame .cache() entries (clusters)
+        name -> t
       }
 
   private def toJsonMap(results: Seq[(String, Double)]): String =
@@ -85,6 +96,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.util.Logs.muteBoundedWindowWarn() // after setLogLevel (root reset)
+    graft.util.Logs.muteUnpersistCheckpointWarn() // between-query block frees
     graft.sql.functions.registerAll(spark)
 
     // warmup: session init + codegen paths
@@ -392,8 +404,9 @@ object Bench {
     // future genuinely-unbounded window shows as a count regression in
     // this committed artifact instead of disappearing into a muted logger
     val warns = graft.util.Logs.suppressedWindowWarns.get()
+    val uwarns = graft.util.Logs.suppressedUnpersistWarns.get()
     val baseRunsJson = baseSamples.map(s => toJsonMap(s)).mkString("[", ",", "]")
-    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$baseRuns,"queries":${toJsonMap(results)},"runs_detail":$baseRunsJson,"window_warns_suppressed":$warns,"sf":"$sfDir"$ivfPart$scalePart$storagePart$annStoragePart$bpePart$incrementalPart$shardsPart$skewPart}"""
+    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$baseRuns,"queries":${toJsonMap(results)},"runs_detail":$baseRunsJson,"window_warns_suppressed":$warns,"unpersist_warns_suppressed":$uwarns,"sf":"$sfDir"$ivfPart$scalePart$storagePart$annStoragePart$bpePart$incrementalPart$shardsPart$skewPart}"""
     (sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq :+ "/tmp/graft_bench.json" :+
       "BENCH_DETAIL.json").distinct.foreach { p =>
       scala.util.Try(java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -401,7 +414,7 @@ object Bench {
         .recover { case e => System.err.println(s"[bench] side-file write failed: ${e.getMessage}") }
     }
     val tailBudget = 1900 // driver tail capture is 2000 chars; leave margin
-    val fixedTail = f""","sf":"$sfDir"$ivfPart$sf1TotalPart,"window_warns_suppressed":$warns,"queries_omitted":000,"detail_file":"BENCH_DETAIL.json"}"""
+    val fixedTail = f""","sf":"$sfDir"$ivfPart$sf1TotalPart,"window_warns_suppressed":$warns,"unpersist_warns_suppressed":$uwarns,"queries_omitted":000,"detail_file":"BENCH_DETAIL.json"}"""
     val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$baseRuns,"n_queries":${results.length},"queries":{"""
     var room = tailBudget - head.length - fixedTail.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -411,7 +424,7 @@ object Bench {
     }
     val driverLine = head +
       kept.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString(",") +
-      "}" + f""","sf":"$sfDir"$ivfPart$sf1TotalPart,"window_warns_suppressed":$warns,"queries_omitted":${results.length - kept.length},"detail_file":"BENCH_DETAIL.json"}"""
+      "}" + f""","sf":"$sfDir"$ivfPart$sf1TotalPart,"window_warns_suppressed":$warns,"unpersist_warns_suppressed":$uwarns,"queries_omitted":${results.length - kept.length},"detail_file":"BENCH_DETAIL.json"}"""
     println(driverLine)
     spark.stop()
   }

@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.util.Logs.muteBoundedWindowWarn() // after setLogLevel (root reset)
+    graft.util.Logs.muteUnpersistCheckpointWarn() // between-query block frees
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -22,6 +23,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free each query's localCheckpoint/cache blocks immediately: in a
+      // 170-query run, waiting for the ContextCleaner's weak-ref GC let
+      // block-manager residue accumulate (the Bench marathon lesson)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

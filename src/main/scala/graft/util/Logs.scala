@@ -44,13 +44,46 @@ object Logs {
 
   def muteBoundedWindowWarn(): Unit = {
     if (!installed.compareAndSet(false, true)) return // idempotent: one filter, one count per event
+    installCountingDeny("org.apache.spark.sql.execution.window",
+      "No Partition Defined", suppressedWindowWarns)
+  }
+
+  /** Count of "was locally checkpointed … cannot be recomputed after
+    * unpersisting" WARNs suppressed by [[muteUnpersistCheckpointWarn]] —
+    * surfaced in the bench record (`unpersist_warns_suppressed`). */
+  val suppressedUnpersistWarns = new AtomicLong(0L)
+
+  private val unpersistInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /**
+   * Suppress — and COUNT — the RDD WARN emitted when a locally
+   * checkpointed RDD is unpersisted ("its lineage has been truncated and
+   * cannot be recomputed"). Bench/Verify free every query's materialized
+   * blocks BETWEEN queries (the marathon-residue fix: waiting for the
+   * ContextCleaner's weak-ref GC inflated later sf1 dedup queries 3-6×),
+   * and each release is deliberate — the query's results are already
+   * counted/written, so recomputation is never needed. One WARN per
+   * materialized RDD per query would otherwise flood the driver-parsed
+   * logs; every other RDD WARN still flows, and the count is committed.
+   */
+  def muteUnpersistCheckpointWarn(): Unit = {
+    if (!unpersistInstalled.compareAndSet(false, true)) return
+    installCountingDeny("org.apache.spark.rdd",
+      "was locally checkpointed, its lineage has been truncated",
+      suppressedUnpersistWarns)
+  }
+
+  /** Install a message-substring DENY filter on a logger package, counting
+    * each suppression — the shared mechanism behind the two mutes above. */
+  private def installCountingDeny(name: String, needle: String,
+                                  counter: AtomicLong): Unit = {
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     val cfg = ctx.getConfiguration
-    val name = "org.apache.spark.sql.execution.window"
     val filter = new AbstractFilter(Result.DENY, Result.NEUTRAL) {
       private def decide(msg: String): Result =
-        if (msg != null && msg.contains("No Partition Defined")) {
-          suppressedWindowWarns.incrementAndGet(); Result.DENY
+        if (msg != null && msg.contains(needle)) {
+          counter.incrementAndGet(); Result.DENY
         } else Result.NEUTRAL
       override def filter(event: org.apache.logging.log4j.core.LogEvent): Result =
         decide(if (event.getMessage == null) null

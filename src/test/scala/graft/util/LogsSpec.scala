@@ -32,4 +32,19 @@ class LogsSpec extends AnyFunSuite {
     assert(Logs.suppressedWindowWarns.get() == before + 1,
       "non-matching warnings must not be counted (or suppressed)")
   }
+
+  test("unpersist-checkpoint WARN is counted; other rdd warnings are not") {
+    graft.SparkTestBase.spark
+    Logs.muteUnpersistCheckpointWarn()
+    Logs.muteUnpersistCheckpointWarn() // idempotent
+    val logger = LogManager.getLogger("org.apache.spark.rdd.MapPartitionsRDD")
+    val before = Logs.suppressedUnpersistWarns.get()
+    logger.warn("RDD 42 was locally checkpointed, its lineage has been " +
+      "truncated and cannot be recomputed after unpersisting")
+    assert(Logs.suppressedUnpersistWarns.get() == before + 1,
+      "the unpersist WARN must route through the counting DENY filter exactly once")
+    logger.warn("some other rdd warning that must not be suppressed")
+    assert(Logs.suppressedUnpersistWarns.get() == before + 1,
+      "non-matching rdd warnings must not be counted (or suppressed)")
+  }
 }
