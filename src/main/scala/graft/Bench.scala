@@ -47,8 +47,13 @@ object Bench {
         // corpus and plans identical). Each gate query is self-contained,
         // so freeing between queries is semantics-neutral.
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache() // DataFrame .cache() entries (clusters)
+        // nudge the ContextCleaner: shuffle files and broadcast blocks are
+        // released via WEAK references, so without a GC the cleanup queue
+        // only drains when the heap happens to collect — hundreds of
+        // queries of shuffle residue otherwise stay live on disk/heap
+        System.gc()
         name -> t
       }
 

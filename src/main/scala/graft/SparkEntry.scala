@@ -119,6 +119,14 @@ object SparkEntry {
       points(s, d).select(col("l_orderkey"), col("l_linenumber"),
         G.geohash_encode(col("lat"), col("lon"), 12).as("geohash"))),
 
+    // geohash-grid density (heatmap tiles): per-cell point counts + the
+    // bbox of the points inside, at precision 2 — the figures-rendering
+    // aggregation; the oracle re-derives the bit-interleave and truncates
+    // to the cell prefix, min/max doubles compare bit-exactly because the
+    // same IEEE expression computes lon/lat in both engines
+    "q_grid_density" -> ((s, d) =>
+      Gis.gridDensity(points(s, d), precision = 2)),
+
     // S1-S3+S7: full TSV ingest path on the reference's own wifi fixture
     // (geohash-12 keys + dedup; golden counts pinned in GisGoldenSpec).
     // Output is (lon, lat): the geohash-12 dedup keeps exactly one row per
@@ -2544,6 +2552,24 @@ object SparkEntry {
         "FROM inter"),
 
     "q_dedup_ingest" -> "SELECT DISTINCT p_brand, p_type FROM part",
+
+    // grid-density replay: same bit-interleave as the q_geohash_keys
+    // oracle, truncated to the 2-char cell prefix, then the group summary
+    "q_grid_density" ->
+      (s"WITH idx AS (SELECT lon, lat, " +
+        "least(CAST(floor((CAST(lon AS DOUBLE) + 180.0) * 1073741824.0 / 360.0) AS BIGINT), 1073741823) AS li, " +
+        "least(CAST(floor((CAST(lat AS DOUBLE) + 90.0) * 1073741824.0 / 180.0) AS BIGINT), 1073741823) AS la " +
+        s"FROM ($PointsSql)), " +
+        "inter AS (SELECT lon, lat, " +
+        "CAST(list_sum(list_transform(range(30), j -> " +
+        "(((li >> (29 - j)) & 1) << (59 - 2*j)) + (((la >> (29 - j)) & 1) << (58 - 2*j)))) AS BIGINT) AS bits " +
+        "FROM idx), " +
+        "cells AS (SELECT array_to_string(list_transform(range(2), c -> " +
+        "substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((bits >> (55 - 5*c)) & 31) AS INT) + 1, 1)), '') AS cell, " +
+        "lon, lat FROM inter) " +
+        "SELECT cell, CAST(count(*) AS BIGINT) AS n_points, " +
+        "min(lon) AS min_lon, max(lon) AS max_lon, " +
+        "min(lat) AS min_lat, max(lat) AS max_lat FROM cells GROUP BY 1"),
 
     "q_prefix_filter" ->
       "SELECT c_custkey, c_name FROM customer WHERE c_name LIKE 'Customer#000001%'",

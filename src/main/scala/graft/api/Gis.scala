@@ -173,6 +173,28 @@ object Gis {
     ()
   }
 
+  /**
+   * Per-geohash-cell density summary at `precision` — the heatmap/tile
+   * aggregation behind the reference's figures rendering (each cell's
+   * point count plus the bbox of the points actually inside it, ready
+   * for choropleth shading or tile pre-aggregation). ONE
+   * map-side-combined aggregate; output is bounded by 32^precision
+   * cells regardless of corpus size, so a 100 TB point table reduces to
+   * a render-sized frame in a single pass. min/max are comparison-only
+   * (no accumulation), so the bbox doubles replay bit-exactly.
+   */
+  def gridDensity(points: DataFrame, precision: Int,
+                  lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(precision >= 1 && precision <= 12,
+      s"precision must be in [1, 12], got $precision")
+    points
+      .groupBy(graft.sql.functions
+        .geohash_encode(col(latCol), col(lonCol), precision).as("cell"))
+      .agg(count(lit(1)).as("n_points"),
+        min(col(lonCol)).as("min_lon"), max(col(lonCol)).as("max_lon"),
+        min(col(latCol)).as("min_lat"), max(col(latCol)).as("max_lat"))
+  }
+
   /** OR-of-startsWith prefix predicate (reference F1: PrefixFilter scans). */
   def prefixPredicate(geohashCol: Column, prefixes: Seq[String]): Column =
     prefixes.map(p => geohashCol.startsWith(p)).reduce(_ || _)

@@ -241,4 +241,27 @@ class GisGoldenSpec extends AnyFunSuite {
     assert(run(2) == Seq("a1bf", "a2be", "a6ca", "a7c9"))            // :36-41
     assert(run(3) == Seq("a1bf", "a2be", "a3bd", "a6ca", "a7c9"))    // :44-50 (limit=5 drops a8c8)
   }
+
+  test("gridDensity: cells partition the points; bbox and counts exact") {
+    // two Midtown points share the precision-2 cell "dr"; one Sydney point
+    // lands alone in "r3"
+    val pts = Seq((-73.97, 40.76), (-73.99, 40.75), (151.21, -33.87))
+      .toDF("lon", "lat")
+    val got = Gis.gridDensity(pts, precision = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got == Map(
+      "dr" -> (2L, -73.99, -73.97, 40.75, 40.76),
+      "r3" -> (1L, 151.21, 151.21, -33.87, -33.87)))
+    // counts always sum to the input size (cells partition the corpus)
+    val wifiCells = Gis.gridDensity(wifi, precision = 4)
+    assert(wifiCells.agg(sum($"n_points")).head.getLong(0) == wifi.count())
+    // partition invariance
+    val rep = Gis.gridDensity(pts.repartition(5), precision = 2)
+      .collect().map(_.toSeq).toSet
+    assert(rep == Gis.gridDensity(pts, precision = 2).collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException](Gis.gridDensity(pts, precision = 0))
+    intercept[IllegalArgumentException](Gis.gridDensity(pts, precision = 13))
+  }
 }
