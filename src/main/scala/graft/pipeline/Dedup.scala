@@ -298,7 +298,18 @@ object Dedup {
    * Bucket cap + metrics as in [[ngramJaccardPairs]] (`maxBucket` bounds
    * the per-gram index bucket; stopword-like grams are self-limiting
    * because only RARE grams enter prefixes, but the full-side index still
-   * needs the cap on degenerate corpora). Verify-join gating: when the
+   * needs the cap on degenerate corpora).
+   *
+   * Worst-case attribution (ProbeContainment, measured on the sf1 bench
+   * corpus): a VOCABULARY-DEGENERATE corpus defeats prefix filtering —
+   * 50k docs sharing only 2,936 distinct shingles means "rarest grams"
+   * still hit thousand-doc buckets, so candidates approach all-pairs
+   * (878M deduped candidates for 252k true pairs; the early-abandon
+   * verify still runs at ~2 µs/pair, so the operator completes — the
+   * cost IS the candidate volume, not the verify). On a Zipf-vocabulary
+   * real corpus the rare-gram prefixes block as designed; if your corpus
+   * has a tiny shingle vocabulary, raise `shingle` until the shingle
+   * space outgrows the corpus before reaching for this operator. Verify-join gating: when the
    * corpus's sampled gram-array bytes fit `broadcastVerifyMaxBytes`, the
    * gram sides broadcast and the candidate stream never shuffles —
    * essential here because a shuffled verify writes candidates ×
