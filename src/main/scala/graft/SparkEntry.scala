@@ -4425,8 +4425,10 @@ object SparkEntry {
         "JOIN dg ON dg.apex = x.apex), " +
         "cn AS (SELECT p, q, count(*) AS n, sum(aw) AS aa FROM w GROUP BY 1, 2) " +
         "SELECT CAST(p AS BIGINT) AS a, CAST(q AS BIGINT) AS b, " +
-        "CAST(n AS BIGINT) AS n_common, CAST(aa AS BIGINT) AS aa_permille " +
-        "FROM cn WHERE n >= 3"),
+        "CAST(n AS BIGINT) AS n_common, CAST(aa AS BIGINT) AS aa_permille, " +
+        "CAST((1000 * n) // (da.d + db.d - n) AS BIGINT) AS jaccard_permille " +
+        "FROM cn JOIN dg da ON da.apex = cn.p JOIN dg db ON db.apex = cn.q " +
+        "WHERE n >= 3"),
 
     // decayed-count replay: the recursive CTE walks each key's period
     // chain from its first event day to the GLOBAL end day, applying the

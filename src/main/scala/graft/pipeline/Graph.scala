@@ -887,12 +887,15 @@ object Graph {
    * sharing ≥ m linking hosts"); with `excludeExisting` the non-adjacent
    * survivors are the classic link-prediction candidate set.
    *
-   * Besides the raw count, every pair carries `aa_permille` — the
-   * integer Adamic-Adar surrogate Σ_apex 1000 div floor(log₂ deg(apex))
-   * (floor(log₂ d) = bit length − 1, pure bit arithmetic, so the score
-   * replays exactly in SQL): rare shared neighbors weigh more than hub
-   * neighbors, the classic link-prediction refinement. A wedge apex
-   * always has deg ≥ 2, so the divisor is ≥ 1 — no zero-division edge.
+   * Besides the raw count, every pair carries two integer refinements of
+   * the classic link-prediction literature, both SQL-replayable:
+   * `aa_permille` — the Adamic-Adar surrogate Σ_apex 1000 div
+   * floor(log₂ deg(apex)) (floor(log₂ d) = bit length − 1, pure bit
+   * arithmetic; rare shared neighbors weigh more than hubs; a wedge apex
+   * always has deg ≥ 2, so the divisor is ≥ 1) — and `jaccard_permille`
+   * — the neighborhood Jaccard 1000·|N(a)∩N(b)| div (|N(a)|+|N(b)|−|∩|)
+   * (structural similarity normalized for degree, so two low-degree
+   * nodes sharing everything outrank two hubs sharing a sliver).
    *
    * Cost is Σ_apex deg² — quadratic in hub degree, like every exact
    * common-neighbor method. `maxApexDegree` caps the apexes enumerated
@@ -903,7 +906,7 @@ object Graph {
    * `minCommon` cut applies BEFORE the existing-edge anti-join, and
    * wedges shuffle as bare (p, q, weight) rows — payloads never move.
    *
-   * Output: (a, b, n_common, aa_permille) with a < b.
+   * Output: (a, b, n_common, aa_permille, jaccard_permille) with a < b.
    */
   def commonNeighbors(edges: DataFrame, minCommon: Int = 1,
                       excludeExisting: Boolean = false,
@@ -935,8 +938,15 @@ object Graph {
         cn.join(canon, cn("p") === canon("a") && cn("q") === canon("b"),
           "left_anti")
       else cn
-    out.select(col("p").as("a"), col("q").as("b"), col("n_common"),
-      col("aa_permille"))
+    // Jaccard needs each endpoint's FULL degree: two joins of the bounded
+    // survivor set against the node-sized degree table (never the wedges)
+    out
+      .join(deg.select(col("n").as("p"), col("d").as("__dp")), "p")
+      .join(deg.select(col("n").as("q"), col("d").as("__dq")), "q")
+      .select(col("p").as("a"), col("q").as("b"), col("n_common"),
+        col("aa_permille"),
+        expr("(1000 * n_common) div (__dp + __dq - n_common)")
+          .as("jaccard_permille"))
   }
 
   // ------------------------------------------------------- random walks

@@ -1088,10 +1088,11 @@ class EventAnalyticsSpec extends AnyFunSuite {
 
   // -------------------------------------------------- common neighbors
 
-  /** (a, b) -> (n_common, aa_permille): pairwise neighbor intersection
-    * plus the integer Adamic-Adar sum Σ 1000/floor(log2 deg(apex)). */
+  /** (a, b) -> (n_common, aa_permille, jaccard_permille): pairwise
+    * neighbor intersection, the integer Adamic-Adar sum
+    * Σ 1000/floor(log2 deg(apex)), and the neighborhood Jaccard. */
   private def bruteCommon(edges: Seq[(Long, Long)], minCommon: Int,
-                          exclude: Boolean): Map[(Long, Long), (Long, Long)] = {
+                          exclude: Boolean): Map[(Long, Long), (Long, Long, Long)] = {
     val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
       .filter(e => e._1 != e._2).distinct
     val nbrs = scala.collection.mutable.Map[Long, Set[Long]]()
@@ -1103,13 +1104,15 @@ class EventAnalyticsSpec extends AnyFunSuite {
     (for {
       i <- nodes; j <- nodes if i < j
       common = nbrs(i).intersect(nbrs(j))
-      if common.size >= minCommon && !(exclude && eset((i, j)))
+      c = common.size.toLong
+      if c >= minCommon && !(exclude && eset((i, j)))
     } yield (i, j) ->
-      (common.size.toLong,
-        common.toSeq.map(w => 1000L / ilog2(nbrs(w).size.toLong)).sum)).toMap
+      (c,
+        common.toSeq.map(w => 1000L / ilog2(nbrs(w).size.toLong)).sum,
+        1000L * c / (nbrs(i).size + nbrs(j).size - c))).toMap
   }
 
-  test("commonNeighbors == brute pairwise-intersection replica (count + AA)") {
+  test("commonNeighbors == brute replica (count + Adamic-Adar + Jaccard)") {
     for (seed <- 1 to 3; mc <- Seq(1, 2)) {
       val rnd = new scala.util.Random(seed * 13 + mc)
       val edges = (0 until 120).map(_ =>
@@ -1117,13 +1120,15 @@ class EventAnalyticsSpec extends AnyFunSuite {
       val got = Graph.commonNeighbors(edges.toDF("src", "dst"),
         minCommon = mc)
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4)))
         .toMap
       assert(got == bruteCommon(edges, mc, exclude = false), s"seed $seed mc $mc")
       val gotEx = Graph.commonNeighbors(edges.toDF("src", "dst"),
         minCommon = mc, excludeExisting = true)
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4)))
         .toMap
       assert(gotEx == bruteCommon(edges, mc, exclude = true), s"ex seed $seed mc $mc")
     }
