@@ -554,6 +554,18 @@ object SparkEntry {
           Seq("source"), "doc_id", 0.15, minPerGroup = 2)
         .select(col("doc_id"), col("source"))),
 
+    // deterministic WEIGHTED sampling (integer A-Res): 5 docs per source
+    // by ascending priority h div w — h = 60-bit md5(id) prefix, w =
+    // n_chars div 100 + 1 (1..6 at every scale, probed) — so longer docs
+    // win slots ∝ length while the draw replays exactly (both operands
+    // non-negative: Spark div == DuckDB //)
+    "q_sample_weighted" -> ((s, d) =>
+      Sampling.weightedSample(
+          Tables.table(s, d, "documents")
+            .withColumn("w", expr("n_chars div 100 + 1")),
+          Seq("source"), "doc_id", "w", 5)
+        .select(col("source"), col("doc_id"), col("w"))),
+
     // deterministic global training order: ordinal of (md5(id), id) in
     // the corpus total order, computed via order-preserving hash buckets
     // + broadcast offsets (never a single-partition window); the oracle
@@ -637,6 +649,13 @@ object SparkEntry {
     // combined aggregate — the pass that brackets every curation stage
     "q_corpus_stats" -> ((s, d) =>
       Curation.corpusStats(Tables.table(s, d, "documents"))),
+
+    // per-source lexical diversity: type/token/hapax counts + TTR and
+    // hapax shares in permille — the vocabulary-health pass next to
+    // corpus_stats; the token stream collapses to (source, type) rows
+    // map-side before any shuffle
+    "q_lexical_stats" -> ((s, d) =>
+      TextAnalysis.lexicalStats(Tables.table(s, d, "documents"))),
 
     // per-source character-class composition (charset/script dashboard):
     // disjoint integer class counts summing to total_chars, shares in
@@ -1685,6 +1704,31 @@ object SparkEntry {
       Graph.bfsDistances(e, seeds, rounds = 4, assumeDistinct = true)
     }),
 
+    // multi-source WEIGHTED shortest paths (distributed Bellman-Ford,
+    // min-plus): cheapest total cost from the BUILDING seed set over the
+    // quantity>45 purchase graph with edge cost 51 - quantity (1..5,
+    // parallel edges min-folded to the cheapest); probed in DuckDB: the
+    // (count, Σdist) fixpoint lands at round 4 at ALL THREE scales and
+    // rounds are idempotent past it, so the 6-round unroll replays
+    // verbatim — distances spread over 10 distinct values 0..9
+    "q_sssp" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"),
+          (lit(51) - col("l_quantity")).cast("long").as("w"))
+        .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      val e = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val seeds = Tables.table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.ssspWeighted(e, seeds, rounds = 6, assumeMinFolded = true)
+    }),
+
     // common-neighbor link-prediction scores: node pairs of the
     // symmetrized quantity>45 purchase graph sharing >= 3 neighbors —
     // on this bipartite graph that IS co-engagement similarity
@@ -2125,6 +2169,38 @@ object SparkEntry {
     for (i <- 1 to rounds)
       sb.append(s", d$i AS (SELECT node, min(dist) AS dist FROM (" +
         s"SELECT e.dst AS node, x.dist + 1 AS dist FROM d${i - 1} x " +
+        s"JOIN e ON x.node = e.src " +
+        s"UNION ALL SELECT node, dist FROM d${i - 1}) GROUP BY 1)")
+    sb.append(" SELECT CAST(node AS BIGINT) AS node, " +
+      s"CAST(dist AS BIGINT) AS dist FROM d$rounds")
+    sb.toString
+  }
+
+  /** Unrolled weighted-SSSP replay: the quantity>45 purchase graph with
+    * min-folded integer edge costs 51 - quantity, BUILDING seeds at 0,
+    * then `rounds` Bellman-Ford relaxations — [[graft.pipeline.Graph
+    * .ssspWeighted]]'s one-join + one-min-shuffle step with dist + w in
+    * place of the BFS +1. Each round references the previous TWICE
+    * (offer + union), so every CTE is MATERIALIZED — plain CTE inlining
+    * would expand the chain 2^rounds-fold (the clusters-lineage lesson
+    * in DuckDB form). */
+  private def ssspOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      "WITH e0 AS MATERIALIZED (SELECT o.o_custkey * 2 AS a, " +
+        "l.l_suppkey * 2 + 1 AS b, " +
+        "min(CAST(51 - l.l_quantity AS BIGINT)) AS w " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE l.l_quantity > 45 GROUP BY 1, 2), " +
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e0 " +
+        "UNION ALL SELECT b, a, w FROM e0), " +
+        "seeds AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0 " +
+        "AND c_custkey * 2 IN (SELECT src FROM e)), " +
+        "d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds)")
+    for (i <- 1 to rounds)
+      sb.append(s", d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (" +
+        s"SELECT e.dst AS node, x.dist + e.w AS dist FROM d${i - 1} x " +
         s"JOIN e ON x.node = e.src " +
         s"UNION ALL SELECT node, dist FROM d${i - 1}) GROUP BY 1)")
     sb.append(" SELECT CAST(node AS BIGINT) AS node, " +
@@ -2914,6 +2990,18 @@ object SparkEntry {
         "WHERE rn <= greatest(CAST(2 AS BIGINT), " +
         "CAST(floor(CAST(0.15 AS DOUBLE) * n + 0.5) AS BIGINT))"),
 
+    // same 60-bit md5 prefix (the randomWalks hash idiom), same weight
+    // arithmetic, same (h // w, h, id) total order — // and div agree on
+    // the non-negative operands
+    "q_sample_weighted" ->
+      ("SELECT source, doc_id, w FROM (" +
+        "SELECT source, doc_id, w, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY h // w ASC, h ASC, doc_id ASC) AS rn FROM (" +
+        "SELECT source, doc_id, n_chars // 100 + 1 AS w, " +
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h " +
+        "FROM documents)) WHERE rn <= 5"),
+
     // same changeset derivation; anti join + upsert union
     "q_cdc_apply" ->
       ("WITH changes AS (SELECT doc_id, source, n_chars + 1000000 AS n_chars, " +
@@ -3011,6 +3099,26 @@ object SparkEntry {
         "CAST(sum(CASE WHEN text IS NOT NULL AND length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short, " +
         "CAST(max(length(text)) AS BIGINT) AS max_chars " +
         "FROM documents GROUP BY source"),
+
+    // same [a-z]+ tokenizer ([[vocabStats]]'s), same type/hapax folds,
+    // same permille arithmetic (// == div on the non-negative operands);
+    // n_docs left-joins so a group with no tokens would still report
+    "q_lexical_stats" ->
+      ("WITH tok AS (SELECT source AS grp, t.token AS token, count(*) AS cnt " +
+        "FROM documents, unnest(list_filter(string_split_regex(" +
+        "lower(coalesce(text, '')), '[^a-z]+'), x -> x <> '')) AS t(token) " +
+        "GROUP BY 1, 2), " +
+        "lex AS (SELECT grp, sum(cnt) AS n_tokens, count(*) AS n_types, " +
+        "sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax FROM tok GROUP BY 1), " +
+        "docs AS (SELECT source AS grp, count(DISTINCT doc_id) AS n_docs " +
+        "FROM documents GROUP BY 1) " +
+        "SELECT docs.grp AS source, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(n_types, 0) AS BIGINT) AS n_types, " +
+        "CAST(coalesce(n_hapax, 0) AS BIGINT) AS n_hapax, " +
+        "CAST((coalesce(n_types, 0) * 1000) // greatest(coalesce(n_tokens, 0), 1) AS BIGINT) AS ttr_permille, " +
+        "CAST((coalesce(n_hapax, 0) * 1000) // greatest(coalesce(n_types, 0), 1) AS BIGINT) AS hapax_permille " +
+        "FROM docs LEFT JOIN lex ON docs.grp = lex.grp"),
 
     // same complement-deletion class counts (DuckDB needs the 'g' flag —
     // Spark's regexp_replace is global by default), same disjointness
@@ -4407,6 +4515,7 @@ object SparkEntry {
     "q_kcore" -> kcoreOracleSql(k = 4, iters = 4),
 
     "q_bfs_dist" -> bfsOracleSql(rounds = 4),
+    "q_sssp" -> ssspOracleSql(rounds = 6),
 
     "q_random_walks" -> walksOracleSql(walksPerNode = 2, length = 3),
 

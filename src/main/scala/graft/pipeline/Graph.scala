@@ -875,6 +875,133 @@ object Graph {
     (dist, iter)
   }
 
+  // -------------------------------------------- weighted shortest paths
+
+  /** Loop invariants for the min-plus rounds: cast endpoints/weight to
+    * long, drop null endpoints, drop null/non-positive weights ON THE
+    * CAST VALUE (the [[prepare]] lesson: a fractional weight in (0, 1)
+    * passes a pre-cast `> 0` check but truncates to 0), min-fold parallel
+    * (src, dst) edges to the CHEAPEST weight — the min-plus semiring's
+    * parallel-composition rule, unlike PageRank's additive flow — and
+    * seed distances at 0 for seeds inside the node set. */
+  private def ssspSetup(edges: DataFrame, seeds: DataFrame,
+                        weightCol: String, assumeMinFolded: Boolean,
+                        checkpointDir: Option[String])
+      : (DataFrame, DataFrame) = {
+    val cast = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w").isNotNull && col("w") >= 1)
+    val e = Checkpoints.materialize(
+      if (assumeMinFolded) cast
+      else cast.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")),
+      checkpointDir)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val d0 = Checkpoints.materialize(
+      seeds.select(col("node").cast("long").as("node"))
+        .filter(col("node").isNotNull).distinct()
+        .join(nodes, Seq("node"), "left_semi")
+        .withColumn("dist", lit(0L)),
+      checkpointDir)
+    (e, d0)
+  }
+
+  /** One Bellman-Ford relaxation round: every reached node offers
+    * dist + w along its out-edges; the offer stream unions with the
+    * current table and min-folds per node — the [[bfsDistances]] step
+    * with the edge weight in place of the +1 hop. ONE join keyed on the
+    * current node + ONE min shuffle; rows never wider than (node, dist). */
+  private def ssspStep(e: DataFrame, dist: DataFrame): DataFrame =
+    dist.select(col("node").as("src"), col("dist"))
+      .join(e, "src")
+      .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      .union(dist)
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+
+  /**
+   * Multi-source WEIGHTED shortest-path distances (distributed
+   * Bellman-Ford over the min-plus semiring): minimum total edge weight
+   * from any seed along DIRECTED src→dst edges. The cost-aware sibling of
+   * [[bfsDistances]] — crawl-frontier budgeting where hops are not
+   * equal (fetch latency, link trust cost), or cheapest-route lookups
+   * over any integer-weighted relation.
+   *
+   * Weights must be POSITIVE integers: null/non-positive weights drop at
+   * entry (checked on the cast value), parallel (src, dst) edges min-fold
+   * to the cheapest (set `assumeMinFolded` when the caller already
+   * aggregated — skips one shuffle). Positivity plus min-folding make
+   * rounds monotone and IDEMPOTENT past the fixpoint, so any `rounds` ≥
+   * the longest optimal path's HOP count returns exact distances — the
+   * oracle-replayable form ([[kcore]]/[[bfsDistances]] pattern); note a
+   * weighted optimum can use MORE hops than the BFS depth (a long cheap
+   * detour beats a short expensive hop), so probe the hop bound, not the
+   * unweighted eccentricity. [[ssspWeightedConverged]] finds the depth.
+   * Nodes unreachable within `rounds` emit NO row; seeds outside the node
+   * set are ignored; distance sums fault loudly on long overflow under
+   * ANSI rather than wrapping.
+   *
+   * The dist plan references itself twice per round (offer + union), so
+   * rounds checkpoint every 4 — the BFS doubling rate. At 100 TB each
+   * round costs one edge-list scan keyed on the frontier; rows never
+   * carry more than (node, dist), and the weight rides the materialized
+   * edge table, never the shuffle stream.
+   */
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                   weightCol: String = "w",
+                   assumeMinFolded: Boolean = false,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val (e, d0) = ssspSetup(edges, seeds, weightCol, assumeMinFolded,
+      checkpointDir)
+    var dist = d0
+    for (i <- 1 to rounds) {
+      dist = ssspStep(e, dist)
+      if (i % 4 == 0 && i < rounds)
+        dist = Checkpoints.materialize(dist, checkpointDir)
+    }
+    dist
+  }
+
+  /**
+   * Convergence-mode weighted SSSP: relax until a round changes nothing,
+   * capped at `maxRounds` (throws if the cap passes first — house
+   * policy). The change check is (row count, Σ dist) equality — sound for
+   * the same reason as [[bfsDistancesConverged]]: reached-set growth
+   * raises the count and any relaxation strictly lowers the sum while
+   * min-folding can never raise one. Positive weights bound termination
+   * at ≤ n rounds (every optimal path is simple). Returns (distances,
+   * rounds run — the last being the confirming no-op).
+   */
+  def ssspWeightedConverged(edges: DataFrame, seeds: DataFrame,
+                            weightCol: String = "w",
+                            maxRounds: Int = 50,
+                            assumeMinFolded: Boolean = false,
+                            checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val (e, d0) = ssspSetup(edges, seeds, weightCol, assumeMinFolded,
+      checkpointDir)
+    var dist = d0
+    var state = dist.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
+      .head()
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxRounds) {
+      val next = Checkpoints.materialize(ssspStep(e, dist), checkpointDir)
+      val ns = next.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
+        .head()
+      changed = ns != state
+      dist = next; state = ns; iter += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"ssspWeightedConverged: still relaxing after $maxRounds " +
+          "rounds — raise maxRounds")
+    (dist, iter)
+  }
+
   // -------------------------------------------------- common neighbors
 
   /**

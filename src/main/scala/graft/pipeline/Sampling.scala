@@ -303,6 +303,48 @@ object Sampling {
    * double for any frac expressible as p/2^k·10^-m at sane group sizes;
    * the same floor(frac·n + 0.5) arithmetic replays in any engine.
    */
+  /**
+   * Deterministic WEIGHTED sampling without replacement: min(k, |group|)
+   * rows per group chosen by ascending integer priority
+   * `h div w` — h = the 60-bit md5 prefix of the id (the
+   * [[graft.pipeline.Graph.randomWalks]] hash idiom), w = the row's
+   * positive integer weight. The integer surrogate of the
+   * Efraimidis–Spirakis A-Res exponential keys (IPL '06): P[h div w < t]
+   * ≈ t·w / 2⁶⁰, so inclusion odds scale ∝ w — doubling a weight halves
+   * its expected priority — while everything stays a pure function of
+   * (id, w): repeated runs agree row-for-row, the selection replays in
+   * any engine as `ORDER BY h // w, h, id` (both operands non-negative,
+   * so truncating and flooring division agree), and because ONE total
+   * order drives every k, samples NEST across k increases. The
+   * importance-weighted cousin of [[perGroupDeterministic]]: quality-
+   * or DSIR-weighted corpus subsetting where better documents should
+   * win more sampling slots but the draw must stay reproducible.
+   *
+   * Weight hygiene (the [[graft.pipeline.Graph]] lesson, checked on the
+   * CAST value so a fractional weight in (0, 1) cannot slip through as
+   * zero): null/non-positive weights mean "never sample" — those rows
+   * drop from the candidate pool entirely.
+   *
+   * Plan: one shuffle on the group key, bounded rank filter — identical
+   * cost shape to [[perGroupDeterministic]]; only (group, priority)
+   * ordering state sorts, payloads ride along untouched.
+   */
+  def weightedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val win = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__pri").asc, col("__h").asc, col(idCol).asc)
+    df.withColumn("__w", col(weightCol).cast("long"))
+      .filter(col("__w").isNotNull && col("__w") >= 1)
+      .withColumn("__h",
+        conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("__pri", expr("__h div __w"))
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k)
+      .drop("__w", "__h", "__pri", "__rn")
+  }
+
   def proportionalStratified(df: DataFrame, groupCols: Seq[String],
                              idCol: String, frac: Double,
                              minPerGroup: Int = 1): DataFrame = {

@@ -1259,4 +1259,55 @@ object TextAnalysis {
             lit(0.3) * least(col("stopword_rate") * lit(5.0), lit(1.0)) +
             lit(0.3) * greatest(lit(0.0), lit(1.0) - col("symbol_ratio") * lit(10.0)))))
   }
+
+  /**
+   * Per-group LEXICAL DIVERSITY report — the vocabulary-health pass run
+   * next to [[corpusStats]] when auditing a training mix: a source whose
+   * type-token ratio collapses (template spam, boilerplate mills) or
+   * whose hapax share spikes (OCR noise, binary soup) earns a curation
+   * look before it earns tokens. All integer:
+   *
+   *   - `n_docs` — documents in the group (null/empty-text docs count;
+   *     they are corpus rows even when they tokenize to nothing)
+   *   - `n_tokens` — total token occurrences ([a-z]+ runs of the
+   *     lowercased text, the [[vocabStats]] tokenizer)
+   *   - `n_types` — distinct tokens
+   *   - `ttr_permille` — 1000·types div tokens (Templin '57 TTR)
+   *   - `n_hapax` / `hapax_permille` — types occurring exactly ONCE in
+   *     the group, and their share of types (Zipf-tail mass)
+   *
+   * Plan: scan-local tokenize/explode → ONE map-side-combined
+   * (group, token) count — the token stream collapses to type rows
+   * before it ever shuffles — → ONE per-group fold of those type rows;
+   * doc counts ride a separate metadata-cheap aggregate broadcast back
+   * on the group key. Nothing wider than (group, token, count) moves,
+   * so the pass is corpus-linear at any scale.
+   */
+  def lexicalStats(df: DataFrame, groupCol: String = "source",
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val g = col(groupCol)
+    val tok = df.select(g.as("grp"),
+        explode(split(lower(coalesce(col(textCol), lit(""))), "[^a-z]+"))
+          .as("token"))
+      .filter(length(col("token")) >= 1)
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val lex = tok.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val docs = df.groupBy(g.as("grp"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    docs.join(lex, Seq("grp"), "left")
+      .select(col("grp").as(groupCol),
+        col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+      .withColumn("ttr_permille",
+        expr("(n_types * 1000) div greatest(n_tokens, 1)"))
+      .withColumn("hapax_permille",
+        expr("(n_hapax * 1000) div greatest(n_types, 1)"))
+  }
 }

@@ -1086,6 +1086,109 @@ class EventAnalyticsSpec extends AnyFunSuite {
       Graph.bfsDistances(df, seedsDf(Set(0L)), rounds = 0))
   }
 
+  // --------------------------------------------- weighted shortest paths
+
+  /** Brute min-plus replica: `rounds` Bellman-Ford relaxations over the
+    * min-folded parallel edges — enough rounds give exact Dijkstra
+    * distances since weights are positive. */
+  private def bruteSssp(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+                        rounds: Int): Map[Long, Long] = {
+    val e = edges.groupBy(t => (t._1, t._2))
+      .map { case ((s, d), xs) => (s, d, xs.map(_._3).min) }.toSeq
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.toSet
+    var dist = seeds.intersect(nodes).map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val offers = e.flatMap { case (s, d, w) =>
+        dist.get(s).map(x => d -> (x + w)) }
+      dist = (dist.toSeq ++ offers).groupBy(_._1)
+        .map { case (n, xs) => n -> xs.map(_._2).min }
+    }
+    dist
+  }
+
+  test("ssspWeighted == brute min-plus replica on random weighted graphs") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 77)
+      // parallel edges with different weights exercise the min-fold
+      val edges = (0 until 160).map(_ =>
+        (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong,
+          (rnd.nextInt(9) + 1).toLong))
+      val seeds = (0 until 3).map(_ => rnd.nextInt(35).toLong).toSet
+      // 35 nodes: 34 rounds ≥ any simple path's hop count
+      val got = Graph.ssspWeighted(edges.toDF("src", "dst", "w"),
+        seedsDf(seeds), rounds = 34)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteSssp(edges, seeds, 34), s"seed $seed")
+    }
+  }
+
+  test("ssspWeighted: w=1 == bfsDistances; cheap detour beats direct hop") {
+    val path = (0L until 5L).map(i => (i, i + 1))
+    val unit = path.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w")
+    val viaSssp = Graph.ssspWeighted(unit, seedsDf(Set(0L)), rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBfs = Graph.bfsDistances(path.toDF("src", "dst"),
+      seedsDf(Set(0L)), rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSssp == viaBfs)
+    // direct 0→3 costs 10; the 3-hop detour 0→1→2→3 costs 3 — the
+    // weighted optimum uses MORE hops than the BFS depth (1), the
+    // documented reason the gate probes the hop bound, not eccentricity
+    val detour = Seq((0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val d1 = Graph.ssspWeighted(detour, seedsDf(Set(0L)), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1(3L) == 10L) // one round only sees the direct edge
+    val d3 = Graph.ssspWeighted(detour, seedsDf(Set(0L)), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3(3L) == 3L)
+    // parallel edges min-fold to the cheapest
+    val par = Seq((0L, 1L, 7L), (0L, 1L, 2L)).toDF("src", "dst", "w")
+    assert(Graph.ssspWeighted(par, seedsDf(Set(0L)), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(0L -> 0L, 1L -> 2L))
+  }
+
+  test("ssspWeighted: weight hygiene — fractional, zero, null weights drop") {
+    // 0.6 passes a pre-cast > 0 check but truncates to 0 on the long
+    // cast — the prepare() lesson; it must drop like zero and null
+    val e = Seq((0L, 1L, Some(0.6)), (0L, 2L, Some(3.0)),
+      (1L, 3L, Some(0.0)), (2L, 3L, None))
+      .toDF("src", "dst", "w")
+    val got = Graph.ssspWeighted(e, seedsDf(Set(0L)), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 2L -> 3L))
+  }
+
+  test("ssspWeightedConverged == fixed rounds; idempotence; cap; invariance") {
+    val rnd = new scala.util.Random(99)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong,
+        (rnd.nextInt(5) + 1).toLong))
+    val df = edges.toDF("src", "dst", "w")
+    val (dist, rounds) = Graph.ssspWeightedConverged(df, seedsDf(Set(0L)))
+    val m = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == bruteSssp(edges, Set(0L), 30))
+    // fixed rounds past the depth (crossing the cadence-4 checkpoint
+    // boundary) return the identical fixpoint — idempotence
+    val fixed = Graph.ssspWeighted(df, seedsDf(Set(0L)), rounds = rounds + 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == m)
+    val rep = Graph.ssspWeighted(df.repartition(7), seedsDf(Set(0L)),
+      rounds = rounds + 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == m)
+    // a long chain with improving detours forces many relaxation rounds;
+    // a tight cap throws
+    val chain = (0L until 12L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "w")
+    intercept[IllegalStateException](
+      Graph.ssspWeightedConverged(chain, seedsDf(Set(0L)), maxRounds = 3))
+    // no seeds inside the graph → empty, converges on the first no-op
+    val (e0, r0) = Graph.ssspWeightedConverged(df, seedsDf(Set(999L)))
+    assert(e0.count() === 0L && r0 === 1)
+    intercept[IllegalArgumentException](
+      Graph.ssspWeighted(df, seedsDf(Set(0L)), rounds = 0))
+  }
+
   // -------------------------------------------------- common neighbors
 
   /** (a, b) -> (n_common, aa_permille, jaccard_permille): pairwise

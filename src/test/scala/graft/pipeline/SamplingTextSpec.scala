@@ -53,6 +53,84 @@ class SamplingTextSpec extends AnyFunSuite {
     assert(again == baseSet)
   }
 
+  test("weightedSample: brute replica, nesting, weight hygiene, invariance") {
+    // independent replica: 60-bit md5 prefix div weight, (pri, h, id) order
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def brute(rows: Seq[(Long, String, Long)], k: Int): Set[Long] =
+      rows.filter(_._3 >= 1)
+        .map { case (id, g, w) =>
+          val h = java.lang.Long.parseLong(md5hex(id.toString).take(15), 16)
+          (g, h / w, h, id)
+        }
+        .groupBy(_._1).values.flatMap(_.sortBy(t => (t._2, t._3, t._4))
+          .take(k).map(_._4)).toSet
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 300L).map(i =>
+      (i, s"g${i % 4}", (rnd.nextInt(10) - 1).toLong)) // weights -1..8
+    val df = rows.toDF("id", "grp", "w")
+    val got = Sampling.weightedSample(df, Seq("grp"), "id", "w", 6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == brute(rows, 6))
+    // nesting: k=3 sample is a subset of the k=6 sample
+    val small = Sampling.weightedSample(df, Seq("grp"), "id", "w", 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(got) && small.size == 12)
+    // partition invariance
+    val rep = Sampling.weightedSample(df.repartition(11), Seq("grp"), "id", "w", 6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rep == got)
+    // hygiene: null and fractional-below-1 weights drop like non-positive
+    val hyg = Seq((1L, "a", Some(0.6)), (2L, "a", Some(2.0)), (3L, "a", None))
+      .toDF("id", "grp", "w")
+    assert(Sampling.weightedSample(hyg, Seq("a").map(_ => "grp"), "id", "w", 5)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(2L))
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(df, Seq("grp"), "id", "w", 0))
+  }
+
+  test("weightedSample: heavier rows win proportionally more slots") {
+    // one group, 60 heavy rows (w=9) among 240 light (w=1): a k=60
+    // sample should over-represent heavy rows ~9x per capita
+    val rows = (0L until 300L).map(i =>
+      (i, "g", if (i % 5 == 0) 9L else 1L))
+    val df = rows.toDF("id", "grp", "w")
+    val picked = Sampling.weightedSample(df, Seq("grp"), "id", "w", 60)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val heavy = picked.count(_ % 5 == 0)
+    // expectation ≈ 60·(60·9)/(60·9+240) = 41.5 heavy; light ≈ 18.5.
+    // deterministic fixture — assert the direction with a wide margin
+    assert(heavy > 30, s"heavy picked: $heavy of ${picked.size}")
+    assert(picked.size == 60)
+  }
+
+  test("lexicalStats: hand-built corpus replica; null/empty totality") {
+    val fixture = Seq(
+      (1L, "the cat sat the cat", "a"),
+      (2L, "dog! dog? bird.", "a"),
+      (3L, null.asInstanceOf[String], "b"),
+      (4L, "", "b"),
+      (5L, "Zebra zebra", "c")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.lexicalStats(fixture).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // a: 2 docs; tokens the,cat,sat,the,cat,dog,dog,bird = 8; types 5
+    // (the,cat,sat,dog,bird); hapax sat,bird = 2; ttr 5000 div 8 = 625;
+    // hapax share 2000 div 5 = 400
+    assert(got("a") == ((2L, 8L, 5L, 2L, 625L, 400L)))
+    // b: null + empty text — docs count, zero tokens, guarded divisions
+    assert(got("b") == ((2L, 0L, 0L, 0L, 0L, 0L)))
+    // c: case folds — zebra(2): 1 type, 0 hapax, ttr 500
+    assert(got("c") == ((1L, 2L, 1L, 0L, 500L, 0L)))
+    // partition invariance
+    val rep = TextAnalysis.lexicalStats(fixture.repartition(7)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rep == got)
+  }
+
   test("proportionalStratified: exact quotas, min floor, nesting, invariance") {
     val frac = 0.15
     val got = Sampling.proportionalStratified(docs, Seq("source"), "doc_id",
