@@ -931,6 +931,33 @@ object SparkEntry {
       Similarity.sq8TopK(embs, q, 10).select(col("vec_id"))
     }),
 
+    // MMR diversified re-ranking over SQ8 candidates: 3 queries, top-12
+    // integer-code-dot candidates each, then 5 greedy λ=700 MMR steps —
+    // rel AND pairwise sims are exact integer dots, so the oracle replays
+    // the re-encode, the candidate cut, and every greedy argmax verbatim
+    "q_mmr_rerank" -> ((s, d) => {
+      val embs = Tables.table(s, d, "embeddings")
+      val enc = Similarity.sq8Encode(embs).select(col("vec_id"), col("sq_codes"))
+      val queries = enc.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("sq_codes").as("qc"))
+      val scored = enc.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("id"),
+          Similarity.intDot(col("sq_codes"), col("qc")).as("rel"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("id").asc)
+      val cands = scored.withColumn("__rn", row_number().over(wq))
+        .filter(col("__rn") <= 12).drop("__rn")
+      val cc = cands.select(col("qid"), col("id"))
+        .join(enc.withColumnRenamed("vec_id", "id"), Seq("id"))
+      val sims = cc.as("x").join(cc.as("y"),
+          col("x.qid") === col("y.qid") && col("x.id") < col("y.id"))
+        .select(col("x.qid").as("qid"), col("x.id").as("a"),
+          col("y.id").as("b"),
+          Similarity.intDot(col("x.sq_codes"), col("y.sq_codes")).as("sim"))
+      Similarity.mmrRerank(cands.select(col("qid"), col("id"), col("rel")),
+        sims, k = 5, lambdaPermille = 700)
+    }),
+
     // batch cosine top-k JOIN: 5 query vectors each retrieve their 10
     // nearest corpus vectors via broadcast + bounded-heap aggregate (ids
     // only — rank-boundary score margins verified well above float noise)
@@ -1729,6 +1756,20 @@ object SparkEntry {
       Graph.ssspWeighted(e, seeds, rounds = 6, assumeMinFolded = true)
     }),
 
+    // degree-distribution profile of the directed quantity>45 purchase
+    // graph: per-direction log2 buckets (bit length) with exact min/max —
+    // the graph-profiling pass that sizes every hub cap; output bounded
+    // by 64 buckets per direction at any corpus size
+    "q_degree_dist" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.degreeHistogram(e)
+    }),
+
     // common-neighbor link-prediction scores: node pairs of the
     // symmetrized quantity>45 purchase graph sharing >= 3 neighbors —
     // on this bipartite graph that IS co-engagement similarity
@@ -2205,6 +2246,61 @@ object SparkEntry {
         s"UNION ALL SELECT node, dist FROM d${i - 1}) GROUP BY 1)")
     sb.append(" SELECT CAST(node AS BIGINT) AS node, " +
       s"CAST(dist AS BIGINT) AS dist FROM d$rounds")
+    sb.toString
+  }
+
+  /** Unrolled MMR replay: SQ8 re-encode (the q_embed_topk_sq8 CTEs),
+    * integer code dots for relevance and pairwise similarity (exact in
+    * double at |dot| ≤ 127²·dims), per-query top-`topN` candidate cut,
+    * then `k` greedy argmax steps of λ·rel − (1000−λ)·max-sim-to-selected
+    * with the (score desc, id asc) tie-break — every step MATERIALIZED
+    * (selected is re-referenced per step). */
+  private def mmrOracleSql(k: Int, topN: Int, lam: Int): String = {
+    val om = 1000 - lam
+    val sb = new StringBuilder
+    sb.append(
+      "WITH enc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m " +
+        "FROM embeddings), " +
+        "codes AS MATERIALIZED (SELECT vec_id, " +
+        "CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT)) " +
+        "ELSE list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) END AS c " +
+        "FROM enc), " +
+        "q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 3), " +
+        "rels AS MATERIALIZED (SELECT q.qid, codes.vec_id AS id, " +
+        "CAST(list_inner_product(CAST(codes.c AS DOUBLE[]), CAST(q.qc AS DOUBLE[])) AS BIGINT) AS rel " +
+        "FROM codes CROSS JOIN q WHERE codes.vec_id <> q.qid), " +
+        "cand AS MATERIALIZED (SELECT qid, id, rel FROM (" +
+        "SELECT qid, id, rel, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY rel DESC, id ASC) AS rn FROM rels) " +
+        s"WHERE rn <= $topN), " +
+        "cc AS MATERIALIZED (SELECT cand.qid, cand.id, codes.c " +
+        "FROM cand JOIN codes ON cand.id = codes.vec_id), " +
+        "pairs AS MATERIALIZED (SELECT x.qid, x.id AS a, y.id AS b, " +
+        "CAST(list_inner_product(CAST(x.c AS DOUBLE[]), CAST(y.c AS DOUBLE[])) AS BIGINT) AS sim " +
+        "FROM cc x JOIN cc y ON x.qid = y.qid AND x.id < y.id), " +
+        "sym AS MATERIALIZED (SELECT qid, a, b, sim FROM pairs " +
+        "UNION ALL SELECT qid, b, a, sim FROM pairs), " +
+        s"selall1 AS MATERIALIZED (SELECT qid, id, $lam * rel AS mmr_score, " +
+        "CAST(1 AS BIGINT) AS rank FROM (SELECT qid, id, rel, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY rel DESC, id ASC) AS rn FROM cand) WHERE rn = 1)")
+    for (r <- 2 to k)
+      sb.append(
+        s", rem$r AS (SELECT c.qid, c.id, c.rel FROM cand c " +
+          s"ANTI JOIN selall${r - 1} s ON c.qid = s.qid AND c.id = s.id), " +
+          s"ms$r AS (SELECT ss.qid, ss.a AS id, max(ss.sim) AS msim " +
+          s"FROM sym ss JOIN selall${r - 1} s ON ss.qid = s.qid AND ss.b = s.id " +
+          "GROUP BY 1, 2), " +
+          s"sc$r AS (SELECT r.qid, r.id, " +
+          s"$lam * r.rel - $om * coalesce(m.msim, 0) AS score " +
+          s"FROM rem$r r LEFT JOIN ms$r m ON r.qid = m.qid AND r.id = m.id), " +
+          s"selall$r AS MATERIALIZED (SELECT * FROM selall${r - 1} " +
+          s"UNION ALL SELECT qid, id, score AS mmr_score, CAST($r AS BIGINT) AS rank " +
+          s"FROM (SELECT qid, id, score, row_number() OVER " +
+          s"(PARTITION BY qid ORDER BY score DESC, id ASC) AS rn FROM sc$r) " +
+          "WHERE rn = 1)")
+    sb.append(" SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id, " +
+      s"CAST(mmr_score AS BIGINT) AS mmr_score, rank FROM selall$k")
     sb.toString
   }
 
@@ -4516,6 +4612,21 @@ object SparkEntry {
 
     "q_bfs_dist" -> bfsOracleSql(rounds = 4),
     "q_sssp" -> ssspOracleSql(rounds = 6),
+    "q_mmr_rerank" -> mmrOracleSql(k = 5, topN = 12, lam = 700),
+
+    // same distinct edge set, same bit-length bucketing (bin() agrees
+    // across engines on positive BIGINTs — the length-histogram idiom)
+    "q_degree_dist" ->
+      ("WITH e AS (SELECT DISTINCT o.o_custkey * 2 AS src, " +
+        "l.l_suppkey * 2 + 1 AS dst " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE l.l_quantity > 45), " +
+        "degs AS (SELECT 'out' AS direction, src AS node, count(*) AS deg FROM e GROUP BY 1, 2 " +
+        "UNION ALL SELECT 'in' AS direction, dst AS node, count(*) AS deg FROM e GROUP BY 1, 2) " +
+        "SELECT direction, CAST(length(bin(deg)) AS BIGINT) AS bucket, " +
+        "count(*) AS n_nodes, CAST(min(deg) AS BIGINT) AS min_degree, " +
+        "CAST(max(deg) AS BIGINT) AS max_degree " +
+        "FROM degs GROUP BY 1, 2"),
 
     "q_random_walks" -> walksOracleSql(walksPerNode = 2, length = 3),
 

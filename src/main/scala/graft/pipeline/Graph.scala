@@ -1002,6 +1002,42 @@ object Graph {
     (dist, iter)
   }
 
+  // ------------------------------------------------ degree distribution
+
+  /**
+   * Degree-distribution profile of a directed edge list — the first pass
+   * run on any new provenance/link graph, BEFORE choosing algorithm knobs:
+   * the hub tail sizes [[commonNeighbors]]' `maxApexDegree`,
+   * [[kcore]]'s k, and the LSH band caps, and a power-law check here is
+   * cheaper than discovering skew as a straggler task later. Per
+   * direction (`out`/`in`): log2-bucketed node counts — bucket = bit
+   * length of the degree ([[graft.pipeline.Curation]]'s histogram
+   * bucketing), so bucket b holds degrees in [2^(b-1), 2^b) — with each
+   * bucket's exact min/max degree.
+   *
+   * Null endpoints drop; duplicate edges dedup unless `assumeDistinct`.
+   * Plan: two map-side-combined aggregate pairs over bare (node) keys —
+   * rows never wider than (node, degree), output bounded by 64 buckets
+   * per direction regardless of corpus size.
+   */
+  def degreeHistogram(edges: DataFrame,
+                      assumeDistinct: Boolean = false): DataFrame = {
+    val cast = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    val e = if (assumeDistinct) cast else cast.distinct()
+    def side(key: String, dir: String): DataFrame =
+      e.groupBy(col(key).as("node")).agg(count(lit(1)).as("deg"))
+        .groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("deg")).as("min_degree"),
+          max(col("deg")).as("max_degree"))
+        .withColumn("direction", lit(dir))
+    side("src", "out").unionByName(side("dst", "in"))
+      .select(col("direction"), col("bucket"), col("n_nodes"),
+        col("min_degree"), col("max_degree"))
+  }
+
   // -------------------------------------------------- common neighbors
 
   /**

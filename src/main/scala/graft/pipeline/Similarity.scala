@@ -589,6 +589,88 @@ object Similarity {
   }
 
   /**
+   * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+   * SIGIR'98): greedy diversified top-k over a per-query candidate set —
+   * rank 1 is the pure-relevance argmax, every later rank maximizes
+   * `λ·rel(c) − (1000−λ)·max_{s∈selected} sim(c, s)` (λ in permille,
+   * ties (score desc, id asc)) — the standard redundancy-suppression
+   * pass between retrieval and context assembly: near-duplicate
+   * passages that [[graft.pipeline.Evaluation.rrfFuse]] would happily
+   * stack get penalized by their similarity to what is already picked.
+   *
+   * ALL-INTEGER scoring: callers supply integer `rel` and `sim` (the
+   * [[sq8TopK]] code dot products are the natural source — exact,
+   * order-free), so the entire greedy trajectory replays verbatim in
+   * SQL; no float argmax anywhere. `sims` may arrive in either (or
+   * both) orientations — it is symmetrized internally (max over
+   * duplicates); missing pairs contribute similarity 0.
+   *
+   * Scale shape: distributed in the number of QUERIES — each greedy
+   * step is one bounded join against the ≤k selected rows plus one
+   * windowed per-query argmax, and candidate sets are bounded by
+   * contract (an ANN top-N feeds this), so a million-query batch
+   * re-ranks in k bounded passes. `selected` is re-referenced three
+   * times per step, so it localCheckpoints each round (the HITS
+   * branching-factor lesson).
+   *
+   * Output: (qid, id, rank 1..k, mmr_score) — rank 1's score is λ·rel
+   * (no diversity penalty yet, by definition).
+   */
+  def mmrRerank(cands: DataFrame, sims: DataFrame, k: Int,
+                lambdaPermille: Int,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      s"lambdaPermille out of [0, 1000]: $lambdaPermille")
+    import org.apache.spark.sql.expressions.Window
+    val lam = lit(lambdaPermille.toLong)
+    val oneMinus = lit((1000 - lambdaPermille).toLong)
+    val base = Checkpoints.materialize(
+      cands.select(col("qid"), col("id").cast("long").as("id"),
+        col("rel").cast("long").as("rel")),
+      checkpointDir)
+    val sym = Checkpoints.materialize(
+      sims.select(col("qid"), col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"), col("sim").cast("long").as("sim"))
+        .union(sims.select(col("qid"), col("b").cast("long").as("a"),
+          col("a").cast("long").as("b"), col("sim").cast("long").as("sim")))
+        .groupBy(col("qid"), col("a"), col("b"))
+        .agg(max(col("sim")).as("sim")),
+      checkpointDir)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("__score").desc, col("id").asc)
+    def argmax(df: DataFrame, rank: Int): DataFrame =
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("qid"), col("id"), col("__score").as("mmr_score"),
+          lit(rank.toLong).as("rank"))
+    var selected = Checkpoints.materialize(
+      argmax(base.withColumn("__score", lam * col("rel")), 1),
+      checkpointDir)
+    for (r <- 2 to k) {
+      val remaining = base.join(selected.select(col("qid"), col("id")),
+        Seq("qid", "id"), "left_anti")
+      val maxSim = sym
+        .join(selected.select(col("qid"), col("id").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("id"))
+        .agg(max(col("sim")).as("__maxsim"))
+      val scored = remaining.join(maxSim, Seq("qid", "id"), "left")
+        .withColumn("__score",
+          lam * col("rel") - oneMinus * coalesce(col("__maxsim"), lit(0L)))
+      selected = Checkpoints.materialize(
+        selected.union(argmax(scored, r)), checkpointDir)
+    }
+    selected
+  }
+
+  /** Exact integer dot product of two equal-length numeric arrays —
+    * the [[sq8TopK]] code-dot building block, exposed for candidate/
+    * pairwise scoring feeding [[mmrRerank]]. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /**
    * Distributed Lloyd k-means (the embedding-clustering workhorse behind
    * SemDeDup-style cluster-then-dedup and corpus topic maps) with FULLY
    * DETERMINISTIC integer arithmetic, so the whole trajectory — seeds,

@@ -1086,6 +1086,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       Graph.bfsDistances(df, seedsDf(Set(0L)), rounds = 0))
   }
 
+  // ------------------------------------------------ degree distribution
+
+  test("degreeHistogram: hand-built buckets, dedup, null totality") {
+    // out-degrees: 0→{1,2,3} = 3 (bucket 2), 1→{2} = 1 (bucket 1);
+    // in-degrees: 1←{0}=1, 2←{0,1}=2 (bucket 2), 3←{0}=1; duplicate
+    // 0→1 edge and a null-endpoint row must not count
+    val e = Seq((Some(0L), Some(1L)), (Some(0L), Some(1L)), (Some(0L), Some(2L)),
+      (Some(0L), Some(3L)), (Some(1L), Some(2L)), (None, Some(9L)))
+      .toDF("src", "dst")
+    val got = Graph.degreeHistogram(e).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      ("out", 2L) -> ((1L, 3L, 3L)), ("out", 1L) -> ((1L, 1L, 1L)),
+      ("in", 1L) -> ((2L, 1L, 1L)), ("in", 2L) -> ((1L, 2L, 2L))))
+    // partition invariance + assumeDistinct on an already-distinct list
+    val dis = e.dropDuplicates().filter(col("src").isNotNull)
+    val a = Graph.degreeHistogram(dis.repartition(5)).collect().map(_.toSeq).toSet
+    val b = Graph.degreeHistogram(dis, assumeDistinct = true).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   // --------------------------------------------- weighted shortest paths
 
   /** Brute min-plus replica: `rounds` Bellman-Ford relaxations over the

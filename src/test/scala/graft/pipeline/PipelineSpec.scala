@@ -2073,4 +2073,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(twice.getLong(0) == 0 && twice.getLong(1) == 0 && twice.getLong(2) == 0)
     assert(twice.getString(3) == "reach <EMAIL> or <PHONE>, host <IP>.")
   }
+
+  // --- MMR re-ranking ---
+
+  /** Serial greedy MMR replica: rank 1 = argmax rel (tie id asc), then
+    * argmax λ·rel − (1000−λ)·max-sim-to-selected; missing sims are 0. */
+  private def bruteMmr(cands: Seq[(Long, Long, Long)],
+                       sims: Map[(Long, Long, Long), Long],
+                       k: Int, lam: Long): Seq[(Long, Long, Long, Long)] = {
+    def sim(q: Long, a: Long, b: Long): Long =
+      sims.getOrElse((q, a, b), sims.getOrElse((q, b, a), 0L))
+    cands.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      var remaining = cs.map(c => (c._2, c._3))
+      var selected = Vector.empty[(Long, Long, Long, Long)]
+      for (r <- 1 to math.min(k, cs.size)) {
+        val scored = remaining.map { case (id, rel) =>
+          val pen = if (r == 1) 0L
+            else selected.map(s => sim(q, id, s._2)).max
+          (id, lam * rel - (1000 - lam) * (if (r == 1) 0L else pen))
+        }
+        val (id, sc) = scored.minBy { case (i, s) => (-s, i) }
+        selected :+= ((q, id, sc, r.toLong))
+        remaining = remaining.filterNot(_._1 == id)
+      }
+      selected
+    }
+  }
+
+  test("mmrRerank == serial greedy replica on random integer data") {
+    val rnd = new scala.util.Random(11)
+    val cands = for (q <- 0L until 3L; i <- 0 until 10)
+      yield (q, (q * 100 + i), rnd.nextInt(1000).toLong)
+    // sims for ~70% of pairs (missing pairs must score as 0)
+    val sims = (for (q <- 0L until 3L; a <- 0 until 10; b <- a + 1 until 10
+                     if rnd.nextInt(10) < 7)
+      yield ((q, q * 100 + a, q * 100 + b), rnd.nextInt(800).toLong)).toMap
+    val candsDf = cands.toDF("qid", "id", "rel")
+    val simsDf = sims.toSeq.map { case ((q, a, b), s) => (q, a, b, s) }
+      .toDF("qid", "a", "b", "sim")
+    val got = Similarity.mmrRerank(candsDf, simsDf, k = 5, lambdaPermille = 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == bruteMmr(cands, sims, 5, 600L).toSet)
+    // λ=1000: no penalty — MMR degenerates to pure-relevance top-k
+    val pure = Similarity.mmrRerank(candsDf, simsDf, k = 4, lambdaPermille = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val topRel = cands.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      cs.sortBy(c => (-c._3, c._2)).take(4).zipWithIndex
+        .map { case (c, i) => (q, c._2, (i + 1).toLong) }
+    }.toSet
+    assert(pure == topRel)
+  }
+
+  test("mmrRerank: diversity penalty reorders; k caps; validation") {
+    // query 0: b(90) and c(85) are near-dups of a(100); d(40) is distant.
+    // Pure relevance picks a,b,c; MMR at λ=500 must pick a,d before b/c.
+    val cands = Seq((0L, 1L, 100L), (0L, 2L, 90L), (0L, 3L, 85L), (0L, 4L, 40L))
+      .toDF("qid", "id", "rel")
+    val sims = Seq((0L, 1L, 2L, 95L), (0L, 1L, 3L, 93L), (0L, 2L, 3L, 94L),
+      (0L, 1L, 4L, 5L), (0L, 2L, 4L, 6L), (0L, 3L, 4L, 7L))
+      .toDF("qid", "a", "b", "sim")
+    val got = Similarity.mmrRerank(cands, sims, k = 2, lambdaPermille = 500)
+      .collect().map(r => (r.getLong(3), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 4L)) // rank1 = a, rank2 = d
+    // k beyond the candidate count emits every candidate exactly once
+    val all = Similarity.mmrRerank(cands, sims, k = 9, lambdaPermille = 500)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(all == Seq(1L, 2L, 3L, 4L))
+    // symmetrization: sims given in one orientation only still penalize
+    // both directions (b=2 was penalized via sim(1,2) above)
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(cands, sims, k = 0, lambdaPermille = 500))
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(cands, sims, k = 2, lambdaPermille = 1001))
+  }
 }
