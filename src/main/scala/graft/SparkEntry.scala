@@ -1756,6 +1756,22 @@ object SparkEntry {
       Graph.ssspWeighted(e, seeds, rounds = 6, assumeMinFolded = true)
     }),
 
+    // weakly connected components by min-label propagation over the
+    // doubly-thinned purchase graph (quantity>49 AND partkey%7 — probed:
+    // 7/72/730 components at sf0.001/0.01/0.1, fixpoint by round 10 at
+    // every scale, so the 12-round unroll replays verbatim); labels ==
+    // Dedup.clusters' union-find labeling, spec-pinned
+    "q_components" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem")
+        .filter(col("l_quantity") > 49 && col("l_partkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.componentLabels(e, rounds = 12)
+    }),
+
     // degree-distribution profile of the directed quantity>45 purchase
     // graph: per-direction log2 buckets (bit length) with exact min/max —
     // the graph-profiling pass that sizes every hub cap; output bounded
@@ -2246,6 +2262,32 @@ object SparkEntry {
         s"UNION ALL SELECT node, dist FROM d${i - 1}) GROUP BY 1)")
     sb.append(" SELECT CAST(node AS BIGINT) AS node, " +
       s"CAST(dist AS BIGINT) AS dist FROM d$rounds")
+    sb.toString
+  }
+
+  /** Unrolled min-label connected-components replay: the doubly-thinned
+    * purchase graph symmetrized, labels start at the node id, then
+    * `rounds` rounds of "offer my label along my edges, min-fold" —
+    * [[graft.pipeline.Graph.componentLabels]]'s step verbatim. Each round
+    * references the previous twice, so every CTE is MATERIALIZED (the
+    * ssspOracleSql lesson). */
+  private def componentsOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      "WITH e0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey * 2 AS a, " +
+        "l.l_suppkey * 2 + 1 AS b " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE l.l_quantity > 49 AND l.l_partkey % 7 = 0), " +
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 " +
+        "UNION ALL SELECT b, a FROM e0), " +
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e)")
+    for (i <- 1 to rounds)
+      sb.append(s", l$i AS MATERIALIZED (SELECT node, min(label) AS label FROM (" +
+        s"SELECT e.dst AS node, x.label FROM l${i - 1} x " +
+        s"JOIN e ON x.node = e.src " +
+        s"UNION ALL SELECT node, label FROM l${i - 1}) GROUP BY 1)")
+    sb.append(" SELECT CAST(node AS BIGINT) AS node, " +
+      s"CAST(label AS BIGINT) AS component FROM l$rounds")
     sb.toString
   }
 
@@ -4613,6 +4655,7 @@ object SparkEntry {
     "q_bfs_dist" -> bfsOracleSql(rounds = 4),
     "q_sssp" -> ssspOracleSql(rounds = 6),
     "q_mmr_rerank" -> mmrOracleSql(k = 5, topN = 12, lam = 700),
+    "q_components" -> componentsOracleSql(rounds = 12),
 
     // same distinct edge set, same bit-length bucketing (bin() agrees
     // across engines on positive BIGINTs — the length-histogram idiom)

@@ -1002,6 +1002,100 @@ object Graph {
     (dist, iter)
   }
 
+  // ---------------------------------------------- connected components
+
+  private def ccSetup(edges: DataFrame, assumeDistinct: Boolean,
+                      checkpointDir: Option[String])
+      : (DataFrame, DataFrame) = {
+    val cast = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    // components are an UNDIRECTED notion — symmetrize, so directed input
+    // yields weakly connected components (assumeDistinct promises the
+    // symmetrized union is duplicate-free, e.g. parity-disjoint encodings)
+    val sym = cast.union(cast.select(col("dst").as("src"), col("src").as("dst")))
+    val e = Checkpoints.materialize(
+      if (assumeDistinct) sym else sym.distinct(), checkpointDir)
+    val l0 = Checkpoints.materialize(
+      e.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")),
+      checkpointDir)
+    (e, l0)
+  }
+
+  /** One min-label round: every node offers its label along its edges;
+    * offers union the current table and min-fold per node — the
+    * [[bfsDistances]] step shape with the label in place of dist + 1. */
+  private def ccStep(e: DataFrame, labels: DataFrame): DataFrame =
+    labels.select(col("node").as("src"), col("label"))
+      .join(e, "src")
+      .select(col("dst").as("node"), col("label"))
+      .union(labels)
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+
+  /**
+   * Weakly connected components by synchronous min-label propagation:
+   * every node converges to the MINIMUM node id of its component — the
+   * same labeling [[graft.pipeline.Dedup.clusters]] produces by
+   * union-find/pointer-doubling (spec-pinned equal), but as a fixed
+   * number of min-fold rounds, which makes the whole trajectory
+   * oracle-replayable (the [[bfsDistances]]/[[kcore]] pattern: min-fold
+   * rounds are idempotent past the fixpoint, so any `rounds` ≥ the
+   * labeled graph's propagation depth — the min node's eccentricity
+   * within each component — is exact; [[componentLabelsConverged]]
+   * finds the depth). Use clusters() when the edge list is a near-dup
+   * pair stream (it has the driver fast path and the O(log n) doubling
+   * for deep chains); use this when round-replayability or the
+   * graph-API shape is wanted.
+   *
+   * Output: (node, component) — component = min member id.
+   */
+  def componentLabels(edges: DataFrame, rounds: Int,
+                      assumeDistinct: Boolean = false,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val (e, l0) = ccSetup(edges, assumeDistinct, checkpointDir)
+    var labels = l0
+    for (i <- 1 to rounds) {
+      labels = ccStep(e, labels)
+      if (i % 4 == 0 && i < rounds)
+        labels = Checkpoints.materialize(labels, checkpointDir)
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /**
+   * Convergence-mode components: propagate until a round changes
+   * nothing, capped at `maxRounds` (throws past the cap — house policy).
+   * Change check: Σ label alone — the node set is fixed after setup and
+   * labels only ever decrease, so the sum is stable iff no label moved.
+   * Termination ≤ the largest component's min-node eccentricity (≤ n).
+   * Returns (labels, rounds run — the last being the confirming no-op).
+   */
+  def componentLabelsConverged(edges: DataFrame,
+                               maxRounds: Int = 50,
+                               assumeDistinct: Boolean = false,
+                               checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val (e, l0) = ccSetup(edges, assumeDistinct, checkpointDir)
+    var labels = l0
+    var state = labels.agg(coalesce(sum(col("label")), lit(0L))).head()
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxRounds) {
+      val next = Checkpoints.materialize(ccStep(e, labels), checkpointDir)
+      val ns = next.agg(coalesce(sum(col("label")), lit(0L))).head()
+      changed = ns != state
+      labels = next; state = ns; iter += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"componentLabelsConverged: still propagating after $maxRounds " +
+          "rounds — raise maxRounds")
+    (labels.select(col("node"), col("label").as("component")), iter)
+  }
+
   // ------------------------------------------------ degree distribution
 
   /**

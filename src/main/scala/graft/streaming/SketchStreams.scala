@@ -122,4 +122,53 @@ object SketchStreams {
             alphaPermille * m * m * 4294967296L / (1000L * sp))
       }
   }
+
+  /** A (group, rowId, weight) observation — [[weightedSampleStream]]
+    * input row; rows with weight < 1 are ignored (the batch operator's
+    * weight-hygiene contract). */
+  case class GIW(g: String, id: Long, w: Long)
+
+  /** A live weighted sample — one row per group per touching batch;
+    * `ids` lists the current sample in selection (priority) order. */
+  case class WeightedSample(g: String, update_seq: Long, ids: Seq[Long])
+
+  /**
+   * Streaming deterministic weighted sample: GroupState holds the ≤ k
+   * (priority, hash, id) minima per group under the EXACT total order of
+   * [[graft.pipeline.Sampling.weightedSample]] (priority = 60-bit md5(id)
+   * prefix div w) — bottom-k under a total order commutes, so after any
+   * batch prefix the emitted ids equal the batch sample over that prefix
+   * row-for-row, in the same rank order. The live variant of
+   * quality-weighted corpus subsetting: the sample stays current as
+   * documents arrive, without recomputing anything. State is ≤ k triples
+   * of longs per group, NoTimeout.
+   *
+   * Contract: `id` is the row key the batch operator hashes (its string
+   * form feeds md5); re-delivered ids re-fold idempotently (same triple,
+   * set semantics via sorted-dedup).
+   */
+  def weightedSampleStream(rows: Dataset[GIW], k: Int)
+      : Dataset[WeightedSample] = {
+    require(k >= 1 && k <= (1 << 20), s"k must be in [1, 2^20], got $k")
+    import rows.sparkSession.implicits._
+    rows
+      .filter(r => r.w >= 1L)
+      .groupByKey(_.g)
+      .mapGroupsWithState[(Long, Seq[(Long, Long, Long)]), WeightedSample](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, batch: Iterator[GIW],
+         state: GroupState[(Long, Seq[(Long, Long, Long)])]) =>
+          val (seq, prev) = state.getOption.getOrElse((0L, Seq.empty))
+          val incoming = batch.map { r =>
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(r.id.toString.getBytes("UTF-8"))
+              .take(8).map(x => f"${x & 0xff}%02x").mkString
+            val h = java.lang.Long.parseLong(hex.take(15), 16)
+            (h / r.w, h, r.id)
+          }.toSeq
+          val kept = (prev ++ incoming).distinct.sorted.take(k)
+          state.update((seq + 1, kept))
+          WeightedSample(g, seq + 1, kept.map(_._3))
+      }
+  }
 }

@@ -1086,6 +1086,68 @@ class EventAnalyticsSpec extends AnyFunSuite {
       Graph.bfsDistances(df, seedsDf(Set(0L)), rounds = 0))
   }
 
+  // ---------------------------------------------- connected components
+
+  /** Union-find replica: component = min member id. */
+  private def bruteCc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("componentLabels == union-find AND == Dedup.clusters on random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 13)
+      // sparse: ~25 edges over 60 ids → many components, some singleton-free
+      val edges = (0 until 25).map(_ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).filter(e => e._1 != e._2)
+      val df = edges.toDF("src", "dst")
+      val got = Graph.componentLabels(df, rounds = 60)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteCc(edges), s"seed $seed")
+      // cross-implementation differential: clusters() (union-find /
+      // pointer doubling over pair streams) produces the identical labels
+      val viaClusters = Dedup.clusters(df.select(col("src").as("id_a"),
+          col("dst").as("id_b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == viaClusters, s"seed $seed clusters mismatch")
+    }
+  }
+
+  test("componentLabelsConverged == fixed rounds; deep chain; cap; directed=weak") {
+    // a 14-node path needs 13 propagation rounds for node 13 to learn 0
+    val path = (0L until 13L).map(i => (i, i + 1))
+    val df = path.toDF("src", "dst")
+    val (lab, rounds) = Graph.componentLabelsConverged(df, maxRounds = 20)
+    val m = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == (0L to 13L).map(_ -> 0L).toMap && rounds === 14)
+    // fixed rounds past the depth match (idempotence across checkpoints)
+    val fixed = Graph.componentLabels(df, rounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == m)
+    // direction is ignored (weak components): reversing edges changes nothing
+    val rev = Graph.componentLabels(
+      df.select(col("dst").as("src"), col("src").as("dst")), rounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev == m)
+    intercept[IllegalStateException](
+      Graph.componentLabelsConverged(df, maxRounds = 5))
+    // null endpoints drop; empty graph converges immediately with no rows
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(3L))).toDF("src", "dst")
+    assert(Graph.componentLabels(withNull, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L)))
+    intercept[IllegalArgumentException](Graph.componentLabels(df, rounds = 0))
+  }
+
   // ------------------------------------------------ degree distribution
 
   test("degreeHistogram: hand-built buckets, dedup, null totality") {

@@ -56,6 +56,62 @@ class SketchStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("weightedSampleStream == batch weightedSample per micro-batch prefix") {
+    val rnd = new scala.util.Random(31)
+    val a = (0L until 600L).map(i => (s"g${i % 3}", i, (rnd.nextInt(9)).toLong)) // some w=0 → dropped
+    val b = (600L until 1200L).map(i => (s"g${i % 3}", i, (rnd.nextInt(9)).toLong))
+    // ordered batch reference: the Sampling.weightedSample total order,
+    // replicated with the same 60-bit md5 prefix arithmetic
+    def orderedBatch(rows: Seq[(String, Long, Long)], k: Int): Map[String, Seq[Long]] =
+      rows.filter(_._3 >= 1).groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map { case (_, id, w) =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .take(8).map(x => f"${x & 0xff}%02x").mkString
+          val h = java.lang.Long.parseLong(hex.take(15), 16)
+          (h / w, h, id)
+        }.sorted.take(k).map(_._3)
+      }
+    // the replica really is the batch operator's selection (set equality;
+    // the operator emits unranked rows)
+    val viaOp = graft.pipeline.Sampling.weightedSample(
+        (a ++ b).toDF("g", "id", "w"), Seq("g"), "id", "w", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaOp == orderedBatch(a ++ b, 10).values.flatten.toSet)
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ws-stream")
+    def writeOne(rows: Seq[(String, Long, Long)], name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ws-part").toFile
+      rows.toDF("g", "id", "w").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(a, "a.parquet", 120000L)
+    writeOne(b, "b.parquet", 1000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      .as[SketchStreams.GIW]
+    val q = SketchStreams.weightedSampleStream(stream, k = 10)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ws_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ws_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList))
+      val fin = rows.groupBy(_._1).map { case (g, rs) => g -> rs.maxBy(_._2)._3 }
+      assert(fin == orderedBatch(a ++ b, 10))           // final == full prefix
+      val first = rows.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+      assert(first == orderedBatch(a, 10))              // first batch == its prefix
+      assert(rows.count(_._2 == 2L) == 3)               // both batches touched all groups
+    } finally q.stop()
+  }
+
   test("quantileSketchStream == batch quantileSketch per micro-batch prefix") {
     val rnd = new scala.util.Random(23)
     val a = (0 until 1200).map(i => (s"g${i % 3}", i.toLong, rnd.nextInt(100000).toLong))
