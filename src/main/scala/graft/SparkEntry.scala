@@ -1692,6 +1692,27 @@ object SparkEntry {
         .toDF("q", "k", "value")
     }),
 
+    // winsorized robust price stats (composition over exact k-th
+    // selection): p05/p95 located by the shared-scan multi-rank
+    // refinement (~8 counting scans, NO total-order shuffle), then one
+    // clip-aggregate pass — outlier-robust corpus metrics at 100 TB
+    "q_winsorize" -> ((s, d) => {
+      val v = Tables.table(s, d, "lineitem")
+        .filter(col("l_extendedprice").isNotNull)
+        .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val n = v.count()
+      val kLo = (n + 19) / 20          // ceil(n/20)  = p05 rank
+      val kHi = (19 * n + 19) / 20     // ceil(19n/20) = p95 rank
+      val Seq(lo, hi) = Sketches.kthValues(v, "cents", Seq(kLo, kHi))
+      v.agg(count(lit(1)).as("n"),
+          sum(when(col("cents") < lo, 1L).otherwise(0L)).as("n_clipped_low"),
+          sum(when(col("cents") > hi, 1L).otherwise(0L)).as("n_clipped_high"),
+          sum(greatest(least(col("cents"), lit(hi)), lit(lo)))
+            .as("winsorized_sum_cents"))
+        .withColumn("p05_cents", lit(lo))
+        .withColumn("p95_cents", lit(hi))
+    }),
+
     // k-core peel (Seidman '83) of the THINNED purchase graph (only
     // quantity>45 lines — the full graph is too dense to peel): 4 rounds
     // at k=4, converged by round 2 at both scales (probed in DuckDB;
@@ -4744,6 +4765,23 @@ object SparkEntry {
         "CAST(cents AS BIGINT) FROM r WHERE rn = (n + 1) // 2 " +
         "UNION ALL SELECT 'p75', CAST((3 * n + 3) // 4 AS BIGINT), " +
         "CAST(cents AS BIGINT) FROM r WHERE rn = (3 * n + 3) // 4"),
+
+    // same ceil-rank bound location (row_number is unique so the CASE
+    // picks exactly one row per bound), same clip arithmetic
+    "q_winsorize" ->
+      ("WITH t AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn, " +
+        "count(*) OVER () AS n FROM t), " +
+        "b AS (SELECT max(CASE WHEN rn = (n + 19) // 20 THEN cents END) AS lo, " +
+        "max(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END) AS hi FROM r) " +
+        "SELECT count(*) AS n, " +
+        "CAST(sum(CASE WHEN cents < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low, " +
+        "CAST(sum(CASE WHEN cents > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high, " +
+        "CAST(sum(greatest(least(cents, b.hi), b.lo)) AS BIGINT) AS winsorized_sum_cents, " +
+        "CAST(max(b.lo) AS BIGINT) AS p05_cents, " +
+        "CAST(max(b.hi) AS BIGINT) AS p95_cents " +
+        "FROM t CROSS JOIN b"),
 
     // session replay: classic island detection — a break where the gap to
     // the previous event is STRICTLY > 30 min (Spark merges sessions
