@@ -40,4 +40,57 @@ class EvaluationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(scores(5L) > scores(9L))
   }
+
+  test("E2E retrieval chain: BM25 -> SQ8 sims -> MMR diversify -> eval") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    // 1. lexical retrieval: BM25 top-20, rank via the gate's window idiom
+    val bm = TextAnalysis.bm25(docs, Seq("merge", "window", "table"), topN = 20)
+    val ranked = bm.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id").asc)))
+    // 2. integer relevance from rank (MMR scores must be integer);
+    //    pairwise similarity = exact SQ8 code dots of the candidates
+    val cands = ranked.select(lit(0L).as("qid"), col("doc_id").as("id"),
+      (lit(21L) - col("rank")).as("rel"))
+    val codes = Similarity.sq8Encode(embs).select(col("vec_id").as("id"),
+      col("sq_codes"))
+    val cc = cands.select(col("qid"), col("id")).join(codes, Seq("id"))
+    val sims = cc.as("x").join(cc.as("y"),
+        col("x.qid") === col("y.qid") && col("x.id") < col("y.id"))
+      .select(col("x.qid").as("qid"), col("x.id").as("a"), col("y.id").as("b"),
+        Similarity.intDot(col("x.sq_codes"), col("y.sq_codes")).as("sim"))
+    // 3. MMR diversify to 8
+    val mmr = Similarity.mmrRerank(cands, sims, k = 8, lambdaPermille = 600)
+    val picked = mmr.collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(picked.length == 8 && picked.map(_._2).sorted.toSeq == (1L to 8L))
+    val candSet = cands.select("id").collect().map(_.getLong(0)).toSet
+    assert(picked.map(_._1).toSet.subsetOf(candSet))
+    // rank 1 of MMR == BM25 rank 1 (pure relevance before any penalty)
+    val top1 = ranked.filter(col("rank") === 1).head().getAs[Long]("doc_id")
+    assert(picked.find(_._2 == 1L).get._1 == top1)
+    // 4. diversification property: the MMR pick's mean pairwise sim is
+    //    <= the pure-relevance top-8's (ties allowed)
+    def meanPairSim(ids: Set[Long]): Double = {
+      val rows = sims.filter(col("a").isin(ids.toSeq: _*) &&
+        col("b").isin(ids.toSeq: _*)).select("sim")
+        .collect().map(_.getLong(0))
+      if (rows.isEmpty) 0.0 else rows.sum.toDouble / rows.length
+    }
+    val pureTop8 = ranked.filter(col("rank") <= 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(meanPairSim(picked.map(_._1).toSet) <= meanPairSim(pureTop8))
+    // 5. evaluation composes: recall of the diversified 8 against the
+    //    BM25 top-20 truth is exactly 8/20
+    val ev = Evaluation.retrievalEval(
+      mmr.select(col("id").as("doc_id"), col("rank")),
+      ranked.select("doc_id")).head()
+    assert(ev.getAs[Long]("n_retrieved") == 8L &&
+      ev.getAs[Long]("n_relevant") == 20L &&
+      ev.getAs[Long]("n_hits") == 8L &&
+      ev.getAs[Long]("recall_permille") == 400L &&
+      ev.getAs[Long]("first_rel_rank") == 1L)
+  }
 }
