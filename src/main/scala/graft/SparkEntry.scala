@@ -1850,6 +1850,26 @@ object SparkEntry {
         assumeDistinct = true)
     }),
 
+    // node2vec biased walks (Grover & Leskovec '16): the same graph and
+    // determinism contract as q_random_walks, but steps >= 2 weight each
+    // neighbor by return/near/far class (500/1000/250 permille — a
+    // p=2, q=4 bias) and pick by cumulative-weight interval — the whole
+    // biased trajectory is still a pure function of the edge list, so
+    // the oracle replays every classification, cumsum, and pick
+    "q_node2vec" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.table(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val e = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      Graph.node2vecWalks(e, walksPerNode = 2, length = 3,
+        returnPermille = 500, farPermille = 250, assumeDistinct = true)
+    }),
+
     // reciprocal-rank fusion of a lexical and a vector ranking (hybrid
     // search): BM25 top-20 fused with SQ8-ANN top-20 — the SQ8 path is
     // the bit-replayable ANN ranking, so BOTH input rank orders are
@@ -2309,6 +2329,62 @@ object SparkEntry {
         s"UNION ALL SELECT node, label FROM l${i - 1}) GROUP BY 1)")
     sb.append(" SELECT CAST(node AS BIGINT) AS node, " +
       s"CAST(label AS BIGINT) AS component FROM l$rounds")
+    sb.toString
+  }
+
+  /** Unrolled node2vec replay: the q_random_walks graph CTEs, a uniform
+    * first hop (identical pick arithmetic to walksOracleSql, carrying
+    * prev out), then per biased step: fan to every neighbor of the
+    * frontier, classify return/near/far (near = LEFT JOIN on directed
+    * (prev, nbr) membership), id-ordered cumulative weights, and the
+    * md5-mod-total interval pick — every step MATERIALIZED. */
+  private def node2vecOracleSql(walksPerNode: Int, length: Int,
+                                wRet: Int, wFar: Int): String = {
+    val walkVals = (0 until walksPerNode).map(w => s"($w)").mkString(", ")
+    def hash(i: Int): String =
+      "CAST('0x' || substr(md5(CAST(start AS VARCHAR) || ':' || " +
+        s"CAST(walk AS VARCHAR) || ':' || '$i' || ':' || " +
+        "CAST(cur AS VARCHAR)), 1, 15) AS BIGINT)"
+    val sb = new StringBuilder
+    sb.append(
+      "WITH e0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey * 2 AS a, " +
+        "l.l_suppkey * 2 + 1 AS b " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE l.l_quantity > 45), " +
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 " +
+        "UNION ALL SELECT b, a FROM e0), " +
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
+        "adj AS MATERIALIZED (SELECT src, dst, row_number() OVER " +
+        "(PARTITION BY src ORDER BY dst) - 1 AS idx FROM e), " +
+        "starts AS (SELECT DISTINCT src AS node FROM e), " +
+        s"w(walk) AS (VALUES $walkVals), " +
+        "s0 AS MATERIALIZED (SELECT starts.node AS start, w.walk AS walk, " +
+        "starts.node AS cur FROM starts CROSS JOIN w), " +
+        "s1 AS MATERIALIZED (SELECT x.start, x.walk, x.cur AS prev, " +
+        "adj.dst AS cur " +
+        "FROM s0 x JOIN deg ON deg.src = x.cur " +
+        s"JOIN adj ON adj.src = x.cur AND adj.idx = ${hash(1)} % deg.outdeg)")
+    for (i <- 2 to length)
+      sb.append(
+        s", f$i AS MATERIALIZED (SELECT x.start, x.walk, x.prev, x.cur, " +
+          "e.dst AS nbr, " +
+          s"CASE WHEN e.dst = x.prev THEN $wRet " +
+          "WHEN m.src IS NOT NULL THEN 1000 " +
+          s"ELSE $wFar END AS wgt " +
+          s"FROM s${i - 1} x JOIN e ON e.src = x.cur " +
+          "LEFT JOIN e m ON m.src = x.prev AND m.dst = e.dst), " +
+          s"c$i AS MATERIALIZED (SELECT *, " +
+          "sum(wgt) OVER (PARTITION BY start, walk ORDER BY nbr " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+          "sum(wgt) OVER (PARTITION BY start, walk) AS tot " +
+          s"FROM f$i), " +
+          s"s$i AS MATERIALIZED (SELECT start, walk, cur AS prev, nbr AS cur " +
+          s"FROM c$i WHERE ${hash(i)} % tot >= cum - wgt " +
+          s"AND ${hash(i)} % tot < cum)")
+    sb.append((0 to length).map(i =>
+      s" SELECT CAST(start AS BIGINT) AS start, CAST(walk AS BIGINT) AS walk, " +
+        s"CAST($i AS BIGINT) AS step, CAST(cur AS BIGINT) AS node FROM s$i")
+      .mkString(" UNION ALL"))
     sb.toString
   }
 
@@ -4693,6 +4769,8 @@ object SparkEntry {
         "FROM degs GROUP BY 1, 2"),
 
     "q_random_walks" -> walksOracleSql(walksPerNode = 2, length = 3),
+    "q_node2vec" -> node2vecOracleSql(walksPerNode = 2, length = 3,
+      wRet = 500, wFar = 250),
 
     // wedge enumeration grouped by endpoints over the canonical simple
     // graph — the open complement of the triangle oracle's closure

@@ -1288,4 +1288,110 @@ object Graph {
     }
     steps.reduce(_ union _)
   }
+
+  /**
+   * node2vec biased walks (Grover & Leskovec KDD'16) — the second-order
+   * extension of [[randomWalks]]: having arrived at `cur` FROM `prev`,
+   * each neighbor x of cur carries an unnormalized integer weight
+   *
+   *   - `returnPermille`  when x == prev            (the 1/p return knob)
+   *   - 1000              when edge (prev → x) exists (BFS-ish stay-near)
+   *   - `farPermille`     otherwise                  (the 1/q explore knob)
+   *
+   * and the step picks the neighbor whose cumulative-weight interval
+   * (id-sorted) contains md5(start:walk:step:cur) mod Σweights — the
+   * [[randomWalks]] determinism contract extended to weighted choice, so
+   * the whole corpus is still a pure function of the edge list and
+   * replays verbatim in SQL. Step 1 has no prev and picks uniformly
+   * (identical to randomWalks' first hop). Neighbor classification uses
+   * DIRECTED edge membership — symmetrize the input for the standard
+   * undirected node2vec.
+   *
+   * Cost note, honestly stated: unlike [[randomWalks]] (which resolves
+   * the pick against the degree table and joins ONE adjacency row per
+   * step), biased steps must SCORE EVERY neighbor of the frontier —
+   * per-step fan-out is Σ_{walks} deg(cur), quadratic in hub degree the
+   * way every exact node2vec implementation is (the reference
+   * implementations pre-materialize alias tables of the same size). The
+   * fan rows are bare (start, walk, prev, cur, nbr, weight) and the
+   * per-(walk) windowed cumsum shuffles only them; each step's surviving
+   * frontier (nodes × walksPerNode rows) is materialized, the
+   * randomWalks lineage rule.
+   *
+   * Output: (start, walk, step 0..length, node), like [[randomWalks]].
+   */
+  def node2vecWalks(edges: DataFrame, walksPerNode: Int, length: Int,
+                    returnPermille: Int = 500, farPermille: Int = 500,
+                    assumeDistinct: Boolean = false,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    require(length >= 1, s"length must be >= 1, got $length")
+    require(returnPermille >= 1 && returnPermille <= 1000000,
+      s"returnPermille out of [1, 1e6]: $returnPermille")
+    require(farPermille >= 1 && farPermille <= 1000000,
+      s"farPermille out of [1, 1e6]: $farPermille")
+    val cast = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    val e = Checkpoints.materialize(
+      if (assumeDistinct) cast else cast.distinct(), checkpointDir)
+    val adj = Checkpoints.materialize(
+      e.select(col("src"), col("dst"),
+        (row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+          .cast("long").as("nbr_idx")),
+      checkpointDir)
+    val deg = Checkpoints.materialize(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), checkpointDir)
+    val starts = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val s0 = starts
+      .select(col("node").as("start"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walk"),
+        col("node").as("cur"))
+    val steps = scala.collection.mutable.ArrayBuffer(
+      s0.select(col("start"), col("walk"), lit(0L).as("step"),
+        col("cur").as("node")))
+    // step 1: no prev yet — the uniform randomWalks hop, carrying prev out
+    val firstPick = s0.join(deg, s0("cur") === deg("src"))
+      .select(col("start"), col("walk"), col("cur"),
+        pmod(walkPick(1), col("outdeg")).as("pick"))
+    var state = Checkpoints.materialize(
+      firstPick.join(adj, firstPick("cur") === adj("src") &&
+          firstPick("pick") === adj("nbr_idx"))
+        .select(col("start"), col("walk"), col("cur").as("prev"),
+          col("dst").as("cur")),
+      checkpointDir)
+    steps += state.select(col("start"), col("walk"), lit(1L).as("step"),
+      col("cur").as("node"))
+    val eMark = e.select(col("src").as("msrc"), col("dst").as("mdst"),
+      lit(1L).as("near"))
+    val wPart = Window.partitionBy(col("start"), col("walk"))
+    val wCum = wPart.orderBy(col("nbr").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (s <- 2 to length) {
+      val fan = state.join(e, state("cur") === e("src"))
+        .select(col("start"), col("walk"), col("prev"), col("cur"),
+          col("dst").as("nbr"))
+        .join(eMark, col("prev") === col("msrc") && col("nbr") === col("mdst"),
+          "left")
+        .withColumn("wgt",
+          when(col("nbr") === col("prev"), lit(returnPermille.toLong))
+            .otherwise(when(col("near").isNotNull, lit(1000L))
+              .otherwise(lit(farPermille.toLong))))
+      val scored = fan
+        .withColumn("cum", sum(col("wgt")).over(wCum))
+        .withColumn("tot", sum(col("wgt")).over(wPart))
+        .withColumn("pick", pmod(walkPick(s), col("tot")))
+      state = Checkpoints.materialize(
+        scored.filter(col("pick") >= col("cum") - col("wgt") &&
+            col("pick") < col("cum"))
+          .select(col("start"), col("walk"), col("cur").as("prev"),
+            col("nbr").as("cur")),
+        checkpointDir)
+      steps += state.select(col("start"), col("walk"),
+        lit(s.toLong).as("step"), col("cur").as("node"))
+    }
+    steps.reduce(_ union _)
+  }
 }

@@ -1501,4 +1501,110 @@ class EventAnalyticsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.randomWalks(df, 0, 3))
     intercept[IllegalArgumentException](Graph.randomWalks(df, 1, 0))
   }
+
+  // ------------------------------------------------------ node2vec walks
+
+  private def md560(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** First-principles node2vec replica: uniform first hop, then
+    * return/near/far weights over id-sorted neighbors, cumulative-
+    * interval pick by md5 mod total. */
+  private def bruteN2v(edges: Seq[(Long, Long)], w: Int, len: Int,
+                       wRet: Long, wFar: Long): Set[(Long, Long, Long, Long)] = {
+    val e = edges.distinct
+    val adj = e.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._2).sorted.toIndexedSeq }
+    val eset = e.toSet
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val out = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    for (start <- nodes; walk <- 0 until w) {
+      var prev = start
+      var cur = start
+      out += ((start, walk.toLong, 0L, cur))
+      var s = 1
+      var dead = false
+      while (s <= len && !dead) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            val next =
+              if (s == 1) nbrs((md560(s"$start:$walk:$s:$cur") % nbrs.size).toInt)
+              else {
+                val wgts = nbrs.map(x =>
+                  if (x == prev) wRet
+                  else if (eset.contains((prev, x))) 1000L
+                  else wFar)
+                val r = md560(s"$start:$walk:$s:$cur") % wgts.sum
+                var acc = 0L
+                var i = 0
+                while (acc + wgts(i) <= r) { acc += wgts(i); i += 1 }
+                nbrs(i)
+              }
+            prev = cur; cur = next
+            out += ((start, walk.toLong, s.toLong, cur))
+          case None => dead = true
+        }
+        s += 1
+      }
+    }
+    out.toSet
+  }
+
+  test("node2vecWalks == md5-replica on random directed graphs; hops are edges") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 41)
+      val edges = (0 until 100).map(_ =>
+        (rnd.nextInt(22).toLong, rnd.nextInt(22).toLong))
+        .filter(e => e._1 != e._2)
+      val got = Graph.node2vecWalks(edges.toDF("src", "dst"),
+        walksPerNode = 2, length = 4, returnPermille = 300, farPermille = 2500)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == bruteN2v(edges, 2, 4, 300L, 2500L), s"seed $seed")
+      val eset = edges.toSet
+      got.groupBy(t => (t._1, t._2)).values.foreach { walk =>
+        walk.toSeq.sortBy(_._3).map(_._4).sliding(2).foreach {
+          case Seq(a, b) => assert(eset.contains((a, b)), s"hop $a->$b seed $seed")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("node2vecWalks: return bias steers backtracks; determinism; validation") {
+    // symmetrized random graph: a huge return weight makes step 2 return
+    // to the start almost always; a tiny one almost never
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 120).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).filter(e => e._1 != e._2)
+    val sym = (base ++ base.map(_.swap)).distinct
+    val df = sym.toDF("src", "dst")
+    def backtracks(wRet: Int, wFar: Int): Int = {
+      val rows = Graph.node2vecWalks(df, walksPerNode = 2, length = 2,
+        returnPermille = wRet, farPermille = wFar, assumeDistinct = true)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).values
+      rows.count { steps =>
+        val m = steps.map(_._2).toMap
+        m.contains(0L) && m.contains(2L) && m(0L) == m(2L)
+      }
+    }
+    val many = backtracks(1000000, 1000)
+    val few = backtracks(1, 1000)
+    assert(many > few * 3, s"return bias inert: $many vs $few")
+    // determinism + partition invariance
+    def runSet(d: DataFrame) = Graph.node2vecWalks(d, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val once = runSet(df)
+    assert(runSet(df.repartition(9)) == once)
+    intercept[IllegalArgumentException](
+      Graph.node2vecWalks(df, 1, 1, returnPermille = 0))
+    intercept[IllegalArgumentException](
+      Graph.node2vecWalks(df, 1, 1, farPermille = 1000001))
+  }
 }
