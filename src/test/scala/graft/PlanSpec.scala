@@ -437,6 +437,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE-off parity for the round-9 gates") {
+    val names = Seq("q_sssp", "q_components", "q_sample_weighted",
+      "q_lexical_stats", "q_mmr_rerank", "q_degree_dist", "q_winsorize",
+      "q_node2vec")
+    names.foreach { n =>
+      val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val off = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
+        assert(off == on, s"$n diverges under AQE-off")
+        assert(on.nonEmpty, s"$n empty at $sf — parity vacuous")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("sssp/components/node2vec plans: no nested-loop or cartesian joins") {
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_suppkey as src", "l_partkey as dst",
+        "CAST(l_quantity AS LONG) as w").limit(2000)
+    val seeds = spark.range(1, 5).selectExpr("id as node")
+    def assertNoNlj(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$what plan has NLJ/cartesian:\n$plan")
+    }
+    assertNoNlj(graft.pipeline.Graph.ssspWeighted(edges, seeds, rounds = 5), "sssp")
+    assertNoNlj(graft.pipeline.Graph.componentLabels(
+      edges.select("src", "dst"), rounds = 5), "components")
+    assertNoNlj(graft.pipeline.Graph.node2vecWalks(
+      edges.select("src", "dst"), walksPerNode = 1, length = 3), "node2vec")
+  }
+
   test("bfs/walks plans: no nested-loop or cartesian joins at any round") {
     val edges = spark.read.parquet(s"$sf/lineitem.parquet")
       .selectExpr("l_suppkey as src", "l_partkey as dst").limit(2000)
