@@ -1777,6 +1777,37 @@ object SparkEntry {
       Graph.ssspWeighted(e, seeds, rounds = 6, assumeMinFolded = true)
     }),
 
+    // temporal (time-respecting) reachability over the quantity>47
+    // purchase contacts, timestamped at the order date (epoch day):
+    // earliest arrival from the BUILDING seed set via paths of <= 6
+    // contacts whose instants never run backward — the information-flow
+    // semantic a static reachability overstates; oracle unrolls the six
+    // eligibility-filtered min-fold rounds (equality holds at ANY round
+    // count since both sides run the identical rounds; the <= 6-contact
+    // bound is the documented semantic)
+    "q_temporal_reach" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          // o_orderdate is TIMESTAMP_NTZ; the cast is wall-clock-
+          // preserving under the pinned UTC session tz — the same
+          // micros DuckDB's epoch() reads (the events-ts contract)
+          expr("unix_seconds(CAST(o_orderdate AS TIMESTAMP)) div 86400")
+            .as("t"))
+      val l = Tables.table(s, d, "lineitem").filter(col("l_quantity") > 47)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"), col("t"))
+        .distinct()
+      val e = e0.select(col("a").as("src"), col("b").as("dst"), col("t"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst"), col("t")))
+      val seeds = Tables.table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.temporalReachability(e, seeds, rounds = 6, assumeDistinct = true)
+    }),
+
     // weakly connected components by min-label propagation over the
     // doubly-thinned purchase graph (quantity>49 AND partkey%7 — probed:
     // 7/72/730 components at sf0.001/0.01/0.1, fixpoint by round 10 at
@@ -2303,6 +2334,36 @@ object SparkEntry {
         s"UNION ALL SELECT node, dist FROM d${i - 1}) GROUP BY 1)")
     sb.append(" SELECT CAST(node AS BIGINT) AS node, " +
       s"CAST(dist AS BIGINT) AS dist FROM d$rounds")
+    sb.toString
+  }
+
+  /** Unrolled temporal-reachability replay: timestamped purchase
+    * contacts (epoch-day order dates), BUILDING seeds at arrival 0,
+    * then `rounds` eligibility-filtered min-fold rounds — the offer
+    * join carries `t >= arrival` so time never runs backward, exactly
+    * [[graft.pipeline.Graph.temporalReachability]]'s step. MATERIALIZED
+    * per round (the ssspOracleSql lesson). */
+  private def temporalOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      "WITH e0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey * 2 AS a, " +
+        "l.l_suppkey * 2 + 1 AS b, " +
+        "CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 AS t " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE l.l_quantity > 47), " +
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst, t FROM e0 " +
+        "UNION ALL SELECT b, a, t FROM e0), " +
+        "seeds AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0 " +
+        "AND c_custkey * 2 IN (SELECT src FROM e)), " +
+        "d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS arrival FROM seeds)")
+    for (i <- 1 to rounds)
+      sb.append(s", d$i AS MATERIALIZED (SELECT node, min(arrival) AS arrival FROM (" +
+        s"SELECT e.dst AS node, e.t AS arrival FROM d${i - 1} x " +
+        "JOIN e ON x.node = e.src AND e.t >= x.arrival " +
+        s"UNION ALL SELECT node, arrival FROM d${i - 1}) GROUP BY 1)")
+    sb.append(" SELECT CAST(node AS BIGINT) AS node, " +
+      s"CAST(arrival AS BIGINT) AS arrival FROM d$rounds")
     sb.toString
   }
 
@@ -4753,6 +4814,7 @@ object SparkEntry {
     "q_sssp" -> ssspOracleSql(rounds = 6),
     "q_mmr_rerank" -> mmrOracleSql(k = 5, topN = 12, lam = 700),
     "q_components" -> componentsOracleSql(rounds = 12),
+    "q_temporal_reach" -> temporalOracleSql(rounds = 6),
 
     // same distinct edge set, same bit-length bucketing (bin() agrees
     // across engines on positive BIGINTs — the length-histogram idiom)

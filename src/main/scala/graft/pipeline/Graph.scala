@@ -1002,6 +1002,130 @@ object Graph {
     (dist, iter)
   }
 
+  // -------------------------------------------- temporal reachability
+
+  private def temporalSetup(edges: DataFrame, seeds: DataFrame,
+                            timeCol: String, startTime: Long,
+                            assumeDistinct: Boolean,
+                            checkpointDir: Option[String])
+      : (DataFrame, DataFrame) = {
+    val cast = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col(timeCol).cast("long").as("t"))
+      .filter(col("t").isNotNull)
+    val e = Checkpoints.materialize(
+      if (assumeDistinct) cast else cast.distinct(), checkpointDir)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val d0 = Checkpoints.materialize(
+      seeds.select(col("node").cast("long").as("node"))
+        .filter(col("node").isNotNull).distinct()
+        .join(nodes, Seq("node"), "left_semi")
+        .withColumn("arrival", lit(startTime)),
+      checkpointDir)
+    (e, d0)
+  }
+
+  /** One earliest-arrival round: every reached node offers each outgoing
+    * CONTACT whose instant respects its own arrival (t ≥ arrival, or
+    * strictly > in strict mode); the offer's value is the contact
+    * instant; offers union the current table and min-fold — the
+    * [[ssspWeighted]] step with an eligibility filter inside the join. */
+  private def temporalStep(e: DataFrame, arr: DataFrame,
+                           strict: Boolean): DataFrame = {
+    val joined = arr.select(col("node").as("src"), col("arrival"))
+      .join(e, "src")
+    val eligible =
+      if (strict) joined.filter(col("t") > col("arrival"))
+      else joined.filter(col("t") >= col("arrival"))
+    eligible.select(col("dst").as("node"), col("t").as("arrival"))
+      .union(arr)
+      .groupBy(col("node")).agg(min(col("arrival")).as("arrival"))
+  }
+
+  /**
+   * Temporal (time-respecting) reachability — earliest arrival from a
+   * seed set over TIMESTAMPED contacts (Holme & Saramäki, Physics
+   * Reports '12): an edge (u → v, t) can carry the spread only if u was
+   * reached by time t, and then v is reached AT t. The
+   * information-flow / contagion primitive a static reachability gets
+   * WRONG: a path whose edges run backward in time transmits nothing,
+   * so temporal reach ⊆ static reach (spec-pinned). `strict` requires
+   * t > arrival (no same-instant relay chains).
+   *
+   * Runs exactly `rounds` min-fold rounds = earliest arrival via
+   * time-respecting paths of ≤ `rounds` CONTACTS ("reachable within k
+   * interactions" — itself the quantity of interest on contact
+   * networks). Arrival values live in the finite edge-time lattice and
+   * min-folding is monotone, so rounds are idempotent past the fixpoint
+   * and any `rounds` ≥ the longest minimal time-respecting path's hop
+   * count returns the exact fixpoint; [[temporalReachabilityConverged]]
+   * finds that depth. Seeds start at `startTime` (contacts before it
+   * are ignored for them). Nodes unreachable within `rounds` emit no
+   * row.
+   *
+   * Per round: ONE join keyed on the current node with the eligibility
+   * predicate evaluated inside it + ONE min shuffle; rows never wider
+   * than (node, arrival); contacts ride the materialized edge table.
+   */
+  def temporalReachability(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                           timeCol: String = "t", startTime: Long = 0L,
+                           strict: Boolean = false,
+                           assumeDistinct: Boolean = false,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val (e, d0) = temporalSetup(edges, seeds, timeCol, startTime,
+      assumeDistinct, checkpointDir)
+    var arr = d0
+    for (i <- 1 to rounds) {
+      arr = temporalStep(e, arr, strict)
+      if (i % 4 == 0 && i < rounds)
+        arr = Checkpoints.materialize(arr, checkpointDir)
+    }
+    arr
+  }
+
+  /**
+   * Convergence-mode temporal reachability: propagate until a round
+   * changes nothing, capped at `maxRounds` (throws past the cap).
+   * Change check: (row count, Σ arrival) — reach growth raises the
+   * count, any improvement strictly lowers the sum, min-folding never
+   * raises one (the [[bfsDistancesConverged]] argument). Termination is
+   * bounded by the finite edge-time lattice. Returns (arrivals, rounds
+   * run — the last being the confirming no-op).
+   */
+  def temporalReachabilityConverged(edges: DataFrame, seeds: DataFrame,
+                                    timeCol: String = "t",
+                                    startTime: Long = 0L,
+                                    strict: Boolean = false,
+                                    maxRounds: Int = 100,
+                                    assumeDistinct: Boolean = false,
+                                    checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val (e, d0) = temporalSetup(edges, seeds, timeCol, startTime,
+      assumeDistinct, checkpointDir)
+    var arr = d0
+    var state = arr.agg(count(lit(1)), coalesce(sum(col("arrival")), lit(0L)))
+      .head()
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxRounds) {
+      val next = Checkpoints.materialize(temporalStep(e, arr, strict),
+        checkpointDir)
+      val ns = next.agg(count(lit(1)), coalesce(sum(col("arrival")), lit(0L)))
+        .head()
+      changed = ns != state
+      arr = next; state = ns; iter += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"temporalReachabilityConverged: still propagating after " +
+          s"$maxRounds rounds — raise maxRounds")
+    (arr, iter)
+  }
+
   // ---------------------------------------------- connected components
 
   private def ccSetup(edges: DataFrame, assumeDistinct: Boolean,

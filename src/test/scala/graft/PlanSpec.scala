@@ -440,7 +440,7 @@ class PlanSpec extends AnyFunSuite {
   test("AQE-off parity for the round-9 gates") {
     val names = Seq("q_sssp", "q_components", "q_sample_weighted",
       "q_lexical_stats", "q_mmr_rerank", "q_degree_dist", "q_winsorize",
-      "q_node2vec")
+      "q_node2vec", "q_temporal_reach")
     names.foreach { n =>
       val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
       spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -1086,6 +1086,92 @@ class EventAnalyticsSpec extends AnyFunSuite {
       Graph.bfsDistances(df, seedsDf(Set(0L)), rounds = 0))
   }
 
+  // -------------------------------------------- temporal reachability
+
+  /** Serial earliest-arrival replica over timestamped contacts. */
+  private def bruteTemporal(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+                            rounds: Int, strict: Boolean,
+                            start: Long = 0L): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.toSet
+    var arr = seeds.intersect(nodes).map(_ -> start).toMap
+    for (_ <- 1 to rounds) {
+      val offers = e.flatMap { case (u, v, t) =>
+        arr.get(u).filter(a => if (strict) t > a else t >= a).map(_ => v -> t)
+      }
+      arr = (arr.toSeq ++ offers).groupBy(_._1)
+        .map { case (n, xs) => n -> xs.map(_._2).min }
+    }
+    arr
+  }
+
+  test("temporalReachability == brute replica; temporal ⊆ static; strict mode") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 23)
+      val edges = (0 until 140).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong,
+          rnd.nextInt(50).toLong))
+      val seeds0 = (0 until 2).map(_ => rnd.nextInt(25).toLong).toSet
+      val df = edges.toDF("src", "dst", "t")
+      val got = Graph.temporalReachability(df, seedsDf(seeds0), rounds = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteTemporal(edges, seeds0, 8, strict = false), s"seed $seed")
+      val gotStrict = Graph.temporalReachability(df, seedsDf(seeds0),
+        rounds = 8, strict = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStrict == bruteTemporal(edges, seeds0, 8, strict = true),
+        s"seed $seed strict")
+      // time-respecting reach is a SUBSET of static BFS reach, and strict
+      // of non-strict
+      val static = Graph.bfsDistances(df.select("src", "dst"),
+        seedsDf(seeds0), rounds = 8)
+        .collect().map(_.getLong(0)).toSet
+      assert(got.keySet.subsetOf(static), s"seed $seed not ⊆ static")
+      assert(gotStrict.keySet.subsetOf(got.keySet), s"seed $seed strict ⊄")
+    }
+  }
+
+  test("temporalReachability: backward-time path blocks; converged; edge cases") {
+    // 0 -(t=5)-> 1 -(t=3)-> 2: the static path exists, but the relay at 1
+    // happens AFTER t=3, so 2 is unreachable; flipping the times opens it
+    val blocked = Seq((0L, 1L, 5L), (1L, 2L, 3L)).toDF("src", "dst", "t")
+    val g1 = Graph.temporalReachability(blocked, seedsDf(Set(0L)), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g1 == Map(0L -> 0L, 1L -> 5L))
+    val open = Seq((0L, 1L, 3L), (1L, 2L, 5L)).toDF("src", "dst", "t")
+    val g2 = Graph.temporalReachability(open, seedsDf(Set(0L)), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(0L -> 0L, 1L -> 3L, 2L -> 5L))
+    // same-instant relay: non-strict chains through t=3,3; strict stops
+    val same = Seq((0L, 1L, 3L), (1L, 2L, 3L)).toDF("src", "dst", "t")
+    assert(Graph.temporalReachability(same, seedsDf(Set(0L)), rounds = 4)
+      .count() === 3L)
+    assert(Graph.temporalReachability(same, seedsDf(Set(0L)), rounds = 4,
+      strict = true).count() === 2L)
+    // converged == fixed rounds past depth; idempotence across checkpoints
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong, rnd.nextInt(40).toLong))
+    val df = edges.toDF("src", "dst", "t")
+    val (arr, rounds) = Graph.temporalReachabilityConverged(df, seedsDf(Set(0L)))
+    val m = arr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = Graph.temporalReachability(df, seedsDf(Set(0L)),
+      rounds = rounds + 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == m)
+    // startTime filters early contacts for seeds; null times drop
+    val late = Graph.temporalReachability(open, seedsDf(Set(0L)), rounds = 4,
+      startTime = 4L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(late == Map(0L -> 4L)) // the t=3 contact predates the start
+    val withNull = Seq((Some(0L), Some(1L), Some(2L)),
+      (Some(1L), Some(2L), None)).toDF("src", "dst", "t")
+    assert(Graph.temporalReachability(withNull, seedsDf(Set(0L)), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 0L), (1L, 2L)))
+    intercept[IllegalArgumentException](
+      Graph.temporalReachability(df, seedsDf(Set(0L)), rounds = 0))
+  }
+
   // ---------------------------------------------- connected components
 
   /** Union-find replica: component = min member id. */
