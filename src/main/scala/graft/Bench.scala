@@ -1,28 +1,53 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable.ArrayBuffer
 
 /**
  * Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
  * prints ONE JSON line {"metric":...,"queries":{...}}.
  *
- * Per-query timing wraps a full action (count) on a warm session; one
- * untimed warmup query first absorbs session/codegen startup so the numbers
- * measure the plans, not JVM warmup. The base-scale suite runs
- * SPARK_GRAFT_RUNS (default 3) times and each query's MEDIAN is what the
- * driver line records — single samples under host contention have been up
- * to 8× off controlled re-runs, so the official artifact carries the
- * stable number itself (raw runs preserved in the detail file).
+ * HARNESS CONTRACT (r10, after BENCH_r09 died rc=124/parsed=null when the
+ * n=3 default outgrew the driver's wall-clock window):
  *
- * Scale pass: unless SPARK_GRAFT_SCALE_SF1=false, the run then materializes
- * a deterministic 10× copy of the data ([[graft.tools.ScaleUp]]) and re-runs
- * every query on it (slowest query re-timed, min-of-2) — scale behavior is
- * measured in the recorded bench, not claimed from side notes.
+ *  1. n=1 by default. SPARK_GRAFT_RUNS / SPARK_GRAFT_SF1_RUNS opt back
+ *     into median mode (the controlled re-bench workflow); the driver's
+ *     unattended window gets one pass of everything instead of a kill.
+ *  2. Global wall-clock budget (SPARK_GRAFT_BUDGET_SEC, default 1380 s):
+ *     every optional pass checks remaining budget before starting; the
+ *     suite loops themselves stop cleanly at the deadline and record how
+ *     many queries were skipped, so an over-budget run degrades to a
+ *     parseable partial record instead of a timeout kill.
+ *  3. Per-query timeout (SPARK_GRAFT_QUERY_TIMEOUT_SEC, default 180 s):
+ *     a watchdog cancels the query's job group (interrupt-on-cancel), the
+ *     row is recorded with "timed out" flagged, and the suite continues —
+ *     one pathological query degrades one row, never the artifact.
+ *  4. Incremental emission: after EVERY query a short parseable snapshot
+ *     line ({"metric":"total",...,"partial":true,...}) goes to stdout and
+ *     the full detail-so-far is flushed to the side files, so an external
+ *     kill at any instant still leaves a parsed record in the tail
+ *     capture AND a readable BENCH_DETAIL.json. The complete final line
+ *     is printed last, as before.
+ *
+ * Per-query timing wraps a full action (count) on a warm session; one
+ * untimed warmup query first absorbs session/codegen startup so the
+ * numbers measure the plans, not JVM warmup. When median mode is opted
+ * into, each query's MEDIAN over the runs is what the driver line records
+ * — single samples under host contention have been up to 8× off
+ * controlled re-runs (raw runs preserved in the detail file).
+ *
+ * Scale pass: unless SPARK_GRAFT_SCALE_SF1=false, the run then
+ * materializes a deterministic 10× copy of the data
+ * ([[graft.tools.ScaleUp]]) and re-runs every query on it — scale
+ * behavior is measured in the recorded bench, not claimed from side
+ * notes. The pass is skipped (and recorded as skipped) when the remaining
+ * budget can't fit the measured-base-derived estimate.
  *
  * Output contract: the stdout line is COMPACT (sf0.1 per-query + scalar
  * totals) and printed LAST so the driver's tail capture always parses it;
  * the full detail (per-query sf1, storage, skew blocks) goes to the
- * SPARK_GRAFT_BENCH_OUT side file (default /tmp/graft_bench.json).
+ * SPARK_GRAFT_BENCH_OUT side file (default /tmp/graft_bench.json) and the
+ * committed BENCH_DETAIL.json.
  */
 object Bench {
   // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for focused re-benching of a
@@ -30,13 +55,50 @@ object Bench {
   private val only: Option[Set[String]] =
     sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
 
-  private def timeAll(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+  /** One query's outcome: wall seconds (elapsed-at-cancel when timed out,
+    * so totals stay meaningful), plus the degradation flags. */
+  final case class QResult(name: String, sec: Double,
+                           timedOut: Boolean, failed: Boolean)
+
+  /** Run `queries` in order with a per-query timeout and a global
+    * deadline. The timeout fires a job-group cancel (interrupt-on-cancel)
+    * from a daemon watchdog, so a runaway query degrades to one flagged
+    * row and the suite continues; reaching `deadlineNanos` stops the loop
+    * cleanly and reports how many queries were never started. `onDone`
+    * fires after each query — the incremental-flush hook. Testable
+    * directly (BenchSpec injects a deliberately slow query and asserts
+    * the suite completes with the row flagged). */
+  def runTimed(spark: SparkSession, queries: Seq[(String, () => Unit)],
+               perQueryTimeoutSec: Double, deadlineNanos: Long,
+               onDone: QResult => Unit = _ => ()): (Seq[QResult], Int) = {
+    val sc = spark.sparkContext
+    val timer = new java.util.Timer("graft-bench-watchdog", true)
+    val results = ArrayBuffer.empty[QResult]
+    var i = 0
+    var stopped = false
+    while (i < queries.size && !stopped) {
+      val (name, fn) = queries(i)
+      val remainSec = (deadlineNanos - System.nanoTime()) / 1e9
+      if (remainSec <= 0) { stopped = true }
+      else {
+        val group = s"graft-bench-$name"
+        val timeoutSec = math.min(perQueryTimeoutSec, remainSec)
+        val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val task = new java.util.TimerTask {
+          override def run(): Unit = { fired.set(true); sc.cancelJobGroup(group) }
+        }
+        timer.schedule(task, math.max(1L, (timeoutSec * 1000).toLong))
+        sc.setJobGroup(group, s"bench $name", interruptOnCancel = true)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        var failed = false
+        try fn() catch {
+          case e: Throwable =>
+            failed = true
+            val kind = if (fired.get()) "TIMED OUT" else "failed"
+            System.err.println(s"[bench] $name $kind: ${e.getMessage}")
+        } finally {
+          task.cancel()
+          sc.clearJobGroup()
         }
         val t = (System.nanoTime() - t0) / 1e9
         // release the query's localCheckpoint blocks OUTSIDE the timed
@@ -46,40 +108,81 @@ object Bench {
         // q_dedup_ngram 24.0 s mid-marathon vs 7.1 s fresh-session — the
         // corpus and plans identical). Each gate query is self-contained,
         // so freeing between queries is semantics-neutral.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache() // DataFrame .cache() entries (clusters)
         // nudge the ContextCleaner: shuffle files and broadcast blocks are
         // released via WEAK references, so without a GC the cleanup queue
         // only drains when the heap happens to collect — hundreds of
         // queries of shuffle residue otherwise stay live on disk/heap
         System.gc()
-        name -> t
+        val r = QResult(name, t, timedOut = fired.get(), failed = failed && !fired.get())
+        results += r
+        onDone(r)
+        i += 1
       }
+    }
+    timer.cancel()
+    (results.toSeq, queries.size - results.size)
+  }
+
+  private def gateQueries(spark: SparkSession, sfDir: String): Seq[(String, () => Unit)] =
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => name -> (() => { fn(spark, sfDir).count(); () }) }
 
   private def toJsonMap(results: Seq[(String, Double)]): String =
     results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
+  private def jsonStrArr(xs: Seq[String]): String =
+    xs.map("\"" + _ + "\"").mkString("[", ",", "]")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
-  /** Run the suite `runs` times and reduce each query to its MEDIAN —
-    * the official record carries a contention-robust number per query
-    * (raw runs go to the detail file). Single samples in the driver's
-    * window have been up to 8× off controlled re-runs (r7: q_curate
-    * 13.9 s sample vs 1.68 s median), so the artifact the judge reads
-    * now carries the medians itself, no side record needed. */
-  private def timeMedians(spark: SparkSession, dir: String, runs: Int)
+  /** Flag ledger across all passes: which queries ever timed out / failed
+    * / were never started — carried in both the driver line (counts) and
+    * the detail file (names), so degradation is observable, never silent. */
+  private val timedOutQ = scala.collection.mutable.LinkedHashSet.empty[String]
+  private val failedQ = scala.collection.mutable.LinkedHashSet.empty[String]
+  @volatile private var skippedCount = 0
+
+  /** Run the suite `runs` times and reduce each query to its MEDIAN when
+    * median mode is opted into (SPARK_GRAFT_RUNS>1); the default single
+    * run records the one sample. Raw runs go to the detail file either
+    * way. Each completed query fires `onDone` for incremental flushing. */
+  private def timeMedians(spark: SparkSession, dir: String, runs: Int,
+                          perQueryTimeoutSec: Double, deadlineNanos: Long,
+                          onDone: QResult => Unit)
       : (Seq[(String, Double)], Seq[Seq[(String, Double)]]) = {
-    val samples = (1 to runs).map(_ => timeAll(spark, dir))
+    val qs = gateQueries(spark, dir)
+    val samples = (1 to runs).map { _ =>
+      val (rs, skipped) = runTimed(spark, qs, perQueryTimeoutSec, deadlineNanos, onDone)
+      rs.foreach { r =>
+        if (r.timedOut) timedOutQ += r.name
+        if (r.failed) failedQ += r.name
+      }
+      skippedCount = math.max(skippedCount, skipped)
+      rs.map(r => r.name -> r.sec)
+    }
     val byName = samples.map(_.toMap)
-    val meds = samples.head.map(_._1).map(n => n -> median(byName.map(_(n))))
+    // a query may be missing from a deadline-stopped later run; median
+    // over the samples that have it
+    val meds = samples.head.map(_._1).map { n =>
+      n -> median(byName.flatMap(_.get(n)))
+    }
     (meds, samples)
   }
 
   def main(args: Array[String]): Unit = {
+    val startNanos = System.nanoTime()
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "1380").toDouble
+    val deadlineNanos = startNanos + (budgetSec * 1e9).toLong
+    def remainingSec: Double = (deadlineNanos - System.nanoTime()) / 1e9
+    val perQueryTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "180").toDouble
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -104,21 +207,80 @@ object Bench {
     graft.util.Logs.muteUnpersistCheckpointWarn() // between-query block frees
     graft.sql.functions.registerAll(spark)
 
+    // ------- incremental emission state -------
+    val nGates = gateQueries(spark, sfDir).size
+    val sidePaths = (sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq :+
+      "/tmp/graft_bench.json" :+ "BENCH_DETAIL.json").distinct
+    def writeSide(line: String): Unit = sidePaths.foreach { p =>
+      scala.util.Try(java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8")))
+        .recover { case e => System.err.println(s"[bench] side-file write failed: ${e.getMessage}") }
+    }
+    // detail fragments appended as passes complete; flushed after every
+    // query so a kill at any instant leaves a readable record
+    val liveQ = ArrayBuffer.empty[(String, Double)] // current pass, so far
+    @volatile var livePhase = "sf_base"
+    val doneFragments = new StringBuilder
+    def flagsJson: String =
+      s""","timeouts":${jsonStrArr(timedOutQ.toSeq)},"failures":${jsonStrArr(failedQ.toSeq)},"queries_skipped_budget":$skippedCount"""
+    def flushDetail(): Unit = {
+      val partial =
+        if (liveQ.isEmpty) ""
+        else s""","live_phase":"$livePhase","live_queries":${toJsonMap(liveQ.toSeq)}"""
+      val total = liveQ.map(_._2).sum
+      writeSide(f"""{"metric":"total","value":$total%.3f,"unit":"sec","partial":true,"sf":"$sfDir"$flagsJson${doneFragments.toString}$partial}""")
+    }
+    // short stdout snapshot: parseable on its own, small enough that the
+    // 2000-char tail capture always holds the last COMPLETE one even if a
+    // kill lands mid-print of the next
+    var doneCount = 0
+    def snapshot(r: QResult): Unit = {
+      doneCount += 1
+      liveQ += (r.name -> r.sec)
+      if (r.timedOut) timedOutQ += r.name
+      if (r.failed) failedQ += r.name
+      val total = liveQ.map(_._2).sum
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","partial":true,"phase":"$livePhase","done":$doneCount,"n_queries":$nGates,"timeouts":${timedOutQ.size},"failures":${failedQ.size},"sf":"$sfDir","detail_file":"BENCH_DETAIL.json"}""")
+      flushDetail()
+    }
+    def startPhase(name: String): Unit = { livePhase = name; liveQ.clear(); doneCount = 0 }
+
     // warmup: session init + codegen paths
     SparkEntry.queries("q_agg_q1")(spark, sfDir).count()
 
-    // base-scale pass: n=SPARK_GRAFT_RUNS (default 3) full-suite runs,
-    // per-query MEDIAN recorded — the driver line itself is now the
-    // stable record (judge r7 item 1)
-    val baseRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
-    val (results, baseSamples) = timeMedians(spark, sfDir, baseRuns)
+    // base-scale pass: n=1 by default (SPARK_GRAFT_RUNS opts into median
+    // mode); per-query timeout + global deadline guard the whole loop
+    val baseRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt)
+    startPhase("sf_base")
+    val (results, baseSamples) =
+      timeMedians(spark, sfDir, baseRuns, perQueryTimeoutSec, deadlineNanos, snapshot)
     val total = results.map(_._2).sum
+    val baseRunsJson = baseSamples.map(s => toJsonMap(s)).mkString("[", ",", "]")
+    doneFragments.append(
+      f""","runs":$baseRuns,"queries":${toJsonMap(results)},"runs_detail":$baseRunsJson""")
+    flushDetail()
+
+    /** Budget gate for every optional pass: skip (and record the skip)
+      * when fewer than `minSec` remain — a pass that can't finish inside
+      * the window must not start and kill the artifact. */
+    val skippedPasses = ArrayBuffer.empty[String]
+    def passIf(name: String, minSec: Double, envFlag: String)(body: => String): String = {
+      if (sys.env.getOrElse(envFlag, "true") == "false") ""
+      else if (remainingSec < minSec) {
+        System.err.println(f"[bench] $name pass skipped: ${remainingSec}%.0f s left < $minSec%.0f s needed")
+        skippedPasses += name
+        ""
+      } else scala.util.Try(body).recover { case e =>
+        System.err.println(s"[bench] $name pass failed: ${e.getMessage}")
+        ""
+      }.get
+    }
 
     // delivered-recall probe for the one gate query with no SQL oracle
     // (q_embed_topk_ivf, honestly approximate): the official bench record
     // carries its measured quality next to its wall time. Same config as
     // the gate query; one extra brute-force scan of the embeddings table.
-    val ivfPart = scala.util.Try {
+    val ivfPart = passIf("ivf_recall", 60, "SPARK_GRAFT_IVF") {
       import org.apache.spark.sql.functions.col
       val embs = graft.sources.Tables.table(spark, sfDir, "embeddings")
       val centroids = graft.pipeline.Similarity.ivfTrain(embs, nCells = 8, iters = 3)
@@ -134,267 +296,239 @@ object Bench {
       require(r >= floor,
         f"ivf delivered recall $r%.3f below machine-checked floor $floor%.3f (nProbe/nCells - 0.05)")
       f""","ivf_recall":$r%.3f,"ivf_recall_floor":$floor%.3f"""
-    }.recover { case e =>
-      System.err.println(s"[bench] ivf recall probe failed: ${e.getMessage}")
-      ""
-    }.get
+    }
+    doneFragments.append(ivfPart); flushDetail()
 
-    // 10× scale pass (driver-recorded sf1 numbers), skippable via env.
-    // Returns (compact fragment for the driver line, full detail fragment
-    // for the side file). The suite is run SPARK_GRAFT_SF1_RUNS times
-    // (default 3) and each query's MEDIAN is recorded: the sf1 block runs
-    // after 64+ base-scale queries, the worst host-noise window — single
-    // samples here have been 2-4× off controlled re-runs (r3's ngram 5.7×,
-    // r6's driver-vs-builder 241 s vs 102 s), so the official record
-    // carries n≥3 medians, not one draw.
-    val (sf1TotalPart, scalePart) =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SF1", "true") == "false") ("", "")
-      else scala.util.Try {
-        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
-        val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "3").toInt)
-        val tScale0 = System.nanoTime()
-        graft.tools.ScaleUp.run(spark, sfDir, sf1Dir, factor = 10)
-        val scaleSec = (System.nanoTime() - tScale0) / 1e9
-        val (sf1Medians, sf1Samples) = timeMedians(spark, sf1Dir, runs)
-        val sf1Total = sf1Medians.map(_._2).sum
-        // the five queries the r6 audit flagged as superlinear-looking get
-        // their medians into the COMPACT driver line (plus totals); the
-        // full median map + every raw run goes to the detail file
-        val audit = Seq("q_dedup_substring", "q_dedup_url", "q_dedup_cosine",
-          "q_pagerank", "q_assoc_pairs")
-        val auditPart = sf1Medians.filter { case (n, _) => audit.contains(n) }
-        val runsJson = sf1Samples.map(s => toJsonMap(s)).mkString("[", ",", "]")
-        (f""","sf1_total":$sf1Total%.3f,"sf1_runs":$runs,"sf1_medians":${toJsonMap(auditPart)}""",
-          f""","sf1_total":$sf1Total%.3f,"sf1_runs":$runs,"sf1_scaleup_sec":$scaleSec%.3f,"sf1_medians":${toJsonMap(sf1Medians)},"sf1_runs_detail":$runsJson""")
-      }.recover { case e =>
-        System.err.println(s"[bench] sf1 scale pass failed: ${e.getMessage}")
-        ("", "")
-      }.get
+    // 10× scale pass (driver-recorded sf1 numbers), skippable via env and
+    // auto-skipped when the measured base total says it can't fit: the
+    // estimate is scale-up (~90 s) + 6× the base pass per run (sf1 has
+    // historically run ~4.5-5× base) + margin. n=1 default
+    // (SPARK_GRAFT_SF1_RUNS opts into medians).
+    val sf1Runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "1").toInt)
+    val sf1Estimate = 120 + 6.0 * total * sf1Runs + 60
+    var sf1TotalPart = ""
+    val scalePart = passIf("sf1_scale", sf1Estimate, "SPARK_GRAFT_SCALE_SF1") {
+      val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+      val tScale0 = System.nanoTime()
+      graft.tools.ScaleUp.run(spark, sfDir, sf1Dir, factor = 10)
+      val scaleSec = (System.nanoTime() - tScale0) / 1e9
+      startPhase("sf1")
+      val (sf1Medians, sf1Samples) =
+        timeMedians(spark, sf1Dir, sf1Runs, perQueryTimeoutSec, deadlineNanos, snapshot)
+      val sf1Total = sf1Medians.map(_._2).sum
+      // the five queries the r6 audit flagged as superlinear-looking get
+      // their medians into the COMPACT driver line (plus totals); the
+      // full median map + every raw run goes to the detail file
+      val audit = Seq("q_dedup_substring", "q_dedup_url", "q_dedup_cosine",
+        "q_pagerank", "q_assoc_pairs")
+      val auditPart = sf1Medians.filter { case (n, _) => audit.contains(n) }
+      val runsJson = sf1Samples.map(s => toJsonMap(s)).mkString("[", ",", "]")
+      sf1TotalPart =
+        f""","sf1_total":$sf1Total%.3f,"sf1_runs":$sf1Runs,"sf1_medians":${toJsonMap(auditPart)}"""
+      f""","sf1_total":$sf1Total%.3f,"sf1_runs":$sf1Runs,"sf1_scaleup_sec":$scaleSec%.3f,"sf1_medians":${toJsonMap(sf1Medians)},"sf1_runs_detail":$runsJson"""
+    }
+    doneFragments.append(scalePart); flushDetail()
 
     // partitioned-storage pass: the 100 TB scan-avoidance lever, measured in
     // the recorded bench rather than claimed from plan asserts — the same
     // within() polygon query over (a) gh_prefix directory-partitioned and
     // (b) naive unsorted parquet of the same synthetic point table. The gap
     // is what geohash partition pruning + sorted row-group stats buy.
-    val storagePart =
-      if (sys.env.getOrElse("SPARK_GRAFT_STORAGE", "true") == "false") ""
-      else scala.util.Try {
-        val n = sys.env.getOrElse("SPARK_GRAFT_STORAGE_N", "2000000").toLong
-        def timed[T](f: => T): (T, Double) = {
-          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    val storagePart = passIf("storage", 120, "SPARK_GRAFT_STORAGE") {
+      val n = sys.env.getOrElse("SPARK_GRAFT_STORAGE_N", "2000000").toLong
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val pts = graft.api.Gis.bulkIngest(spark, n, -76.0, -75.0, 44.0, 45.0)
+      val partPath = "/tmp/graft_store_part"
+      val flatPath = "/tmp/graft_store_flat"
+      // prefixLen 4 ≈ 0.35°×0.18° cells: the 1°×1° synthetic bbox splits
+      // into ~20 directories, so the polygon's prefix set prunes most of
+      // them (len 3 would give this bbox only ~4 dirs — nothing to skip)
+      val (_, wPart) = timed(
+        graft.api.Gis.writePointsPartitioned(pts, partPath, prefixLen = 4))
+      val (_, wFlat) = timed(pts.write.mode("overwrite").parquet(flatPath))
+      val poly = "POLYGON ((-75.52 44.42, -75.44 44.42, -75.44 44.36, " +
+        "-75.52 44.36, -75.52 44.42))"
+      // run count() through an aggregate whose QueryExecution we keep, so
+      // the scan node's files/bytes metrics (the actual scan-avoidance
+      // won by partition pruning) land in the bench JSON, not just seconds
+      def runWithin(path: String): (Long, Double, Long, Long) = {
+        val agg = graft.api.Gis.within(spark.read.parquet(path), poly).groupBy().count()
+        val (m, sec) = timed(agg.head().getLong(0))
+        val finalPlan = agg.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
         }
-        val pts = graft.api.Gis.bulkIngest(spark, n, -76.0, -75.0, 44.0, 45.0)
-        val partPath = "/tmp/graft_store_part"
-        val flatPath = "/tmp/graft_store_flat"
-        // prefixLen 4 ≈ 0.35°×0.18° cells: the 1°×1° synthetic bbox splits
-        // into ~20 directories, so the polygon's prefix set prunes most of
-        // them (len 3 would give this bbox only ~4 dirs — nothing to skip)
-        val (_, wPart) = timed(
-          graft.api.Gis.writePointsPartitioned(pts, partPath, prefixLen = 4))
-        val (_, wFlat) = timed(pts.write.mode("overwrite").parquet(flatPath))
-        val poly = "POLYGON ((-75.52 44.42, -75.44 44.42, -75.44 44.36, " +
-          "-75.52 44.36, -75.52 44.42))"
-        // run count() through an aggregate whose QueryExecution we keep, so
-        // the scan node's files/bytes metrics (the actual scan-avoidance
-        // won by partition pruning) land in the bench JSON, not just seconds
-        def runWithin(path: String): (Long, Double, Long, Long) = {
-          val agg = graft.api.Gis.within(spark.read.parquet(path), poly).groupBy().count()
-          val (m, sec) = timed(agg.head().getLong(0))
-          val finalPlan = agg.queryExecution.executedPlan match {
-            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-              a.executedPlan
-            case p => p
-          }
-          // planning-time listing with the partition filters applied — the
-          // deterministic "files/bytes the pruned scan actually touches"
-          val (files, bytes) = finalPlan.collectLeaves().collectFirst {
-            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-              val sel = f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
-              (sel.map(_.files.size).sum.toLong,
-                sel.flatMap(_.files).map(_.getLen).sum)
-          }.getOrElse((-1L, -1L))
-          (m, sec, files, bytes)
-        }
-        val (mPart, qPart, fPart, bPart) = runWithin(partPath)
-        val (mFlat, qFlat, fFlat, bFlat) = runWithin(flatPath)
-        require(mPart == mFlat, s"layout changed results: $mPart vs $mFlat")
-        f""","storage":{"rows":$n,"write_part_sec":$wPart%.3f,"write_flat_sec":$wFlat%.3f,"within_part_sec":$qPart%.3f,"within_flat_sec":$qFlat%.3f,"files_part":$fPart,"files_flat":$fFlat,"bytes_part":$bPart,"bytes_flat":$bFlat,"matched":$mPart}"""
-      }.recover { case e =>
-        System.err.println(s"[bench] storage pass failed: ${e.getMessage}")
-        ""
-      }.get
+        // planning-time listing with the partition filters applied — the
+        // deterministic "files/bytes the pruned scan actually touches"
+        val (files, bytes) = finalPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            val sel = f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            (sel.map(_.files.size).sum.toLong,
+              sel.flatMap(_.files).map(_.getLen).sum)
+        }.getOrElse((-1L, -1L))
+        (m, sec, files, bytes)
+      }
+      val (mPart, qPart, fPart, bPart) = runWithin(partPath)
+      val (mFlat, qFlat, fFlat, bFlat) = runWithin(flatPath)
+      require(mPart == mFlat, s"layout changed results: $mPart vs $mFlat")
+      f""","storage":{"rows":$n,"write_part_sec":$wPart%.3f,"write_flat_sec":$wFlat%.3f,"within_part_sec":$qPart%.3f,"within_flat_sec":$qFlat%.3f,"files_part":$fPart,"files_flat":$fFlat,"bytes_part":$bPart,"bytes_flat":$bFlat,"matched":$mPart}"""
+    }
+    doneFragments.append(storagePart); flushDetail()
 
     // ANN-storage pass: the embedding analog of the geo storage block —
     // same top-k through the lsh_bucket-partitioned layout vs a flat scan,
     // recording seconds AND files touched, so the "bucket predicate becomes
     // directory pruning" claim is a measured number in the record.
-    val annStoragePart =
-      if (sys.env.getOrElse("SPARK_GRAFT_ANN_STORAGE", "true") == "false") ""
-      else scala.util.Try {
-        import org.apache.spark.sql.functions.{col, input_file_name}
-        def timed[T](f: => T): (T, Double) = {
-          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-        }
-        val embs = graft.sources.Tables.table(spark, sfDir, "embeddings")
-        val path = "/tmp/graft_emb_bucketed"
-        val (_, wSec) = timed(
-          graft.pipeline.Similarity.writeEmbeddingsBucketed(embs, path, planes = 6))
-        val q = embs.filter(col("vec_id") === 0L).select("embedding").head()
-          .getSeq[Float](0).toArray
-        val (storedIds, sSec) = timed(
-          graft.pipeline.Similarity.cosineTopKLshStored(spark, path, q, 10, planes = 6)
-            .collect().map(_.getLong(0)).toSet)
-        val (bruteIds, bSec) = timed(
-          graft.pipeline.Similarity.cosineTopK(spark.read.parquet(path), q, 10)
-            .collect().map(_.getLong(0)).toSet)
-        val all = spark.read.parquet(path)
-        val filesAll = all.select(input_file_name()).distinct().count()
-        val qb = org.apache.spark.sql.graft.VecOps.signBucket(
-          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(q), 6, 42L)
-        val filesPruned = all.filter(col("lsh_bucket") === qb)
-          .select(input_file_name()).distinct().count()
-        val overlap = storedIds.intersect(bruteIds).size
-        f""","ann_storage":{"write_sec":$wSec%.3f,"topk_stored_sec":$sSec%.3f,"topk_flat_sec":$bSec%.3f,"files_total":$filesAll,"files_one_bucket":$filesPruned,"overlap_of_10":$overlap}"""
-      }.recover { case e =>
-        System.err.println(s"[bench] ann storage pass failed: ${e.getMessage}")
-        ""
-      }.get
+    val annStoragePart = passIf("ann_storage", 90, "SPARK_GRAFT_ANN_STORAGE") {
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val embs = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      val path = "/tmp/graft_emb_bucketed"
+      val (_, wSec) = timed(
+        graft.pipeline.Similarity.writeEmbeddingsBucketed(embs, path, planes = 6))
+      val q = embs.filter(col("vec_id") === 0L).select("embedding").head()
+        .getSeq[Float](0).toArray
+      val (storedIds, sSec) = timed(
+        graft.pipeline.Similarity.cosineTopKLshStored(spark, path, q, 10, planes = 6)
+          .collect().map(_.getLong(0)).toSet)
+      val (bruteIds, bSec) = timed(
+        graft.pipeline.Similarity.cosineTopK(spark.read.parquet(path), q, 10)
+          .collect().map(_.getLong(0)).toSet)
+      val all = spark.read.parquet(path)
+      val filesAll = all.select(input_file_name()).distinct().count()
+      val qb = org.apache.spark.sql.graft.VecOps.signBucket(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(q), 6, 42L)
+      val filesPruned = all.filter(col("lsh_bucket") === qb)
+        .select(input_file_name()).distinct().count()
+      val overlap = storedIds.intersect(bruteIds).size
+      f""","ann_storage":{"write_sec":$wSec%.3f,"topk_stored_sec":$sSec%.3f,"topk_flat_sec":$bSec%.3f,"files_total":$filesAll,"files_one_bucket":$filesPruned,"overlap_of_10":$overlap}"""
+    }
+    doneFragments.append(annStoragePart); flushDetail()
 
     // BPE pass: train a merges table on the bench corpus, then count
     // tokens with it — the tokenizer loop (train → broadcast → count)
     // measured end-to-end in the official record, not just gate-checked
     // at fixture scale. Histogram collect is vocabulary-bounded; the
     // count pass is a stateless scan.
-    val bpePart =
-      if (sys.env.getOrElse("SPARK_GRAFT_BPE", "true") == "false") ""
-      else scala.util.Try {
-        import org.apache.spark.sql.functions.{col, sum}
-        def timed[T](f: => T): (T, Double) = {
-          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-        }
-        val docs = graft.sources.Tables.table(spark, sfDir, "documents")
-        val (merges, trainSec) = timed(
-          graft.pipeline.TextAnalysis.trainBpe(docs, numMerges = 200))
-        val st = graft.pipeline.TextAnalysis.bpeState(spark, merges)
-        val (tokens, countSec) = timed(
-          docs.select(graft.pipeline.TextAnalysis.tokenCountBpe(col("text"), st)
-            .cast("long").as("n"))
-            .agg(sum(col("n"))).head().getLong(0))
-        f""","bpe":{"merges":${merges.length},"train_sec":$trainSec%.3f,"count_sec":$countSec%.3f,"tokens":$tokens}"""
-      }.recover { case e =>
-        System.err.println(s"[bench] bpe pass failed: ${e.getMessage}")
-        ""
-      }.get
+    val bpePart = passIf("bpe", 90, "SPARK_GRAFT_BPE") {
+      import org.apache.spark.sql.functions.{col, sum}
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      val (merges, trainSec) = timed(
+        graft.pipeline.TextAnalysis.trainBpe(docs, numMerges = 200))
+      val st = graft.pipeline.TextAnalysis.bpeState(spark, merges)
+      val (tokens, countSec) = timed(
+        docs.select(graft.pipeline.TextAnalysis.tokenCountBpe(col("text"), st)
+          .cast("long").as("n"))
+          .agg(sum(col("n"))).head().getLong(0))
+      f""","bpe":{"merges":${merges.length},"train_sec":$trainSec%.3f,"count_sec":$countSec%.3f,"tokens":$tokens}"""
+    }
+    doneFragments.append(bpePart); flushDetail()
 
     // incremental-dedup pass: the amortization claim as a measured number —
     // the corpus index is built ONCE (the lake-compaction-cadence cost),
     // then an arriving batch pays only the probe. Probe ≪ build is the
     // whole case for the persisted index vs re-running corpus dedup.
-    val incrementalPart =
-      if (sys.env.getOrElse("SPARK_GRAFT_INCREMENTAL", "true") == "false") ""
-      else scala.util.Try {
-        import org.apache.spark.sql.functions.{col, lit, pmod}
-        def timed[T](f: => T): (T, Double) = {
-          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-        }
-        val docs = graft.sources.Tables.table(spark, sfDir, "documents")
-        val path = "/tmp/graft_bench_mh_index"
-        val (_, wSec) = timed(graft.pipeline.Dedup.writeMinhashIndex(docs, path))
-        val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L))
-        // min-of-2 probes: at bench scale the first pays codegen/jit for
-        // the whole probe pipeline; the warm number is the per-arriving-
-        // batch marginal cost the amortization case is about (probe scales
-        // with |batch|, the build with |corpus| — report both row counts
-        // so the ratio is readable)
-        val (nPairs, p1) = timed(
-          graft.pipeline.Dedup.dedupAgainstIndex(spark, path, batch, docs).count())
-        val (_, p2) = timed(
-          graft.pipeline.Dedup.dedupAgainstIndex(spark, path, batch, docs).count())
-        val corpusRows = graft.sources.Tables.rowCount(spark, sfDir, "documents")
-        val batchRows = corpusRows / 10
-        f""","incremental":{"index_write_sec":$wSec%.3f,"probe_sec":${math.min(p1, p2)}%.3f,"pairs":$nPairs,"corpus_rows":$corpusRows,"batch_rows":$batchRows}"""
-      }.recover { case e =>
-        System.err.println(s"[bench] incremental pass failed: ${e.getMessage}")
-        ""
-      }.get
+    val incrementalPart = passIf("incremental", 90, "SPARK_GRAFT_INCREMENTAL") {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      val path = "/tmp/graft_bench_mh_index"
+      val (_, wSec) = timed(graft.pipeline.Dedup.writeMinhashIndex(docs, path))
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      // min-of-2 probes: at bench scale the first pays codegen/jit for
+      // the whole probe pipeline; the warm number is the per-arriving-
+      // batch marginal cost the amortization case is about (probe scales
+      // with |batch|, the build with |corpus| — report both row counts
+      // so the ratio is readable)
+      val (nPairs, p1) = timed(
+        graft.pipeline.Dedup.dedupAgainstIndex(spark, path, batch, docs).count())
+      val (_, p2) = timed(
+        graft.pipeline.Dedup.dedupAgainstIndex(spark, path, batch, docs).count())
+      val corpusRows = graft.sources.Tables.rowCount(spark, sfDir, "documents")
+      val batchRows = corpusRows / 10
+      f""","incremental":{"index_write_sec":$wSec%.3f,"probe_sec":${math.min(p1, p2)}%.3f,"pairs":$nPairs,"corpus_rows":$corpusRows,"batch_rows":$batchRows}"""
+    }
+    doneFragments.append(incrementalPart); flushDetail()
 
     // token-shard pass: the trainer hand-off writer measured — write time,
     // shard count, and the planning-time file pruning a single-shard read
     // gets from the directory layout (the consumer-side claim as numbers).
-    val shardsPart =
-      if (sys.env.getOrElse("SPARK_GRAFT_SHARDS", "true") == "false") ""
-      else scala.util.Try {
-        import org.apache.spark.sql.functions.{col, input_file_name}
-        def timed[T](f: => T): (T, Double) = {
-          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-        }
-        val docs = graft.sources.Tables.table(spark, sfDir, "documents")
-          .filter(col("text").isNotNull)
-        val path = "/tmp/graft_bench_shards"
-        val budget = sys.env.getOrElse("SPARK_GRAFT_SHARD_TOKENS", "5000").toLong
-        val (_, wSec) = timed(
-          graft.pipeline.TextAnalysis.writeTokenShards(docs, path, budget))
-        val back = spark.read.parquet(path)
-        val shards = back.select(col("source"), col("pack_id")).distinct()
-        val nShards = shards.count()
-        val filesAll = back.select(input_file_name()).distinct().count()
-        val first = shards.orderBy(col("source"), col("pack_id")).head()
-        val filesOne = back
-          .filter(col("source") === first.getString(0) && col("pack_id") === first.get(1))
-          .select(input_file_name()).distinct().count()
-        f""","shards":{"budget_tokens":$budget,"write_sec":$wSec%.3f,"n_shards":$nShards,"files_total":$filesAll,"files_one_shard":$filesOne}"""
-      }.recover { case e =>
-        System.err.println(s"[bench] shards pass failed: ${e.getMessage}")
-        ""
-      }.get
+    val shardsPart = passIf("shards", 60, "SPARK_GRAFT_SHARDS") {
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+        .filter(col("text").isNotNull)
+      val path = "/tmp/graft_bench_shards"
+      val budget = sys.env.getOrElse("SPARK_GRAFT_SHARD_TOKENS", "5000").toLong
+      val (_, wSec) = timed(
+        graft.pipeline.TextAnalysis.writeTokenShards(docs, path, budget))
+      val back = spark.read.parquet(path)
+      val shards = back.select(col("source"), col("pack_id")).distinct()
+      val nShards = shards.count()
+      val filesAll = back.select(input_file_name()).distinct().count()
+      val first = shards.orderBy(col("source"), col("pack_id")).head()
+      val filesOne = back
+        .filter(col("source") === first.getString(0) && col("pack_id") === first.get(1))
+        .select(input_file_name()).distinct().count()
+      f""","shards":{"budget_tokens":$budget,"write_sec":$wSec%.3f,"n_shards":$nShards,"files_total":$filesAll,"files_one_shard":$filesOne}"""
+    }
+    doneFragments.append(shardsPart); flushDetail()
 
     // skew pass: a hot-key corpus (one user owns half of all rows — the
     // worst case for Window.partitionBy) timed through the unsalted vs
     // salted window operators, so the salted twins' payoff is a
     // driver-recorded number, not a side-tool claim. Counts must agree —
     // the salted paths are exact rewrites, benched only when equal.
-    val skewPart =
-      if (sys.env.getOrElse("SPARK_GRAFT_SKEW", "true") == "false") ""
-      else scala.util.Try {
-        import org.apache.spark.sql.functions._
-        val rows = sys.env.getOrElse("SPARK_GRAFT_SKEW_N", "8000000").toLong
-        def timed[T](f: => T): (T, Double) = {
-          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-        }
-        val ev = spark.range(rows).select(
-          col("id").as("event_id"),
-          when(col("id") < rows / 2, 0L)
-            .otherwise(pmod(hash(col("id")), lit(100000)).cast("long")).as("user_id"),
-          timestamp_micros(lit(1700000000000000L) +
-            pmod(hash(col("id"), lit(7)), lit(86400000L)) * 1000L).as("ts"),
-          when(pmod(col("id"), lit(5)) === 0, "error").otherwise("click")
-            .as("event_type")).cache()
-        ev.count()
-        val (nS, sessPlain) = timed(
-          graft.streaming.EventStreams.sessionizeBatch(ev, 60000L).count())
-        val (nSs, sessSalted) = timed(
-          graft.streaming.EventStreams.sessionizeBatchSalted(ev, 60000L).count())
-        require(nS == nSs, s"salted sessionize diverged: $nS vs $nSs")
-        val e = ev.withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
-        val errors = e.filter(col("event_type") === "error")
-          .select(col("user_id"), col("event_id"), col("ts_ms"))
-        val clicks = e.filter(col("event_type") === "click")
-          .groupBy(col("user_id"), col("ts_ms"))
-          .agg(max(col("event_id")).as("event_id"))
-        val (nA, asofPlain) = timed(graft.api.AsofJoin.asofJoin(errors, clicks,
-          keyCol = "user_id", leftTsCol = "ts_ms", rightTsCol = "ts_ms",
-          rightPayload = Seq("event_id"), rightIdCol = "event_id").count())
-        val (nAs, asofSalted) = timed(graft.api.AsofJoin.asofJoinSalted(errors, clicks,
-          keyCol = "user_id", leftTsCol = "ts_ms", rightTsCol = "ts_ms",
-          rightPayload = Seq("event_id"), rightIdCol = "event_id").count())
-        require(nA == nAs, s"salted asof diverged: $nA vs $nAs")
-        ev.unpersist()
-        f""","skew":{"rows":$rows,"hot_share":0.5,"sessionize_sec":$sessPlain%.3f,"sessionize_salted_sec":$sessSalted%.3f,"asof_sec":$asofPlain%.3f,"asof_salted_sec":$asofSalted%.3f}"""
-      }.recover { case e =>
-        System.err.println(s"[bench] skew pass failed: ${e.getMessage}")
-        ""
-      }.get
+    val skewPart = passIf("skew", 120, "SPARK_GRAFT_SKEW") {
+      import org.apache.spark.sql.functions._
+      val rows = sys.env.getOrElse("SPARK_GRAFT_SKEW_N", "8000000").toLong
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val ev = spark.range(rows).select(
+        col("id").as("event_id"),
+        when(col("id") < rows / 2, 0L)
+          .otherwise(pmod(hash(col("id")), lit(100000)).cast("long")).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          pmod(hash(col("id"), lit(7)), lit(86400000L)) * 1000L).as("ts"),
+        when(pmod(col("id"), lit(5)) === 0, "error").otherwise("click")
+          .as("event_type")).cache()
+      ev.count()
+      val (nS, sessPlain) = timed(
+        graft.streaming.EventStreams.sessionizeBatch(ev, 60000L).count())
+      val (nSs, sessSalted) = timed(
+        graft.streaming.EventStreams.sessionizeBatchSalted(ev, 60000L).count())
+      require(nS == nSs, s"salted sessionize diverged: $nS vs $nSs")
+      val e = ev.withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_ms"))
+        .agg(max(col("event_id")).as("event_id"))
+      val (nA, asofPlain) = timed(graft.api.AsofJoin.asofJoin(errors, clicks,
+        keyCol = "user_id", leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+        rightPayload = Seq("event_id"), rightIdCol = "event_id").count())
+      val (nAs, asofSalted) = timed(graft.api.AsofJoin.asofJoinSalted(errors, clicks,
+        keyCol = "user_id", leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+        rightPayload = Seq("event_id"), rightIdCol = "event_id").count())
+      require(nA == nAs, s"salted asof diverged: $nA vs $nAs")
+      ev.unpersist()
+      f""","skew":{"rows":$rows,"hot_share":0.5,"sessionize_sec":$sessPlain%.3f,"sessionize_salted_sec":$sessSalted%.3f,"asof_sec":$asofPlain%.3f,"asof_salted_sec":$asofSalted%.3f}"""
+    }
+    doneFragments.append(skewPart); flushDetail()
 
     // Three artifacts, one contract: the full detail (per-query sf1,
     // storage, skew) goes to the side file AND a committed repo copy
@@ -410,16 +544,15 @@ object Bench {
     // this committed artifact instead of disappearing into a muted logger
     val warns = graft.util.Logs.suppressedWindowWarns.get()
     val uwarns = graft.util.Logs.suppressedUnpersistWarns.get()
-    val baseRunsJson = baseSamples.map(s => toJsonMap(s)).mkString("[", ",", "]")
-    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$baseRuns,"queries":${toJsonMap(results)},"runs_detail":$baseRunsJson,"window_warns_suppressed":$warns,"unpersist_warns_suppressed":$uwarns,"sf":"$sfDir"$ivfPart$scalePart$storagePart$annStoragePart$bpePart$incrementalPart$shardsPart$skewPart}"""
-    (sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq :+ "/tmp/graft_bench.json" :+
-      "BENCH_DETAIL.json").distinct.foreach { p =>
-      scala.util.Try(java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (detailLine + "\n").getBytes("UTF-8")))
-        .recover { case e => System.err.println(s"[bench] side-file write failed: ${e.getMessage}") }
-    }
+    val elapsed = (System.nanoTime() - startNanos) / 1e9
+    val passesJson =
+      if (skippedPasses.isEmpty) "" else s""","passes_skipped_budget":${jsonStrArr(skippedPasses.toSeq)}"""
+    val detailLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"$flagsJson$passesJson,"window_warns_suppressed":$warns,"unpersist_warns_suppressed":$uwarns,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsed%.1f${doneFragments.toString}}"""
+    writeSide(detailLine)
     val tailBudget = 1900 // driver tail capture is 2000 chars; leave margin
-    val fixedTail = f""","sf":"$sfDir"$ivfPart$sf1TotalPart,"window_warns_suppressed":$warns,"unpersist_warns_suppressed":$uwarns,"queries_omitted":000,"detail_file":"BENCH_DETAIL.json"}"""
+    val flagsCompact =
+      s""","n_timeouts":${timedOutQ.size},"n_failures":${failedQ.size},"n_skipped":$skippedCount"""
+    val fixedTail = f""","sf":"$sfDir"$ivfPart$sf1TotalPart$flagsCompact,"window_warns_suppressed":$warns,"unpersist_warns_suppressed":$uwarns,"queries_omitted":000,"detail_file":"BENCH_DETAIL.json"}"""
     val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$baseRuns,"n_queries":${results.length},"queries":{"""
     var room = tailBudget - head.length - fixedTail.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -429,7 +562,7 @@ object Bench {
     }
     val driverLine = head +
       kept.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString(",") +
-      "}" + f""","sf":"$sfDir"$ivfPart$sf1TotalPart,"window_warns_suppressed":$warns,"unpersist_warns_suppressed":$uwarns,"queries_omitted":${results.length - kept.length},"detail_file":"BENCH_DETAIL.json"}"""
+      "}" + f""","sf":"$sfDir"$ivfPart$sf1TotalPart$flagsCompact,"window_warns_suppressed":$warns,"unpersist_warns_suppressed":$uwarns,"queries_omitted":${results.length - kept.length},"detail_file":"BENCH_DETAIL.json"}"""
     println(driverLine)
     spark.stop()
   }
