@@ -1661,10 +1661,19 @@ object SparkEntry {
     // containment (partial-copy) pairs at 800‰ of the SMALLER gram set —
     // the asymmetric near-dup family member: catches quotes/wrapped
     // reposts that Jaccard misses; exact by construction (prefix filter +
-    // sorted-merge intersect), integer permille replayed by the oracle
+    // sorted-merge intersect), integer permille replayed by the oracle.
+    // shingle=9 (not the default 5): the gate corpus's vocabulary is
+    // template-degenerate (only ~2k distinct 5-grams at sf0.01, ~3k at
+    // sf1), which defeats the rare-gram prefix filter and drove the r9
+    // gate to ~all-pairs candidates (878M verified for 252k true at sf1,
+    // ~51% of the whole sf1 bench). 9-grams grow the vocabulary ~10×
+    // past the corpus size so prefixes prune as designed — per the
+    // operator's own scaladoc guidance — while the true pair set is
+    // UNCHANGED (near-dups share long spans: 25 pairs at sf0.01 for any
+    // shingle in 5..12, measured)
     "q_dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(Tables.table(s, d, "documents"),
-        "doc_id", "text", thresholdPermille = 800)),
+        "doc_id", "text", thresholdPermille = 800, shingle = 9)),
 
     // top-100 bigram collocations by integer lift (min support 5):
     // phrase mining for tokenizer-vocab / boilerplate-phrase audits —
@@ -3288,7 +3297,11 @@ object SparkEntry {
 
     // same 60-bit md5 prefix (the randomWalks hash idiom), same weight
     // arithmetic, same (h // w, h, id) total order — // and div agree on
-    // the non-negative operands
+    // the non-negative operands. The n_chars IS NOT NULL clause mirrors
+    // the Spark side's weight-hygiene filter (weightedSample drops
+    // null-weight rows): current fixtures have no null n_chars, but
+    // without the clause a nullable fixture would let null-w rows fill
+    // slots on the oracle side only (advisor r9)
     "q_sample_weighted" ->
       ("SELECT source, doc_id, w FROM (" +
         "SELECT source, doc_id, w, " +
@@ -3296,7 +3309,7 @@ object SparkEntry {
         "ORDER BY h // w ASC, h ASC, doc_id ASC) AS rn FROM (" +
         "SELECT source, doc_id, n_chars // 100 + 1 AS w, " +
         "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h " +
-        "FROM documents)) WHERE rn <= 5"),
+        "FROM documents WHERE n_chars IS NOT NULL)) WHERE rn <= 5"),
 
     // same changeset derivation; anti join + upsert union
     "q_cdc_apply" ->
@@ -5003,7 +5016,7 @@ object SparkEntry {
 
     "q_dedup_containment" ->
       ("WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
-        "range(1, length(text)-3), i -> substr(text, i, 5)))) AS gram FROM documents), " +
+        "range(1, length(text)-7), i -> substr(text, i, 9)))) AS gram FROM documents), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id), " +
         "co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter " +
         "FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +

@@ -328,10 +328,22 @@ object Sampling {
    * Plan: one shuffle on the group key, bounded rank filter — identical
    * cost shape to [[perGroupDeterministic]]; only (group, priority)
    * ordering state sorts, payloads ride along untouched.
+   *
+   * Column contract: names starting with `__` are RESERVED working
+   * columns throughout this object (here: __w/__h/__pri/__rn). Rather
+   * than silently overwrite-and-drop a caller column of the same name —
+   * which would corrupt the promised payload ride-along — a colliding
+   * input is rejected loudly (advisor r9).
    */
   def weightedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
                      weightCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val reserved = Seq("__w", "__h", "__pri", "__rn")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with reserved working " +
+        "columns (the __ prefix is reserved by graft.pipeline.Sampling); " +
+        "rename them before sampling")
     val win = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__pri").asc, col("__h").asc, col(idCol).asc)
     df.withColumn("__w", col(weightCol).cast("long"))

@@ -144,8 +144,12 @@ object SketchStreams {
    * of longs per group, NoTimeout.
    *
    * Contract: `id` is the row key the batch operator hashes (its string
-   * form feeds md5); re-delivered ids re-fold idempotently (same triple,
-   * set semantics via sorted-dedup).
+   * form feeds md5); re-delivered ids re-fold idempotently. State is
+   * folded BY ID (min-priority triple per id) before the bottom-k cut, so
+   * an id re-delivered with a different weight still occupies at most one
+   * sample slot — the id keeps its best (lowest) priority ever seen,
+   * which is delivery-order independent (advisor r9: the old full-triple
+   * dedup let a weight-changed redelivery hold two slots).
    */
   def weightedSampleStream(rows: Dataset[GIW], k: Int)
       : Dataset[WeightedSample] = {
@@ -159,14 +163,19 @@ object SketchStreams {
         (g: String, batch: Iterator[GIW],
          state: GroupState[(Long, Seq[(Long, Long, Long)])]) =>
           val (seq, prev) = state.getOption.getOrElse((0L, Seq.empty))
+          // one digest instance per group-invocation, not per row:
+          // MessageDigest.digest() resets after each call, and this
+          // function body is single-threaded (advisor r9 allocation note)
+          val md = java.security.MessageDigest.getInstance("MD5")
           val incoming = batch.map { r =>
-            val hex = java.security.MessageDigest.getInstance("MD5")
-              .digest(r.id.toString.getBytes("UTF-8"))
+            val hex = md.digest(r.id.toString.getBytes("UTF-8"))
               .take(8).map(x => f"${x & 0xff}%02x").mkString
             val h = java.lang.Long.parseLong(hex.take(15), 16)
             (h / r.w, h, r.id)
           }.toSeq
-          val kept = (prev ++ incoming).distinct.sorted.take(k)
+          val kept = (prev ++ incoming)
+            .groupBy(_._3).valuesIterator.map(_.min).toSeq // fold by id
+            .sorted.take(k)
           state.update((seq + 1, kept))
           WeightedSample(g, seq + 1, kept.map(_._3))
       }

@@ -112,6 +112,56 @@ class SketchStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("weightedSampleStream folds redelivered ids: weight change never doubles a slot") {
+    // batch a: ids 0..9 at w=1; batch b REDELIVERS ids 0..4 at w=1000
+    // (much better priority). The r9 advisor finding: full-triple dedup
+    // let the redelivered id hold TWO of the k slots. Contract now: state
+    // folds by id keeping the min-priority triple, so every sample has
+    // distinct ids and a redelivered id ranks by its best weight ever.
+    val a = (0L until 10L).map(i => ("g", i, 1L))
+    val b = (0L until 5L).map(i => ("g", i, 1000L))
+    def pri(id: Long, w: Long): (Long, Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(8).map(x => f"${x & 0xff}%02x").mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16)
+      (h / w, h, id)
+    }
+    // fold-by-id expectation over the full prefix: min triple per id
+    val expected = (a ++ b).groupBy(_._2).map { case (_, rs) =>
+      rs.map { case (_, id, w) => pri(id, w) }.min
+    }.toSeq.sorted.take(4).map(_._3)
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-wsr-stream")
+    def writeOne(rows: Seq[(String, Long, Long)], name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wsr-part").toFile
+      rows.toDF("g", "id", "w").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(a, "a.parquet", 120000L)
+    writeOne(b, "b.parquet", 1000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      .as[SketchStreams.GIW]
+    val q = SketchStreams.weightedSampleStream(stream, k = 4)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("wsr_out").start()
+    try {
+      q.processAllAvailable()
+      val fin = spark.table("wsr_out").collect()
+        .map(r => (r.getLong(1), r.getSeq[Long](2).toList)).maxBy(_._1)._2
+      assert(fin.distinct == fin, s"sample has a doubled id: $fin")
+      assert(fin == expected)
+    } finally q.stop()
+  }
+
   test("quantileSketchStream == batch quantileSketch per micro-batch prefix") {
     val rnd = new scala.util.Random(23)
     val a = (0 until 1200).map(i => (s"g${i % 3}", i.toLong, rnd.nextInt(100000).toLong))
