@@ -677,6 +677,15 @@ object SparkEntry {
     "q_script_ratio" -> ((s, d) =>
       Curation.scriptRatio(Tables.table(s, d, "documents"))),
 
+    // C4-style bad-word/phrase blocklist report: word-boundary greedy
+    // occurrence counts over the [a-z]+ token stream via the double-space
+    // sentinel rendering — two single words, one two-word phrase that
+    // hits (corpus bigrams exist), one entry that never hits (the
+    // zero/clean path); all-integer, scan-local, zero shuffles
+    "q_blocklist" -> ((s, d) =>
+      Curation.blocklistStats(Tables.table(s, d, "documents"),
+        Seq("slow", "big table", "hash value", "forbidden"))),
+
     // log2-bucketed length histogram: bucket = bit length of the token
     // count (ilog2 idiom — pure integer), NULL texts in bucket -1; the
     // distribution report behind packing/chunking budget choices
@@ -1283,6 +1292,18 @@ object SparkEntry {
       Dedup.clusters(pairs.select(col("id_a"), col("id_b")))
     }),
 
+    // canonical-representative selection: the step between pair discovery
+    // and corpus shrinkage — every near-dup cluster names one KEEPER by
+    // (n_chars desc, id asc), the longest-member heuristic; is_keeper=0
+    // rows are the drop list. Pure function of (labels, scores), total
+    // order, so the selection replays cross-engine
+    "q_dedup_canonical" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+      val labels = Dedup.clusters(pairs.select(col("id_a"), col("id_b")))
+      Dedup.clusterCanonical(labels, docs, "doc_id", "n_chars")
+    }),
+
     // incremental cluster maintenance: label the base half of the pair
     // stream, then fold the delta half in via clustersIncremental — the
     // contract is EXACT equality with the full recompute, so this gate
@@ -1705,6 +1726,35 @@ object SparkEntry {
     // selection): p05/p95 located by the shared-scan multi-rank
     // refinement (~8 counting scans, NO total-order shuffle), then one
     // clip-aggregate pass — outlier-robust corpus metrics at 100 TB
+    // MAD robust outlier stats (median absolute deviation + the Iglewicz-
+    // Hoaglin modified z-score rule |0.6745·dev/MAD| > 3.5, cross-
+    // multiplied to integers: 6745·dev > 35000·MAD): the outlier-robust
+    // sibling of q_winsorize, located by TWO dependent exact-k-th
+    // selections (median first, then the median of |len − med|) via the
+    // shared-scan histogram refinement — ~16 counting scans total, NO
+    // total-order shuffle at any corpus size. The corpus length
+    // distribution is uniform (max modified z ≈ 1.35 — the 3.5 rule can
+    // never fire), so the gate PLANTS a deterministic tail (+5000 chars
+    // on doc_id % 97 = 0, the q_script_mix planted-fixture precedent) to
+    // exercise both flag branches; the oracle replays the plant
+    "q_mad" -> ((s, d) => {
+      val v = Tables.table(s, d, "documents")
+        .filter(col("n_chars").isNotNull)
+        .select((col("n_chars").cast("long") +
+          when(col("doc_id") % 97 === 0, 5000L).otherwise(0L)).as("len"))
+      val n = v.count()
+      val kMed = (n + 1) / 2 // ceil(n/2): the lower median rank
+      val Seq(med) = Sketches.kthValues(v, "len", Seq(kMed))
+      val dev = v.select(abs(col("len") - med).as("dev"))
+      val Seq(mad) = Sketches.kthValues(dev, "dev", Seq(kMed))
+      v.agg(count(lit(1)).as("n"),
+          sum(when(abs(col("len") - med) * 6745L > lit(35000L) * mad, 1L)
+            .otherwise(0L)).as("n_outliers"),
+          max(abs(col("len") - med)).as("max_abs_dev"))
+        .withColumn("median_len", lit(med))
+        .withColumn("mad_len", lit(mad))
+    }),
+
     "q_winsorize" -> ((s, d) => {
       val v = Tables.table(s, d, "lineitem")
         .filter(col("l_extendedprice").isNotNull)
@@ -2929,6 +2979,25 @@ object SparkEntry {
         "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src) " +
         "SELECT id, min(r) AS cluster FROM reach GROUP BY id"),
 
+    // same transitive-closure labeling, then the keeper window replay:
+    // argmax by (n_chars DESC NULLS LAST, id ASC) per cluster
+    "q_dedup_canonical" ->
+      (s"WITH RECURSIVE $JaccardPairsCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs " +
+        "UNION ALL SELECT id_b, id_a FROM jpairs), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src), " +
+        "lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id), " +
+        "j AS (SELECT lab.id, lab.cluster, CAST(d.n_chars AS BIGINT) AS sc " +
+        "FROM lab JOIN documents d ON lab.id = d.doc_id), " +
+        "k AS (SELECT cluster, id AS keeper FROM (SELECT cluster, id, " +
+        "row_number() OVER (PARTITION BY cluster " +
+        "ORDER BY sc DESC NULLS LAST, id ASC) AS rn FROM j) WHERE rn = 1) " +
+        "SELECT j.id, j.cluster, k.keeper, " +
+        "CAST(CASE WHEN j.id = k.keeper THEN 1 ELSE 0 END AS BIGINT) AS is_keeper " +
+        "FROM j JOIN k USING (cluster)"),
+
     "q_scan_project" ->
       ("SELECT l_orderkey, l_linenumber, l_returnflag, CAST(l_quantity AS BIGINT) AS qty " +
         "FROM lineitem WHERE l_quantity < 25"),
@@ -3484,6 +3553,24 @@ object SparkEntry {
         "(CAST(sum(lat) AS BIGINT) * 1000) // greatest(CAST(sum(c) AS BIGINT), 1) AS latin_permille, " +
         "(CAST(sum(na) AS BIGINT) * 1000) // greatest(CAST(sum(c) AS BIGINT), 1) AS non_ascii_permille " +
         "FROM t GROUP BY source"),
+
+    // same tokenizer, same double-space sentinel rendering, same greedy
+    // non-overlapping length-arithmetic occurrence count per needle
+    "q_blocklist" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z]+'), x -> x <> '') AS toks " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "' ' || array_to_string(toks, '  ') || ' ' AS pad FROM p), " +
+        "h AS (SELECT doc_id, n_tokens, " +
+        "list_transform([' slow ', ' big  table ', ' hash  value ', ' forbidden '], " +
+        "nd -> (length(pad) - length(replace(pad, nd, ''))) // length(nd)) AS hits FROM s) " +
+        "SELECT doc_id, n_tokens, " +
+        "CAST(list_sum(hits) AS BIGINT) AS n_blocked, " +
+        "CAST(len(list_filter(hits, x -> x > 0)) AS BIGINT) AS n_blocked_types, " +
+        "CAST((list_sum(hits) * 1000) // greatest(n_tokens, 1) AS BIGINT) AS blocked_permille, " +
+        "CAST(CASE WHEN list_sum(hits) = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_clean " +
+        "FROM h"),
 
     // full scorer replay: unigram + adjacent-bigram features, bucket =
     // first 32 md5 bits (hex-string arithmetic) mod 4096, weight re-derived
@@ -4942,6 +5029,26 @@ object SparkEntry {
         "CAST(cents AS BIGINT) FROM r WHERE rn = (n + 1) // 2 " +
         "UNION ALL SELECT 'p75', CAST((3 * n + 3) // 4 AS BIGINT), " +
         "CAST(cents AS BIGINT) FROM r WHERE rn = (3 * n + 3) // 4"),
+
+    // same planted tail, same ceil-median ranks located by row_number,
+    // same integer cross-multiplied modified-z rule
+    "q_mad" ->
+      ("WITH t AS (SELECT CAST(n_chars AS BIGINT) + " +
+        "CASE WHEN doc_id % 97 = 0 THEN 5000 ELSE 0 END AS len " +
+        "FROM documents WHERE n_chars IS NOT NULL), " +
+        "r AS (SELECT len, row_number() OVER (ORDER BY len) AS rn, " +
+        "count(*) OVER () AS n FROM t), " +
+        "m AS (SELECT max(CASE WHEN rn = (n + 1) // 2 THEN len END) AS med FROM r), " +
+        "r2 AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn, " +
+        "count(*) OVER () AS n FROM (SELECT abs(len - m.med) AS dev FROM t, m)), " +
+        "m2 AS (SELECT max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad FROM r2) " +
+        "SELECT count(*) AS n, " +
+        "CAST(sum(CASE WHEN abs(len - m.med) * 6745 > 35000 * m2.mad " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "CAST(max(abs(len - m.med)) AS BIGINT) AS max_abs_dev, " +
+        "CAST(max(m.med) AS BIGINT) AS median_len, " +
+        "CAST(max(m2.mad) AS BIGINT) AS mad_len " +
+        "FROM t, m, m2"),
 
     // same ceil-rank bound location (row_number is unique so the CASE
     // picks exactly one row per bound), same clip arithmetic

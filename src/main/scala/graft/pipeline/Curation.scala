@@ -198,6 +198,61 @@ object Curation {
   }
 
   /**
+   * C4-style word/phrase blocklist stats (Raffel et al. JMLR'20 §2.2 —
+   * the "bad words" page filter): per document, occurrence counts of a
+   * small blocklist of words AND multi-word phrases, matched on WORD
+   * BOUNDARIES over the [a-z]+ lowercase token stream (the
+   * [[TextAnalysis.lexicalStats]] tokenizer, so "class" never trips
+   * an "ass" entry and both engines tokenize identically).
+   *
+   * Matching: the token stream is rendered once as a double-space-joined
+   * sentinel string (" t1  t2  ... "), each blocklist entry as the same
+   * rendering of ITS tokens; entry occurrences = greedy non-overlapping
+   * substring count via length arithmetic ((len − len(remove)) div
+   * len(needle)) — the double separator gives every token a private
+   * flanking space on each side, so adjacent repeats ("bad bad") count
+   * twice while "badge" never matches "bad". Greedy non-overlap is the
+   * contract for self-overlapping phrases ("a a" in "a a a" counts once).
+   *
+   * Output: (id, n_tokens, n_blocked, n_blocked_types, blocked_permille,
+   * is_clean) — production keeps is_clean=1 rows (C4 drops any page with
+   * one hit); the counts feed threshold tuning. Everything is a pure
+   * scan-local projection over codegen'd higher-order functions — zero
+   * shuffles, no UDF, text never leaves the scan — and all-integer, so
+   * the whole report replays in any engine.
+   */
+  def blocklistStats(df: DataFrame, blocklist: Seq[String],
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val needles = blocklist.map(normalizedNeedle)
+    require(needles.forall(_.trim.nonEmpty), s"blocklist entry with no [a-z]+ tokens")
+    val toks = array_remove(
+      split(lower(coalesce(col(textCol), lit(""))), "[^a-z]+"), "")
+    val padded = concat(lit(" "), array_join(toks, "  "), lit(" "))
+    val hits = transform(lit(needles.toArray), nd =>
+      (length(padded) - length(replace(padded, nd, lit("")))).cast("long")
+        / length(nd).cast("long"))
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        hits.cast("array<long>").as("__hits"))
+      .withColumn("n_blocked", aggregate(col("__hits"), lit(0L), _ + _))
+      .withColumn("n_blocked_types",
+        size(filter(col("__hits"), _ > 0L)).cast("long"))
+      .withColumn("blocked_permille",
+        expr("(n_blocked * 1000) div greatest(n_tokens, 1)"))
+      .withColumn("is_clean", when(col("n_blocked") === 0L, 1L).otherwise(0L))
+      .drop("__hits")
+  }
+
+  /** The sentinel rendering shared by [[blocklistStats]]'s document and
+    * entry sides: lowercase [a-z]+ tokens, double-space-joined, single
+    * flanking spaces. Exposed so gates can embed the exact needle
+    * literals in oracle SQL. */
+  def normalizedNeedle(entry: String): String =
+    " " + entry.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).mkString("  ") + " "
+
+  /**
    * CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §4.3): per
    * group (CCNet partitions by language), rank documents by a language-
    * model score and cut the ranking into `nBuckets` equal-frequency

@@ -787,6 +787,45 @@ object Dedup {
    * corpus. Labels of merged components are REWRITTEN (min-id can move);
    * treat cluster ids as stable only while their component is untouched.
    */
+  /**
+   * Canonical-representative selection over a near-dup clustering: for
+   * every clustered document, name the cluster's KEEPER — the member with
+   * the best `scoreCol` (ties to the smallest id) — and flag whether this
+   * row is it. The step between pair discovery and corpus shrinkage in
+   * every production dedup chain (Gopher/RefinedWeb keep one page per
+   * near-dup cluster; "best" is usually longest text or highest quality
+   * score): `filter(is_keeper = 0)` is the drop list, anti-joinable
+   * against the corpus.
+   *
+   * Determinism: keeper = argmax under the TOTAL order (score desc, id
+   * asc) — a pure function of (labels, scores), so the selection replays
+   * in any engine and is stable across reruns/partitionings. Null scores
+   * rank LAST (a null-scored doc only keeps a cluster whose every member
+   * is null-scored; then min id).
+   *
+   * Scale shape: `labels` is pair-population-sized (near-dup members
+   * only — a vanishing fraction of any curated corpus), so the score
+   * join touches |labels| rows of (id, score) — never text — and the
+   * keeper window partitions by cluster over that same bounded table;
+   * the corpus itself is scanned once for scores and never shuffled.
+   */
+  def clusterCanonical(labels: DataFrame, docs: DataFrame,
+                       idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = docs.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("long").as("__score"))
+    val j = labels.select(col("id").cast("long").as("id"), col("cluster"))
+      .join(scores, Seq("id"), "left")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__score").desc_nulls_last, col("id").asc)
+    // first id under the total order, frame pinned to the partition head:
+    // every member row sees the keeper without a second shuffle
+    j.withColumn("keeper", first(col("id")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("is_keeper", when(col("id") === col("keeper"), 1L).otherwise(0L))
+      .select(col("id"), col("cluster"), col("keeper"), col("is_keeper"))
+  }
+
   def clustersIncremental(labels: DataFrame, newPairs: DataFrame,
                           maxIter: Int = 12,
                           driverMaxEdges: Long = 2000000L,

@@ -2147,4 +2147,62 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Similarity.mmrRerank(cands, sims, k = 2, lambdaPermille = 1001))
   }
+
+  test("clusterCanonical: score argmax, id tie-break, nulls last, one keeper per cluster") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),   // cluster 1
+      (10L, 10L), (11L, 10L),                        // cluster 10: score tie
+      (20L, 20L), (21L, 20L)                         // cluster 20: all-null scores
+    ).toDF("id", "cluster")
+    val docs = Seq(
+      (1L, Some(5L)), (2L, Some(9L)), (3L, Some(9L)), // 2 wins (9, tie → min id)
+      (10L, Some(4L)), (11L, Some(4L)),               // 10 wins (tie → min id)
+      (20L, None), (21L, None)                        // null scores → min id 20
+    ).toDF("doc_id", "score")
+    val r = Dedup.clusterCanonical(labels, docs, "doc_id", "score")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ((1L, 2L, 0L)) && r(2L) == ((1L, 2L, 1L)) && r(3L) == ((1L, 2L, 0L)))
+    assert(r(10L) == ((10L, 10L, 1L)) && r(11L) == ((10L, 10L, 0L)))
+    assert(r(20L) == ((20L, 20L, 1L)) && r(21L) == ((20L, 20L, 0L)))
+    // exactly one keeper per cluster
+    val perCluster = r.values.groupBy(_._1).view.mapValues(_.count(_._3 == 1L)).toMap
+    assert(perCluster.values.forall(_ == 1))
+    // null score loses to ANY scored member: mixed cluster
+    val r2 = Dedup.clusterCanonical(
+      Seq((30L, 30L), (31L, 30L)).toDF("id", "cluster"),
+      Seq((30L, None), (31L, Some(1L))).toDF("doc_id", "score"),
+      "doc_id", "score")
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r2 == Map(30L -> 0L, 31L -> 1L))
+  }
+
+  test("blocklistStats: word boundaries, adjacent repeats, phrases, totality") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "bad badge bad"),          // "badge" must NOT match "bad"; 2 hits
+      (2L, "bad bad bad"),            // adjacent repeats each count: 3
+      (3L, "a hot garbage dump"),     // phrase "hot garbage" hits once
+      (4L, "hot and garbage apart"),  // split phrase tokens: NO phrase hit
+      (5L, "Bad, HOT-garbage bad!"),  // case/punct-insensitive: 2 + 1
+      (6L, "clean words only"),       // clean
+      (7L, null.asInstanceOf[String]), // null text → 0 tokens, clean
+      (8L, "a a a")                   // self-overlapping phrase "a a": greedy = 1
+    ).toDF("doc_id", "text")
+    val r = Curation.blocklistStats(docs, Seq("bad", "hot garbage", "a a"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    assert(r(1L) == ((3L, 2L, 1L, 666L, 0L)))
+    assert(r(2L) == ((3L, 3L, 1L, 1000L, 0L)))
+    assert(r(3L) == ((4L, 1L, 1L, 250L, 0L)))
+    assert(r(4L) == ((4L, 0L, 0L, 0L, 1L)))   // boundary: phrase needs adjacency
+    assert(r(5L) == ((4L, 3L, 2L, 750L, 0L))) // "Bad," + "bad!" + "HOT-garbage"
+    assert(r(6L) == ((3L, 0L, 0L, 0L, 1L)))
+    assert(r(7L) == ((0L, 0L, 0L, 0L, 1L)))   // null-total
+    assert(r(8L) == ((3L, 1L, 1L, 333L, 0L))) // greedy non-overlap
+    // entries with no [a-z]+ content are rejected loudly
+    intercept[IllegalArgumentException](
+      Curation.blocklistStats(docs, Seq("bad", "42")))
+    intercept[IllegalArgumentException](
+      Curation.blocklistStats(docs, Seq.empty))
+  }
 }
