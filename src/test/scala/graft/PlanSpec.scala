@@ -452,6 +452,50 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE-off parity for the round-10 gates") {
+    val names = Seq("q_components_conv", "q_blocklist", "q_mad",
+      "q_dedup_canonical")
+    names.foreach { n =>
+      val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val off = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
+        assert(off == on, s"$n diverges under AQE-off")
+        assert(on.nonEmpty, s"$n empty at $sf — parity vacuous")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("blocklistStats plan is scan-local: no exchange, no UDF") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.pipeline.Curation.blocklistStats(docs,
+      Seq("slow", "big table", "forbidden"))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"blocklist report shuffled — it must stay a projection:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"blocklist uses a UDF — must be codegen'd HOFs:\n$plan")
+  }
+
+  test("clusterCanonical plan never shuffles the corpus text") {
+    // the keeper window partitions the labels table (pair-population-
+    // sized); the documents scan must reach it as (id, score) only
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    import spark.implicits._
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L))
+      .toDF("id", "cluster")
+    val df = graft.pipeline.Dedup.clusterCanonical(labels, docs, "doc_id", "n_chars")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // ReadSchema of the documents scan: id + score columns, never text
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scanLine.nonEmpty, plan)
+    assert(!scanLine.get.contains("text"),
+      s"documents scan reads text for a keeper selection:\n${scanLine.get}")
+  }
+
   test("sssp/components/node2vec plans: no nested-loop or cartesian joins") {
     val edges = spark.read.parquet(s"$sf/lineitem.parquet")
       .selectExpr("l_suppkey as src", "l_partkey as dst",
