@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.Gis
-import graft.pipeline.{Curation, Dedup, EventAnalytics, Graph, MarketBasket, Provenance, Sampling, Similarity, Sketches, Snapshots, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Evaluation, EventAnalytics, Graph, MarketBasket, Provenance, Sampling, Similarity, Sketches, Snapshots, TextAnalysis}
 import graft.sources.Tables
 import graft.sql.{functions => G}
 import graft.streaming.EventStreams
@@ -831,6 +831,33 @@ object SparkEntry {
         .select(col("doc_id"))
       graft.pipeline.Evaluation.retrievalEval(
         res.select(col("doc_id"), col("rank")), truth)
+    }),
+
+    // binary-classifier evaluation (the quality-filter calibration
+    // report): label = doc contains the token "slow", score = n_chars,
+    // threshold 300 — confusion counts, P/R/F1 permille, and EXACT
+    // tie-corrected Mann–Whitney ROC-AUC carried as 2U integers; the
+    // corpus collapses to per-distinct-score tallies (≤65536, cap-thrown)
+    // before the one bounded cumsum window
+    "q_binary_eval" -> ((s, d) => {
+      val toks = array_remove(
+        split(lower(coalesce(col("text"), lit(""))), "[^a-z]+"), "")
+      val scored = Tables.table(s, d, "documents").select(
+        when(array_contains(toks, "slow"), 1L).otherwise(0L).as("label"),
+        col("n_chars").cast("long").as("score"))
+      Evaluation.binaryEval(scored, "label", "score", threshold = 300)
+    }),
+
+    // reliability bins for the same (label, score) pairs: 10 equal-width
+    // integer bins over the observed [min, max], observed positive rate
+    // + mean score per bin — binaryEval's calibration-plot data
+    "q_calibration" -> ((s, d) => {
+      val toks = array_remove(
+        split(lower(coalesce(col("text"), lit(""))), "[^a-z]+"), "")
+      val scored = Tables.table(s, d, "documents").select(
+        when(array_contains(toks, "slow"), 1L).otherwise(0L).as("label"),
+        col("n_chars").cast("long").as("score"))
+      Evaluation.calibrationBins(scored, "label", "score", bins = 10)
     }),
 
     // overlapping fixed-window chunking (stride < size)
@@ -3719,6 +3746,44 @@ object SparkEntry {
         "ORDER BY bm25 DESC, doc_id ASC LIMIT 20"),
 
     // the bm25 replay feeding the eval counters: rank over the identical
+    // same tokenizer-derived label, same per-distinct-score tallies,
+    // same strictly-below cumsum and 2U tie arithmetic
+    "q_binary_eval" ->
+      ("WITH t AS (SELECT CASE WHEN list_contains(list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z]+'), " +
+        "x -> x <> ''), 'slow') THEN 1 ELSE 0 END AS y, " +
+        "CAST(n_chars AS BIGINT) AS s FROM documents WHERE n_chars IS NOT NULL), " +
+        "g AS (SELECT s, sum(y) AS cp, count(*) - sum(y) AS cn FROM t GROUP BY 1), " +
+        "u AS (SELECT s, cp, cn, coalesce(sum(cn) OVER (ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb FROM g), " +
+        "a AS (SELECT sum(cp) AS n_pos, sum(cn) AS n_neg, " +
+        "sum(cp * nb * 2 + cp * cn) AS u2, " +
+        "sum(CASE WHEN s >= 300 THEN cp ELSE 0 END) AS tp, " +
+        "sum(CASE WHEN s >= 300 THEN cn ELSE 0 END) AS fp FROM u) " +
+        "SELECT CAST(n_pos + n_neg AS BIGINT) AS n, " +
+        "CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg, " +
+        "CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, " +
+        "CAST(n_pos - tp AS BIGINT) AS fn, CAST(n_neg - fp AS BIGINT) AS tn, " +
+        "CAST((tp * 1000) // greatest(tp + fp, 1) AS BIGINT) AS precision_permille, " +
+        "CAST((tp * 1000) // greatest(n_pos, 1) AS BIGINT) AS recall_permille, " +
+        "CAST((tp * 2000) // greatest(2 * tp + fp + (n_pos - tp), 1) AS BIGINT) AS f1_permille, " +
+        "CAST((u2 * 1000) // greatest(2 * n_pos * n_neg, 1) AS BIGINT) AS auc_permille " +
+        "FROM a"),
+
+    // same label/score, same integer equal-width binning over the
+    // replayed [min, max]
+    "q_calibration" ->
+      ("WITH t AS (SELECT CASE WHEN list_contains(list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z]+'), " +
+        "x -> x <> ''), 'slow') THEN 1 ELSE 0 END AS y, " +
+        "CAST(n_chars AS BIGINT) AS s FROM documents WHERE n_chars IS NOT NULL), " +
+        "mm AS (SELECT min(s) AS lo, max(s) AS hi FROM t) " +
+        "SELECT CAST(((s - mm.lo) * 10) // (mm.hi - mm.lo + 1) AS BIGINT) AS bin, " +
+        "count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos, " +
+        "CAST((sum(y) * 1000) // count(*) AS BIGINT) AS pos_rate_permille, " +
+        "CAST(sum(s) // count(*) AS BIGINT) AS mean_score " +
+        "FROM t, mm GROUP BY 1"),
+
     // (bm25 DESC, doc_id) order, truth = docs with >= 2 distinct matched
     // terms, then hits/recall/first-rank re-derived with pure integers
     "q_retrieval_eval" ->

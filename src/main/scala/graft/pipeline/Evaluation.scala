@@ -74,4 +74,107 @@ object Evaluation {
       .agg(count(lit(1)).as("n_lists"),
         sum(expr(s"${scale}L div ($kConst + __r)")).as("rrf_score"))
   }
+
+  /**
+   * Binary-classifier evaluation — the calibration report behind every
+   * classifier-based quality filter (the GPT-3 LR filter / FineWeb-Edu
+   * scorer pattern: score documents, keep above a threshold; this
+   * operator says what the threshold buys). One row:
+   * confusion counts at `threshold` (predict positive iff score ≥ t),
+   * precision/recall/F1 in permille, and EXACT ROC-AUC in permille via
+   * the tie-corrected Mann–Whitney statistic — per distinct score s:
+   * U2 += 2·pos(s)·negBelow(s) + pos(s)·neg(s) (ties contribute half,
+   * kept integer by carrying 2U), AUC = 1000·U2 div (2·P·N). All-integer
+   * throughout, so the whole report replays cross-engine.
+   *
+   * Labels must be 0/1 (validated — a 2 would silently corrupt the
+   * positive tallies); null labels/scores drop. Scores must be integers:
+   * a calibrated classifier emits quantized scores (permille/centile), so
+   * the per-score tally table is vocabulary-bounded — that is also the
+   * SCALE contract: the corpus-sized input collapses to ≤
+   * `maxDistinctScores` (score, pos, neg) rows in ONE map-side-combined
+   * aggregate, and only that bounded table rides the ordered cumsum
+   * window. Raw unbounded scores (e.g. raw logits at float precision)
+   * must be quantized first; the cap throws rather than letting a
+   * single-partition window absorb an unbounded table.
+   */
+  def binaryEval(df: DataFrame, labelCol: String, scoreCol: String,
+                 threshold: Long,
+                 maxDistinctScores: Long = 65536L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(labelCol).cast("long").as("y"),
+        col(scoreCol).cast("long").as("s"))
+    val g = t.groupBy(col("s"))
+      .agg(sum(col("y")).as("cp"),
+        (count(lit(1)) - sum(col("y"))).as("cn"),
+        min(col("y")).as("__miny"), max(col("y")).as("__maxy"))
+      .cache()
+    val v = g.agg(count(lit(1)), coalesce(min(col("__miny")), lit(0L)),
+      coalesce(max(col("__maxy")), lit(0L))).head()
+    require(v.getLong(0) <= maxDistinctScores,
+      s"${v.getLong(0)} distinct scores > cap $maxDistinctScores — " +
+        "quantize scores (permille/centile) before evaluating")
+    require(v.getLong(1) >= 0L && v.getLong(2) <= 1L,
+      s"labels must be 0/1, saw [${v.getLong(1)}, ${v.getLong(2)}]")
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("nb", coalesce(sum(col("cn")).over(w), lit(0L)))
+      .agg(coalesce(sum(col("cp")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("cn")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("cp") * col("nb") * 2L + col("cp") * col("cn")),
+          lit(0L)).as("__u2"),
+        coalesce(sum(when(col("s") >= threshold, col("cp")).otherwise(0L)),
+          lit(0L)).as("tp"),
+        coalesce(sum(when(col("s") >= threshold, col("cn")).otherwise(0L)),
+          lit(0L)).as("fp"))
+      .withColumn("n", col("n_pos") + col("n_neg"))
+      .withColumn("fn", col("n_pos") - col("tp"))
+      .withColumn("tn", col("n_neg") - col("fp"))
+      .withColumn("precision_permille",
+        expr("(tp * 1000) div greatest(tp + fp, 1)"))
+      .withColumn("recall_permille",
+        expr("(tp * 1000) div greatest(n_pos, 1)"))
+      .withColumn("f1_permille",
+        expr("(tp * 2000) div greatest(2 * tp + fp + fn, 1)"))
+      .withColumn("auc_permille",
+        expr("(__u2 * 1000) div greatest(2 * n_pos * n_neg, 1)"))
+      .select(col("n"), col("n_pos"), col("n_neg"), col("tp"), col("fp"),
+        col("fn"), col("tn"), col("precision_permille"),
+        col("recall_permille"), col("f1_permille"), col("auc_permille"))
+  }
+
+  /**
+   * Reliability (calibration) bins — [[binaryEval]]'s companion plot
+   * data: equal-WIDTH integer score bins over the observed [min, max]
+   * (bin = (s − min)·bins div (max − min + 1), so every score maps to
+   * exactly one of `bins` bins with no float boundary ambiguity), each
+   * with its count, positive count, observed positive rate and mean
+   * score in permille of the corpus — a well-calibrated scorer shows
+   * pos_rate tracking the bin's score range. Two passes: one min/max
+   * aggregate (two driver-held longs, the q_winsorize shape), one
+   * map-side-combined group-by over ≤ `bins` keys. Output ≤ `bins` rows
+   * at any corpus size; all-integer.
+   */
+  def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins out of [2, 1000]: $bins")
+    val t = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(labelCol).cast("long").as("y"),
+        col(scoreCol).cast("long").as("s"))
+    val mm = t.agg(min(col("s")), max(col("s"))).head()
+    if (mm.isNullAt(0)) return t.select(lit(0L).as("bin"), lit(0L).as("n"),
+      lit(0L).as("n_pos"), lit(0L).as("pos_rate_permille"),
+      lit(0L).as("mean_score")).limit(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    t.withColumn("bin",
+        expr(s"((s - ${lo}L) * ${bins}L) div ${hi - lo + 1}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("s")).as("__ss"))
+      .withColumn("pos_rate_permille", expr("(n_pos * 1000) div n"))
+      .withColumn("mean_score", expr("__ss div n"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("pos_rate_permille"), col("mean_score"))
+  }
 }

@@ -2148,6 +2148,64 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.mmrRerank(cands, sims, k = 2, lambdaPermille = 1001))
   }
 
+  test("binaryEval: hand-computed confusion + tie-corrected exact AUC; validation") {
+    import spark.implicits._
+    // scores: pos at {3, 5, 5, 9}, neg at {1, 5, 7} — one three-way tie at 5.
+    // Pairwise over 4x3=12 (pos, neg) pairs: pos3 beats neg1 (1);
+    // pos5,pos5 each beat neg1 (2) and half-tie neg5 (2*0.5);
+    // pos9 beats all three (3) → AUC = (1+2+1+3)/12 = 7/12 = 0.5833…
+    val rows = Seq((1L, 3L), (1L, 5L), (1L, 5L), (1L, 9L),
+      (0L, 1L), (0L, 5L), (0L, 7L)).toDF("label", "score")
+    val r = Evaluation.binaryEval(rows, "label", "score", threshold = 5L).head()
+    val m = r.getValuesMap[Long](r.schema.fieldNames)
+    assert(m("n") == 7L && m("n_pos") == 4L && m("n_neg") == 3L)
+    assert(m("tp") == 3L && m("fn") == 1L) // pos >= 5: the two 5s and the 9
+    assert(m("fp") == 2L && m("tn") == 1L) // neg >= 5: the 5 and the 7
+    assert(m("precision_permille") == 600L) // 3/5
+    assert(m("recall_permille") == 750L)    // 3/4
+    assert(m("f1_permille") == 666L)        // 6/9 floored
+    assert(m("auc_permille") == 583L)       // 7/12 floored
+    // null label/score rows drop, not corrupt
+    val withNulls = rows.union(Seq((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(4L)),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long])).toDF("label", "score"))
+    assert(Evaluation.binaryEval(withNulls, "label", "score", 5L).head()
+      .getAs[Long]("n") == 7L)
+    // label outside 0/1 throws rather than corrupting tallies
+    intercept[IllegalArgumentException] {
+      Evaluation.binaryEval(Seq((2L, 1L)).toDF("label", "score"), "label", "score", 0L)
+    }
+    // distinct-score cap throws with quantize guidance
+    intercept[IllegalArgumentException] {
+      Evaluation.binaryEval(
+        spark.range(100).selectExpr("id % 2 AS label", "id AS score"),
+        "label", "score", 0L, maxDistinctScores = 10L)
+    }
+    // perfect separation → AUC 1000; reversed → 0
+    val perfect = Seq((1L, 10L), (1L, 9L), (0L, 2L), (0L, 1L)).toDF("label", "score")
+    assert(Evaluation.binaryEval(perfect, "label", "score", 9L).head()
+      .getAs[Long]("auc_permille") == 1000L)
+    val reversed = Seq((0L, 10L), (0L, 9L), (1L, 2L), (1L, 1L)).toDF("label", "score")
+    assert(Evaluation.binaryEval(reversed, "label", "score", 9L).head()
+      .getAs[Long]("auc_permille") == 0L)
+  }
+
+  test("calibrationBins: integer equal-width bins, rate and mean replay") {
+    import spark.implicits._
+    // scores 0..9 with labels = 1 for score >= 6: bins=5 over [0, 9],
+    // width arithmetic bin = (s - 0) * 5 div 10 → {0,1,2,3,4} × 2 each
+    val rows = (0L to 9L).map(s => (if (s >= 6) 1L else 0L, s)).toDF("label", "score")
+    val r = Evaluation.calibrationBins(rows, "label", "score", bins = 5)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(r(0L) == ((2L, 0L, 0L, 0L)))     // scores 0,1
+    assert(r(2L) == ((2L, 0L, 0L, 4L)))     // scores 4,5 → mean 4 (floored)
+    assert(r(3L) == ((2L, 2L, 1000L, 6L)))  // scores 6,7 → both positive
+    assert(r(4L) == ((2L, 2L, 1000L, 8L)))  // scores 8,9
+    // empty input → empty frame, not a crash
+    assert(Evaluation.calibrationBins(rows.limit(0), "label", "score").count() == 0L)
+  }
+
   test("clusterCanonical: score argmax, id tie-break, nulls last, one keeper per cluster") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),   // cluster 1
