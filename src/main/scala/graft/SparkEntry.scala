@@ -898,6 +898,15 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables.table(s, d, "documents"), "doc_id", "text",
         threshold = 0.8).select(col("id_a"), col("id_b"))),
 
+    // the published near-dup configuration: MinHash-LSH over 13-WORD
+    // shingles at Jaccard 0.8 (Gopher/MassiveText, SlimPajama) — word
+    // shingles catch token-level rewrites that char shingles dilute;
+    // same banded pipeline, exact word-gram verify decides, so the
+    // brute-force word-Jaccard oracle is exact (24 pairs at sf0.01)
+    "q_dedup_minhash_words" -> ((s, d) =>
+      Dedup.minhashLshPairsWords(Tables.table(s, d, "documents"),
+        "doc_id", "text", threshold = 0.8).select(col("id_a"), col("id_b"))),
+
     // EXACT n-gram Jaccard pairs via prefix filtering (AllPairs/PPJoin) —
     // deterministic by construction, so the brute-force Jaccard oracle is
     // exact here (not a recall argument like the minhash row)
@@ -2987,6 +2996,24 @@ object SparkEntry {
 
   private def oracleSqlCore: Map[String, String] = Map(
     "q_dedup_minhash" -> s"WITH $JaccardPairsCtes SELECT id_a, id_b FROM jpairs",
+
+    // brute-force 13-WORD-gram Jaccard over the shared [a-z]+ token
+    // stream; short docs (< 13 tokens) contribute one whole-doc gram —
+    // the operator's short-text convention
+    "q_dedup_minhash_words" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(" +
+        "lower(coalesce(text, '')), '[^a-z]+'), x -> x <> '') AS t FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(" +
+        "CASE WHEN len(t) = 0 THEN [] " +
+        "WHEN len(t) < 13 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(range(1, len(t) - 11), i -> array_to_string(t[i:i+12], ' ')) " +
+        "END)) AS gram FROM toks), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1), " +
+        "co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+        "FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b FROM co " +
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8"),
 
     // exact prefix-filtered Jaccard join: same pair set, exact by design
     "q_dedup_ngram" -> s"WITH $JaccardPairsCtes SELECT id_a, id_b FROM jpairs",

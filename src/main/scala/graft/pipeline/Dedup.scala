@@ -110,16 +110,55 @@ object Dedup {
                       numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
                       threshold: Double = 0.8, maxBucket: Int = 1000,
                       metrics: Option[Observation] = None): DataFrame = {
+    import org.apache.spark.sql.graft.MinHashSig
+    lshPairsImpl(df, idCol, textCol,
+      t => c(MinHashSig(e(t), e(lit(numHashes)), e(lit(shingle)))),
+      (a, b) => ngramJaccard(a, b, shingle),
+      bands, threshold, maxBucket, metrics)
+  }
+
+  /**
+   * [[minhashLshPairs]] on WORD shingles — the published near-dup
+   * configuration (Gopher/MassiveText §A1.2 and SlimPajama shingle on 13
+   * WORDS at Jaccard 0.8; char shingles catch byte mirrors, word shingles
+   * catch token-level rewrites and ignore whitespace/punctuation noise).
+   * Words are the corpus-standard [a-z]+ lowercase tokens, so the gram
+   * sets replay in any engine; docs shorter than `shingleWords` tokens
+   * contribute ONE whole-doc shingle (the short-text convention shared
+   * with the char unit). Same signature/band/bucket/verify pipeline and
+   * the same cap + metrics contract as the char variant — only the
+   * shingle unit differs.
+   */
+  def minhashLshPairsWords(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 64, bands: Int = 16,
+                           shingleWords: Int = 13,
+                           threshold: Double = 0.8, maxBucket: Int = 1000,
+                           metrics: Option[Observation] = None): DataFrame = {
+    import org.apache.spark.sql.graft.{MinHashSigWords, WordNgramJaccard}
+    lshPairsImpl(df, idCol, textCol,
+      t => c(MinHashSigWords(e(t), e(lit(numHashes)), e(lit(shingleWords)))),
+      (a, b) => c(WordNgramJaccard(e(a), e(b), e(lit(shingleWords)))),
+      bands, threshold, maxBucket, metrics)
+  }
+
+  /** The shared LSH pipeline behind both shingle units: signature →
+    * band → capped bucket → estimate-prefiltered in-bucket candidates →
+    * exact verify. `sigOf` builds the signature column from the text;
+    * `verifyJaccard` the exact Jaccard column for the verify join. */
+  private def lshPairsImpl(df: DataFrame, idCol: String, textCol: String,
+                           sigOf: Column => Column,
+                           verifyJaccard: (Column, Column) => Column,
+                           bands: Int, threshold: Double, maxBucket: Int,
+                           metrics: Option[Observation]): DataFrame = {
     // default 64 hashes / 16 bands of 4: detection prob at s=0.8 is
     // 1-(1-0.8^4)^16 ≈ 0.9998 — same band width as 128/32 at half the
     // signature cost (the dominant term of corpus-scale dedup)
-    import org.apache.spark.sql.graft.{MinHashSig, SigBands, SigJaccard}
+    import org.apache.spark.sql.graft.{SigBands, SigJaccard}
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
 
     // 1. one signature pass per document (the only scan of the full text)
     val sigs = base
-      .select(col("id"),
-        c(MinHashSig(e(col("text")), e(lit(numHashes)), e(lit(shingle)))).as("sig"))
+      .select(col("id"), sigOf(col("text")).as("sig"))
 
     // 2. band → bucket, CARRYING the signature into the bucket rows: the
     //    candidate shuffle ships n × bands × (id + sig ≈ 0.5 KB) — the
@@ -151,7 +190,7 @@ object Dedup {
     val ta = base.select(col("id").as("id_a"), col("text").as("text_a"))
     val tb = base.select(col("id").as("id_b"), col("text").as("text_b"))
     estimated.join(ta, "id_a").join(tb, "id_b")
-      .withColumn("jaccard", ngramJaccard(col("text_a"), col("text_b"), shingle))
+      .withColumn("jaccard", verifyJaccard(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -135,6 +135,39 @@ case class NgramJaccard(first: Expression, second: Expression, third: Expression
       f: Expression, s: Expression, t: Expression): NgramJaccard = copy(f, s, t)
 }
 
+/** minhash_sig_words(text, numHashes, nWords) → array<long>: MinHash
+  * signature over WORD shingles — the published near-dup unit
+  * (Gopher/MassiveText 13-word shingles), same affine construction as
+  * [[MinHashSig]] so bands/estimates share machinery. */
+case class MinHashSigWords(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig_words"
+  override protected def nullSafeEval(text: Any, numHashes: Any, n: Any): Any =
+    new GenericArrayData(TextCore.minhashWords(text.toString,
+      numHashes.asInstanceOf[Int], n.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): MinHashSigWords = copy(f, s, t)
+}
+
+/** word_ngram_jaccard(a, b, nWords) → double: exact word-n-gram Jaccard. */
+case class WordNgramJaccard(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngram_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any, n: Any): Any =
+    TextCore.wordNgramJaccard(a.toString, b.toString, n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, n) =>
+      s"graft.text.TextCore.wordNgramJaccard($a.toString(), $b.toString(), $n)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WordNgramJaccard = copy(f, s, t)
+}
+
 /** lang_id(text) → string: heuristic language code (script + stopword vote). */
 case class LangId(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {

@@ -164,6 +164,104 @@ object TextCore {
     inter.toDouble / (sa.length + sb.length - inter)
   }
 
+  /**
+   * Distinct hashed WORD n-gram shingles — the published near-dup unit
+   * (Gopher/MassiveText and SlimPajama shingle on 13 WORDS, not chars;
+   * char shingles catch byte-level mirrors, word shingles catch
+   * token-level rewrites and are robust to whitespace/punctuation noise).
+   * Words = maximal [a-z]+ runs of the ASCII-lowercased text — exactly
+   * the corpus tokenizer every text gate shares, so any engine rebuilds
+   * the same token stream. Each window hashes as the polynomial hash of
+   * its tokens joined by a single space (no string is built), SplitMix64-
+   * finalized. Fewer than n tokens → ONE shingle of all tokens (the
+   * char-shingle short-text convention); zero tokens → empty.
+   * Returns SORTED distinct hashes — directly mergeable by
+   * [[sortedJaccard]].
+   */
+  def wordShingleHashes(text: String, n: Int): Array[Long] = {
+    val len = text.length
+    // token bounds: flattened (start, end) pairs of lowercase [a-z]+ runs
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int](32)
+    var i = 0
+    while (i < len) {
+      var c = text.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (c >= 'a' && c <= 'z') {
+        val start = i
+        var j = i
+        var cc = c
+        while (j < len && cc >= 'a' && cc <= 'z') {
+          j += 1
+          if (j < len) {
+            cc = text.charAt(j)
+            if (cc >= 'A' && cc <= 'Z') cc = (cc + 32).toChar
+          } else cc = ' '
+        }
+        bounds += start; bounds += j
+        i = j
+      } else i += 1
+    }
+    val ntok = bounds.length / 2
+    if (ntok == 0) return Array.empty
+    val win = if (ntok < n) ntok else n
+    val m = ntok - win + 1
+    val out = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      var h = 1125899906842597L
+      var t = w
+      val endTok = w + win
+      while (t < endTok) {
+        var p = bounds(2 * t)
+        val e = bounds(2 * t + 1)
+        while (p < e) {
+          var c = text.charAt(p)
+          if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+          h = 31 * h + c
+          p += 1
+        }
+        if (t < endTok - 1) h = 31 * h + ' '
+        t += 1
+      }
+      out(w) = mix64(h)
+      w += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place distinct over the sorted array
+    var k = 0
+    var r = 0
+    while (r < m) {
+      if (r == 0 || out(r) != out(r - 1)) { out(k) = out(r); k += 1 }
+      r += 1
+    }
+    if (k == m) out else java.util.Arrays.copyOf(out, k)
+  }
+
+  /** MinHash signature over WORD shingles — [[minhash]]'s published-unit
+    * twin; identical affine-permutation construction, so signatures from
+    * the two units band and compare with the same machinery. */
+  def minhashWords(text: String, numHashes: Int, n: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val shingles = wordShingleHashes(text, n)
+    val (a, b) = affineParams(numHashes)
+    var s = 0
+    while (s < shingles.length) {
+      val base = shingles(s)
+      var i = 0
+      while (i < numHashes) {
+        val h = a(i) * base + b(i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** Exact Jaccard of the two texts' WORD-n-gram sets. */
+  def wordNgramJaccard(a: String, b: String, n: Int): Double =
+    sortedJaccard(wordShingleHashes(a, n), wordShingleHashes(b, n))
+
   /** Jaccard from two SORTED distinct-hash arrays — the array-shaped twin of
     * [[ngramJaccard]] (bit-identical IEEE result) for pipelines that already
     * carry the gram sets and must not re-shingle the text per pair. */

@@ -2148,6 +2148,45 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.mmrRerank(cands, sims, k = 2, lambdaPermille = 1001))
   }
 
+  test("wordShingleHashes/minhashLshPairsWords: tokenizer parity, brute differential") {
+    import spark.implicits._
+    import graft.text.TextCore
+    // word shingles ignore punctuation/whitespace noise entirely
+    assert(TextCore.wordShingleHashes("the quick brown fox", 2).toSeq ==
+      TextCore.wordShingleHashes("The  QUICK!! brown... 42 fox", 2).toSeq)
+    // shingle identity: same token sequence, same hashes; shifted differs
+    val a = TextCore.wordShingleHashes("a b c d", 2)
+    assert(a.length == 3 && a.toSeq == a.sorted.toSeq) // sorted distinct
+    assert(TextCore.wordNgramJaccard("a b c d", "a b c d", 2) == 1.0)
+    assert(TextCore.wordNgramJaccard("a b c", "x y z", 2) == 0.0)
+    // short-text convention: < n tokens → one whole-doc shingle
+    assert(TextCore.wordShingleHashes("one two", 13).length == 1)
+    assert(TextCore.wordShingleHashes("", 13).isEmpty)
+    assert(TextCore.wordNgramJaccard("one two", "ONE-two!", 13) == 1.0)
+    // brute-force differential: 40 docs, half mutated copies, word unit
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("spark", "table", "scan", "merge", "join", "row",
+      "batch", "fast", "slow", "key")
+    def doc(): String = (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val originals = (0L until 20L).map(i => (i, doc()))
+    val mutated = originals.map { case (i, t) =>
+      val toks = t.split(" ").toVector
+      val m = if (i % 2 == 0) toks.updated(5, "mutant") else toks // half near-dups
+      (i + 100L, m.mkString(" "))
+    }
+    val docs = (originals ++ mutated).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairsWords(docs, "doc_id", "text",
+        shingleWords = 5, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = (originals ++ mutated)
+    val expected = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      if TextCore.wordNgramJaccard(ta, tb, 5) >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture produced no qualifying pairs — vacuous")
+  }
+
   test("binaryEval: hand-computed confusion + tie-corrected exact AUC; validation") {
     import spark.implicits._
     // scores: pos at {3, 5, 5, 9}, neg at {1, 5, 7} — one three-way tie at 5.
