@@ -141,6 +141,32 @@ object SparkEntry {
     "q_dedup_ingest" -> ((s, d) =>
       Tables.table(s, d, "part").select(col("p_brand"), col("p_type")).distinct()),
 
+    // JSONL ingest with corrupt-line quarantine: the gate round-trips the
+    // documents table through a REAL newline-JSON file with every 13th
+    // line truncated (the crawl-dump mid-write-kill shape), reads it back
+    // PERMISSIVE with an explicit _corrupt column, and reports per-source
+    // good counts/sums + the quarantine bucket. Classification is by
+    // _corrupt IS NOT NULL (never data-field nullness — PERMISSIVE may
+    // partially fill fields parsed before the malformation point); the
+    // oracle replays which doc_ids were corrupted, touching no file
+    "q_ingest_jsonl" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val j = to_json(struct(col("doc_id"), col("source"), col("n_chars")))
+      val lines = docs.select(j.as("__j"), col("doc_id"))
+        .select(when(col("doc_id") % 13 === 0,
+            expr("substring(__j, 1, length(__j) - 1)"))
+          .otherwise(col("__j")).as("value"))
+      val path = s"/tmp/graft_jsonl_${Integer.toHexString(d.hashCode)}"
+      lines.coalesce(4).write.mode("overwrite").text(path)
+      val back = graft.sources.Jsonl.readQuarantined(s, path,
+        "doc_id LONG, source STRING, n_chars LONG")
+      back.groupBy(when(col("_corrupt").isNotNull, "__corrupt")
+          .otherwise(col("source")).as("src"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("_corrupt").isNull, col("n_chars"))), lit(0L))
+            .as("sum_chars"))
+    }),
+
     // ---- filters / spatial predicates (§2.2, §2.3) ----
 
     // F1: key-prefix filter
@@ -3076,6 +3102,15 @@ object SparkEntry {
         "FROM inter"),
 
     "q_dedup_ingest" -> "SELECT DISTINCT p_brand, p_type FROM part",
+
+    // replays WHICH lines the gate corrupted (doc_id % 13) — the file
+    // round-trip is the Spark-side reality, the classification is the
+    // engine-independent contract
+    "q_ingest_jsonl" ->
+      ("SELECT CASE WHEN doc_id % 13 = 0 THEN '__corrupt' ELSE source END AS src, " +
+        "count(*) AS n, " +
+        "CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY 1"),
 
     // grid-density replay: same bit-interleave as the q_geohash_keys
     // oracle, truncated to the 2-char cell prefix, then the group summary
