@@ -209,8 +209,13 @@ object Bench {
 
     // ------- incremental emission state -------
     val nGates = gateQueries(spark, sfDir).size
+    // a FOCUSED run (SPARK_GRAFT_ONLY) must never clobber the committed
+    // full-surface record: it writes only its own side files (measured
+    // the hard way — a 5-query top-up overwrote a fresh 184-query
+    // BENCH_DETAIL.json before it was committed)
     val sidePaths = (sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq :+
-      "/tmp/graft_bench.json" :+ "BENCH_DETAIL.json").distinct
+      "/tmp/graft_bench.json" :++
+      (if (only.isEmpty) Seq("BENCH_DETAIL.json") else Nil)).distinct
     def writeSide(line: String): Unit = sidePaths.foreach { p =>
       scala.util.Try(java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (line + "\n").getBytes("UTF-8")))

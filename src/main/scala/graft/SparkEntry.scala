@@ -683,6 +683,14 @@ object SparkEntry {
     "q_lexical_stats" -> ((s, d) =>
       TextAnalysis.lexicalStats(Tables.table(s, d, "documents"))),
 
+    // per-source distinctive terms by integer lift (c-TF-IDF report):
+    // top-5 tokens whose in-group share most exceeds the corpus share —
+    // overflow-safe two-stage permille arithmetic, (grp, token, count)
+    // is the widest thing shuffled
+    "q_source_terms" -> ((s, d) =>
+      TextAnalysis.distinctiveTerms(Tables.table(s, d, "documents"),
+        topK = 5)),
+
     // per-source character-class composition (charset/script dashboard):
     // disjoint integer class counts summing to total_chars, shares in
     // permille — encoding corruption and script mixes show up here first
@@ -3590,6 +3598,29 @@ object SparkEntry {
     // same [a-z]+ tokenizer ([[vocabStats]]'s), same type/hapax folds,
     // same permille arithmetic (// == div on the non-negative operands);
     // n_docs left-joins so a group with no tokens would still report
+    // same tokenizer, same two-stage permille lift, same (lift desc,
+    // token asc) cut
+    "q_source_terms" ->
+      ("WITH gt AS (SELECT source AS grp, t.token AS token, count(*) AS n_gt " +
+        "FROM documents, unnest(list_filter(string_split_regex(" +
+        "lower(coalesce(text, '')), '[^a-z]+'), x -> x <> '')) AS t(token) " +
+        "GROUP BY 1, 2), " +
+        "g AS (SELECT grp, sum(n_gt) AS n_g FROM gt GROUP BY 1), " +
+        "tt AS (SELECT token, sum(n_gt) AS n_t FROM gt GROUP BY 1), " +
+        "tot AS (SELECT sum(n_gt) AS n_total FROM gt), " +
+        "s AS (SELECT gt.grp, gt.token, gt.n_gt, " +
+        "(gt.n_gt * 1000) // greatest(g.n_g, 1) AS share_g, " +
+        "(tt.n_t * 1000) // greatest(tot.n_total, 1) AS share_all " +
+        "FROM gt JOIN g USING (grp) JOIN tt USING (token) CROSS JOIN tot " +
+        "WHERE gt.n_gt >= 5), " +
+        "r AS (SELECT grp, token, n_gt, " +
+        "(share_g * 1000) // greatest(share_all, 1) AS lift_permille FROM s), " +
+        "k AS (SELECT grp, token, n_gt, lift_permille, row_number() OVER (" +
+        "PARTITION BY grp ORDER BY lift_permille DESC, token ASC) AS rn FROM r) " +
+        "SELECT grp AS source, CAST(rn AS BIGINT) AS rank, token, " +
+        "CAST(n_gt AS BIGINT) AS n_in_group, " +
+        "CAST(lift_permille AS BIGINT) AS lift_permille FROM k WHERE rn <= 5"),
+
     "q_lexical_stats" ->
       ("WITH tok AS (SELECT source AS grp, t.token AS token, count(*) AS cnt " +
         "FROM documents, unnest(list_filter(string_split_regex(" +

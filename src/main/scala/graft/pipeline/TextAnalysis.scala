@@ -1310,4 +1310,55 @@ object TextAnalysis {
       .withColumn("hapax_permille",
         expr("(n_hapax * 1000) div greatest(n_types, 1)"))
   }
+
+  /**
+   * Per-group DISTINCTIVE terms by integer lift — the c-TF-IDF idea
+   * (class-based TF-IDF, the BERTopic/corpus-exploration report): for
+   * each group, the `topK` tokens whose in-group frequency share most
+   * exceeds their corpus-wide share. Answers "what does source X talk
+   * about that the rest of the corpus doesn't" — the first look at any
+   * new source/cluster before deciding mixture weights or filters.
+   *
+   * All-integer scoring that never overflows on corpus-scale counts:
+   * share_in_group = n_gt·1000 div n_g and share_global = n_t·1000 div N
+   * are both ≤ 1000, so lift_permille = share_in_group·1000 div
+   * max(share_global, 1) multiplies nothing wider than 10^6 — the naive
+   * n_gt·N·1000 cross-product would overflow long at lake scale. Ties
+   * (lift desc, token asc); `minCount` floors noise tokens.
+   *
+   * Plan: the token stream collapses to (group, token) counts map-side
+   * (the [[lexicalStats]] shape); token totals and group totals are
+   * grouped-once aggregates of THAT table (never the stream), broadcast
+   * back; one bounded per-group window cuts topK. Nothing wider than
+   * (group, token, count) ever shuffles.
+   */
+  def distinctiveTerms(df: DataFrame, groupCol: String = "source",
+                       textCol: String = "text",
+                       topK: Int = 10, minCount: Long = 5L): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val gt = df.select(col(groupCol).as("grp"),
+        explode(split(lower(coalesce(col(textCol), lit(""))), "[^a-z]+"))
+          .as("token"))
+      .filter(length(col("token")) >= 1)
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("n_gt"))
+    val groupTotals = gt.groupBy(col("grp")).agg(sum(col("n_gt")).as("n_g"))
+    val tokenTotals = gt.groupBy(col("token")).agg(sum(col("n_gt")).as("n_t"))
+    val total = gt.agg(coalesce(sum(col("n_gt")), lit(0L)).as("n_total"))
+    val scored = gt.filter(col("n_gt") >= minCount)
+      .join(broadcast(groupTotals), "grp")
+      .join(tokenTotals, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("share_g", expr("(n_gt * 1000) div greatest(n_g, 1)"))
+      .withColumn("share_all", expr("(n_t * 1000) div greatest(n_total, 1)"))
+      .withColumn("lift_permille",
+        expr("(share_g * 1000) div greatest(share_all, 1)"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("lift_permille").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("grp").as(groupCol), col("rank").cast("long").as("rank"),
+        col("token"), col("n_gt").as("n_in_group"), col("lift_permille"))
+  }
 }

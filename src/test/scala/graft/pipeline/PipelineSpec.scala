@@ -2148,6 +2148,31 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.mmrRerank(cands, sims, k = 2, lambdaPermille = 1001))
   }
 
+  test("distinctiveTerms: lift ranks group-specific tokens first; shared tokens last") {
+    import spark.implicits._
+    // group a: "alpha" dominates and is a-specific; both groups share "common"
+    val docs = (
+      (1 to 30).map(i => (s"a$i", "a", "alpha common word")) ++
+      (1 to 30).map(i => (s"b$i", "b", "beta common word"))
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.distinctiveTerms(docs, topK = 2, minCount = 5L)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2), x.getLong(4)))
+    val a = r.filter(_._1 == "a").sortBy(_._2)
+    // rank 1 for group a must be its exclusive token with lift ~2000
+    // (share_g 333‰ vs share_all 166‰), ahead of the shared tokens (~1000)
+    assert(a.head._3 == "alpha", a.mkString(","))
+    assert(a.head._4 > 1500L && a.head._4 <= 2100L, a.head.toString)
+    val b = r.filter(_._1 == "b").sortBy(_._2)
+    assert(b.head._3 == "beta")
+    // shared tokens score ~parity (1000‰) — never above an exclusive one
+    assert(a.tail.forall(_._4 <= a.head._4))
+    // minCount floors noise: a token with < minCount occurrences never ranks
+    val withRare = docs.union(Seq(("x", "a", "rareword")).toDF("doc_id", "source", "text"))
+    val rr = TextAnalysis.distinctiveTerms(withRare, topK = 5, minCount = 5L)
+      .filter($"token" === "rareword").count()
+    assert(rr == 0L)
+  }
+
   test("wordShingleHashes/minhashLshPairsWords: tokenizer parity, brute differential") {
     import spark.implicits._
     import graft.text.TextCore
