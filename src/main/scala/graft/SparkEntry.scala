@@ -683,6 +683,20 @@ object SparkEntry {
     "q_lexical_stats" -> ((s, d) =>
       TextAnalysis.lexicalStats(Tables.table(s, d, "documents"))),
 
+    // vocabulary drift between two snapshots: even docs = old, odd = new
+    // with a PLANTED drift term on doc_id % 10 = 5 (the spam-infusion /
+    // template-change shape) — top-20 tokens by |share delta| in permille;
+    // full-outer so appearing/vanishing vocabulary reports a 0 side
+    "q_vocab_drift" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val oldDf = docs.filter(col("doc_id") % 2 === 0)
+      val newDf = docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("text", when(col("doc_id") % 10 === 5,
+          concat(col("text"), lit(" driftterm driftterm")))
+          .otherwise(col("text")))
+      TextAnalysis.vocabDrift(oldDf, newDf, topK = 20)
+    }),
+
     // per-source distinctive terms by integer lift (c-TF-IDF report):
     // top-5 tokens whose in-group share most exceeds the corpus share —
     // overflow-safe two-stage permille arithmetic, (grp, token, count)
@@ -3598,6 +3612,34 @@ object SparkEntry {
     // same [a-z]+ tokenizer ([[vocabStats]]'s), same type/hapax folds,
     // same permille arithmetic (// == div on the non-negative operands);
     // n_docs left-joins so a group with no tokens would still report
+    // same split, same planted append, same permille-share deltas and
+    // (|delta| desc, token asc) total-order cut
+    "q_vocab_drift" ->
+      ("WITH oldt AS (SELECT text FROM documents WHERE doc_id % 2 = 0), " +
+        "newt AS (SELECT CASE WHEN doc_id % 10 = 5 " +
+        "THEN text || ' driftterm driftterm' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 2 = 1), " +
+        "oc AS (SELECT t.token, count(*) AS n_old FROM oldt, " +
+        "unnest(list_filter(string_split_regex(lower(coalesce(text, '')), " +
+        "'[^a-z]+'), x -> x <> '')) AS t(token) GROUP BY 1), " +
+        "nc AS (SELECT t.token, count(*) AS n_new FROM newt, " +
+        "unnest(list_filter(string_split_regex(lower(coalesce(text, '')), " +
+        "'[^a-z]+'), x -> x <> '')) AS t(token) GROUP BY 1), " +
+        "tots AS (SELECT greatest((SELECT sum(n_old) FROM oc), 1) AS ot, " +
+        "greatest((SELECT sum(n_new) FROM nc), 1) AS nt), " +
+        "j AS (SELECT coalesce(oc.token, nc.token) AS token, " +
+        "coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new " +
+        "FROM oc FULL OUTER JOIN nc ON oc.token = nc.token), " +
+        "s AS (SELECT token, CAST(n_old AS BIGINT) AS n_old, " +
+        "CAST(n_new AS BIGINT) AS n_new, " +
+        "CAST((n_old * 1000) // tots.ot AS BIGINT) AS share_old_permille, " +
+        "CAST((n_new * 1000) // tots.nt AS BIGINT) AS share_new_permille " +
+        "FROM j, tots WHERE greatest(n_old, n_new) >= 5) " +
+        "SELECT token, n_old, n_new, share_old_permille, share_new_permille, " +
+        "share_new_permille - share_old_permille AS delta_permille FROM s " +
+        "ORDER BY abs(share_new_permille - share_old_permille) DESC, token ASC " +
+        "LIMIT 20"),
+
     // same tokenizer, same two-stage permille lift, same (lift desc,
     // token asc) cut
     "q_source_terms" ->

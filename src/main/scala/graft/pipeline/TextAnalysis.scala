@@ -1312,6 +1312,52 @@ object TextAnalysis {
   }
 
   /**
+   * Vocabulary drift between two corpus snapshots — the crawl-monitoring
+   * report run before accepting a new dump into the training mix: for
+   * each token, its frequency share (permille of all tokens) in the OLD
+   * and NEW snapshot and the signed delta; top `topK` by |delta| (ties:
+   * token asc). A spam infusion, a template change, or an encoding
+   * regression shows up here as a handful of tokens grabbing share
+   * before any downstream metric moves.
+   *
+   * All-integer (permille shares, signed delta), full-outer semantics
+   * (a token present in only one snapshot reports a 0 share on the
+   * other side — appearing and vanishing vocabulary is exactly the
+   * signal). `minCount` floors one-off noise on the MAX of the two
+   * counts, so a token must matter in at least one snapshot.
+   *
+   * Plan: each snapshot collapses to (token, count) map-side; one hash
+   * join of the two bounded vocab tables; the top-k cut is a bounded
+   * TakeOrdered. Nothing corpus-sized ever shuffles.
+   */
+  def vocabDrift(oldDf: DataFrame, newDf: DataFrame,
+                 textCol: String = "text",
+                 topK: Int = 20, minCount: Long = 5L): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def counts(df: DataFrame): DataFrame =
+      df.select(explode(split(lower(coalesce(col(textCol), lit(""))),
+          "[^a-z]+")).as("token"))
+        .filter(length(col("token")) >= 1)
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val o = counts(oldDf)
+    val n = counts(newDf)
+    val oTot = math.max(1L, o.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0))
+    val nTot = math.max(1L, n.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0))
+    o.withColumnRenamed("n", "n_old")
+      .join(n.withColumnRenamed("n", "n_new"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .filter(greatest(col("n_old"), col("n_new")) >= minCount)
+      .withColumn("share_old_permille", expr(s"(n_old * 1000) div ${oTot}L"))
+      .withColumn("share_new_permille", expr(s"(n_new * 1000) div ${nTot}L"))
+      .withColumn("delta_permille",
+        col("share_new_permille") - col("share_old_permille"))
+      .orderBy(abs(col("delta_permille")).desc, col("token").asc)
+      .limit(topK)
+  }
+
+  /**
    * Per-group DISTINCTIVE terms by integer lift — the c-TF-IDF idea
    * (class-based TF-IDF, the BERTopic/corpus-exploration report): for
    * each group, the `topK` tokens whose in-group frequency share most

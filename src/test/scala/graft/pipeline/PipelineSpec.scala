@@ -2148,6 +2148,26 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.mmrRerank(cands, sims, k = 2, lambdaPermille = 1001))
   }
 
+  test("vocabDrift: appearing/vanishing/shifting vocabulary, minCount floor") {
+    import spark.implicits._
+    val oldDf = ((1 to 50).map(i => (s"o$i", "aaa bbb")) ++
+      (1 to 50).map(i => (s"o2$i", "aaa gone"))).toDF("doc_id", "text")
+    val newDf = ((1 to 50).map(i => (s"n$i", "aaa bbb")) ++
+      (1 to 50).map(i => (s"n2$i", "aaa fresh"))).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabDrift(oldDf, newDf, topK = 10, minCount = 5L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(5))).toMap
+    // "gone" vanished (250‰ → 0), "fresh" appeared (0 → 250‰), both top
+    assert(r("gone") == ((50L, 0L, -250L)))
+    assert(r("fresh") == ((0L, 50L, 250L)))
+    assert(r("aaa") == ((100L, 100L, 0L))) // stable share, zero delta
+    // a token below minCount in BOTH snapshots never reports
+    val withRare = TextAnalysis.vocabDrift(
+      oldDf.union(Seq(("x", "rare")).toDF("doc_id", "text")), newDf,
+      topK = 50, minCount = 5L)
+    assert(withRare.filter($"token" === "rare").count() == 0L)
+  }
+
   test("distinctiveTerms: lift ranks group-specific tokens first; shared tokens last") {
     import spark.implicits._
     // group a: "alpha" dominates and is a-specific; both groups share "common"
