@@ -454,7 +454,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("AQE-off parity for the round-10 gates") {
     val names = Seq("q_components_conv", "q_blocklist", "q_mad",
-      "q_dedup_canonical")
+      "q_dedup_canonical", "q_binary_eval", "q_calibration",
+      "q_dedup_minhash_words", "q_ingest_jsonl", "q_source_terms",
+      "q_vocab_drift")
     names.foreach { n =>
       val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
       spark.conf.set("spark.sql.adaptive.enabled", "false")
