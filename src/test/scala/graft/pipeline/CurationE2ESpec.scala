@@ -213,6 +213,50 @@ class CurationE2ESpec extends AnyFunSuite {
       folds.select("doc_id", "fold").collect().map(_.toSeq).toSet)
   }
 
+  test("v5 chain: blocklist gate -> word-minhash clusters -> canonical keeper -> drift audit -> classifier eval") {
+    // the round-10 operators composed the way a production refresh runs:
+    // 1. page-level blocklist gate (C4 §2.2): drop any doc with a hit
+    val bl = Curation.blocklistStats(docs, Seq("forbidden phrase", "spamword"))
+    val clean = docs.join(bl.filter($"is_clean" === 1L).select("doc_id"), "doc_id")
+    assert(clean.count() == docs.count(), "synthetic corpus has no bad words — gate must pass all")
+    // 2. near-dup clusters on the PUBLISHED unit (13-word shingles @ 0.8)
+    val pairs = Dedup.minhashLshPairsWords(clean, "doc_id", "text")
+      .select($"id_a", $"id_b")
+    val labels = Dedup.clusters(pairs)
+    // 3. canonical keeper per cluster by length; survivors = keepers +
+    //    every unclustered doc
+    val canon = Dedup.clusterCanonical(labels, clean, "doc_id", "n_chars")
+    val dropIds = canon.filter($"is_keeper" === 0L).select($"id".as("doc_id"))
+    val survivors = clean.join(dropIds, Seq("doc_id"), "left_anti")
+    val nClusters = labels.select("cluster").distinct().count()
+    assert(survivors.count() == clean.count() - (labels.count() - nClusters),
+      "each cluster must lose exactly (size - 1) members")
+    // keepers are the longest member of each cluster (ties min id) —
+    // spot-verify against a driver replica
+    val replica = labels.join(clean.select($"doc_id".as("id"), $"n_chars"), "id")
+      .collect().groupBy(_.getLong(1)).map { case (c, rows) =>
+        c -> rows.map(r => (r.getLong(0), r.getLong(2))).minBy { case (id, len) => (-len, id) }._1
+      }
+    val keepers = canon.filter($"is_keeper" === 1L).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(keepers == replica)
+    // 4. drift audit: survivors vs the raw corpus — dropping near-dups
+    //    must not shift any token share by more than noise (< 10 permille)
+    val drift = TextAnalysis.vocabDrift(docs, survivors, topK = 5, minCount = 5L)
+      .collect().map(_.getLong(5))
+    assert(drift.forall(d => math.abs(d) < 10L), drift.mkString(","))
+    // 5. classifier eval over the survivors: the has-"slow" label against
+    //    the n_chars score — AUC must replay identically across reruns
+    val scored = survivors.select(
+      when(array_contains(array_remove(split(lower(coalesce($"text", lit(""))),
+        "[^a-z]+"), ""), "slow"), 1L).otherwise(0L).as("label"),
+      $"n_chars".cast("long").as("score"))
+    val e1 = Evaluation.binaryEval(scored, "label", "score", 300L).head().toSeq
+    val e2 = Evaluation.binaryEval(scored, "label", "score", 300L).head().toSeq
+    assert(e1 == e2)
+    assert(e1.head.asInstanceOf[Long] == survivors.count())
+  }
+
   test("curation chain is deterministic end to end") {
     val (_, _, s1, m1, p1) = runPipeline()
     val (_, _, s2, m2, p2) = runPipeline()
