@@ -2189,6 +2189,19 @@ object SparkEntry {
         .select(col("new_id"), col("corpus_id"))
     }),
 
+    // the incremental probe on the PUBLISHED word unit: 13-word-shingle
+    // index + word-sig batch probe + word-gram exact verify — the lake
+    // pattern (sign once, probe per batch) at the Gopher configuration
+    "q_dedup_incremental_words" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val path = s"/tmp/graft_mhw_index_${Integer.toHexString(d.hashCode)}"
+      Dedup.writeMinhashIndex(docs, path, wordShingle = 13)
+      Dedup.dedupAgainstIndex(s, path, batch, docs, wordShingle = 13)
+        .select(col("new_id"), col("corpus_id"))
+    }),
+
     // the SAME incremental probe through the Bloom key pre-screen: no
     // false negatives means screen-on results must equal screen-off, so
     // this gate shares q_dedup_incremental's brute-force oracle verbatim
@@ -4372,6 +4385,28 @@ object SparkEntry {
 
     // identical oracle by design: the Bloom screen must be result-invariant
     "q_dedup_incremental_bloom" -> IncrementalOracleSql,
+
+    // the word-unit twin: brute-force 13-WORD-gram Jaccard across the
+    // batch × corpus cut (same split, same threshold)
+    "q_dedup_incremental_words" ->
+      ("WITH bt AS (SELECT doc_id + 1000000 AS new_id, text FROM documents WHERE doc_id % 10 = 0), " +
+        "wta AS (SELECT new_id, list_filter(string_split_regex(" +
+        "lower(coalesce(text, '')), '[^a-z]+'), x -> x <> '') AS t FROM bt), " +
+        "wtb AS (SELECT doc_id, list_filter(string_split_regex(" +
+        "lower(coalesce(text, '')), '[^a-z]+'), x -> x <> '') AS t FROM documents), " +
+        "ga AS (SELECT new_id, unnest(list_distinct(CASE WHEN len(t) = 0 THEN [] " +
+        "WHEN len(t) < 13 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(range(1, len(t) - 11), i -> array_to_string(t[i:i+12], ' ')) END)) AS gram FROM wta), " +
+        "gb AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) = 0 THEN [] " +
+        "WHEN len(t) < 13 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(range(1, len(t) - 11), i -> array_to_string(t[i:i+12], ' ')) END)) AS gram FROM wtb), " +
+        "sa AS (SELECT new_id, count(*) AS sz FROM ga GROUP BY new_id), " +
+        "sb AS (SELECT doc_id, count(*) AS sz FROM gb GROUP BY doc_id), " +
+        "co AS (SELECT a.new_id, b.doc_id AS corpus_id, count(*) AS inter " +
+        "FROM ga a JOIN gb b USING (gram) GROUP BY 1, 2) " +
+        "SELECT co.new_id AS new_id, co.corpus_id AS corpus_id FROM co " +
+        "JOIN sa ON sa.new_id = co.new_id JOIN sb ON sb.doc_id = co.corpus_id " +
+        "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8"),
 
     // rebuilds the line-dedup fixture, replays the identical
     // first-occurrence rule (row_number over digest ordered by doc, pos =

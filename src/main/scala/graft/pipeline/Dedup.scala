@@ -1407,13 +1407,22 @@ object Dedup {
    * that makes dedup INCREMENTAL — the 100 TB corpus is signed once, and
    * every arriving batch probes the index instead of re-reading corpus
    * text (see [[dedupAgainstIndex]]).
+   *
+   * `wordShingle` > 0 switches the signature unit to word n-grams (the
+   * published 13-word configuration — [[minhashLshPairsWords]]); the
+   * char `shingle` is ignored then. An index and its probes must agree
+   * on the unit — the layout is identical either way.
    */
   def writeMinhashIndex(df: DataFrame, path: String, idCol: String = "doc_id",
                         textCol: String = "text", numHashes: Int = 64,
-                        bands: Int = 16, shingle: Int = 5): Unit = {
-    import org.apache.spark.sql.graft.{MinHashSig, SigBands}
-    df.select(col(idCol).as("id"),
-        c(MinHashSig(e(col(textCol)), e(lit(numHashes)), e(lit(shingle)))).as("sig"))
+                        bands: Int = 16, shingle: Int = 5,
+                        wordShingle: Int = 0): Unit = {
+    import org.apache.spark.sql.graft.{MinHashSig, MinHashSigWords, SigBands}
+    val sig =
+      if (wordShingle > 0)
+        c(MinHashSigWords(e(col(textCol)), e(lit(numHashes)), e(lit(wordShingle))))
+      else c(MinHashSig(e(col(textCol)), e(lit(numHashes)), e(lit(shingle))))
+    df.select(col(idCol).as("id"), sig.as("sig"))
       .select(col("id"), col("sig"),
         posexplode(c(SigBands(e(col("sig")), e(lit(bands))))).as(Seq("band", "key")))
       .repartitionByRange(col("key"))
@@ -1446,11 +1455,15 @@ object Dedup {
                         numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
                         threshold: Double = 0.8,
                         maxPushdownKeys: Int = 8192,
-                        bloomPath: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.graft.{BloomKeyMightContain, MinHashSig, SigBands, SigJaccard}
+                        bloomPath: Option[String] = None,
+                        wordShingle: Int = 0): DataFrame = {
+    import org.apache.spark.sql.graft.{BloomKeyMightContain, MinHashSig, MinHashSigWords, SigBands, SigJaccard}
     val index = spark.read.parquet(indexPath)
-    val bsigs = batch.select(col(idCol).as("new_id"),
-      c(MinHashSig(e(col(textCol)), e(lit(numHashes)), e(lit(shingle)))).as("new_sig"))
+    val bsig =
+      if (wordShingle > 0)
+        c(MinHashSigWords(e(col(textCol)), e(lit(numHashes)), e(lit(wordShingle))))
+      else c(MinHashSig(e(col(textCol)), e(lit(numHashes)), e(lit(shingle))))
+    val bsigs = batch.select(col(idCol).as("new_id"), bsig.as("new_sig"))
     val bbandAll = bsigs.select(col("new_id"), col("new_sig"),
       posexplode(c(SigBands(e(col("new_sig")), e(lit(bands))))).as(Seq("band", "key")))
     // optional Bloom pre-screen (see [[writeBloomIndex]]): a mostly-novel
@@ -1475,8 +1488,13 @@ object Dedup {
       .dropDuplicates("new_id", "corpus_id")
     val bt = batch.select(col(idCol).as("new_id"), col(textCol).as("new_text"))
     val ct = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("corpus_text"))
+    val verify =
+      if (wordShingle > 0)
+        c(org.apache.spark.sql.graft.WordNgramJaccard(
+          e(col("new_text")), e(col("corpus_text")), e(lit(wordShingle))))
+      else ngramJaccard(col("new_text"), col("corpus_text"), shingle)
     pairs.join(bt, "new_id").join(ct, "corpus_id")
-      .withColumn("jaccard", ngramJaccard(col("new_text"), col("corpus_text"), shingle))
+      .withColumn("jaccard", verify)
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
