@@ -334,6 +334,26 @@ object SparkEntry {
         .select(col("event_id"), col("asof_event_id"))
     }),
 
+    // the tolerance-bounded as-of (pandas merge_asof tolerance): same
+    // error→click fixture, match only when the click is no more
+    // than ~28 h older (100M ms — the corpus median gap is ~34 h, so the
+    // tolerance splits matches near the middle at every scale; 60 s kept
+    // almost nothing) — stale matches drop (inner)
+    "q_join_asof_tol" -> ((s, d) => {
+      val e = Tables.table(s, d, "events")
+        .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_ms"))
+        .agg(max(col("event_id")).as("event_id"))
+      graft.api.AsofJoin.asofJoinTolerance(errors, clicks,
+        keyCol = "user_id", leftTsCol = "ts_ms", rightTsCol = "ts_ms",
+        rightPayload = Seq("event_id"), rightIdCol = "event_id",
+        toleranceTs = 100000000L)
+        .select(col("event_id"), col("asof_event_id"))
+    }),
+
     // big-big sort-merge join (merge hint pins the strategy)
     "q_join_sortmerge" -> ((s, d) => {
       val li = Tables.table(s, d, "lineitem")
@@ -3340,6 +3360,17 @@ object SparkEntry {
         "WHERE event_type = 'click' GROUP BY user_id, ts_ms) " +
         "SELECT err.event_id AS event_id, clk.click_id AS asof_event_id " +
         "FROM err ASOF JOIN clk ON err.user_id = clk.user_id AND err.ts_ms >= clk.ts_ms"),
+
+    // DuckDB's ASOF picks the same latest-≤ match; the tolerance is the
+    // same post-filter on the matched timestamp gap
+    "q_join_asof_tol" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms, event_type FROM events), " +
+        "err AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'error'), " +
+        "clk AS (SELECT user_id, ts_ms, max(event_id) AS click_id FROM e " +
+        "WHERE event_type = 'click' GROUP BY user_id, ts_ms) " +
+        "SELECT err.event_id AS event_id, clk.click_id AS asof_event_id " +
+        "FROM err ASOF JOIN clk ON err.user_id = clk.user_id AND err.ts_ms >= clk.ts_ms " +
+        "WHERE err.ts_ms - clk.ts_ms <= 100000000"),
 
     "q_join_sortmerge" ->
       ("SELECT o_orderpriority, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n " +

@@ -56,6 +56,41 @@ object AsofJoin {
   }
 
   /**
+   * [[asofJoin]] with a STALENESS TOLERANCE (pandas `merge_asof`'s
+   * `tolerance`): a match only counts when the right row is no older than
+   * `toleranceTs` time units (same unit as the ts columns) — the standard
+   * guard against joining a metric to a reading from last week because
+   * nothing fresher existed. `inner` drops stale-match rows entirely;
+   * outer keeps them with null `asof_*` payload (indistinguishable from
+   * never-matched, which is the point: too-stale IS no-match).
+   *
+   * Same single-shuffle union-merge plan: the matched right timestamp is
+   * carried through the running window as ordinary payload and the
+   * tolerance is one scan-local post-filter — no second join, no range
+   * explosion.
+   */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keyCol: String,
+                        leftTsCol: String, rightTsCol: String,
+                        rightPayload: Seq[String], rightIdCol: String,
+                        toleranceTs: Long,
+                        inner: Boolean = true): DataFrame = {
+    require(toleranceTs >= 0, s"toleranceTs must be >= 0, got $toleranceTs")
+    val needTs = !rightPayload.contains(rightTsCol)
+    val payload = if (needTs) rightPayload :+ rightTsCol else rightPayload
+    val m = asofJoin(left, right, keyCol, leftTsCol, rightTsCol,
+      payload, rightIdCol, inner = false)
+    val fresh = col(s"asof_$rightTsCol").isNotNull &&
+      col(leftTsCol).cast("long") - col(s"asof_$rightTsCol").cast("long") <= toleranceTs
+    val flagged = m.withColumn("__fresh", fresh)
+    val nulled = payload.foldLeft(flagged) { (df, p) =>
+      df.withColumn(s"asof_$p", when(col("__fresh"), col(s"asof_$p")))
+    }
+    val kept = if (inner) nulled.filter(col("__fresh")) else nulled
+    val dropped = kept.drop("__fresh")
+    if (needTs) dropped.drop(s"asof_$rightTsCol") else dropped
+  }
+
+  /**
    * Skew-resistant as-of join: identical semantics to [[asofJoin]], but the
    * running window runs over (key, time-bucket) instead of (key), so a hot
    * key's rows spread across `buckets` tasks instead of serializing on one.

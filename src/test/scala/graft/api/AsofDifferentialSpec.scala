@@ -67,4 +67,53 @@ class AsofDifferentialSpec extends AnyFunSuite {
   test("asofJoin and asofJoinSalted == brute force across seeds") {
     Seq(1, 2, 3).foreach(runCase)
   }
+
+  test("asofJoinTolerance == brute force with a staleness bound across seeds") {
+    def bruteTol(left: Seq[(Long, Long, Long)],
+                 right: Seq[(Long, Long, Long, String)],
+                 tol: Long): Map[Long, Option[String]] = {
+      val byKey = right.groupBy(_._1)
+      left.map { case (lid, k, lts) =>
+        val m = byKey.getOrElse(k, Seq.empty)
+          .filter(_._2 <= lts).sortBy(r => (r._2, r._3)).lastOption
+          .filter(r => lts - r._2 <= tol) // the tolerance kills stale matches
+        lid -> m.map(_._4)
+      }.toMap
+    }
+    Seq(4, 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val left = (0 until 150).map(i =>
+        (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(20).toLong))
+      val right = (0 until 90).map(i =>
+        (rnd.nextInt(7).toLong, rnd.nextInt(20).toLong, i.toLong, s"p$i"))
+      val lDf = left.toDF("lid", "k", "ts")
+      val rDf = right.toDF("k", "ts", "rid", "payload")
+      Seq(0L, 3L, 100L).foreach { tol => // 0 = exact-ts only; 100 ≈ unbounded
+        val want = bruteTol(left, right, tol)
+        val inner = AsofJoin.asofJoinTolerance(lDf, rDf, "k", "ts", "ts",
+            Seq("payload"), "rid", toleranceTs = tol)
+          .select($"lid", $"asof_payload").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(inner == want.collect { case (l, Some(p)) => l -> p },
+          s"seed $seed tol $tol inner")
+        val outer = AsofJoin.asofJoinTolerance(lDf, rDf, "k", "ts", "ts",
+            Seq("payload"), "rid", toleranceTs = tol, inner = false)
+          .select($"lid", $"asof_payload").collect()
+          .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+        assert(outer == want, s"seed $seed tol $tol outer")
+      }
+      // tol = unbounded must equal plain asofJoin exactly
+      val plain = AsofJoin.asofJoin(lDf, rDf, "k", "ts", "ts", Seq("payload"), "rid")
+        .select($"lid", $"asof_payload").collect().map(_.toSeq).toSet
+      val loose = AsofJoin.asofJoinTolerance(lDf, rDf, "k", "ts", "ts",
+          Seq("payload"), "rid", toleranceTs = Long.MaxValue)
+        .select($"lid", $"asof_payload").collect().map(_.toSeq).toSet
+      assert(plain == loose, s"seed $seed unbounded-tolerance parity")
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoinTolerance(Seq((1L, 1L, 1L)).toDF("lid", "k", "ts"),
+        Seq((1L, 1L, 1L, "p")).toDF("k", "ts", "rid", "payload"),
+        "k", "ts", "ts", Seq("payload"), "rid", toleranceTs = -1L)
+    }
+  }
 }
