@@ -482,20 +482,25 @@ class PlanSpec extends AnyFunSuite {
 
   test("clusterCanonical plan never shuffles the corpus text") {
     // the keeper window partitions the labels table (pair-population-
-    // sized); the documents scan must reach it as (id, score) only
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // sized); the corpus scan must reach it as (id, score) only. A
+    // test-owned parquet (not the shared fixture) keeps the scan a real
+    // FileScan regardless of what other suites cached.
     import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-canon-plan").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"n_chars", $"text")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
     val labels = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L))
       .toDF("id", "cluster")
     val df = graft.pipeline.Dedup.clusterCanonical(labels, docs, "doc_id", "n_chars")
     df.count()
     val plan = df.queryExecution.executedPlan.toString
-    // ReadSchema of the documents scan: id + score columns, never text
     val scanLine = plan.linesIterator
-      .find(l => l.contains("FileScan parquet") && l.contains("documents"))
+      .find(l => l.contains("FileScan parquet") && l.contains("graft-canon-plan"))
     assert(scanLine.nonEmpty, plan)
     assert(!scanLine.get.contains("text"),
-      s"documents scan reads text for a keeper selection:\n${scanLine.get}")
+      s"corpus scan reads text for a keeper selection:\n${scanLine.get}")
   }
 
   test("sssp/components/node2vec plans: no nested-loop or cartesian joins") {
