@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the single-JVM local[32] "cluster" runs 32 concurrent
+  // tasks against sf1-scale shuffles in the bench's scale pass — 8g left
+  // little headroom there while the host has 128 GiB (SPARK_DRIVER_MEM
+  // still overrides for the 48g probe posture)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
