@@ -28,9 +28,14 @@ def cmp_cell(a, b):
     return a == b
 
 
+import os
+
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    p = f"{SF_DIR}/{t}.parquet"
+    # ScaleUp output tables are parquet DIRECTORIES; testdata tables are files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 sql = open(SQLFILE).read()
 got = con.sql(f"SELECT * FROM '{DUMP}/{NAME}/*.parquet'")
 got_cols, got_types = list(got.columns), [str(t) for t in got.types]
