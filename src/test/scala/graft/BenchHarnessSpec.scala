@@ -74,4 +74,43 @@ class BenchHarnessSpec extends AnyFunSuite {
       onDone = r => seen += r.name)
     assert(seen.toSeq === Seq("q_a", "q_b"))
   }
+
+  // ---- committed-record clobber guard (judge r10 item 4): a smaller run
+  // must never shrink the committed BENCH_DETAIL.json ----
+
+  private def rec(nq: Int, runs: Int, nSf1: Int, sf1Runs: Int): String = {
+    def qmap(n: Int) = (1 to n).map(i => s""""q_$i":1.0""").mkString("{", ",", "}")
+    s"""{"metric":"total","value":1.0,"runs":$runs,"queries":${qmap(nq)}""" +
+      (if (nSf1 > 0) s""","sf1_runs":$sf1Runs,"sf1_medians":${qmap(nSf1)}""" else "") + "}"
+  }
+
+  test("recordRichness counts base and sf1 samples across runs") {
+    assert(Bench.recordRichness(rec(192, 3, 192, 3)) === 192L * 3 + 192L * 3)
+    assert(Bench.recordRichness(rec(192, 1, 0, 1)) === 192L)
+    assert(Bench.recordRichness("not json at all") === 0L)
+    assert(Bench.recordRichness("") === 0L)
+  }
+
+  test("commitDetail refuses to replace a richer record and preserves both") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-guard")
+    val path = dir.resolve("BENCH_DETAIL.json").toString
+    val rich = rec(10, 3, 10, 3)
+    val poor = rec(10, 1, 0, 1)
+    assert(Bench.commitDetail(path, rich), "fresh commit must succeed")
+    assert(!Bench.commitDetail(path, poor),
+      "an n=1 one-scale record must not replace an n=3 two-scale record")
+    val kept = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    assert(kept.trim === rich, "committed record must be unchanged")
+    val cand = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path + ".candidate")), "UTF-8")
+    assert(cand.trim === poor, "rejected record must be preserved at .candidate")
+    // an equally-or-more rich record replaces (tmp file must not linger)
+    val richer = rec(12, 3, 12, 3)
+    assert(Bench.commitDetail(path, richer))
+    val now = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    assert(now.trim === richer)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".tmp")))
+  }
 }
