@@ -5411,9 +5411,13 @@ object SparkEntry {
         "CAST(row_number() OVER w AS BIGINT) AS version_n " +
         "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t, a)"),
 
+    // short-text convention mirrored from TextCore.shingleHashes: texts of
+    // length 1..8 contribute ONE whole-doc gram (length 0/NULL → none)
     "q_dedup_containment" ->
-      ("WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
-        "range(1, length(text)-7), i -> substr(text, i, 9)))) AS gram FROM documents), " +
+      ("WITH g AS (SELECT doc_id, unnest(list_distinct(" +
+        "CASE WHEN length(text) >= 1 AND length(text) < 9 THEN [text] " +
+        "WHEN length(text) >= 9 THEN list_transform(" +
+        "range(1, length(text)-7), i -> substr(text, i, 9)) ELSE NULL END)) AS gram FROM documents), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id), " +
         "co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter " +
         "FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +

@@ -358,13 +358,23 @@ object Dedup {
    * table scan; pass the known count when the input is an expensive
    * subplan, or a negative value to force the shuffle path, which is
    * hinted shuffle_hash so the stream is never SORT-merge-joined).
+   *
+   * The shuffle path additionally runs under a CANDIDATE-VOLUME GUARD
+   * (`maxVerifyBytes`, default 16 GiB of estimated candidate+array
+   * shuffle): the exact raw candidate count is computed from a tiny
+   * gdf-histogram before any pair materializes, and an over-budget corpus
+   * keeps buckets rarest-gram-first up to the gdf cutoff that fits —
+   * drops observable via `metrics` (guard_total_candidates vs
+   * guard_kept_candidates), never silent. See the inline comment for the
+   * exact construction.
    */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        thresholdPermille: Int = 800, shingle: Int = 5,
                        maxBucket: Int = 10000,
                        corpusSizeHint: Long = 0L,
                        metrics: Option[Observation] = None,
-                       broadcastVerifyMaxBytes: Long = 256L << 20): DataFrame = {
+                       broadcastVerifyMaxBytes: Long = 256L << 20,
+                       maxVerifyBytes: Long = 16L << 30): DataFrame = {
     require(thresholdPermille >= 1 && thresholdPermille <= 1000,
       s"thresholdPermille must be in [1, 1000], got $thresholdPermille")
     import org.apache.spark.sql.expressions.Window
@@ -383,12 +393,72 @@ object Dedup {
       .filter(col("rk") <=
         col("sz") - expr(s"($thresholdPermille * sz + 999) div 1000") + lit(1))
       .select(col("gram"), col("id").as("id_s"), col("sz").as("sz_s"))
+    // verify-join sizing (shared by the broadcast gate and the volume
+    // guard): one cheap count + one 256-doc sample
+    val hint = if (corpusSizeHint == 0L) df.count() else corpusSizeHint
+    val avgGramBytes = sampledDocGramBytes(df, textCol, shingle)
+    val useBroadcastVerify =
+      hint > 0 && hint * avgGramBytes <= broadcastVerifyMaxBytes
+    // ---- candidate-volume guard (the shuffled-verify emergency brake) ----
+    // A replica/boilerplate-degenerate corpus defeats prefix filtering and
+    // the shuffled verify then writes candidates × gram-array bytes to
+    // disk before any per-pair cap can fire (measured: ENOSPC at ~71 GB of
+    // spill on a 10×-replicated corpus). The guard computes the EXACT raw
+    // candidate volume BEFORE any pair materializes: grams are per-doc
+    // DISTINCT, so a gram's full-index bucket size equals its gdf, and
+    // volume = Σ_gram gdf × prefixRows(gram) aggregates BY gdf into a
+    // histogram of ≤ maxBucket rows — one tiny collect. When the estimated
+    // verify bytes (volume × (pair row + two gram arrays)) exceed
+    // `maxVerifyBytes`, buckets are kept RAREST-GRAM-FIRST (ascending gdf
+    // — the highest-precision candidate routes, the prefix-filter spirit)
+    // up to the largest gdf cutoff that fits the budget; everything
+    // dropped is counted in the `metrics` observation
+    // (guard_dropped_candidates) and logged — capped with observable
+    // drops, never silent, same contract as [[capBuckets]]. The guard
+    // only runs on the shuffle path: the broadcast path never materializes
+    // candidate×array rows, and skipping it keeps the gate/bench plans
+    // byte-identical to the unguarded operator.
+    val (effCap, guardTotalVol, guardKeptVol) =
+      if (useBroadcastVerify) (maxBucket, 0L, 0L)
+      else {
+        val prefixC = prefix.cache()
+        try {
+          val hist = prefixC.groupBy(col("gram")).agg(count(lit(1)).as("np"))
+            .join(dfreq, "gram")
+            .filter(col("gdf").between(2L, maxBucket.toLong))
+            .groupBy(col("gdf")).agg(sum(col("np") * col("gdf")).as("vol"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          val totalVol = hist.map(_._2).sum
+          val budgetPairs =
+            math.max(1L, (maxVerifyBytes / (24.0 + 2.0 * avgGramBytes)).toLong)
+          if (totalVol <= budgetPairs) (maxBucket, totalVol, totalVol)
+          else {
+            var cum = 0L
+            var cutoff = 1L
+            hist.foreach { case (gdf, vol) =>
+              if (cum + vol <= budgetPairs) { cum += vol; cutoff = gdf }
+            }
+            System.err.println(
+              f"[containmentPairs] candidate-volume guard: $totalVol%,d raw candidates × " +
+                f"~${(24 + 2 * avgGramBytes).toLong} B ≈ ${totalVol * (24 + 2 * avgGramBytes) / 1e9}%.1f GB " +
+                f"exceeds maxVerifyBytes=${maxVerifyBytes / 1048576.0}%.0f MiB; keeping buckets with " +
+                f"gdf ≤ $cutoff ($cum%,d candidates, ${100.0 * cum / totalVol}%.1f%%). Dropped pairs " +
+                "are ones found ONLY via common grams; raise shingle (vocabulary diversity), " +
+                "dedup exactly first, or raise maxVerifyBytes to keep them.")
+            (math.min(maxBucket.toLong, cutoff).toInt, totalVol, cum)
+          }
+        } finally prefixC.unpersist(blocking = false)
+      }
     // full-side inverted index; size-1 buckets hold only the prefix doc
     // itself (a prefix gram is also a full-index gram), so the ≥2 floor
     // of the shared cap drops nothing pairable
     val grouped = exploded.groupBy(col("gram"))
       .agg(collect_list(struct(col("id"), col("sz"))).as("items"))
-    val buckets = capBuckets(grouped, size(col("items")), maxBucket, metrics)
+    val buckets = capBuckets(grouped, size(col("items")), effCap, metrics,
+      extraMetrics = Seq(
+        max(lit(guardTotalVol)).as("guard_total_candidates"),
+        max(lit(guardKeptVol)).as("guard_kept_candidates"),
+        max(lit(effCap)).as("guard_effective_cap")))
     val candidates = buckets.join(prefix, "gram")
       .select(col("id_s"), col("sz_s"), explode(col("items")).as("b"))
       // the smaller side enumerates; equal sizes pair once from each
@@ -405,14 +475,11 @@ object Dedup {
     // > 0 → trusted count; < 0 → force the shuffle path): the candidate
     // stream carries a ~KB gram array per pair once joined, so on a
     // dup-heavy corpus the shuffled verify writes candidates × array-size
-    // bytes — measured at sf1's 10×-replicated bench corpus it filled a
-    // 76 GB disk (ENOSPC) while the broadcastable gram table was 80 MB.
-    // Broadcast when it fits; past the budget use shuffle_hash so the
-    // stream is at least never SORT-merged (the cosine sf10 lesson).
-    val hint = if (corpusSizeHint == 0L) df.count() else corpusSizeHint
+    // bytes — which is why the shuffle path runs under the volume guard
+    // above. Broadcast when it fits; past the budget use shuffle_hash so
+    // the stream is at least never SORT-merged (the cosine sf10 lesson).
     val verified =
-      if (hint > 0 &&
-          hint * sampledDocGramBytes(df, textCol, shingle) <= broadcastVerifyMaxBytes)
+      if (useBroadcastVerify)
         candidates.join(broadcast(ga), "id_a").join(broadcast(gb), "id_b")
       else
         candidates.join(ga.hint("shuffle_hash"), "id_a")

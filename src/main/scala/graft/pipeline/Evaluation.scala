@@ -102,46 +102,55 @@ object Evaluation {
                  threshold: Long,
                  maxDistinctScores: Long = 65536L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val t = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
       .select(col(labelCol).cast("long").as("y"),
         col(scoreCol).cast("long").as("s"))
+    // the tally cache is SCOPED: the output is one row, so it is
+    // materialized here (validation pass + final aggregate share the
+    // cached tally) and the cache released before returning — repeated
+    // library calls in a long-lived session must not accumulate entries
     val g = t.groupBy(col("s"))
       .agg(sum(col("y")).as("cp"),
         (count(lit(1)) - sum(col("y"))).as("cn"),
         min(col("y")).as("__miny"), max(col("y")).as("__maxy"))
       .cache()
-    val v = g.agg(count(lit(1)), coalesce(min(col("__miny")), lit(0L)),
-      coalesce(max(col("__maxy")), lit(0L))).head()
-    require(v.getLong(0) <= maxDistinctScores,
-      s"${v.getLong(0)} distinct scores > cap $maxDistinctScores — " +
-        "quantize scores (permille/centile) before evaluating")
-    require(v.getLong(1) >= 0L && v.getLong(2) <= 1L,
-      s"labels must be 0/1, saw [${v.getLong(1)}, ${v.getLong(2)}]")
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("nb", coalesce(sum(col("cn")).over(w), lit(0L)))
-      .agg(coalesce(sum(col("cp")), lit(0L)).as("n_pos"),
-        coalesce(sum(col("cn")), lit(0L)).as("n_neg"),
-        coalesce(sum(col("cp") * col("nb") * 2L + col("cp") * col("cn")),
-          lit(0L)).as("__u2"),
-        coalesce(sum(when(col("s") >= threshold, col("cp")).otherwise(0L)),
-          lit(0L)).as("tp"),
-        coalesce(sum(when(col("s") >= threshold, col("cn")).otherwise(0L)),
-          lit(0L)).as("fp"))
-      .withColumn("n", col("n_pos") + col("n_neg"))
-      .withColumn("fn", col("n_pos") - col("tp"))
-      .withColumn("tn", col("n_neg") - col("fp"))
-      .withColumn("precision_permille",
-        expr("(tp * 1000) div greatest(tp + fp, 1)"))
-      .withColumn("recall_permille",
-        expr("(tp * 1000) div greatest(n_pos, 1)"))
-      .withColumn("f1_permille",
-        expr("(tp * 2000) div greatest(2 * tp + fp + fn, 1)"))
-      .withColumn("auc_permille",
-        expr("(__u2 * 1000) div greatest(2 * n_pos * n_neg, 1)"))
-      .select(col("n"), col("n_pos"), col("n_neg"), col("tp"), col("fp"),
-        col("fn"), col("tn"), col("precision_permille"),
-        col("recall_permille"), col("f1_permille"), col("auc_permille"))
+    try {
+      val v = g.agg(count(lit(1)), coalesce(min(col("__miny")), lit(0L)),
+        coalesce(max(col("__maxy")), lit(0L))).head()
+      require(v.getLong(0) <= maxDistinctScores,
+        s"${v.getLong(0)} distinct scores > cap $maxDistinctScores — " +
+          "quantize scores (permille/centile) before evaluating")
+      require(v.getLong(1) >= 0L && v.getLong(2) <= 1L,
+        s"labels must be 0/1, saw [${v.getLong(1)}, ${v.getLong(2)}]")
+      val w = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val out = g.withColumn("nb", coalesce(sum(col("cn")).over(w), lit(0L)))
+        .agg(coalesce(sum(col("cp")), lit(0L)).as("n_pos"),
+          coalesce(sum(col("cn")), lit(0L)).as("n_neg"),
+          coalesce(sum(col("cp") * col("nb") * 2L + col("cp") * col("cn")),
+            lit(0L)).as("__u2"),
+          coalesce(sum(when(col("s") >= threshold, col("cp")).otherwise(0L)),
+            lit(0L)).as("tp"),
+          coalesce(sum(when(col("s") >= threshold, col("cn")).otherwise(0L)),
+            lit(0L)).as("fp"))
+        .withColumn("n", col("n_pos") + col("n_neg"))
+        .withColumn("fn", col("n_pos") - col("tp"))
+        .withColumn("tn", col("n_neg") - col("fp"))
+        .withColumn("precision_permille",
+          expr("(tp * 1000) div greatest(tp + fp, 1)"))
+        .withColumn("recall_permille",
+          expr("(tp * 1000) div greatest(n_pos, 1)"))
+        .withColumn("f1_permille",
+          expr("(tp * 2000) div greatest(2 * tp + fp + fn, 1)"))
+        .withColumn("auc_permille",
+          expr("(__u2 * 1000) div greatest(2 * n_pos * n_neg, 1)"))
+        .select(col("n"), col("n_pos"), col("n_neg"), col("tp"), col("fp"),
+          col("fn"), col("tn"), col("precision_permille"),
+          col("recall_permille"), col("f1_permille"), col("auc_permille"))
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally g.unpersist(blocking = false)
   }
 
   /**
@@ -167,6 +176,12 @@ object Evaluation {
       lit(0L).as("n_pos"), lit(0L).as("pos_rate_permille"),
       lit(0L).as("mean_score")).limit(0)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // (s − lo)·bins must not wrap: with raw 64-bit scores (range ~2^63)
+    // the product overflows long and silently produces negative bins —
+    // same quantize-first contract as binaryEval, enforced not assumed
+    require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue / bins),
+      s"score range [$lo, $hi] too wide for $bins equal-width integer bins " +
+        "(the bin product would overflow long) — quantize scores first")
     t.withColumn("bin",
         expr(s"((s - ${lo}L) * ${bins}L) div ${hi - lo + 1}L"))
       .groupBy(col("bin"))

@@ -13,7 +13,8 @@ object ProbeContainment {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1")
     val threshold = 800
-    val shingle = 5
+    // default matches the gate query's re-gated config (shingle=9)
+    val shingle = sys.env.getOrElse("SPARK_GRAFT_SHINGLE", "9").toInt
     val spark = Probe.session("graft-probe-containment")
     import org.apache.spark.sql.GraftShims
     import org.apache.spark.sql.expressions.Window
@@ -30,6 +31,12 @@ object ProbeContainment {
     }
 
     val df = graft.sources.Tables.table(spark, sfDir, "documents")
+    println(s"[probe-containment] sfDir=$sfDir shingle=$shingle threshold=$threshold")
+    // SPARK_GRAFT_STAGES=false skips the stage-by-stage attribution (whose
+    // own localCheckpoint materializations are deliberately unguarded) and
+    // runs only the guarded end-to-end operator — the right mode for
+    // disk-bounded probe hosts
+    if (sys.env.getOrElse("SPARK_GRAFT_STAGES", "true") != "false") {
     val base = df.select(col("doc_id").as("id"), col("text"))
     val docGrams = base.select(col("id"),
       array_sort(c(ShingleHashes(e(col("text")), e(lit(shingle))))).as("grams"))
@@ -80,9 +87,19 @@ object ProbeContainment {
     println(s"[probe-containment] docs=$nDocs gramRows=$nGramRows " +
       s"distinctGrams=$nDistinctGrams prefixRows=$nPrefix rawCand=$nRawCand " +
       s"cand=$nCand pairs=$nPairs")
+    }
+    // end-to-end at the gate config, with the capBuckets + volume-guard
+    // metrics observed: on a replica-degenerate corpus whose shuffled
+    // verify would exceed the byte budget, the run must COMPLETE with the
+    // drops recorded here (guard_kept < guard_total), never ENOSPC
+    val obs = new org.apache.spark.sql.Observation("probe-containment-guard")
     val t0 = System.nanoTime()
-    graft.pipeline.Dedup.containmentPairs(df, "doc_id", "text", threshold).count()
-    println(f"[probe-containment] full operator end-to-end: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val nOpPairs = graft.pipeline.Dedup.containmentPairs(
+      df, "doc_id", "text", threshold, shingle = shingle,
+      metrics = Some(obs)).count()
+    println(f"[probe-containment] full operator end-to-end (shingle=$shingle): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2fs, pairs=$nOpPairs")
+    println(s"[probe-containment] guard/cap metrics: ${obs.get.toSeq.sortBy(_._1).mkString(", ")}")
     spark.stop()
   }
 }

@@ -137,6 +137,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs: volume guard caps a degenerate shuffle-path corpus with recorded drops") {
+    // a replica-degenerate corpus (every doc one of 4 templates) on the
+    // FORCED shuffle path with a tiny byte budget: the run must COMPLETE,
+    // emit a SUBSET of the unguarded pairs, and record the drop in the
+    // observation — the sf10 ENOSPC scenario in miniature
+    val corpus = spark.range(80).selectExpr("id AS doc_id",
+      "concat('template body text number ', CAST(id % 4 AS STRING), " +
+        "' with shared boilerplate tail') AS text")
+    val full = Dedup.containmentPairs(corpus, "doc_id", "text",
+      thresholdPermille = 800, corpusSizeHint = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-template pairs are a floor: templates differ by one char, so
+    // many CROSS-template pairs clear 800‰ too — degenerate by design
+    assert(full.size >= 4 * (20 * 19 / 2), "replica corpus should pair within templates")
+    // this fixture's volume histogram is exactly two bins — gdf=20
+    // (template-digit grams, 8,000 candidates) and gdf=80 (boilerplate
+    // grams, 38,400) — so an ~8 MiB budget (~9k pairs at ~920 B each)
+    // keeps the rare bin and drops the common one: a PARTIAL drop, the
+    // realistic guard firing (a total drop would also let AQE's
+    // empty-relation propagation prune the observe node away)
+    val obs = new org.apache.spark.sql.Observation()
+    val guarded = Dedup.containmentPairs(corpus, "doc_id", "text",
+      thresholdPermille = 800, corpusSizeHint = -1L,
+      metrics = Some(obs), maxVerifyBytes = 8L << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.subsetOf(full), "guard must never invent pairs")
+    assert(guarded.nonEmpty, "rare-gram routes must survive the cut")
+    assert(guarded.size < full.size, "tight budget must actually drop candidates")
+    val m = obs.get
+    assert(m("guard_total_candidates").asInstanceOf[Long] >
+      m("guard_kept_candidates").asInstanceOf[Long],
+      s"drops must be recorded in the metrics: $m")
+    // a roomy budget on the same forced-shuffle path changes nothing
+    val roomy = Dedup.containmentPairs(corpus, "doc_id", "text",
+      thresholdPermille = 800, corpusSizeHint = -1L, maxVerifyBytes = 16L << 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(roomy == full, "guard must be a no-op under budget")
+  }
+
   test("containmentPairs catches the quote-in-long-doc case Jaccard misses") {
     // doc 2 embeds doc 1 verbatim inside ~9× unrelated padding: containment
     // of the smaller side is ~1000‰ while Jaccard collapses to ~0.1
@@ -2273,6 +2312,17 @@ class PipelineSpec extends AnyFunSuite {
       .getAs[Long]("auc_permille") == 0L)
   }
 
+  test("binaryEval: the scoped tally cache is released (no lingering entries)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = Seq((1L, 3L), (0L, 1L)).toDF("label", "score")
+    Evaluation.binaryEval(rows, "label", "score", 2L).count()
+    Evaluation.binaryEval(rows, "label", "score", 2L).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"binaryEval left ${leaked.size} cached RDDs in the session")
+  }
+
   test("calibrationBins: integer equal-width bins, rate and mean replay") {
     import spark.implicits._
     // scores 0..9 with labels = 1 for score >= 6: bins=5 over [0, 9],
@@ -2288,6 +2338,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(4L) == ((2L, 2L, 1000L, 8L)))  // scores 8,9
     // empty input → empty frame, not a crash
     assert(Evaluation.calibrationBins(rows.limit(0), "label", "score").count() == 0L)
+    // a raw-64-bit score range would overflow the bin product — throws
+    // with quantize guidance instead of emitting negative bins
+    intercept[IllegalArgumentException] {
+      Evaluation.calibrationBins(
+        Seq((0L, Long.MinValue), (1L, Long.MaxValue)).toDF("label", "score"),
+        "label", "score", bins = 10).count()
+    }
   }
 
   test("clusterCanonical: score argmax, id tie-break, nulls last, one keeper per cluster") {
