@@ -700,6 +700,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /**
+   * Near-dup pairs over a PRECOMPUTED 64-bit fingerprint carried as two
+   * non-negative 32-bit halves (`h0` bits 0..31, `h1` bits 32..63) — the
+   * [[simhashPairs]] machinery with the hashing step factored out, so any
+   * modality that fingerprints to 64 bits deduplicates through the same
+   * pigeonhole: media perceptual hashes
+   * ([[Multimodal.perceptualHashes]]: BMP dHash, WAV frame-energy), or
+   * any caller-supplied signature. Hamming ≤ 3 ⇒ at least one of the 4
+   * 16-bit chunks is identical, so candidates come from one
+   * (group, chunk-pos, chunk-value) bucket pass; exact popcount verify;
+   * `groupCol` scopes pairing (e.g. media format — a BMP never pairs
+   * with a WAV). Bucket cap + observable-drop metrics as everywhere
+   * ([[capBuckets]]). The input is fingerprint-sized (id + 16 B), never
+   * corpus-sized: at 100 TB of media the heavy bytes stay in the
+   * fingerprint scan and this join shuffles ~32 B/doc.
+   */
+  def hash64Pairs(df: DataFrame, idCol: String, groupCol: String,
+                  maxHamming: Int = 3, maxBucket: Int = 10000,
+                  metrics: Option[Observation] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "chunked pigeonhole bound holds for maxHamming <= 3")
+    val grouped = df
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col("h0").cast("long"), col("h1").cast("long"))
+      .select(col("id"), col("grp"), col("h0"), col("h1"),
+        posexplode(array(
+          col("h0").bitwiseAND(lit(0xffffL)),
+          shiftrightunsigned(col("h0"), 16).bitwiseAND(lit(0xffffL)),
+          col("h1").bitwiseAND(lit(0xffffL)),
+          shiftrightunsigned(col("h1"), 16).bitwiseAND(lit(0xffffL)))))
+      .groupBy(col("grp"), col("pos"), col("col"))
+      .agg(collect_list(struct(col("id"), col("h0"), col("h1"))).as("items"))
+    val buckets = capBuckets(grouped, size(col("items")), maxBucket, metrics)
+    buckets
+      .select(col("grp"), explode(col("items")).as("a"), col("items"))
+      .select(col("grp"), col("a"), explode(col("items")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("grp").as(groupCol),
+        (bit_count(col("a.h0").bitwiseXOR(col("b.h0"))) +
+          bit_count(col("a.h1").bitwiseXOR(col("b.h1"))))
+          .cast("long").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Unique suffix for Observation names so concurrent clusters() calls in
     * one SparkSession never register duplicate CollectMetrics names. */
   private val obsCounter = new java.util.concurrent.atomic.AtomicLong()

@@ -159,6 +159,75 @@ object Multimodal {
       out
     }
 
+    /** dHash (difference hash, the standard perceptual image fingerprint)
+      * over the BMP pixel grid: nearest-neighbor-sample an 8-row × 9-col
+      * grayscale grid (row i at pixel row (i·(h−1)) div 7, col j at pixel
+      * col (j·(w−1)) div 8), gray = (b+g+r) div 3, bit(i,j) = gray(i,j) >
+      * gray(i,j+1) — 64 bits packed LSB-first as two NON-NEGATIVE 32-bit
+      * halves (bits 0..31, 32..63), so cross-engine replay never touches
+      * the long sign bit. Every field is read from the parsed header;
+      * all-integer, so a SQL oracle re-derives the hash exactly from the
+      * payload bytes. Point-sampling (not area-averaging) keeps the
+      * arithmetic integer-exact; for near-dup detection on same-size
+      * images the two are equally discriminative. */
+    def dHash64(b: Array[Byte]): (Long, Long) = {
+      require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
+      val w = le32(b, 18)
+      val h = le32(b, 22)
+      require(w % 4 == 0 && w > 0 && h > 0, s"unsupported BMP geometry ${w}x$h")
+      val rowBytes = w * 3
+      def gray(r: Int, c: Int): Int = {
+        val off = 54 + r * rowBytes + c * 3
+        ((b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)) / 3
+      }
+      var h0 = 0L
+      var h1 = 0L
+      var i = 0
+      while (i < 8) {
+        val r = i * (h - 1) / 7
+        var j = 0
+        while (j < 8) {
+          if (gray(r, j * (w - 1) / 8) > gray(r, (j + 1) * (w - 1) / 8)) {
+            val bit = i * 8 + j
+            if (bit < 32) h0 |= 1L << bit else h1 |= 1L << (bit - 32)
+          }
+          j += 1
+        }
+        i += 1
+      }
+      (h0, h1)
+    }
+
+    /** Frame-energy fingerprint over the WAV payload: 65 contiguous byte
+      * frames (frame f covers payload offsets [(f·dl) div 65, ((f+1)·dl)
+      * div 65)), energy = Σ unsigned bytes, bit f = energy(f) >
+      * energy(f+1) — the audio analog of [[dHash64]], same 64-bit
+      * two-half packing. Empty payload → (0, 0). */
+    def energyHash64(b: Array[Byte]): (Long, Long) = {
+      require(b.length >= 44 && tag(b, 0, "RIFF") && tag(b, 8, "WAVE"), "not a WAV")
+      val dl = le32(b, 40).toLong
+      val energy = new Array[Long](65)
+      var f = 0
+      while (f < 65) {
+        var p = f * dl / 65
+        val end = (f + 1) * dl / 65
+        var s = 0L
+        while (p < end) { s += (b(44 + p.toInt) & 0xff); p += 1 }
+        energy(f) = s
+        f += 1
+      }
+      var h0 = 0L
+      var h1 = 0L
+      var bit = 0
+      while (bit < 64) {
+        if (energy(bit) > energy(bit + 1)) {
+          if (bit < 32) h0 |= 1L << bit else h1 |= 1L << (bit - 32)
+        }
+        bit += 1
+      }
+      (h0, h1)
+    }
+
     /** (format, width, height, sample_rate, n_units): pixels for BMP,
       * samples for WAV — every value read from the parsed header. */
     def parse(b: Array[Byte]): (String, Long, Long, Long, Long) = {
@@ -209,6 +278,28 @@ object Multimodal {
   case class MediaDecoded(media_id: Long, kind: String, byte_len: Long,
                           format: String, width: Long, height: Long,
                           sample_rate: Long, n_units: Long)
+
+  case class MediaHash(media_id: Long, format: String, h0: Long, h1: Long)
+
+  /** Per-media 64-bit perceptual fingerprint — dHash for BMP pixels,
+    * frame-energy hash for WAV payloads ([[MediaContainers.dHash64]] /
+    * [[MediaContainers.energyHash64]]) — as two non-negative 32-bit
+    * halves. Batched partition-wise parse (the [[decodeContainers]]
+    * shape): the binary column is consumed on the scan and never leaves
+    * the executor; downstream near-dup pairing rides (id, format, h0, h1)
+    * rows only — at 100 TB of media the pairing stage shuffles 32 B/doc.
+    * Feed to [[Dedup.hash64Pairs]] for banded near-dup pairs. */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.select("media_id", "kind", "content").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val isBmp = r.content.length >= 2 && r.content(0) == 'B' && r.content(1) == 'M'
+        val (h0, h1) =
+          if (isBmp) MediaContainers.dHash64(r.content)
+          else MediaContainers.energyHash64(r.content)
+        MediaHash(r.media_id, if (isBmp) "bmp" else "wav", h0, h1)
+      })
+  }
 
   /** REAL decode: batched partition-wise parse of the container headers —
     * the formerly-stubbed step of [[extractFeatures]], now an actual

@@ -1571,6 +1571,66 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal perceptual hashes: brute reference, invariances, near-dup pairing") {
+    import Multimodal.MediaContainers
+    // brute dHash reference on a hand-built gradient image: row i sampled
+    // at pixel row (i*(h-1))/7, col j at (j*15)/8, gray = (b+g+r)/3
+    def refDHash(payload: Array[Byte]): (Long, Long) = {
+      val b = MediaContainers.bmp(16, payload)
+      val h = math.max(1, (payload.length + 47) / 48)
+      def gray(r: Int, c: Int): Int = {
+        val off = 54 + r * 48 + c * 3
+        ((b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)) / 3
+      }
+      var (h0, h1) = (0L, 0L)
+      for (i <- 0 until 8; j <- 0 until 8)
+        if (gray(i * (h - 1) / 7, j * 15 / 8) > gray(i * (h - 1) / 7, (j + 1) * 15 / 8)) {
+          val bit = i * 8 + j
+          if (bit < 32) h0 |= 1L << bit else h1 |= 1L << (bit - 32)
+        }
+      (h0, h1)
+    }
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 1, 47, 48, 100, 500)) {
+      val p = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      assert(MediaContainers.dHash64(MediaContainers.bmp(16, p)) == refDHash(p),
+        s"dHash mismatch at payload length $n")
+    }
+    // WAV energy hash: constant payload → all-equal energies → hash 0;
+    // a loud front half flips exactly the frame-boundary bit
+    val flat = MediaContainers.wav(8000, 1, Array.fill[Byte](130)(5))
+    assert(MediaContainers.energyHash64(flat) == ((0L, 0L)))
+    val empty = MediaContainers.wav(8000, 1, Array.empty)
+    assert(MediaContainers.energyHash64(empty) == ((0L, 0L)))
+    // halves are always non-negative 32-bit (the cross-engine packing)
+    val noisy = MediaContainers.wav(8000, 2,
+      Array.tabulate[Byte](997)(i => (i * 31 % 256).toByte))
+    val (e0, e1) = MediaContainers.energyHash64(noisy)
+    assert(e0 >= 0 && e0 < (1L << 32) && e1 >= 0 && e1 < (1L << 32))
+
+    // pairing: identical texts pair at hamming 0; a lightly-edited twin
+    // pairs at small hamming; formats never cross-pair
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val rows = Seq(
+      (0L, base), (3L, base),                        // image/bmp twins (0%3=0, 3%3=0)
+      (1L, base), (4L, base),                        // audio/wav twins
+      (6L, base.replace("quick", "quack")),          // bmp near-dup of 0/3
+      (2L, "completely different content here, nothing shared at all " * 9)
+    ).toDF("doc_id", "text")
+    val media = Multimodal.demoContainerTable(spark, rows, "doc_id", "text")
+    val hashes = Multimodal.perceptualHashes(spark, media).toDF()
+    assert(hashes.count() == 6)
+    val pairs = Dedup.hash64Pairs(hashes, "media_id", "format")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    assert(pairs.get((0L, 3L)).contains(("bmp", 0L)), s"identical bmps must pair at 0: $pairs")
+    assert(pairs.get((1L, 4L)).contains(("wav", 0L)), s"identical wavs must pair at 0: $pairs")
+    assert(!pairs.keySet.exists { case (a, bb) => // wav ids are 1 mod 3
+      (a % 3 == 1) != (bb % 3 == 1) }, s"formats must never cross-pair: $pairs")
+    pairs.foreach { case (_, (_, ham)) => assert(ham >= 0 && ham <= 3) }
+    intercept[IllegalArgumentException](
+      Dedup.hash64Pairs(hashes, "media_id", "format", maxHamming = 4))
+  }
+
   test("multimodal: frame sampling yields n byte windows") {
     val media = Multimodal.demoMediaTable(docs.limit(10), "doc_id", "text")
     val framed = Multimodal.frameSample(media, 4, frameBytes = 8)
