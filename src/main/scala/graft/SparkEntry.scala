@@ -1814,6 +1814,18 @@ object SparkEntry {
       Dedup.containmentPairs(Tables.table(s, d, "documents"),
         "doc_id", "text", thresholdPermille = 800, shingle = 9)),
 
+    // benchmark decontamination (13-word-gram collision rule): the eval
+    // set is the deterministic doc_id % 101 == 0 slice, the corpus the
+    // rest — replicas/near-dups of eval docs land in the corpus, so both
+    // flag branches populate at every scale; n_shared_grams counts
+    // DISTINCT grams hit so the report is order-free
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(101)) =!= 0)
+      Curation.decontaminate(train, "doc_id", "text", bench)
+    }),
+
     // top-100 bigram collocations by integer lift (min support 5):
     // phrase mining for tokenizer-vocab / boilerplate-phrase audits —
     // staged truncating division keeps every intermediate <= 1000·N so
@@ -3178,6 +3190,26 @@ object SparkEntry {
         "SELECT id_a, id_b FROM co " +
         "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
         "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8"),
+
+    // decontamination replay: same shared tokenizer + 13-word grams as
+    // q_dedup_minhash_words (whole-text gram under 13 tokens), gram
+    // STRINGS standing in for the hash values (collision-free convention);
+    // distinct-gram join per (eval, train) side, then the hit counts and
+    // flag — zeros restored by the left join
+    "q_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(" +
+        "lower(coalesce(text, '')), '[^a-z]+'), x -> x <> '') AS t FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(" +
+        "CASE WHEN len(t) = 0 THEN [] " +
+        "WHEN len(t) < 13 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(range(1, len(t) - 11), i -> array_to_string(t[i:i+12], ' ')) " +
+        "END)) AS gram FROM toks), " +
+        "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0), " +
+        "hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n FROM g " +
+        "JOIN bg USING (gram) WHERE g.doc_id % 101 <> 0 GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(h.n, 0) AS n_shared_grams, " +
+        "CAST(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated " +
+        "FROM documents d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 101 <> 0"),
 
     // exact prefix-filtered Jaccard join: same pair set, exact by design
     "q_dedup_ngram" -> s"WITH $JaccardPairsCtes SELECT id_a, id_b FROM jpairs",

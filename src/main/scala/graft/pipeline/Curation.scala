@@ -340,4 +340,49 @@ object Curation {
       .groupBy(col(groupCol))
       .agg(transform(array_sort(collect_list(struct(col("bucket"), col("hi")))),
         x => x.getField("hi")).as("bucket_his"))
+
+  /**
+   * Benchmark decontamination (Brown et al. NeurIPS'20 App. C — the
+   * 13-word-gram collision rule; same posture in PaLM/Llama cards): a
+   * training document is CONTAMINATED when it shares at least one word
+   * n-gram with any document of the evaluation/benchmark set — the
+   * train-test-leakage complement of near-dup dedup (a benchmark answer
+   * quoted inside an otherwise-original page is invisible to
+   * whole-document Jaccard but shares its 13-gram window). Emits one row
+   * per corpus document: (doc_id, n_shared_grams — DISTINCT grams hit,
+   * is_contaminated 0/1); the is_contaminated=1 ids are the anti-joinable
+   * drop (or audit) list.
+   *
+   * Grams are [[org.apache.spark.sql.graft.WordShingleHashes]] — the
+   * corpus-standard [a-z]+ lowercase tokens, n-word windows, whole-text
+   * gram under n tokens — so the report replays in any engine from the
+   * shared tokenizer. Plan shape: the benchmark side (eval-set-sized by
+   * nature) reduces to a DISTINCT gram-hash table and BROADCASTS; the
+   * corpus explodes grams into a map-side broadcast-hash SEMI join, so
+   * only the (rare) hit rows reach the one counting shuffle — the corpus
+   * text itself never shuffles, and a 100 TB corpus pays one scan + a
+   * hits-sized aggregate.
+   */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String = "text",
+                    ngramWords: Int = 13): DataFrame = {
+    import org.apache.spark.sql.graft.WordShingleHashes
+    import org.apache.spark.sql.GraftShims
+    require(ngramWords >= 1, s"ngramWords must be >= 1, got $ngramWords")
+    def grams(t: Column): Column = GraftShims.column(
+      WordShingleHashes(GraftShims.expression(t),
+        GraftShims.expression(lit(ngramWords))))
+    val bg = benchmark
+      .select(explode(grams(col(benchTextCol))).as("gram")).distinct()
+    val hits = corpus
+      .select(col(idCol).as("doc_id"), explode(grams(col(textCol))).as("gram"))
+      .join(broadcast(bg), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        when(coalesce(col("n_shared_grams"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("is_contaminated"))
+  }
 }

@@ -382,6 +382,28 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** word_shingle_hashes(text, n) → array<long>: the SORTED DISTINCT hashed
+  * word n-grams of the text ([a-z]+ lowercase tokens; texts shorter than n
+  * tokens contribute ONE whole-text gram — the shared short-text
+  * convention) — the word-unit twin of [[ShingleHashes]], for set
+  * pipelines on the published 13-word gram (decontamination, word-level
+  * containment). */
+case class WordShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingle_hashes"
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    new GenericArrayData(TextCore.wordShingleHashes(text.toString, n.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.text.TextCore.wordShingleHashes($t.toString(), $n))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordShingleHashes =
+    copy(l, r)
+}
+
 /** sorted_jaccard(a, b) → double: exact Jaccard of two SORTED long-hash
   * arrays (sort-merge intersection). Bit-identical to [[NgramJaccard]] on the
   * texts the arrays were shingled from, without re-shingling per pair — the

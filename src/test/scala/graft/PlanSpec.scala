@@ -468,6 +468,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE-off parity for the round-11 gates") {
+    val names = Seq("q_kcore_conv", "q_dedup_media")
+    names.foreach { n =>
+      val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val off = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
+        assert(off == on, s"$n diverges under AQE-off")
+        assert(on.nonEmpty, s"$n empty at $sf — parity vacuous")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("blocklistStats plan is scan-local: no exchange, no UDF") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.pipeline.Curation.blocklistStats(docs,

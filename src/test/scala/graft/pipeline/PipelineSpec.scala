@@ -2435,6 +2435,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2 == Map(30L -> 0L, 31L -> 1L))
   }
 
+  test("decontaminate: planted quote, short-benchmark whole-gram, clean zeros, case/punct fold") {
+    import spark.implicits._
+    val benchDoc = "which ocean covers the largest fraction of the planet earth surface area today"
+    val bench = Seq(
+      (100L, benchDoc),              // 13 tokens → one 13-gram (itself)
+      (101L, "tiny eval row")        // 3 tokens → whole-text gram
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // quotes the benchmark question verbatim inside original prose
+      (1L, "some long original page... " + benchDoc + " ...and then continues"),
+      // case/punct variations fold to the same [a-z]+ token stream
+      (2L, "WHICH Ocean, covers the largest (fraction) of the PLANET earth SURFACE area today?!"),
+      // shares 12 of 13 words — no full 13-gram window matches
+      (3L, "which ocean covers the largest fraction of the planet earth surface area tomorrow"),
+      // contains the short benchmark text but only as PART of longer
+      // windows (its own gram set is 13-grams, never the 3-token gram)
+      (4L, "a tiny eval row sits quoted in here " + ("padding words repeat " * 3)),
+      (5L, "entirely unrelated content with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val r = Curation.decontaminate(corpus, "doc_id", "text", bench)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L)._2 == 1L && r(1L)._1 >= 1L, s"verbatim quote must flag: $r")
+    assert(r(2L) == ((1L, 1L)), s"case/punct fold must flag exactly the one gram: $r")
+    assert(r(3L) == ((0L, 0L)), "12-of-13 shared words is NOT a collision")
+    assert(r(4L) == ((0L, 0L)),
+      "a short benchmark's whole-text gram must not match inside longer docs")
+    assert(r(5L) == ((0L, 0L)))
+    assert(r.size == 5, "every corpus doc must appear, zeros included")
+    // a corpus doc SHORTER than n tokens collides via its whole-text gram
+    val shortTrain = Seq((9L, "tiny eval row")).toDF("doc_id", "text")
+    val r2 = Curation.decontaminate(shortTrain, "doc_id", "text", bench)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r2(9L) == 1L)
+    intercept[IllegalArgumentException](
+      Curation.decontaminate(corpus, "doc_id", "text", bench, ngramWords = 0))
+  }
+
   test("blocklistStats: word boundaries, adjacent repeats, phrases, totality") {
     import spark.implicits._
     val docs = Seq(
