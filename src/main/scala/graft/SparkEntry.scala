@@ -928,6 +928,80 @@ object SparkEntry {
       Evaluation.calibrationBins(scored, "label", "score", bins = 10)
     }),
 
+    // grouped exact lower weighted median (weight = quantity): the
+    // robust center under unequal row mass; corpus collapses to
+    // per-(group, value) sums before the one window
+    "q_weighted_median" -> ((s, d) => {
+      val li = Tables.table(s, d, "lineitem").select(
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        col("l_quantity").cast("long").as("qty"))
+      Sketches.weightedMedian(li, Seq("l_returnflag"), "price_cents", "qty")
+    }),
+
+    // OHLC fixed-bucket downsample (daily candles per event type):
+    // open/close by (ts, event_id) struct min/max — ONE hash aggregate,
+    // no window sort
+    "q_ohlc" -> ((s, d) =>
+      EventAnalytics.downsampleOhlc(Tables.table(s, d, "events"),
+        keyCol = "event_type", bucketSeconds = 86400L)),
+
+    // time-weighted average per event type (step-function integral over
+    // the irregular timeline; money as cents·µs integers)
+    "q_twap" -> ((s, d) =>
+      EventAnalytics.twap(Tables.table(s, d, "events"),
+        keyCol = "event_type")),
+
+    // one-sided CUSUM drift alarm over daily value sums per event type
+    // (target = the key's own mean bucket; h = 20% of target) — the
+    // ingest-monitoring change-point gate; the recursion replays as a
+    // recursive CTE in DuckDB
+    "q_cusum" -> ((s, d) =>
+      EventAnalytics.cusum(Tables.table(s, d, "events"),
+        keyCol = "event_type", bucketSeconds = 86400L,
+        slackPermille = 0, hPermille = 200)),
+
+    // pairwise-preference leaderboard with the Wilson z=2 lower bound
+    // (sort-by-LCB, the small-sample-robust ranking rule): comparisons
+    // derived from events — items a/b from event_id digits, winner by a
+    // deterministic integer rule so every item carries a distinct
+    // win/loss mix; all arithmetic integer incl. the exact isqrt
+    "q_pref_winrate" -> ((s, d) => {
+      val e = Tables.table(s, d, "events").select(
+        pmod(col("event_id"), lit(13L)).as("a"),
+        (lit(1L) + pmod(expr("event_id div 13"), lit(12L))).as("b"),
+        col("event_id"))
+        .filter(col("a") =!= col("b"))
+      val pick = pmod(col("event_id"), col("a") + col("b") + lit(2L)) <= col("a")
+      val pairs = e.select(
+        when(pick, col("a")).otherwise(col("b")).as("winner"),
+        when(pick, col("b")).otherwise(col("a")).as("loser"))
+      graft.pipeline.Preference.leaderboard(pairs)
+    }),
+
+    // Cohen's kappa between two synthetic quality raters (char-length
+    // bucket vs token-count bucket over the same 0..4 domain) — the
+    // label-QC agreement gate; one bounded label-pair groupBy
+    "q_kappa" -> ((s, d) => {
+      val toks = size(array_remove(
+        split(trim(coalesce(col("text"), lit(""))), "\\s+"), "")).cast("long")
+      val labels = Tables.table(s, d, "documents")
+        .filter(col("n_chars").isNotNull)
+        .select(least(expr("n_chars div 150"), lit(4L)).as("rater_a"),
+          toks.as("__t"))
+        .withColumn("rater_b", least(expr("__t div 25"), lit(4L)))
+      graft.pipeline.Preference.agreementKappa(labels, "rater_a", "rater_b")
+    }),
+
+    // largest-remainder apportionment of a fixed token budget across
+    // sources (allocations sum to exactly the budget; prime budget so
+    // remainders are non-trivial)
+    "q_apportion" -> ((s, d) => {
+      val w = Tables.table(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      Sampling.apportion(w, "source", "n_docs", budget = 1000003L)
+    }),
+
     // overlapping fixed-window chunking (stride < size)
     "q_chunk" -> ((s, d) =>
       TextAnalysis.chunk(Tables.table(s, d, "documents"), size = 256, stride = 192)),
@@ -4082,6 +4156,132 @@ object SparkEntry {
         "CAST((sum(y) * 1000) // count(*) AS BIGINT) AS pos_rate_permille, " +
         "CAST(sum(s) // count(*) AS BIGINT) AS mean_score " +
         "FROM t, mm GROUP BY 1"),
+
+    // identical per-(group, value) collapse, cumulative window, and the
+    // lower-median pick (first value with 2·cum ≥ total)
+    "q_weighted_median" ->
+      ("WITH b AS (SELECT l_returnflag, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS v, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT l_returnflag, v, " +
+        "sum(w) OVER (PARTITION BY l_returnflag ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(w) OVER (PARTITION BY l_returnflag) AS tot FROM b) " +
+        "SELECT l_returnflag, CAST(min(v) AS BIGINT) AS weighted_median, " +
+        "CAST(max(tot) AS BIGINT) AS w_total " +
+        "FROM c WHERE cum * 2 >= tot GROUP BY 1"),
+
+    // open/close re-derived via first/last row_number in (ts, event_id)
+    // order; min/max/sum over the same integer cents
+    "q_ohlc" ->
+      ("WITH t AS (SELECT event_type, " +
+        "(epoch_us(ts) // 86400000000) * 86400 AS bucket_start, " +
+        "epoch_us(ts) AS eus, event_id, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents " +
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket_start " +
+        "ORDER BY eus ASC, event_id ASC) AS rn_a, " +
+        "row_number() OVER (PARTITION BY event_type, bucket_start " +
+        "ORDER BY eus DESC, event_id DESC) AS rn_d FROM t) " +
+        "SELECT event_type, bucket_start, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents, " +
+        "CAST(max(cents) AS BIGINT) AS high_cents, " +
+        "CAST(min(cents) AS BIGINT) AS low_cents, " +
+        "CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        "FROM r GROUP BY 1, 2"),
+
+    // the same lead-bounded step integral: Σ cents·µs div Σ µs
+    "q_twap" ->
+      ("WITH t AS (SELECT event_type, epoch_us(ts) AS eus, event_id, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents " +
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), " +
+        "l AS (SELECT event_type, cents, eus, lead(eus) OVER " +
+        "(PARTITION BY event_type ORDER BY eus ASC, event_id ASC) AS nxt FROM t) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals, " +
+        "CAST(sum(nxt - eus) AS BIGINT) AS dur_us, " +
+        "CAST(sum(cents * (nxt - eus)) AS BIGINT) AS weighted_cents_us, " +
+        "CAST(sum(cents * (nxt - eus)) AS BIGINT) // " +
+        "greatest(CAST(sum(nxt - eus) AS BIGINT), 1) AS twap_cents " +
+        "FROM l WHERE nxt IS NOT NULL GROUP BY 1"),
+
+    // bucket sums, per-key integer mean target, then the Page recursion
+    // S_t = max(0, S_{t-1} + x_t - target - slack) as a recursive CTE
+    "q_cusum" ->
+      ("WITH RECURSIVE b AS (SELECT event_type, " +
+        "(epoch_us(ts) // 86400000000) * 86400 AS bucket_start, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x " +
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS target, " +
+        "CAST((sum(x) // count(*)) * 200 // 1000 AS BIGINT) AS h FROM b GROUP BY 1), " +
+        "o AS (SELECT b.*, m.target, m.h, row_number() OVER " +
+        "(PARTITION BY b.event_type ORDER BY b.bucket_start ASC) AS rn " +
+        "FROM b JOIN m USING (event_type)), " +
+        "c AS (SELECT event_type, bucket_start, x, target, h, rn, " +
+        "greatest(x - target, CAST(0 AS BIGINT)) AS s FROM o WHERE rn = 1 " +
+        "UNION ALL SELECT o.event_type, o.bucket_start, o.x, o.target, o.h, o.rn, " +
+        "greatest(c.s + o.x - o.target, CAST(0 AS BIGINT)) AS s " +
+        "FROM o JOIN c ON o.event_type = c.event_type AND o.rn = c.rn + 1) " +
+        "SELECT event_type, bucket_start, x, target, s AS cusum, " +
+        "CAST(CASE WHEN s > h THEN 1 ELSE 0 END AS BIGINT) AS alarm FROM c"),
+
+    // pairs re-derived from event_id digits, then the identical union
+    // tally, scaled-integer Wilson radicand, and the same
+    // floor(sqrt)+fixup exact isqrt
+    "q_pref_winrate" ->
+      ("WITH e AS (SELECT event_id % 13 AS a, 1 + (event_id // 13) % 12 AS b, " +
+        "event_id FROM events WHERE event_id % 13 <> 1 + (event_id // 13) % 12), " +
+        "p AS (SELECT CASE WHEN event_id % (a + b + 2) <= a THEN a ELSE b END AS winner, " +
+        "CASE WHEN event_id % (a + b + 2) <= a THEN b ELSE a END AS loser FROM e), " +
+        "t AS (SELECT item, CAST(sum(win) AS BIGINT) AS wins, " +
+        "CAST(sum(loss) AS BIGINT) AS losses FROM " +
+        "(SELECT winner AS item, 1 AS win, 0 AS loss FROM p " +
+        "UNION ALL SELECT loser, 0, 1 FROM p) GROUP BY 1), " +
+        "g AS (SELECT item, wins, losses, wins + losses AS games, " +
+        "((wins * losses) // (wins + losses)) * 1000000 + " +
+        "(((wins * losses) % (wins + losses)) * 1000000) // (wins + losses) " +
+        "+ 1000000 AS bigr FROM t), " +
+        "q0 AS (SELECT *, CAST(FLOOR(SQRT(CAST(bigr AS DOUBLE))) AS BIGINT) AS s0 FROM g), " +
+        "f AS (SELECT *, CASE WHEN s0 * s0 > bigr THEN s0 - 1 " +
+        "WHEN (s0 + 1) * (s0 + 1) <= bigr THEN s0 + 1 ELSE s0 END AS s FROM q0) " +
+        "SELECT item, wins, losses, games, " +
+        "(wins * 1000) // games AS winrate_permille, " +
+        "GREATEST((1000 * (wins + 2) - 2 * s) // (games + 4), CAST(0 AS BIGINT)) " +
+        "AS wilson_lcb_permille FROM f"),
+
+    // the same two derived raters, label-pair counts, marginal product
+    // chance term, and the integer kappa form
+    "q_kappa" ->
+      ("WITH l AS (SELECT least(n_chars // 150, 4) AS la, " +
+        "least(len(list_filter(string_split_regex(trim(coalesce(text, '')), " +
+        "'\\s+'), x -> x <> '')) // 25, 4) AS lb " +
+        "FROM documents WHERE n_chars IS NOT NULL), " +
+        "pc AS (SELECT la, lb, count(*) AS c FROM l GROUP BY 1, 2), " +
+        "ma AS (SELECT la AS k, CAST(sum(c) AS BIGINT) AS ak FROM pc GROUP BY 1), " +
+        "mb AS (SELECT lb AS k, CAST(sum(c) AS BIGINT) AS bk FROM pc GROUP BY 1), " +
+        "ch AS (SELECT CAST(coalesce(sum(ak * bk), 0) AS BIGINT) AS sum_ab " +
+        "FROM ma JOIN mb USING (k)), " +
+        "tt AS (SELECT CAST(sum(c) AS BIGINT) AS n_items, " +
+        "CAST(coalesce(sum(CASE WHEN la = lb THEN c END), 0) AS BIGINT) AS n_agree FROM pc) " +
+        "SELECT n_items, n_agree, (n_agree * 1000) // n_items AS po_permille, " +
+        "(sum_ab * 1000) // (n_items * n_items) AS pe_permille, " +
+        "(1000 * (n_items * n_agree - sum_ab)) // " +
+        "greatest(n_items * n_items - sum_ab, 1) AS kappa_permille FROM tt, ch"),
+
+    // per-source counts, floor shares, and the largest-remainder rank
+    // (remainder DESC, source ASC) topping up to the exact budget
+    "q_apportion" ->
+      ("WITH w AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM documents GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS wt FROM w), " +
+        "b AS (SELECT source, n_docs, (1000003 * n_docs) // wt AS base_alloc, " +
+        "(1000003 * n_docs) % wt AS rem FROM w, t), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk, " +
+        "sum(base_alloc) OVER () AS sb FROM b) " +
+        "SELECT source, n_docs, base_alloc, " +
+        "CAST(CASE WHEN rk <= 1000003 - sb THEN 1 ELSE 0 END AS BIGINT) AS extra, " +
+        "base_alloc + CASE WHEN rk <= 1000003 - sb THEN 1 ELSE 0 END AS alloc FROM r"),
 
     // (bm25 DESC, doc_id) order, truth = docs with >= 2 distinct matched
     // terms, then hits/recall/first-rank re-derived with pure integers

@@ -466,4 +466,135 @@ object EventAnalytics {
       .select(col("user_id"), col("event_type"),
         col("e.event_id").as("event_id"), col("e.ts_us").as("ts_us"))
   }
+
+  /**
+   * OHLC (open/high/low/close) downsampling — the canonical irregular →
+   * fixed-bucket time-series resample (candlesticks, metric rollups):
+   * per (key, `bucketSeconds` bucket), the first and last value by
+   * (ts, event_id) order plus min/max/sum/count, money carried as exact
+   * integer cents.
+   *
+   * Plan shape: ONE map-side-combined hash aggregate and nothing else —
+   * first/last ride min/max over the (ts_us, event_id, cents) struct
+   * (lexicographic; event_id uniqueness makes the pick total), so a
+   * 100 TB event log reduces in a single pass with no window sort and
+   * output bounded by keys × buckets.
+   */
+  def downsampleOhlc(events: DataFrame, keyCol: String = "event_type",
+                     bucketSeconds: Long = 86400L,
+                     valueCol: String = "value"): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
+    val bucketUs = bucketSeconds * 1000000L
+    events
+      .filter(col("ts").isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), tsUs.as("ts_us"), col("event_id"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .withColumn("bucket_start",
+        expr(s"(ts_us div ${bucketUs}L) * ${bucketSeconds}L"))
+      .groupBy(col(keyCol), col("bucket_start"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("close_cents"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
+  /**
+   * Time-weighted average (TWAP): per key, each observation holds from
+   * its timestamp to the NEXT observation's (the step-function / last-
+   * observation-carried-forward integral), so
+   * twap = Σ valueᵢ·(tᵢ₊₁ − tᵢ) / Σ(tᵢ₊₁ − tᵢ) — the standard correction
+   * when unevenly-sampled points would bias a plain mean. The last point
+   * bounds no interval. Output per key: `n_intervals`, `dur_us`,
+   * `weighted_cents_us` (Σ cents·µs), `twap_cents` (integer div).
+   *
+   * Plan shape: one per-key window (lead) — the single shuffle — then a
+   * map-side-combined aggregate to keys-sized output. Σ cents·µs is
+   * carried as a long: exact while |cents|·span_µs < 2⁶³ (~decades at
+   * 10⁶ cents), the same overflow posture as the repo's other
+   * integer-integral operators.
+   */
+  def twap(events: DataFrame, keyCol: String = "event_type",
+           valueCol: String = "value"): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    events
+      .filter(col("ts").isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), tsUs.as("ts_us"), col("event_id"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(byKey))
+      .filter(col("next_us").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("next_us") - col("ts_us")).as("dur_us"),
+        sum(col("cents") * (col("next_us") - col("ts_us")))
+          .as("weighted_cents_us"))
+      .withColumn("twap_cents",
+        expr("weighted_cents_us div greatest(dur_us, 1)"))
+  }
+
+  /**
+   * One-sided CUSUM drift detection (Page '54) — the standard
+   * change-point alarm for corpus-ingest monitoring (a source's daily
+   * volume creeping up, a quality metric drifting): per key, over
+   * `bucketSeconds` bucket sums xₜ (integer cents),
+   * Sₜ = max(0, Sₜ₋₁ + xₜ − target − slack) with the alarm Sₜ > h,
+   * where target is the key's own mean bucket sum and slack/h are
+   * permille-of-target parameters. All integer; both the running Sₜ and
+   * the flag are emitted per (key, bucket).
+   *
+   * Plan shape: one map-side-combined (key, bucket) aggregate collapses
+   * the corpus; the recursion then runs scan-local per key over the
+   * sorted bucket list via an `aggregate` fold — state is bounded by
+   * buckets-per-key (calendar-bounded: the time span over the bucket
+   * width), the same posture as [[gapFill]]. The corpus itself never
+   * sees a window or a second shuffle.
+   */
+  def cusum(events: DataFrame, keyCol: String = "event_type",
+            bucketSeconds: Long = 86400L, slackPermille: Int = 0,
+            hPermille: Int = 500, valueCol: String = "value"): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
+    require(slackPermille >= 0 && hPermille >= 0,
+      s"slack/h permille must be >= 0: $slackPermille/$hPermille")
+    val bucketUs = bucketSeconds * 1000000L
+    val buckets = events
+      .filter(col("ts").isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol),
+        expr(s"(unix_micros(ts) div ${bucketUs}L) * ${bucketSeconds}L")
+          .as("bucket_start"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .groupBy(col(keyCol), col("bucket_start"))
+      .agg(sum(col("cents")).as("x"))
+    val emptyOut = array()
+      .cast("array<struct<bucket_start:bigint,x:bigint,s:bigint>>")
+    buckets
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("bucket_start"), col("x"))))
+        .as("bs"),
+        expr("sum(x) div count(1)").as("target"))
+      .withColumn("slack", expr(s"(target * ${slackPermille}L) div 1000"))
+      .withColumn("h", expr(s"(target * ${hPermille}L) div 1000"))
+      .withColumn("run",
+        aggregate(col("bs"),
+          struct(lit(0L).as("s"), emptyOut.as("out")),
+          (acc, e) => {
+            val s = greatest(
+              acc.getField("s") + e.getField("x") - col("target") - col("slack"),
+              lit(0L))
+            struct(s.as("s"),
+              concat(acc.getField("out"), array(struct(
+                e.getField("bucket_start").as("bucket_start"),
+                e.getField("x").as("x"), s.as("s")))).as("out"))
+          },
+          acc => acc.getField("out")))
+      .select(col(keyCol), col("target"), col("h"), explode(col("run")).as("r"))
+      .select(col(keyCol), col("r.bucket_start").as("bucket_start"),
+        col("r.x").as("x"), col("target"), col("r.s").as("cusum"),
+        when(col("r.s") > col("h"), 1L).otherwise(0L).as("alarm"))
+  }
 }

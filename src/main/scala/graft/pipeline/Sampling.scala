@@ -371,4 +371,47 @@ object Sampling {
       .filter(col("__rn") <= col("__quota"))
       .drop("__rn", "__quota")
   }
+
+  /**
+   * Largest-remainder (Hamilton) apportionment of an integer budget
+   * across weighted sources — the exact-integer step every corpus-mixing
+   * recipe needs between "per-source weights" and "per-source token
+   * budgets": allocations sum to EXACTLY `budget`, each source gets
+   * ⌊budget·wᵢ/W⌋ plus one extra unit for the `budget mod W`-largest
+   * remainders (ties broken by key ascending, the deterministic
+   * convention). Output per source: the weight, `base_alloc`, `extra`
+   * (0/1), and the final `alloc`.
+   *
+   * Plan shape: `weights` is a sources-sized frame (one row per source,
+   * produced upstream by a map-side-combined count/sum), so the total-W
+   * aggregate broadcasts as a 1-row frame and the remainder rank is one
+   * window over #sources rows — nothing here ever sees the corpus.
+   * Overflow-safe while budget·wᵢ fits a long (require-guarded).
+   */
+  def apportion(weights: DataFrame, keyCol: String, weightCol: String,
+                budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val totals = weights.agg(
+      coalesce(sum(col(weightCol)), lit(0L)).as("__w_total"),
+      coalesce(max(col(weightCol)), lit(0L)).as("__w_max"))
+    val withTotal = weights.crossJoin(broadcast(totals))
+    val rankW = Window.orderBy(
+      expr(s"(($budget * $weightCol) % __w_total)").desc, col(keyCol).asc)
+    val wCap = if (budget == 0) Long.MaxValue else Long.MaxValue / budget
+    withTotal
+      // the guard lives inside a REFERENCED column so pruning keeps it
+      .withColumn("base_alloc", when(
+        col("__w_max") > lit(wCap) || col("__w_total") <= 0,
+        raise_error(lit(
+          "apportion: zero total weight or budget * max(weight) overflows long"))
+          .cast("long"))
+        .otherwise(expr(s"($budget * $weightCol) div __w_total")))
+      .withColumn("__rem_rank", row_number().over(rankW))
+      .withColumn("extra", when(
+        col("__rem_rank") <= lit(budget) - expr(
+          s"sum(base_alloc) over ()"), 1L).otherwise(0L))
+      .withColumn("alloc", col("base_alloc") + col("extra"))
+      .select(col(keyCol), col(weightCol), col("base_alloc"), col("extra"),
+        col("alloc"))
+  }
 }

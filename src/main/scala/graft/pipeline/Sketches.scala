@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -543,5 +544,38 @@ object Sketches {
         expr(s"(${alphaPermille(b)} * ${m * m} * 4294967296L) div " +
           s"(1000 * (__sp + (${m}L - n_hit) * 4294967296L))")
           .as("est_distinct"))
+  }
+
+  /**
+   * Grouped exact LOWER weighted median: the smallest value v per group
+   * with cumulative weight(≤v) · 2 ≥ total weight — the robust center
+   * when rows carry unequal mass (token counts, sampling weights), and
+   * the deterministic integer convention (no interpolation, so the
+   * result is always an observed value and replays hash-exact).
+   *
+   * Plan shape: the corpus first collapses to per-(group, value) weight
+   * sums — ONE map-side-combined shuffle bounded by distinct values, not
+   * rows — then the cumulative scan is a window over that collapsed
+   * frame and the answer is a tiny min-aggregate. A 100 TB input with a
+   * bounded value domain (cents, token counts) pays the big shuffle
+   * only on the collapsed frame.
+   */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     weightCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val byVal = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(gc :+ col(valueCol): _*)
+      .agg(sum(col(weightCol)).as("__w"))
+    val part = Window.partitionBy(gc: _*)
+    val cumW = part.orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byVal
+      .withColumn("__cum", sum(col("__w")).over(cumW))
+      .withColumn("__tot", sum(col("__w")).over(part))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(gc: _*)
+      .agg(min(col(valueCol)).as("weighted_median"),
+        max(col("__tot")).as("w_total"))
   }
 }

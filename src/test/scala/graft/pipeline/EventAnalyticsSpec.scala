@@ -1693,4 +1693,95 @@ class EventAnalyticsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Graph.node2vecWalks(df, 1, 1, farPermille = 1000001))
   }
+
+  // ---- OHLC / TWAP / CUSUM ----
+
+  /** (event_id, ts_us, event_type, value) with a real ts column. */
+  private def mkValued(rows: Seq[(Long, Long, String, Double)]): DataFrame =
+    rows.toDF("event_id", "ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select("event_id", "ts", "event_type", "value")
+
+  private def randValued(seed: Int, n: Int, tsMax: Int,
+                         types: Seq[String]): Seq[(Long, Long, String, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, rnd.nextInt(tsMax).toLong,
+      types(rnd.nextInt(types.size)), rnd.nextInt(100000) / 100.0))
+  }
+
+  test("downsampleOhlc: brute-force parity incl. exact-ts ties, partitioning") {
+    for (seed <- Seq(1, 2)) {
+      val rows = randValued(seed, 400, tsMax = 50, types = Seq("a", "b"))
+      val bucketSec = 10L
+      // stretch the tiny tie-rich µs domain to ~100 s → ~10 buckets/key
+      val rows2 = rows.map(r => r.copy(_2 = r._2 * 2000000L))
+      val got = EventAnalytics.downsampleOhlc(mkValued(rows2).repartition(7),
+        keyCol = "event_type", bucketSeconds = bucketSec)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+        .toMap
+      val brute = rows2.groupBy(r => (r._3, r._2 / (bucketSec * 1000000L) * bucketSec))
+        .map { case (k, evs) =>
+          val cents = evs.map(e => math.round(e._4 * 100))
+          val sorted = evs.sortBy(e => (e._2, e._1))
+          k -> (evs.size.toLong, math.round(sorted.head._4 * 100),
+            cents.max, cents.min, math.round(sorted.last._4 * 100), cents.sum)
+        }
+      assert(got == brute)
+    }
+  }
+
+  test("twap: brute-force step integral; single point yields no interval") {
+    for (seed <- Seq(3, 4)) {
+      val rows = randValued(seed, 300, tsMax = 1000000, types = Seq("x", "y", "z"))
+      val got = EventAnalytics.twap(mkValued(rows).repartition(5), "event_type")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val brute = rows.groupBy(_._3).map { case (k, evs) =>
+        val s = evs.sortBy(e => (e._2, e._1))
+        val ivs = s.zip(s.tail).map { case (a, b) =>
+          (math.round(a._4 * 100), b._2 - a._2) }
+        val dur = ivs.map(_._2).sum
+        val wsum = ivs.map(t => t._1 * t._2).sum
+        k -> (ivs.size.toLong, dur, wsum, wsum / math.max(dur, 1L))
+      }
+      assert(got == brute)
+    }
+    // a key with one event bounds no interval → absent from the report
+    val one = mkValued(Seq((1L, 5L, "solo", 1.0), (2L, 1L, "duo", 2.0),
+      (3L, 9L, "duo", 4.0)))
+    val r = EventAnalytics.twap(one, "event_type").collect()
+    assert(r.map(_.getString(0)).toSet == Set("duo"))
+    // duo: 200 cents held for 8 µs → twap 200
+    assert(r.head.getLong(4) == 200L)
+  }
+
+  test("cusum: brute Page recursion, alarm threshold, reset-at-zero") {
+    for (seed <- Seq(5, 6)) {
+      val rows = randValued(seed, 500, tsMax = 20000000, types = Seq("a", "b"))
+      val got = EventAnalytics.cusum(mkValued(rows).repartition(3),
+        keyCol = "event_type", bucketSeconds = 1L, slackPermille = 100,
+        hPermille = 300)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val brute = rows.groupBy(_._3).flatMap { case (k, evs) =>
+        val buckets = evs.groupBy(_._2 / 1000000L)
+          .map { case (b, es) => (b, es.map(e => math.round(e._4 * 100)).sum) }
+          .toSeq.sortBy(_._1)
+        val target = buckets.map(_._2).sum / buckets.size
+        val slack = target * 100 / 1000
+        val h = target * 300 / 1000
+        var s = 0L
+        buckets.map { case (b, x) =>
+          s = math.max(0L, s + x - target - slack)
+          (k, b) -> (x, target, s, if (s > h) 1L else 0L)
+        }
+      }
+      assert(got == brute)
+      assert(got.values.exists(_._4 == 1L) || got.values.forall(_._4 == 0L))
+    }
+    intercept[IllegalArgumentException](
+      EventAnalytics.cusum(mkValued(Seq.empty[(Long, Long, String, Double)]),
+        bucketSeconds = 0L))
+  }
 }

@@ -2501,4 +2501,82 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Curation.blocklistStats(docs, Seq.empty))
   }
+
+  test("preference leaderboard: tallies, winrate, Wilson LCB vs brute scalar") {
+    import spark.implicits._
+    // item 1 beats item 2 three times, loses once; item 3 plays once
+    val pairs = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L), (3L, 2L))
+      .toDF("winner", "loser")
+    val r = Preference.leaderboard(pairs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toMap
+    assert(r(1L)._1 == 3L && r(1L)._2 == 1L && r(1L)._3 == 4L)
+    assert(r(3L) == ((1L, 0L, 1L, 1000L, r(3L)._5)))
+    // brute scalar replay of the integer Wilson form for every item
+    def isqrt(x: Long): Long = { var s = math.sqrt(x.toDouble).toLong
+      while (s * s > x) s -= 1; while ((s + 1) * (s + 1) <= x) s += 1; s }
+    for ((_, (w, l, n, wr, lcb)) <- r) {
+      assert(wr == w * 1000 / n)
+      val bigr = (w * l / n) * 1000000L + ((w * l % n) * 1000000L) / n + 1000000L
+      val expect = math.max((1000L * (w + 2) - 2 * isqrt(bigr)) / (n + 4), 0L)
+      assert(lcb == expect, s"wilson mismatch: $lcb vs $expect (w=$w n=$n)")
+    }
+    // LCB must rank a 3-0 item above a 1-0 item (the small-sample rule)
+    val r2 = Preference.leaderboard(
+      Seq((7L, 8L), (7L, 9L), (7L, 8L), (5L, 6L)).toDF("winner", "loser"))
+      .collect().map(x => x.getLong(0) -> x.getLong(5)).toMap
+    assert(r2(7L) > r2(5L))
+    // monotonicity: LCB strictly below the raw winrate for finite n
+    assert(r(1L)._5 < r(1L)._4)
+  }
+
+  test("agreementKappa: perfect, chance-level, and partial agreement") {
+    import spark.implicits._
+    val perfect = Seq((0L, 0L), (1L, 1L), (2L, 2L), (0L, 0L))
+      .toDF("a", "b")
+    val p = Preference.agreementKappa(perfect, "a", "b").head
+    assert(p.getAs[Long]("kappa_permille") == 1000L)
+    // rater B constant: pe == po → kappa 0 via the guarded denominator
+    val constant = Seq((0L, 0L), (1L, 0L), (0L, 0L), (1L, 0L)).toDF("a", "b")
+    val c = Preference.agreementKappa(constant, "a", "b").head
+    assert(c.getAs[Long]("po_permille") == 500L)
+    assert(c.getAs[Long]("pe_permille") == 500L)
+    assert(c.getAs[Long]("kappa_permille") == 0L)
+    // textbook 2x2: n=100, agree=60, marginals A(50,50) B(60,40) → pe=.5
+    // kappa = (0.6-0.5)/0.5 = 0.2
+    val rows = Seq.fill(35)((0L, 0L)) ++ Seq.fill(15)((0L, 1L)) ++
+      Seq.fill(25)((1L, 0L)) ++ Seq.fill(25)((1L, 1L))
+    val k = Preference.agreementKappa(rows.toDF("a", "b"), "a", "b").head
+    assert(k.getAs[Long]("n_items") == 100L)
+    assert(k.getAs[Long]("n_agree") == 60L)
+    assert(k.getAs[Long]("po_permille") == 600L)
+    assert(k.getAs[Long]("pe_permille") == 500L)
+    assert(k.getAs[Long]("kappa_permille") == 200L)
+  }
+
+  test("apportion: exact budget, largest-remainder order, guards") {
+    import spark.implicits._
+    val w = Seq(("a", 4L), ("b", 3L), ("c", 2L), ("d", 1L)).toDF("src", "n")
+    val r = Sampling.apportion(w, "src", "n", budget = 10L)
+      .collect().map(x => x.getString(0) -> x.getLong(4)).toMap
+    // budget == total weight: pure proportional
+    assert(r == Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
+    // budget 7 over (4,3,2,1)/10: floors (2,2,1,0), rems (8,1,4,7)
+    // → two extras go to a (8) and d (7)
+    val r7 = Sampling.apportion(w, "src", "n", budget = 7L)
+      .collect().map(x => x.getString(0) -> (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r7("a") == ((2L, 1L, 3L)))
+    assert(r7("b") == ((2L, 0L, 2L)))
+    assert(r7("c") == ((1L, 0L, 1L)))
+    assert(r7("d") == ((0L, 1L, 1L)))
+    assert(r7.values.map(_._3).sum == 7L)
+    // remainder ties break by key ascending: equal weights, one extra
+    val tie = Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("src", "n")
+    val rt = Sampling.apportion(tie, "src", "n", budget = 4L)
+      .collect().map(x => x.getString(0) -> x.getLong(4)).toMap
+    assert(rt == Map("x" -> 2L, "y" -> 1L, "z" -> 1L))
+    // zero total weight fails loudly
+    val zero = Seq(("x", 0L)).toDF("src", "n")
+    intercept[Exception](Sampling.apportion(zero, "src", "n", 5L).collect())
+  }
 }

@@ -457,4 +457,37 @@ class SketchesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sketches.kthValues(df, "x", Seq.empty))
     intercept[IllegalArgumentException](Sketches.kthValues(df, "x", Seq(1L, 4L)))
   }
+
+  test("weightedMedian: brute-force parity across seeds, groups, dup values") {
+    def brute(rows: Seq[(String, Long, Long)]): Map[String, (Long, Long)] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val byVal = rs.groupBy(_._2).map { case (v, xs) => (v, xs.map(_._3).sum) }
+          .toSeq.sortBy(_._1)
+        val tot = byVal.map(_._2).sum
+        var cum = 0L
+        val med = byVal.collectFirst {
+          case (v, w) if { cum += w; cum * 2 >= tot } => v
+        }.get
+        g -> (med, tot)
+      }
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      // small value domain → heavy duplication, the tie-critical path
+      val rows = (0 until 600).map(_ => (s"g${rnd.nextInt(4)}",
+        rnd.nextInt(20).toLong, 1L + rnd.nextInt(9)))
+      val got = Sketches.weightedMedian(rows.toDF("g", "v", "w").repartition(7),
+        Seq("g"), "v", "w")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == brute(rows.map(t => (t._1, t._2, t._3.toLong))))
+    }
+    // LOWER median convention: weights (1,1) over values (10, 20) → 10
+    val two = Seq(("a", 10L, 1L), ("a", 20L, 1L)).toDF("g", "v", "w")
+    assert(Sketches.weightedMedian(two, Seq("g"), "v", "w")
+      .head.getLong(1) == 10L)
+    // one dominant weight pins the median regardless of value order
+    val dom = Seq(("a", 5L, 100L), ("a", 1L, 1L), ("a", 9L, 1L))
+      .toDF("g", "v", "w")
+    assert(Sketches.weightedMedian(dom, Seq("g"), "v", "w")
+      .head.getLong(1) == 5L)
+  }
 }
