@@ -883,6 +883,25 @@ object SparkEntry {
       TextAnalysis.bm25(Tables.table(s, d, "documents"),
         Seq("merge", "window", "table"), topN = 20)),
 
+    // two-stage hybrid retrieval (retrieve-then-rerank cascade): BM25
+    // lexical top-30 candidate generation → exact cosine re-rank against
+    // the query embedding, top-10 ids. Candidates are bounded so the
+    // rerank join broadcasts against the embedding table scan; ids-only
+    // output (the rank-boundary score gaps dwarf float noise, the
+    // q_embed_topk precedent)
+    "q_hybrid_rerank" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val embs = Tables.table(s, d, "embeddings")
+      val lexical = TextAnalysis.bm25(docs,
+        Seq("merge", "window", "table"), topN = 30)
+      val q = embs.filter(col("vec_id") === 0L).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val cands = embs.select(col("vec_id").as("doc_id"), col("embedding"))
+        .join(broadcast(lexical.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      Similarity.cosineTopK(cands, q, 10, idCol = "doc_id")
+        .select(col("doc_id"))
+    }),
+
     // ranked-retrieval evaluation of the BM25 results against a derived
     // relevance truth (docs with >= 2 distinct matched terms): integer
     // recall/hits/first-rank counters — the measurement half of every
@@ -960,6 +979,29 @@ object SparkEntry {
       EventAnalytics.cusum(Tables.table(s, d, "events"),
         keyCol = "event_type", bucketSeconds = 86400L,
         slackPermille = 0, hPermille = 200)),
+
+    // grouped integer OLS trend over the daily value series per event
+    // type (day index re-origined to each key's min) — the drift-TREND
+    // complement of q_cusum's change-point alarm
+    "q_trend" -> ((s, d) => {
+      val daily = Tables.table(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("y"))
+      EventAnalytics.groupedTrend(daily, "event_type", "day", "y")
+    }),
+
+    // contrastive hard-negative mining over the embedding table: per
+    // anchor (vec_id < 5) the nearest same-label vector (positive) and
+    // nearest other-label vector (hard negative), ids only — the
+    // DPR/Sentence-BERT batch-construction step
+    "q_hard_negatives" -> ((s, d) => {
+      val embs = Tables.table(s, d, "embeddings")
+      Similarity.hardNegatives(embs.filter(col("vec_id") < 5), embs)
+    }),
 
     // pairwise-preference leaderboard with the Wilson z=2 lower bound
     // (sort-by-LCB, the small-sample-robust ranking rule): comparisons
@@ -4157,6 +4199,38 @@ object SparkEntry {
         "CAST(sum(s) // count(*) AS BIGINT) AS mean_score " +
         "FROM t, mm GROUP BY 1"),
 
+    // same daily collapse, re-origin, integer moments, and guarded OLS
+    "q_trend" ->
+      ("WITH dly AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y " +
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2), " +
+        "x0 AS (SELECT event_type, min(day) AS d0 FROM dly GROUP BY 1), " +
+        "xs AS (SELECT dly.event_type, dly.day - x0.d0 AS x, dly.y " +
+        "FROM dly JOIN x0 USING (event_type)), " +
+        "mo AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx FROM xs GROUP BY 1) " +
+        "SELECT event_type, n, " +
+        "(1000000 * (n * sxy - sx * sy)) // greatest(n * sxx - sx * sx, 1) AS slope_micro, " +
+        "(sy - ((1000000 * (n * sxy - sx * sy)) // greatest(n * sxx - sx * sx, 1) * sx) // 1000000) // n " +
+        "AS intercept FROM mo"),
+
+    // cosines re-derived as DOUBLE[] similarity, per-anchor argmax under
+    // the same same/other-label masks, ties to the smallest id; ids only
+    // (rank-1 score gaps dwarf float noise, the q_embed_topk precedent)
+    "q_hard_negatives" ->
+      ("WITH a AS (SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av, " +
+        "label AS albl FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT a.aid, a.albl, e.vec_id AS cid, e.label AS clbl, " +
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) AS s " +
+        "FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.aid), " +
+        "p AS (SELECT aid, cid FROM (SELECT aid, cid, row_number() OVER " +
+        "(PARTITION BY aid ORDER BY s DESC, cid ASC) AS rn FROM s WHERE clbl = albl) WHERE rn = 1), " +
+        "n AS (SELECT aid, cid FROM (SELECT aid, cid, row_number() OVER " +
+        "(PARTITION BY aid ORDER BY s DESC, cid ASC) AS rn FROM s WHERE clbl <> albl) WHERE rn = 1) " +
+        "SELECT p.aid AS anchor_id, p.cid AS pos_id, n.cid AS neg_id " +
+        "FROM p JOIN n ON p.aid = n.aid"),
+
     // identical per-(group, value) collapse, cumulative window, and the
     // lower-median pick (first value with 2·cum ≥ total)
     "q_weighted_median" ->
@@ -4282,6 +4356,17 @@ object SparkEntry {
         "SELECT source, n_docs, base_alloc, " +
         "CAST(CASE WHEN rk <= 1000003 - sb THEN 1 ELSE 0 END AS BIGINT) AS extra, " +
         "base_alloc + CASE WHEN rk <= 1000003 - sb THEN 1 ELSE 0 END AS alloc FROM r"),
+
+    // identical BM25 fold for the candidate cut (bit-exact, so the
+    // top-30 boundary agrees), then the cosine re-rank ids-only
+    "q_hybrid_rerank" ->
+      ("WITH " + Bm25OracleCtes + ", " +
+        "cand AS (SELECT doc_id FROM g ORDER BY bm25 DESC, doc_id ASC LIMIT 30), " +
+        "qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0) " +
+        "SELECT e.vec_id AS doc_id FROM embeddings e " +
+        "JOIN cand c ON e.vec_id = c.doc_id CROSS JOIN qv " +
+        "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v) DESC, " +
+        "e.vec_id ASC LIMIT 10"),
 
     // (bm25 DESC, doc_id) order, truth = docs with >= 2 distinct matched
     // terms, then hits/recall/first-rank re-derived with pure integers

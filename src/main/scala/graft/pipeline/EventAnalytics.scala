@@ -539,6 +539,39 @@ object EventAnalytics {
   }
 
   /**
+   * Grouped integer OLS trend — slope/intercept of the least-squares
+   * line per key over an integer series (day index → daily volume), the
+   * drift-TREND complement of [[cusum]]'s change-point alarm:
+   * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), emitted as
+   * `slope_micro` (×10⁶, integer div) and `intercept` in y units at
+   * x = the group's min x. Each x is RE-ORIGINED to that min first —
+   * slope is shift-invariant and the small x' keeps every moment term
+   * far from long overflow (exact while n·Σ|x'y| < 2⁵⁷ ≈ decades of
+   * daily buckets at 10⁹-unit values). A constant-x group has an
+   * undefined slope and reports 0 via the guarded denominator.
+   *
+   * Plan shape: one keys-sized min-x aggregate broadcast back, then ONE
+   * map-side-combined moments aggregate — the series never sorts and
+   * never shuffles more than its (key, x) collapse.
+   */
+  def groupedTrend(series: DataFrame, keyCol: String, xCol: String,
+                   yCol: String): DataFrame = {
+    val x0 = series.groupBy(col(keyCol)).agg(min(col(xCol)).as("__x0"))
+    series.join(broadcast(x0), Seq(keyCol))
+      .select(col(keyCol), (col(xCol) - col("__x0")).as("__x"),
+        col(yCol).as("__y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("__x").as("sx"), sum("__y").as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"))
+      .withColumn("slope_micro", expr(
+        "(1000000 * (n * sxy - sx * sy)) div greatest(n * sxx - sx * sx, 1)"))
+      .withColumn("intercept", expr(
+        "(sy - (slope_micro * sx) div 1000000) div n"))
+      .select(col(keyCol), col("n"), col("slope_micro"), col("intercept"))
+  }
+
+  /**
    * One-sided CUSUM drift detection (Page '54) — the standard
    * change-point alarm for corpus-ingest monitoring (a source's daily
    * volume creeping up, a quality metric drifting): per key, over

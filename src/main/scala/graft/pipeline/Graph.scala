@@ -385,19 +385,22 @@ object Graph {
     * often among its neighbors and itself, ties broken toward the SMALLEST
     * label — fully deterministic (no random visit order), so the result is
     * partition-invariant and a SQL oracle replays it round by round. The
-    * per-node argmax is a window over the (node, label) vote counts —
-    * partitioned by node, never global. */
+    * per-node argmax is max(struct(c, -label)) — an ordinary partially-
+    * aggregated hash aggregate, so each round's second shuffle carries at
+    * most one row per (partition, node) and nothing is SORTED (the window
+    * form paid an extra sort per round: the three LPA gates measured
+    * 20.9 s → 12.3 s at sf0.1, n=3 medians). Negating the label turns the
+    * min-label tie-break into plain struct max for ANY label sign
+    * (max −label ≡ min label); only Long.MinValue would overflow, and
+    * labels are node ids, which the data model keeps far from it. */
   private def lpaStep(adj: DataFrame, labels: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val votes = adj
       .join(labels.withColumnRenamed("node", "nbr"), "nbr")
       .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
     votes
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("node"))
-          .orderBy(col("c").desc, col("label").asc)))
-      .filter(col("__rn") === 1)
-      .select(col("node"), col("label"))
+      .groupBy(col("node"))
+      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("node"), (-col("m.nl")).as("label"))
   }
 
   /**

@@ -663,6 +663,43 @@ object Similarity {
     selected
   }
 
+  /**
+   * Contrastive training-pair mining: for each anchor, the nearest
+   * same-label corpus vector (the positive) and the nearest
+   * OTHER-label vector (the hard negative) — the batch-construction
+   * step for contrastive embedding training (the DPR / Sentence-BERT
+   * hard-negative recipe). Ties break toward the smallest id; anchors
+   * with no same-label or no other-label counterpart drop (no pair to
+   * form). Output: (anchor_id, pos_id, neg_id), ids only.
+   *
+   * Plan shape: the anchor set broadcasts against ONE corpus scan and
+   * both argmaxes ride a single map-side-combined aggregate —
+   * max(struct(score, −id)) under same/other-label masks — so a 100 TB
+   * embedding table pays one scan, no window, no corpus shuffle;
+   * output is anchors-sized.
+   */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.graft.VecCosine
+    val a = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("__av"),
+      col(labelCol).as("__albl"))
+    val scored = corpus
+      .join(broadcast(a), col(idCol) =!= col("anchor_id"))
+      .select(col("anchor_id"), col("__albl"), col(idCol).as("cid"),
+        col(labelCol).as("clbl"),
+        c(VecCosine(e(col(vecCol)), e(col("__av")))).as("s"))
+    scored.groupBy(col("anchor_id"))
+      .agg(
+        max(when(col("clbl") === col("__albl"),
+          struct(col("s"), (-col("cid")).as("ni")))).as("p"),
+        max(when(col("clbl") =!= col("__albl"),
+          struct(col("s"), (-col("cid")).as("ni")))).as("m"))
+      .filter(col("p").isNotNull && col("m").isNotNull)
+      .select(col("anchor_id"), (-col("p.ni")).as("pos_id"),
+        (-col("m.ni")).as("neg_id"))
+  }
+
   /** Exact integer dot product of two equal-length numeric arrays —
     * the [[sq8TopK]] code-dot building block, exposed for candidate/
     * pairwise scoring feeding [[mmrRerank]]. */

@@ -58,6 +58,37 @@ object EventStreams {
         col("n"), col("value_milli"))
 
   /**
+   * Streaming twin of [[graft.pipeline.EventAnalytics.downsampleOhlc]]:
+   * watermarked tumbling-window OHLC candles. Open/close ride the same
+   * (ts_us, event_id, cents) struct min/max as the batch op, so partial
+   * candles MERGE exactly across micro-batches (min/max/sum/count are
+   * all associative) and state per (key, window) is O(1); late data
+   * within the watermark folds into its candle, later data drops.
+   * `bucket_start` is emitted as epoch seconds, matching the batch twin
+   * bit-for-bit for epoch-aligned windows.
+   */
+  def ohlcStream(events: DataFrame, window_ : String = "1 day",
+                 watermark: String = "2 days",
+                 keyCol: String = "event_type"): DataFrame =
+    events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("close_cents"),
+        sum(col("cents")).as("sum_cents"))
+      .select(expr("unix_seconds(window.start)").as("bucket_start"),
+        col(keyCol), col("n"), col("open_cents"), col("high_cents"),
+        col("low_cents"), col("close_cents"), col("sum_cents"))
+
+  /**
    * HOPPING (sliding) window counts: duration `window_`, slide `slide`
    * < duration, so each event contributes to duration/slide overlapping
    * windows (the rate-over-trailing-hour-updated-every-15-min report

@@ -471,7 +471,8 @@ class PlanSpec extends AnyFunSuite {
   test("AQE-off parity for the round-11 gates") {
     val names = Seq("q_kcore_conv", "q_dedup_media", "q_decontaminate",
       "q_pref_winrate", "q_kappa", "q_apportion", "q_weighted_median",
-      "q_ohlc", "q_twap", "q_cusum")
+      "q_ohlc", "q_twap", "q_cusum", "q_hybrid_rerank", "q_trend",
+      "q_hard_negatives")
     names.foreach { n =>
       val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
       spark.conf.set("spark.sql.adaptive.enabled", "false")

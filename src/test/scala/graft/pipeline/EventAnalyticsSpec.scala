@@ -1756,6 +1756,45 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.head.getLong(4) == 200L)
   }
 
+  test("groupedTrend: brute integer OLS, shift invariance, constant-x guard") {
+    import spark.implicits._
+    for (seed <- Seq(7, 8)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 200).map(_ => (s"k${rnd.nextInt(3)}",
+        (20000 + rnd.nextInt(60)).toLong, rnd.nextInt(100000).toLong))
+      // collapse to one y per (key, x) like the gate's daily table
+      val series = rows.groupBy(r => (r._1, r._2))
+        .map { case ((k, x), rs) => (k, x, rs.map(_._3).sum) }.toSeq
+      val got = EventAnalytics.groupedTrend(
+        series.toDF("k", "x", "y").repartition(5), "k", "x", "y")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val brute = series.groupBy(_._1).map { case (k, rs) =>
+        val x0 = rs.map(_._2).min
+        val xs = rs.map(r => (r._2 - x0, r._3))
+        val n = xs.size.toLong
+        val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+        val sxy = xs.map(t => t._1 * t._2).sum
+        val sxx = xs.map(t => t._1 * t._1).sum
+        val den = math.max(n * sxx - sx * sx, 1L)
+        // Spark `div` and DuckDB `//` both truncate toward zero — so does
+        // Scala Long `/`; floorDiv would diverge on negative slopes
+        val slope = 1000000L * (n * sxy - sx * sy) / den
+        val icept = (sy - slope * sx / 1000000L) / n
+        k -> (n, slope, icept)
+      }
+      assert(got == brute)
+    }
+    // exact line y = 3x + 7 (milli-slope 3e6), any x origin
+    val line = (100L to 110L).map(x => ("L", x, 3 * x + 7)).toDF("k", "x", "y")
+    val lr = EventAnalytics.groupedTrend(line, "k", "x", "y").head
+    assert(lr.getLong(2) == 3000000L)
+    assert(lr.getLong(3) == 3 * 100 + 7) // intercept at the re-origined x0
+    // constant x: undefined slope reports 0 via the guarded denominator
+    val const = Seq(("c", 5L, 10L), ("c", 5L, 20L)).toDF("k", "x", "y")
+    assert(EventAnalytics.groupedTrend(const, "k", "x", "y").head.getLong(2) == 0L)
+  }
+
   test("cusum: brute Page recursion, alarm threshold, reset-at-zero") {
     for (seed <- Seq(5, 6)) {
       val rows = randValued(seed, 500, tsMax = 20000000, types = Seq("a", "b"))

@@ -2502,6 +2502,35 @@ class PipelineSpec extends AnyFunSuite {
       Curation.blocklistStats(docs, Seq.empty))
   }
 
+  test("hardNegatives: brute-force argmax parity, tie-to-min-id, droppers") {
+    import spark.implicits._
+    val all = embs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val anchors = all.filter(_._1 < 5)
+    val brute = anchors.flatMap { case (aid, av, albl) =>
+      val others = all.filter(_._1 != aid)
+      val pos = others.filter(_._3 == albl)
+        .sortBy(t => (-cos(t._2, av), t._1)).headOption
+      val neg = others.filter(_._3 != albl)
+        .sortBy(t => (-cos(t._2, av), t._1)).headOption
+      for (p <- pos; m <- neg) yield aid -> (p._1, m._1)
+    }.toMap
+    val got = Similarity.hardNegatives(embs.filter($"vec_id" < 5), embs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == brute && got.nonEmpty)
+    // an anchor whose label is unique in the corpus drops (no positive)
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f), 7), (2L, Array(0.9f, 0.1f), 8),
+      (3L, Array(0.0f, 1.0f), 8)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(tiny.filter($"vec_id" === 1), tiny)
+    assert(r.collect().isEmpty)
+  }
+
   test("preference leaderboard: tallies, winrate, Wilson LCB vs brute scalar") {
     import spark.implicits._
     // item 1 beats item 2 three times, loses once; item 3 plays once

@@ -33,6 +33,40 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming OHLC candles == batch twin (partial candles merge across batches)") {
+    val batch = graft.pipeline.EventAnalytics.downsampleOhlc(events,
+      keyCol = "event_type", bucketSeconds = 86400L)
+      .select("bucket_start", "event_type", "n", "open_cents", "high_cents",
+        "low_cents", "close_cents", "sum_cents")
+      .collect().map(_.toSeq).toSet
+    // split at the event_id median into two files processed as separate
+    // micro-batches, so open/close partials must merge in state
+    val median = events.stat.approxQuantile("event_id", Array(0.5), 0.0)(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ohlc-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ohlc-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(events.filter(col("event_id") <= median), "a.parquet", 120000L)
+    writeOne(events.filter(col("event_id") > median), "b.parquet", 1000L)
+    val stream = spark.readStream.schema(EventStreams.eventFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = EventStreams.ohlcStream(
+      graft.sources.Tables.normalizeEventTs(stream))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ohlc_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_out").collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        "streaming OHLC must equal the batch candles after both batches")
+    } finally q.stop()
+  }
+
   test("streaming hopping counts == batch twin; every event in 4 overlapping windows") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-hop-stream")
     java.nio.file.Files.copy(
