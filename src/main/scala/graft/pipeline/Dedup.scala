@@ -93,6 +93,26 @@ object Dedup {
     observed.filter(sizeCol.between(2, maxBucket))
   }
 
+  /** The containment volume guard's cutoff rule: largest gdf such that the
+    * CONTIGUOUS histogram prefix {gdf' ≤ gdf} fits `budgetPairs`, with its
+    * cumulative volume. MUST break at the first over-budget bucket — the
+    * cap keeps every bucket up to the returned cutoff, so a
+    * skip-and-continue accumulation would report a small kept count while
+    * actually keeping every later small bucket too (measured on the
+    * 10×-replica sf1 corpus: reported 3.6M kept, enumerated 250M,
+    * ENOSPC'd the verify). `hist` must be (gdf, volume) in ascending gdf. */
+  private[pipeline] def guardCutoff(hist: Seq[(Long, Long)],
+                                    budgetPairs: Long): (Long, Long) = {
+    var cum = 0L
+    var cutoff = 1L
+    var fits = true
+    hist.foreach { case (gdf, vol) =>
+      if (fits && cum + vol <= budgetPairs) { cum += vol; cutoff = gdf }
+      else fits = false
+    }
+    (cutoff, cum)
+  }
+
   /**
    * MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
    * equi-join → exact n-gram-Jaccard verification. Emits (id_a, id_b,
@@ -433,11 +453,7 @@ object Dedup {
             math.max(1L, (maxVerifyBytes / (24.0 + 2.0 * avgGramBytes)).toLong)
           if (totalVol <= budgetPairs) (maxBucket, totalVol, totalVol)
           else {
-            var cum = 0L
-            var cutoff = 1L
-            hist.foreach { case (gdf, vol) =>
-              if (cum + vol <= budgetPairs) { cum += vol; cutoff = gdf }
-            }
+            val (cutoff, cum) = guardCutoff(hist, budgetPairs)
             System.err.println(
               f"[containmentPairs] candidate-volume guard: $totalVol%,d raw candidates × " +
                 f"~${(24 + 2 * avgGramBytes).toLong} B ≈ ${totalVol * (24 + 2 * avgGramBytes) / 1e9}%.1f GB " +

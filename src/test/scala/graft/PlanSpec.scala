@@ -484,6 +484,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives plan: anchors broadcast, no window, corpus never sort-merges") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.pipeline.Similarity.hardNegatives(
+      embs.filter(col("vec_id") < 5), embs)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"anchor side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus sort-merged:\n$plan")
+    assert(!plan.contains("Window"), s"argmax must be an aggregate, not a window:\n$plan")
+  }
+
+  test("hybrid rerank plan: bounded candidates broadcast into the embedding scan") {
+    val df = SparkEntry.queries("q_hybrid_rerank")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate set must broadcast into the embedding scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"final top-k must be a bounded heap, not a global sort:\n$plan")
+  }
+
   test("blocklistStats plan is scan-local: no exchange, no UDF") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.pipeline.Curation.blocklistStats(docs,

@@ -176,6 +176,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(roomy == full, "guard must be a no-op under budget")
   }
 
+  test("guardCutoff: contiguous prefix, breaks at the first over-budget bucket") {
+    // the ENOSPC regression shape: a cheap bin, a huge middle bin, then a
+    // small tail bin that WOULD fit the residual budget — the cutoff must
+    // stop at the middle bin, not skip it and land on the tail (which
+    // would keep the huge bin too, since the cap keeps all gdf <= cutoff)
+    val hist = Seq((2L, 100L), (40L, 1000000L), (568L, 50L))
+    val (cutoff, cum) = Dedup.guardCutoff(hist, budgetPairs = 500L)
+    assert(cutoff == 2L, s"must break at the over-budget bin, got $cutoff")
+    assert(cum == 100L)
+    // all-fit: cutoff = last bin, cum = total
+    assert(Dedup.guardCutoff(hist, 2000000L) == ((568L, 1000150L)))
+    // nothing fits: floor cutoff 1 (kept set empty via the >= 2 bucket floor)
+    assert(Dedup.guardCutoff(hist, 10L) == ((1L, 0L)))
+  }
+
   test("containmentPairs catches the quote-in-long-doc case Jaccard misses") {
     // doc 2 embeds doc 1 verbatim inside ~9× unrelated padding: containment
     // of the smaller side is ~1000‰ while Jaccard collapses to ~0.1

@@ -67,6 +67,47 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming preference leaderboard == batch (tallies merge across batches)") {
+    import spark.implicits._
+    // the leaderboard is a mergeable-sum aggregate + scalar Wilson math,
+    // so the BATCH function runs unchanged on a streaming source in
+    // complete mode — pin that contract across two micro-batches
+    val rnd = new scala.util.Random(31)
+    val pairs = (0 until 400).map { i =>
+      val a = rnd.nextInt(9).toLong; val b = (a + 1 + rnd.nextInt(8)) % 9
+      (i.toLong, a, b)
+    }
+    val df = pairs.toDF("i", "winner", "loser")
+    val batch = graft.pipeline.Preference.leaderboard(df.select("winner", "loser"))
+      .collect().map(_.toSeq).toSet
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-pref-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pref-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(df.filter($"i" < 200).select("winner", "loser"), "a.parquet", 120000L)
+    writeOne(df.filter($"i" >= 200).select("winner", "loser"), "b.parquet", 1000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("winner",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("loser",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = graft.pipeline.Preference.leaderboard(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("pref_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pref_out").collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming hopping counts == batch twin; every event in 4 overlapping windows") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-hop-stream")
     java.nio.file.Files.copy(
