@@ -935,6 +935,34 @@ object SparkEntry {
       Evaluation.binaryEval(scored, "label", "score", threshold = 300)
     }),
 
+    // the same classifier eval PER FOLD (md5 5-fold assignment): the
+    // cross-validation report — per-fold confusion + P/R/F1 + exact AUC,
+    // cumsum window partitioned by fold
+    "q_binary_eval_folds" -> ((s, d) => {
+      val toks = array_remove(
+        split(lower(coalesce(col("text"), lit(""))), "[^a-z]+"), "")
+      val scored = Sampling.deterministicFolds(
+        Tables.table(s, d, "documents"), "doc_id", k = 5)
+        .select(col("fold"),
+          when(array_contains(toks, "slow"), 1L).otherwise(0L).as("label"),
+          col("n_chars").cast("long").as("score"))
+      Evaluation.binaryEvalGrouped(scored, Seq("fold"), "label", "score",
+        threshold = 300)
+    }),
+
+    // Spearman rank correlation per source between two document scores
+    // (char length vs whitespace token count) — the do-two-quality-
+    // scorers-agree QC gate; tie-averaged ranks doubled to stay integer,
+    // exact-isqrt denominator
+    "q_rank_corr" -> ((s, d) => {
+      val toks = size(array_remove(
+        split(trim(coalesce(col("text"), lit(""))), "\\s+"), "")).cast("long")
+      val scored = Tables.table(s, d, "documents")
+        .filter(col("n_chars").isNotNull)
+        .select(col("source"), col("n_chars").as("x"), toks.as("y"))
+      Evaluation.rankCorrelation(scored, Seq("source"), "x", "y")
+    }),
+
     // reliability bins for the same (label, score) pairs: 10 equal-width
     // integer bins over the observed [min, max], observed positive rate
     // + mean score per bin — binaryEval's calibration-plot data
@@ -4184,6 +4212,59 @@ object SparkEntry {
         "CAST((tp * 2000) // greatest(2 * tp + fp + (n_pos - tp), 1) AS BIGINT) AS f1_permille, " +
         "CAST((u2 * 1000) // greatest(2 * n_pos * n_neg, 1) AS BIGINT) AS auc_permille " +
         "FROM a"),
+
+    // md5 fold assignment + the identical per-fold tallies, partitioned
+    // strictly-below cumsum, and 2U/permille arithmetic
+    "q_binary_eval_folds" ->
+      ("WITH t AS (SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) " +
+        "AS BIGINT) % 5 AS fold, CASE WHEN list_contains(list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z]+'), " +
+        "x -> x <> ''), 'slow') THEN 1 ELSE 0 END AS y, " +
+        "CAST(n_chars AS BIGINT) AS s FROM documents WHERE n_chars IS NOT NULL), " +
+        "g AS (SELECT fold, s, sum(y) AS cp, count(*) - sum(y) AS cn FROM t GROUP BY 1, 2), " +
+        "u AS (SELECT fold, s, cp, cn, coalesce(sum(cn) OVER (PARTITION BY fold ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb FROM g), " +
+        "a AS (SELECT fold, sum(cp) AS n_pos, sum(cn) AS n_neg, " +
+        "sum(cp * nb * 2 + cp * cn) AS u2, " +
+        "sum(CASE WHEN s >= 300 THEN cp ELSE 0 END) AS tp, " +
+        "sum(CASE WHEN s >= 300 THEN cn ELSE 0 END) AS fp FROM u GROUP BY 1) " +
+        "SELECT fold, CAST(n_pos + n_neg AS BIGINT) AS n, " +
+        "CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg, " +
+        "CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, " +
+        "CAST(n_pos - tp AS BIGINT) AS fn, CAST(n_neg - fp AS BIGINT) AS tn, " +
+        "CAST((tp * 1000) // greatest(tp + fp, 1) AS BIGINT) AS precision_permille, " +
+        "CAST((tp * 1000) // greatest(n_pos, 1) AS BIGINT) AS recall_permille, " +
+        "CAST((tp * 2000) // greatest(2 * tp + fp + (n_pos - tp), 1) AS BIGINT) AS f1_permille, " +
+        "CAST((u2 * 1000) // greatest(2 * n_pos * n_neg, 1) AS BIGINT) AS auc_permille " +
+        "FROM a"),
+
+    // identical doubled tie-averaged ranks (rank() min-rank + tie count),
+    // integer moments, exact-isqrt denominators
+    "q_rank_corr" ->
+      ("WITH b AS (SELECT source, CAST(n_chars AS BIGINT) AS x, " +
+        "CAST(len(list_filter(string_split_regex(trim(coalesce(text, '')), " +
+        "'\\s+'), t -> t <> '')) AS BIGINT) AS y " +
+        "FROM documents WHERE n_chars IS NOT NULL), " +
+        "r AS (SELECT source, " +
+        "2 * rank() OVER (PARTITION BY source ORDER BY x) + " +
+        "count(*) OVER (PARTITION BY source, x) - 1 AS a, " +
+        "2 * rank() OVER (PARTITION BY source ORDER BY y) + " +
+        "count(*) OVER (PARTITION BY source, y) - 1 AS b FROM b), " +
+        "m AS (SELECT source, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb, " +
+        "CAST(sum(a * b) AS BIGINT) AS sab, CAST(sum(a * a) AS BIGINT) AS saa, " +
+        "CAST(sum(b * b) AS BIGINT) AS sbb FROM r GROUP BY 1), " +
+        "d AS (SELECT source, n, n * sab - sa * sb AS num, " +
+        "n * saa - sa * sa AS dx, n * sbb - sb * sb AS dy FROM m), " +
+        "q AS (SELECT *, CAST(FLOOR(SQRT(CAST(dx AS DOUBLE))) AS BIGINT) AS sx0, " +
+        "CAST(FLOOR(SQRT(CAST(dy AS DOUBLE))) AS BIGINT) AS sy0 FROM d), " +
+        "f AS (SELECT source, n, num, greatest(" +
+        "(CASE WHEN sx0 * sx0 > dx THEN sx0 - 1 WHEN (sx0 + 1) * (sx0 + 1) <= dx " +
+        "THEN sx0 + 1 ELSE sx0 END) * " +
+        "(CASE WHEN sy0 * sy0 > dy THEN sy0 - 1 WHEN (sy0 + 1) * (sy0 + 1) <= dy " +
+        "THEN sy0 + 1 ELSE sy0 END), 1) AS den FROM q) " +
+        "SELECT source, n, ((num * 1000) // den) * 1000 + " +
+        "(((num * 1000) % den) * 1000) // den AS spearman_micro FROM f"),
 
     // same label/score, same integer equal-width binning over the
     // replayed [min, max]

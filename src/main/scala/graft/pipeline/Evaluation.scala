@@ -100,17 +100,34 @@ object Evaluation {
    */
   def binaryEval(df: DataFrame, labelCol: String, scoreCol: String,
                  threshold: Long,
-                 maxDistinctScores: Long = 65536L): DataFrame = {
+                 maxDistinctScores: Long = 65536L): DataFrame =
+    binaryEvalGrouped(df, Seq.empty, labelCol, scoreCol, threshold,
+      maxDistinctScores)
+
+  /**
+   * [[binaryEval]] per group — the k-fold cross-validation / per-source
+   * report form: one output row per group with the identical counters
+   * (per-group confusion, P/R/F1 permille, exact tie-corrected AUC).
+   * The bounded-window contract generalizes: the corpus collapses to
+   * per-(group, score) tallies — the cap bounds the TOTAL tally rows —
+   * and the cumsum window partitions by group, so no single partition
+   * ever exceeds the cap.
+   */
+  def binaryEvalGrouped(df: DataFrame, groupCols: Seq[String],
+                        labelCol: String, scoreCol: String,
+                        threshold: Long,
+                        maxDistinctScores: Long = 65536L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
+    val gc = groupCols.map(col)
     val t = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
-      .select(col(labelCol).cast("long").as("y"),
-        col(scoreCol).cast("long").as("s"))
-    // the tally cache is SCOPED: the output is one row, so it is
+      .select(gc ++ Seq(col(labelCol).cast("long").as("y"),
+        col(scoreCol).cast("long").as("s")): _*)
+    // the tally cache is SCOPED: the output is groups-sized, so it is
     // materialized here (validation pass + final aggregate share the
     // cached tally) and the cache released before returning — repeated
     // library calls in a long-lived session must not accumulate entries
-    val g = t.groupBy(col("s"))
+    val g = t.groupBy(gc :+ col("s"): _*)
       .agg(sum(col("y")).as("cp"),
         (count(lit(1)) - sum(col("y"))).as("cn"),
         min(col("y")).as("__miny"), max(col("y")).as("__maxy"))
@@ -119,14 +136,16 @@ object Evaluation {
       val v = g.agg(count(lit(1)), coalesce(min(col("__miny")), lit(0L)),
         coalesce(max(col("__maxy")), lit(0L))).head()
       require(v.getLong(0) <= maxDistinctScores,
-        s"${v.getLong(0)} distinct scores > cap $maxDistinctScores — " +
+        s"${v.getLong(0)} distinct (group, score) tallies > cap $maxDistinctScores — " +
           "quantize scores (permille/centile) before evaluating")
       require(v.getLong(1) >= 0L && v.getLong(2) <= 1L,
         s"labels must be 0/1, saw [${v.getLong(1)}, ${v.getLong(2)}]")
-      val w = Window.orderBy(col("s"))
+      val w = (if (groupCols.isEmpty) Window.orderBy(col("s"))
+               else Window.partitionBy(gc: _*).orderBy(col("s")))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val out = g.withColumn("nb", coalesce(sum(col("cn")).over(w), lit(0L)))
-        .agg(coalesce(sum(col("cp")), lit(0L)).as("n_pos"),
+      val grouped = g.withColumn("nb", coalesce(sum(col("cn")).over(w), lit(0L)))
+      val aggs = Seq(
+          coalesce(sum(col("cp")), lit(0L)).as("n_pos"),
           coalesce(sum(col("cn")), lit(0L)).as("n_neg"),
           coalesce(sum(col("cp") * col("nb") * 2L + col("cp") * col("cn")),
             lit(0L)).as("__u2"),
@@ -134,6 +153,8 @@ object Evaluation {
             lit(0L)).as("tp"),
           coalesce(sum(when(col("s") >= threshold, col("cn")).otherwise(0L)),
             lit(0L)).as("fp"))
+      val out = (if (groupCols.isEmpty) grouped.agg(aggs.head, aggs.tail: _*)
+                 else grouped.groupBy(gc: _*).agg(aggs.head, aggs.tail: _*))
         .withColumn("n", col("n_pos") + col("n_neg"))
         .withColumn("fn", col("n_pos") - col("tp"))
         .withColumn("tn", col("n_neg") - col("fp"))
@@ -145,12 +166,88 @@ object Evaluation {
           expr("(tp * 2000) div greatest(2 * tp + fp + fn, 1)"))
         .withColumn("auc_permille",
           expr("(__u2 * 1000) div greatest(2 * n_pos * n_neg, 1)"))
-        .select(col("n"), col("n_pos"), col("n_neg"), col("tp"), col("fp"),
-          col("fn"), col("tn"), col("precision_permille"),
-          col("recall_permille"), col("f1_permille"), col("auc_permille"))
+        .select(gc ++ Seq(col("n"), col("n_pos"), col("n_neg"), col("tp"),
+          col("fp"), col("fn"), col("tn"), col("precision_permille"),
+          col("recall_permille"), col("f1_permille"), col("auc_permille")): _*)
       val rows = out.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally g.unpersist(blocking = false)
+  }
+
+  /**
+   * Exact integer square root (floor(√x)) — IEEE sqrt start + two-sided
+   * one-step fixup, so the value is exact regardless of rounding and the
+   * identical tree replays in DuckDB (shared with
+   * [[graft.pipeline.Preference]]'s Wilson bound).
+   */
+  private def isqrt(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    when(s0 * s0 > x, s0 - 1)
+      .when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+      .otherwise(s0)
+  }
+
+  /**
+   * Grouped Spearman rank correlation — "do two document scores agree?"
+   * (two quality classifiers, an old and a new scorer, human vs model):
+   * Pearson's formula on TIE-AVERAGED ranks, carried in pure integers by
+   * doubling the average rank (2·avg = 2·min_rank + ties − 1, always
+   * integral). Output per group: `n` and `spearman_micro` =
+   * 10⁶·(nΣab − ΣaΣb) / (⌊√(nΣa²−(Σa)²)⌋·⌊√(nΣb²−(Σb)²)⌋) with exact
+   * isqrts — a DEFINED integer statistic within 1 micro of the real ρ,
+   * hash-exact across engines. Constant columns report 0 via the guarded
+   * denominator.
+   *
+   * The long moments bound the group size: nΣa² ≤ 4n⁴ must fit 2⁶³, so
+   * groups are require-capped at 6,000 rows (4·6000⁴ < 2⁶³; the micro
+   * scaling is exact past that via a two-stage long-division split) —
+   * rank correlation is routinely computed on a deterministic sample at
+   * corpus scale (the statistic is rank-based; a uniform sample
+   * estimates it with standard error ~1/√n), so sample or pre-quantize
+   * above the cap.
+   * Plan: two rank windows per group + one map-side-combined moments
+   * aggregate; output is groups-sized.
+   */
+  def rankCorrelation(df: DataFrame, groupCols: Seq[String],
+                      xCol: String, yCol: String,
+                      maxGroupRows: Long = 6000L): DataFrame = {
+    require(maxGroupRows <= 6000L,
+      s"maxGroupRows > 6000 would overflow the long rank moments (4n^4)")
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(gc ++ Seq(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y")): _*)
+    // 2·tie-averaged-rank = 2·min_rank + ties − 1 (rank() is the 1-based
+    // min rank of the tie group; the tie count is a per-(group, value)
+    // window count)
+    def rank2(c: String) =
+      lit(2L) * rank().over(Window.partitionBy(gc: _*).orderBy(col(c).asc))
+        .cast("long") +
+        count(lit(1)).over(Window.partitionBy(gc :+ col(c): _*)) - lit(1L)
+    val ranked = base
+      .withColumn("a", rank2("x"))
+      .withColumn("b", rank2("y"))
+    val moments = ranked.groupBy(gc: _*).agg(
+      count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"),
+      sum(col("a") * col("b")).as("sab"),
+      sum(col("a") * col("a")).as("saa"),
+      sum(col("b") * col("b")).as("sbb"))
+    moments
+      .withColumn("__chk", when(col("n") > maxGroupRows,
+        raise_error(lit(s"rankCorrelation: group exceeds $maxGroupRows rows — " +
+          "sample or quantize first (long moments would overflow)"))
+          .cast("long")).otherwise(lit(0L)))
+      .withColumn("dx", expr("n * saa - sa * sa + __chk"))
+      .withColumn("dy", expr("n * sbb - sb * sb"))
+      .withColumn("den", greatest(isqrt(col("dx")) * isqrt(col("dy")), lit(1L)))
+      .withColumn("num", expr("n * sab - sa * sb"))
+      // exact ⌊10⁶·num/den⌋ via two-stage long division (num·10⁶ would
+      // overflow once den ≳ 9·10¹²; num·10³ stays safe under the row cap)
+      .withColumn("q1", expr("(num * 1000) div den"))
+      .withColumn("r1", expr("(num * 1000) % den"))
+      .withColumn("spearman_micro", expr("q1 * 1000 + (r1 * 1000) div den"))
+      .select(gc ++ Seq(col("n"), col("spearman_micro")): _*)
   }
 
   /**

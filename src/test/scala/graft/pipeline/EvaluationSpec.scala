@@ -93,4 +93,68 @@ class EvaluationSpec extends AnyFunSuite {
       ev.getAs[Long]("recall_permille") == 400L &&
       ev.getAs[Long]("first_rel_rank") == 1L)
   }
+
+  test("binaryEvalGrouped: each group equals its own single-group binaryEval") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 400).map { i =>
+      val s = rnd.nextInt(100).toLong
+      (i % 3L, if (s + rnd.nextInt(40) > 80) 1L else 0L, s)
+    }
+    val df = rows.toDF("g", "y", "s")
+    val grouped = Evaluation.binaryEvalGrouped(df, Seq("g"), "y", "s", threshold = 50)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    for (g <- 0L to 2L) {
+      val solo = Evaluation.binaryEval(df.filter($"g" === g), "y", "s", threshold = 50)
+        .head.toSeq
+      assert(grouped(g) == solo, s"group $g diverges from its solo eval")
+    }
+    // the ungrouped path is unchanged by the refactor (golden tie fixture
+    // lives in PipelineSpec; here just shape + totals)
+    val all = Evaluation.binaryEval(df, "y", "s", threshold = 50).head
+    assert(all.getAs[Long]("n") == 400L)
+  }
+
+  test("rankCorrelation: hand values, ties, anti-correlation, guards") {
+    import spark.implicits._
+    // perfect monotone agreement → 1.0 (within isqrt flooring)
+    val perfect = (1L to 20L).map(i => ("a", i, i * 10)).toDF("g", "x", "y")
+    val p = Evaluation.rankCorrelation(perfect, Seq("g"), "x", "y").head
+    assert(p.getAs[Long]("spearman_micro") >= 999999L)
+    // perfect reversal → −1.0
+    val rev = (1L to 20L).map(i => ("a", i, 100 - i)).toDF("g", "x", "y")
+    val r = Evaluation.rankCorrelation(rev, Seq("g"), "x", "y").head
+    assert(r.getAs[Long]("spearman_micro") <= -999999L)
+    // brute Pearson-on-tie-averaged-ranks replay on random tied data
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map(_ => (s"g${rnd.nextInt(2)}",
+      rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+    def isqrt(v: Long): Long = { var s = math.sqrt(v.toDouble).toLong
+      while (s * s > v) s -= 1; while ((s + 1) * (s + 1) <= v) s += 1; s }
+    val brute = rows.groupBy(_._1).map { case (g, rs) =>
+      def ranks2(vs: Seq[Long]): Seq[Long] = {
+        val sorted = vs.sorted
+        vs.map(v => 2L * (sorted.indexOf(v) + 1) + vs.count(_ == v) - 1)
+      }
+      val a = ranks2(rs.map(_._2)); val b = ranks2(rs.map(_._3))
+      val n = rs.size.toLong
+      val sa = a.sum; val sb = b.sum
+      val sab = a.zip(b).map(t => t._1 * t._2).sum
+      val saa = a.map(v => v * v).sum; val sbb = b.map(v => v * v).sum
+      val den = math.max(isqrt(n * saa - sa * sa) * isqrt(n * sbb - sb * sb), 1L)
+      g -> (1000000L * (n * sab - sa * sb) / den)
+    }
+    val got = Evaluation.rankCorrelation(rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(got == brute)
+    // constant column → 0 via the guarded denominator
+    val const = (1L to 10L).map(i => ("c", 5L, i)).toDF("g", "x", "y")
+    assert(Evaluation.rankCorrelation(const, Seq("g"), "x", "y")
+      .head.getAs[Long]("spearman_micro") == 0L)
+    // group-size cap throws loudly
+    val big = (1L to 100L).map(i => ("z", i, i)).toDF("g", "x", "y")
+    intercept[Exception](
+      Evaluation.rankCorrelation(big, Seq("g"), "x", "y", maxGroupRows = 50L)
+        .collect())
+  }
 }
