@@ -999,6 +999,15 @@ object SparkEntry {
       EventAnalytics.twap(Tables.table(s, d, "events"),
         keyCol = "event_type")),
 
+    // the hot-key-resistant TWAP twin: identical output through
+    // per-(key, day-bucket) local windows + exact boundary stitching —
+    // the scale path when key cardinality is tiny (plain twap measured
+    // 8.3× time for 10× data at sf10; this form keeps window partitions
+    // bounded by the bucket width). Same oracle as q_twap.
+    "q_twap_salted" -> ((s, d) =>
+      EventAnalytics.twapSalted(Tables.table(s, d, "events"),
+        keyCol = "event_type", bucketSeconds = 86400L)),
+
     // one-sided CUSUM drift alarm over daily value sums per event type
     // (target = the key's own mean bucket; h = 20% of target) — the
     // ingest-monitoring change-point gate; the recursion replays as a
@@ -2994,6 +3003,21 @@ object SparkEntry {
       "g AS (SELECT doc_id, count(*) AS n_terms, " +
       "list_sum(array_agg(s ORDER BY term)) AS bm25 FROM sc GROUP BY doc_id)"
 
+  /** Lead-bounded TWAP step integral — shared verbatim by q_twap and its
+    * hot-key-resistant salted twin (output-identical by contract). */
+  private val TwapOracleSql: String =
+    "WITH t AS (SELECT event_type, epoch_us(ts) AS eus, event_id, " +
+      "CAST(round(value * 100) AS BIGINT) AS cents " +
+      "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), " +
+      "l AS (SELECT event_type, cents, eus, lead(eus) OVER " +
+      "(PARTITION BY event_type ORDER BY eus ASC, event_id ASC) AS nxt FROM t) " +
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals, " +
+      "CAST(sum(nxt - eus) AS BIGINT) AS dur_us, " +
+      "CAST(sum(cents * (nxt - eus)) AS BIGINT) AS weighted_cents_us, " +
+      "CAST(sum(cents * (nxt - eus)) AS BIGINT) // " +
+      "greatest(CAST(sum(nxt - eus) AS BIGINT), 1) AS twap_cents " +
+      "FROM l WHERE nxt IS NOT NULL GROUP BY 1"
+
   /** Brute-force cross-set Jaccard between the rebuilt batch and the
     * corpus — shared verbatim by q_dedup_incremental and its
     * Bloom-screened twin (the screen must be result-invariant). */
@@ -4348,18 +4372,10 @@ object SparkEntry {
         "FROM r GROUP BY 1, 2"),
 
     // the same lead-bounded step integral: Σ cents·µs div Σ µs
-    "q_twap" ->
-      ("WITH t AS (SELECT event_type, epoch_us(ts) AS eus, event_id, " +
-        "CAST(round(value * 100) AS BIGINT) AS cents " +
-        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), " +
-        "l AS (SELECT event_type, cents, eus, lead(eus) OVER " +
-        "(PARTITION BY event_type ORDER BY eus ASC, event_id ASC) AS nxt FROM t) " +
-        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals, " +
-        "CAST(sum(nxt - eus) AS BIGINT) AS dur_us, " +
-        "CAST(sum(cents * (nxt - eus)) AS BIGINT) AS weighted_cents_us, " +
-        "CAST(sum(cents * (nxt - eus)) AS BIGINT) // " +
-        "greatest(CAST(sum(nxt - eus) AS BIGINT), 1) AS twap_cents " +
-        "FROM l WHERE nxt IS NOT NULL GROUP BY 1"),
+    "q_twap" -> TwapOracleSql,
+
+    // the salted twin must be output-identical — SAME oracle
+    "q_twap_salted" -> TwapOracleSql,
 
     // bucket sums, per-key integer mean target, then the Page recursion
     // S_t = max(0, S_{t-1} + x_t - target - slack) as a recursive CTE

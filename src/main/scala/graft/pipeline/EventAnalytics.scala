@@ -539,6 +539,67 @@ object EventAnalytics {
   }
 
   /**
+   * Hot-key-resistant [[twap]]: identical output, but the per-key
+   * timeline is split into `bucketSeconds` time buckets so the lead
+   * window runs INSIDE (key, bucket) partitions — with few distinct
+   * keys, plain [[twap]] collapses to keys-many partitions and one
+   * giant sort per key (measured 8.3× time for 10× data at sf10),
+   * while this form keeps partitions bounded by the bucket width.
+   * Buckets stitch exactly: each bucket's within-bucket intervals
+   * aggregate locally, and the bucket's LAST observation holds until
+   * the NEXT non-empty bucket's first timestamp — a lead over the
+   * buckets-sized per-(key, bucket) summary table, the same
+   * two-level construction as `sessionizeBatchSalted`/`asofJoinSalted`.
+   */
+  def twapSalted(events: DataFrame, keyCol: String = "event_type",
+                 bucketSeconds: Long = 86400L,
+                 valueCol: String = "value"): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
+    val bucketUs = bucketSeconds * 1000000L
+    val pts = events
+      .filter(col("ts").isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), tsUs.as("ts_us"), col("event_id"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .withColumn("bkt", expr(s"ts_us div ${bucketUs}L"))
+    val inBucket = Window.partitionBy(col(keyCol), col("bkt"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val local = pts
+      .withColumn("next_us", lead(col("ts_us"), 1).over(inBucket))
+      .groupBy(col(keyCol), col("bkt"))
+      .agg(
+        count(lit(1)).as("n_pts"),
+        sum(when(col("next_us").isNotNull, col("next_us") - col("ts_us"))
+          .otherwise(0L)).as("dur_in"),
+        sum(when(col("next_us").isNotNull,
+          col("cents") * (col("next_us") - col("ts_us"))).otherwise(0L))
+          .as("w_in"),
+        min(struct(col("ts_us"), col("event_id"))).getField("ts_us")
+          .as("first_us"),
+        max(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("last_cents"),
+        max(struct(col("ts_us"), col("event_id"))).getField("ts_us")
+          .as("last_us"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bkt").asc)
+    local
+      .withColumn("next_first", lead(col("first_us"), 1).over(byKey))
+      .groupBy(col(keyCol))
+      .agg(
+        // every point except the key's single global last bounds one
+        // interval — the last bucket's last point is the one exception
+        (sum(col("n_pts")) - lit(1L)).as("n_intervals"),
+        sum(col("dur_in") + when(col("next_first").isNotNull,
+          col("next_first") - col("last_us")).otherwise(0L)).as("dur_us"),
+        sum(col("w_in") + when(col("next_first").isNotNull,
+          col("last_cents") * (col("next_first") - col("last_us")))
+          .otherwise(0L)).as("weighted_cents_us"))
+      .filter(col("n_intervals") > 0)
+      .withColumn("twap_cents",
+        expr("weighted_cents_us div greatest(dur_us, 1)"))
+      .select(col(keyCol), col("n_intervals"), col("dur_us"),
+        col("weighted_cents_us"), col("twap_cents"))
+  }
+
+  /**
    * Grouped integer OLS trend — slope/intercept of the least-squares
    * line per key over an integer series (day index → daily volume), the
    * drift-TREND complement of [[cusum]]'s change-point alarm:

@@ -1795,6 +1795,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(EventAnalytics.groupedTrend(const, "k", "x", "y").head.getLong(2) == 0L)
   }
 
+  test("twapSalted == twap on random tie-rich data, any bucket width") {
+    for (seed <- Seq(9, 10)) {
+      val rows = randValued(seed, 400, tsMax = 40000000, types = Seq("x", "y", "z"))
+      val df = mkValued(rows).repartition(6)
+      val plain = EventAnalytics.twap(df, "event_type")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      for (bucketSec <- Seq(1L, 5L, 1000000L)) {
+        val salted = EventAnalytics.twapSalted(df, "event_type", bucketSec)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        assert(salted == plain, s"seed $seed bucket $bucketSec diverged")
+      }
+    }
+    // single-point key absent from both forms
+    val solo = mkValued(Seq((1L, 5L, "solo", 1.0), (2L, 1L, "duo", 2.0),
+      (3L, 9L, "duo", 4.0)))
+    assert(EventAnalytics.twapSalted(solo, "event_type", 1L)
+      .collect().map(_.getString(0)).toSet == Set("duo"))
+  }
+
   test("cusum: brute Page recursion, alarm threshold, reset-at-zero") {
     for (seed <- Seq(5, 6)) {
       val rows = randValued(seed, 500, tsMax = 20000000, types = Seq("a", "b"))
