@@ -986,6 +986,18 @@ object SparkEntry {
       Sketches.weightedMedian(li, Seq("l_returnflag"), "price_cents", "qty")
     }),
 
+    // the sort-free scale twin: the SAME lower weighted median located
+    // by weighted histogram refinement (~8 counting scans, no window,
+    // no sort) — the path when groups are few and the per-group window
+    // would collapse parallelism. Same oracle as q_weighted_median.
+    "q_weighted_median_refine" -> ((s, d) => {
+      val li = Tables.table(s, d, "lineitem").select(
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        col("l_quantity").cast("long").as("qty"))
+      Sketches.weightedMedianRefine(li, "l_returnflag", "price_cents", "qty")
+    }),
+
     // OHLC fixed-bucket downsample (daily candles per event type):
     // open/close by (ts, event_id) struct min/max — ONE hash aggregate,
     // no window sort
@@ -3003,6 +3015,22 @@ object SparkEntry {
       "g AS (SELECT doc_id, count(*) AS n_terms, " +
       "list_sum(array_agg(s ORDER BY term)) AS bm25 FROM sc GROUP BY doc_id)"
 
+  /** Per-(group, value) collapse + cumulative window + lower-median pick
+    * — shared verbatim by q_weighted_median and its sort-free refinement
+    * twin (output-identical by contract). */
+  private val WeightedMedianOracleSql: String =
+    "WITH b AS (SELECT l_returnflag, " +
+      "CAST(round(l_extendedprice * 100) AS BIGINT) AS v, " +
+      "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w " +
+      "FROM lineitem GROUP BY 1, 2), " +
+      "c AS (SELECT l_returnflag, v, " +
+      "sum(w) OVER (PARTITION BY l_returnflag ORDER BY v " +
+      "ROWS UNBOUNDED PRECEDING) AS cum, " +
+      "sum(w) OVER (PARTITION BY l_returnflag) AS tot FROM b) " +
+      "SELECT l_returnflag, CAST(min(v) AS BIGINT) AS weighted_median, " +
+      "CAST(max(tot) AS BIGINT) AS w_total " +
+      "FROM c WHERE cum * 2 >= tot GROUP BY 1"
+
   /** Lead-bounded TWAP step integral — shared verbatim by q_twap and its
     * hot-key-resistant salted twin (output-identical by contract). */
   private val TwapOracleSql: String =
@@ -4338,18 +4366,10 @@ object SparkEntry {
 
     // identical per-(group, value) collapse, cumulative window, and the
     // lower-median pick (first value with 2·cum ≥ total)
-    "q_weighted_median" ->
-      ("WITH b AS (SELECT l_returnflag, " +
-        "CAST(round(l_extendedprice * 100) AS BIGINT) AS v, " +
-        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w " +
-        "FROM lineitem GROUP BY 1, 2), " +
-        "c AS (SELECT l_returnflag, v, " +
-        "sum(w) OVER (PARTITION BY l_returnflag ORDER BY v " +
-        "ROWS UNBOUNDED PRECEDING) AS cum, " +
-        "sum(w) OVER (PARTITION BY l_returnflag) AS tot FROM b) " +
-        "SELECT l_returnflag, CAST(min(v) AS BIGINT) AS weighted_median, " +
-        "CAST(max(tot) AS BIGINT) AS w_total " +
-        "FROM c WHERE cum * 2 >= tot GROUP BY 1"),
+    "q_weighted_median" -> WeightedMedianOracleSql,
+
+    // the refinement twin must be output-identical — SAME oracle
+    "q_weighted_median_refine" -> WeightedMedianOracleSql,
 
     // open/close re-derived via first/last row_number in (ts, event_id)
     // order; min/max/sum over the same integer cents

@@ -547,6 +547,106 @@ object Sketches {
   }
 
   /**
+   * Scale-path twin of [[weightedMedian]]: the identical LOWER weighted
+   * median located by WEIGHTED histogram refinement — the [[kthValues]]
+   * counting-scan machinery with per-bucket weight sums instead of
+   * counts — so nothing is ever sorted and no window runs. With few
+   * groups the window form collapses to groups-many giant sorted
+   * partitions (the q_twap parallelism lesson); this form costs
+   * ~log_buckets(value range) + 1 map-side-combined scans total, all
+   * groups refined in the SAME tagged scan per round, driver state ≤
+   * groups × buckets weight cells.
+   *
+   * Output and types identical to [[weightedMedian]] by contract
+   * (group, weighted_median, w_total); groups are require-capped (the
+   * per-round predicate and driver state are groups-sized).
+   */
+  def weightedMedianRefine(df: DataFrame, groupCol: String, valueCol: String,
+                           weightCol: String, buckets: Int = 1024,
+                           maxGroups: Int = 1000): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val spark = df.sparkSession
+    val base = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"),
+        col(weightCol).cast("long").as("__w"))
+    val head = base.groupBy(col("__g"))
+      .agg(sum(col("__w")).as("wt"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+      .collect()
+    require(head.length <= maxGroups,
+      s"${head.length} groups > cap $maxGroups — the refinement predicate " +
+        "and driver state are groups-sized; pre-aggregate or raise the cap")
+    // rank k = ceil(W/2): the smallest v with 2·cumweight(≤v) ≥ W
+    final case class Br(g: Any, var lo: Long, var hi: Long, var k: Long,
+                        var done: Boolean, var out: Long)
+    val brs = head.map(r => Br(r.get(0), r.getLong(2), r.getLong(3),
+      (r.getLong(1) + 1) / 2, done = false, out = 0L)).toSeq
+    def gEq(v: Any): Column = col("__g") <=> lit(v)
+    var remaining = brs.filterNot(_.done)
+    while (remaining.nonEmpty) {
+      // one tagged scan: each unfinished group's bracket slice buckets
+      // into `buckets` cells of ITS bracket grid; weights sum per cell
+      val preds = remaining.map(b => gEq(b.g) && col("__v").between(b.lo, b.hi))
+        .reduce(_ || _)
+      val narrow = remaining.filter(b => b.hi - b.lo + 1 <= buckets)
+      val wide = remaining.filterNot(b => b.hi - b.lo + 1 <= buckets)
+      // integer div, NOT `/` (the kthValues lesson: double division
+      // mis-buckets past 2^53); cell width per group = (hi−lo)/B + 1
+      val cellOf: Column = wide.foldLeft(
+        narrow.foldLeft(lit(-1L)) { (acc, b) =>
+          when(gEq(b.g), col("__v") - lit(b.lo)).otherwise(acc)
+        }) { (acc, b) =>
+        val w = (b.hi - b.lo) / buckets + 1
+        when(gEq(b.g), expr(s"(__v - ${b.lo}L) div ${w}L")).otherwise(acc)
+      }
+      val cells = base.filter(preds)
+        .select(col("__g"), cellOf.cast("long").as("__c"), col("__w"))
+        .groupBy(col("__g"), col("__c")).agg(sum(col("__w")).as("w"))
+        .collect()
+        .groupBy(_.get(0))
+        .map { case (g, rows) =>
+          g -> rows.toSeq.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1) }
+      remaining.foreach { b =>
+        val byCell = cells.getOrElse(b.g, Seq.empty[(Long, Long)])
+        var cum = 0L
+        var found = false
+        val isNarrow = b.hi - b.lo + 1 <= buckets
+        val cw = (b.hi - b.lo) / buckets + 1
+        for ((c, w) <- byCell if !found) {
+          if (cum + w >= b.k) {
+            found = true
+            if (isNarrow) { b.out = b.lo + c; b.done = true }
+            else {
+              // cell c covers [lo + c·cw, min(lo + (c+1)·cw − 1, hi)]
+              val cellLo = b.lo + c * cw
+              val cellHi = math.min(b.lo + (c + 1) * cw - 1, b.hi)
+              b.k -= cum
+              b.lo = cellLo
+              b.hi = cellHi
+            }
+          } else cum += w
+        }
+        assert(found, "weightedMedianRefine invariant broken (rank past total)")
+      }
+      remaining = brs.filterNot(_.done)
+    }
+    import scala.jdk.CollectionConverters._
+    val wtByG = head.map(r => r.get(0) -> r.getLong(1)).toMap
+    val outRows = brs.map(b =>
+      org.apache.spark.sql.Row(b.g, b.out, wtByG(b.g))).asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(groupCol,
+        df.schema(groupCol).dataType),
+      org.apache.spark.sql.types.StructField("weighted_median",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w_total",
+        org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(outRows, schema)
+  }
+
+  /**
    * Grouped exact LOWER weighted median: the smallest value v per group
    * with cumulative weight(≤v) · 2 ≥ total weight — the robust center
    * when rows carry unequal mass (token counts, sampling weights), and

@@ -472,7 +472,8 @@ class PlanSpec extends AnyFunSuite {
     val names = Seq("q_kcore_conv", "q_dedup_media", "q_decontaminate",
       "q_pref_winrate", "q_kappa", "q_apportion", "q_weighted_median",
       "q_ohlc", "q_twap", "q_cusum", "q_hybrid_rerank", "q_trend",
-      "q_hard_negatives", "q_binary_eval_folds", "q_rank_corr", "q_twap_salted")
+      "q_hard_negatives", "q_binary_eval_folds", "q_rank_corr", "q_twap_salted",
+      "q_weighted_median_refine")
     names.foreach { n =>
       val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
       spark.conf.set("spark.sql.adaptive.enabled", "false")

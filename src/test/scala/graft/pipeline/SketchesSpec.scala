@@ -490,4 +490,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.weightedMedian(dom, Seq("g"), "v", "w")
       .head.getLong(1) == 5L)
   }
+
+  test("weightedMedianRefine == window weightedMedian across seeds, ranges, buckets") {
+    for (seed <- Seq(21, 22)) {
+      val rnd = new scala.util.Random(seed)
+      // wide value range (forces multiple refinement rounds at buckets=8)
+      // + a tie-heavy narrow group
+      val rows = (0 until 500).map { i =>
+        if (i % 2 == 0) (s"g${rnd.nextInt(3)}",
+          rnd.nextLong() % 1000000000L, 1L + rnd.nextInt(9))
+        else ("tied", rnd.nextInt(5).toLong, 1L + rnd.nextInt(9))
+      }
+      val df = rows.toDF("g", "v", "w").repartition(7)
+      val win = Sketches.weightedMedian(df, Seq("g"), "v", "w")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      for (b <- Seq(8, 1024)) {
+        val ref = Sketches.weightedMedianRefine(df, "g", "v", "w", buckets = b)
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(ref == win, s"seed $seed buckets $b diverged")
+      }
+    }
+    // groups cap throws loudly
+    val many = (0 until 30).map(i => (s"g$i", i.toLong, 1L)).toDF("g", "v", "w")
+    intercept[IllegalArgumentException](
+      Sketches.weightedMedianRefine(many, "g", "v", "w", maxGroups = 10))
+  }
 }
