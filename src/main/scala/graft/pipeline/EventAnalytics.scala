@@ -656,7 +656,22 @@ object EventAnalytics {
     require(slackPermille >= 0 && hPermille >= 0,
       s"slack/h permille must be >= 0: $slackPermille/$hPermille")
     val bucketUs = bucketSeconds * 1000000L
-    val buckets = events
+    val withParams = cusumBuckets(events, keyCol, bucketUs, bucketSeconds,
+      valueCol)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("bucket_start"), col("x"))))
+        .as("bs"),
+        expr("sum(x) div count(1)").as("target"))
+      .withColumn("slack", expr(s"(target * ${slackPermille}L) div 1000"))
+      .withColumn("h", expr(s"(target * ${hPermille}L) div 1000"))
+    cusumFold(withParams, keyCol)
+  }
+
+  /** The (key, bucket) integer sums feeding the CUSUM recursion. */
+  private[graft] def cusumBuckets(events: DataFrame, keyCol: String,
+                                  bucketUs: Long, bucketSeconds: Long,
+                                  valueCol: String): DataFrame =
+    events
       .filter(col("ts").isNotNull && col(valueCol).isNotNull)
       .select(col(keyCol),
         expr(s"(unix_micros(ts) div ${bucketUs}L) * ${bucketSeconds}L")
@@ -664,15 +679,43 @@ object EventAnalytics {
         round(col(valueCol) * 100).cast("long").as("cents"))
       .groupBy(col(keyCol), col("bucket_start"))
       .agg(sum(col("cents")).as("x"))
-    val emptyOut = array()
-      .cast("array<struct<bucket_start:bigint,x:bigint,s:bigint>>")
-    buckets
+
+  /**
+   * [[cusum]] with FROZEN per-key parameters — the production-monitoring
+   * form (and the streaming twin's contract): target/slack/h come from a
+   * profiling run over reference data instead of the scanned corpus
+   * itself, so the alarm is stable release to release. Keys absent from
+   * `frozen` drop (explicit manifest, the [[Sampling.sampleByTokenBudget]]
+   * convention). Identical recursion and output shape to [[cusum]].
+   */
+  def cusumFrozen(events: DataFrame,
+                  frozen: Map[String, (Long, Long, Long)],
+                  keyCol: String = "event_type",
+                  bucketSeconds: Long = 86400L,
+                  valueCol: String = "value"): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
+    require(frozen.nonEmpty, "frozen parameter map must be non-empty")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val params = frozen.toSeq.map { case (k, (t, sl, h)) => (k, t, sl, h) }
+      .toDF(keyCol, "target", "slack", "h")
+    val withParams = cusumBuckets(events, keyCol,
+      bucketSeconds * 1000000L, bucketSeconds, valueCol)
+      .join(broadcast(params), Seq(keyCol))
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("bucket_start"), col("x"))))
         .as("bs"),
-        expr("sum(x) div count(1)").as("target"))
-      .withColumn("slack", expr(s"(target * ${slackPermille}L) div 1000"))
-      .withColumn("h", expr(s"(target * ${hPermille}L) div 1000"))
+        first(col("target")).as("target"), first(col("slack")).as("slack"),
+        first(col("h")).as("h"))
+    cusumFold(withParams, keyCol)
+  }
+
+  /** The shared Page-recursion fold + explode over a per-key frame with
+    * (bs: sorted (bucket_start, x) array, target, slack, h). */
+  private def cusumFold(withParams: DataFrame, keyCol: String): DataFrame = {
+    val emptyOut = array()
+      .cast("array<struct<bucket_start:bigint,x:bigint,s:bigint>>")
+    withParams
       .withColumn("run",
         aggregate(col("bs"),
           struct(lit(0L).as("s"), emptyOut.as("out")),

@@ -496,6 +496,65 @@ object EventStreams {
       }
   }
 
+  /** A closed-bucket CUSUM row — [[cusumStream]] output. */
+  case class CusumAlarm(event_type: String, bucket_start: Long, x: Long,
+                        s: Long, alarm: Long)
+
+  /**
+   * Streaming twin of
+   * [[graft.pipeline.EventAnalytics.cusumFrozen]]: the per-key Page
+   * recursion Sₜ = max(0, Sₜ₋₁ + xₜ − target − slack) over CLOSED time
+   * buckets, with FROZEN per-key (target, slack, h) from a profiling
+   * run — the live ingest-drift alarm. A bucket closes (and emits its
+   * row) when a LATER bucket's first event arrives for the key; each
+   * key's final bucket stays pending in state, so the stream equals the
+   * batch replay minus each key's last bucket — the day's alarm fires
+   * when the day completes, the natural monitoring contract. Keys
+   * absent from `frozen` drop (explicit manifest). In-order arrival
+   * contract as the rest of the decision-twin family; state per key is
+   * three longs (pending bucket, pending sum, running S), NoTimeout.
+   */
+  def cusumStream(events: Dataset[Event],
+                  frozen: Map[String, (Long, Long, Long)],
+                  bucketSeconds: Long = 86400L): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
+    require(frozen.nonEmpty, "frozen parameter map must be non-empty")
+    val bucketUs = bucketSeconds * 1000000L
+    events
+      .filter(e => e.ts != null && frozen.contains(e.event_type))
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long, Long), CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, batch, state) =>
+          val (target, slack, h) = frozen(key)
+          val sums = scala.collection.mutable.TreeMap.empty[Long, Long]
+          batch.foreach { e =>
+            val i = e.ts.toInstant
+            val us = i.getEpochSecond * 1000000L + i.getNano / 1000L
+            val b = us / bucketUs
+            sums(b) = sums.getOrElse(b, 0L) + math.round(e.value * 100)
+          }
+          if (sums.isEmpty) Iterator.empty
+          else {
+            var (pb, px, s) = state.getOption
+              .getOrElse((Long.MinValue, 0L, 0L))
+            if (pb != Long.MinValue)
+              sums(pb) = sums.getOrElse(pb, 0L) + px
+            val keys = sums.keys.toSeq // ascending (TreeMap)
+            val out = keys.dropRight(1).map { b =>
+              val x = sums(b)
+              s = math.max(0L, s + x - target - slack)
+              CusumAlarm(key, b * bucketSeconds, x, s,
+                if (s > h) 1L else 0L)
+            }
+            val last = keys.last
+            state.update((last, sums(last), s))
+            out.iterator
+          }
+      }
+  }
+
   /** A windowed-funnel conversion — [[funnelWindowStream]] output row. */
   case class Conversion(user_id: Long, conv_ts: Long)
 

@@ -67,6 +67,59 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM (frozen params) == batch replay on closed buckets") {
+    import spark.implicits._
+    // frozen per-key params profiled from the corpus's own daily sums
+    val daily = graft.pipeline.EventAnalytics
+      .cusumBuckets(events, "event_type", 86400000000L, 86400L, "value")
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (k, xs) =>
+        val t = xs.map(_._2).sum / xs.size
+        k -> (t, t * 100 / 1000, t * 300 / 1000)
+      }
+    val batch = graft.pipeline.EventAnalytics
+      .cusumFrozen(events, daily, "event_type", 86400L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    // drop each key's LAST bucket: the stream's pending-bucket contract
+    val lastPerKey = batch.keys.groupBy(_._1).map { case (k, bs) =>
+      k -> bs.map(_._2).max }
+    val closed = batch.filterNot { case ((k, b), _) => lastPerKey(k) == b }
+    // in-order two-batch staging at the ts median
+    val tsMedianUs = events.selectExpr("unix_micros(ts) AS us")
+      .stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-cusum-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cusum-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(events.filter(expr(s"unix_micros(ts) <= ${tsMedianUs}L")),
+      "a.parquet", 120000L)
+    writeOne(events.filter(expr(s"unix_micros(ts) > ${tsMedianUs}L")),
+      "b.parquet", 1000L)
+    val stream = spark.readStream.schema(EventStreams.eventFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = EventStreams.cusumStream(
+      graft.sources.Tables.normalizeEventTs(stream).as[EventStreams.Event],
+      daily, 86400L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_out")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(closed.nonEmpty && streamed == closed,
+        "stream must equal the batch recursion on every closed bucket")
+      assert(streamed.values.exists(_._3 == 1L) ||
+        closed.values.forall(_._3 == 0L))
+    } finally q.stop()
+  }
+
   test("streaming preference leaderboard == batch (tallies merge across batches)") {
     import spark.implicits._
     // the leaderboard is a mergeable-sum aggregate + scalar Wilson math,
