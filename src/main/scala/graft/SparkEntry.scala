@@ -950,6 +950,13 @@ object SparkEntry {
         threshold = 300)
     }),
 
+    // per-source class balance of the language label: majority share +
+    // exact-integer Gini impurity — the label-QC pass before stratified
+    // splits (Gini, not entropy: rational, so hash-exact cross-engine)
+    "q_class_balance" -> ((s, d) =>
+      Evaluation.classBalance(Tables.table(s, d, "documents"),
+        Seq("source"), "lang")),
+
     // Spearman rank correlation per source between two document scores
     // (char length vs whitespace token count) — the do-two-quality-
     // scorers-agree QC gate; tie-averaged ranks doubled to stay integer,
@@ -4289,6 +4296,16 @@ object SparkEntry {
         "CAST((tp * 2000) // greatest(2 * tp + fp + (n_pos - tp), 1) AS BIGINT) AS f1_permille, " +
         "CAST((u2 * 1000) // greatest(2 * n_pos * n_neg, 1) AS BIGINT) AS auc_permille " +
         "FROM a"),
+
+    // same (source, lang) counts, majority share, and integer Gini
+    "q_class_balance" ->
+      ("WITH c AS (SELECT source, lang, count(*) AS c FROM documents " +
+        "WHERE lang IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT source, CAST(sum(c) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) AS n_classes, " +
+        "CAST((max(c) * 1000) // sum(c) AS BIGINT) AS majority_permille, " +
+        "CAST((1000 * (sum(c) * sum(c) - sum(c * c))) // (sum(c) * sum(c)) AS BIGINT) " +
+        "AS gini_permille FROM c GROUP BY 1"),
 
     // identical doubled tie-averaged ranks (rank() min-rank + tie count),
     // integer moments, exact-isqrt denominators

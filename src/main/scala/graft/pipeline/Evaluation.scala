@@ -188,6 +188,37 @@ object Evaluation {
   }
 
   /**
+   * Per-group class-balance report — the label-QC pass before a
+   * stratified split or classifier training: for each group, the class
+   * count, majority-class share, and GINI IMPURITY 1 − Σ(cᵢ/n)² in its
+   * exact integer form (1000·(n² − Σcᵢ²)) div n² — 0 for a single-class
+   * group, →1000·(1 − 1/k) for k balanced classes. Gini (not entropy)
+   * because it is RATIONAL: no transcendental log, so the report is
+   * hash-exact cross-engine like every statistic here.
+   *
+   * Plan shape: one map-side-combined (group, label) count, then a
+   * groups-sized aggregate — a 100 TB corpus pays one scan; exact while
+   * group sizes stay under ~3·10⁹ rows (n² in a long).
+   */
+  def classBalance(df: DataFrame, groupCols: Seq[String],
+                   labelCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val counts = df.filter(col(labelCol).isNotNull)
+      .groupBy(gc :+ col(labelCol).as("__l"): _*)
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(gc: _*)
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_classes"),
+        max(col("c")).as("__maxc"),
+        sum(col("c") * col("c")).as("__sq"))
+      .withColumn("majority_permille", expr("(__maxc * 1000) div n"))
+      .withColumn("gini_permille",
+        expr("(1000 * (n * n - __sq)) div (n * n)"))
+      .select(gc ++ Seq(col("n"), col("n_classes"),
+        col("majority_permille"), col("gini_permille")): _*)
+  }
+
+  /**
    * Grouped Spearman rank correlation — "do two document scores agree?"
    * (two quality classifiers, an old and a new scorer, human vs model):
    * Pearson's formula on TIE-AVERAGED ranks, carried in pure integers by

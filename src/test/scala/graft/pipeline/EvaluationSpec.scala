@@ -115,6 +115,23 @@ class EvaluationSpec extends AnyFunSuite {
     assert(all.getAs[Long]("n") == 400L)
   }
 
+  test("classBalance: hand Gini values, single-class zero, balanced limit") {
+    import spark.implicits._
+    val rows = Seq.fill(50)(("a", "en")) ++ Seq.fill(50)(("a", "fr")) ++ // balanced 2
+      Seq.fill(100)(("b", "en")) ++                                     // single class
+      Seq.fill(90)(("c", "en")) ++ Seq.fill(10)(("c", "fr"))            // 90/10
+    val r = Evaluation.classBalance(rows.toDF("g", "l"), Seq("g"), "l")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r("a") == ((100L, 2L, 500L, 500L)))   // 1 − 2·(1/2)² = 0.5
+    assert(r("b") == ((100L, 1L, 1000L, 0L)))
+    assert(r("c") == ((100L, 2L, 900L, 180L)))   // 1 − 0.81 − 0.01 = 0.18
+    // null labels drop
+    val withNull = (rows :+ (("a", null.asInstanceOf[String]))).toDF("g", "l")
+    assert(Evaluation.classBalance(withNull, Seq("g"), "l")
+      .filter($"g" === "a").head.getLong(1) == 100L)
+  }
+
   test("rankCorrelation: hand values, ties, anti-correlation, guards") {
     import spark.implicits._
     // perfect monotone agreement → 1.0 (within isqrt flooring)
