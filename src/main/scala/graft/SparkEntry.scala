@@ -1100,6 +1100,18 @@ object SparkEntry {
       Sampling.apportion(w, "source", "n_docs", budget = 1000003L)
     }),
 
+    // EQUAL-FREQUENCY reliability bins for the same pairs — the standard
+    // calibration practice on skewed scores (each bin ~n/10 examples);
+    // edges = exact k-th values via the shared-scan refinement, no sort
+    "q_calibration_quantile" -> ((s, d) => {
+      val toks = array_remove(
+        split(lower(coalesce(col("text"), lit(""))), "[^a-z]+"), "")
+      val scored = Tables.table(s, d, "documents").select(
+        when(array_contains(toks, "slow"), 1L).otherwise(0L).as("label"),
+        col("n_chars").cast("long").as("score"))
+      Evaluation.calibrationBinsQuantile(scored, "label", "score", bins = 10)
+    }),
+
     // overlapping fixed-window chunking (stride < size)
     "q_chunk" -> ((s, d) =>
       TextAnalysis.chunk(Tables.table(s, d, "documents"), size = 256, stride = 192)),
@@ -4501,6 +4513,27 @@ object SparkEntry {
         "JOIN cand c ON e.vec_id = c.doc_id CROSS JOIN qv " +
         "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v) DESC, " +
         "e.vec_id ASC LIMIT 10"),
+
+    // edges re-derived as the values at ranks ceil(i·n/10) via
+    // row_number (value-deterministic under ties), then the same
+    // strictly-greater edge count per score
+    "q_calibration_quantile" ->
+      ("WITH t AS (SELECT CASE WHEN list_contains(list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z]+'), " +
+        "x -> x <> ''), 'slow') THEN 1 ELSE 0 END AS y, " +
+        "CAST(n_chars AS BIGINT) AS s FROM documents WHERE n_chars IS NOT NULL), " +
+        "nn AS (SELECT count(*) AS n FROM t), " +
+        "rk AS (SELECT (i * nn.n + 9) // 10 AS k FROM range(1, 10) r(i), nn " +
+        "WHERE (i * nn.n + 9) // 10 BETWEEN 1 AND nn.n), " +
+        "o AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM t), " +
+        "e AS (SELECT o.s AS edge FROM o JOIN rk ON o.rn = rk.k), " +
+        "b AS (SELECT y, s, (SELECT count(*) FROM e WHERE t2.s > e.edge) AS bin " +
+        "FROM t t2(y, s)) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(y) AS BIGINT) AS n_pos, " +
+        "CAST((sum(y) * 1000) // count(*) AS BIGINT) AS pos_rate_permille, " +
+        "CAST(sum(s) // count(*) AS BIGINT) AS mean_score " +
+        "FROM b GROUP BY 1"),
 
     // (bm25 DESC, doc_id) order, truth = docs with >= 2 distinct matched
     // terms, then hits/recall/first-rank re-derived with pure integers

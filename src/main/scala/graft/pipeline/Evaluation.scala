@@ -320,4 +320,42 @@ object Evaluation {
       .select(col("bin"), col("n"), col("n_pos"),
         col("pos_rate_permille"), col("mean_score"))
   }
+
+  /**
+   * EQUAL-FREQUENCY (quantile) reliability bins — the standard
+   * calibration-plot binning (each bin holds ~n/bins examples, so tail
+   * bins are never starved the way equal-WIDTH bins are on skewed score
+   * distributions): bin edges are the EXACT score values at ranks
+   * ⌈i·n/bins⌉ located by [[Sketches.kthValues]]' shared-scan histogram
+   * refinement (~log(range) counting scans, no sort), and
+   * bin(s) = #{edges e : s > e} — ties at an edge deterministically fall
+   * LEFT, and duplicate edges (heavy ties) simply merge bins, both
+   * exactly replayable. Output shape identical to [[calibrationBins]];
+   * ≤ bins rows at any corpus size.
+   */
+  def calibrationBinsQuantile(df: DataFrame, labelCol: String,
+                              scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins out of [2, 1000]: $bins")
+    val t = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(labelCol).cast("long").as("y"),
+        col(scoreCol).cast("long").as("s"))
+    val n = t.count()
+    if (n == 0) return t.select(lit(0L).as("bin"), lit(0L).as("n"),
+      lit(0L).as("n_pos"), lit(0L).as("pos_rate_permille"),
+      lit(0L).as("mean_score")).limit(0)
+    val ranks = (1 until bins).map(i => (i * n + bins - 1) / bins)
+      .filter(k => k >= 1 && k <= n)
+    val edges = Sketches.kthValues(t, "s", ranks)
+    val binCol = edges.foldLeft(lit(0L)) { (acc, e) =>
+      acc + when(col("s") > lit(e), 1L).otherwise(0L)
+    }
+    t.withColumn("bin", binCol)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("s")).as("__ss"))
+      .withColumn("pos_rate_permille", expr("(n_pos * 1000) div n"))
+      .withColumn("mean_score", expr("__ss div n"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("pos_rate_permille"), col("mean_score"))
+  }
 }

@@ -473,7 +473,7 @@ class PlanSpec extends AnyFunSuite {
       "q_pref_winrate", "q_kappa", "q_apportion", "q_weighted_median",
       "q_ohlc", "q_twap", "q_cusum", "q_hybrid_rerank", "q_trend",
       "q_hard_negatives", "q_binary_eval_folds", "q_rank_corr", "q_twap_salted",
-      "q_weighted_median_refine", "q_class_balance")
+      "q_weighted_median_refine", "q_class_balance", "q_calibration_quantile")
     names.foreach { n =>
       val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
       spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -115,6 +115,39 @@ class EvaluationSpec extends AnyFunSuite {
     assert(all.getAs[Long]("n") == 400L)
   }
 
+  test("calibrationBinsQuantile: brute replay, near-equal masses, tie merging") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 500).map(i => (if (rnd.nextInt(100) < 30) 1L else 0L,
+      (rnd.nextGaussian() * 1000).toLong))
+    val df = rows.toDF("y", "s")
+    val bins = 10
+    val got = Evaluation.calibrationBinsQuantile(df, "y", "s", bins)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // brute: exact rank edges + strictly-greater edge count
+    val n = rows.size
+    val sorted = rows.map(_._2).sorted
+    val edges = (1 until bins).map(i => sorted(((i * n + bins - 1) / bins - 1).toInt))
+    val brute = rows.groupBy { case (_, s) => edges.count(s > _).toLong }
+      .map { case (b, rs) =>
+        b -> (rs.size.toLong, rs.map(_._1).sum,
+          rs.map(_._1).sum * 1000 / rs.size, rs.map(_._2).sum / rs.size)
+      }
+    assert(got == brute)
+    // continuous-ish scores → every bin within 2x of the ideal mass
+    assert(got.size == bins)
+    got.values.foreach { case (cnt, _, _, _) =>
+      assert(cnt >= n / bins / 2 && cnt <= n / bins * 2, s"starved bin: $cnt") }
+    // heavy ties: one dominant score merges bins (fewer than `bins` rows,
+    // masses still partition n)
+    val tied = ((0 until 300).map(_ => (0L, 7L)) ++
+      (0 until 50).map(i => (1L, 100L + i))).toDF("y", "s")
+    val tb = Evaluation.calibrationBinsQuantile(tied, "y", "s", bins)
+      .collect().map(r => r.getLong(1)).sum
+    assert(tb == 350L)
+  }
+
   test("classBalance: hand Gini values, single-class zero, balanced limit") {
     import spark.implicits._
     val rows = Seq.fill(50)(("a", "en")) ++ Seq.fill(50)(("a", "fr")) ++ // balanced 2
