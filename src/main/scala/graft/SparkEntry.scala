@@ -1013,16 +1013,18 @@ object SparkEntry {
         keyCol = "event_type", bucketSeconds = 86400L)),
 
     // time-weighted average per event type (step-function integral over
-    // the irregular timeline; money as cents·µs integers)
+    // the irregular timeline; money as cents·µs integers). Since r12 the
+    // DEFAULT twap is the bucketed scale-safe form (the plain per-key
+    // lead window measured 8.3× for 10× data at sf10 on 5 keys; the
+    // bucketed plan probed 1.24× — twapPlain remains as parity mode)
     "q_twap" -> ((s, d) =>
       EventAnalytics.twap(Tables.table(s, d, "events"),
         keyCol = "event_type")),
 
-    // the hot-key-resistant TWAP twin: identical output through
-    // per-(key, day-bucket) local windows + exact boundary stitching —
-    // the scale path when key cardinality is tiny (plain twap measured
-    // 8.3× time for 10× data at sf10; this form keeps window partitions
-    // bounded by the bucket width). Same oracle as q_twap.
+    // the explicitly-bucketed form (now also twap's implementation):
+    // per-(key, day-bucket) local windows + exact boundary stitching
+    // keep window partitions bounded by the bucket width at any key
+    // cardinality. Same oracle as q_twap.
     "q_twap_salted" -> ((s, d) =>
       EventAnalytics.twapSalted(Tables.table(s, d, "events"),
         keyCol = "event_type", bucketSeconds = 86400L)),

@@ -174,18 +174,10 @@ object Evaluation {
     } finally g.unpersist(blocking = false)
   }
 
-  /**
-   * Exact integer square root (floor(√x)) — IEEE sqrt start + two-sided
-   * one-step fixup, so the value is exact regardless of rounding and the
-   * identical tree replays in DuckDB (shared with
-   * [[graft.pipeline.Preference]]'s Wilson bound).
-   */
-  private def isqrt(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val s0 = floor(sqrt(x.cast("double"))).cast("long")
-    when(s0 * s0 > x, s0 - 1)
-      .when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
-      .otherwise(s0)
-  }
+  /** Exact integer square root — the shared [[IntMath.isqrt]] (one
+    * definition for this and [[Preference]]'s Wilson bound). */
+  private def isqrt(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    IntMath.isqrt(x)
 
   /**
    * Per-group class-balance report — the label-QC pass before a

@@ -14,20 +14,8 @@ import org.apache.spark.sql.functions._
  */
 object Preference {
 
-  /**
-   * Exact integer square root as a Column: floor(sqrt(x)) for a
-   * non-negative BIGINT x. Starts from the IEEE correctly-rounded
-   * double sqrt (off by at most one ulp after floor) and applies a
-   * one-step integer fixup in BOTH directions, so the result is the
-   * true isqrt regardless of rounding — the identical expression tree
-   * replays in DuckDB.
-   */
-  private def isqrt(x: Column): Column = {
-    val s0 = floor(sqrt(x.cast("double"))).cast("long")
-    when(s0 * s0 > x, s0 - 1)
-      .when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
-      .otherwise(s0)
-  }
+  /** Exact integer square root — the shared [[IntMath.isqrt]]. */
+  private def isqrt(x: Column): Column = IntMath.isqrt(x)
 
   /**
    * Preference leaderboard with a Wilson lower-confidence-bound rank

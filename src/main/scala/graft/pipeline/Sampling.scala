@@ -393,17 +393,23 @@ object Sampling {
     require(budget >= 0, s"budget must be >= 0: $budget")
     val totals = weights.agg(
       coalesce(sum(col(weightCol)), lit(0L)).as("__w_total"),
-      coalesce(max(col(weightCol)), lit(0L)).as("__w_max"))
+      coalesce(max(col(weightCol)), lit(0L)).as("__w_max"),
+      coalesce(min(col(weightCol)), lit(0L)).as("__w_min"))
     val withTotal = weights.crossJoin(broadcast(totals))
     val rankW = Window.orderBy(
       expr(s"(($budget * $weightCol) % __w_total)").desc, col(keyCol).asc)
     val wCap = if (budget == 0) Long.MaxValue else Long.MaxValue / budget
     withTotal
-      // the guard lives inside a REFERENCED column so pruning keeps it
+      // the guard lives inside a REFERENCED column so pruning keeps it;
+      // a NEGATIVE weight would silently break the Σalloc == budget
+      // invariant (negative base_alloc rows + leftover units exceeding
+      // the row count), so it routes into the same loud failure
       .withColumn("base_alloc", when(
-        col("__w_max") > lit(wCap) || col("__w_total") <= 0,
+        col("__w_max") > lit(wCap) || col("__w_total") <= 0 ||
+          col("__w_min") < 0,
         raise_error(lit(
-          "apportion: zero total weight or budget * max(weight) overflows long"))
+          "apportion: negative weight, zero total weight, or " +
+            "budget * max(weight) overflows long"))
           .cast("long"))
         .otherwise(expr(s"($budget * $weightCol) div __w_total")))
       .withColumn("__rem_rank", row_number().over(rankW))

@@ -578,6 +578,14 @@ object Sketches {
     require(head.length <= maxGroups,
       s"${head.length} groups > cap $maxGroups — the refinement predicate " +
         "and driver state are groups-sized; pre-aggregate or raise the cap")
+    // same range guard as kthValues: a group spanning most of the long
+    // domain would overflow the bracket-width/cell arithmetic and silently
+    // mis-bucket — fail loudly instead
+    head.foreach { r =>
+      require(BigInt(r.getLong(3)) - BigInt(r.getLong(2)) < BigInt(Long.MaxValue),
+        s"group ${r.get(0)}: value range [${r.getLong(2)}, ${r.getLong(3)}] " +
+          "overflows the refinement arithmetic")
+    }
     // rank k = ceil(W/2): the smallest v with 2·cumweight(≤v) ≥ W
     final case class Br(g: Any, var lo: Long, var hi: Long, var k: Long,
                         var done: Boolean, var out: Long)

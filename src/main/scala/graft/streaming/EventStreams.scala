@@ -17,6 +17,16 @@ import org.apache.spark.sql.types._
  */
 object EventStreams {
 
+  /** value → integer cents with Spark SQL `round()` semantics (HALF_UP,
+    * away from zero for negatives). Scala's `math.round` is floor(x+0.5)
+    * — for negative values landing exactly on a half-cent it rounds
+    * toward +∞ and diverges from the batch replay the JVM-side twins are
+    * documented to equal, so every JVM-side twin rounds through here. */
+  private[streaming] def roundCents(v: Double): Long = {
+    val c = v * 100.0
+    if (c < 0) -math.round(-c) else math.round(c)
+  }
+
   /** Raw file schema: ts arrives as micros TIMESTAMP with
     * isAdjustedToUTC=false (TIMESTAMP_NTZ in Spark); normalized to
     * TimestampType on read (see [[graft.sources.Tables.normalizeEventTs]];
@@ -533,7 +543,7 @@ object EventStreams {
             val i = e.ts.toInstant
             val us = i.getEpochSecond * 1000000L + i.getNano / 1000L
             val b = us / bucketUs
-            sums(b) = sums.getOrElse(b, 0L) + math.round(e.value * 100)
+            sums(b) = sums.getOrElse(b, 0L) + roundCents(e.value)
           }
           if (sums.isEmpty) Iterator.empty
           else {

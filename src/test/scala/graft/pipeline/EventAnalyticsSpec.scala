@@ -1795,11 +1795,11 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(EventAnalytics.groupedTrend(const, "k", "x", "y").head.getLong(2) == 0L)
   }
 
-  test("twapSalted == twap on random tie-rich data, any bucket width") {
+  test("twapSalted == twapPlain on random tie-rich data, any bucket width") {
     for (seed <- Seq(9, 10)) {
       val rows = randValued(seed, 400, tsMax = 40000000, types = Seq("x", "y", "z"))
       val df = mkValued(rows).repartition(6)
-      val plain = EventAnalytics.twap(df, "event_type")
+      val plain = EventAnalytics.twapPlain(df, "event_type")
         .collect().map(r => r.getString(0) ->
           (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
       for (bucketSec <- Seq(1L, 5L, 1000000L)) {
