@@ -966,8 +966,13 @@ object SparkEntry {
         split(trim(coalesce(col("text"), lit(""))), "\\s+"), "")).cast("long")
       val scored = Tables.table(s, d, "documents")
         .filter(col("n_chars").isNotNull)
-        .select(col("source"), col("n_chars").as("x"), toks.as("y"))
-      Evaluation.rankCorrelation(scored, Seq("source"), "x", "y")
+        .select(col("source"), col("doc_id"), col("n_chars").as("x"), toks.as("y"))
+      // sampleIdCol makes the operator self-sufficient past the 6,000-row
+      // group cap (deterministic hash-order sample, oracle-replayable);
+      // at gate scales every group is under the cap, so the sampling
+      // window keeps all rows and the result is cap-free-identical
+      Evaluation.rankCorrelation(scored, Seq("source"), "x", "y",
+        sampleIdCol = Some("doc_id"))
     }),
 
     // reliability bins for the same (label, score) pairs: 10 equal-width
@@ -1573,6 +1578,29 @@ object SparkEntry {
         Tables.table(s, d, "documents"), "doc_id", "text")
       val hashes = graft.pipeline.Multimodal.perceptualHashes(s, media).toDF()
       Dedup.hash64Pairs(hashes, "media_id", "format")
+    }),
+
+    // the wide-radius pair variant: 8×8-bit pigeonhole banding at
+    // hamming ≤ 7 — recompressed perceptual near-dups commonly land at
+    // 4-8 bits, past the 4×16-bit bound; the oracle replays the 8-band
+    // join and the ≤7 popcount verify
+    "q_dedup_media_h7" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.demoContainerTable(s,
+        Tables.table(s, d, "documents"), "doc_id", "text")
+      val hashes = graft.pipeline.Multimodal.perceptualHashes(s, media).toDF()
+      Dedup.hash64Pairs(hashes, "media_id", "format", maxHamming = 7)
+    }),
+
+    // the DEFAULT media-dedup output — LINEAR keep-list instead of the
+    // replication-quadratic pair table (sf10 measured 16.9M pairs for
+    // ~0.5M items): perceptual pairs → connected components → keeper by
+    // (container bytes desc, id asc), singletons keeping themselves; one
+    // row per media item at any replication factor. is_keeper = 0 is the
+    // drop list — the reference's own keep-one-copy ingest semantics
+    "q_dedup_media_clusters" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.demoContainerTable(s,
+        Tables.table(s, d, "documents"), "doc_id", "text")
+      graft.pipeline.Multimodal.dedupMediaClusters(s, media)
     }),
 
     // scalar function family: JSON extraction over the props column
@@ -2691,7 +2719,12 @@ object SparkEntry {
     * p < len else 0 (the writers zero-pad), so no binary column is needed
     * DuckDB-side; a wrong offset, sampling grid, or packing order in the
     * JVM hasher mismatches. */
-  private def mediaDedupOracleSql: String = {
+  /** The shared media perceptual-hash CTE chain (no WITH prefix): raw →
+    * dHash/energy-hash re-derivation → `maxHamming`-banded candidate
+    * join → `mpairs` (verified pairs). Radius picks the band layout
+    * exactly as [[graft.pipeline.Dedup.hash64Pairs]] does: ≤ 3 → 4
+    * 16-bit chunks, 4–7 → 8 8-bit chunks. */
+  private def mediaPairCtes(maxHamming: Int): String = {
     // byte p (0-based) of the payload, zero past the unpadded length
     def byt(p: String) =
       s"(CASE WHEN ($p) < len THEN CAST('0x' || substr(hx, 2*($p)+1, 2) AS BIGINT) ELSE 0 END)"
@@ -2700,7 +2733,14 @@ object SparkEntry {
     val pix = "(((g // 9) * (greatest(1, (len + 47) // 48) - 1)) // 7) * 48 + " +
       "((15 * (g % 9)) // 8) * 3"
     val gray = s"(${byt(pix)} + ${byt(s"($pix) + 1")} + ${byt(s"($pix) + 2")}) // 3"
-    "WITH raw AS (SELECT doc_id AS media_id, doc_id % 3 AS k, " +
+    val (bandVals, bandPos) =
+      if (maxHamming <= 3)
+        ("[h0 & 65535, h0 >> 16, h1 & 65535, h1 >> 16]", "[0, 1, 2, 3]")
+      else
+        ("[h0 & 255, (h0 >> 8) & 255, (h0 >> 16) & 255, (h0 >> 24) & 255, " +
+          "h1 & 255, (h1 >> 8) & 255, (h1 >> 16) & 255, (h1 >> 24) & 255]",
+          "[0, 1, 2, 3, 4, 5, 6, 7]")
+    "raw AS (SELECT doc_id AS media_id, doc_id % 3 AS k, " +
       "(1 + doc_id % 2) * 2 AS ba, hex(encode(text)) AS hx, " +
       "octet_length(encode(text)) AS len FROM documents), " +
       s"bmpg AS (SELECT media_id, 'bmp' AS format, " +
@@ -2721,16 +2761,50 @@ object SparkEntry {
       "CAST(list_sum(list_transform(range(32), b -> bits[b + 33] * (CAST(1 AS BIGINT) << b))) AS BIGINT) AS h1 " +
       "FROM hsh), " +
       "bands AS (SELECT media_id, format, h0, h1, " +
-      "unnest([h0 & 65535, h0 >> 16, h1 & 65535, h1 >> 16]) AS bv, " +
-      "unnest([0, 1, 2, 3]) AS bp FROM packed), " +
+      s"unnest($bandVals) AS bv, " +
+      s"unnest($bandPos) AS bp FROM packed), " +
       "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, " +
       "a.format AS format, a.h0 AS a0, a.h1 AS a1, b.h0 AS b0, b.h1 AS b1 " +
       "FROM bands a JOIN bands b ON a.format = b.format AND a.bp = b.bp " +
-      "AND a.bv = b.bv AND a.media_id < b.media_id) " +
-      "SELECT id_a, id_b, format, " +
+      "AND a.bv = b.bv AND a.media_id < b.media_id), " +
+      "mpairs AS (SELECT id_a, id_b, format, " +
       "CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS BIGINT) AS hamming " +
-      "FROM cand WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 3"
+      s"FROM cand WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= $maxHamming)"
   }
+
+  private def mediaDedupOracleSql: String =
+    s"WITH ${mediaPairCtes(3)} SELECT id_a, id_b, format, hamming FROM mpairs"
+
+  /** The q_dedup_media_h7 oracle: same re-derivation, 8-band pigeonhole
+    * at the recompressed-media radius (hamming ≤ 7). */
+  private def mediaDedupWideOracleSql: String =
+    s"WITH ${mediaPairCtes(7)} SELECT id_a, id_b, format, hamming FROM mpairs"
+
+  /** The q_dedup_media_clusters oracle: the pair CTEs, the local-min-
+    * seeded transitive-closure labeling (the q_dedup_clusters pattern),
+    * the keeper window by (container bytes DESC, id ASC), and the
+    * singleton restore — container bytes derived ARITHMETICALLY from the
+    * generation rule (BMP: 54 + 48·max(1, ceil(len/48)); WAV: 44 +
+    * ceil(len/ba)·ba), never echoed from the writer. */
+  private def mediaClustersOracleSql: String =
+    s"WITH RECURSIVE ${mediaPairCtes(3)}, " +
+      "blen AS (SELECT media_id, CAST(CASE WHEN k = 1 " +
+      "THEN 44 + ((len + ba - 1) // ba) * ba " +
+      "ELSE 54 + 48 * greatest(1, (len + 47) // 48) END AS BIGINT) AS sc FROM raw), " +
+      "edges AS (SELECT id_a AS src, id_b AS dst FROM mpairs " +
+      "UNION ALL SELECT id_b, id_a FROM mpairs), " +
+      "roots AS (SELECT src AS id FROM edges GROUP BY src HAVING src < min(dst)), " +
+      "reach(id, r) AS (SELECT id, id FROM roots " +
+      "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src), " +
+      "lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id), " +
+      "j AS (SELECT b.media_id AS id, coalesce(lab.cluster, b.media_id) AS cluster, " +
+      "b.sc FROM blen b LEFT JOIN lab ON b.media_id = lab.id), " +
+      "k AS (SELECT cluster, id AS keeper FROM (SELECT cluster, id, " +
+      "row_number() OVER (PARTITION BY cluster " +
+      "ORDER BY sc DESC NULLS LAST, id ASC) AS rn FROM j) WHERE rn = 1) " +
+      "SELECT j.id, j.cluster, k.keeper, " +
+      "CAST(CASE WHEN j.id = k.keeper THEN 1 ELSE 0 END AS BIGINT) AS is_keeper " +
+      "FROM j JOIN k USING (cluster)"
 
   private def kcoreOracleSql(k: Int, iters: Int): String = {
     val sb = new StringBuilder
@@ -4324,10 +4398,15 @@ object SparkEntry {
     // identical doubled tie-averaged ranks (rank() min-rank + tie count),
     // integer moments, exact-isqrt denominators
     "q_rank_corr" ->
+      // the QUALIFY replays the gate's hash-order sampling front-end —
+      // a NO-OP at every gate scale (all groups under the 6,000 cap),
+      // exactly as in the Spark operator
       ("WITH b AS (SELECT source, CAST(n_chars AS BIGINT) AS x, " +
         "CAST(len(list_filter(string_split_regex(trim(coalesce(text, '')), " +
         "'\\s+'), t -> t <> '')) AS BIGINT) AS y " +
-        "FROM documents WHERE n_chars IS NOT NULL), " +
+        "FROM documents WHERE n_chars IS NOT NULL " +
+        "QUALIFY row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 6000), " +
         "r AS (SELECT source, " +
         "2 * rank() OVER (PARTITION BY source ORDER BY x) + " +
         "count(*) OVER (PARTITION BY source, x) - 1 AS a, " +
@@ -5776,6 +5855,8 @@ object SparkEntry {
     "q_kcore_conv" -> kcoreOracleSql(k = 4, iters = 4),
 
     "q_dedup_media" -> mediaDedupOracleSql,
+    "q_dedup_media_h7" -> mediaDedupWideOracleSql,
+    "q_dedup_media_clusters" -> mediaClustersOracleSql,
 
     "q_bfs_dist" -> bfsOracleSql(rounds = 4),
     "q_sssp" -> ssspOracleSql(rounds = 6),

@@ -261,13 +261,32 @@ object Dedup {
    * When approximate recall is acceptable, [[minhashLshPairs]] ships
    * fixed-size signatures instead and is the cheaper default; this is the
    * exact counterpart for audit passes and threshold calibration.
+   *
+   * The SHUFFLE verify path additionally runs under the same
+   * CANDIDATE-VOLUME GUARD as [[containmentPairs]] (`maxVerifyBytes`,
+   * default 16 GiB of estimated candidate+array shuffle): a replica/
+   * boilerplate-degenerate corpus defeats prefix filtering, and the
+   * shuffled verify then writes candidates × gram-array bytes to disk
+   * before any per-pair cap can fire. The exact raw candidate volume
+   * (Σ per-bucket n·(n−1)/2) is computed from a ≤ `maxBucket`-row
+   * bucket-size histogram before any pair materializes; an over-budget
+   * corpus keeps buckets SMALLEST-FIRST up to the size cutoff that fits,
+   * with drops observable via `metrics` (guard_total_candidates vs
+   * guard_kept_candidates) — capped loudly, never silently. Verify-join
+   * sizing is AUTO by default ([[containmentPairs]]' convention —
+   * `corpusSizeHint` 0 counts the input, > 0 is a trusted count, < 0
+   * forces the shuffle path): when corpus rows × sampled gram bytes fit
+   * `broadcastVerifyMaxBytes` the gram sides broadcast, the candidate
+   * stream stays map-side, and the guard is skipped — the broadcast
+   * path never materializes candidate×array rows.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.8, shingle: Int = 5,
                         maxBucket: Int = 10000,
                         metrics: Option[Observation] = None,
                         corpusSizeHint: Long = 0L,
-                        broadcastVerifyMaxBytes: Long = 256L << 20): DataFrame = {
+                        broadcastVerifyMaxBytes: Long = 256L << 20,
+                        maxVerifyBytes: Long = 16L << 30): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.{ShingleHashes, SortedJaccardAtLeast}
@@ -287,9 +306,70 @@ object Dedup {
       .filter(col("rk") <=
         col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int") + lit(1))
       .select(col("gram"), col("id"), col("sz"), col("rk"))
+    // verify-join sizing, the [[containmentPairs]] convention: hint 0 →
+    // AUTO (one cheap count of the input), > 0 → trusted count, < 0 →
+    // force the shuffle path (the guard probe's mode)
+    val hint = if (corpusSizeHint == 0L) df.count() else corpusSizeHint
+    lazy val avgGramBytes = sampledDocGramBytes(df, textCol, shingle)
+    val useBroadcastVerify =
+      hint > 0 && hint * avgGramBytes <= broadcastVerifyMaxBytes
+    // ---- candidate-volume guard (the shuffled-verify emergency brake) ----
+    // Same construction as [[containmentPairs]]' guard, adapted to the
+    // SYMMETRIC candidate shape: here both sides of a candidate come from
+    // the prefix stream, so a gram whose bucket holds n prefix rows emits
+    // n·(n−1)/2 raw candidates, and the exact raw volume aggregates BY
+    // BUCKET SIZE into a histogram of ≤ maxBucket rows — one tiny collect
+    // before any pair materializes. NOTE this counts candidates BEFORE
+    // the in-bucket length/positional filters (which the replica corpora
+    // the guard exists for pass anyway — same-size docs at rank 1), so on
+    // varied-length corpora it is a CONSERVATIVE upper bound: the guard
+    // may cap a corpus whose filtered volume would have fit. Over budget
+    // (maxVerifyBytes of estimated candidate+array shuffle), buckets are
+    // kept SMALLEST-FIRST (rarest-gram spirit: small prefix buckets are
+    // the high-precision candidate routes) up to the bucket-size cutoff
+    // that fits; drops are observable via `metrics`
+    // (guard_total_candidates vs guard_kept_candidates), never silent.
+    // Broadcast-verify path skips the guard — it never materializes
+    // candidate×array rows.
+    val (effCap, guardTotalVol, guardKeptVol) =
+      if (useBroadcastVerify) (maxBucket, 0L, 0L)
+      else {
+        val prefixC = prefix.cache()
+        try {
+          val hist = prefixC.groupBy(col("gram")).agg(count(lit(1)).as("np"))
+            .filter(col("np").between(2L, maxBucket.toLong))
+            .groupBy(col("np"))
+            .agg(expr("count(1) * ((np * (np - 1)) div 2)").as("vol"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          val totalVol = hist.map(_._2).sum
+          val budgetPairs =
+            math.max(1L, (maxVerifyBytes / (24.0 + 2.0 * avgGramBytes)).toLong)
+          if (totalVol <= budgetPairs) (maxBucket, totalVol, totalVol)
+          else {
+            val (cutoff, cum) = guardCutoff(hist, budgetPairs)
+            System.err.println(
+              f"[ngramJaccardPairs] candidate-volume guard: $totalVol%,d raw candidates × " +
+                f"~${(24 + 2 * avgGramBytes).toLong} B ≈ ${totalVol * (24 + 2 * avgGramBytes) / 1e9}%.1f GB " +
+                f"exceeds maxVerifyBytes=${maxVerifyBytes / 1048576.0}%.0f MiB; keeping prefix buckets of " +
+                f"size ≤ $cutoff ($cum%,d candidates, ${100.0 * cum / totalVol}%.1f%%). Dropped pairs " +
+                "are ones found ONLY via hot prefix grams; dedup exactly first, raise shingle, " +
+                "or raise maxVerifyBytes to keep them.")
+            // floor 2: size-2 buckets are the irreducible minimum for ANY
+            // pair output, and a sub-2 cap would make the bucket filter a
+            // statically-false predicate the optimizer folds away —
+            // taking the metrics observation with it (drops went silent
+            // in a degenerate-budget probe)
+            (math.max(2L, math.min(maxBucket.toLong, cutoff)).toInt, totalVol, cum)
+          }
+        } finally prefixC.unpersist(blocking = false)
+      }
     val grouped = prefix.groupBy(col("gram"))
       .agg(collect_list(struct(col("id"), col("sz"), col("rk"))).as("items"))
-    val buckets = capBuckets(grouped, size(col("items")), maxBucket, metrics)
+    val buckets = capBuckets(grouped, size(col("items")), effCap, metrics,
+      extraMetrics = Seq(
+        max(lit(guardTotalVol)).as("guard_total_candidates"),
+        max(lit(guardKeptVol)).as("guard_kept_candidates"),
+        max(lit(effCap)).as("guard_effective_cap")))
     val ratio = threshold / (1.0 + threshold)
     val candidates = buckets
       .select(explode(col("items")).as("a"), col("items"))
@@ -305,8 +385,8 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val ga = docGrams.select(col("id").as("id_a"), col("grams").as("g_a"))
     val gb = docGrams.select(col("id").as("id_b"), col("grams").as("g_b"))
-    // On a corpus small enough to broadcast the gram-array table (caller
-    // passes `corpusSizeHint`, same pattern as [[cosineNearDupPairs]]), the
+    // On a corpus small enough to broadcast the gram-array table (sized
+    // AUTO by default — see `hint` above), the
     // whole verify is MAP-SIDE: the candidate stream never shuffles at all —
     // duplicate enumerations of a pair are re-verified redundantly (a cheap
     // sort-merge intersect each) and collapsed only after the threshold
@@ -319,8 +399,7 @@ object Dedup {
     // gram), so the estimate is corpus rows × sampled avg array bytes — a
     // doc-count cutoff alone would OOM on corpora of long documents.
     val verified =
-      if (corpusSizeHint > 0 &&
-          corpusSizeHint * sampledDocGramBytes(df, textCol, shingle) <= broadcastVerifyMaxBytes)
+      if (useBroadcastVerify)
         candidates.join(broadcast(ga), "id_a").join(broadcast(gb), "id_b")
       else
         candidates.dropDuplicates("id_a", "id_b").join(ga, "id_a").join(gb, "id_b")
@@ -461,7 +540,10 @@ object Dedup {
                 f"gdf ≤ $cutoff ($cum%,d candidates, ${100.0 * cum / totalVol}%.1f%%). Dropped pairs " +
                 "are ones found ONLY via common grams; raise shingle (vocabulary diversity), " +
                 "dedup exactly first, or raise maxVerifyBytes to keep them.")
-            (math.min(maxBucket.toLong, cutoff).toInt, totalVol, cum)
+            // floor 2 (same reason as ngramJaccardPairs): a sub-2 cap
+            // becomes a statically-false bucket filter whose removal
+            // silently drops the metrics observation
+            (math.max(2L, math.min(maxBucket.toLong, cutoff)).toInt, totalVol, cum)
           }
         } finally prefixC.unpersist(blocking = false)
       }
@@ -723,8 +805,15 @@ object Dedup {
    * modality that fingerprints to 64 bits deduplicates through the same
    * pigeonhole: media perceptual hashes
    * ([[Multimodal.perceptualHashes]]: BMP dHash, WAV frame-energy), or
-   * any caller-supplied signature. Hamming ≤ 3 ⇒ at least one of the 4
-   * 16-bit chunks is identical, so candidates come from one
+   * any caller-supplied signature. Banding adapts to the radius:
+   * `maxHamming` ≤ 3 cuts the word into 4 16-bit chunks (≤ 3 differing
+   * bits ⇒ some chunk identical), 4–7 into 8 8-bit chunks (≤ 7
+   * differing bits ⇒ some byte identical — perceptual near-dups of
+   * recompressed media commonly land at 4–8 bits, past the 4-chunk
+   * bound). Narrower chunks mean hotter buckets (an 8-bit value has 256
+   * possible buckets per position vs 65,536), so the wide radius costs
+   * more candidates — the usual LSH band-width trade, here picked
+   * automatically from the radius. Candidates come from one
    * (group, chunk-pos, chunk-value) bucket pass; exact popcount verify;
    * `groupCol` scopes pairing (e.g. media format — a BMP never pairs
    * with a WAV). Bucket cap + observable-drop metrics as everywhere
@@ -735,17 +824,22 @@ object Dedup {
   def hash64Pairs(df: DataFrame, idCol: String, groupCol: String,
                   maxHamming: Int = 3, maxBucket: Int = 10000,
                   metrics: Option[Observation] = None): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "chunked pigeonhole bound holds for maxHamming <= 3")
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "chunked pigeonhole bound holds for maxHamming <= 7 (8 8-bit chunks)")
+    // pigeonhole: d differing bits over c chunks leave a chunk intact
+    // whenever d < c — 4×16-bit up to 3, 8×8-bit up to 7
+    val chunks =
+      if (maxHamming <= 3)
+        Seq("h0", "h1").flatMap(h => Seq(0, 16).map(sh =>
+          shiftrightunsigned(col(h), sh).bitwiseAND(lit(0xffffL))))
+      else
+        Seq("h0", "h1").flatMap(h => (0 until 4).map(i =>
+          shiftrightunsigned(col(h), i * 8).bitwiseAND(lit(0xffL))))
     val grouped = df
       .select(col(idCol).as("id"), col(groupCol).as("grp"),
         col("h0").cast("long"), col("h1").cast("long"))
       .select(col("id"), col("grp"), col("h0"), col("h1"),
-        posexplode(array(
-          col("h0").bitwiseAND(lit(0xffffL)),
-          shiftrightunsigned(col("h0"), 16).bitwiseAND(lit(0xffffL)),
-          col("h1").bitwiseAND(lit(0xffffL)),
-          shiftrightunsigned(col("h1"), 16).bitwiseAND(lit(0xffffL)))))
+        posexplode(array(chunks: _*)))
       .groupBy(col("grp"), col("pos"), col("col"))
       .agg(collect_list(struct(col("id"), col("h0"), col("h1"))).as("items"))
     val buckets = capBuckets(grouped, size(col("items")), maxBucket, metrics)
@@ -992,6 +1086,40 @@ object Dedup {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("is_keeper", when(col("id") === col("keeper"), 1L).otherwise(0L))
       .select(col("id"), col("cluster"), col("keeper"), col("is_keeper"))
+  }
+
+  /**
+   * LINEAR keep-list from a near-dup pair table: ONE row per corpus item
+   * — (id, cluster, keeper, is_keeper) — instead of a pair table that is
+   * QUADRATIC in the replication factor (10× replicated media = 100×
+   * pairs; measured 16.9 M pair rows at an sf10 probe where the corpus
+   * holds ~0.5 M items). This is the keep-one-per-cluster semantics the
+   * reference applies at ingest (hbase-gis AbstractTestUtil.java:50-81
+   * drops exact repeats before load): [[clusters]] labels the pair
+   * graph's components, [[clusterCanonical]] names each component's
+   * keeper by (scoreCol desc, id asc), and every item OUTSIDE the pair
+   * graph keeps itself (cluster = keeper = its own id — a singleton's id
+   * can never collide with a component label, which is always the min
+   * MEMBER id of a ≥2-item component). `filter(is_keeper = 0)` is the
+   * exact drop list.
+   *
+   * Scale shape: the cluster/keeper machinery runs on the
+   * pair-population-sized tables only; `items` is scanned once for
+   * (id, score) and joined once on id (AQE broadcasts the labels side
+   * when the near-dup population is small). Output is |items| rows —
+   * linear by construction at any replication factor.
+   */
+  def clusterKeepList(pairs: DataFrame, items: DataFrame,
+                      idCol: String, scoreCol: String,
+                      maxIter: Int = 12): DataFrame = {
+    val canon = clusterCanonical(clusters(pairs, maxIter), items, idCol, scoreCol)
+      .withColumnRenamed("id", "__cid")
+    items.select(col(idCol).cast("long").as("id"))
+      .join(canon, col("id") === col("__cid"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), col("id")).as("cluster"),
+        coalesce(col("keeper"), col("id")).as("keeper"),
+        coalesce(col("is_keeper"), lit(1L)).as("is_keeper"))
   }
 
   def clustersIncremental(labels: DataFrame, newPairs: DataFrame,

@@ -226,21 +226,42 @@ object Evaluation {
    * scaling is exact past that via a two-stage long-division split) —
    * rank correlation is routinely computed on a deterministic sample at
    * corpus scale (the statistic is rank-based; a uniform sample
-   * estimates it with standard error ~1/√n), so sample or pre-quantize
-   * above the cap.
-   * Plan: two rank windows per group + one map-side-combined moments
-   * aggregate; output is groups-sized.
+   * estimates it with standard error ~1/√n). `sampleIdCol` makes the
+   * operator SELF-SUFFICIENT above the cap: when given, each group is
+   * deterministically reduced to its `maxGroupRows` rows of smallest
+   * (md5(id), id) — the hash-order sampling convention shared with the
+   * q_sample_* machinery, replayable in any engine as
+   * `row_number() over (partition by g order by md5(cast(id as
+   * varchar)), id) <= cap`; under-cap groups pass through UNCHANGED (the
+   * filter keeps all n rows when n ≤ cap), so results at small scales
+   * are identical with or without the front-end. Without `sampleIdCol`
+   * the over-cap contract remains a loud throw.
+   * Plan: (optional) one sampling window + two rank windows per group +
+   * one map-side-combined moments aggregate; output is groups-sized.
    */
   def rankCorrelation(df: DataFrame, groupCols: Seq[String],
                       xCol: String, yCol: String,
-                      maxGroupRows: Long = 6000L): DataFrame = {
+                      maxGroupRows: Long = 6000L,
+                      sampleIdCol: Option[String] = None): DataFrame = {
     require(maxGroupRows <= 6000L,
       s"maxGroupRows > 6000 would overflow the long rank moments (4n^4)")
     import org.apache.spark.sql.expressions.Window
     val gc = groupCols.map(col)
-    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select(gc ++ Seq(col(xCol).cast("long").as("x"),
-        col(yCol).cast("long").as("y")): _*)
+    val filtered = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val base = sampleIdCol match {
+      case Some(idc) =>
+        val w = Window.partitionBy(gc: _*)
+          .orderBy(md5(col(idc).cast("string")).asc, col(idc).asc)
+        filtered
+          .select(gc ++ Seq(col(idc), col(xCol).cast("long").as("x"),
+            col(yCol).cast("long").as("y")): _*)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxGroupRows)
+          .select(gc ++ Seq(col("x"), col("y")): _*)
+      case None =>
+        filtered.select(gc ++ Seq(col(xCol).cast("long").as("x"),
+          col(yCol).cast("long").as("y")): _*)
+    }
     // 2·tie-averaged-rank = 2·min_rank + ties − 1 (rank() is the 1-based
     // min rank of the tie group; the tie count is a per-(group, value)
     // window count)

@@ -565,6 +565,59 @@ object EventStreams {
       }
   }
 
+  /** A per-key running TWAP row — [[twapStream]] output. */
+  case class TwapRunning(event_type: String, n_intervals: Long, dur_us: Long,
+                         weighted_cents_us: Long, twap_cents: Long)
+
+  /**
+   * Streaming twin of [[graft.pipeline.EventAnalytics.twap]]: the
+   * last-observation-carried-forward step integral, with each key's last
+   * (ts, event_id, cents) observation held in GroupState so intervals
+   * SPAN micro-batches. Each batch folds its events in (ts, event_id)
+   * order — every event after the key's first closes one interval
+   * (zero-length ties included, the batch convention) — and emits ONE
+   * row per key with the RUNNING totals; the final emission per key
+   * equals the batch operator's row exactly (a key that has seen only
+   * one observation emits nothing, the batch n_intervals > 0 contract).
+   * Cents rounding via [[roundCents]] (SQL HALF_UP). In-order arrival
+   * contract as the rest of the decision-twin family; state is four
+   * longs + the running triple per key, NoTimeout.
+   */
+  def twapStream(events: Dataset[Event]): Dataset[TwapRunning] = {
+    import events.sparkSession.implicits._
+    // state: (lastUs, lastEventId, lastCents, n, dur, w)
+    events
+      .filter(e => e.ts != null && e.event_type != null)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long, Long), TwapRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, batch, state) =>
+          val sorted = batch.map { e =>
+            val i = e.ts.toInstant
+            (i.getEpochSecond * 1000000L + i.getNano / 1000L, e.event_id,
+              roundCents(e.value))
+          }.toSeq.sortBy(t => (t._1, t._2))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var (lastUs, lastEid, lastCents, n, dur, w) =
+              state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+            var init = state.getOption.isDefined
+            sorted.foreach { case (us, eid, cents) =>
+              if (init) {
+                n += 1
+                dur += us - lastUs
+                w += lastCents * (us - lastUs)
+              }
+              lastUs = us; lastEid = eid; lastCents = cents; init = true
+            }
+            state.update((lastUs, lastEid, lastCents, n, dur, w))
+            if (n > 0)
+              Iterator.single(TwapRunning(key, n, dur, w, w / math.max(dur, 1L)))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** A windowed-funnel conversion — [[funnelWindowStream]] output row. */
   case class Conversion(user_id: Long, conv_ts: Long)
 

@@ -207,4 +207,33 @@ class EvaluationSpec extends AnyFunSuite {
       Evaluation.rankCorrelation(big, Seq("g"), "x", "y", maxGroupRows = 50L)
         .collect())
   }
+
+  test("rankCorrelation sampling front-end: over-cap groups sample, under-cap identical") {
+    import spark.implicits._
+    // an over-cap group completes (no throw) with sampleIdCol, and the
+    // result equals the brute statistic over the deterministic hash-order
+    // sample — the smallest (md5(id), id) rows per group
+    val rows = (0L until 100L).map(i => ("z", i, i * 3 % 17, i * 7 % 13))
+    val df = rows.toDF("g", "id", "x", "y").repartition(5)
+    val cap = 50L
+    val got = Evaluation.rankCorrelation(df, Seq("g"), "x", "y",
+      maxGroupRows = cap, sampleIdCol = Some("id")).head
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val sampleIds = rows.map(_._2).sortBy(i => (md5hex(i.toString), i))
+      .take(cap.toInt).toSet
+    val sampled = rows.filter(r => sampleIds(r._2)).map(r => ("z", r._3, r._4))
+    val expect = Evaluation.rankCorrelation(
+      sampled.toDF("g", "x", "y"), Seq("g"), "x", "y").head
+    assert(got.getLong(1) == cap)
+    assert(got.getLong(2) == expect.getLong(2))
+    // under the cap the front-end is a strict no-op
+    val small = (0L until 30L).map(i => ("s", i, i % 7, i % 5))
+      .toDF("g", "id", "x", "y")
+    val a = Evaluation.rankCorrelation(small, Seq("g"), "x", "y",
+      sampleIdCol = Some("id")).head
+    val b = Evaluation.rankCorrelation(small.drop("id"), Seq("g"), "x", "y").head
+    assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2))
+  }
 }

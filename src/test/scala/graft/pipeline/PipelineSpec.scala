@@ -1642,8 +1642,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, bb) => // wav ids are 1 mod 3
       (a % 3 == 1) != (bb % 3 == 1) }, s"formats must never cross-pair: $pairs")
     pairs.foreach { case (_, (_, ham)) => assert(ham >= 0 && ham <= 3) }
+    // the 8-chunk radius is legal up to 7; past it no pigeonhole holds
     intercept[IllegalArgumentException](
-      Dedup.hash64Pairs(hashes, "media_id", "format", maxHamming = 4))
+      Dedup.hash64Pairs(hashes, "media_id", "format", maxHamming = 8))
+  }
+
+  test("hash64Pairs pigeonhole completeness: every pair within radius is found") {
+    // property: for random fingerprints with d ≤ maxHamming flipped bits,
+    // the banded join NEVER misses the pair (the pigeonhole guarantee) —
+    // exercised at both band layouts (4×16-bit for d ≤ 3, 8×8-bit for
+    // d ≤ 7), flips spread adversarially ACROSS chunks
+    val rnd = new scala.util.Random(42)
+    def halves(v: Long): (Long, Long) = (v & 0xffffffffL, v >>> 32)
+    for (radius <- Seq(3, 7)) {
+      val rows = (0 until 40).flatMap { i =>
+        val base = rnd.nextLong()
+        val d = rnd.nextInt(radius + 1)
+        // spread the d flips over distinct positions covering many chunks
+        val flips = rnd.shuffle((0 until 64).toList).take(d)
+        val twin = flips.foldLeft(base)((v, b) => v ^ (1L << b))
+        val (b0, b1) = halves(base)
+        val (t0, t1) = halves(twin)
+        Seq((i * 2L, "g", b0, b1), (i * 2L + 1, "g", t0, t1))
+      }
+      val df = rows.toDF("media_id", "format", "h0", "h1")
+      val got = Dedup.hash64Pairs(df, "media_id", "format", maxHamming = radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      rows.grouped(2).foreach { case Seq((a, _, a0, a1), (b, _, b0, b1)) =>
+        val d = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+        if (d <= radius)
+          assert(got.get((a, b)).contains(d.toLong),
+            s"radius $radius missed planted pair ($a,$b) at hamming $d")
+      }
+      // and nothing above the radius survives the verify
+      got.values.foreach(h => assert(h <= radius))
+    }
+  }
+
+  test("clusterKeepList: linear output, singleton self-keep, keeper by score") {
+    // pair graph: {1,2,3} one component, {5,6} another; 4 and 7 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val items = Seq((1L, 10L), (2L, 99L), (3L, 99L), (4L, 1L), (5L, 7L),
+      (6L, 3L), (7L, 0L)).toDF("doc_id", "score")
+    val r = Dedup.clusterKeepList(pairs, items, "doc_id", "score")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r.size == 7) // one row per ITEM — linear, not pair-shaped
+    // component {1,2,3}: cluster = min id 1, keeper = score argmax with
+    // id tie-break (2 and 3 both score 99 → keeper 2)
+    assert(r(1L) == ((1L, 2L, 0L)))
+    assert(r(2L) == ((1L, 2L, 1L)))
+    assert(r(3L) == ((1L, 2L, 0L)))
+    // component {5,6}: keeper 5 (score 7 > 3)
+    assert(r(5L) == ((5L, 5L, 1L)))
+    assert(r(6L) == ((5L, 5L, 0L)))
+    // singletons keep themselves
+    assert(r(4L) == ((4L, 4L, 1L)))
+    assert(r(7L) == ((7L, 7L, 1L)))
+    // the drop list is exactly the non-keepers
+    assert(r.filter(_._2._3 == 0L).keySet == Set(1L, 3L, 6L))
   }
 
   test("multimodal: frame sampling yields n byte windows") {

@@ -120,6 +120,51 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming TWAP == batch (last observation carried across batches)") {
+    import spark.implicits._
+    val clean = events.filter(col("ts").isNotNull && col("value").isNotNull)
+    val batch = graft.pipeline.EventAnalytics.twap(clean, "event_type")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // in-order two-batch staging at the ts median: intervals MUST span
+    // the boundary through the carried last observation
+    val tsMedianUs = clean.selectExpr("unix_micros(ts) AS us")
+      .stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-twap-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-twap-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(clean.filter(expr(s"unix_micros(ts) <= ${tsMedianUs}L")),
+      "a.parquet", 120000L)
+    writeOne(clean.filter(expr(s"unix_micros(ts) > ${tsMedianUs}L")),
+      "b.parquet", 1000L)
+    val stream = spark.readStream.schema(EventStreams.eventFileSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = EventStreams.twapStream(
+      graft.sources.Tables.normalizeEventTs(stream).as[EventStreams.Event])
+      .writeStream.outputMode("append").format("memory")
+      .queryName("twap_out").start()
+    try {
+      q.processAllAvailable()
+      // running emissions are monotone in n_intervals; the final (max-n)
+      // row per key must equal the batch operator exactly
+      val streamed = spark.table("twap_out").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+      assert(batch.nonEmpty && streamed == batch,
+        "final streaming TWAP must equal the batch step integral per key")
+      // and BOTH batches contributed (the split actually exercised state)
+      assert(spark.table("twap_out").count() > batch.size,
+        "expected per-batch emissions from both micro-batches")
+    } finally q.stop()
+  }
+
   test("streaming preference leaderboard == batch (tallies merge across batches)") {
     import spark.implicits._
     // the leaderboard is a mergeable-sum aggregate + scalar Wilson math,
