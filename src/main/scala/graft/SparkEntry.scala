@@ -1636,6 +1636,17 @@ object SparkEntry {
       Dedup.clusterCanonical(labels, docs, "doc_id", "n_chars")
     }),
 
+    // the LINEAR text-dedup default: near-dup pairs → components →
+    // keeper → singleton restore, ONE row per corpus document
+    // (the q_dedup_media_clusters semantics on the text family);
+    // is_keeper = 0 is the exact drop list at any replication factor
+    "q_dedup_keeplist" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+      Dedup.clusterKeepList(pairs.select(col("id_a"), col("id_b")),
+        docs, "doc_id", "n_chars")
+    }),
+
     // incremental cluster maintenance: label the base half of the pair
     // stream, then fold the delta half in via clustersIncremental — the
     // contract is EXACT equality with the full recompute, so this gate
@@ -3524,6 +3535,28 @@ object SparkEntry {
         "reach(id, r) AS (SELECT id, id FROM roots " +
         "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src) " +
         "SELECT id, min(r) AS cluster FROM reach GROUP BY id"),
+
+    // the keep-list replay: same closure + keeper as q_dedup_canonical,
+    // then the singleton restore — every document outside the pair graph
+    // keeps itself (its id can never equal a component label, which is
+    // always the min MEMBER id of a ≥2-doc component)
+    "q_dedup_keeplist" ->
+      (s"WITH RECURSIVE $JaccardPairsCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs " +
+        "UNION ALL SELECT id_b, id_a FROM jpairs), " +
+        "roots AS (SELECT src AS id FROM edges GROUP BY src HAVING src < min(dst)), " +
+        "reach(id, r) AS (SELECT id, id FROM roots " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src), " +
+        "lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id), " +
+        "j AS (SELECT d.doc_id AS id, coalesce(lab.cluster, d.doc_id) AS cluster, " +
+        "CAST(d.n_chars AS BIGINT) AS sc FROM documents d " +
+        "LEFT JOIN lab ON d.doc_id = lab.id), " +
+        "k AS (SELECT cluster, id AS keeper FROM (SELECT cluster, id, " +
+        "row_number() OVER (PARTITION BY cluster " +
+        "ORDER BY sc DESC NULLS LAST, id ASC) AS rn FROM j) WHERE rn = 1) " +
+        "SELECT j.id, j.cluster, k.keeper, " +
+        "CAST(CASE WHEN j.id = k.keeper THEN 1 ELSE 0 END AS BIGINT) AS is_keeper " +
+        "FROM j JOIN k USING (cluster)"),
 
     // same local-min-seeded transitive-closure labeling, then the keeper
     // window replay: argmax by (n_chars DESC NULLS LAST, id ASC) per cluster

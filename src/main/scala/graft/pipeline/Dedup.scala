@@ -817,13 +817,20 @@ object Dedup {
    * (group, chunk-pos, chunk-value) bucket pass; exact popcount verify;
    * `groupCol` scopes pairing (e.g. media format — a BMP never pairs
    * with a WAV). Bucket cap + observable-drop metrics as everywhere
-   * ([[capBuckets]]). The input is fingerprint-sized (id + 16 B), never
+   * ([[capBuckets]]), plus the family's CANDIDATE-VOLUME GUARD
+   * (`maxCandidateBytes`): the exact raw pair volume is computed from a
+   * fingerprint-sized count aggregate before anything explodes, and an
+   * over-budget corpus keeps buckets smallest-first with observable
+   * drops — the 8-bit bands on a replica-heavy corpus otherwise write a
+   * candidate shuffle that can exhaust disk (measured at an sf10
+   * probe). The input is fingerprint-sized (id + 16 B), never
    * corpus-sized: at 100 TB of media the heavy bytes stay in the
    * fingerprint scan and this join shuffles ~32 B/doc.
    */
   def hash64Pairs(df: DataFrame, idCol: String, groupCol: String,
                   maxHamming: Int = 3, maxBucket: Int = 10000,
-                  metrics: Option[Observation] = None): DataFrame = {
+                  metrics: Option[Observation] = None,
+                  maxCandidateBytes: Long = 16L << 30): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "chunked pigeonhole bound holds for maxHamming <= 7 (8 8-bit chunks)")
     // pigeonhole: d differing bits over c chunks leave a chunk intact
@@ -835,14 +842,52 @@ object Dedup {
       else
         Seq("h0", "h1").flatMap(h => (0 until 4).map(i =>
           shiftrightunsigned(col(h), i * 8).bitwiseAND(lit(0xffL))))
-    val grouped = df
+    val keyed = df
       .select(col(idCol).as("id"), col(groupCol).as("grp"),
         col("h0").cast("long"), col("h1").cast("long"))
       .select(col("id"), col("grp"), col("h0"), col("h1"),
         posexplode(array(chunks: _*)))
+    // ---- candidate-volume guard (the family contract) ----
+    // 8-bit bands make buckets ~n/256 per (group, position, value): on a
+    // replica-heavy corpus the in-bucket quadratic then writes a
+    // candidate shuffle that can exhaust disk (measured: an sf10 probe
+    // of the hamming-7 pair table ENOSPC'd). Bucket sizes are knowable
+    // from one fingerprint-sized count aggregate BEFORE anything
+    // explodes, so the exact raw candidate volume (Σ n·(n−1)/2 by bucket
+    // size, ≤ maxBucket histogram rows) gates the run: over
+    // `maxCandidateBytes`, buckets are kept SMALLEST-FIRST up to the
+    // size cutoff that fits, drops observable via `metrics` + stderr —
+    // the ngramJaccardPairs/containment guard on the fingerprint shape.
+    val (effCap, guardTotalVol, guardKeptVol) = {
+      val hist = keyed.groupBy(col("grp"), col("pos"), col("col"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2L, maxBucket.toLong))
+        .groupBy(col("n"))
+        .agg(expr("count(1) * ((n * (n - 1)) div 2)").as("vol"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val totalVol = hist.map(_._2).sum
+      val budgetPairs = math.max(1L, maxCandidateBytes / 48L)
+      if (totalVol <= budgetPairs) (maxBucket, totalVol, totalVol)
+      else {
+        val (cutoff, cum) = guardCutoff(hist, budgetPairs)
+        System.err.println(
+          f"[hash64Pairs] candidate-volume guard: $totalVol%,d raw candidates ≈ " +
+            f"${totalVol * 48 / 1e9}%.1f GB exceeds maxCandidateBytes=" +
+            f"${maxCandidateBytes / 1048576.0}%.0f MiB; keeping buckets of size ≤ $cutoff " +
+            f"($cum%,d candidates, ${100.0 * cum / totalVol}%.1f%%). Dedup exact-duplicate " +
+            "fingerprints first (hash64KeepList collapses them), lower maxHamming, or " +
+            "raise maxCandidateBytes to keep the dropped routes.")
+        (math.max(2L, math.min(maxBucket.toLong, cutoff)).toInt, totalVol, cum)
+      }
+    }
+    val grouped = keyed
       .groupBy(col("grp"), col("pos"), col("col"))
       .agg(collect_list(struct(col("id"), col("h0"), col("h1"))).as("items"))
-    val buckets = capBuckets(grouped, size(col("items")), maxBucket, metrics)
+    val buckets = capBuckets(grouped, size(col("items")), effCap, metrics,
+      extraMetrics = Seq(
+        max(lit(guardTotalVol)).as("guard_total_candidates"),
+        max(lit(guardKeptVol)).as("guard_kept_candidates"),
+        max(lit(effCap.toLong)).as("guard_effective_cap")))
     buckets
       .select(col("grp"), explode(col("items")).as("a"), col("items"))
       .select(col("grp"), col("a"), explode(col("items")).as("b"))
@@ -1111,8 +1156,14 @@ object Dedup {
    */
   def clusterKeepList(pairs: DataFrame, items: DataFrame,
                       idCol: String, scoreCol: String,
-                      maxIter: Int = 12): DataFrame = {
-    val canon = clusterCanonical(clusters(pairs, maxIter), items, idCol, scoreCol)
+                      maxIter: Int = 12): DataFrame =
+    keepListFromLabels(clusters(pairs, maxIter), items, idCol, scoreCol)
+
+  /** The shared keep-list tail: component labels → keeper per cluster →
+    * singleton restore (one row per item). */
+  private def keepListFromLabels(labels: DataFrame, items: DataFrame,
+                                 idCol: String, scoreCol: String): DataFrame = {
+    val canon = clusterCanonical(labels, items, idCol, scoreCol)
       .withColumnRenamed("id", "__cid")
     items.select(col(idCol).cast("long").as("id"))
       .join(canon, col("id") === col("__cid"), "left")
@@ -1120,6 +1171,50 @@ object Dedup {
         coalesce(col("cluster"), col("id")).as("cluster"),
         coalesce(col("keeper"), col("id")).as("keeper"),
         coalesce(col("is_keeper"), lit(1L)).as("is_keeper"))
+  }
+
+  /**
+   * [[clusterKeepList]] specialized to 64-bit-fingerprint inputs, with
+   * the EQUAL-FINGERPRINT COLLAPSE: items sharing an identical
+   * (group, h0, h1) are GRAPH-EQUIVALENT in the hamming pair graph —
+   * mutually adjacent (hamming 0) and with identical adjacency to every
+   * other item — so only one representative per distinct fingerprint
+   * (the MIN member id, so component min-labels carry over exactly)
+   * enters the banded pair join, and members inherit their
+   * representative's component. Output is IDENTICAL to
+   * `clusterKeepList(hash64Pairs(hashes), items)` (differential-tested)
+   * while the quadratic in-bucket term shrinks from items² to DISTINCT
+   * FINGERPRINTS² per bucket — on an exact-duplicate-heavy media corpus
+   * (the re-hosted-file case that dominates web crawls) the pair stage
+   * cost drops by the replication factor squared.
+   *
+   * A multi-member fingerprint group is a ≥2 component even when its
+   * representative pairs with nothing else, so such members label to the
+   * representative regardless of the rep-level graph.
+   */
+  def hash64KeepList(hashes: DataFrame, idCol: String, groupCol: String,
+                     items: DataFrame, itemIdCol: String, scoreCol: String,
+                     maxHamming: Int = 3, maxBucket: Int = 10000,
+                     metrics: Option[Observation] = None,
+                     maxIter: Int = 12): DataFrame = {
+    val fp = hashes.select(col(idCol).cast("long").as("id"),
+      col(groupCol).as("grp"), col("h0").cast("long"), col("h1").cast("long"))
+    val groups = fp.groupBy(col("grp"), col("h0"), col("h1"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("sz"))
+    val reps = groups.select(col("rep").as("id"), col("grp"),
+      col("h0"), col("h1"))
+    val repPairs = hash64Pairs(reps, "id", "grp", maxHamming, maxBucket, metrics)
+    val repLabels = clusters(repPairs.select(col("id_a"), col("id_b")), maxIter)
+      .withColumnRenamed("id", "__rid").withColumnRenamed("cluster", "__rc")
+    // member labels: rep's component label when the rep is clustered;
+    // otherwise the rep itself for multi-member (clique) groups. Items in
+    // singleton groups with unclustered reps stay out — the keep-list
+    // singleton restore names them their own keeper.
+    val labels = fp.join(groups, Seq("grp", "h0", "h1"))
+      .join(repLabels, col("rep") === col("__rid"), "left")
+      .filter(col("sz") >= 2 || col("__rc").isNotNull)
+      .select(col("id"), coalesce(col("__rc"), col("rep")).as("cluster"))
+    keepListFromLabels(labels, items, itemIdCol, scoreCol)
   }
 
   def clustersIncremental(labels: DataFrame, newPairs: DataFrame,

@@ -321,13 +321,15 @@ object Multimodal {
    */
   def dedupMediaClusters(spark: SparkSession, media: DataFrame,
                          maxHamming: Int = 3,
-                         maxBucket: Int = 10000): DataFrame = {
-    val pairs = Dedup.hash64Pairs(perceptualHashes(spark, media).toDF(),
-      "media_id", "format", maxHamming, maxBucket)
-    Dedup.clusterKeepList(pairs,
+                         maxBucket: Int = 10000): DataFrame =
+    // the equal-fingerprint collapse path: identical-hash media (the
+    // re-hosted-exact-copy mass that dominates real crawls) pair once
+    // per DISTINCT fingerprint instead of once per copy-pair — output
+    // identical to the uncollapsed graph (Dedup.hash64KeepList contract)
+    Dedup.hash64KeepList(perceptualHashes(spark, media).toDF(),
+      "media_id", "format",
       media.select(col("media_id"), length(col("content")).as("__blen")),
-      "media_id", "__blen")
-  }
+      "media_id", "__blen", maxHamming, maxBucket)
 
   /** REAL decode: batched partition-wise parse of the container headers —
     * the formerly-stubbed step of [[extractFeatures]], now an actual

@@ -485,6 +485,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE-off parity for the round-12 gates") {
+    val names = Seq("q_dedup_media_h7", "q_dedup_media_clusters",
+      "q_dedup_keeplist")
+    names.foreach { n =>
+      val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val off = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
+        assert(off == on, s"$n diverges under AQE-off")
+        assert(on.nonEmpty, s"$n empty at $sf — parity vacuous")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("media keep-list plan: no cartesian/NLJ; output linear in the media table") {
+    val df = SparkEntry.queries("q_dedup_media_clusters")(spark, sf)
+    val n = df.count()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(n == docs, s"keep-list must be one row per media item: $n vs $docs")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"media keep-list plan grew a cartesian/NLJ:\n$plan")
+  }
+
   test("hardNegatives plan: anchors broadcast, no window, corpus never sort-merges") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val df = graft.pipeline.Similarity.hardNegatives(

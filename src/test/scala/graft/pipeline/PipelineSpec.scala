@@ -1703,6 +1703,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.filter(_._2._3 == 0L).keySet == Set(1L, 3L, 6L))
   }
 
+  test("hash64KeepList == uncollapsed clusterKeepList (equal-fingerprint equivalence)") {
+    // random fingerprints with planted structure: exact-duplicate groups
+    // (the collapse target), near-dup chains across groups, singletons —
+    // the collapsed rep-graph path must reproduce the full pair graph's
+    // keep-list EXACTLY, including multi-member groups whose rep pairs
+    // with nothing (pure hamming-0 cliques)
+    val rnd = new scala.util.Random(7)
+    def halves(v: Long): (Long, Long) = (v & 0xffffffffL, v >>> 32)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    var id = 0L
+    for (g <- 0 until 12) {
+      val base = rnd.nextLong()
+      val copies = 1 + rnd.nextInt(4) // 1..4 exact copies of this fingerprint
+      val variants = rnd.nextInt(3)   // 0..2 near-dups at hamming 1..3
+      for (_ <- 0 until copies) {
+        val (h0, h1) = halves(base)
+        rows += ((id, if (g % 2 == 0) "bmp" else "wav", h0, h1)); id += 1
+      }
+      for (_ <- 0 until variants) {
+        val d = 1 + rnd.nextInt(3)
+        val twin = rnd.shuffle((0 until 64).toList).take(d)
+          .foldLeft(base)((v, b) => v ^ (1L << b))
+        val (h0, h1) = halves(twin)
+        rows += ((id, if (g % 2 == 0) "bmp" else "wav", h0, h1)); id += 1
+      }
+    }
+    val hashes = rows.toSeq.toDF("media_id", "format", "h0", "h1")
+    val items = rows.toSeq.map(r => (r._1, 100L + r._1 % 7))
+      .toDF("media_id", "score")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    val full = asMap(Dedup.clusterKeepList(
+      Dedup.hash64Pairs(hashes, "media_id", "format")
+        .select(col("id_a"), col("id_b")),
+      items, "media_id", "score"))
+    val collapsed = asMap(Dedup.hash64KeepList(hashes, "media_id", "format",
+      items, "media_id", "score"))
+    assert(collapsed == full,
+      s"collapse diverged: ${collapsed.toSeq.diff(full.toSeq).take(5)}")
+    assert(full.size == rows.size)
+    assert(full.values.exists(_._3 == 0L), "fixture must contain real clusters")
+  }
+
   test("multimodal: frame sampling yields n byte windows") {
     val media = Multimodal.demoMediaTable(docs.limit(10), "doc_id", "text")
     val framed = Multimodal.frameSample(media, 4, frameBytes = 8)
