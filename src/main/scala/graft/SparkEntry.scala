@@ -1640,12 +1640,12 @@ object SparkEntry {
     // keeper → singleton restore, ONE row per corpus document
     // (the q_dedup_media_clusters semantics on the text family);
     // is_keeper = 0 is the exact drop list at any replication factor
-    "q_dedup_keeplist" -> ((s, d) => {
-      val docs = Tables.table(s, d, "documents")
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
-      Dedup.clusterKeepList(pairs.select(col("id_a"), col("id_b")),
-        docs, "doc_id", "n_chars")
-    }),
+    // rides the exact-duplicate collapse path (textKeepList): verbatim
+    // copies never enter the LSH pipeline — output identical to the
+    // uncollapsed pair graph (differential-tested + this oracle)
+    "q_dedup_keeplist" -> ((s, d) =>
+      Dedup.textKeepList(Tables.table(s, d, "documents"),
+        "doc_id", "text", "n_chars")),
 
     // incremental cluster maintenance: label the base half of the pair
     // stream, then fold the delta half in via clustersIncremental — the

@@ -1196,11 +1196,22 @@ object Dedup {
                      items: DataFrame, itemIdCol: String, scoreCol: String,
                      maxHamming: Int = 3, maxBucket: Int = 10000,
                      metrics: Option[Observation] = None,
-                     maxIter: Int = 12): DataFrame = {
-    val fp = hashes.select(col(idCol).cast("long").as("id"),
-      col(groupCol).as("grp"), col("h0").cast("long"), col("h1").cast("long"))
-    val groups = fp.groupBy(col("grp"), col("h0"), col("h1"))
-      .agg(min(col("id")).as("rep"), count(lit(1)).as("sz"))
+                     maxIter: Int = 12,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    // materialize the fingerprints ONCE (32 B/item): the plan below
+    // references them four times (group collapse, rep pairing + its
+    // volume-guard histogram, membership join), and the upstream is
+    // typically a full media decode+hash scan — without this the corpus
+    // bytes are re-hashed per reference (measured 3× the whole keep-list
+    // cost at sf1)
+    val fp = Checkpoints.materialize(
+      hashes.select(col(idCol).cast("long").as("id"),
+        col(groupCol).as("grp"), col("h0").cast("long"), col("h1").cast("long")),
+      checkpointDir)
+    val groups = Checkpoints.materialize(
+      fp.groupBy(col("grp"), col("h0"), col("h1"))
+        .agg(min(col("id")).as("rep"), count(lit(1)).as("sz")),
+      checkpointDir)
     val reps = groups.select(col("rep").as("id"), col("grp"),
       col("h0"), col("h1"))
     val repPairs = hash64Pairs(reps, "id", "grp", maxHamming, maxBucket, metrics)
@@ -1215,6 +1226,51 @@ object Dedup {
       .filter(col("sz") >= 2 || col("__rc").isNotNull)
       .select(col("id"), coalesce(col("__rc"), col("rep")).as("cluster"))
     keepListFromLabels(labels, items, itemIdCol, scoreCol)
+  }
+
+  /**
+   * [[clusterKeepList]] on TEXT with the EXACT-DUPLICATE COLLAPSE — the
+   * text twin of [[hash64KeepList]]'s fingerprint collapse, and the
+   * "exact dedup first" guidance made structural: documents with
+   * byte-identical text are graph-equivalent under ANY text-similarity
+   * pair predicate (identical shingle sets ⇒ identical Jaccard to every
+   * other doc, and J = 1 ≥ threshold between themselves — LSH recall is
+   * certain for identical signatures), so only one representative per
+   * distinct text (min member id — component min-labels carry over)
+   * enters the MinHash-LSH pipeline, and copies inherit its component.
+   * Output IDENTICAL to `clusterKeepList(minhashLshPairs(docs), docs)`
+   * (differential-tested); on a verbatim-copy-heavy crawl the quadratic
+   * in-bucket term shrinks by the copy factor squared and the signature
+   * pass (the dominant cost of corpus dedup) runs once per DISTINCT
+   * text. Null-text docs are singletons (they pair with nothing on the
+   * uncollapsed path either).
+   */
+  def textKeepList(docs: DataFrame, idCol: String, textCol: String,
+                   scoreCol: String,
+                   numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
+                   threshold: Double = 0.8, maxBucket: Int = 1000,
+                   metrics: Option[Observation] = None, maxIter: Int = 12,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text")).filter(col("text").isNotNull)
+    // 16-byte digests collapse the copies; text itself stays in place
+    val groups = Checkpoints.materialize(
+      base.select(col("id"), md5(col("text")).as("dg"))
+        .groupBy(col("dg"))
+        .agg(min(col("id")).as("rep"), count(lit(1)).as("sz")),
+      checkpointDir)
+    val repDocs = base.join(groups.select(col("rep")),
+      base("id") === col("rep")).select(col("id"), col("text"))
+    val pairs = minhashLshPairs(repDocs, "id", "text", numHashes, bands,
+      shingle, threshold, maxBucket, metrics)
+    val repLabels = clusters(pairs.select(col("id_a"), col("id_b")), maxIter)
+      .withColumnRenamed("id", "__rid").withColumnRenamed("cluster", "__rc")
+    val labels = base.select(col("id"), md5(col("text")).as("dg"))
+      .join(groups, Seq("dg"))
+      .join(repLabels, col("rep") === col("__rid"), "left")
+      .filter(col("sz") >= 2 || col("__rc").isNotNull)
+      .select(col("id"), coalesce(col("__rc"), col("rep")).as("cluster"))
+    keepListFromLabels(labels, docs, idCol, scoreCol)
   }
 
   def clustersIncremental(labels: DataFrame, newPairs: DataFrame,

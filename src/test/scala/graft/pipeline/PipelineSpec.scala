@@ -1746,6 +1746,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(full.values.exists(_._3 == 0L), "fixture must contain real clusters")
   }
 
+  test("textKeepList == uncollapsed clusterKeepList (exact-duplicate collapse)") {
+    // natural corpus + planted verbatim copies (each doc_id % 7 == 0
+    // duplicated twice under new ids) + a null-text row: the collapsed
+    // path must reproduce the full minhash pair graph's keep-list exactly
+    val base = docs.limit(120).select(col("doc_id"), col("text"), col("n_chars"))
+    val copies = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("n_chars"))
+    val copies2 = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), col("n_chars"))
+    val nullRow = Seq((3000000L, null.asInstanceOf[String], 0L))
+      .toDF("doc_id", "text", "n_chars")
+    val corpus = base.unionByName(copies).unionByName(copies2)
+      .unionByName(nullRow)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    val full = asMap(Dedup.clusterKeepList(
+      Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b")),
+      corpus, "doc_id", "n_chars"))
+    val collapsed = asMap(Dedup.textKeepList(corpus, "doc_id", "text", "n_chars"))
+    assert(collapsed == full,
+      s"text collapse diverged: ${collapsed.toSeq.diff(full.toSeq).take(5)}")
+    // the planted copies must actually cluster with their originals
+    val copyIds = base.filter(col("doc_id") % 7 === 0)
+      .collect().map(_.getLong(0))
+    copyIds.foreach { id =>
+      assert(full(id + 1000000L)._1 == full(id)._1 &&
+        full(id + 2000000L)._1 == full(id)._1,
+        s"verbatim copies of $id must share its cluster")
+    }
+    // null-text row survives as its own singleton keeper
+    assert(full(3000000L) == ((3000000L, 3000000L, 1L)))
+  }
+
   test("multimodal: frame sampling yields n byte windows") {
     val media = Multimodal.demoMediaTable(docs.limit(10), "doc_id", "text")
     val framed = Multimodal.frameSample(media, 4, frameBytes = 8)
