@@ -1243,14 +1243,19 @@ object Dedup {
    * in-bucket term shrinks by the copy factor squared and the signature
    * pass (the dominant cost of corpus dedup) runs once per DISTINCT
    * text. Null-text docs are singletons (they pair with nothing on the
-   * uncollapsed path either).
+   * uncollapsed path either). The collapse AUTO-GATES on the measured
+   * copy factor (`collapseMinFactor`): an all-distinct corpus skips
+   * straight to the uncollapsed plan, whose signatures compute at the
+   * scan with zero text shuffle — the collapse's rep join would move
+   * distinct-text bytes for nothing there.
    */
   def textKeepList(docs: DataFrame, idCol: String, textCol: String,
                    scoreCol: String,
                    numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
                    threshold: Double = 0.8, maxBucket: Int = 1000,
                    metrics: Option[Observation] = None, maxIter: Int = 12,
-                   checkpointDir: Option[String] = None): DataFrame = {
+                   checkpointDir: Option[String] = None,
+                   collapseMinFactor: Double = 1.2): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text")).filter(col("text").isNotNull)
     // 16-byte digests collapse the copies; text itself stays in place
@@ -1259,6 +1264,20 @@ object Dedup {
         .groupBy(col("dg"))
         .agg(min(col("id")).as("rep"), count(lit(1)).as("sz")),
       checkpointDir)
+    // the collapse trades repeated signatures for one (id, text) join of
+    // the DISTINCT texts — on an all-distinct corpus that join shuffles
+    // ~the whole corpus text for nothing, while the uncollapsed path
+    // computes every signature at the scan and shuffles no text at all.
+    // The digest stats are already materialized, so the copy factor is a
+    // free read: collapse only when it pays.
+    val stats = groups.agg(sum(col("sz")), count(lit(1))).head()
+    val copyFactor = stats.getLong(0).toDouble / math.max(1L, stats.getLong(1))
+    if (copyFactor < collapseMinFactor)
+      return keepListFromLabels(
+        clusters(minhashLshPairs(base, "id", "text", numHashes, bands,
+          shingle, threshold, maxBucket, metrics)
+          .select(col("id_a"), col("id_b")), maxIter),
+        docs, idCol, scoreCol)
     val repDocs = base.join(groups.select(col("rep")),
       base("id") === col("rep")).select(col("id"), col("text"))
     val pairs = minhashLshPairs(repDocs, "id", "text", numHashes, bands,

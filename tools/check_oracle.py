@@ -55,8 +55,14 @@ def cmp_cell(a, b):
 def main():
     run_verify()
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        # driver testdata ships single parquet FILES; ScaleUp output
+        # (/tmp/graft_sf1 etc.) ships Spark parquet DIRECTORIES — glob those
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
     failures = []
     for name, sql in sorted(oracle.items()):
