@@ -189,7 +189,10 @@ object Bench {
       spark.range(200000000L)
         .select(shiftrightunsigned(xxhash64(col("id")), 32).as("h"))
         .agg(sum(col("h"))).head()
-    once() // untimed: absorb this plan's codegen so point 1 isn't inflated
+    // untimed ×3: absorb codegen AND C2 tier-up so point 1 measures the
+    // host, not the JVM (the first marathon recorded start 0.174 s vs
+    // steady 0.078 s — a 2.2× warmup artifact masquerading as drift)
+    (1 to 3).foreach(_ => once())
     val runs = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       once()
