@@ -1647,6 +1647,22 @@ object SparkEntry {
       Dedup.textKeepList(Tables.table(s, d, "documents"),
         "doc_id", "text", "n_chars")),
 
+    // incremental keep-list refresh: label the base half of the pair
+    // stream, fold the delta half in via clustersIncremental, then the
+    // keeper + singleton restore — EXACT equality with the from-scratch
+    // keep-list, so this gate shares q_dedup_keeplist's oracle verbatim
+    // (the q_dedup_clusters_incr precedent; the parity split keeps both
+    // the untouched-keep and re-solve paths populated)
+    "q_dedup_keeplist_incr" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val base = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 0)
+      val delta = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 1)
+      Dedup.clusterKeepListIncremental(Dedup.clusters(base), delta,
+        docs, "doc_id", "n_chars")
+    }),
+
     // incremental cluster maintenance: label the base half of the pair
     // stream, then fold the delta half in via clustersIncremental — the
     // contract is EXACT equality with the full recompute, so this gate
@@ -3470,7 +3486,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlCore ++ Map(
     "q_join_asof_salted" -> oracleSqlCore("q_join_asof"),
     "q_sessionize_salted" -> oracleSqlCore("q_sessionize"),
-    "q_dedup_clusters_incr" -> oracleSqlCore("q_dedup_clusters"))
+    "q_dedup_clusters_incr" -> oracleSqlCore("q_dedup_clusters"),
+    "q_dedup_keeplist_incr" -> oracleSqlCore("q_dedup_keeplist"))
 
   private def oracleSqlCore: Map[String, String] = Map(
     "q_dedup_minhash" -> s"WITH $JaccardPairsCtes SELECT id_a, id_b FROM jpairs",

@@ -1159,6 +1159,27 @@ object Dedup {
                       maxIter: Int = 12): DataFrame =
     keepListFromLabels(clusters(pairs, maxIter), items, idCol, scoreCol)
 
+  /**
+   * Incremental keep-list refresh — the lake-cadence form: given the
+   * PERSISTED labeling of the corpus so far ([[clusters]] output) and
+   * the near-dup pairs a newly arrived batch contributed
+   * (batch-internal + batch-vs-corpus, e.g. from [[dedupAgainstIndex]]),
+   * produce the keep-list of the union WITHOUT re-clustering the whole
+   * corpus: only components the new pairs touch re-solve
+   * ([[clustersIncremental]]), then the keeper window and singleton
+   * restore run as in [[clusterKeepList]]. Equals the from-scratch
+   * keep-list over the union EXACTLY (the clustersIncremental equality
+   * contract; keeper selection is a pure function of labels + scores).
+   * Note keepers can move when components merge — downstream consumers
+   * treat is_keeper as current-snapshot truth, not an append-only log.
+   */
+  def clusterKeepListIncremental(labels: DataFrame, newPairs: DataFrame,
+                                 items: DataFrame, idCol: String,
+                                 scoreCol: String,
+                                 maxIter: Int = 12): DataFrame =
+    keepListFromLabels(clustersIncremental(labels, newPairs, maxIter),
+      items, idCol, scoreCol)
+
   /** The shared keep-list tail: component labels → keeper per cluster →
     * singleton restore (one row per item). */
   private def keepListFromLabels(labels: DataFrame, items: DataFrame,
