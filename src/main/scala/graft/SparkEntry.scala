@@ -1591,6 +1591,22 @@ object SparkEntry {
       Dedup.hash64Pairs(hashes, "media_id", "format", maxHamming = 7)
     }),
 
+    // incremental media dedup: the corpus fingerprints persist as a
+    // chunk-value-sorted index (fingerprinted ONCE — the lake pattern),
+    // and an arriving batch probes 16-bit band keys instead of
+    // re-reading media; exact popcount verify. Batch = media_id % 10 = 0
+    // (ids naturally disjoint from the corpus slice)
+    "q_dedup_media_incr" -> ((s, d) => {
+      val media = graft.pipeline.Multimodal.demoContainerTable(s,
+        Tables.table(s, d, "documents"), "doc_id", "text")
+      val hashes = graft.pipeline.Multimodal.perceptualHashes(s, media).toDF()
+      val corpus = hashes.filter(pmod(col("media_id"), lit(10)) =!= 0)
+      val batch = hashes.filter(pmod(col("media_id"), lit(10)) === 0)
+      val path = s"/tmp/graft_h64_index_${Integer.toHexString(d.hashCode)}"
+      Dedup.writeHash64Index(corpus, path, "media_id", "format")
+      Dedup.hash64AgainstIndex(s, path, batch, "media_id", "format")
+    }),
+
     // the DEFAULT media-dedup output — LINEAR keep-list instead of the
     // replication-quadratic pair table (sf10 measured 16.9M pairs for
     // ~0.5M items): perceptual pairs → connected components → keeper by
@@ -2806,6 +2822,19 @@ object SparkEntry {
     * at the recompressed-media radius (hamming ≤ 7). */
   private def mediaDedupWideOracleSql: String =
     s"WITH ${mediaPairCtes(7)} SELECT id_a, id_b, format, hamming FROM mpairs"
+
+  /** The q_dedup_media_incr oracle: the same hash re-derivation and
+    * 4-band join, restricted to the BIPARTITE batch (media_id % 10 = 0)
+    * × corpus (% 10 ≠ 0) cut — exactly what the index probe computes. */
+  private def mediaIncrOracleSql: String =
+    s"WITH ${mediaPairCtes(3)}, " +
+      "icand AS (SELECT DISTINCT a.media_id AS new_id, b.media_id AS corpus_id, " +
+      "a.h0 AS a0, a.h1 AS a1, b.h0 AS b0, b.h1 AS b1 " +
+      "FROM bands a JOIN bands b ON a.format = b.format AND a.bp = b.bp " +
+      "AND a.bv = b.bv AND a.media_id % 10 = 0 AND b.media_id % 10 <> 0) " +
+      "SELECT new_id, corpus_id, " +
+      "CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS BIGINT) AS hamming " +
+      "FROM icand WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 3"
 
   /** The q_dedup_media_clusters oracle: the pair CTEs, the local-min-
     * seeded transitive-closure labeling (the q_dedup_clusters pattern),
@@ -5906,6 +5935,7 @@ object SparkEntry {
 
     "q_dedup_media" -> mediaDedupOracleSql,
     "q_dedup_media_h7" -> mediaDedupWideOracleSql,
+    "q_dedup_media_incr" -> mediaIncrOracleSql,
     "q_dedup_media_clusters" -> mediaClustersOracleSql,
 
     "q_bfs_dist" -> bfsOracleSql(rounds = 4),

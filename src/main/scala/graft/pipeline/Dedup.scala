@@ -833,15 +833,7 @@ object Dedup {
                   maxCandidateBytes: Long = 16L << 30): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "chunked pigeonhole bound holds for maxHamming <= 7 (8 8-bit chunks)")
-    // pigeonhole: d differing bits over c chunks leave a chunk intact
-    // whenever d < c — 4×16-bit up to 3, 8×8-bit up to 7
-    val chunks =
-      if (maxHamming <= 3)
-        Seq("h0", "h1").flatMap(h => Seq(0, 16).map(sh =>
-          shiftrightunsigned(col(h), sh).bitwiseAND(lit(0xffffL))))
-      else
-        Seq("h0", "h1").flatMap(h => (0 until 4).map(i =>
-          shiftrightunsigned(col(h), i * 8).bitwiseAND(lit(0xffL))))
+    val chunks = hash64Chunks(col("h0"), col("h1"), maxHamming)
     val keyed = df
       .select(col(idCol).as("id"), col(groupCol).as("grp"),
         col("h0").cast("long"), col("h1").cast("long"))
@@ -899,6 +891,94 @@ object Dedup {
           .cast("long").as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The pigeonhole band chunks of a 64-bit fingerprint carried as two
+    * non-negative 32-bit halves: d differing bits over c chunks leave a
+    * chunk intact whenever d < c — 4×16-bit up to hamming 3, 8×8-bit up
+    * to 7. Array position is the band index; an index and its probes
+    * must agree on the radius family. */
+  private def hash64Chunks(h0: Column, h1: Column, maxHamming: Int): Seq[Column] =
+    if (maxHamming <= 3)
+      Seq(h0, h1).flatMap(h => Seq(0, 16).map(sh =>
+        shiftrightunsigned(h, sh).bitwiseAND(lit(0xffffL))))
+    else
+      Seq(h0, h1).flatMap(h => (0 until 4).map(i =>
+        shiftrightunsigned(h, i * 8).bitwiseAND(lit(0xffL))))
+
+  /**
+   * Persist the corpus 64-bit-fingerprint index: one row per
+   * (grp, pos, val, id, h0, h1) band entry, range-partitioned and
+   * sorted by chunk VALUE so parquet row-group min/max statistics prune
+   * value-equality probes — the [[writeMinhashIndex]] artifact for the
+   * fingerprint modality. A 100 TB media lake is fingerprinted once
+   * ([[Multimodal.perceptualHashes]] — the heavy bytes never leave that
+   * scan) and every arriving batch probes 16-bit keys instead of
+   * re-reading media (see [[hash64AgainstIndex]]). Banding follows
+   * `maxHamming` exactly as [[hash64Pairs]] (4×16-bit ≤ 3, 8×8-bit
+   * 4–7); an index and its probes must agree on the radius family.
+   */
+  def writeHash64Index(hashes: DataFrame, path: String,
+                       idCol: String = "media_id",
+                       groupCol: String = "format",
+                       maxHamming: Int = 3, numPartitions: Int = 8): Unit = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "chunked pigeonhole bound holds for maxHamming <= 7")
+    hashes
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col("h0").cast("long"), col("h1").cast("long"))
+      .select(col("id"), col("grp"), col("h0"), col("h1"),
+        posexplode(array(hash64Chunks(col("h0"), col("h1"), maxHamming): _*)))
+      .withColumnRenamed("col", "val")
+      .repartitionByRange(numPartitions, col("val"))
+      .sortWithinPartitions(col("val"), col("grp"), col("pos"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /**
+   * Near-duplicate pairs between an ARRIVING BATCH of fingerprints and
+   * the corpus behind a persisted [[writeHash64Index]] index — the
+   * incremental form of [[hash64Pairs]] (the [[dedupAgainstIndex]]
+   * pattern on the fingerprint modality): the corpus is never
+   * re-fingerprinted; the batch's band keys probe the index via an
+   * equi-join on (grp, pos, val), with ≤ `maxPushdownKeys` distinct
+   * chunk values additionally pushed as a static `isin` predicate that
+   * the sorted-by-value layout turns into row-group pruning. Exact
+   * popcount verify; emits (new_id, corpus_id, hamming) with hamming ≤
+   * `maxHamming`, deduped across bands. Batch and corpus ids are
+   * assumed disjoint (the incremental premise — same as
+   * [[dedupAgainstIndex]]).
+   */
+  def hash64AgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, batch: DataFrame,
+                         idCol: String = "media_id",
+                         groupCol: String = "format",
+                         maxHamming: Int = 3,
+                         maxPushdownKeys: Int = 8192): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "chunked pigeonhole bound holds for maxHamming <= 7")
+    val index = spark.read.parquet(indexPath)
+    val bchunks = batch
+      .select(col(idCol).as("new_id"), col(groupCol).as("grp"),
+        col("h0").cast("long").as("nh0"), col("h1").cast("long").as("nh1"))
+      .select(col("new_id"), col("grp"), col("nh0"), col("nh1"),
+        posexplode(array(hash64Chunks(col("nh0"), col("nh1"), maxHamming): _*)))
+      .withColumnRenamed("col", "val")
+    // bounded collect (≤ maxPushdownKeys + 1 rows) decides whether the
+    // batch's chunk values become a static row-group-pruning predicate
+    val keySample = bchunks.select(col("val")).distinct()
+      .limit(maxPushdownKeys + 1).collect().map(_.getLong(0))
+    val pruned =
+      if (keySample.length <= maxPushdownKeys)
+        index.filter(col("val").isin(keySample: _*))
+      else index
+    bchunks.join(pruned, Seq("grp", "pos", "val"))
+      .select(col("new_id"), col("id").as("corpus_id"),
+        (bit_count(col("nh0").bitwiseXOR(col("h0"))) +
+          bit_count(col("nh1").bitwiseXOR(col("h1"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("new_id", "corpus_id")
   }
 
   /** Unique suffix for Observation names so concurrent clusters() calls in

@@ -487,7 +487,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("AQE-off parity for the round-12 gates") {
     val names = Seq("q_dedup_media_h7", "q_dedup_media_clusters",
-      "q_dedup_keeplist", "q_dedup_keeplist_incr")
+      "q_dedup_keeplist", "q_dedup_keeplist_incr", "q_dedup_media_incr")
     names.foreach { n =>
       val on = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSet
       spark.conf.set("spark.sql.adaptive.enabled", "false")

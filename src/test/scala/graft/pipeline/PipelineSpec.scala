@@ -1746,6 +1746,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(full.values.exists(_._3 == 0L), "fixture must contain real clusters")
   }
 
+  test("hash64AgainstIndex == full hash64Pairs restricted to the batch x corpus cut") {
+    // random fingerprints with planted near-dups; index the corpus slice,
+    // probe the batch slice, compare against the full pair table's
+    // bipartite cut — at BOTH radius families (the index layout must
+    // carry the banding its probes expect)
+    val rnd = new scala.util.Random(19)
+    def halves(v: Long): (Long, Long) = (v & 0xffffffffL, v >>> 32)
+    val rows = (0 until 60).flatMap { i =>
+      val base = rnd.nextLong()
+      val d = rnd.nextInt(8)
+      val twin = rnd.shuffle((0 until 64).toList).take(d)
+        .foldLeft(base)((v, b) => v ^ (1L << b))
+      val (b0, b1) = halves(base)
+      val (t0, t1) = halves(twin)
+      Seq((i * 2L, if (i % 2 == 0) "bmp" else "wav", b0, b1),
+        (i * 2L + 1, if (i % 2 == 0) "bmp" else "wav", t0, t1))
+    }
+    val hashes = rows.toDF("media_id", "format", "h0", "h1")
+    val corpus = hashes.filter(col("media_id") % 10 =!= 0)
+    val batch = hashes.filter(col("media_id") % 10 === 0)
+    for (radius <- Seq(3, 7)) {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft-h64-idx-$radius").toString
+      Dedup.writeHash64Index(corpus, path, "media_id", "format", radius)
+      val got = Dedup.hash64AgainstIndex(spark, path, batch,
+        "media_id", "format", radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val full = Dedup.hash64Pairs(hashes, "media_id", "format", radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
+        .flatMap { case ((a, b), h) =>
+          if (a % 10 == 0 && b % 10 != 0) Some((a, b) -> h)
+          else if (b % 10 == 0 && a % 10 != 0) Some((b, a) -> h)
+          else None
+        }.toMap
+      assert(got == full, s"radius $radius probe diverged from the full cut")
+      assert(got.nonEmpty, s"radius $radius cut vacuous — fixture broken")
+    }
+  }
+
   test("textKeepList == uncollapsed clusterKeepList (exact-duplicate collapse)") {
     // natural corpus + planted verbatim copies (each doc_id % 7 == 0
     // duplicated twice under new ids) + a null-text row: the collapsed
