@@ -898,7 +898,7 @@ object Dedup {
     * chunk intact whenever d < c — 4×16-bit up to hamming 3, 8×8-bit up
     * to 7. Array position is the band index; an index and its probes
     * must agree on the radius family. */
-  private def hash64Chunks(h0: Column, h1: Column, maxHamming: Int): Seq[Column] =
+  private[graft] def hash64Chunks(h0: Column, h1: Column, maxHamming: Int): Seq[Column] =
     if (maxHamming <= 3)
       Seq(h0, h1).flatMap(h => Seq(0, 16).map(sh =>
         shiftrightunsigned(h, sh).bitwiseAND(lit(0xffffL))))

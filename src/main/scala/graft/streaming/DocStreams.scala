@@ -545,4 +545,64 @@ object DocStreams {
       }
       .toDF("doc_id", "pos")
   }
+
+  /**
+   * Streaming twin of [[graft.pipeline.Dedup.hash64Pairs]] — live media
+   * near-dup detection as fingerprints land: per (group, chunk-pos,
+   * chunk-value) band bucket, GroupState holds the fingerprints seen so
+   * far (capped at `maxBucket`, the batch cap contract), and each
+   * arriving fingerprint emits its exact-popcount-verified pairs
+   * against every EARLIER arrival in the bucket — so pairs span
+   * micro-batches. Banding follows `maxHamming` exactly as the batch op
+   * (4×16-bit ≤ 3, 8×8-bit 4–7). A pair colliding in several chunks is
+   * emitted once per chunk — collapse downstream exactly as the batch
+   * op's dropDuplicates does; with caps unhit, the deduped union over
+   * any file sequence equals the batch operator on the union of those
+   * files (pinned by test). Input rows: (idCol, groupCol, h0, h1) —
+   * e.g. a [[graft.pipeline.Multimodal.perceptualHashes]]-shaped
+   * stream; the heavy media bytes stay in the upstream fingerprint
+   * scan, state is 24 B per seen fingerprint per band.
+   */
+  def hash64PairsStream(hashes: DataFrame, idCol: String = "media_id",
+                        groupCol: String = "format", maxHamming: Int = 3,
+                        maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "chunked pigeonhole bound holds for maxHamming <= 7")
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    hashes
+      .select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"),
+        col("h0").cast("long"), col("h1").cast("long"))
+      .select(col("id"), col("grp"), col("h0"), col("h1"),
+        posexplode(array(Dedup.hash64Chunks(col("h0"), col("h1"), maxHamming): _*)))
+      .select(concat_ws("_", col("grp"), col("pos"), col("col")).as("bucket"),
+        col("id"), col("h0"), col("h1"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[Seq[(Long, Long, Long)]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty).toBuffer
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          // id-ascending within the batch: the arrival-order convention of
+          // the decision-twin family (deterministic under id-ordered files)
+          rows.toArray.sortBy(_._2).foreach { case (_, id, h0, h1) =>
+            seen.foreach { case (pid, p0, p1) =>
+              if (pid != id) {
+                val d = java.lang.Long.bitCount(p0 ^ h0) +
+                  java.lang.Long.bitCount(p1 ^ h1)
+                if (d <= maxHamming)
+                  out += (if (pid < id) (pid, id, d.toLong)
+                          else (id, pid, d.toLong))
+              }
+            }
+            if (seen.length < maxBucket) seen += ((id, h0, h1))
+          }
+          state.update(seen.toSeq)
+          out.iterator
+      }
+      .toDF("id_a", "id_b", "hamming")
+  }
 }

@@ -165,6 +165,60 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hash64 pairs == batch hash64Pairs over a two-batch media split") {
+    import spark.implicits._
+    // real perceptual fingerprints from the media containers, staged as
+    // two id-ordered micro-batches: cross-batch pairs must come from the
+    // carried bucket state
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+    val media = graft.pipeline.Multimodal.demoContainerTable(
+      spark, docs, "doc_id", "text")
+    val hashes = graft.pipeline.Multimodal.perceptualHashes(spark, media)
+      .toDF().cache()
+    val batchPairs = graft.pipeline.Dedup
+      .hash64Pairs(hashes, "media_id", "format")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val median = hashes.stat.approxQuantile("media_id", Array(0.5), 0.0)(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-h64-stream")
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-h64-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    writeOne(hashes.filter(col("media_id") <= median), "a.parquet", 120000L)
+    writeOne(hashes.filter(col("media_id") > median), "b.parquet", 1000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("format",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("h0",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("h1",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = DocStreams.hash64PairsStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("h64_out").start()
+    try {
+      q.processAllAvailable()
+      // per-chunk duplicate emissions collapse downstream, exactly as the
+      // batch op's dropDuplicates
+      val streamed = spark.table("h64_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(batchPairs.nonEmpty && streamed == batchPairs,
+        s"stream diverged: missing ${batchPairs.keySet.diff(streamed.keySet).take(5)}, " +
+          s"extra ${streamed.keySet.diff(batchPairs.keySet).take(5)}")
+      // cross-batch coverage: at least one pair straddles the split
+      assert(batchPairs.keys.exists { case (a, b) => a <= median && b > median },
+        "fixture vacuous — no pair straddles the micro-batch boundary")
+    } finally { q.stop(); hashes.unpersist() }
+  }
+
   test("streaming preference leaderboard == batch (tallies merge across batches)") {
     import spark.implicits._
     // the leaderboard is a mergeable-sum aggregate + scalar Wilson math,
