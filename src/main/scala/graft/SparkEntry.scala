@@ -1602,7 +1602,10 @@ object SparkEntry {
       val hashes = graft.pipeline.Multimodal.perceptualHashes(s, media).toDF()
       val corpus = hashes.filter(pmod(col("media_id"), lit(10)) =!= 0)
       val batch = hashes.filter(pmod(col("media_id"), lit(10)) === 0)
-      val path = s"/tmp/graft_h64_index_${Integer.toHexString(d.hashCode)}"
+      // per-invocation unique path: a fixed hashCode-keyed name let
+      // concurrent runs over the same sfDir (bench + verify, parallel
+      // suites) clobber the index between write and probe
+      val path = s"/tmp/graft_h64_index_${java.util.UUID.randomUUID().toString.take(12)}"
       Dedup.writeHash64Index(corpus, path, "media_id", "format")
       Dedup.hash64AgainstIndex(s, path, batch, "media_id", "format")
     }),

@@ -114,6 +114,29 @@ object Dedup {
   }
 
   /**
+   * [[guardCutoff]] plus the floor-to-2 rule shared by every volume guard:
+   * size-2 buckets are the irreducible minimum for ANY pair output, and a
+   * sub-2 cap would make the bucket filter a statically-false predicate the
+   * optimizer folds away — taking the metrics observation with it (drops
+   * went silent in a degenerate-budget probe). When the floor FIRES
+   * (cutoff < 2, i.e. even the size-2 buckets alone exceed the budget) the
+   * kept-volume metric is recomputed as the size-2 histogram entry's
+   * volume, so `guard_kept_candidates` reports what the effective cap
+   * actually keeps — and in that degenerate case the budget is a SOFT
+   * bound (the caller's stderr message must say so).
+   * Returns (effectiveCap, keptVolume, floorFired).
+   */
+  private[pipeline] def guardEffective(hist: Seq[(Long, Long)],
+                                       budgetPairs: Long,
+                                       maxBucket: Int): (Int, Long, Boolean) = {
+    val (cutoff, cum) = guardCutoff(hist, budgetPairs)
+    val floored = cutoff < 2L
+    val kept = if (floored) hist.collectFirst { case (2L, v) => v }.getOrElse(0L)
+               else cum
+    (math.max(2L, math.min(maxBucket.toLong, cutoff)).toInt, kept, floored)
+  }
+
+  /**
    * MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
    * equi-join → exact n-gram-Jaccard verification. Emits (id_a, id_b,
    * jaccard) with id_a < id_b and jaccard ≥ threshold.
@@ -331,11 +354,17 @@ object Dedup {
     // (guard_total_candidates vs guard_kept_candidates), never silent.
     // Broadcast-verify path skips the guard — it never materializes
     // candidate×array rows.
-    val (effCap, guardTotalVol, guardKeptVol) =
-      if (useBroadcastVerify) (maxBucket, 0L, 0L)
+    // On the shuffle path the prefix stream feeds BOTH the guard histogram
+    // and the bucket pass below: materialize it once with TRUNCATED lineage
+    // (the blocks outlive this builder, so the pair job itself reads them —
+    // the previous cache + immediate non-blocking unpersist raced the job
+    // and could re-run the gram scan twice per call). The broadcast path
+    // reads the prefix stream exactly once and skips the materialization.
+    val (effCap, guardTotalVol, guardKeptVol, prefixM) =
+      if (useBroadcastVerify) (maxBucket, 0L, 0L, prefix)
       else {
-        val prefixC = prefix.cache()
-        try {
+        val prefixC: DataFrame = Checkpoints.materialize(prefix, None)
+        locally {
           val hist = prefixC.groupBy(col("gram")).agg(count(lit(1)).as("np"))
             .filter(col("np").between(2L, maxBucket.toLong))
             .groupBy(col("np"))
@@ -344,26 +373,24 @@ object Dedup {
           val totalVol = hist.map(_._2).sum
           val budgetPairs =
             math.max(1L, (maxVerifyBytes / (24.0 + 2.0 * avgGramBytes)).toLong)
-          if (totalVol <= budgetPairs) (maxBucket, totalVol, totalVol)
+          if (totalVol <= budgetPairs) (maxBucket, totalVol, totalVol, prefixC)
           else {
-            val (cutoff, cum) = guardCutoff(hist, budgetPairs)
+            val (eff, kept, floored) = guardEffective(hist, budgetPairs, maxBucket)
             System.err.println(
               f"[ngramJaccardPairs] candidate-volume guard: $totalVol%,d raw candidates × " +
                 f"~${(24 + 2 * avgGramBytes).toLong} B ≈ ${totalVol * (24 + 2 * avgGramBytes) / 1e9}%.1f GB " +
                 f"exceeds maxVerifyBytes=${maxVerifyBytes / 1048576.0}%.0f MiB; keeping prefix buckets of " +
-                f"size ≤ $cutoff ($cum%,d candidates, ${100.0 * cum / totalVol}%.1f%%). Dropped pairs " +
+                f"size ≤ $eff ($kept%,d candidates, ${100.0 * kept / totalVol}%.1f%%). Dropped pairs " +
                 "are ones found ONLY via hot prefix grams; dedup exactly first, raise shingle, " +
-                "or raise maxVerifyBytes to keep them.")
-            // floor 2: size-2 buckets are the irreducible minimum for ANY
-            // pair output, and a sub-2 cap would make the bucket filter a
-            // statically-false predicate the optimizer folds away —
-            // taking the metrics observation with it (drops went silent
-            // in a degenerate-budget probe)
-            (math.max(2L, math.min(maxBucket.toLong, cutoff)).toInt, totalVol, cum)
+                "or raise maxVerifyBytes to keep them." +
+                (if (floored) " NOTE: even the size-2 buckets alone exceed the budget — the " +
+                  "irreducible ≥2 floor keeps them anyway, so the byte budget is a SOFT bound here."
+                 else ""))
+            (eff, totalVol, kept, prefixC)
           }
-        } finally prefixC.unpersist(blocking = false)
+        }
       }
-    val grouped = prefix.groupBy(col("gram"))
+    val grouped = prefixM.groupBy(col("gram"))
       .agg(collect_list(struct(col("id"), col("sz"), col("rk"))).as("items"))
     val buckets = capBuckets(grouped, size(col("items")), effCap, metrics,
       extraMetrics = Seq(
@@ -517,11 +544,14 @@ object Dedup {
     // only runs on the shuffle path: the broadcast path never materializes
     // candidate×array rows, and skipping it keeps the gate/bench plans
     // byte-identical to the unguarded operator.
-    val (effCap, guardTotalVol, guardKeptVol) =
-      if (useBroadcastVerify) (maxBucket, 0L, 0L)
+    // Same lineage-truncated materialization as [[ngramJaccardPairs]]:
+    // the prefix stream feeds the guard histogram AND the candidate join
+    // below, and a cache + immediate unpersist raced the pair job.
+    val (effCap, guardTotalVol, guardKeptVol, prefixM) =
+      if (useBroadcastVerify) (maxBucket, 0L, 0L, prefix)
       else {
-        val prefixC = prefix.cache()
-        try {
+        val prefixC: DataFrame = Checkpoints.materialize(prefix, None)
+        locally {
           val hist = prefixC.groupBy(col("gram")).agg(count(lit(1)).as("np"))
             .join(dfreq, "gram")
             .filter(col("gdf").between(2L, maxBucket.toLong))
@@ -530,22 +560,22 @@ object Dedup {
           val totalVol = hist.map(_._2).sum
           val budgetPairs =
             math.max(1L, (maxVerifyBytes / (24.0 + 2.0 * avgGramBytes)).toLong)
-          if (totalVol <= budgetPairs) (maxBucket, totalVol, totalVol)
+          if (totalVol <= budgetPairs) (maxBucket, totalVol, totalVol, prefixC)
           else {
-            val (cutoff, cum) = guardCutoff(hist, budgetPairs)
+            val (eff, kept, floored) = guardEffective(hist, budgetPairs, maxBucket)
             System.err.println(
               f"[containmentPairs] candidate-volume guard: $totalVol%,d raw candidates × " +
                 f"~${(24 + 2 * avgGramBytes).toLong} B ≈ ${totalVol * (24 + 2 * avgGramBytes) / 1e9}%.1f GB " +
                 f"exceeds maxVerifyBytes=${maxVerifyBytes / 1048576.0}%.0f MiB; keeping buckets with " +
-                f"gdf ≤ $cutoff ($cum%,d candidates, ${100.0 * cum / totalVol}%.1f%%). Dropped pairs " +
+                f"gdf ≤ $eff ($kept%,d candidates, ${100.0 * kept / totalVol}%.1f%%). Dropped pairs " +
                 "are ones found ONLY via common grams; raise shingle (vocabulary diversity), " +
-                "dedup exactly first, or raise maxVerifyBytes to keep them.")
-            // floor 2 (same reason as ngramJaccardPairs): a sub-2 cap
-            // becomes a statically-false bucket filter whose removal
-            // silently drops the metrics observation
-            (math.max(2L, math.min(maxBucket.toLong, cutoff)).toInt, totalVol, cum)
+                "dedup exactly first, or raise maxVerifyBytes to keep them." +
+                (if (floored) " NOTE: even the gdf-2 buckets alone exceed the budget — the " +
+                  "irreducible ≥2 floor keeps them anyway, so the byte budget is a SOFT bound here."
+                 else ""))
+            (eff, totalVol, kept, prefixC)
           }
-        } finally prefixC.unpersist(blocking = false)
+        }
       }
     // full-side inverted index; size-1 buckets hold only the prefix doc
     // itself (a prefix gram is also a full-index gram), so the ≥2 floor
@@ -557,7 +587,7 @@ object Dedup {
         max(lit(guardTotalVol)).as("guard_total_candidates"),
         max(lit(guardKeptVol)).as("guard_kept_candidates"),
         max(lit(effCap)).as("guard_effective_cap")))
-    val candidates = buckets.join(prefix, "gram")
+    val candidates = buckets.join(prefixM, "gram")
       .select(col("id_s"), col("sz_s"), explode(col("items")).as("b"))
       // the smaller side enumerates; equal sizes pair once from each
       // prefix and collapse in the pair dedup
@@ -830,15 +860,22 @@ object Dedup {
   def hash64Pairs(df: DataFrame, idCol: String, groupCol: String,
                   maxHamming: Int = 3, maxBucket: Int = 10000,
                   metrics: Option[Observation] = None,
-                  maxCandidateBytes: Long = 16L << 30): DataFrame = {
+                  maxCandidateBytes: Long = 16L << 30,
+                  checkpointDir: Option[String] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "chunked pigeonhole bound holds for maxHamming <= 7 (8 8-bit chunks)")
     val chunks = hash64Chunks(col("h0"), col("h1"), maxHamming)
-    val keyed = df
+    // materialized ONCE (fingerprint-sized: ~48 B × bands per item): both
+    // the guard histogram below AND the bucket pass read it, and the
+    // upstream is typically a full media decode+hash scan — an uncached
+    // `keyed` would re-decode the corpus bytes twice per call. Truncated
+    // lineage (not .cache) so the blocks outlive this builder and the
+    // pair job itself reads them, not the decode.
+    val keyed = Checkpoints.materialize(df
       .select(col(idCol).as("id"), col(groupCol).as("grp"),
         col("h0").cast("long"), col("h1").cast("long"))
       .select(col("id"), col("grp"), col("h0"), col("h1"),
-        posexplode(array(chunks: _*)))
+        posexplode(array(chunks: _*))), checkpointDir)
     // ---- candidate-volume guard (the family contract) ----
     // 8-bit bands make buckets ~n/256 per (group, position, value): on a
     // replica-heavy corpus the in-bucket quadratic then writes a
@@ -861,16 +898,40 @@ object Dedup {
       val budgetPairs = math.max(1L, maxCandidateBytes / 48L)
       if (totalVol <= budgetPairs) (maxBucket, totalVol, totalVol)
       else {
-        val (cutoff, cum) = guardCutoff(hist, budgetPairs)
+        val (eff, kept, floored) = guardEffective(hist, budgetPairs, maxBucket)
         System.err.println(
           f"[hash64Pairs] candidate-volume guard: $totalVol%,d raw candidates ≈ " +
             f"${totalVol * 48 / 1e9}%.1f GB exceeds maxCandidateBytes=" +
-            f"${maxCandidateBytes / 1048576.0}%.0f MiB; keeping buckets of size ≤ $cutoff " +
-            f"($cum%,d candidates, ${100.0 * cum / totalVol}%.1f%%). Dedup exact-duplicate " +
+            f"${maxCandidateBytes / 1048576.0}%.0f MiB; keeping buckets of size ≤ $eff " +
+            f"($kept%,d candidates, ${100.0 * kept / totalVol}%.1f%%). Dedup exact-duplicate " +
             "fingerprints first (hash64KeepList collapses them), lower maxHamming, or " +
-            "raise maxCandidateBytes to keep the dropped routes.")
-        (math.max(2L, math.min(maxBucket.toLong, cutoff)).toInt, totalVol, cum)
+            "raise maxCandidateBytes to keep the dropped routes." +
+            (if (floored) " NOTE: even the size-2 buckets alone exceed the budget — the " +
+              "irreducible ≥2 floor keeps them anyway, so the byte budget is a SOFT bound here."
+             else ""))
+        (eff, totalVol, kept)
       }
+    }
+    // quadratic-OUTPUT advisory, independent of the byte budget: identical
+    // fingerprints (hamming 0) always verify, so equal-(grp,h0,h1) groups
+    // alone give a PROVEN lower bound on the emitted pair count — when that
+    // bound already exceeds ~10× the item count, this pair TABLE is
+    // quadratic in the corpus' replication factor by construction (the
+    // sf10 probe measured 100× pairs for 10× data) and the linear
+    // [[hash64KeepList]] is what a dedup consumer should be calling.
+    {
+      val eq = keyed.filter(col("pos") === 0)
+        .groupBy(col("grp"), col("h0"), col("h1")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)),
+          coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L))).head()
+      val (items, eqPairs) = (eq.getLong(0), eq.getLong(1))
+      if (eqPairs > 10L * items)
+        System.err.println(
+          f"[hash64Pairs] output advisory: identical-fingerprint groups alone prove " +
+            f"≥ $eqPairs%,d true pairs for $items%,d items (> 10× — the pair table is " +
+            "quadratic in the replication factor). For keep-one-copy dedup semantics " +
+            "use hash64KeepList, which collapses equal fingerprints and emits ONE row " +
+            "per item.")
     }
     val grouped = keyed
       .groupBy(col("grp"), col("pos"), col("col"))
@@ -1305,9 +1366,16 @@ object Dedup {
     // typically a full media decode+hash scan — without this the corpus
     // bytes are re-hashed per reference (measured 3× the whole keep-list
     // cost at sf1)
+    // null FINGERPRINTS stay out of the collapse entirely: hash64Pairs
+    // never pairs them (a null chunk XOR is null, so the hamming filter
+    // drops every such candidate), so on the uncollapsed path they are
+    // singletons — grouping them here would instead cluster all
+    // null-fingerprint items together and break the equality contract.
+    // The keep-list singleton restore names them their own keeper.
     val fp = Checkpoints.materialize(
       hashes.select(col(idCol).cast("long").as("id"),
-        col(groupCol).as("grp"), col("h0").cast("long"), col("h1").cast("long")),
+        col(groupCol).as("grp"), col("h0").cast("long"), col("h1").cast("long"))
+        .filter(col("h0").isNotNull && col("h1").isNotNull),
       checkpointDir)
     val groups = Checkpoints.materialize(
       fp.groupBy(col("grp"), col("h0"), col("h1"))
@@ -1321,8 +1389,14 @@ object Dedup {
     // member labels: rep's component label when the rep is clustered;
     // otherwise the rep itself for multi-member (clique) groups. Items in
     // singleton groups with unclustered reps stay out — the keep-list
-    // singleton restore names them their own keeper.
-    val labels = fp.join(groups, Seq("grp", "h0", "h1"))
+    // singleton restore names them their own keeper. The grp key joins
+    // NULL-SAFELY: hash64Pairs' groupBy pairs null-group fingerprints
+    // with each other, so a plain equi-join here would silently degrade
+    // null-group items to singletons and diverge from the uncollapsed path.
+    val g2 = groups.withColumnRenamed("grp", "__ggrp")
+      .withColumnRenamed("h0", "__gh0").withColumnRenamed("h1", "__gh1")
+    val labels = fp.join(g2, col("grp") <=> col("__ggrp") &&
+        col("h0") === col("__gh0") && col("h1") === col("__gh1"))
       .join(repLabels, col("rep") === col("__rid"), "left")
       .filter(col("sz") >= 2 || col("__rc").isNotNull)
       .select(col("id"), coalesce(col("__rc"), col("rep")).as("cluster"))
@@ -1371,7 +1445,9 @@ object Dedup {
     // computes every signature at the scan and shuffles no text at all.
     // The digest stats are already materialized, so the copy factor is a
     // free read: collapse only when it pays.
-    val stats = groups.agg(sum(col("sz")), count(lit(1))).head()
+    // coalesce: an empty / all-null-text corpus yields a null sum — the
+    // keep-list is then all singletons, not an NPE
+    val stats = groups.agg(coalesce(sum(col("sz")), lit(0L)), count(lit(1))).head()
     val copyFactor = stats.getLong(0).toDouble / math.max(1L, stats.getLong(1))
     if (copyFactor < collapseMinFactor)
       return keepListFromLabels(

@@ -577,7 +577,13 @@ object DocStreams {
         col("h0").cast("long"), col("h1").cast("long"))
       .select(col("id"), col("grp"), col("h0"), col("h1"),
         posexplode(array(Dedup.hash64Chunks(col("h0"), col("h1"), maxHamming): _*)))
-      .select(concat_ws("_", col("grp"), col("pos"), col("col")).as("bucket"),
+      // null-safe group key: concat_ws SKIPS nulls, so a null group would
+      // collapse to "pos_val" and could collide with a real group's key —
+      // the batch op's groupBy treats null groups as one bucket, mirrored
+      // here with an explicit sentinel (null fingerprints never pair on
+      // either path: their XOR popcount is null)
+      .select(concat_ws("_", coalesce(col("grp").cast("string"), lit("\u0000")),
+          col("pos"), col("col")).as("bucket"),
         col("id"), col("h0"), col("h1"))
       .as[(String, Long, Long, Long)]
       .groupByKey(_._1)
