@@ -66,18 +66,41 @@ object TextAnalysis {
   /**
    * Learn a BPE merges table from the corpus itself, closing the tokenizer
    * loop (train → [[bpeState]] → [[tokenCountBpe]] → [[packBudgeted]])
-   * inside the engine: histogram aggregate (one shuffle), vocab-bounded
-   * collect (guarded by `maxVocab`), then
+   * inside the engine: histogram aggregate (one shuffle), BOUNDED collect
+   * (a `TakeOrderedAndProject` of at most `maxVocab` + 1 rows — the driver
+   * never holds more, whatever the corpus vocabulary), then
    * [[graft.text.BpeTrainer.trainFromHistogram]]'s deterministic driver
    * loop. The learned table is a pure function of the corpus.
+   *
+   * TRUNCATION CONTRACT: when the corpus pre-token vocabulary exceeds
+   * `maxVocab` (a real multilingual web corpus will — its long tail is
+   * corpus-sized, not tokenizer-sized), training proceeds on the TOP
+   * `maxVocab` pre-tokens by (count DESC, token ASC — deterministic tie
+   * break) with a loud stderr note, instead of throwing. Dropping the
+   * rarest pre-tokens is the textbook BPE training practice (merge
+   * decisions are count-argmax; tail-of-tail tokens cannot win a merge
+   * before `minPairCount` cuts them anyway) and keeps the driver memory
+   * bound a hard one. Under the cap the result is byte-identical to the
+   * untruncated train.
    */
   def trainBpe(df: DataFrame, numMerges: Int, textCol: String = "text",
                minPairCount: Long = 2L, maxVocab: Int = 1 << 20): Vector[(String, String)] = {
-    val hist = bpeWordHistogram(df, textCol).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    require(hist.length <= maxVocab,
-      s"pre-token vocabulary ${hist.length} exceeds maxVocab $maxVocab — " +
-        "normalize the corpus or raise the cap")
+    // maxVocab + 1: one sentinel row distinguishes at-cap from over-cap
+    // without a second aggregate job
+    val top = bpeWordHistogram(df, textCol)
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(maxVocab + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val hist =
+      if (top.length <= maxVocab) top
+      else {
+        System.err.println(
+          s"[trainBpe] pre-token vocabulary exceeds maxVocab=$maxVocab: training on the " +
+            s"top $maxVocab pre-tokens by count (count DESC, token ASC); the dropped tail " +
+            "is the rarest mass and cannot win a merge at any minPairCount ≥ its counts. " +
+            "Raise maxVocab to widen the histogram.")
+        top.take(maxVocab)
+      }
     graft.text.BpeTrainer.trainFromHistogram(
       hist.sortBy(_._1).toSeq, numMerges, minPairCount)
   }

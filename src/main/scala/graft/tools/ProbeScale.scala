@@ -144,3 +144,32 @@ object ProbeAttrib {
     spark.stop()
   }
 }
+
+/**
+ * Verdict-r12 #3 probe: a synthetic corpus whose pre-token vocabulary
+ * exceeds 2²⁰ (the trainBpe histogram cap) must TRAIN, not throw — the
+ * truncation contract in [[graft.pipeline.TextAnalysis.trainBpe]]. 1.3 M
+ * distinct pre-tokens, zipf-ish counts via repetition of the low ids, 50
+ * merges; prints one JSON line with the wall time and the merge count.
+ */
+object ProbeBpeVocab {
+  def main(args: Array[String]): Unit = {
+    val spark = Probe.session("graft-probe-bpe-vocab")
+    import org.apache.spark.sql.functions._
+    val nTokens = 1300000L // > 1 << 20 distinct pre-tokens
+    // docs of 64 tokens each; ids 0..999 additionally repeat ×100 so the
+    // head of the distribution is genuinely frequent (merges must find
+    // real mass above minPairCount, as in a natural corpus)
+    val head = spark.range(100000L).select((col("id") % 1000L).as("tid"))
+    val tail = spark.range(nTokens).select(col("id").as("tid"))
+    val docs = tail.unionAll(head)
+      .select(col("tid"), (monotonically_increasing_id() % 20000L).as("doc"))
+      .groupBy(col("doc"))
+      .agg(concat_ws(" ", collect_list(concat(lit("tk"), col("tid")))).as("text"))
+    val t0 = System.nanoTime()
+    val merges = graft.pipeline.TextAnalysis.trainBpe(docs, numMerges = 50)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"probe":"bpe_vocab_cliff","distinct_pretokens":$nTokens,"merges_learned":${merges.length},"sec":$sec%.2f,"completed":true}""")
+    spark.stop()
+  }
+}

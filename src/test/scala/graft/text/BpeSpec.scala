@@ -182,6 +182,29 @@ class BpeSpec extends AnyFunSuite {
     assert(tiny.isEmpty, "count-1 pairs are below the default minPairCount")
   }
 
+  test("trainer: over-cap vocabulary truncates to top-maxVocab by count, never throws") {
+    import spark.implicits._
+    // 30 distinct pre-tokens; cap at 10 → training must proceed on the 10
+    // most frequent (count DESC, token ASC), byte-identical to training on
+    // that histogram directly — the documented truncation contract
+    val docs = (0 until 30).flatMap { i =>
+      val tok = f"w${('a' + i % 26).toChar}$i%02d"
+      Seq.fill(100 - 3 * i)(tok)
+    }.grouped(8).map(_.mkString(" ")).toSeq.toDF("text")
+    val capped = graft.pipeline.TextAnalysis.trainBpe(docs, numMerges = 20, maxVocab = 10)
+    val full = graft.pipeline.TextAnalysis
+      .bpeWordHistogram(docs).collect().map(r => (r.getString(0), r.getLong(1)))
+    val top10 = full.sortBy { case (t, n) => (-n, t) }.take(10)
+    val expect = BpeTrainer.trainFromHistogram(
+      top10.sortBy(_._1).toSeq, 20)
+    assert(capped == expect,
+      "over-cap train must equal training on the top-maxVocab histogram")
+    // at-cap (vocab == maxVocab) is NOT truncation: identical to unbounded
+    val atCap = graft.pipeline.TextAnalysis.trainBpe(docs, numMerges = 20, maxVocab = 30)
+    val unbounded = graft.pipeline.TextAnalysis.trainBpe(docs, numMerges = 20)
+    assert(atCap == unbounded)
+  }
+
   test("trainer: well-formed output, deterministic, consistent with tokenizer") {
     val docs01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m1 = graft.pipeline.TextAnalysis.trainBpe(docs01, numMerges = 80)
