@@ -239,6 +239,204 @@ object Dedup {
   }
 
   /**
+   * Connected-component LABELS of the MinHash-LSH near-duplicate graph,
+   * WITHOUT enumerating the quadratic in-clique pair mass — the linear
+   * clustering path behind [[textKeepList]]. Returns (id, cluster) with
+   * cluster = min member id, EXACTLY equal to
+   * `clusters(minhashLshPairs(df, ...))` (differential-tested).
+   *
+   * Why the pair table is the wrong intermediate for clustering: a corpus
+   * with replication factor r (r near-identical copies per document — the
+   * re-hosted/boilerplate shape that dominates web crawls) has r(r−1)/2
+   * true pairs per clique, so the pair stage costs r× more per DOCUMENT
+   * every time the corpus duplicates further, while the component labeling
+   * it feeds is the same answer a spanning subset of edges yields.
+   * Connected components never needed the whole clique.
+   *
+   * CONNECTIVITY-SUFFICIENT PAIRING (two verify rounds, exact):
+   *
+   *  1. CHAIN round: within each capped bucket, sorted by id, only the
+   *     n−1 ADJACENT pairs are candidates (same estimate prefilter as the
+   *     pair op). A clique of r replicas connects with r−1 verifications
+   *     instead of r(r−1)/2, and the chains repeat identically across
+   *     bands, so the dedup shuffle carries bands×(n−1) rows, not
+   *     bands×n²/2. Verified chain edges → [[clusters]] → provisional
+   *     labels L₁.
+   *  2. CROSS-COMPONENT round: re-walk the SAME buckets with L₁ attached;
+   *     buckets whose members all share one label are DONE (on a
+   *     replica-heavy corpus that is nearly all of them — one cheap
+   *     array_distinct test, no enumeration); the rest enumerate only
+   *     pairs whose endpoints carry DIFFERENT labels, estimate-filter,
+   *     verify, and fold into the labeling incrementally.
+   *
+   * Exactness: let G be the pair op's verified graph. Every round-1 edge
+   * is in G (same bucket, same estimate filter, same verify). Any G-edge
+   * (a,b) not enumerated is skipped only because L₁(a) = L₁(b) — i.e. a,b
+   * already connected by verified edges — or is enumerated in round 2.
+   * Skipping an edge inside a known component never changes connected
+   * components, so CC(round-1 ∪ round-2 edges) = CC(G). The capped bucket
+   * stream is materialized ONCE and both rounds read the same blocks, so
+   * the cap (and its drop metrics) applies identically.
+   *
+   * 100 TB shape: every stage is linear in corpus × bands except the
+   * round-2 enumeration, which only pays on buckets that mix components —
+   * the adversarial residue, not the duplication mass. State never
+   * includes text: signatures ride the band shuffle (the [[lshPairsImpl]]
+   * lesson), text is read only by the two verify joins whose candidate
+   * counts are ~|corpus|, not ~pairs.
+   */
+  def minhashLshLabels(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
+                       threshold: Double = 0.8, maxBucket: Int = 1000,
+                       metrics: Option[Observation] = None,
+                       maxIter: Int = 12,
+                       checkpointDir: Option[String] = None,
+                       chainBands: Int = Int.MaxValue,
+                       labelBroadcastMaxEntries: Long = 8000000L): DataFrame = {
+    import org.apache.spark.sql.graft.MinHashSig
+    lshLabelsImpl(df, idCol, textCol,
+      t => c(MinHashSig(e(t), e(lit(numHashes)), e(lit(shingle)))),
+      (a, b) => ngramJaccard(a, b, shingle),
+      bands, threshold, maxBucket, metrics, maxIter, checkpointDir, chainBands,
+      labelBroadcastMaxEntries)
+  }
+
+  /** The two-round connectivity-sufficient labeling behind
+    * [[minhashLshLabels]] — same signature/band/bucket/verify pieces as
+    * [[lshPairsImpl]], pair enumeration replaced by chain + cross-component
+    * rounds (see the public scaladoc for the exactness argument). */
+  private def lshLabelsImpl(df: DataFrame, idCol: String, textCol: String,
+                            sigOf: Column => Column,
+                            verifyJaccard: (Column, Column) => Column,
+                            bands: Int, threshold: Double, maxBucket: Int,
+                            metrics: Option[Observation],
+                            maxIter: Int,
+                            checkpointDir: Option[String],
+                            chainBands: Int,
+                            labelBroadcastMaxEntries: Long): DataFrame = {
+    import org.apache.spark.sql.graft.{SigBands, SigJaccard}
+    val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // id-sorted bucket arrays CARRYING the signatures (the [[lshPairsImpl]]
+    // trade: the sig is the compact document sketch that lets the estimate
+    // run where candidates are born — no sig join ever touches a
+    // pair-shaped stream), capped, materialized ONCE: the chain round and
+    // the residue round read the same blocks, the signature pass (the
+    // dominant text-scan cost) runs once, and the cap metrics observe once.
+    val buckets = Checkpoints.materialize(
+      capBuckets(base
+        .select(col("id"), sigOf(col("text")).as("sig"))
+        .select(col("id"), col("sig"), posexplode(c(SigBands(e(col("sig")), e(lit(bands))))))
+        .groupBy(col("pos"), col("col"))
+        .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("items")),
+        size(col("items")), maxBucket, metrics),
+      checkpointDir)
+    val estOk = (a: Column, b: Column) =>
+      c(SigJaccard(e(a), e(b))) >= threshold - 0.2
+    // exact verify on an estimate-surviving candidate set (text joins only;
+    // the estimate prefilter is REQUIRED for exactness — its false
+    // negatives are part of the graph contract — and always runs at the
+    // bucket, before candidates pay any shuffle)
+    def verifyOnly(cand: DataFrame): DataFrame = {
+      val ta = base.select(col("id").as("id_a"), col("text").as("text_a"))
+      val tb = base.select(col("id").as("id_b"), col("text").as("text_b"))
+      cand.join(ta, "id_a").join(tb, "id_b")
+        .filter(verifyJaccard(col("text_a"), col("text_b")) >= threshold)
+        .select(col("id_a"), col("id_b"))
+    }
+    // round 1: adjacent-in-bucket chains from the first `chainBands`
+    // bands, over ID-ONLY buckets (an 8-byte band shuffle): chains are
+    // ~(n-1) per bucket and repeat across bands, so the estimate joins its
+    // signatures onto the small DEDUPED candidate set instead of shipping
+    // 0.5 KB sigs into every bucket slot. Members a band's fragmentation
+    // strands connect through round 2 like any other residue — exactness
+    // never depended on round-1 coverage (chainBands = 0 degrades to the
+    // pair op's full per-bucket enumeration in round 2).
+    val adjacent = buckets
+      .filter(col("pos") < chainBands)
+      .select(explode(expr(
+        "transform(slice(items, 1, size(items) - 1), " +
+          "(x, i) -> struct(x AS a, items[i + 1] AS b))")).as("p"))
+      .filter(estOk(col("p.a.sig"), col("p.b.sig")))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
+    // MIN-NEIGHBOR STAR of the estimate-passing chain candidates: each node
+    // keeps one edge, to its smallest est-passing adjacent candidate — a
+    // map-side-combined aggregate over the raw cross-band chain stream (no
+    // pair-identity dedup shuffle), so the verify set is <= |corpus| edges
+    // no matter how many bands contribute chains. A clique's members all
+    // pick the clique min (the star IS its spanning tree); pathological
+    // candidate shapes can under-connect, which round 2 heals like any
+    // other residue. Estimating BEFORE the star matters: the min raw
+    // neighbor is often a foreign-body bucket coincidence whose est fails,
+    // and a star built on it would strand the node for round 2 wholesale.
+    val chainCand = adjacent
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(adjacent.select(col("id_b").as("u"), col("id_a").as("v")))
+      .groupBy(col("u")).agg(min(col("v")).as("v"))
+      .select(least(col("u"), col("v")).as("id_a"),
+        greatest(col("u"), col("v")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // no materialization on edges1: clusters() caches its (sole) read
+    val edges1 = verifyOnly(chainCand)
+    val lab1 = Checkpoints.materialize(
+      clusters(edges1, maxIter, checkpointDir = checkpointDir), checkpointDir)
+    // round 2: only buckets mixing >= 2 provisional components enumerate,
+    // and only their cross-component pairs, estimate-filtered at the
+    // source. Labels reach INSIDE the buckets via a broadcast binary-search
+    // lookup (16 B per clustered doc) whenever the labeling fits
+    // `labelBroadcastMaxEntries` — the multi-label test and the
+    // cross-label pair filter are then pure in-row CPU over the already-
+    // materialized bucket blocks: no explode-join-regroup of sig-carrying
+    // rows at all. Past the broadcast budget (a billion-doc lake whose
+    // labeling is itself corpus-sized) the shuffle form runs instead:
+    // ids-only label walk -> countDistinct per bucket -> sig regroup of
+    // ONLY the multi-label residue.
+    val nLab1 = lab1.count()
+    val crossCand = if (nLab1 <= labelBroadcastMaxEntries) {
+      val pairsArr = {
+        import df.sparkSession.implicits._
+        lab1.select(col("id").cast("long"), col("cluster").cast("long"))
+          .as[(Long, Long)].collect().sortBy(_._1)
+      }
+      val bc = df.sparkSession.sparkContext.broadcast(
+        (pairsArr.map(_._1), pairsArr.map(_._2)))
+      buckets
+        .select(c(org.apache.spark.sql.graft.CrossLabelPairs(
+          e(col("items")), e(lit(threshold - 0.2)), bc)))
+        .dropDuplicates("id_a", "id_b")
+    } else {
+      val lab1r = lab1.withColumnRenamed("id", "__lid")
+        .withColumnRenamed("cluster", "__lc")
+      val multiKeys = buckets
+        .select(col("pos"), col("col"), explode(expr("transform(items, x -> x.id)")).as("id"))
+        .join(lab1r, col("id") === col("__lid"), "left")
+        .select(col("pos"), col("col"), coalesce(col("__lc"), col("id")).as("lab"))
+        .groupBy(col("pos"), col("col"))
+        .agg(countDistinct(col("lab")).as("__nl"))
+        .filter(col("__nl") > 1).select(col("pos"), col("col"))
+      val regrouped = buckets.join(multiKeys, Seq("pos", "col"))
+        .select(col("pos"), col("col"), explode(col("items")).as("it"))
+        .join(lab1r, col("it.id") === col("__lid"), "left")
+        .select(col("pos"), col("col"), col("it"),
+          coalesce(col("__lc"), col("it.id")).as("lab"))
+        .groupBy(col("pos"), col("col"))
+        .agg(collect_list(struct(col("it"), col("lab"))).as("items"))
+      regrouped
+        .select(explode(col("items")).as("a"), col("items"))
+        .select(col("a"), explode(col("items")).as("b"))
+        .filter(col("a.it.id") < col("b.it.id") && col("a.lab") =!= col("b.lab"))
+        .filter(estOk(col("a.it.sig"), col("b.it.sig")))
+        .select(col("a.it.id").as("id_a"), col("b.it.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+    }
+    val edges2 = verifyOnly(crossCand)
+    // fold the residue in incrementally: components untouched by round-2
+    // edges keep their round-1 labels without re-solving (the
+    // clustersIncremental equality contract makes this exact; its internal
+    // delta materialization runs the residue subplan once)
+    clustersIncremental(lab1, edges2, maxIter, checkpointDir = checkpointDir)
+  }
+
+  /**
    * EXACT n-gram Jaccard near-duplicate pairs via prefix filtering (the
    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08).
    * Unlike [[minhashLshPairs]] this has no probabilistic recall: every pair
@@ -1423,6 +1621,16 @@ object Dedup {
    * straight to the uncollapsed plan, whose signatures compute at the
    * scan with zero text shuffle — the collapse's rep join would move
    * distinct-text bytes for nothing there.
+   *
+   * Both branches label through [[minhashLshLabels]] — the
+   * connectivity-sufficient two-round pairing — NOT the full pair table:
+   * NEAR-duplicate replicas (tag-prefixed re-hosts, boilerplate variants
+   * — not byte-identical, so the md5 collapse cannot touch them) form
+   * r-cliques whose r(r−1)/2 pairs the pair op must enumerate but a
+   * labeling never needed; the chain round connects each such clique
+   * with r−1 verifications. Output stays exactly
+   * `clusterKeepList(minhashLshPairs(docs), docs)` (the
+   * [[minhashLshLabels]] exactness argument; differential-tested).
    */
   def textKeepList(docs: DataFrame, idCol: String, textCol: String,
                    scoreCol: String,
@@ -1451,15 +1659,13 @@ object Dedup {
     val copyFactor = stats.getLong(0).toDouble / math.max(1L, stats.getLong(1))
     if (copyFactor < collapseMinFactor)
       return keepListFromLabels(
-        clusters(minhashLshPairs(base, "id", "text", numHashes, bands,
-          shingle, threshold, maxBucket, metrics)
-          .select(col("id_a"), col("id_b")), maxIter),
+        minhashLshLabels(base, "id", "text", numHashes, bands,
+          shingle, threshold, maxBucket, metrics, maxIter, checkpointDir),
         docs, idCol, scoreCol)
     val repDocs = base.join(groups.select(col("rep")),
       base("id") === col("rep")).select(col("id"), col("text"))
-    val pairs = minhashLshPairs(repDocs, "id", "text", numHashes, bands,
-      shingle, threshold, maxBucket, metrics)
-    val repLabels = clusters(pairs.select(col("id_a"), col("id_b")), maxIter)
+    val repLabels = minhashLshLabels(repDocs, "id", "text", numHashes, bands,
+        shingle, threshold, maxBucket, metrics, maxIter, checkpointDir)
       .withColumnRenamed("id", "__rid").withColumnRenamed("cluster", "__rc")
     val labels = base.select(col("id"), md5(col("text")).as("dg"))
       .join(groups, Seq("dg"))
@@ -1474,11 +1680,19 @@ object Dedup {
                           driverMaxEdges: Long = 2000000L,
                           doublingEagerEdges: Long = 50000000L,
                           checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = newPairs
+    // materialize the delta ONCE: this plan is referenced three times
+    // below (both touched-endpoint unions and the star-edge union), and
+    // the upstream is typically a full pair pipeline — uncached it would
+    // re-run per reference (measured ~4× on the keep-list gates)
+    val pairs = Checkpoints.materialize(newPairs
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull),
+      checkpointDir)
     val lab = labels.select(col("id").cast("long").as("id"),
       col("cluster").cast("long").as("cluster"))
+    // empty delta: the union below would reduce to `lab` anyway — skip its
+    // half-dozen jobs (the count is free on the materialized delta)
+    if (pairs.isEmpty) return lab
     val touched = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     // clusters containing any endpoint of a new pair; materialized once —

@@ -80,6 +80,122 @@ case class SigJaccard(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SigJaccard = copy(l, r)
 }
 
+/**
+ * label_lookup(id) — broadcast-index component-label lookup: binary-search
+ * `id` in the SORTED ids array, return its label, or `id` itself when
+ * absent (the "own provisional label" default of cluster labelings). The
+ * map-side twin of `left join labels + coalesce(label, id)`, usable INSIDE
+ * bucket arrays (via `transform`) where a join cannot reach without
+ * exploding and regrouping the bucket — which on sig-carrying buckets
+ * means re-shuffling ~0.5 KB per member per band. Gate broadcasts by the
+ * label count: the index is 16 B per CLUSTERED doc.
+ */
+case class LabelLookup(child: Expression,
+                       index: Broadcast[(Array[Long], Array[Long])])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "label_lookup"
+  override protected def nullSafeEval(id: Any): Any =
+    LabelLookup.lookup(id.asInstanceOf[Long], index)
+  // real codegen (addReferenceObj embeds the broadcast handle): this
+  // expression sits under the in-bucket pair explode — an interpreted
+  // fallback there would break whole-stage codegen for a stream that can
+  // reach billions of rows on capped-but-hot buckets
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("labelIndex", index,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev,
+      id => s"org.apache.spark.sql.graft.LabelLookup.lookup($id, $idx)")
+  }
+  override protected def withNewChildInternal(c: Expression): LabelLookup =
+    copy(child = c)
+}
+
+object LabelLookup {
+  def lookup(id: Long, bc: Broadcast[(Array[Long], Array[Long])]): Long = {
+    val t = bc.value
+    val p = java.util.Arrays.binarySearch(t._1, id)
+    if (p >= 0) t._2(p) else id
+  }
+}
+
+/**
+ * cross_label_pairs(items, minEst) over array<struct<id long, sig
+ * array<long>>> — emits (id_a, id_b) for every in-bucket pair whose
+ * members carry DIFFERENT component labels (broadcast [[LabelLookup]]
+ * index; absent → own id) and whose signature-estimate Jaccard passes
+ * `minEst`. One pass per bucket: members group by label first, so the
+ * dominant single-component mass of a bucket (the duplication cliques a
+ * prior labeling round already connected) is skipped WITHOUT enumerating
+ * its internal pairs — per-bucket work is Σ |gᵢ|×|gⱼ| over label groups,
+ * not n²/2, and nothing pair-shaped is ever generated as rows just to be
+ * filtered. Single-label buckets emit nothing.
+ */
+case class CrossLabelPairs(items: Expression, minEst: Expression,
+                           index: Broadcast[(Array[Long], Array[Long])])
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(items, minEst)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val iv = items.eval(input)
+    val tv = minEst.eval(input)
+    if (iv == null || tv == null) return Nil
+    val arr = iv.asInstanceOf[ArrayData]
+    val minEstV = tv.asInstanceOf[Double]
+    val n = arr.numElements()
+    if (n < 2) return Nil
+    val ids = new Array[Long](n)
+    val labs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val m = arr.getStruct(i, 2)
+      ids(i) = m.getLong(0)
+      labs(i) = LabelLookup.lookup(ids(i), index)
+      i += 1
+    }
+    // group member indexes by label, insertion-ordered (deterministic)
+    val groups = new java.util.LinkedHashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+    i = 0
+    while (i < n) {
+      var g = groups.get(labs(i))
+      if (g == null) { g = scala.collection.mutable.ArrayBuffer.empty[Int]; groups.put(labs(i), g) }
+      g += i
+      i += 1
+    }
+    if (groups.size <= 1) return Nil
+    val gs = groups.values.toArray(Array.empty[scala.collection.mutable.ArrayBuffer[Int]])
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var gi = 0
+    while (gi < gs.length) {
+      var gj = gi + 1
+      while (gj < gs.length) {
+        gs(gi).foreach { a =>
+          val sigA = arr.getStruct(a, 2).getArray(1)
+          gs(gj).foreach { b =>
+            val sigB = arr.getStruct(b, 2).getArray(1)
+            if (SigJaccard.estimate(sigA, sigB) >= minEstV)
+              out += InternalRow(math.min(ids(a), ids(b)), math.max(ids(a), ids(b)))
+          }
+        }
+        gj += 1
+      }
+      gi += 1
+    }
+    out
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CrossLabelPairs =
+    copy(items = newChildren(0), minEst = newChildren(1))
+  override def prettyName: String = "cross_label_pairs"
+}
+
 object SigJaccard {
   def estimate(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

@@ -1819,6 +1819,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(full(3000000L) == ((3000000L, 3000000L, 1L)))
   }
 
+  test("minhashLshLabels == clusters(minhashLshPairs) (connectivity-sufficient pairing)") {
+    // the exactness contract of the two-round labeling, on the natural
+    // corpus + NEAR-duplicate replicas (tag-prefixed — NOT byte-identical,
+    // so the md5 collapse cannot absorb them; the replica-clique shape is
+    // exactly where the chain round carries the load) + verbatim copies +
+    // a null... (null text dies in the signature; covered by keep-list test)
+    val base = docs.limit(150).select(col("doc_id"), col("text"))
+    val rep1 = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("replica 1 "), col("text")).as("text"))
+    val rep2 = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("replica 2 "), col("text")).as("text"))
+    val copies = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    val corpus = base.unionByName(rep1).unionByName(rep2).unionByName(copies)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val viaPairs = asMap(Dedup.clusters(
+      Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"))))
+    val viaLabels = asMap(
+      Dedup.minhashLshLabels(corpus, "doc_id", "text", threshold = 0.8))
+    assert(viaLabels == viaPairs,
+      s"label path diverged: extra=${viaLabels.toSeq.diff(viaPairs.toSeq).take(5)} " +
+        s"missing=${viaPairs.toSeq.diff(viaLabels.toSeq).take(5)}")
+    // replicas must genuinely cluster with their originals (fixture teeth:
+    // the chain round did real work here)
+    val repIds = base.filter(col("doc_id") % 3 === 0).collect().map(_.getLong(0))
+    val clustered = repIds.count(id =>
+      viaPairs.get(id + 1000000L).exists(c => viaPairs.get(id).contains(c)))
+    assert(clustered > repIds.length / 2,
+      s"fixture broken: only $clustered/${repIds.length} replicas clustered")
+  }
+
+  test("textKeepList == uncollapsed clusterKeepList on a NEAR-dup replica corpus") {
+    // the q_dedup_keeplist sf10 shape in miniature: every doc has tag-
+    // prefixed near-identical copies, byte-distinct so copyFactor ≈ 1 and
+    // the md5 collapse is inert — the two-round labeling must still equal
+    // the full pair graph's keep-list exactly
+    val base = docs.limit(100).select(col("doc_id"), col("text"), col("n_chars"))
+    val corpus = base.unionByName(
+      base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("replica 1 "), col("text")).as("text"), col("n_chars")))
+      .unionByName(base.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("replica 2 "), col("text")).as("text"), col("n_chars")))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    val full = asMap(Dedup.clusterKeepList(
+      Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b")),
+      corpus, "doc_id", "n_chars"))
+    val got = asMap(Dedup.textKeepList(corpus, "doc_id", "text", "n_chars"))
+    assert(got == full,
+      s"near-dup keep-list diverged: ${got.toSeq.diff(full.toSeq).take(5)}")
+  }
+
   test("multimodal: frame sampling yields n byte windows") {
     val media = Multimodal.demoMediaTable(docs.limit(10), "doc_id", "text")
     val framed = Multimodal.frameSample(media, 4, frameBytes = 8)
