@@ -275,12 +275,23 @@ object Bench {
                           costHint: Option[Map[String, Double]] = None)
       : (Seq[(String, Double)], Seq[Seq[(String, Double)]]) = {
     val qs = gateQueries(spark, dir, costHint)
-    val samples = (1 to runs).map { _ =>
+    val samples = (1 to runs).map { runIdx =>
       // reset the incremental-snapshot state per run: without this, median
       // mode accumulated 'total'/'done' across runs and emitted duplicate
       // live_queries keys in the flushes (final record was unaffected)
       onRunStart()
-      val (rs, skipped) = runTimed(spark, qs, perQueryTimeoutSec, deadlineNanos, onDone)
+      // ROTATE the query order across passes (deterministic offset): with a
+      // fixed order, every pass times each query at the same JVM-state
+      // position, so warmup/GC drift correlates into per-query spreads up
+      // to 1.6x within one marathon (the r12 record's q_triangles
+      // [2.08, 3.24]). Rotation decorrelates position from query, so the
+      // median absorbs drift instead of inheriting it. Cost-ordered
+      // (deadline-degrading) passes keep their heaviest-first order — the
+      // degradation contract depends on it.
+      val ordered =
+        if (costHint.nonEmpty || runs <= 1) qs
+        else { val off = ((runIdx - 1) * qs.length) / runs; qs.drop(off) ++ qs.take(off) }
+      val (rs, skipped) = runTimed(spark, ordered, perQueryTimeoutSec, deadlineNanos, onDone)
       rs.foreach { r =>
         if (r.timedOut) timedOutQ += r.name
         if (r.failed) failedQ += r.name
@@ -456,7 +467,29 @@ object Bench {
         s"ivf recall not monotone in nprobe: ${curve.mkString(",")}")
       val sweepJson = (sweep :+ (6 -> r))
         .map { case (np, rec) => f""""nprobe$np":$rec%.3f""" }.mkString("{", ",", "}")
-      f""","ivf_recall":$r%.3f,"ivf_recall_floor":$floor%.3f,"ivf_sweep":$sweepJson"""
+      // CLUSTERED-corpus sweep: the gate corpus is isotropic (pairwise
+      // cosines a unimodal bell at 0), where NO coarse quantizer can beat
+      // the nProbe/nCells ceiling — the curve above measures the data, not
+      // the operator. To gate the OPERATOR's low-nprobe quality, plant 8
+      // well-separated clusters (a deterministic per-cluster axis shift on
+      // the same embeddings) and require the k-means ivfTrain codebook to
+      // deliver recall >= 0.8 by nprobe <= 4 there — real embedding
+      // corpora cluster heavily, so this is the curve a consumer sees.
+      val clustered = embs.selectExpr("vec_id",
+        "transform(embedding, (x, i) -> CAST(x + IF(i = CAST(vec_id % 8 AS INT), 6.0, 0.0) AS FLOAT)) AS embedding")
+      val cCent = graft.pipeline.Similarity.ivfTrain(clustered, nCells = 8, iters = 5)
+      val cq = clustered.filter(col("vec_id") === 0L).select("embedding").head()
+        .getSeq[Float](0).toArray
+      val cSweep = Seq(1, 2, 4).map(np => np ->
+        graft.pipeline.Similarity.ivfDeliveredRecall(clustered, cCent, cq, 10, nProbe = np))
+      val cBy4 = cSweep.filter(_._1 <= 4).map(_._2).max
+      require(cBy4 >= 0.8,
+        f"clustered-corpus ivf recall $cBy4%.3f below 0.80 by nprobe 4 — the k-means " +
+          "codebook failed to capture planted cluster structure (operator bug, not data)")
+      val cSweepJson = cSweep
+        .map { case (np, rec) => f""""nprobe$np":$rec%.3f""" }.mkString("{", ",", "}")
+      f""","ivf_recall":$r%.3f,"ivf_recall_floor":$floor%.3f,"ivf_sweep":$sweepJson""" +
+        f""","ivf_sweep_clustered":$cSweepJson,"ivf_clustered_floor":0.8"""
     }
     fragments += ivfPart; flushDetail()
 

@@ -1520,9 +1520,12 @@ object Dedup {
       items, idCol, scoreCol)
 
   /** The shared keep-list tail: component labels → keeper per cluster →
-    * singleton restore (one row per item). */
-  private def keepListFromLabels(labels: DataFrame, items: DataFrame,
-                                 idCol: String, scoreCol: String): DataFrame = {
+    * singleton restore (one row per item). Public so externally-maintained
+    * labelings (e.g. the streaming fold in
+    * [[graft.streaming.DocStreams.textKeepListStream]]) can derive the
+    * same keep-list shape as the batch operators. */
+  def keepListFromLabels(labels: DataFrame, items: DataFrame,
+                         idCol: String, scoreCol: String): DataFrame = {
     val canon = clusterCanonical(labels, items, idCol, scoreCol)
       .withColumnRenamed("id", "__cid")
     items.select(col(idCol).cast("long").as("id"))
@@ -2234,7 +2237,8 @@ object Dedup {
   def writeMinhashIndex(df: DataFrame, path: String, idCol: String = "doc_id",
                         textCol: String = "text", numHashes: Int = 64,
                         bands: Int = 16, shingle: Int = 5,
-                        wordShingle: Int = 0): Unit = {
+                        wordShingle: Int = 0,
+                        mode: String = "overwrite"): Unit = {
     import org.apache.spark.sql.graft.{MinHashSig, MinHashSigWords, SigBands}
     val sig =
       if (wordShingle > 0)
@@ -2245,7 +2249,7 @@ object Dedup {
         posexplode(c(SigBands(e(col("sig")), e(lit(bands))))).as(Seq("band", "key")))
       .repartitionByRange(col("key"))
       .sortWithinPartitions(col("key"), col("band"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(path)
   }
 
   /**

@@ -611,4 +611,95 @@ object DocStreams {
       }
       .toDF("id_a", "id_b", "hamming")
   }
+  /**
+   * Streaming near-dup KEEP-LIST maintenance — the text family's
+   * incremental twin of [[graft.pipeline.Dedup.textKeepList]], in the
+   * new-batch-vs-index probe shape of
+   * [[graft.pipeline.Dedup.hash64AgainstIndex]]: per micro-batch,
+   *
+   *   1. batch-internal near-dup pairs (the batch op unchanged on the
+   *      small batch),
+   *   2. batch-vs-corpus pairs via the PERSISTED chunk-sorted minhash
+   *      index ([[graft.pipeline.Dedup.dedupAgainstIndex]] — the corpus
+   *      text is never re-signed, its index rows prune by key),
+   *   3. [[graft.pipeline.Dedup.clustersIncremental]] folds the delta into
+   *      the persisted labeling (only touched components re-solve),
+   *   4. the batch appends to the corpus store and the index.
+   *
+   * State lives under `workDir` (labels, index, corpus, checkpoint) — the
+   * lake layout, not executor memory: a 100 TB corpus is fingerprinted
+   * once and each arriving file pays batch-sized work. Read the keep-list
+   * at any time with [[textKeepListResult]]; with bucket caps unhit, after
+   * processing any file sequence it equals
+   * [[graft.pipeline.Dedup.textKeepList]] over the union of those files
+   * (pinned by the split-file spec) — the family twin contract.
+   */
+  def textKeepListStream(docs: DataFrame, workDir: String,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         scoreCol: String = "n_chars",
+                         numHashes: Int = 64, bands: Int = 16,
+                         shingle: Int = 5, threshold: Double = 0.8,
+                         maxBucket: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    val idxDir = s"$workDir/index"
+    val corpusDir = s"$workDir/corpus"
+    val labelsDir = s"$workDir/labels"
+    docs.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // truncate lineage once: the batch feeds the pair probe, the index
+        // append, and the corpus append
+        val b = batch
+          .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+            col(scoreCol).cast("long").as("score"))
+          .filter(col("text").isNotNull)
+          .localCheckpoint(true)
+        val fs = new java.io.File(corpusDir)
+        val internal = Dedup.minhashLshPairs(b, "doc_id", "text",
+            numHashes, bands, shingle, threshold, maxBucket)
+          .select(col("id_a"), col("id_b"))
+        val pairs =
+          if (fs.exists()) {
+            val corpus = spark.read.parquet(corpusDir)
+            Dedup.dedupAgainstIndex(spark, idxDir, b, corpus, "doc_id", "text",
+                numHashes, bands, shingle, threshold)
+              .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+              .unionByName(internal)
+          } else internal
+        val prior =
+          if (new java.io.File(labelsDir).exists()) spark.read.parquet(labelsDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("cluster",
+                org.apache.spark.sql.types.LongType))))
+        // localCheckpoint BEFORE the overwrite: the new labeling reads the
+        // directory it is about to replace
+        val next = Dedup.clustersIncremental(prior, pairs).localCheckpoint(true)
+        next.write.mode("overwrite").parquet(labelsDir)
+        Dedup.writeMinhashIndex(b, idxDir, "doc_id", "text",
+          numHashes, bands, shingle, mode = "append")
+        b.write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
+  }
+
+  /** The keep-list of everything [[textKeepListStream]] has absorbed so
+    * far: persisted labels + corpus scores through the batch keeper tail
+    * ([[graft.pipeline.Dedup.keepListFromLabels]] — identical keeper and
+    * singleton-restore semantics). */
+  def textKeepListResult(spark: SparkSession, workDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Dedup.keepListFromLabels(
+      spark.read.parquet(s"$workDir/labels"),
+      spark.read.parquet(s"$workDir/corpus")
+        .select(col("doc_id"), col("score")),
+      "doc_id", "score")
+  }
+
 }

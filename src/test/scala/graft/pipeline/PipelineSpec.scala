@@ -1409,6 +1409,23 @@ class PipelineSpec extends AnyFunSuite {
       s"delivered recall $recall outside [floor $floor, 1]")
   }
 
+  test("IVF low-nprobe recall on a CLUSTERED corpus: >= 0.8 by nprobe 4") {
+    // the isotropic gate corpus caps recall at ~nProbe/nCells for ANY
+    // coarse quantizer (that curve measures the data); planting 8
+    // well-separated clusters (per-cluster axis shift) gates the OPERATOR:
+    // the k-means codebook must capture the structure and deliver the
+    // low-nprobe recall real (heavily clustered) embedding corpora see
+    val clustered = embs.selectExpr("vec_id",
+      "transform(embedding, (x, i) -> CAST(x + IF(i = CAST(vec_id % 8 AS INT), 6.0, 0.0) AS FLOAT)) AS embedding")
+    val cents = Similarity.ivfTrain(clustered, nCells = 8, iters = 5)
+    val q = clustered.filter($"vec_id" === 0L).select("embedding").head()
+      .getSeq[Float](0).toArray
+    val r4 = Similarity.ivfDeliveredRecall(clustered, cents, q, 10, nProbe = 4)
+    assert(r4 >= 0.8, s"clustered-corpus recall $r4 below 0.8 at nprobe 4")
+    val r1 = Similarity.ivfDeliveredRecall(clustered, cents, q, 10, nProbe = 1)
+    assert(r1 >= 0.5, s"clustered-corpus recall $r1 at nprobe 1 — codebook blind to clusters")
+  }
+
   // --- text analysis ---
 
   test("token counts") {

@@ -1392,4 +1392,51 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+  test("streaming text keep-list == batch textKeepList over the union (split files)") {
+    // the text family's near-dup keep-list twin: two document files arrive
+    // as separate micro-batches; the persisted-state fold (index probe +
+    // batch-internal pairs + clustersIncremental) must end at exactly the
+    // batch keep-list over the union — keeper, cluster and singleton
+    // semantics included. Tag-prefixed copies are planted so real near-dup
+    // pairs straddle the file boundary.
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val copies = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("replica 1 "), col("text")).as("text"), col("n_chars"))
+    val union = docs.unionByName(copies).filter(col("text").isNotNull).cache()
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-kl-stream")
+    val work = java.nio.file.Files.createTempDirectory("graft-kl-state").toString
+    def writeOne(d: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-kl-part").toFile
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(System.currentTimeMillis() - ageMs))
+    }
+    // originals land first, the copy wave second: every planted pair
+    // straddles the micro-batch boundary (file age orders ingestion;
+    // maxFilesPerTrigger 1 forces two batches)
+    writeOne(union.filter(col("doc_id") < 1000000L), "a.parquet", 120000L)
+    writeOne(union.filter(col("doc_id") >= 1000000L), "b.parquet", 60000L)
+    val stream = spark.readStream.schema(
+        "doc_id LONG, text STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = DocStreams.textKeepListStream(stream, work)
+    try q.processAllAvailable() finally q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    val streamed = asMap(DocStreams.textKeepListResult(spark, work))
+    val batch = asMap(graft.pipeline.Dedup.textKeepList(
+      union, "doc_id", "text", "n_chars"))
+    assert(streamed == batch,
+      s"stream keep-list diverged: extra=${streamed.toSeq.diff(batch.toSeq).take(5)} " +
+        s"missing=${batch.toSeq.diff(streamed.toSeq).take(5)}")
+    // fixture teeth: at least one non-singleton cluster straddles the split
+    assert(batch.exists { case (id, (cl, _, _)) => id >= 1000000L && cl < 1000000L },
+      "fixture vacuous - no cross-batch cluster")
+    union.unpersist()
+  }
+
 }
