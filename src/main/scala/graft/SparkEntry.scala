@@ -1637,6 +1637,15 @@ object SparkEntry {
 
     // dedup clustering: connected components over near-dup pairs →
     // (doc_id, cluster representative); recursive-CTE DuckDB oracle
+    // the round-13 LINEAR clustering path: connected-component labels
+    // WITHOUT the quadratic pair enumeration (chain round + broadcast-
+    // label cross-component residue) — provably identical to
+    // q_dedup_clusters, so it shares that recursive-CTE oracle verbatim;
+    // this gate pins the equality against DuckDB, not just scalatest
+    "q_dedup_labels" -> ((s, d) =>
+      Dedup.minhashLshLabels(Tables.table(s, d, "documents"),
+        "doc_id", "text", threshold = 0.8)),
+
     "q_dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(Tables.table(s, d, "documents"),
         "doc_id", "text", threshold = 0.8)
@@ -3519,7 +3528,10 @@ object SparkEntry {
     "q_join_asof_salted" -> oracleSqlCore("q_join_asof"),
     "q_sessionize_salted" -> oracleSqlCore("q_sessionize"),
     "q_dedup_clusters_incr" -> oracleSqlCore("q_dedup_clusters"),
-    "q_dedup_keeplist_incr" -> oracleSqlCore("q_dedup_keeplist"))
+    "q_dedup_keeplist_incr" -> oracleSqlCore("q_dedup_keeplist"),
+    // the connectivity-sufficient label path is output-identical to
+    // clusters(minhashLshPairs(...)) by construction — same oracle verbatim
+    "q_dedup_labels" -> oracleSqlCore("q_dedup_clusters"))
 
   private def oracleSqlCore: Map[String, String] = Map(
     "q_dedup_minhash" -> s"WITH $JaccardPairsCtes SELECT id_a, id_b FROM jpairs",
