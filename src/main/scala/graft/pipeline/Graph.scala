@@ -67,9 +67,29 @@ object Graph {
     }
     // materialize the loop-invariant tables once: every iteration's lineage
     // references edgeDeg and nodes, so without this the upstream edge
-    // derivation (often a join) re-executes per iteration
-    val nodeIds = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // derivation (often a join) re-executes per iteration.
+    // `e` itself is CACHED first (not checkpointed): four subplans consume
+    // it (both nodeIds branches, deg, edgeDeg), and column pruning
+    // specializes them enough that ReuseExchange misses — measured at
+    // sf100 (600 M-row lineitem → 1.1 B-edge purchase graph) the
+    // un-truncated edge derivation re-ran its join+distinct per consumer
+    // and the accumulated shuffle files alone exhausted the probe host's
+    // disk before the first iteration. A columnar cache (compressed,
+    // ~3-4× smaller on disk than checkpoint blocks) is the right vehicle
+    // because `e` is DEAD once the invariants exist: it is unpersisted
+    // (blocking, so the scratch space is back before the iterations
+    // start) right after edgeDeg materializes — a checkpoint would pin
+    // those blocks for the whole query. Lineage truncation isn't needed
+    // here (one derivation level); the loop-facing tables below stay
+    // checkpointed so iteration plans remain constant-size. DISK_ONLY, not
+    // MEMORY_AND_DISK: at 1.1 B edges the in-memory columnar build competes
+    // with 32 concurrent join/aggregate tasks for the unified pool
+    // (measured: heap OOM at 48 g) — the cache is read exactly three more
+    // times sequentially, so streaming compressed batches off local disk
+    // costs little and leaves the whole pool to execution.
+    val eM = e.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val nodeIds = eM.select(col("src").as("node"))
+      .union(eM.select(col("dst").as("node"))).distinct()
     // personalized mode: nodes carry a 0/1 teleport flag — seeds outside
     // the graph's node set are ignored (they have no edges to rank over);
     // unseeded runs get seed = 1 everywhere, which makes every seeded
@@ -86,10 +106,14 @@ object Graph {
       },
       checkpointDir)
     val deg = weightCol match {
-      case Some(_) => e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-      case None => e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      case Some(_) => eM.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+      case None => eM.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     }
-    val edgeDeg = Checkpoints.materialize(e.join(deg, "src"), checkpointDir)
+    val edgeDeg = Checkpoints.materialize(eM.join(deg, "src"), checkpointDir)
+    // every eM consumer (nodes, deg→edgeDeg) has materialized by here —
+    // release the edge cache NOW (blocking) so the iterations inherit its
+    // scratch space; dangling/counts below read only checkpointed tables
+    eM.unpersist(blocking = true)
     // dangling = nodes with no out-edge; only materialized (and the node
     // count only collected) when redistribution needs them
     val dangling =

@@ -85,6 +85,12 @@ object Probe {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
       .config("spark.shuffle.spill.compress",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      // same posture for persisted/checkpointed block-manager disk blocks
+      // (localCheckpoint + cache spill): Spark's default leaves them
+      // UNCOMPRESSED, which at sf100 makes a 1.1 B-edge loop-invariant
+      // table ~3-4x larger on scratch disk than it needs to be
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.util.Logs.muteBoundedWindowWarn()

@@ -3,7 +3,8 @@ package graft.tools
 /**
  * Verdict-r12 #5 probe: the scale-sensitive five, one more decade up.
  * Builds sf100 (= 10× the sf10 replica corpus = 1000× the driver's bench
- * scale: ~5 M documents / ~60 M lineitem) with [[ScaleUp]] if absent, then
+ * scale: 5 M documents / 600 M lineitem / 100 M events, ~17 GB parquet)
+ * with [[ScaleUp]] if absent, then
  * times each query once at sf10 and once at sf100 — min-of-1 by design:
  * the point is ratio-scale evidence and guard behavior (candidate-volume
  * guards must cap loudly rather than ENOSPC), not a tight benchmark. A
@@ -38,9 +39,16 @@ object ProbeSf100 {
       System.err.println(s"[probe-sf100] $name@$dir failed: ${ex.getMessage}")
       -1.0
     }.get
+    // a multi-query sf100 marathon accumulates shuffle files from FINISHED
+    // jobs (ContextCleaner only reclaims them on a driver GC — measured:
+    // 55 GB of block-manager dirs and ENOSPC three queries in). Force the
+    // GC between timed runs so each query starts from a clean disk floor.
+    def gcShuffles(): Unit = { System.gc(); Thread.sleep(3000) }
     val out = Five.map { q =>
       val a = time(q, sf10)
+      gcShuffles()
       val b = time(q, sf100)
+      gcShuffles()
       val ratio = if (a > 0 && b > 0) b / a else -1.0
       println(f"[probe-sf100] $q sf10=$a%.2fs sf100=$b%.2fs ratio=$ratio%.2f")
       f""""$q":{"sf10_sec":$a%.2f,"sf100_sec":$b%.2f,"ratio":$ratio%.2f}"""
