@@ -1273,6 +1273,22 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"))
     }),
 
+    // the batch-ANN scale path of the join above: every query is scored
+    // only within the nProbe coarse cells its vector probes (corpus
+    // rows keep their single nearest-centroid cell). Deterministic
+    // md5-ordered codebook, so the oracle replays the ENTIRE chain —
+    // codebook → per-query probe cells → cell assignment → per-query
+    // exact rerank over the probed union (the q_embed_topk_ivf_det
+    // precedent, per query instead of one)
+    "q_embed_knn_join_ivf" -> ((s, d) => {
+      val embs = Tables.table(s, d, "embeddings")
+      val cents = Similarity.deterministicCentroids(embs, nCells = 8)
+      val queries = embs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopKJoin(queries, embs, cents, k = 10, nProbe = 3)
+        .select(col("query_id"), col("vec_id"))
+    }),
+
     // SemDeDup-shaped semantic dedup: deterministic md5-ordered codebook →
     // argmax-cosine cluster assignment (first-index tie-break) →
     // within-cluster pairs at tau; the oracle re-derives the identical
@@ -1675,19 +1691,35 @@ object SparkEntry {
       Dedup.textKeepList(Tables.table(s, d, "documents"),
         "doc_id", "text", "n_chars")),
 
-    // incremental keep-list refresh: label the base half of the pair
-    // stream, fold the delta half in via clustersIncremental, then the
-    // keeper + singleton restore — EXACT equality with the from-scratch
-    // keep-list, so this gate shares q_dedup_keeplist's oracle verbatim
-    // (the q_dedup_clusters_incr precedent; the parity split keeps both
-    // the untouched-keep and re-solve paths populated)
+    // incremental keep-list refresh at the LAKE cadence (the realistic
+    // shape, r13): the corpus-at-rest (doc_id % 100 ≠ 0) carries a
+    // persisted split minhash index + linear component labels; the
+    // arriving 1% batch pays only its OWN signatures — it probes the
+    // index for batch-vs-corpus CONNECTIVE edges (one verified edge per
+    // (batch doc, corpus component) + exact residue round, never
+    // batch × replication pair rows), labels itself internally (star
+    // edges, never the batch's quadratic pair table), and folds both in
+    // via the affected-cluster re-solve. EXACT equality with the
+    // from-scratch keep-list over the union, so this gate shares
+    // q_dedup_keeplist's oracle verbatim. The pair-parity-split WORST
+    // case (delta touches every component, full re-solve) stays pinned
+    // by q_dedup_clusters_incr below
     "q_dedup_keeplist_incr" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
-        .select(col("id_a"), col("id_b"))
-      val base = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 0)
-      val delta = pairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 1)
-      Dedup.clusterKeepListIncremental(Dedup.clusters(base), delta,
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val base = docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      // per-invocation unique path (the q_dedup_media_incr precedent)
+      val path = s"/tmp/graft_mh_index_${java.util.UUID.randomUUID().toString.take(12)}"
+      Dedup.writeMinhashIndex(base, path)
+      val labels = graft.pipeline.Checkpoints.materialize(
+        Dedup.minhashLshLabels(base, "doc_id", "text"), None)
+      val vsCorpus = Dedup.dedupAgainstIndexConnective(s, path, batch, base,
+          labels)
+        .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+      val internal = Dedup.minhashLshLabels(batch, "doc_id", "text")
+        .select(col("id").as("id_a"), col("cluster").as("id_b"))
+      Dedup.clusterKeepListIncremental(labels, vsCorpus.unionByName(internal),
         docs, "doc_id", "n_chars")
     }),
 
@@ -5428,6 +5460,33 @@ object SparkEntry {
         "FROM embeddings e CROSS JOIN q), " +
         "r AS (SELECT query_id, vec_id, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rn FROM s) " +
+        "SELECT query_id, vec_id FROM r WHERE rn <= 10"),
+
+    // full per-query IVF replay: md5-ordered codebook, per-query probe
+    // selection (cosine DESC, cidx ASC), argmax-cosine cell assignment
+    // with first-index tie-break, exact rerank over the probed cells
+    "q_embed_knn_join_ivf" ->
+      ("WITH cent AS (SELECT embedding AS cv, row_number() OVER " +
+        "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx " +
+        "FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), " +
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "probes AS (SELECT query_id, cidx FROM (SELECT q.query_id, c.cidx, " +
+        "row_number() OVER (PARTITION BY q.query_id " +
+        "ORDER BY list_cosine_similarity(q.qv, CAST(c.cv AS DOUBLE[])) DESC, " +
+        "c.cidx ASC) AS rn FROM cent c CROSS JOIN q) WHERE rn <= 3), " +
+        "cscored AS (SELECT e.vec_id, e.embedding, c.cidx, " +
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS cs " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "asg AS (SELECT vec_id, embedding, cidx FROM (SELECT vec_id, embedding, cidx, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cidx ASC) AS rn " +
+        "FROM cscored) WHERE rn = 1), " +
+        "cand AS (SELECT p.query_id, a.vec_id, a.embedding FROM asg a " +
+        "JOIN probes p USING (cidx)), " +
+        "r AS (SELECT cand.query_id, cand.vec_id, row_number() OVER " +
+        "(PARTITION BY cand.query_id ORDER BY " +
+        "list_cosine_similarity(CAST(cand.embedding AS DOUBLE[]), q.qv) DESC, " +
+        "cand.vec_id ASC) AS rn FROM cand JOIN q ON q.query_id = cand.query_id) " +
         "SELECT query_id, vec_id FROM r WHERE rn <= 10"),
 
     // replays the deterministic codebook (md5-ordered first 8 ids), the

@@ -301,6 +301,51 @@ object Dedup {
       labelBroadcastMaxEntries)
   }
 
+  /**
+   * [[minhashLshLabels]] rebuilt from a persisted [[writeMinhashIndex]]
+   * artifact — the labeling half of the lake cadence pays NO fresh
+   * signature pass: the index rows (id, sig, band, key) regroup into
+   * exactly the capped id-sorted buckets the in-memory path builds (band →
+   * pos, key → col; same struct order, same sort, same `maxBucket` cap and
+   * metrics), and the chain + cross-component rounds run unchanged. Corpus
+   * TEXT is read only by the two verify joins — at the lake this turns
+   * "label the corpus" from a second full signature scan into a regroup of
+   * an artifact that already exists for [[dedupAgainstIndex]] probes.
+   * Output exactly equals `minhashLshLabels(corpus, ...)` with the
+   * (numHashes, bands, shingle/wordShingle) the index was written with
+   * (differential-tested); as everywhere, an index and its consumers must
+   * agree on the signature unit.
+   */
+  def minhashLshLabelsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String, corpus: DataFrame,
+                                idCol: String = "doc_id", textCol: String = "text",
+                                shingle: Int = 5, wordShingle: Int = 0,
+                                threshold: Double = 0.8, maxBucket: Int = 1000,
+                                metrics: Option[Observation] = None,
+                                maxIter: Int = 12,
+                                checkpointDir: Option[String] = None,
+                                chainBands: Int = Int.MaxValue,
+                                labelBroadcastMaxEntries: Long = 8000000L): DataFrame = {
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"))
+    val buckets = Checkpoints.materialize(
+      capBuckets(spark.read.parquet(s"$indexPath/bands")
+        .join(spark.read.parquet(s"$indexPath/sigs"), "id")
+        .select(col("id").cast("long").as("id"), col("sig"),
+          col("band").as("pos"), col("key").as("col"))
+        .groupBy(col("pos"), col("col"))
+        .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("items")),
+        size(col("items")), maxBucket, metrics),
+      checkpointDir)
+    val verify: (Column, Column) => Column =
+      if (wordShingle > 0)
+        (a, b) => c(org.apache.spark.sql.graft.WordNgramJaccard(
+          e(a), e(b), e(lit(wordShingle))))
+      else (a, b) => ngramJaccard(a, b, shingle)
+    labelsFromBuckets(base, buckets, verify, threshold, maxIter,
+      checkpointDir, chainBands, labelBroadcastMaxEntries)
+  }
+
   /** The two-round connectivity-sufficient labeling behind
     * [[minhashLshLabels]] — same signature/band/bucket/verify pieces as
     * [[lshPairsImpl]], pair enumeration replaced by chain + cross-component
@@ -330,6 +375,23 @@ object Dedup {
         .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("items")),
         size(col("items")), maxBucket, metrics),
       checkpointDir)
+    labelsFromBuckets(base, buckets, verifyJaccard, threshold, maxIter,
+      checkpointDir, chainBands, labelBroadcastMaxEntries)
+  }
+
+  /** The chain + cross-component rounds of [[lshLabelsImpl]], starting from
+    * an already-materialized capped bucket frame (pos, col, items[(id,
+    * sig)]) — shared by the in-memory path and
+    * [[minhashLshLabelsFromIndex]], whose buckets regroup from the
+    * persisted artifact instead of a fresh signature pass. */
+  private def labelsFromBuckets(base: DataFrame, buckets: DataFrame,
+                                verifyJaccard: (Column, Column) => Column,
+                                threshold: Double,
+                                maxIter: Int,
+                                checkpointDir: Option[String],
+                                chainBands: Int,
+                                labelBroadcastMaxEntries: Long): DataFrame = {
+    import org.apache.spark.sql.graft.SigJaccard
     val estOk = (a: Column, b: Column) =>
       c(SigJaccard(e(a), e(b))) >= threshold - 0.2
     // exact verify on an estimate-surviving candidate set (text joins only;
@@ -393,11 +455,11 @@ object Dedup {
     val nLab1 = lab1.count()
     val crossCand = if (nLab1 <= labelBroadcastMaxEntries) {
       val pairsArr = {
-        import df.sparkSession.implicits._
+        import base.sparkSession.implicits._
         lab1.select(col("id").cast("long"), col("cluster").cast("long"))
           .as[(Long, Long)].collect().sortBy(_._1)
       }
-      val bc = df.sparkSession.sparkContext.broadcast(
+      val bc = base.sparkSession.sparkContext.broadcast(
         (pairsArr.map(_._1), pairsArr.map(_._2)))
       buckets
         .select(c(org.apache.spark.sql.graft.CrossLabelPairs(
@@ -1699,11 +1761,17 @@ object Dedup {
     val touched = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     // clusters containing any endpoint of a new pair; materialized once —
-    // it gates BOTH the re-solve membership and the untouched anti-join
+    // it gates BOTH the re-solve membership and the untouched anti-join.
+    // Renamed rather than joined on the shared name: when `labels` itself
+    // arrives materialized (a LogicalRDD), `aff`'s checkpoint captures
+    // lab's `cluster` exprId and the self-shaped join can fail analysis
+    // with conflicting references (seen under the AQE-off parity suite) —
+    // the rename projects a fresh attribute on the small side
     val aff = Checkpoints.materialize(
       lab.join(touched, "id").select(col("cluster")).distinct(),
-      checkpointDir)
-    val affMembers = lab.join(aff, "cluster")
+      checkpointDir).withColumnRenamed("cluster", "__aff_cluster")
+    val affMembers = lab.join(aff, col("cluster") === col("__aff_cluster"))
+      .select(col("id"), col("cluster"))
     // star edges (member → representative) reconnect each affected
     // cluster (the rep is its min member id, so it IS a node); new ids
     // enter through the pairs themselves
@@ -1711,7 +1779,7 @@ object Dedup {
       affMembers.select(col("id").as("id_a"), col("cluster").as("id_b")))
     val relabeled = clusters(edges, maxIter, driverMaxEdges,
       doublingEagerEdges, checkpointDir)
-    lab.join(aff, Seq("cluster"), "left_anti")
+    lab.join(aff, col("cluster") === col("__aff_cluster"), "left_anti")
       .select(col("id"), col("cluster"))
       .unionByName(relabeled)
   }
@@ -2222,17 +2290,32 @@ object Dedup {
   }
 
   /**
-   * Persist the corpus MinHash-LSH index: one row per (id, sig, band, key),
-   * range-partitioned and sorted by bucket key so parquet row-group
-   * min/max statistics prune key-equality probes. This is the artifact
-   * that makes dedup INCREMENTAL — the 100 TB corpus is signed once, and
-   * every arriving batch probes the index instead of re-reading corpus
-   * text (see [[dedupAgainstIndex]]).
+   * Persist the corpus MinHash-LSH index, SPLIT into its two access
+   * shapes:
+   *
+   *   `$path/sigs`  — (id, sig): each signature stored ONCE
+   *   `$path/bands` — (id, band, key): skinny 24-byte band rows,
+   *                   range-partitioned and sorted by bucket key so
+   *                   parquet row-group min/max statistics prune
+   *                   key-equality probes
+   *
+   * Probes equi-join the BANDS side — where the in-bucket row product
+   * lives — and attach signatures only to the already-DEDUPED candidate
+   * set. The previous single-table layout carried the full signature on
+   * every band row (bands × sig-bytes redundancy: ~40 GB at a 5 M-doc
+   * probe corpus vs ~3 GB split); its decode dominated every consumer,
+   * measured 148 s vs ~15 s for the labeling regroup at that scale.
+   * This is the artifact that makes dedup INCREMENTAL — the 100 TB
+   * corpus is signed once, and every arriving batch probes the index
+   * instead of re-reading corpus text (see [[dedupAgainstIndex]]).
    *
    * `wordShingle` > 0 switches the signature unit to word n-grams (the
    * published 13-word configuration — [[minhashLshPairsWords]]); the
    * char `shingle` is ignored then. An index and its probes must agree
-   * on the unit — the layout is identical either way.
+   * on the unit — the layout is identical either way. The bands side is
+   * derived by reading `sigs` back rather than re-signing the corpus:
+   * one text scan total, and the signature pass (the dominant cost on a
+   * real corpus) is never repeated.
    */
   def writeMinhashIndex(df: DataFrame, path: String, idCol: String = "doc_id",
                         textCol: String = "text", numHashes: Int = 64,
@@ -2244,12 +2327,14 @@ object Dedup {
       if (wordShingle > 0)
         c(MinHashSigWords(e(col(textCol)), e(lit(numHashes)), e(lit(wordShingle))))
       else c(MinHashSig(e(col(textCol)), e(lit(numHashes)), e(lit(shingle))))
-    df.select(col(idCol).as("id"), sig.as("sig"))
-      .select(col("id"), col("sig"),
+    df.select(col(idCol).cast("long").as("id"), sig.as("sig"))
+      .write.mode(mode).parquet(s"$path/sigs")
+    df.sparkSession.read.parquet(s"$path/sigs")
+      .select(col("id"),
         posexplode(c(SigBands(e(col("sig")), e(lit(bands))))).as(Seq("band", "key")))
       .repartitionByRange(col("key"))
       .sortWithinPartitions(col("key"), col("band"))
-      .write.mode(mode).parquet(path)
+      .write.mode(mode).parquet(s"$path/bands")
   }
 
   /**
@@ -2279,14 +2364,35 @@ object Dedup {
                         maxPushdownKeys: Int = 8192,
                         bloomPath: Option[String] = None,
                         wordShingle: Int = 0): DataFrame = {
+    val cand = indexProbeCandidates(spark, indexPath, batch, idCol, textCol,
+      numHashes, bands, shingle, threshold, maxPushdownKeys, bloomPath,
+      wordShingle)
+    verifyCross(cand, batch, corpus, idCol, textCol, shingle, wordShingle,
+      threshold)
+  }
+
+  /** The estimate-surviving (new_id, corpus_id) candidate set of a batch
+    * probing a [[writeMinhashIndex]] artifact — the pre-verification half
+    * of [[dedupAgainstIndex]], shared with the connectivity-sufficient
+    * probe. */
+  private def indexProbeCandidates(spark: org.apache.spark.sql.SparkSession,
+                                   indexPath: String, batch: DataFrame,
+                                   idCol: String, textCol: String,
+                                   numHashes: Int, bands: Int, shingle: Int,
+                                   threshold: Double, maxPushdownKeys: Int,
+                                   bloomPath: Option[String],
+                                   wordShingle: Int): DataFrame = {
     import org.apache.spark.sql.graft.{BloomKeyMightContain, MinHashSig, MinHashSigWords, SigBands, SigJaccard}
-    val index = spark.read.parquet(indexPath)
+    val bandsIdx = spark.read.parquet(s"$indexPath/bands")
+    val sigsIdx = spark.read.parquet(s"$indexPath/sigs")
     val bsig =
       if (wordShingle > 0)
         c(MinHashSigWords(e(col(textCol)), e(lit(numHashes)), e(lit(wordShingle))))
       else c(MinHashSig(e(col(textCol)), e(lit(numHashes)), e(lit(shingle))))
     val bsigs = batch.select(col(idCol).as("new_id"), bsig.as("new_sig"))
-    val bbandAll = bsigs.select(col("new_id"), col("new_sig"),
+    // SKINNY band rows on both join sides: the in-bucket row product pays
+    // 24-byte rows, and signatures attach only to the DEDUPED candidates
+    val bbandAll = bsigs.select(col("new_id"),
       posexplode(c(SigBands(e(col("new_sig")), e(lit(bands))))).as(Seq("band", "key")))
     // optional Bloom pre-screen (see [[writeBloomIndex]]): a mostly-novel
     // batch drops most of its bucket keys SCAN-LOCALLY, before the key
@@ -2302,12 +2408,26 @@ object Dedup {
     val keySample = bband.select(col("key")).distinct()
       .limit(maxPushdownKeys + 1).collect().map(_.getLong(0))
     val pruned =
-      if (keySample.length <= maxPushdownKeys) index.filter(col("key").isin(keySample: _*))
-      else index
-    val pairs = pruned.join(bband, Seq("band", "key"))
-      .filter(c(SigJaccard(e(col("sig")), e(col("new_sig")))) >= threshold - 0.2)
+      if (keySample.length <= maxPushdownKeys) bandsIdx.filter(col("key").isin(keySample: _*))
+      else bandsIdx
+    // the estimate prefilter runs per DISTINCT candidate pair now, not per
+    // band collision — same surviving set (a pair's signatures are the
+    // same in every colliding band), fewer estimate evaluations
+    pruned.join(bband, Seq("band", "key"))
       .select(col("new_id"), col("id").as("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
+      .join(sigsIdx.select(col("id").as("corpus_id"), col("sig")), "corpus_id")
+      .join(bsigs, "new_id")
+      .filter(c(SigJaccard(e(col("sig")), e(col("new_sig")))) >= threshold - 0.2)
+      .select(col("new_id"), col("corpus_id"))
+  }
+
+  /** Exact-Jaccard verification of (new_id, corpus_id) candidates via the
+    * two text lookups — [[dedupAgainstIndex]]'s tail, shared with the
+    * connectivity-sufficient probe's rep + residue rounds. */
+  private def verifyCross(cand: DataFrame, batch: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String, shingle: Int,
+                          wordShingle: Int, threshold: Double): DataFrame = {
     val bt = batch.select(col(idCol).as("new_id"), col(textCol).as("new_text"))
     val ct = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("corpus_text"))
     val verify =
@@ -2315,10 +2435,79 @@ object Dedup {
         c(org.apache.spark.sql.graft.WordNgramJaccard(
           e(col("new_text")), e(col("corpus_text")), e(lit(wordShingle))))
       else ngramJaccard(col("new_text"), col("corpus_text"), shingle)
-    pairs.join(bt, "new_id").join(ct, "corpus_id")
+    cand.join(bt, "new_id").join(ct, "corpus_id")
       .withColumn("jaccard", verify)
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /**
+   * CONNECTIVITY-SUFFICIENT index probe — the incremental twin of
+   * [[minhashLshLabels]]' insight, for the lake fold that consumes the
+   * result as GRAPH EDGES (e.g. [[clusterKeepListIncremental]]): a batch
+   * doc that near-duplicates a corpus COMPONENT needs ONE verified edge
+   * into it, not one per member. On a replication-heavy corpus
+   * [[dedupAgainstIndex]]'s full pair table costs batch × replication
+   * verifications (measured 4.4× the whole gate at sf10); this probe
+   * verifies ~batch × touched-components.
+   *
+   * Two exact rounds over the SAME estimate-surviving candidate set:
+   *
+   *  1. REP round: group candidates by (new_id, corpus component) —
+   *     component = the candidate's label in `corpusLabels`, itself for
+   *     unlabeled singletons — and verify only the min-corpus_id
+   *     representative of each group.
+   *  2. RESIDUE round: groups whose representative FAILED exact
+   *     verification (estimate false positives — rare by construction,
+   *     since a replica clique's candidates nearly always verify) re-enter
+   *     with ALL remaining members verified.
+   *
+   * Exactness for connectivity: if ANY true edge (n, c ∈ C) exists among
+   * the candidates, either C's rep verifies (edge emitted) or the residue
+   * round verifies every other member including c. So
+   * CC(corpusLabels ∪ these edges ∪ batch-internal edges) equals
+   * CC(corpusLabels ∪ dedupAgainstIndex edges ∪ batch-internal edges) —
+   * differential-tested via the keep-list equality. NOT a drop-in
+   * replacement for the pair TABLE (per-pair jaccard rows): emitted
+   * edges are a connectivity-spanning subset.
+   */
+  def dedupAgainstIndexConnective(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String, batch: DataFrame,
+                                  corpus: DataFrame, corpusLabels: DataFrame,
+                                  idCol: String = "doc_id", textCol: String = "text",
+                                  numHashes: Int = 64, bands: Int = 16,
+                                  shingle: Int = 5, threshold: Double = 0.8,
+                                  maxPushdownKeys: Int = 8192,
+                                  bloomPath: Option[String] = None,
+                                  wordShingle: Int = 0,
+                                  checkpointDir: Option[String] = None): DataFrame = {
+    // the candidate set feeds the rep round AND (for failed groups) the
+    // residue round — materialize once, like every double-read upstream
+    val cand = Checkpoints.materialize(
+      indexProbeCandidates(spark, indexPath, batch, idCol, textCol,
+        numHashes, bands, shingle, threshold, maxPushdownKeys, bloomPath,
+        wordShingle), checkpointDir)
+    val lab = corpusLabels.select(col("id").cast("long").as("__cid"),
+      col("cluster").cast("long").as("__clab"))
+    val grouped = cand.join(lab, cand("corpus_id") === col("__cid"), "left")
+      .select(col("new_id"), col("corpus_id"),
+        coalesce(col("__clab"), col("corpus_id")).as("__grp"))
+    val reps = grouped.groupBy(col("new_id"), col("__grp"))
+      .agg(min(col("corpus_id")).as("corpus_id"))
+    val repOk = Checkpoints.materialize(
+      verifyCross(reps.select(col("new_id"), col("corpus_id")), batch, corpus,
+        idCol, textCol, shingle, wordShingle, threshold), checkpointDir)
+    // groups whose representative failed: re-attach the group key to the
+    // verified reps, anti-join, and verify every REMAINING member
+    val failed = reps.join(repOk.select(col("new_id"), col("corpus_id")),
+        Seq("new_id", "corpus_id"), "left_anti")
+      .select(col("new_id"), col("__grp"), col("corpus_id").as("__rep"))
+    val residue = grouped.join(failed, Seq("new_id", "__grp"))
+      .filter(col("corpus_id") =!= col("__rep"))
+      .select(col("new_id"), col("corpus_id"))
+    repOk.unionByName(
+      verifyCross(residue, batch, corpus, idCol, textCol, shingle,
+        wordShingle, threshold))
   }
 
   /**
@@ -2337,7 +2526,7 @@ object Dedup {
                       indexPath: String, bloomPath: String,
                       fpp: Double = 0.01): Unit = {
     require(fpp > 0 && fpp < 0.5, s"fpp out of (0, 0.5): $fpp")
-    val keys = spark.read.parquet(indexPath).select(col("key")).distinct()
+    val keys = spark.read.parquet(s"$indexPath/bands").select(col("key")).distinct()
     val n = math.max(1L, keys.count())
     val bf = keys.stat.bloomFilter("key", n, fpp)
     val out = new java.io.BufferedOutputStream(

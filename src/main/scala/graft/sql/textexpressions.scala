@@ -1096,6 +1096,38 @@ object VecOps {
     best
   }
 
+  /**
+   * Indices of the `nProbe` centroids cosine-nearest `a`, in
+   * (cosine DESC, index ASC) order — the multi-cell coarse probe of a
+   * batch IVF join, evaluated scan-locally per query row. Successive
+   * strict-argmax selection, so ties keep the LOWEST index: probing 1
+   * cell returns exactly [[nearestCentroid]], and the order matches a
+   * SQL `row_number() OVER (ORDER BY cos DESC, idx ASC)` replay.
+   */
+  def probeCells(a: ArrayData, centroids: Array[Array[Float]], nProbe: Int): ArrayData = {
+    val n = centroids.length
+    val scores = new Array[Double](n)
+    var i = 0
+    while (i < n) { scores(i) = cosine(a, centroids(i)); i += 1 }
+    val m = math.min(nProbe, n)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](n)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var bs = Double.NegativeInfinity
+      var c = 0
+      while (c < n) {
+        if (!taken(c) && scores(c) > bs) { bs = scores(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // Plane-component cache: u(p,j) depends only on (seed, p, j), never the
   // row, so regenerating it per vector would burn a mix64 + divide per
   // (band, plane, dim, ROW) — billions of redundant mixes once n-aware
@@ -1188,6 +1220,25 @@ case class VecNearestCentroid(child: Expression, centroids: Array[Array[Float]])
     defineCodeGen(ctx, ev, a => s"org.apache.spark.sql.graft.VecOps.nearestCentroid($a, $cRef)")
   }
   override protected def withNewChildInternal(c: Expression): VecNearestCentroid = copy(child = c)
+}
+
+/** vec_probe_cells(embedding) → array<int>: indices of the `nProbe`
+  * cosine-nearest centroids in a constant codebook, (cosine DESC, index
+  * ASC) order — the per-row coarse probe of a batch IVF join. */
+case class VecProbeCells(child: Expression, centroids: Array[Array[Float]], nProbe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_probe_cells"
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.probeCells(a.asInstanceOf[ArrayData], centroids, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("graftProbeCentroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev,
+      a => s"org.apache.spark.sql.graft.VecOps.probeCells($a, $cRef, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): VecProbeCells = copy(child = c)
 }
 
 /** pq_encode(embedding) → array<int>: per-subspace nearest-code indices

@@ -391,13 +391,18 @@ object DocStreams {
     def c(ex: org.apache.spark.sql.catalyst.expressions.Expression) = GraftShims.column(ex)
     def e(column: org.apache.spark.sql.Column) = GraftShims.expression(column)
     val spark = docs.sparkSession
-    val index = spark.read.parquet(indexPath)
+    // split index layout (see [[graft.pipeline.Dedup.writeMinhashIndex]]):
+    // the band join carries skinny rows; corpus signatures attach to the
+    // surviving candidates via a second stream-static join
+    val bandsIdx = spark.read.parquet(s"$indexPath/bands")
+    val sigsIdx = spark.read.parquet(s"$indexPath/sigs")
     val bband = docs
       .select(col("doc_id").cast("long").as("new_id"), col("text").as("new_text"),
         c(MinHashSig(e(col("text")), e(lit(numHashes)), e(lit(shingle)))).as("new_sig"))
       .select(col("new_id"), col("new_text"), col("new_sig"),
         posexplode(c(SigBands(e(col("new_sig")), e(lit(bands))))).as(Seq("band", "key")))
-    val cand = bband.join(index, Seq("band", "key"))
+    val cand = bband.join(bandsIdx, Seq("band", "key"))
+      .join(sigsIdx.select(col("id"), col("sig")), "id")
       .filter(c(SigJaccard(e(col("sig")), e(col("new_sig")))) >= threshold - 0.2)
       .select(col("new_id"), col("new_text"), col("id").as("corpus_id"))
     val ct = corpus.select(col("doc_id").cast("long").as("corpus_id"),

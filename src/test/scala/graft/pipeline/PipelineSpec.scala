@@ -761,6 +761,73 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopKJoin: == probed-cell brute force; full probe == cosineTopKJoin") {
+    val cents = Similarity.deterministicCentroids(embs, nCells = 4)
+    val queries = embs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val all = embs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // local replica: cell = strict-argmax first-win; probes = successive argmax
+    def cellOf(v: Array[Float]): Int = {
+      var best = 0; var bs = Double.NegativeInfinity
+      for (c <- cents.indices) { val s = cos(v, cents(c)); if (s > bs) { bs = s; best = c } }
+      best
+    }
+    def probesOf(v: Array[Float], nProbe: Int): Seq[Int] = {
+      val scores = cents.indices.map(c => cos(v, cents(c)))
+      val taken = scala.collection.mutable.Set[Int]()
+      (0 until math.min(nProbe, cents.length)).map { _ =>
+        val best = cents.indices.filterNot(taken).minBy(c => (-scores(c), c))
+        taken += best; best
+      }
+    }
+    val byCell = all.groupBy { case (_, v) => cellOf(v) }
+    val got = Similarity.ivfTopKJoin(queries, embs, cents, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (qid <- 0L until 3L) {
+      val qv = all.find(_._1 == qid).get._2
+      val cand = probesOf(qv, 2).flatMap(c => byCell.getOrElse(c, Array.empty[(Long, Array[Float])]))
+      val expect = cand.map { case (id, v) => (id, cos(v, qv)) }
+        .sortBy(t => (-t._2, t._1)).take(5)
+      val mine = got.filter(_._1 == qid).sortBy(t => (-t._3, t._2))
+      assert(mine.map(_._2).toSeq == expect.map(_._1), s"query $qid ids")
+      mine.zip(expect).foreach { case ((_, _, s), (_, bs)) => assert(s == bs) }
+    }
+    // probing every cell recovers the exact brute-force join bit-for-bit
+    val full = Similarity.ivfTopKJoin(queries, embs, cents, k = 5, nProbe = cents.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, -t._3, t._2))
+    val brute = Similarity.cosineTopKJoin(queries, embs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, -t._3, t._2))
+    assert(full.toSeq == brute.toSeq)
+  }
+
+  test("ivfTopKJoinStored: persisted cell layout == in-memory join; prunes to probed cells") {
+    val cents = Similarity.deterministicCentroids(embs, nCells = 4)
+    val queries = embs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_raw").toString + "/idx"
+    Similarity.writeEmbeddingsIvf(embs, dir, cents)
+    val stored = Similarity.ivfTopKJoinStored(spark, dir, queries, cents, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, -t._3, t._2))
+    val mem = Similarity.ivfTopKJoin(queries, embs, cents, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, -t._3, t._2))
+    assert(stored.toSeq == mem.toSeq)
+    // the layout is one directory per cell and a probe scan lists only
+    // the probed ones (partition pruning over the static isin filter)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("ivf_cell=")), dirs.mkString(","))
+    val planned = Similarity.ivfTopKJoinStored(spark, dir, queries, cents, k = 5, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(planned).isDefined,
+      s"probed-cell isin must survive as a partition filter:\n$planned")
+  }
+
   test("semanticNearDupPairs: within-cluster exact, subset of brute force") {
     val embs01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val got = Similarity.semanticNearDupPairs(embs01, nClusters = 4, tau = 0.35)
@@ -1869,6 +1936,64 @@ class PipelineSpec extends AnyFunSuite {
       viaPairs.get(id + 1000000L).exists(c => viaPairs.get(id).contains(c)))
     assert(clustered > repIds.length / 2,
       s"fixture broken: only $clustered/${repIds.length} replicas clustered")
+  }
+
+  test("doc-split incremental keep-list (connective probe + star edges) == full textKeepList") {
+    // the q_dedup_keeplist_incr lake shape in miniature, on a replica-heavy
+    // corpus where a pair probe would pay batch × replication: the
+    // connective probe's one-edge-per-(doc, component) rounds + the batch
+    // labeling's star edges must still reproduce the from-scratch keep-list
+    val base0 = docs.limit(120).select(col("doc_id"), col("text"), col("n_chars"))
+    val corpus = base0
+      .unionByName(base0.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("replica 1 "), col("text")).as("text"), col("n_chars")))
+      .unionByName(base0.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("replica 2 "), col("text")).as("text"), col("n_chars")))
+    val atRest = corpus.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_conn").toString + "/idx"
+    Dedup.writeMinhashIndex(atRest, dir)
+    val labels = Dedup.minhashLshLabelsFromIndex(spark, dir, atRest)
+    val cross = Dedup.dedupAgainstIndexConnective(spark, dir, batch, atRest, labels)
+      .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+    val internal = Dedup.minhashLshLabels(batch, "doc_id", "text")
+      .select(col("id").as("id_a"), col("cluster").as("id_b"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    val incr = asMap(Dedup.clusterKeepListIncremental(labels,
+      cross.unionByName(internal), corpus, "doc_id", "n_chars"))
+    val full = asMap(Dedup.textKeepList(corpus, "doc_id", "text", "n_chars"))
+    assert(incr == full,
+      s"connective incremental diverged: ${incr.toSeq.diff(full.toSeq).take(5)}")
+    // the probe must genuinely thin the edge set on this replica corpus
+    val pairEdges = Dedup.dedupAgainstIndex(spark, dir, batch, atRest).count()
+    val connEdges = cross.count()
+    assert(connEdges < pairEdges,
+      s"connective probe did not thin: $connEdges vs $pairEdges")
+  }
+
+  test("minhashLshLabelsFromIndex == minhashLshLabels (regrouped artifact, char + word units)") {
+    // the lake-cadence equality: labels regrouped from the persisted
+    // writeMinhashIndex artifact must match the in-memory labeling
+    // bit-for-bit — replicas included, so chain + residue rounds both run
+    val base = docs.limit(120).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("replica 1 "), col("text")).as("text")))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    Dedup.writeMinhashIndex(corpus, s"$dir/char")
+    assert(asMap(Dedup.minhashLshLabelsFromIndex(spark, s"$dir/char", corpus)) ==
+      asMap(Dedup.minhashLshLabels(corpus, "doc_id", "text")), "char unit")
+    Dedup.writeMinhashIndex(corpus, s"$dir/word", wordShingle = 13)
+    assert(asMap(Dedup.minhashLshLabelsFromIndex(spark, s"$dir/word", corpus,
+        wordShingle = 13)) ==
+      asMap(Dedup.minhashLshPairsWords(corpus, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+        .transform(Dedup.clusters(_))), "word unit vs pair path")
   }
 
   test("textKeepList == uncollapsed clusterKeepList on a NEAR-dup replica corpus") {
