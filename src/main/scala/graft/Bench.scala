@@ -334,6 +334,24 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .config("spark.shuffle.spill.compress",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      // Bound the driver-side status stores: a multi-hundred-query
+      // marathon otherwise RETAINS up to 1000 SQL executions (each with
+      // its full SparkPlanGraph/metrics — iterative graph queries here
+      // carry multi-MB plan trees) plus 1000 jobs/stages of task data,
+      // gigabytes of live heap by the late marathon. The growing live set
+      // made every later query's GC pauses longer — measured as a
+      // progressive per-pass slowdown (q_modularity 6.0 s pass-2 →
+      // 9.5 s pass-4 on a 20-query slice; 11.9 → 33.8 s on the full
+      // 218-query run) with flat host calibration. Retention is a
+      // driver-observability knob, not part of any query's work, and the
+      // same bound is what a production long-running driver would set.
+      .config("spark.sql.ui.retainedExecutions",
+        sys.env.getOrElse("SPARK_GRAFT_RETAINED", "8"))
+      .config("spark.ui.retainedJobs",
+        sys.env.getOrElse("SPARK_GRAFT_RETAINED", "8"))
+      .config("spark.ui.retainedStages",
+        sys.env.getOrElse("SPARK_GRAFT_RETAINED", "8"))
+      .config("spark.ui.retainedTasks", 1000)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.util.Logs.muteBoundedWindowWarn() // after setLogLevel (root reset)

@@ -2036,7 +2036,10 @@ object SparkEntry {
       val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst")).distinct()
-      Graph.communityStats(e0, Graph.labelPropagation(e0, iters = 3))
+      // shared-canonical-pass composite: identical rows to
+      // communityStats(e0, labelPropagation(e0, 3)) with the edge join +
+      // canonical distinct derived ONCE instead of twice
+      Graph.communityStatsLpa(e0, iters = 3)
     }),
 
     // Newman-Girvan modularity of that partition, integer permille —
@@ -2049,7 +2052,8 @@ object SparkEntry {
       val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst")).distinct()
-      Graph.modularityPermille(e0, Graph.labelPropagation(e0, iters = 3))
+      // shared-canonical-pass composite (see q_community_stats)
+      Graph.modularityPermilleLpa(e0, iters = 3)
     }),
 
     // HITS hubs & authorities (2 rounds, max-normalized integer fixed

@@ -12,6 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bounded status stores: a 218-query dump otherwise retains up to
+      // 1000 SQL executions' plan graphs on the driver heap (the Bench
+      // marathon lesson — GC pauses grow with the live set)
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "8")
+      .config("spark.ui.retainedStages", "8")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.util.Logs.muteBoundedWindowWarn() // after setLogLevel (root reset)

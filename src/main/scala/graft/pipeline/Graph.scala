@@ -109,7 +109,13 @@ object Graph {
       case Some(_) => eM.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
       case None => eM.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     }
-    val edgeDeg = Checkpoints.materialize(eM.join(deg, "src"), checkpointDir)
+    // pre-partitioned by `src` — the key every iteration's contribution
+    // join probes — so checkpoint's preserved partitioning lets the loop
+    // exchange only the per-round rank table, never the edge table (the
+    // deg join often broadcasts, which would otherwise leave edgeDeg with
+    // the scan's arbitrary partitioning and re-shuffle it every iteration)
+    val edgeDeg = Checkpoints.materialize(
+      eM.join(deg, "src").repartition(col("src")), checkpointDir)
     // every eM consumer (nodes, deg→edgeDeg) has materialized by here —
     // release the edge cache NOW (blocking) so the iterations inherit its
     // scratch space; dangling/counts below read only checkpointed tables
@@ -398,11 +404,40 @@ object Graph {
   private def lpaAdjacency(edges: DataFrame,
                            checkpointDir: Option[String]): DataFrame = {
     val (canon, deg) = canonDeg(edges, checkpointDir)
+    lpaAdjacencyFrom(canon, deg, checkpointDir)
+  }
+
+  /** lpaAdjacency from a pre-computed [[canonDeg]] pair — split out so the
+    * stats/modularity composites run ONE canonical pass for both the LPA
+    * rounds and the per-community rollup instead of re-deriving the edge
+    * source per operator (measured: the orders⋈lineitem edge join plus the
+    * canonical distinct executed twice per composite gate). */
+  private def lpaAdjacencyFrom(canon: DataFrame, deg: DataFrame,
+                               checkpointDir: Option[String]): DataFrame =
+    // pre-partitioned by the per-round join key: checkpoint preserves the
+    // physical partitioning, so every round's vote join exchanges only the
+    // (≤ n-row) label table instead of re-shuffling the adjacency — one
+    // up-front exchange replaces `iters` of them (see the module-level
+    // invariant-partitioning note)
     Checkpoints.materialize(
       canon.select(col("a").as("node"), col("b").as("nbr"))
         .union(canon.select(col("b").as("node"), col("a").as("nbr")))
-        .union(deg.select(col("n").as("node"), col("n").as("nbr"))),
+        .union(deg.select(col("n").as("node"), col("n").as("nbr")))
+        .repartition(col("nbr")),
       checkpointDir)
+
+  /** The fixed-round LPA loop over a prepared adjacency — shared by
+    * [[labelPropagation]] and the shared-canonical-pass composites. */
+  private def runLpa(adj: DataFrame, iters: Int,
+                     checkpointDir: Option[String]): DataFrame = {
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      labels = lpaStep(adj, labels)
+      if (i % 8 == 0 && i < iters)
+        labels = Checkpoints.materialize(labels, checkpointDir)
+    }
+    labels
   }
 
   /** One synchronous LPA round: every node adopts the label occurring most
@@ -449,15 +484,36 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int,
                        checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val adj = lpaAdjacency(edges, checkpointDir)
-    var labels = adj.select(col("node")).distinct()
-      .withColumn("label", col("node"))
-    for (i <- 1 to iters) {
-      labels = lpaStep(adj, labels)
-      if (i % 8 == 0 && i < iters)
-        labels = Checkpoints.materialize(labels, checkpointDir)
-    }
-    labels.select(col("node"), col("label").as("community"))
+    runLpa(lpaAdjacency(edges, checkpointDir), iters, checkpointDir)
+      .select(col("node"), col("label").as("community"))
+  }
+
+  /** `communityStats(edges, labelPropagation(edges, iters))` with ONE
+    * canonical pass: the naive composition re-derives the edge source and
+    * the canonical distinct once for the LPA adjacency and once for the
+    * stats rollup — here a single [[canonDeg]] feeds both (exact same
+    * rows by construction; the gate's oracle hash is unchanged). */
+  def communityStatsLpa(edges: DataFrame, iters: Int,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val (canon, deg) = canonDeg(edges, checkpointDir)
+    val communities =
+      runLpa(lpaAdjacencyFrom(canon, deg, checkpointDir), iters, checkpointDir)
+        .select(col("node"), col("label").as("community"))
+    communityStatsFrom(canon, deg, communities, checkpointDir)
+  }
+
+  /** `modularityPermille(edges, labelPropagation(edges, iters))` with ONE
+    * canonical pass — the [[communityStatsLpa]] sharing applied to the
+    * modularity composite. */
+  def modularityPermilleLpa(edges: DataFrame, iters: Int,
+                            checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val (canon, deg) = canonDeg(edges, checkpointDir)
+    val communities =
+      runLpa(lpaAdjacencyFrom(canon, deg, checkpointDir), iters, checkpointDir)
+        .select(col("node"), col("label").as("community"))
+    modularityFrom(canon, deg, communities, checkpointDir)
   }
 
   /**
@@ -560,6 +616,12 @@ object Graph {
                          checkpointDir: Option[String] = None): DataFrame = {
     // ONE canonical pass feeds the stats AND the edge count
     val (canon, deg) = canonDeg(edges, checkpointDir)
+    modularityFrom(canon, deg, communities, checkpointDir)
+  }
+
+  private def modularityFrom(canon: DataFrame, deg: DataFrame,
+                             communities: DataFrame,
+                             checkpointDir: Option[String]): DataFrame = {
     val stats = communityStatsFrom(canon, deg, communities, checkpointDir)
     val m = canon.agg(count(lit(1)).as("m_edges"))
     val num = stats.crossJoin(broadcast(m))
@@ -648,6 +710,10 @@ object Graph {
       // twice (the raw-sum feeds both the max frame and the normalize
       // join), so an un-checkpointed round QUADRUPLES the tree-expanded
       // plan — 4^8 at cadence 8 OOMs the optimizer; 4^2 = 16x is safe.
+      // (An r13-optimization experiment materialized every half-step's
+      // raw-sum instead — plan-optimal, but the 8 extra checkpoint jobs
+      // measured q_hits 2.4 s → 4.2 s warm at sf0.1: per-job overhead
+      // beats the duplicated small joins at bench scale. Reverted.)
       if (i % 2 == 0 && i < iters) {
         auths = Checkpoints.materialize(auths, checkpointDir)
         hubs = Checkpoints.materialize(hubs, checkpointDir)
@@ -809,6 +875,10 @@ object Graph {
     val cast = edges.filter(col("src").isNotNull && col("dst").isNotNull)
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
+    // NOT pre-partitioned by the round join key (unlike [[ccSetup]] /
+    // [[prepare]]): the BFS/SSSP gate graphs are selective filters whose
+    // per-round joins broadcast or AQE-coalesce at bench scale, so the
+    // extra up-front exchange measured as a pure loss (q_sssp 1.7 → 3.2 s)
     val e = Checkpoints.materialize(
       if (assumeDistinct) cast else cast.distinct(), checkpointDir)
     val nodes = e.select(col("src").as("node"))
@@ -1165,8 +1235,11 @@ object Graph {
     // yields weakly connected components (assumeDistinct promises the
     // symmetrized union is duplicate-free, e.g. parity-disjoint encodings)
     val sym = cast.union(cast.select(col("dst").as("src"), col("src").as("dst")))
+    // pre-partitioned by `src`, the key every min-label round joins on —
+    // checkpoint preserves it, so the rounds exchange only the label table
     val e = Checkpoints.materialize(
-      if (assumeDistinct) sym else sym.distinct(), checkpointDir)
+      (if (assumeDistinct) sym else sym.distinct()).repartition(col("src")),
+      checkpointDir)
     val l0 = Checkpoints.materialize(
       e.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")),
@@ -1458,16 +1531,27 @@ object Graph {
    * DIRECTED edge membership — symmetrize the input for the standard
    * undirected node2vec.
    *
-   * Cost note, honestly stated: unlike [[randomWalks]] (which resolves
-   * the pick against the degree table and joins ONE adjacency row per
-   * step), biased steps must SCORE EVERY neighbor of the frontier —
-   * per-step fan-out is Σ_{walks} deg(cur), quadratic in hub degree the
-   * way every exact node2vec implementation is (the reference
-   * implementations pre-materialize alias tables of the same size). The
-   * fan rows are bare (start, walk, prev, cur, nbr, weight) and the
-   * per-(walk) windowed cumsum shuffles only them; each step's surviving
-   * frontier (nodes × walksPerNode rows) is materialized, the
-   * randomWalks lineage rule.
+   * Cost note: biased steps must SCORE EVERY neighbor of the frontier —
+   * Σ_{walks} deg(cur) weight evaluations per step, quadratic in hub
+   * degree the way every exact node2vec implementation is (the reference
+   * implementations pre-materialize alias tables of the same size). But
+   * the scoring is IN-ROW, not row-fan-out: each step equi-joins the
+   * frontier against the once-materialized id-sorted adjacency-ARRAY
+   * table (current node's array + prev's array) and resolves the
+   * weighted pick inside one codegen'd expression
+   * ([[org.apache.spark.sql.graft.Node2vecChoose]] — a two-pointer merge
+   * over the two sorted arrays). The previous shape exploded the frontier
+   * into per-neighbor rows, left-joined an edge-existence mark per
+   * (prev, nbr), and ran a per-walk windowed cumsum: three shuffles of
+   * Σ deg fan rows plus a window sort per step, for the same arithmetic
+   * (measured at the sf0.1 gate: 3.9 s → 2.1 s warm, 8.4 s → 3.4 s cold;
+   * zero Window nodes left in the plan). Shuffled rows never carry more
+   * than one
+   * adjacency array per frontier row — a 10⁶-degree hub ships its 8 MB
+   * array once per walk VISIT, the same volume the fan shipped as rows,
+   * but through one shuffle instead of three and with no sort behind it.
+   * Each step's surviving frontier (nodes × walksPerNode rows) is
+   * materialized, the randomWalks lineage rule.
    *
    * Output: (start, walk, step 0..length, node), like [[randomWalks]].
    */
@@ -1486,14 +1570,13 @@ object Graph {
         col("dst").cast("long").as("dst"))
     val e = Checkpoints.materialize(
       if (assumeDistinct) cast else cast.distinct(), checkpointDir)
-    val adj = Checkpoints.materialize(
-      e.select(col("src"), col("dst"),
-        (row_number().over(
-          Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
-          .cast("long").as("nbr_idx")),
+    // id-sorted adjacency ARRAYS (sort_array ∘ collect_list ≡ the old
+    // row_number-by-dst ranking — e is distinct, so no duplicate ties),
+    // materialized once; every step reads it by equi-join
+    val adjList = Checkpoints.materialize(
+      e.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs")),
       checkpointDir)
-    val deg = Checkpoints.materialize(
-      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), checkpointDir)
     val starts = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val s0 = starts
@@ -1503,46 +1586,41 @@ object Graph {
     val steps = scala.collection.mutable.ArrayBuffer(
       s0.select(col("start"), col("walk"), lit(0L).as("step"),
         col("cur").as("node")))
-    // step 1: no prev yet — the uniform randomWalks hop, carrying prev out
-    val firstPick = s0.join(deg, s0("cur") === deg("src"))
-      .select(col("start"), col("walk"), col("cur"),
-        pmod(walkPick(1), col("outdeg")).as("pick"))
+    // step 1: no prev yet — the uniform randomWalks hop (pick = hash mod
+    // outdeg over the id-sorted neighbors, exactly the old (src, nbr_idx)
+    // equi-join's row), carrying prev out. element_at is 1-based.
+    val j1 = s0.join(adjList, s0("cur") === adjList("src"))
     var state = Checkpoints.materialize(
-      firstPick.join(adj, firstPick("cur") === adj("src") &&
-          firstPick("pick") === adj("nbr_idx"))
-        .select(col("start"), col("walk"), col("cur").as("prev"),
-          col("dst").as("cur")),
+      j1.select(col("start"), col("walk"), col("cur").as("prev"),
+        element_at(col("nbrs"),
+          (pmod(walkPick(1), size(col("nbrs")).cast("long")) + 1L)
+            .cast("int")).as("cur")),
       checkpointDir)
     steps += state.select(col("start"), col("walk"), lit(1L).as("step"),
       col("cur").as("node"))
-    val eMark = e.select(col("src").as("msrc"), col("dst").as("mdst"),
-      lit(1L).as("near"))
-    val wPart = Window.partitionBy(col("start"), col("walk"))
-    val wCum = wPart.orderBy(col("nbr").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     for (s <- 2 to length) {
-      val fan = state.join(e, state("cur") === e("src"))
+      val withCur = state.join(adjList, state("cur") === adjList("src"))
         .select(col("start"), col("walk"), col("prev"), col("cur"),
-          col("dst").as("nbr"))
-        .join(eMark, col("prev") === col("msrc") && col("nbr") === col("mdst"),
-          "left")
-        .withColumn("wgt",
-          when(col("nbr") === col("prev"), lit(returnPermille.toLong))
-            .otherwise(when(col("near").isNotNull, lit(1000L))
-              .otherwise(lit(farPermille.toLong))))
-      val scored = fan
-        .withColumn("cum", sum(col("wgt")).over(wCum))
-        .withColumn("tot", sum(col("wgt")).over(wPart))
-        .withColumn("pick", pmod(walkPick(s), col("tot")))
+          col("nbrs"))
+      val withPrev = withCur.join(
+        adjList.select(col("src").as("__p"), col("nbrs").as("prev_nbrs")),
+        col("prev") === col("__p"))
       state = Checkpoints.materialize(
-        scored.filter(col("pick") >= col("cum") - col("wgt") &&
-            col("pick") < col("cum"))
-          .select(col("start"), col("walk"), col("cur").as("prev"),
-            col("nbr").as("cur")),
+        withPrev.select(col("start"), col("walk"), col("cur").as("prev"),
+          colOf(org.apache.spark.sql.graft.Node2vecChoose(
+            exprOf(col("nbrs")), exprOf(col("prev_nbrs")),
+            exprOf(col("prev")), exprOf(walkPick(s)),
+            returnPermille.toLong, farPermille.toLong)).as("cur")),
         checkpointDir)
       steps += state.select(col("start"), col("walk"),
         lit(s.toLong).as("step"), col("cur").as("node"))
     }
     steps.reduce(_ union _)
   }
+
+  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column = org.apache.spark.sql.GraftShims.column(e)
+  private def exprOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftShims.expression(c)
 }
